@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine *bitwise-deterministic* floating-point aggregation.
+  *
+  * Plain `sum(double)` is order-dependent: Spark's partial aggregation over N
+  * partitions and DuckDB's scan order accumulate rounding error differently,
+  * so the same query can hash-mismatch by ~1e-6 between engines. The fix used
+  * throughout this library:
+  *
+  *   1. per row, scale to fixed point and round: `round(x * 10^k)` — the
+  *      result is an integer-valued double, and both engines round the same
+  *      IEEE input to the same integer;
+  *   2. cast to DECIMAL(38,0) and sum — integer decimal addition is exact and
+  *      associative, so partial aggregation order cannot change the result;
+  *   3. cast the exact integer back to double (both engines round-to-nearest
+  *      the same value) and divide by `10^k` — one deterministic IEEE op.
+  *
+  * The result is bitwise identical across Spark and DuckDB regardless of
+  * partitioning, parallelism, or AQE re-planning — which also means the
+  * answer is *stable under cluster re-scale*, a property plain double sums
+  * do not have. Precision cost: values are quantized at 10^-k.
+  */
+object Exact {
+  private def pow10(k: Int): Double = math.pow(10, k) // exact for 0 <= k <= 22
+
+  /** Exact-sum of `c` quantized at `10^-k`. */
+  def fxSum(c: Column, k: Int): Column =
+    sum(round(c * lit(pow10(k))).cast(DecimalType(38, 0))).cast(DoubleType) /
+      lit(pow10(k))
+
+  /** Exact-sum of a product: each factor quantized independently at `10^-k_i`,
+    * multiplied while still exactly-representable integers (keep the product
+    * magnitude below 2^53: sum of `k_i` plus value digits must stay < 15.9).
+    */
+  def fxProdSum(factors: (Column, Int)*): Column = {
+    val prod = factors.map { case (c, k) => round(c * lit(pow10(k))) }.reduce(_ * _)
+    sum(prod.cast(DecimalType(38, 0))).cast(DoubleType) /
+      lit(pow10(factors.map(_._2).sum))
+  }
+
+  /** Exact average (null-skipping count, matching SQL AVG semantics). */
+  def fxAvg(c: Column, k: Int): Column = fxSum(c, k) / count(c)
+
+  /** DuckDB oracle-side SQL for the same three helpers, kept adjacent so the
+    * two dialects cannot drift.
+    */
+  def sqlFxSum(expr: String, k: Int): String = {
+    val p = BigDecimal(pow10(k)).toBigInt
+    s"CAST(sum(CAST(round(($expr)*$p) AS DECIMAL(38,0))) AS DOUBLE)/$p"
+  }
+  def sqlFxProdSum(factors: (String, Int)*): String = {
+    val prod = factors
+      .map { case (e, k) => s"round(($e)*${BigDecimal(pow10(k)).toBigInt})" }
+      .mkString("*")
+    val p = BigDecimal(pow10(factors.map(_._2).sum)).toBigInt
+    s"CAST(sum(CAST($prod AS DECIMAL(38,0))) AS DOUBLE)/$p"
+  }
+  def sqlFxAvg(expr: String, k: Int): String =
+    s"${sqlFxSum(expr, k)}/count($expr)"
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (`TESTDATA.md`).
+  *
+  * All tables are single parquet files per scale-factor directory. At cluster
+  * scale these would be partitioned/bucketed datasets; the loaders keep the
+  * access declarative (`spark.read.parquet`) so Catalyst's predicate pushdown,
+  * column pruning and partition pruning apply unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case n        => spark.read.parquet(s"$dir/$n.parquet")
+    }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We opt into the
+    * nanos-as-long escape hatch and truncate to microseconds — the same
+    * truncation DuckDB applies when it reads the file, so oracle comparisons
+    * agree to the microsecond.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

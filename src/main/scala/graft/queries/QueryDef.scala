@@ -1,0 +1,14 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-checkable query: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) a DuckDB oracle over the same parquet
+  * tables. Column names/aliases MUST match between the two — the driver sorts
+  * columns by name before hashing. Queries order their output deterministically
+  * (full tie-breaks) so row-order-sensitive comparison also passes.
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    fn: (SparkSession, String) => DataFrame)

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Exact, Tables}
+
+/** The core relational surface (SURVEY.md §2.2 coverage matrix): scans with
+  * filter/projection pushdown, broadcast + shuffle joins, semi/anti joins,
+  * hash aggregation, window functions, top-k, set ops, rollup/cube.
+  *
+  * Scale notes (100 TB design):
+  *  - dimension tables (`region nation customer supplier part`) are broadcast
+  *    explicitly — the probe side streams, no shuffle of the fact table;
+  *  - fact-fact joins (`lineitem ⋈ orders`) shuffle on the join key only after
+  *    filters are pushed below the join (Catalyst `PushDownPredicates`);
+  *  - every aggregate uses partial (map-side) aggregation — `groupBy.agg` over
+  *    deterministic fixed-point sums (see [[graft.Exact]]) keeps results
+  *    identical under any partitioning/AQE re-plan, so re-scaling the cluster
+  *    cannot change answers.
+  */
+object Relational {
+  import Exact._
+
+  private def tsNtz(s: String) = lit(s).cast("timestamp_ntz")
+
+  /** TPC-H Q1-shaped pricing summary: predicate pushdown + hash agg. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(col("l_shipdate") <= tsNtz("2001-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        fxSum(col("l_quantity"), 2).as("sum_qty"),
+        fxSum(col("l_extendedprice"), 2).as("sum_base_price"),
+        fxProdSum((col("l_extendedprice"), 2), (lit(1.0) - col("l_discount"), 2))
+          .as("sum_disc_price"),
+        fxProdSum(
+          (col("l_extendedprice"), 2),
+          (lit(1.0) - col("l_discount"), 2),
+          (lit(1.0) + col("l_tax"), 2)).as("sum_charge"),
+        fxAvg(col("l_quantity"), 2).as("avg_qty"),
+        fxAvg(col("l_extendedprice"), 2).as("avg_price"),
+        fxAvg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val pricingSummarySql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${sqlFxSum("l_quantity", 2)} AS sum_qty,
+       | ${sqlFxSum("l_extendedprice", 2)} AS sum_base_price,
+       | ${sqlFxProdSum(("l_extendedprice", 2), ("1.0-l_discount", 2))} AS sum_disc_price,
+       | ${sqlFxProdSum(("l_extendedprice", 2), ("1.0-l_discount", 2), ("1.0+l_tax", 2))} AS sum_charge,
+       | ${sqlFxAvg("l_quantity", 2)} AS avg_qty,
+       | ${sqlFxAvg("l_extendedprice", 2)} AS avg_price,
+       | ${sqlFxAvg("l_discount", 2)} AS avg_disc,
+       | count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6-shaped forecast-revenue: tight range filters that must reach the
+    * parquet scan (`PushedFilters` in the explain), single-row global agg.
+    */
+  def revenueFilter(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.filter(
+        col("l_shipdate") >= tsNtz("1996-01-01") &&
+        col("l_shipdate") < tsNtz("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        fxProdSum((col("l_extendedprice"), 2), (col("l_discount"), 2)).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val revenueFilterSql =
+    s"""SELECT ${sqlFxProdSum(("l_extendedprice", 2), ("l_discount", 2))} AS revenue,
+       | count(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Broadcast join: fact `orders` probes a broadcast `customer` dim — no
+    * shuffle of the fact side at any scale where the dim fits in memory.
+    */
+  def segmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(fxSum(col("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val segmentRevenueSql =
+    s"""SELECT c_mktsegment, ${sqlFxSum("o_totalprice", 2)} AS revenue,
+       | count(*) AS n_orders
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q5-shaped multiway join: two fact tables shuffle-join on
+    * `l_orderkey`; all four dims broadcast. Supplier nation must equal
+    * customer nation (the classic cycle edge).
+    */
+  def regionalNationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).filter(
+      col("o_orderdate") >= tsNtz("1996-01-01") &&
+      col("o_orderdate") < tsNtz("1998-01-01"))
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(fxProdSum((col("l_extendedprice"), 2), (lit(1.0) - col("l_discount"), 2))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val regionalNationRevenueSql =
+    s"""SELECT n_name,
+       | ${sqlFxProdSum(("l_extendedprice", 2), ("1.0-l_discount", 2))} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Window top-k: rank-1..3 orders per customer — the idiomatic form of the
+    * reference's latest-cycle-wins rule (SURVEY §2.2 "window functions").
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  private val topOrdersPerCustomerSql =
+    """SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Anti join: customers that never ordered (the reference's existence-check
+    * semantics, `converter.py:156-171`, inverted).
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val customersWithoutOrdersSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi join: customers with at least one high-value order. */
+  def customersWithBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val customersWithBigOrdersSql =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", Some(pricingSummarySql), pricingSummary),
+    QueryDef("q02_revenue_filter", Some(revenueFilterSql), revenueFilter),
+    QueryDef("q03_segment_revenue_broadcast", Some(segmentRevenueSql), segmentRevenue),
+    QueryDef("q04_regional_nation_revenue", Some(regionalNationRevenueSql), regionalNationRevenue),
+    QueryDef("q05_top_orders_window", Some(topOrdersPerCustomerSql), topOrdersPerCustomer),
+    QueryDef("q06_customers_without_orders", Some(customersWithoutOrdersSql), customersWithoutOrders),
+    QueryDef("q07_customers_big_orders_semi", Some(customersWithBigOrdersSql), customersWithBigOrders),
+  )
+}

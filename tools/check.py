@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py [sf_dir] [verify_out_dir]
+
+Reads verify_out_dir/oracle_sql.json (written by graft.Verify), runs each SQL
+in DuckDB against views named after the parquet tables in sf_dir, and compares
+against the Spark result parquet in verify_out_dir/<name>/.
+
+Comparison: columns sorted by name; exact value equality (floats bitwise —
+the engine uses Exact.fxSum-style deterministic aggregation, so no tolerance
+is needed); checks both row-order-sensitive and row-sorted equality.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetch_df()
+            got = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").fetch_df()
+            exp = exp[sorted(exp.columns)].reset_index(drop=True)
+            got = got[sorted(got.columns)].reset_index(drop=True)
+            if list(exp.columns) != list(got.columns):
+                raise AssertionError(f"columns {list(got.columns)} != {list(exp.columns)}")
+            if exp.dtypes.tolist() != got.dtypes.tolist():
+                print(f"  [warn] {name}: dtypes differ: got {got.dtypes.tolist()} exp {exp.dtypes.tolist()}")
+            if len(exp) != len(got):
+                raise AssertionError(f"rows {len(got)} != {len(exp)}")
+            if not exp.equals(got):
+                neq = (exp != got) & ~(exp.isna() & got.isna())
+                bad = neq.any(axis=1)
+                raise AssertionError(
+                    f"values differ in {int(bad.sum())} rows; first diffs:\n"
+                    f"got:\n{got[bad].head(3)}\nexp:\n{exp[bad].head(3)}")
+            print(f"  [ok] {name} ({len(exp)} rows)")
+            n_pass += 1
+        except Exception as e:
+            print(f"  [FAIL] {name}: {e}")
+            n_fail += 1
+    print(f"{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
