@@ -7,7 +7,9 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Every implemented operator, one QueryDef each (SURVEY.md §2). */
-  def all: Seq[QueryDef] = Relational.defs
+  def all: Seq[QueryDef] =
+    Relational.defs ++ WindQueries.defs ++ EventQueries.defs ++
+      ScalarQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Exact, Tables}
+
+/** Stream-shaped operators over the `events` table — the batch duals of the
+  * reference's cron micro-batch semantics (SURVEY.md §2.1 T2/T4/T6/D1):
+  * tumbling windows, latest-per-key, TTL retention, sessionization, JSON
+  * extraction, set ops. The same transforms run under Structured Streaming in
+  * [[graft.streaming]].
+  */
+object EventQueries {
+  import Exact._
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** T2: tumbling 6 h window aggregation (the GFS cycle bucketing as a
+    * declarative `window()` — epoch-aligned in both engines).
+    */
+  def tumbling6h(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), fxSum(col("value"), 2).as("value_sum"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+        col("event_type"), col("n"), col("value_sum"))
+      .orderBy("bucket_start", "event_type")
+
+  private val tumbling6hSql =
+    s"""SELECT strftime(time_bucket(INTERVAL '6 hours', ts),
+       |         '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       | event_type, count(*) AS n,
+       | ${sqlFxSum("value", 2)} AS value_sum
+       |FROM events
+       |GROUP BY bucket_start, event_type
+       |ORDER BY bucket_start, event_type""".stripMargin
+
+  /** T6/T7 shape: latest event per user (the freshness rule as a window). */
+  def latestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(
+        col("user_id"),
+        date_format(col("ts"), tsFmt).as("ts"),
+        col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  private val latestPerUserSql =
+    """SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      | event_type, value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events)
+      |WHERE rk = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** D1: 7-day TTL retention relative to the newest event (`deleteOld.py:9`,
+    * with `now()` made deterministic as `max(ts)`).
+    */
+  def retention7d(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val cutoff = e.agg(max(col("ts")).as("max_ts"))
+      .select((col("max_ts") - expr("INTERVAL 7 DAYS")).as("cutoff"))
+    e.join(broadcast(cutoff))
+      .filter(col("ts") >= col("cutoff"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), fxSum(col("value"), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  private val retention7dSql =
+    s"""SELECT event_type, count(*) AS n, ${sqlFxSum("value", 2)} AS value_sum
+       |FROM events
+       |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  /** Sessionization: 30-minute inactivity gap splits sessions (lag + running
+    * sum — the standard window-function idiom).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = unix_timestamp(col("ts")) -
+      unix_timestamp(lag(col("ts"), 1).over(byUser))
+    val isNew = when(gap.isNull || gap > 1800, 1).otherwise(0)
+    Tables.events(spark, dir)
+      .withColumn("session_seq",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"))
+      .agg(max(col("session_seq")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val sessionizeSql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    date_diff('second',
+      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |      ts) AS gap
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS session_seq
+      |  FROM g)
+      |SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** T4: JSON property extraction (`get_json_object` over the jsonb-ish
+    * `props` column) + aggregation by extracted key.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), fxSum(col("value"), 2).as("value_sum"))
+      .orderBy("k")
+
+  private val jsonPropsSql =
+    s"""SELECT CAST(props->>'$$.k' AS INTEGER) AS k, count(*) AS n,
+       | ${sqlFxSum("value", 2)} AS value_sum
+       |FROM events
+       |GROUP BY k ORDER BY k""".stripMargin
+
+  /** T3: union of filtered slices (the U+V merge shape) with provenance tag. */
+  def slicedUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val big = e.filter(col("value") > 90).withColumn("slice", lit("big"))
+    val errs = e.filter(col("event_type") === "error" && col("value") <= 90)
+      .withColumn("slice", lit("error"))
+    big.unionByName(errs)
+      .select(col("slice"), col("event_id"), col("event_type"), col("value"))
+      .orderBy("slice", "event_id")
+  }
+
+  private val slicedUnionSql =
+    """SELECT * FROM (
+      |  SELECT 'big' AS slice, event_id, event_type, value
+      |  FROM events WHERE value > 90
+      |  UNION ALL
+      |  SELECT 'error' AS slice, event_id, event_type, value
+      |  FROM events WHERE event_type = 'error' AND value <= 90)
+      |ORDER BY slice, event_id""".stripMargin
+
+  /** Set ops: users who both purchased and errored (INTERSECT). */
+  def intersectUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase").select("user_id")
+    val x = e.filter(col("event_type") === "error").select("user_id")
+    p.intersect(x).orderBy("user_id")
+  }
+
+  private val intersectUsersSql =
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |ORDER BY user_id""".stripMargin
+
+  /** Set ops: viewers who never purchased (EXCEPT). */
+  def exceptUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val v = e.filter(col("event_type") === "view").select("user_id")
+    val p = e.filter(col("event_type") === "purchase").select("user_id")
+    v.except(p).orderBy("user_id")
+  }
+
+  private val exceptUsersSql =
+    """SELECT user_id FROM events WHERE event_type = 'view'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("e01_tumbling_6h", Some(tumbling6hSql), tumbling6h),
+    QueryDef("e02_latest_per_user", Some(latestPerUserSql), latestPerUser),
+    QueryDef("e03_retention_7d", Some(retention7dSql), retention7d),
+    QueryDef("e04_sessionize", Some(sessionizeSql), sessionize),
+    QueryDef("e05_json_props", Some(jsonPropsSql), jsonProps),
+    QueryDef("e06_sliced_union", Some(slicedUnionSql), slicedUnion),
+    QueryDef("e07_intersect_users", Some(intersectUsersSql), intersectUsers),
+    QueryDef("e08_except_users", Some(exceptUsersSql), exceptUsers),
+  )
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Exact, Tables}
+
+/** Scalar-function and multi-dimensional-aggregation coverage (SURVEY.md §2.2
+  * matrix rows "string/date/math scalar fns" and "grouping sets / cube /
+  * rollup"). All built-in `org.apache.spark.sql.functions` — codegen'd, no
+  * UDFs.
+  */
+object ScalarQueries {
+  import Exact._
+
+  /** String + math scalars over `part`. */
+  def stringMath(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        (abs(col("p_size") - 25) % 7).as("size_mod"),
+        floor(col("p_retailprice")).as("price_floor"),
+        // scale-0 round only: the .5 boundary is exactly representable, so
+        // Spark's BigDecimal HALF_UP and DuckDB's std::round agree; at
+        // scale>=1 the boundary is non-dyadic and the engines can diverge.
+        round(col("p_retailprice")).as("price_round"),
+        when(col("p_size") > 25, "large").otherwise("small").as("size_class"))
+      .orderBy("p_partkey")
+
+  private val stringMathSql =
+    """SELECT p_partkey,
+      | upper(substring(p_name, 1, 8)) AS name_prefix,
+      | CAST(length(p_name) AS INTEGER) AS name_len,
+      | concat_ws('/', p_brand, p_type) AS brand_type,
+      | abs(p_size - 25) % 7 AS size_mod,
+      | CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+      | round(p_retailprice) AS price_round,
+      | CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time scalars over `orders`. */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+          .as("quarter_start"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).as("days_since_epoch0"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd")
+          .as("plus3m"))
+      .orderBy("o_orderkey")
+
+  private val dateFunctionsSql =
+    """SELECT o_orderkey,
+      | CAST(year(o_orderdate) AS INTEGER) AS y,
+      | CAST(month(o_orderdate) AS INTEGER) AS m,
+      | CAST(day(o_orderdate) AS INTEGER) AS d,
+      | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      | strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+      |   AS quarter_start,
+      | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+      |   AS INTEGER) AS days_since_epoch0,
+      | strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+      |   AS plus3m
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** ROLLUP over orders: (status, priority), (status), (). */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), fxSum(col("o_totalprice"), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  private val rollupOrdersSql =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       | coalesce(o_orderpriority, 'ALL') AS priority,
+       | count(*) AS n, ${sqlFxSum("o_totalprice", 2)} AS total
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  /** CUBE over lineitem: all subsets of (returnflag, linestatus). */
+  def cubeLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), fxSum(col("l_quantity"), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("qty"))
+      .orderBy("returnflag", "linestatus")
+
+  private val cubeLineitemSql =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       | coalesce(l_linestatus, 'ALL') AS linestatus,
+       | count(*) AS n, ${sqlFxSum("l_quantity", 2)} AS qty
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** DISTINCT aggregation + IN-list filtering over part. */
+  def distinctBrands(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50))
+      .groupBy(col("p_brand"))
+      .agg(
+        countDistinct(col("p_type")).as("n_types"),
+        countDistinct(col("p_size")).as("n_sizes"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  private val distinctBrandsSql =
+    """SELECT p_brand, count(DISTINCT p_type) AS n_types,
+      | count(DISTINCT p_size) AS n_sizes, count(*) AS n
+      |FROM part
+      |WHERE p_size IN (1,5,10,15,20,25,30,35,40,45,50)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** Correlated scalar-subquery filter (TPC-H Q17 shape): line items whose
+    * quantity is below 20% of the part's average.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val avgPerPart = l.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((fxSum(col("l_quantity"), 2) / count(col("l_quantity")))
+        .as("avg_qty"))
+    l.join(avgPerPart, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(
+        fxSum(col("l_extendedprice"), 2).as("total_price"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  private val smallQuantityRevenueSql =
+    s"""SELECT ${sqlFxSum("l_extendedprice", 2)} AS total_price,
+       | count(*) AS n_rows
+       |FROM lineitem l
+       |WHERE l_quantity < 0.2e0 * (
+       |  SELECT ${sqlFxSum("l2.l_quantity", 2)}/count(l2.l_quantity)
+       |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("s01_string_math", Some(stringMathSql), stringMath),
+    QueryDef("s02_date_functions", Some(dateFunctionsSql), dateFunctions),
+    QueryDef("s03_rollup_orders", Some(rollupOrdersSql), rollupOrders),
+    QueryDef("s04_cube_lineitem", Some(cubeLineitemSql), cubeLineitem),
+    QueryDef("s05_distinct_brands", Some(distinctBrandsSql), distinctBrands),
+    QueryDef("s06_small_quantity_revenue", Some(smallQuantityRevenueSql), smallQuantityRevenue),
+  )
+}

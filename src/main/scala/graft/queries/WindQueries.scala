@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.wind.{Backtrack, Grid, WindIngest, WindStore}
+
+/** The reference pipeline's own operators as driver-checkable queries, run
+  * against the reference's golden 2020-08-12 capture (FIXTURES.md §1) so
+  * results are deterministic at every scale factor. DuckDB reads the same
+  * JSON for the oracle (`read_json`).
+  */
+object WindQueries {
+
+  private val golden = "/root/reference/data/wind_data.json"
+  private val readJson =
+    s"read_json('$golden', maximum_object_size=10000000)"
+
+  private def records(spark: SparkSession) =
+    WindIngest.stampRecordedTime(WindIngest.readRecords(spark, golden))
+
+  /** S2+T4+T1: decoded record summary with a deterministic data checksum
+    * (fixed-point element sum — exact in any summation order, see
+    * [[graft.Exact]]).
+    */
+  def decodedRecords(spark: SparkSession, dir: String): DataFrame =
+    records(spark)
+      .select(
+        col("header.parameterNumber").cast("long").as("parameter"),
+        col("header.parameterNumberName").as("parameter_name"),
+        col("header.refTime").as("ref_time"),
+        col("recordedTime").as("recorded_time"),
+        col("header.numberPoints").cast("long").as("number_points"),
+        size(col("data")).cast("long").as("n_points"),
+        (aggregate(
+          transform(col("data"), x => round(x * lit(1e6))),
+          lit(0.0), (a, x) => a + x) / lit(1e6)).as("data_sum"))
+      .orderBy("parameter")
+
+  private val decodedRecordsSql =
+    s"""SELECT header.parameterNumber AS parameter,
+       | header.parameterNumberName AS parameter_name,
+       | header.refTime AS ref_time,
+       | recordedTime AS recorded_time,
+       | header.numberPoints AS number_points,
+       | len(data) AS n_points,
+       | list_sum(list_transform(data, x -> round(x*1e6)))/1e6 AS data_sum
+       |FROM $readJson
+       |ORDER BY parameter""".stripMargin
+
+  /** S3: decode-time predicate pushdown — U/V wind at 10 m. */
+  def uvFilter(spark: SparkSession, dir: String): DataFrame =
+    WindIngest.filterUV(records(spark))
+      .select(
+        col("header.parameterNumber").cast("long").as("parameter"),
+        col("header.surface1Type").cast("long").as("surface1_type"),
+        col("header.surface1Value").as("surface1_value"),
+        col("recordedTime").as("recorded_time"))
+      .orderBy("parameter")
+
+  private val uvFilterSql =
+    s"""SELECT header.parameterNumber AS parameter,
+       | header.surface1Type AS surface1_type,
+       | header.surface1Value AS surface1_value,
+       | recordedTime AS recorded_time
+       |FROM $readJson
+       |WHERE header.parameterNumber IN (2,3)
+       |  AND header.surface1Type = 103 AND header.surface1Value = 10.0
+       |ORDER BY parameter""".stripMargin
+
+  /** X1+X2: grid→point explosion with computed lat/lon, bbox-subset. */
+  def gridPointsBbox(spark: SparkSession, dir: String): DataFrame =
+    Grid.bbox(Grid.toPoints(records(spark)), 250, 260, 30, 35)
+      .select(
+        col("parameter").cast("long").as("parameter"),
+        col("pos").cast("long").as("pos"),
+        col("lat"), col("lon"), col("value"))
+      .orderBy("parameter", "pos")
+
+  private val gridPointsBboxSql =
+    s"""WITH pts AS (
+       |  SELECT header.parameterNumber AS parameter,
+       |    unnest(range(len(data))) AS pos, unnest(data) AS value,
+       |    header.nx AS nx, header.la1 AS la1, header.lo1 AS lo1,
+       |    header.dx AS dx, header.dy AS dy
+       |  FROM $readJson),
+       |geo AS (
+       |  SELECT parameter, pos, la1 - floor(pos/nx)*dy AS lat,
+       |    lo1 + (pos % nx)*dx AS lon, value
+       |  FROM pts)
+       |SELECT parameter, pos, lat, lon, value FROM geo
+       |WHERE lon BETWEEN 250 AND 260 AND lat BETWEEN 30 AND 35
+       |ORDER BY parameter, pos""".stripMargin
+
+  /** Derived wind vectors: U ⋈ V per grid point → speed + direction. */
+  def windVectorsBbox(spark: SparkSession, dir: String): DataFrame =
+    Grid.windVectors(Grid.bbox(Grid.toPoints(records(spark)), 250, 260, 30, 35))
+      .select(
+        col("pos").cast("long").as("pos"),
+        col("lat"), col("lon"), col("u"), col("v"),
+        col("speed"),
+        round(col("direction"), 6).as("direction"))
+      .orderBy("pos")
+
+  private val windVectorsBboxSql =
+    s"""WITH pts AS (
+       |  SELECT header.parameterNumber AS parameter,
+       |    unnest(range(len(data))) AS pos, unnest(data) AS value,
+       |    header.nx AS nx, header.la1 AS la1, header.lo1 AS lo1,
+       |    header.dx AS dx, header.dy AS dy
+       |  FROM $readJson),
+       |geo AS (
+       |  SELECT parameter, pos, la1 - floor(pos/nx)*dy AS lat,
+       |    lo1 + (pos % nx)*dx AS lon, value
+       |  FROM pts
+       |  WHERE lo1 + (pos % nx)*dx BETWEEN 250 AND 260
+       |    AND la1 - floor(pos/nx)*dy BETWEEN 30 AND 35),
+       |u AS (SELECT pos, lat, lon, value AS u FROM geo WHERE parameter = 2),
+       |v AS (SELECT pos, value AS v FROM geo WHERE parameter = 3)
+       |SELECT u.pos, u.lat, u.lon, u.u, v.v,
+       |  sqrt(u.u*u.u + v.v*v.v) AS speed,
+       |  round(fmod(degrees(atan2(-u.u, -v.v)) + 360e0, 360e0), 6) AS direction
+       |FROM u JOIN v ON u.pos = v.pos
+       |ORDER BY u.pos""".stripMargin
+
+  /** T5: declarative backtrack candidates from a pinned clock. */
+  def backtrackCandidates(spark: SparkSession, dir: String): DataFrame =
+    Backtrack.candidates(spark,
+        java.sql.Timestamp.valueOf("2020-08-12 07:22:11"), 40)
+      .select(
+        col("attempt"),
+        date_format(col("cycle_ts"), "yyyy-MM-dd HH:mm:ss").as("cycle_ts"),
+        col("ref_hour"), col("fff"), col("url"))
+      .orderBy("attempt")
+
+  private val backtrackCandidatesSql =
+    """SELECT CAST(i AS INTEGER) AS attempt,
+      | strftime(TIMESTAMP '2020-08-12 06:00:00' - i * INTERVAL 6 HOUR,
+      |          '%Y-%m-%d %H:%M:%S') AS cycle_ts,
+      | CAST(hour(TIMESTAMP '2020-08-12 06:00:00' - i * INTERVAL 6 HOUR)
+      |      AS INTEGER) AS ref_hour,
+      | 0 AS fff,
+      | 'gfs.t' || lpad(CAST(hour(TIMESTAMP '2020-08-12 06:00:00'
+      |     - i * INTERVAL 6 HOUR) AS VARCHAR), 2, '0')
+      |   || 'z.pgrb2.1p00.f000' AS url
+      |FROM generate_series(0, 39) t(i)
+      |ORDER BY attempt""".stripMargin
+
+  /** T6+T7: upsert semantics as a pure query — stored 06Z cycle unioned with
+    * an incoming 12Z re-analysis of the same valid time; latest cycle wins.
+    */
+  def upsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val stored = records(spark)
+    val incoming = WindIngest.stampRecordedTime(
+      WindIngest.readRecords(spark, golden)
+        .withColumn("header", col("header")
+          .withField("refTime", lit("2020-08-12T12:00:00.000Z"))
+          .withField("forecastTime", lit(0))))
+    WindStore.latestPerKey(WindIngest.merge(stored, incoming))
+      .select(
+        col("header.parameterNumber").cast("long").as("parameter"),
+        col("header.refTime").as("ref_time"),
+        col("recordedTime").as("recorded_time"))
+      .orderBy("parameter")
+  }
+
+  private val upsertLatestSql =
+    s"""WITH stored AS (
+       |  SELECT header.parameterNumber AS parameter,
+       |         header.refTime AS ref_time,
+       |         recordedTime AS recorded_time
+       |  FROM $readJson),
+       |incoming AS (
+       |  SELECT parameter, '2020-08-12T12:00:00.000Z' AS ref_time,
+       |         recorded_time
+       |  FROM stored),
+       |unioned AS (SELECT * FROM stored UNION ALL SELECT * FROM incoming),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY parameter, recorded_time
+       |    ORDER BY strptime(ref_time, '%Y-%m-%dT%H:%M:%S.%fZ') DESC) AS rk
+       |  FROM unioned)
+       |SELECT parameter, ref_time, recorded_time FROM ranked WHERE rk = 1
+       |ORDER BY parameter""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("w01_decoded_records", Some(decodedRecordsSql), decodedRecords),
+    QueryDef("w02_uv_filter", Some(uvFilterSql), uvFilter),
+    QueryDef("w03_grid_points_bbox", Some(gridPointsBboxSql), gridPointsBbox),
+    QueryDef("w04_wind_vectors_bbox", Some(windVectorsBboxSql), windVectorsBbox),
+    QueryDef("w05_backtrack_candidates", Some(backtrackCandidatesSql), backtrackCandidates),
+    QueryDef("w06_upsert_latest", Some(upsertLatestSql), upsertLatest),
+  )
+}

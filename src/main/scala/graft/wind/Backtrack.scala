@@ -1,0 +1,60 @@
+package graft.wind
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative replacement for the reference's 40-line hand-rolled calendar
+  * backtracking (`converter.py:134,185-227`, mirrored in
+  * `test/file_backtrack_test.py:28-74`): on a missing GFS file, walk back one
+  * 6-hour cycle at a time, up to `maxAttempts` candidates.
+  *
+  * The reference mutates (year, month, day, hour) with hand-written
+  * month-length and `year % 4` leap logic — wrong for century years
+  * (`converter.py:204`). Here candidates are one `sequence()` expression;
+  * Spark's timestamp arithmetic does correct proleptic-Gregorian math, so the
+  * whole if-chain disappears (SURVEY §2.1 T5).
+  *
+  * Per the reference's observed behavior the forecast-offset token `fNNN` is
+  * computed once from "now" and NOT recomputed while backtracking
+  * (`converter.py:132,136`) — each retried URL slides the valid time back with
+  * the cycle. We reproduce that contract (it is what the golden test prints).
+  */
+object Backtrack {
+
+  val MaxAttempts = 40 // converter.py:33-35
+
+  /** The 6-hourly cycle candidates walking back from `now`, oldest last.
+    *
+    * Output: `attempt` (0-based), `cycle_ts` (cycle start timestamp),
+    * `ref_hour` (00/06/12/18), `fff` (constant forecast offset), `url`
+    * (NOAA NOMADS file name, `converter.py:136-137`).
+    */
+  def candidates(
+      spark: SparkSession,
+      now: Timestamp,
+      maxAttempts: Int = MaxAttempts): DataFrame = {
+    val base = spark.range(1).select(lit(now).as("now"))
+    val cycle0 = date_trunc("DAY", col("now")) +
+      expr("make_interval(0,0,0,0, 6 * floor(hour(now) / 6), 0, 0)")
+    val fff = (floor(hour(col("now")) / 3) * 3 - floor(hour(col("now")) / 6) * 6)
+      .cast("int")
+    base
+      .select(
+        posexplode(
+          expr(s"sequence(0, ${maxAttempts - 1})")).as(Seq("attempt", "step")),
+        cycle0.as("cycle0"),
+        fff.as("fff"))
+      .select(
+        col("attempt").cast("int").as("attempt"),
+        (col("cycle0") - expr("make_interval(0,0,0,0, 6 * step, 0, 0)"))
+          .as("cycle_ts"),
+        col("fff"))
+      .withColumn("ref_hour", hour(col("cycle_ts")).cast("int"))
+      .withColumn("url",
+        concat(
+          lit("gfs.t"), lpad(col("ref_hour").cast("string"), 2, "0"),
+          lit("z.pgrb2.1p00.f"), lpad(col("fff").cast("string"), 3, "0")))
+  }
+}

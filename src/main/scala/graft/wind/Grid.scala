@@ -1,0 +1,76 @@
+package graft.wind
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grid→point addressing and derived wind quantities (SURVEY.md §2.1 X1/X2).
+  *
+  * The reference never materializes per-point rows — its consumers index the
+  * flat `data` array as a row-major `ny × nx` grid (`scanMode: 0`, header in
+  * `data/u_comp.json`): `lat = la1 - floor(i/nx)*dy`, `lon = lo1 + (i%nx)*dx`.
+  * Here that implicit addressing becomes an explicit exploded view, which is
+  * what makes bbox subsetting (the reference's vestigial `latLon` parameters,
+  * `converter.py:29`) and per-point math expressible as plain Catalyst ops.
+  *
+  * Scale note: `posexplode` multiplies rows by `numberPoints` (65,160×) —
+  * that is the *point*: it turns one fat array row into a partitionable
+  * columnar point table. Explode feeds whole-stage codegen; no shuffle is
+  * introduced until an aggregation asks for one.
+  */
+object Grid {
+
+  /** Exploded point view: one row per grid cell with computed lat/lon. */
+  def toPoints(records: DataFrame): DataFrame =
+    records
+      .select(
+        col("recorded_time"),
+        col("header.parameterNumber").as("parameter"),
+        col("header.nx").as("nx"),
+        col("header.la1").as("la1"), col("header.lo1").as("lo1"),
+        col("header.dx").as("dx"), col("header.dy").as("dy"),
+        posexplode(col("data")).as(Seq("pos", "value")))
+      .withColumn("lat", col("la1") - floor(col("pos") / col("nx")) * col("dy"))
+      .withColumn("lon", col("lo1") + pmod(col("pos"), col("nx")) * col("dx"))
+      .select("recorded_time", "parameter", "pos", "lat", "lon", "value")
+
+  /** Bounding-box subset (X1): the filter the reference's unused NOAA
+    * query-string parameters describe (`converter.py:29`).
+    */
+  def bbox(points: DataFrame,
+           leftLon: Double, rightLon: Double,
+           bottomLat: Double, topLat: Double): DataFrame =
+    points.filter(
+      col("lon").between(leftLon, rightLon) &&
+      col("lat").between(bottomLat, topLat))
+
+  /** U ⋈ V per-point join → wind speed and meteorological direction.
+    * Equi-join on (recorded_time, pos): at scale both sides share the same
+    * partitioning from the same explode, so the shuffle is one exchange each.
+    */
+  def windVectors(points: DataFrame): DataFrame = {
+    val u = points.filter(col("parameter") === WindModel.UWind)
+      .select(col("recorded_time"), col("pos"), col("lat"), col("lon"),
+        col("value").as("u"))
+    val v = points.filter(col("parameter") === WindModel.VWind)
+      .select(col("recorded_time").as("v_recorded_time"),
+        col("pos").as("v_pos"), col("value").as("v"))
+    u.join(v,
+        col("recorded_time") === col("v_recorded_time") &&
+        col("pos") === col("v_pos"))
+      .withColumn("speed", sqrt(col("u") * col("u") + col("v") * col("v")))
+      .withColumn("direction",
+        pmod(degrees(atan2(-col("u"), -col("v"))) + lit(360.0), lit(360.0)))
+      .select("recorded_time", "pos", "lat", "lon", "u", "v", "speed",
+        "direction")
+  }
+
+  /** Inverse of [[toPoints]]: reassemble the flat array per record. */
+  def implode(points: DataFrame): DataFrame =
+    points
+      .groupBy(col("recorded_time"), col("parameter"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("value"))))
+        .as("cells"))
+      .select(
+        col("recorded_time"), col("parameter"),
+        transform(col("cells"), c => c.getField("value")).as("data"))
+}

@@ -1,0 +1,63 @@
+package graft.wind
+
+import org.apache.spark.sql.types._
+
+/** Schema for the reference's wind-record data model (SURVEY.md §1).
+  *
+  * The reference stores `{header jsonb, recorded_time timestamptz, data jsonb}`
+  * (`dbwindsetup.sql:5-9`); the header is the fixed 48-field struct emitted by
+  * grib2json with `--names --data` (`converter.py:49-53`, golden files
+  * `data/u_comp.json` / `data/v_comp.json`).
+  *
+  * `data` is `array<double>`: Postgres jsonb numbers are arbitrary-precision
+  * numerics, and parsing the JSON decimal text as double is exactly what every
+  * consumer (including the DuckDB oracle) does — float32 would re-quantize.
+  */
+object WindModel {
+
+  /** The 48 header fields, typed per FIXTURES.md §1. */
+  val headerSchema: StructType = {
+    val ints = Seq(
+      "discipline", "gribEdition", "gribLength", "center", "subcenter",
+      "parameterCategory", "parameterNumber", "productDefinitionTemplate",
+      "productType", "productStatus", "genProcessType", "significanceOfRT",
+      "surface1Type", "surface2Type", "gridDefinitionTemplate", "numberPoints",
+      "nx", "ny", "basicAngle", "resolution", "scanMode", "shape",
+      "forecastTime")
+    val doubles = Seq(
+      "la1", "la2", "lo1", "lo2", "dx", "dy", "surface1Value", "surface2Value")
+    val strings = Seq(
+      "disciplineName", "centerName", "parameterNumberName",
+      "parameterCategoryName", "parameterUnit", "productDefinitionTemplateName",
+      "productTypeName", "productStatusName", "genProcessTypeName",
+      "significanceOfRTName", "surface1TypeName", "surface2TypeName",
+      "gridDefinitionTemplateName", "gridUnits", "shapeName", "winds",
+      "refTime")
+    StructType(
+      ints.map(StructField(_, IntegerType)) ++
+        doubles.map(StructField(_, DoubleType)) ++
+        strings.map(StructField(_, StringType)))
+  }
+
+  /** Shape of a decoded-and-stamped record file (`data/wind_data.json`):
+    * grib2json output plus the `recordedTime` stamp (`converter.py:63-91`).
+    */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("header", headerSchema),
+    StructField("recordedTime", StringType),
+    StructField("data", ArrayType(DoubleType))))
+
+  /** ISO-8601 pattern of `header.refTime` (`converter.py:164`). */
+  val refTimePattern = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+  /** Pattern of the reference's `recordedTime` stamp, e.g.
+    * `2020-08-12 12:00:00+00` (`converter.py:67`).
+    */
+  val recordedTimePattern = "yyyy-MM-dd HH:mm:ssx"
+
+  /** GFS product constants: U/V 10 m wind (`converter.py:44-53`). */
+  val UWind = 2
+  val VWind = 3
+  val HeightAboveGround = 103
+  val TenMeters = 10.0
+}

@@ -1,0 +1,139 @@
+package graft.wind
+
+import java.sql.Timestamp
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The storage layer re-expressed Spark-first (SURVEY.md §2.1 T6/T7/W1/D1/Q1).
+  *
+  * The reference's table is Postgres heap + per-row INSERT/DELETE
+  * (`converter.py:96-117`, `deleteOld.py:9`). Here it is parquet partitioned
+  * by valid date + hour, so:
+  *  - upsert = *atomic dynamic partition overwrite* of exactly the incoming
+  *    keys' partitions (the reference's DELETE-then-INSERT is two autocommit
+  *    statements and not atomic — a divergence we keep deliberately);
+  *  - retention = dropping expired partition directories, metadata-only, no
+  *    row rewrite (the reference's `DELETE ... WHERE recorded_time < now() -
+  *    interval '7 days'` seq-scans the table);
+  *  - point lookup prunes to one partition via the derived partition columns.
+  */
+object WindStore {
+
+  /** Partition columns derived from the key. One partition per (day, hour):
+    * at the reference's cadence that is ≤ 8 cycle partitions/day; at 100 TB
+    * scale the same layout keeps any single overwrite/retention op touching
+    * only the affected directories.
+    */
+  private def withPartitionCols(df: DataFrame): DataFrame =
+    df.withColumn("valid_date",
+        date_format(col("recorded_time"), "yyyy-MM-dd"))
+      .withColumn("valid_hour", hour(col("recorded_time")).cast("int"))
+
+  /** Initial load / append (W1). */
+  def write(records: DataFrame, path: String): Unit =
+    withPartitionCols(records)
+      .write.mode("append")
+      .partitionBy("valid_date", "valid_hour")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Idempotent, freshness-gated upsert (T6+T7): for each incoming valid
+    * time, replace stored rows only when the incoming cycle (`header.refTime`)
+    * is strictly newer than what is stored — the reference's staleness rule at
+    * `converter.py:163-167` — otherwise keep the stored rows. Implemented as:
+    * filter incoming to fresh keys (anti-join ∪ newer-refTime keys), then
+    * dynamic-partition-overwrite only those partitions.
+    */
+  def upsert(spark: SparkSession, incoming: DataFrame, path: String): Unit = {
+    val fresh =
+      if (!new Path(path).getFileSystem(
+            spark.sparkContext.hadoopConfiguration).exists(new Path(path))) {
+        incoming
+      } else {
+        val stored = read(spark, path)
+          .groupBy(col("recorded_time").as("s_recorded_time"))
+          .agg(max(to_timestamp(col("header.refTime"),
+            WindModel.refTimePattern)).as("s_ref"))
+        incoming
+          .withColumn("i_ref", to_timestamp(col("header.refTime"),
+            WindModel.refTimePattern))
+          .join(broadcast(stored),
+            col("recorded_time") === col("s_recorded_time"), "left")
+          .filter(col("s_ref").isNull || col("i_ref") > col("s_ref"))
+          .drop("i_ref", "s_recorded_time", "s_ref")
+      }
+    val session = fresh.sparkSession
+    val prev = session.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    session.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      withPartitionCols(fresh)
+        .write.mode("overwrite")
+        .partitionBy("valid_date", "valid_hour")
+        .parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => session.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => session.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** 7-day TTL retention (D1, `deleteOld.py:9`): drop whole expired partition
+    * directories — metadata-only, never rewrites surviving rows.
+    */
+  def expire(spark: SparkSession, path: String, now: Timestamp,
+             retentionDays: Int = 7): Unit = {
+    val cutoff = now.toInstant.minus(java.time.Duration.ofDays(retentionDays))
+    val cutoffDate = cutoff.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return
+    fs.listStatus(new Path(path))
+      .filter(_.isDirectory)
+      .foreach { st =>
+        val name = st.getPath.getName // valid_date=YYYY-MM-DD
+        if (name.startsWith("valid_date=")) {
+          val d = java.time.LocalDate.parse(name.stripPrefix("valid_date="))
+          if (d.isBefore(cutoffDate)) fs.delete(st.getPath, true)
+          else if (d == cutoffDate) {
+            // boundary day: drop only hour partitions before the cutoff hour
+            val cutoffHour = cutoff.atZone(java.time.ZoneOffset.UTC).getHour
+            fs.listStatus(st.getPath).filter(_.isDirectory).foreach { h =>
+              val hn = h.getPath.getName
+              if (hn.startsWith("valid_hour=") &&
+                  hn.stripPrefix("valid_hour=").toInt < cutoffHour)
+                fs.delete(h.getPath, true)
+            }
+          }
+        }
+      }
+  }
+
+  /** Point-in-time lookup (Q1, the REST read path `converter.py:157-159`):
+    * the added partition-column predicates turn it into partition pruning —
+    * one directory scanned regardless of table size.
+    */
+  def pointLookup(spark: SparkSession, path: String, ts: Timestamp): DataFrame = {
+    val t = lit(ts)
+    read(spark, path).filter(
+      col("valid_date") === date_format(t, "yyyy-MM-dd") &&
+      col("valid_hour") === hour(t) &&
+      col("recorded_time") === t)
+  }
+
+  /** Latest-cycle-wins view (the window-function form of T6/T7, SURVEY §2.2):
+    * rank stored rows per (valid time, parameter) by cycle recency.
+    */
+  def latestPerKey(records: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("recorded_time"), col("header.parameterNumber"))
+      .orderBy(to_timestamp(col("header.refTime"),
+        WindModel.refTimePattern).desc)
+    records.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.wind
+
+import java.sql.Timestamp
+import java.time.{Instant, ZoneOffset}
+
+import graft.SparkSpec
+
+/** Property-style tests for the declarative backtrack generator vs
+  * `java.time` reference arithmetic — including the month/leap boundaries the
+  * reference's hand-rolled calendar gets wrong (`converter.py:204`:
+  * `year % 4` has no century rule).
+  */
+class BacktrackSpec extends SparkSpec {
+
+  private def expected(now: Instant, n: Int): Seq[(Instant, Int)] = {
+    val z = now.atZone(ZoneOffset.UTC)
+    val cycle0 = z.toLocalDate.atStartOfDay(ZoneOffset.UTC)
+      .plusHours(z.getHour / 6 * 6L)
+    val fff = z.getHour / 3 * 3 - z.getHour / 6 * 6
+    (0 until n).map(i => (cycle0.minusHours(6L * i).toInstant, fff))
+  }
+
+  private def got(now: Instant, n: Int): Seq[(Instant, Int)] =
+    Backtrack.candidates(spark, Timestamp.from(now), n)
+      .orderBy("attempt")
+      .select("cycle_ts", "fff")
+      .collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getInt(1)))
+      .toSeq
+
+  test("candidates match java.time at awkward boundaries") {
+    val pinned = Seq(
+      "2026-03-01T02:00:00Z", // month boundary
+      "2026-01-01T01:00:00Z", // year boundary
+      "2024-02-29T23:59:59Z", // leap day
+      "2100-03-01T05:00:00Z", // century non-leap (reference bug territory)
+      "2000-03-01T11:30:00Z"  // century leap
+    ).map(Instant.parse)
+    pinned.foreach { now =>
+      assert(got(now, 40) == expected(now, 40), s"mismatch for now=$now")
+    }
+  }
+
+  test("candidate urls have the reference's shape and constant fff") {
+    val now = Timestamp.from(Instant.parse("2020-08-12T06:15:00Z"))
+    val rows = Backtrack.candidates(spark, now, 5)
+      .orderBy("attempt").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[String]("url")).forall(
+      _.matches("gfs\\.t\\d{2}z\\.pgrb2\\.1p00\\.f\\d{3}")))
+    assert(rows.map(_.getAs[Int]("fff")).distinct.length == 1)
+    assert(rows.head.getAs[String]("url") == "gfs.t06z.pgrb2.1p00.f000")
+  }
+
+  test("property: random clocks — 40 candidates, 6h apart, correct hours") {
+    val rnd = new scala.util.Random(42)
+    (1 to 12).foreach { _ =>
+      val now = Instant.ofEpochSecond(rnd.between(0L, 4102444800L))
+      val g = got(now, 40)
+      assert(g.length == 40)
+      assert(g == expected(now, 40), s"mismatch for now=$now")
+      g.foreach { case (c, _) =>
+        assert(Set(0, 6, 12, 18).contains(c.atZone(ZoneOffset.UTC).getHour))
+      }
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.wind
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Mini-grid (nx=4, ny=3) unit tests for grid→point addressing, bbox, wind
+  * vector math, and the implode inverse (FIXTURES.md §2 "mini-grid").
+  */
+class GridSpec extends SparkSpec {
+
+  /** A 4×3 grid: la1=90 lo1=0 dx=dy=1, row-major scanMode 0. */
+  private def mini(param: Int, values: Seq[Double]) = {
+    val header = new GenericHeader(param)
+    spark.createDataFrame(
+      java.util.List.of(Row(
+        java.sql.Timestamp.valueOf("2020-08-12 12:00:00"),
+        header.row, values.toArray.toSeq)),
+      StructType(Seq(
+        StructField("recorded_time", TimestampType),
+        StructField("header", miniHeaderSchema),
+        StructField("data", ArrayType(DoubleType)))))
+  }
+
+  private val miniHeaderSchema = StructType(Seq(
+    StructField("parameterNumber", IntegerType),
+    StructField("nx", IntegerType), StructField("ny", IntegerType),
+    StructField("la1", DoubleType), StructField("lo1", DoubleType),
+    StructField("dx", DoubleType), StructField("dy", DoubleType)))
+
+  private class GenericHeader(param: Int) {
+    val row: Row = Row(param, 4, 3, 90.0, 0.0, 1.0, 1.0)
+  }
+
+  private val uVals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0, 11.0, 12.0)
+  private val vVals = uVals.map(_ * 10)
+
+  test("toPoints computes row-major lat/lon (X2)") {
+    val pts = Grid.toPoints(mini(2, uVals)).orderBy("pos").collect()
+    assert(pts.length == 12)
+    // pos 0 → (90, 0); pos 3 → (90, 3); pos 4 → (89, 0); pos 11 → (88, 3)
+    def at(p: Int) = pts(p)
+    assert(at(0).getAs[Double]("lat") == 90.0 && at(0).getAs[Double]("lon") == 0.0)
+    assert(at(3).getAs[Double]("lat") == 90.0 && at(3).getAs[Double]("lon") == 3.0)
+    assert(at(4).getAs[Double]("lat") == 89.0 && at(4).getAs[Double]("lon") == 0.0)
+    assert(at(11).getAs[Double]("lat") == 88.0 && at(11).getAs[Double]("lon") == 3.0)
+    assert(at(5).getAs[Double]("value") == 6.0)
+  }
+
+  test("bbox keeps the inclusive window (X1)") {
+    val pts = Grid.toPoints(mini(2, uVals))
+    val in = Grid.bbox(pts, 1.0, 2.0, 89.0, 90.0).orderBy("pos").collect()
+    assert(in.map(_.getAs[Int]("pos")).toSeq == Seq(1, 2, 5, 6))
+  }
+
+  test("windVectors: speed/direction from U ⋈ V") {
+    val pts = Grid.toPoints(WindIngest.merge(mini(2, uVals), mini(3, vVals)))
+    val vec = Grid.windVectors(pts).orderBy("pos").collect()
+    assert(vec.length == 12)
+    val r0 = vec(0) // u=1, v=10
+    assert(math.abs(r0.getAs[Double]("speed") - math.sqrt(101.0)) < 1e-12)
+    // meteorological direction: wind FROM south-west-ish when u,v > 0
+    val dir = r0.getAs[Double]("direction")
+    assert(dir > 180.0 && dir < 270.0)
+    // pure-south wind u=0,v>0 → 180°
+    val southPts = WindIngest.merge(
+      mini(2, Seq.fill(12)(0.0)), mini(3, vVals))
+    val south = Grid.windVectors(Grid.toPoints(southPts)).collect()
+    south.foreach(r =>
+      assert(math.abs(r.getAs[Double]("direction") - 180.0) < 1e-9))
+  }
+
+  test("implode is the inverse of toPoints") {
+    val back = Grid.implode(Grid.toPoints(mini(2, uVals))).collect()
+    assert(back.length == 1)
+    assert(back(0).getAs[scala.collection.Seq[Double]]("data").toSeq == uVals)
+  }
+}

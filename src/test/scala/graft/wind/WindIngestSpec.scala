@@ -1,0 +1,71 @@
+package graft.wind
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Golden-file tests against the reference's captured 2020-08-12 run
+  * (FIXTURES.md §1): schema, stamping, filtering, merge.
+  */
+class WindIngestSpec extends SparkSpec {
+
+  lazy val golden = WindIngest.readRecords(spark, s"$goldenDir/wind_data.json")
+
+  test("golden wind_data.json: 2 records, 48 header fields, 65160 points") {
+    val rows = golden.cache().collect()
+    assert(rows.length == 2)
+    assert(WindModel.headerSchema.fields.length == 48)
+    val lens = golden.select(size(col("data"))).collect().map(_.getInt(0))
+    assert(lens.toSeq == Seq(65160, 65160))
+    val params = golden.select(col("header.parameterNumber"))
+      .collect().map(_.getInt(0)).sorted
+    assert(params.toSeq == Seq(2, 3))
+  }
+
+  test("stamped recordedTime matches the reference's golden stamp (T1)") {
+    val stamped = WindIngest.stampRecordedTime(golden)
+    val got = stamped
+      .select(col("recordedTime"), col("recorded_time").cast("string"))
+      .distinct().collect()
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "2020-08-12 12:00:00+00") // golden stamp
+    assert(got(0).getString(1) == "2020-08-12 12:00:00")    // refTime 06Z + 6h
+  }
+
+  test("decode-time U/V filter keeps both golden records (S3)") {
+    assert(WindIngest.filterUV(golden).count() == 2)
+    // and rejects a record at a different surface
+    val other = golden.withColumn("header",
+      col("header").withField("surface1Value", lit(2.0)))
+    assert(WindIngest.filterUV(other).count() == 0)
+  }
+
+  test("U + V merge preserves both components (T3)") {
+    val u = WindIngest.readRecords(spark, s"$goldenDir/u_comp.json")
+    val v = WindIngest.readRecords(spark, s"$goldenDir/v_comp.json")
+    val merged = WindIngest.merge(u, v)
+    assert(merged.count() == 2)
+    val params = merged.select(col("header.parameterNumber"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(params == Seq(2, 3))
+  }
+
+  test("cycle bucketing laws (T2): refHour ∈ {0,6,12,18}, offset ∈ {0,3}") {
+    val hours = spark.range(24).select(
+      (col("id") * 3600 + 1700000000L).cast("timestamp").as("ts"))
+    val b = WindIngest.withCycleBuckets(hours, col("ts")).collect()
+    b.foreach { r =>
+      assert(Set(0, 6, 12, 18).contains(r.getAs[Int]("ref_hour")))
+      assert(r.getAs[Int]("recorded_hour") % 3 == 0)
+      assert(Set(0, 3).contains(r.getAs[Int]("hour_within_ref")))
+    }
+  }
+
+  test("toTable keeps jsonb-fidelity raw header string (§1.3)") {
+    val t = WindIngest.toTable(WindIngest.stampRecordedTime(golden))
+    assert(t.columns.toSeq ==
+      Seq("recorded_time", "header", "header_json", "data"))
+    val js = t.select(col("header_json")).first().getString(0)
+    assert(js.contains("\"parameterUnit\":\"m.s-1\""))
+  }
+}

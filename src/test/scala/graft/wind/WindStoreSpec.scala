@@ -1,0 +1,88 @@
+package graft.wind
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Upsert idempotence, freshness (newer cycle wins), TTL retention, and
+  * pruned point lookup — the reference's T6/T7/D1/Q1 semantics
+  * (`converter.py:96-117,156-171`, `deleteOld.py:9`).
+  */
+class WindStoreSpec extends SparkSpec {
+
+  private def golden = WindIngest.toTable(
+    WindIngest.stampRecordedTime(
+      WindIngest.readRecords(spark, s"$goldenDir/wind_data.json")))
+
+  /** Same records re-stamped as if decoded from a newer (12Z) cycle with
+    * forecastTime 0 — same valid time, fresher refTime.
+    */
+  private def newerCycle = {
+    val g = WindIngest.readRecords(spark, s"$goldenDir/wind_data.json")
+      .withColumn("header", col("header")
+        .withField("refTime", lit("2020-08-12T12:00:00.000Z"))
+        .withField("forecastTime", lit(0)))
+    WindIngest.toTable(WindIngest.stampRecordedTime(g))
+  }
+
+  test("upsert is idempotent (T7): re-ingesting the same batch is a no-op") {
+    val path = tmpDir() + "/t"
+    WindStore.upsert(spark, golden, path)
+    val first = WindStore.read(spark, path).count()
+    WindStore.upsert(spark, golden, path) // same refTime → not strictly newer
+    assert(WindStore.read(spark, path).count() == first)
+    assert(first == 2)
+  }
+
+  test("upsert freshness (T6): newer refTime replaces, older is ignored") {
+    val path = tmpDir() + "/t"
+    WindStore.upsert(spark, golden, path)
+    WindStore.upsert(spark, newerCycle, path)
+    val refs = WindStore.read(spark, path)
+      .select(col("header.refTime")).distinct().collect().map(_.getString(0))
+    assert(refs.toSeq == Seq("2020-08-12T12:00:00.000Z"))
+    assert(WindStore.read(spark, path).count() == 2)
+    // now try to write the stale 06Z cycle back — must be a no-op
+    WindStore.upsert(spark, golden, path)
+    val refs2 = WindStore.read(spark, path)
+      .select(col("header.refTime")).distinct().collect().map(_.getString(0))
+    assert(refs2.toSeq == Seq("2020-08-12T12:00:00.000Z"))
+  }
+
+  test("expire drops partitions older than the retention window (D1)") {
+    val path = tmpDir() + "/t"
+    WindStore.write(golden, path) // valid 2020-08-12 12:00
+    // 6 days later: still retained
+    WindStore.expire(spark, path, Timestamp.valueOf("2020-08-18 12:00:00"))
+    assert(WindStore.read(spark, path).count() == 2)
+    // 8 days later: expired, directory gone
+    WindStore.expire(spark, path, Timestamp.valueOf("2020-08-20 12:00:00"))
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dates = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isDirectory).map(_.getPath.getName)
+    assert(!dates.exists(_.contains("2020-08-12")))
+  }
+
+  test("pointLookup returns the ≤2 records at a valid time (Q1)") {
+    val path = tmpDir() + "/t"
+    WindStore.write(golden, path)
+    val hit = WindStore.pointLookup(spark, path,
+      Timestamp.valueOf("2020-08-12 12:00:00"))
+    assert(hit.count() == 2)
+    val miss = WindStore.pointLookup(spark, path,
+      Timestamp.valueOf("2020-08-12 18:00:00"))
+    assert(miss.count() == 0)
+  }
+
+  test("latestPerKey is the window form of delete-then-insert (§2.2)") {
+    val both = golden.unionByName(newerCycle)
+    val latest = WindStore.latestPerKey(both)
+    assert(latest.count() == 2)
+    val refs = latest.select(col("header.refTime")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(refs == Seq("2020-08-12T12:00:00.000Z"))
+  }
+}
