@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * (hash-group), n-gram Jaccard, MinHash+LSH, and SimHash. All operate on a
+  * `documents`-shaped table (`doc_id`, `text`, blocking columns).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup groups on a 256-bit content hash, never on the raw text —
+  *    the shuffle carries 32 bytes + ids per row instead of documents;
+  *  - MinHash+LSH is the subquadratic path: per-doc signatures (map-only) →
+  *    band buckets (one shuffle on band key) → candidate pairs only within
+  *    buckets → exact Jaccard re-verification of candidates. All-pairs
+  *    comparison never happens;
+  *  - n-gram Jaccard all-pairs is kept for *verification* and small blocks
+  *    (it is the oracle the LSH path is tested against) and requires a
+  *    blocking column to bound the quadratic term.
+  */
+object Dedup {
+
+  /** Word tokens (the corpus is whitespace-delimited). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of `text`. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    array_distinct(
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", w))))
+  }
+
+  /** Exact duplicate groups, keyed by sha-256 of the full text (W3C-hex, so
+    * group keys are engine-portable). Returns one row per distinct content
+    * with the canonical (minimum) id and the duplicate count.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(sha2(col("text"), 256).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** All-pairs n-gram Jaccard within `blockCol` blocks (quadratic — use only
+    * on bounded blocks; the scalable path is [[minHashCandidates]]).
+    * Jaccard is |A∩B| / |A∪B| over distinct shingle sets — integer set sizes,
+    * one double division, so cross-engine deterministic.
+    */
+  def jaccardPairs(docs: DataFrame, n: Int, blockCol: String): DataFrame = {
+    val withSh = docs.select(
+      col("doc_id"), col(blockCol).as("block"),
+      shingles(col("text"), n).as("sh"))
+    val a = withSh.select(col("block"), col("doc_id").as("id_a"),
+      col("sh").as("sh_a"))
+    val b = withSh.select(col("block").as("block_b"), col("doc_id").as("id_b"),
+      col("sh").as("sh_b"))
+    a.join(b, col("block") === col("block_b") && col("id_a") < col("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+  }
+
+  /** 64-bit MinHash signature entries: `numHashes` per doc. Hash family:
+    * `h_i(s) = xxhash64(seed=i)(shingle)` minimized per doc — one map-side
+    * pass, no shuffle. Emitted long-form (doc_id, hash_idx, min_hash).
+    */
+  def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(col("text"), n)
+    val hashIdx = explode(sequence(lit(0), lit(numHashes - 1)))
+    docs
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"), col("sh"), hashIdx.as("hash_idx"))
+      .withColumn("min_hash",
+        array_min(transform(col("sh"),
+          s => xxhash64(col("hash_idx"), s))))
+      .select("doc_id", "hash_idx", "min_hash")
+  }
+
+  /** LSH banding: group the signature into `bands` bands of
+    * `numHashes / bands` rows each; docs sharing any full band land in the
+    * same bucket. Returns (band, band_hash, doc_id) bucket entries — the only
+    * shuffle key in the pipeline.
+    */
+  def lshBuckets(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    signatures
+      .withColumn("band", floor(col("hash_idx") / rowsPerBand))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sort_array(collect_list(struct(col("hash_idx"), col("min_hash"))))
+        .as("rows"))
+      .withColumn("band_hash",
+        xxhash64(to_json(transform(col("rows"), r => r.getField("min_hash")))))
+      .select("band", "band_hash", "doc_id")
+  }
+
+  /** Candidate pairs from shared LSH buckets (distinct across bands). */
+  def minHashCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8): DataFrame = {
+    val buckets = lshBuckets(minHashSignatures(docs, n, numHashes),
+      numHashes, bands)
+    val l = buckets.select(col("band"), col("band_hash"),
+      col("doc_id").as("id_a"))
+    val r = buckets.select(col("band").as("band_r"),
+      col("band_hash").as("band_hash_r"), col("doc_id").as("id_b"))
+    l.join(r,
+        col("band") === col("band_r") &&
+        col("band_hash") === col("band_hash_r") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full near-dup pipeline: LSH candidates re-verified with exact Jaccard.
+    * Only candidate pairs are ever joined back to their shingle sets.
+    */
+  def nearDuplicates(docs: DataFrame, threshold: Double, n: Int = 3,
+                     numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val cands = minHashCandidates(docs, n, numHashes, bands)
+    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash as a single long column: per token-hash bit votes
+    * (+1/−1), sign of each vote → bit. Map-only per doc; token hashes are
+    * materialized once and folded 64× (not re-hashed per bit). Tokenization
+    * is caller-supplied — shingles give order-sensitive signatures, words
+    * give bag-of-words ones.
+    */
+  def simHashBits(docs: DataFrame, toks: Column): DataFrame = {
+    val masks: Array[Long] = (0 until 64).map(1L << _).toArray
+    val sig = aggregate(
+      lit(masks),
+      lit(0L),
+      (acc, mask) => {
+        val votes = aggregate(col("tok_hashes"), lit(0L), (a, h) =>
+          a + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+        acc.bitwiseOR(when(votes > 0, mask).otherwise(lit(0L)))
+      })
+    docs
+      .select(col("doc_id"),
+        transform(toks, t => xxhash64(t)).as("tok_hashes"))
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming-distance pairs over SimHash, bucketed by signature chunks.
+    * Pigeonhole: with `maxHamming + 1` chunks, any pair within the Hamming
+    * budget shares at least one identical chunk — so the join key is chunk
+    * equality, never all-pairs. Cost note: a larger budget means narrower
+    * chunks and denser buckets; small budgets (≤ 7 ⇒ ≥ 8-bit chunks) are the
+    * scalable operating point, exactly as in the SimHash literature.
+    */
+  def simHashPairs(docs: DataFrame, toks: Column, maxHamming: Int = 3): DataFrame = {
+    val nChunks = math.min(maxHamming + 1, 64)
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    val chunkCols = (0 until nChunks).map { c =>
+      val width = bounds(c + 1) - bounds(c)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("simhash"), bounds(c)).bitwiseAND(lit(mask))
+    }
+    val sigs = simHashBits(docs, toks)
+    val withVal = sigs
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array(chunkCols: _*)).as(Seq("chunk", "chunk_val")))
+    val l = withVal.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+    val r = withVal.select(col("chunk").as("chunk_r"),
+      col("chunk_val").as("chunk_val_r"),
+      col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+    l.join(r,
+        col("chunk") === col("chunk_r") &&
+        col("chunk_val") === col("chunk_val_r") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column support: opaque `binary` payloads +
+  * typed metadata, with decode / feature-extraction plumbing over
+  * `mapPartitions`.
+  *
+  * The real Spark-side concerns — schema, batch shape, partition-parallel
+  * decode, typed output — are implemented for real. The codec itself is a
+  * STUB (this container ships no image/audio libraries): `FakeCodec` derives
+  * deterministic pseudo-metadata from the bytes. Swapping in a real decoder
+  * changes one function body, not the pipeline.
+  *
+  * Scale notes: decode is per-partition iterator → iterator (no
+  * materialization of whole partitions), decode parallelism = partition
+  * count, payloads never shuffle — metadata extraction projects *before* any
+  * aggregation, and frame sampling explodes only the sampled indices.
+  */
+object Multimodal {
+
+  /** One media asset: opaque payload + envelope metadata. */
+  case class Asset(asset_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Decoded (stubbed) media metadata. */
+  case class AssetMeta(
+      asset_id: Long, media_type: String, n_bytes: Long,
+      checksum: String, width: Int, height: Int, n_frames: Int)
+
+  /** Extracted per-frame feature vector (stubbed decode). */
+  case class FrameFeature(
+      asset_id: Long, frame_idx: Int, feature: Array[Float])
+
+  /** ===== STUB boundary =====
+    * Deterministic fake codec: metadata and "pixels" derived from payload
+    * bytes. A real implementation would parse the container format here.
+    */
+  object FakeCodec {
+    def dims(payload: Array[Byte]): (Int, Int) = {
+      val n = payload.length
+      (64 + (n % 577), 64 + (n % 419))
+    }
+    def frameCount(payload: Array[Byte], mediaType: String): Int =
+      if (mediaType == "video") 1 + (payload.length % 24) else 1
+    /** Fake per-frame feature: byte histogram over 16 buckets, L1-normed. */
+    def frameFeature(payload: Array[Byte], frameIdx: Int): Array[Float] = {
+      val hist = new Array[Float](16)
+      var i = frameIdx % math.max(payload.length, 1)
+      var seen = 0
+      while (seen < payload.length) {
+        hist((payload(i) & 0xFF) / 16) += 1f
+        i = (i + 1) % payload.length
+        seen += 1
+      }
+      val total = math.max(payload.length, 1).toFloat
+      hist.map(_ / total)
+    }
+  }
+
+  /** Wrap a text/binary table into assets (demo source: the `documents`
+    * table's text bytes as payloads; real sources would be
+    * `spark.read.format("binaryFile")` or parquet with a binary column).
+    */
+  def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("asset_id"),
+        expr("element_at(array('image','audio','video'), " +
+          "cast(pmod(doc_id, 3) + 1 as int))").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[Asset]
+  }
+
+  /** Partition-parallel metadata decode: iterator→iterator, constant memory,
+    * payload column dropped on output (never shuffled).
+    */
+  def decodeMeta(assets: Dataset[Asset]): Dataset[AssetMeta] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        val (w, h) = FakeCodec.dims(a.payload)
+        digest.reset()
+        val sum = digest.digest(a.payload).map("%02x".format(_)).mkString
+        AssetMeta(a.asset_id, a.media_type, a.payload.length.toLong, sum,
+          w, h, FakeCodec.frameCount(a.payload, a.media_type))
+      }
+    }
+  }
+
+  /** Frame sampling + feature extraction: sample every `stride`-th frame,
+    * emit one feature row per sampled frame. Batch shape: explode happens
+    * inside the partition iterator, so a long video never materializes all
+    * frames at once.
+    */
+  def extractFrameFeatures(assets: Dataset[Asset], stride: Int = 8): Dataset[FrameFeature] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val n = FakeCodec.frameCount(a.payload, a.media_type)
+        (0 until n by stride).iterator.map { f =>
+          FrameFeature(a.asset_id, f, FakeCodec.frameFeature(a.payload, f))
+        }
+      }
+    }
+  }
+}

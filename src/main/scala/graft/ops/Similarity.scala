@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, per the ANN playbook:
+  *  - [[bruteForceTopK]]: exact cosine against every row — the correctness
+  *    baseline. Query side is broadcast; the corpus streams, so cost is one
+  *    scan per batch of queries (fine when queries ≪ corpus; this is also
+  *    the exact re-rank primitive the bucketed paths reuse);
+  *  - [[lshTopK]] (random hyperplanes) and [[ivfTopK]] (inverted-file over
+  *    sampled centroids): the 100 TB paths. Both prune the corpus to a
+  *    bucket/cell subset with one equi-join, then exact-re-rank only the
+  *    survivors. Bucket assignment is a pure column expression (deterministic
+  *    seeded planes), so it pushes into the scan and can be precomputed and
+  *    partitioned-by at write time — probing then touches only matching
+  *    partitions.
+  *
+  * All dot products fold in fixed point (`round(x*y*1e12)` term-wise — exact
+  * integer sums, associative, engine-portable; see [[graft.Exact]]).
+  */
+object Similarity {
+
+  /** Exact fixed-point dot product of two double arrays (deterministic under
+    * any evaluation order; unit-normalized corpus ⇒ dot = cosine).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => round(x * y * lit(1e12))),
+      lit(0.0), (acc, t) => acc + t) / lit(1e12)
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact top-k neighbors for each query vector (`queries` must be small —
+    * it is broadcast). Excludes self-pairs. Output: (query_id, neighbor_id,
+    * score, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("c_vec"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Deterministic ±1 random hyperplanes: component i of plane p is the sign
+    * of a hash of (seed, p, i). Returns the `numPlanes`-bit bucket id of an
+    * embedding as a pure column expression.
+    */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int, seed: Long): Column = {
+    val planeDots = (0 until numPlanes).map { p =>
+      val terms = transform(sequence(lit(0), lit(dim - 1)), i =>
+        element_at(vec, i + 1).cast("double") *
+          when(xxhash64(lit(seed), lit(p), i).bitwiseAND(lit(1L)) === 1L, 1.0)
+            .otherwise(-1.0))
+      aggregate(terms, lit(0.0), (a, x) => a + x)
+    }
+    planeDots.zipWithIndex.map { case (d, p) =>
+      when(d > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce[Column](_ bitwiseOR _)
+  }
+
+  /** ANN via sign-LSH: bucket the corpus, probe the query's bucket plus all
+    * buckets at Hamming distance ≤ `probeRadius`, exact-re-rank survivors.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dim: Int, numPlanes: Int = 12, probeRadius: Int = 1,
+              seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("c_vec"),
+      lshBucket(col("embedding"), dim, numPlanes, seed).as("bucket"))
+    // multiprobe: expand each query to its bucket + neighbors within radius
+    val flips: Seq[Long] = 0L +: (if (probeRadius >= 1)
+      (0 until numPlanes).map(p => 1L << p) else Seq())
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("q_vec"),
+      lshBucket(col("embedding"), dim, numPlanes, seed).as("q_bucket"))
+      .withColumn("bucket",
+        explode(transform(lit(flips.toArray),
+          f => col("q_bucket").bitwiseXOR(f))))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "score").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** IVF: centroids sampled deterministically from the corpus (the `nCells`
+    * vectors with the smallest id-hash — a TakeOrdered top-k, no global
+    * window), vectors assigned to their nearest centroid via a broadcast
+    * join + map-side `max(struct)` argmax (no corpus shuffle by id), queries
+    * probe the `nProbe` nearest cells.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = corpus
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id").as("cell_id"),
+        asDouble(col("embedding")).as("cell_vec"))
+    // corpus→cell: argmax over ≤nCells scores, computed per row inside one
+    // projection (scores array → max struct), so assignment is map-only.
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"),
+        asDouble(col("embedding")).as("c_vec"))
+      .join(broadcast(centroids))
+      .groupBy(col("neighbor_id"))
+      .agg(
+        first(col("c_vec")).as("c_vec"),
+        max(struct(dot(col("c_vec"), col("cell_vec")).as("s"),
+          col("cell_id").as("cell_id"))).as("best"))
+      .select(col("neighbor_id"), col("c_vec"),
+        col("best.cell_id").as("cell_id"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_score").desc, col("cell_id"))
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        asDouble(col("embedding")).as("q_vec"))
+      .join(broadcast(centroids))
+      .withColumn("cell_score", dot(col("q_vec"), col("cell_vec")))
+      .withColumn("cell_rank", row_number().over(qw))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "q_vec", "cell_id")
+    val scored = c.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "score").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
+  /** Top near-duplicate pairs across the whole corpus by exact cosine —
+    * all-pairs; for bounded inputs and verification (the subquadratic path
+    * is LSH/IVF above).
+    */
+  def topPairs(corpus: DataFrame, topN: Int): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id_a"),
+      asDouble(col("embedding")).as("vec_a"))
+    val b = corpus.select(col("vec_id").as("id_b"),
+      asDouble(col("embedding")).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("score", dot(col("vec_a"), col("vec_b")))
+      .select("id_a", "id_b", "score")
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language
+  * identification, quality scoring, token counting, and document
+  * fingerprinting. All pure column expressions (codegen'd, map-only — no
+  * shuffle until the caller aggregates), so every one of them scales as a
+  * projection over the corpus.
+  */
+object TextAnalysis {
+
+  def words(text: Column): Column = split(text, " ")
+
+  /** Stopword profiles for the language-ID heuristic. Real profiles would be
+    * per-language frequency tables; the mechanism (per-language hit counts →
+    * argmax with deterministic tie order) is what matters and is identical.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "un", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "est", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Per-language stopword hit counts (occurrence-based: every token
+    * occurrence counts, not just distinct membership).
+    */
+  def stopwordHits(text: Column): Seq[(String, Column)] =
+    stopwords.map { case (lang, ws) =>
+      lang -> size(filter(words(text),
+        w => array_contains(array(ws.map(lit): _*), w)))
+    }
+
+  /** N-gram-heuristic language ID: argmax of stopword hits, ties broken by
+    * profile order, zero hits → "und" (undetermined).
+    */
+  def languageId(text: Column): Column = {
+    val hits = stopwordHits(text)
+    val best = hits.map { case (lang, h) => struct(h.as("h"), lit(lang).as("l")) }
+      .reduce[Column]((a, b) => when(b.getField("h") > a.getField("h"), b).otherwise(a))
+    when(best.getField("h") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and isolated
+    * other symbols — the standard pre-tokenizer regex family.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+
+  /** Quality signals: length, token stats, punctuation/alpha ratios,
+    * stopword density — the usual cheap heuristics for corpus filtering.
+    * All ratios are single divisions of integer counts (engine-exact).
+    */
+  def qualitySignals(df: DataFrame, text: Column): DataFrame = {
+    val w = words(text)
+    val nChars = length(text)
+    val nWords = size(w)
+    val nPunct = nChars - length(regexp_replace(text, "[.,!?;:'\"()]", ""))
+    val nAlpha = nChars - length(regexp_replace(text, "[a-zA-Z]", ""))
+    val enHits = size(filter(w,
+      t => array_contains(array(stopwords.head._2.map(lit): _*), t)))
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        (nChars - (nWords - lit(1))).cast("double") / nWords)
+      .withColumn("punct_ratio", nPunct.cast("double") / nChars)
+      .withColumn("alpha_ratio", nAlpha.cast("double") / nChars)
+      .withColumn("stopword_ratio", enHits.cast("double") / nWords)
+  }
+
+  /** Composite quality score in [0,1]-ish: long-enough, wordy, alphabetic,
+    * some stopwords. Weights are illustrative; the shape (weighted sum of
+    * bounded signals) is the standard one.
+    */
+  def qualityScore(df: DataFrame, text: Column): DataFrame =
+    qualitySignals(df, text).withColumn("quality",
+      least(col("n_words").cast("double") / 64, lit(1.0)) * 0.4 +
+        col("alpha_ratio") * 0.4 +
+        least(col("stopword_ratio") * 4, lit(1.0)) * 0.2)
+
+  /** Content fingerprint for dedup joins: md5 of the sorted distinct word
+    * set (order-insensitive — catches shuffled near-identical docs).
+    */
+  def wordSetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
+
+  /** Rolling hash over the word sequence (order-*sensitive*): fold
+    * h ← rotl(h, 5) ⊕ xxhash64(word). Rotate-xor instead of the classic
+    * multiply-add so the fold stays total under ANSI arithmetic (no long
+    * overflow). Not SQL-portable (xxhash64 is Spark's) — verified by spec,
+    * not oracle.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(words(text), lit(0L), (h, w) =>
+      shiftleft(h, 5).bitwiseOR(shiftrightunsigned(h, 59))
+        .bitwiseXOR(xxhash64(w)))
+}

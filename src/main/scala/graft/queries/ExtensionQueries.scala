@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline extension operators (BASELINE.json north star):
+  * dedup, similarity search, text analysis, multimodal — over the
+  * `documents` and `embeddings` tables. SQL-expressible ops carry DuckDB
+  * oracles; hash-family ops (MinHash/SimHash/LSH buckets use Spark's
+  * xxhash64) are rows-only here and verified by spec instead.
+  */
+object ExtensionQueries {
+
+  // ---------------------------------------------------------------- dedup
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(spark, dir))
+      .orderBy("content_hash")
+
+  private val dedupExactSql =
+    """SELECT sha256(text) AS content_hash, min(doc_id) AS canonical_id,
+      | count(*) AS n_copies
+      |FROM documents GROUP BY sha256(text) ORDER BY content_hash""".stripMargin
+
+  def neardupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), 3, "lang")
+      .filter(col("jaccard") >= 0.25)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  private val neardupJaccardSql =
+    """WITH sh AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(len(string_split(text,' '))-2),
+      |      i -> array_to_string(list_slice(string_split(text,' '), i+1, i+3),
+      |                           ' '))) AS s
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.s, b.s)) AS n_inter,
+      |    len(a.s) AS na, len(b.s) AS nb
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(n_inter AS INTEGER) AS n_inter,
+      |  n_inter / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+      |FROM p WHERE n_inter / CAST(na + nb - n_inter AS DOUBLE) >= 0.25e0
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH near-dup (subquadratic path) — xxhash64 family, rows-only
+    * for the driver; recall vs exact Jaccard is asserted in DedupSpec.
+    */
+  def neardupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(Tables.documents(spark, dir), threshold = 0.25,
+        n = 3, numHashes = 64, bands = 32)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup over order-sensitive shingle signatures — rows-only. */
+  def neardupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(spark, dir),
+        Dedup.shingles(col("text"), 3), maxHamming = 16)
+      .orderBy("id_a", "id_b")
+
+  // --------------------------------------------------------- similarity
+
+  def embedTopPairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topPairs(Tables.embeddings(spark, dir), 20)
+
+  private val embedTopPairsSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_sum(list_transform(range(len(a.v)),
+      |      k -> round(a.v[k+1]*b.v[k+1]*1e12)))/1e12 AS score
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, score FROM p
+      |ORDER BY score DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 8), 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private val annBruteForceSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(len(q.v)),
+      |      k -> round(q.v[k+1]*e.v[k+1]*1e12)))/1e12 AS score
+      |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Sign-LSH ANN — rows-only (bucket ids from Spark's xxhash64); recall vs
+    * brute force is asserted in SimilaritySpec on planted clusters.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(em, em.filter(col("vec_id") < 8), 5, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF ANN — rows-only (centroid sample keyed by xxhash64). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(em, em.filter(col("vec_id") < 8), 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        TextAnalysis.languageId(col("text")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  private val langIdSql = {
+    val profiles = TextAnalysis.stopwords.zipWithIndex.map {
+      case ((lang, ws), i) =>
+        s"('$lang', $i, [${ws.map(w => s"'$w'").mkString(",")}])"
+    }.mkString(",\n      ")
+    s"""WITH hits AS (
+       |  SELECT d.doc_id, d.lang, p.cand, p.ord,
+       |    len(list_filter(string_split(d.text, ' '),
+       |        w -> list_contains(p.ws, w))) AS h
+       |  FROM documents d CROSS JOIN (VALUES
+       |      $profiles) AS p(cand, ord, ws)),
+       |best AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN h > 0 THEN cand ELSE 'und' END AS predicted,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, ord) AS rk
+       |  FROM hits)
+       |SELECT lang, predicted, count(*) AS n
+       |FROM best WHERE rk = 1
+       |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }
+
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(
+        Tables.documents(spark, dir), col("text"))
+      .select(col("doc_id"), col("n_words"),
+        col("mean_word_len"), col("alpha_ratio"), col("stopword_ratio"),
+        col("quality"))
+      .orderBy("doc_id")
+
+  private val qualityScoresSql = {
+    val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS INTEGER) AS nc,
+       |    CAST(len(string_split(text,' ')) AS INTEGER) AS nw,
+       |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+       |         AS INTEGER) AS nalpha,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |         w -> list_contains([$en], w))) AS INTEGER) AS nstop
+       |  FROM documents)
+       |SELECT doc_id, nw AS n_words,
+       |  CAST(nc - (nw - 1) AS DOUBLE)/nw AS mean_word_len,
+       |  CAST(nalpha AS DOUBLE)/nc AS alpha_ratio,
+       |  CAST(nstop AS DOUBLE)/nw AS stopword_ratio,
+       |  least(CAST(nw AS DOUBLE)/64, 1e0)*0.4e0
+       |    + (CAST(nalpha AS DOUBLE)/nc)*0.4e0
+       |    + least((CAST(nstop AS DOUBLE)/nw)*4e0, 1e0)*0.2e0 AS quality
+       |FROM sig ORDER BY doc_id""".stripMargin
+  }
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"),
+        size(array_distinct(TextAnalysis.words(col("text"))))
+          .as("n_distinct"),
+        TextAnalysis.wordSetFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val tokenStatsSql =
+    """SELECT doc_id,
+      | CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+      |   AS BIGINT) AS n_subwords,
+      | CAST(len(list_distinct(string_split(text,' '))) AS INTEGER)
+      |   AS n_distinct,
+      | md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),
+      |   ' ')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Order-sensitive rolling-hash fingerprint — xxhash64-based, rows-only. */
+  def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+      .orderBy("doc_id")
+
+  // --------------------------------------------------------- multimodal
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(
+        Multimodal.assetsFromDocuments(Tables.documents(spark, dir)))
+      .toDF()
+      .orderBy("asset_id")
+
+  private val multimodalMetaSql =
+    """SELECT doc_id AS asset_id,
+      | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |   ELSE 'video' END AS media_type,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | md5(text) AS checksum,
+      | CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
+      | CAST(64 + octet_length(encode(text)) % 419 AS INTEGER) AS height,
+      | CAST(CASE WHEN doc_id % 3 = 2
+      |   THEN 1 + octet_length(encode(text)) % 24 ELSE 1 END AS INTEGER)
+      |   AS n_frames
+      |FROM documents ORDER BY asset_id""".stripMargin
+
+  /** Frame-feature extraction (stubbed codec) — rows-only; the feature
+    * histogram math is asserted in MultimodalSpec.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFrameFeatures(
+        Multimodal.assetsFromDocuments(Tables.documents(spark, dir)))
+      .toDF()
+      .select(col("asset_id"), col("frame_idx"),
+        size(col("feature")).as("feature_dim"),
+        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+      .orderBy("asset_id", "frame_idx")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
+    QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql), neardupJaccard),
+    QueryDef("x03_neardup_minhash", None, neardupMinhash),
+    QueryDef("x04_neardup_simhash", None, neardupSimhash),
+    QueryDef("x05_embed_top_pairs", Some(embedTopPairsSql), embedTopPairs),
+    QueryDef("x06_ann_brute_force", Some(annBruteForceSql), annBruteForce),
+    QueryDef("x07_ann_lsh", None, annLsh),
+    QueryDef("x08_ann_ivf", None, annIvf),
+    QueryDef("x09_lang_id", Some(langIdSql), langId),
+    QueryDef("x10_quality_scores", Some(qualityScoresSql), qualityScores),
+    QueryDef("x11_token_stats", Some(tokenStatsSql), tokenStats),
+    QueryDef("x12_rolling_fingerprint", None, rollingFingerprint),
+    QueryDef("x13_multimodal_meta", Some(multimodalMetaSql), multimodalMeta),
+    QueryDef("x14_multimodal_frames", None, multimodalFrames),
+  )
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** MinHash-LSH recall vs exact Jaccard, SimHash behavior, exact groups. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("exactGroups: identical texts collapse to one canonical id") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(d).collect()
+    assert(g.length == 2)
+    val dupRow = g.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupRow.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("shingles: n-grams of the word sequence, short docs degrade to whole") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = d.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("s").toSet).toMap
+    assert(sh(1L) == Set("a b c", "b c d"))
+    assert(sh(2L) == Set("a b"))
+  }
+
+  test("minhash LSH finds every pair with jaccard >= 0.6 (recall vs exact)") {
+    val exact = Dedup.jaccardPairs(
+        docs.withColumn("blk", lit(1)), 3, "blk")
+      .filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val lsh = Dedup.nearDuplicates(docs, threshold = 0.6,
+        n = 3, numHashes = 64, bands = 32)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(lsh),
+      s"LSH missed planted pairs: ${exact -- lsh}")
+    // and precision: every reported pair truly passes the threshold (the
+    // re-verification step guarantees this by construction; double-check)
+    val verified = Dedup.nearDuplicates(docs, 0.6, 3, 64, 32)
+      .agg(min(col("jaccard"))).collect()(0).getDouble(0)
+    assert(verified >= 0.6)
+  }
+
+  test("simhash: identical docs have hamming 0, disjoint docs differ") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spark shuffles the sorted rows"),
+      (2L, "spark shuffles the sorted rows"),
+      (3L, "completely different words entirely elsewhere")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(d, Dedup.shingles(col("text"), 2),
+        maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash pairs on fixture are verified near-dups (low hamming ⊂ high jaccard)") {
+    val sim = Dedup.simHashPairs(docs, Dedup.shingles(col("text"), 3),
+        maxHamming = 16)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(docs.withColumn("blk", lit(1)), 3, "blk")
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // jaccard >= 0.9 ⇒ shingle-vector angle ≲ 0.3 rad ⇒ expected hamming
+    // ≈ 64·θ/π ≲ 7 — comfortably under the 16-bit budget
+    assert(exact.subsetOf(sim), s"simhash missed: ${exact -- sim}")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "image payload bytes"),
+    (1L, "audio payload"),
+    (2L, "video content with more bytes in it"),
+    (5L, "another video asset")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("assetsFromDocuments assigns media types round-robin by id") {
+    val a = Multimodal.assetsFromDocuments(docs).collect()
+      .map(x => x.asset_id -> x.media_type).toMap
+    assert(a == Map(0L -> "image", 1L -> "audio", 2L -> "video",
+      5L -> "video"))
+  }
+
+  test("decodeMeta: deterministic stub metadata + real checksum") {
+    val metas = Multimodal.decodeMeta(
+      Multimodal.assetsFromDocuments(docs)).collect()
+      .map(m => m.asset_id -> m).toMap
+    val text0 = "image payload bytes"
+    assert(metas(0L).n_bytes == text0.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(text0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(metas(0L).checksum == want)
+    assert(metas(0L).width == 64 + text0.length % 577)
+    assert(metas(0L).n_frames == 1)           // image
+    assert(metas(2L).n_frames > 1 ||          // video: 1 + len % 24
+      "video content with more bytes in it".length % 24 == 0)
+  }
+
+  test("extractFrameFeatures: normalized 16-bucket histograms per frame") {
+    val feats = Multimodal.extractFrameFeatures(
+      Multimodal.assetsFromDocuments(docs), stride = 4).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.feature.length == 16)
+      assert(math.abs(f.feature.map(_.toDouble).sum - 1.0) < 1e-5)
+    }
+    // video assets emit one feature per sampled frame
+    val byAsset = feats.groupBy(_.asset_id).view.mapValues(_.length).toMap
+    val vlen = "video content with more bytes in it".length
+    assert(byAsset(2L) == (1 + vlen % 24 + 3) / 4)
+    assert(byAsset(0L) == 1)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+import scala.jdk.CollectionConverters._
+
+/** Exact top-k on hand-computed vectors; LSH/IVF recall on planted clusters
+  * (random fixtures have no neighbor structure, so ANN quality is asserted
+  * where it is defined: clustered data).
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val dim = 16
+
+  /** 4 well-separated unit cluster centers + tight perturbations. */
+  private def clustered(nPerCluster: Int): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.tabulate(4) { c =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val axis = v.zipWithIndex.map { case (x, i) =>
+        x * 0.05 + (if (i == c * 4) 1.0 else 0.0) }
+      val n = math.sqrt(axis.map(x => x * x).sum)
+      axis.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 4 * nPerCluster).map { id =>
+      val c = id % 4
+      val noise = Array.fill(dim)(rnd.nextGaussian() * 0.02)
+      val v = centers(c).zip(noise).map { case (x, e) => x + e.toFloat }
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum)
+      Row(id.toLong, v.map(x => (x / n).toFloat).toSeq, c)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+  }
+
+  test("bruteForceTopK: exact ranking on hand-computed vectors") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(-1f, 0f, 0f, 0f)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](vecs.map(v => Row(v._1, v._2)).asJava),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val top = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 0), 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(top(0).getAs[Double]("score") - 0.9) < 1e-6) // dot(q,1)
+    assert(math.abs(top(2).getAs[Double]("score") + 1.0) < 1e-9)   // dot(q,3)
+  }
+
+  test("lshTopK recall@1 >= 0.8 on planted clusters") {
+    val data = clustered(10) // 40 vectors
+    val queries = data.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(data, queries, 1)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val lsh = Similarity.lshTopK(data, queries, 1, dim = dim,
+        numPlanes = 10, probeRadius = 1)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val hits = exact.count { case (q, n) => lsh.get(q).contains(n) }
+    assert(hits >= (exact.size * 0.8).floor.toInt,
+      s"recall ${hits}/${exact.size}")
+  }
+
+  test("ivfTopK recall@1 >= 0.8 on planted clusters") {
+    val data = clustered(10)
+    val queries = data.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(data, queries, 1)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val ivf = Similarity.ivfTopK(data, queries, 1, nCells = 8, nProbe = 3)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("neighbor_id")).toMap
+    val hits = exact.count { case (q, n) => ivf.get(q).contains(n) }
+    assert(hits >= (exact.size * 0.8).floor.toInt,
+      s"recall ${hits}/${exact.size}")
+  }
+
+  test("topPairs finds the tightest cluster pairs first") {
+    val data = clustered(5)
+    val pairs = Similarity.topPairs(data, 10).collect()
+    assert(pairs.length == 10)
+    // every top pair should be same-cluster (cos within cluster ≈ 1,
+    // across clusters ≪ 1)
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_a") % 4 == r.getAs[Long]("id_b") % 4,
+        s"cross-cluster pair in top-10: $r")
+    }
+    val scores = pairs.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
+}

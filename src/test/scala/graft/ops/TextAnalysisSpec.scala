@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("languageId: stopword argmax with und fallback") {
+    val cases = Seq(
+      "the cat sat on a mat of straw" -> "en",
+      "der hund und die katze" -> "de",
+      "el perro y la casa de que" -> "es",
+      "xyzzy qwerty plugh" -> "und")
+    cases.foreach { case (text, want) =>
+      val got = one(text)
+        .select(TextAnalysis.languageId(col("text"))).first().getString(0)
+      assert(got == want, s"'$text' -> $got, want $want")
+    }
+  }
+
+  test("token counts: whitespace vs subword regex") {
+    val df = one("hello world42 x-y!")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("text")),
+      TextAnalysis.subwordCount(col("text"))).first()
+    assert(r.getInt(0) == 3)
+    // subwords: hello | world | 42 | x | - | y | !
+    assert(r.getInt(1) == 7)
+  }
+
+  test("quality score is bounded and favors wordy alphabetic text") {
+    val good = "the quick brown fox jumps over the lazy dog " * 8
+    val bad = "@@@@ #### 1234 %%%%"
+    val q = Seq((1L, good.trim), (2L, bad))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.qualityScore(q, col("text"))
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 0.8)
+    assert(scores(2L) < 0.3)
+    scores.values.foreach(s => assert(s >= 0.0 && s <= 1.0))
+  }
+
+  test("fingerprints: word-set is order-insensitive, rolling is sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+        TextAnalysis.wordSetFingerprint(col("text")).as("ws"),
+        TextAnalysis.rollingHash(col("text")).as("rh"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fp(1L)._1 == fp(2L)._1) // same word set
+    assert(fp(1L)._1 != fp(3L)._1)
+    assert(fp(1L)._2 != fp(2L)._2) // order matters
+    assert(fp(1L)._2 != fp(3L)._2)
+  }
+}
