@@ -43,24 +43,51 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** All-pairs n-gram Jaccard within `blockCol` blocks (quadratic — use only
-    * on bounded blocks; the scalable path is [[minHashCandidates]]).
-    * Jaccard is |A∩B| / |A∪B| over distinct shingle sets — integer set sizes,
-    * one double division, so cross-engine deterministic.
+  /** Bucket width for the length pre-filter in [[jaccardPairs]]: candidate
+    * pairs must sit in the same or adjacent `length(text) div 64` bucket —
+    * the standard length filter (high Jaccard needs comparable shingle
+    * counts). This both prunes pairs and refines the join key.
+    */
+  val LenBucketWidth = 64
+
+  /** N-gram Jaccard pairs within `blockCol` blocks via an inverted shingle
+    * index: explode distinct shingles, equi-join on (block, shingle), count
+    * matches per pair — |A∩B| without ever materializing per-pair array
+    * intersections (array ops are interpreted, the index join is all
+    * codegen'd shuffle work; cost is Σf² over shingle frequencies, not
+    * |block|²). Candidates are length-filtered (same or adjacent
+    * `length div 64` bucket — high Jaccard needs comparable shingle counts).
+    * Returns pairs sharing at least one shingle; Jaccard is integer set
+    * sizes + one double division, cross-engine deterministic.
     */
   def jaccardPairs(docs: DataFrame, n: Int, blockCol: String): DataFrame = {
-    val withSh = docs.select(
+    val base = docs.select(
       col("doc_id"), col(blockCol).as("block"),
+      floor(length(col("text")) / LenBucketWidth).as("lb"),
       shingles(col("text"), n).as("sh"))
-    val a = withSh.select(col("block"), col("doc_id").as("id_a"),
-      col("sh").as("sh_a"))
-    val b = withSh.select(col("block").as("block_b"), col("doc_id").as("id_b"),
-      col("sh").as("sh_b"))
-    a.join(b, col("block") === col("block_b") && col("id_a") < col("id_b"))
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+    val sizes = base.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val ex = base.select(col("block"), col("lb"), col("doc_id"),
+      explode(col("sh")).as("s"))
+    val l = ex.select(col("block"), col("s"), col("doc_id").as("id_a"),
+      col("lb").as("lb_a"))
+    val r = ex.select(col("block").as("block_b"), col("s").as("s_b"),
+      col("doc_id").as("id_b"), col("lb").as("lb_b"))
+    val inter = l.join(r,
+        col("block") === col("block_b") && col("s") === col("s_b") &&
+        col("id_a") < col("id_b") &&
+        abs(col("lb_a") - col("lb_b")) <= 1)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("int").as("n_inter"))
+    // size lookups: plain equi-joins — Catalyst broadcasts when the doc
+    // table is small and shuffles when it is not (never hint a broadcast
+    // of something that grows with the corpus)
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("nsh").as("na")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("nsh").as("nb")),
+        "id_b")
       .withColumn("jaccard",
-        col("n_inter") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+        col("n_inter") / (col("na") + col("nb") - col("n_inter")))
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
@@ -138,19 +165,23 @@ object Dedup {
     * give bag-of-words ones.
     */
   def simHashBits(docs: DataFrame, toks: Column): DataFrame = {
-    val masks: Array[Long] = (0 until 64).map(1L << _).toArray
-    val sig = aggregate(
-      lit(masks),
-      lit(0L),
-      (acc, mask) => {
-        val votes = aggregate(col("tok_hashes"), lit(0L), (a, h) =>
-          a + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
-        acc.bitwiseOR(when(votes > 0, mask).otherwise(lit(0L)))
-      })
-    docs
-      .select(col("doc_id"),
-        transform(toks, t => xxhash64(t)).as("tok_hashes"))
-      .select(col("doc_id"), sig.as("simhash"))
+    // explode token hashes and take 64 flat `sum(±1)` aggregates rather than
+    // a nested higher-order fold: higher-order lambdas are interpreted
+    // (no whole-stage codegen) and cost seconds per thousand docs, while
+    // flat aggregates with map-side combine codegen cleanly and shuffle one
+    // row per doc.
+    val exploded = docs.select(col("doc_id"),
+      explode(transform(toks, t => xxhash64(t))).as("h"))
+    val voteCols = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
+        .as(s"v$b")
+    }
+    val votes = exploded.groupBy(col("doc_id"))
+      .agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce[Column](_ bitwiseOR _)
+    votes.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** Hamming-distance pairs over SimHash, bucketed by signature chunks.
@@ -183,7 +214,11 @@ object Dedup {
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the hamming test is a cheap codegen'd
+      // per-row op, while distinct is a shuffle — on skew-heavy buckets
+      // (correlated signatures) this is the difference between shuffling
+      // a handful of survivors and shuffling every candidate pair
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -34,12 +34,21 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Small single-file corpora arrive as ONE input partition, which would
+    * serialize every pair-generation join on one task (the streaming/probe
+    * side of a broadcast join inherits input partitioning). Spread the
+    * corpus across the cluster before quadratic work; round-robin
+    * repartition is deterministic and the downstream top-k re-orders anyway.
+    */
+  private def spread(corpus: DataFrame): DataFrame =
+    corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact top-k neighbors for each query vector (`queries` must be small —
     * it is broadcast). Excludes self-pairs. Output: (query_id, neighbor_id,
     * score, rank).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
+    val c = spread(corpus).select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_vec"))
     val q = queries.select(col("vec_id").as("query_id"),
       asDouble(col("embedding")).as("q_vec"))
@@ -76,7 +85,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, numPlanes: Int = 12, probeRadius: Int = 1,
               seed: Long = 42L): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
+    val c = spread(corpus).select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_vec"),
       lshBucket(col("embedding"), dim, numPlanes, seed).as("bucket"))
     // multiprobe: expand each query to its bucket + neighbors within radius
@@ -114,7 +123,7 @@ object Similarity {
         asDouble(col("embedding")).as("cell_vec"))
     // corpus→cell: argmax over ≤nCells scores, computed per row inside one
     // projection (scores array → max struct), so assignment is map-only.
-    val c = corpus
+    val c = spread(corpus)
       .select(col("vec_id").as("neighbor_id"),
         asDouble(col("embedding")).as("c_vec"))
       .join(broadcast(centroids))
@@ -151,11 +160,11 @@ object Similarity {
     * is LSH/IVF above).
     */
   def topPairs(corpus: DataFrame, topN: Int): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id_a"),
+    val a = spread(corpus).select(col("vec_id").as("id_a"),
       asDouble(col("embedding")).as("vec_a"))
     val b = corpus.select(col("vec_id").as("id_b"),
       asDouble(col("embedding")).as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("score", dot(col("vec_a"), col("vec_b")))
       .select("id_a", "id_b", "score")
       .orderBy(col("score").desc, col("id_a"), col("id_b"))

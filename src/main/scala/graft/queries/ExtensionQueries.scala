@@ -33,7 +33,7 @@ object ExtensionQueries {
 
   private val neardupJaccardSql =
     """WITH sh AS (
-      |  SELECT doc_id, lang,
+      |  SELECT doc_id, lang, length(text) // 64 AS lb,
       |    list_distinct(list_transform(range(len(string_split(text,' '))-2),
       |      i -> array_to_string(list_slice(string_split(text,' '), i+1, i+3),
       |                           ' '))) AS s
@@ -42,7 +42,8 @@ object ExtensionQueries {
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    len(list_intersect(a.s, b.s)) AS n_inter,
       |    len(a.s) AS na, len(b.s) AS nb
-      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |    AND abs(a.lb - b.lb) <= 1)
       |SELECT id_a, id_b, CAST(n_inter AS INTEGER) AS n_inter,
       |  n_inter / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
       |FROM p WHERE n_inter / CAST(na + nb - n_inter AS DOUBLE) >= 0.25e0
@@ -56,10 +57,13 @@ object ExtensionQueries {
         n = 3, numHashes = 64, bands = 32)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup over order-sensitive shingle signatures — rows-only. */
+  /** SimHash near-dup over order-sensitive shingle signatures — rows-only.
+    * Budget 7 ⇒ 8-bit chunks: the scalable operating point (wider budgets
+    * shrink chunks and inflate candidate buckets quadratically).
+    */
   def neardupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(spark, dir),
-        Dedup.shingles(col("text"), 3), maxHamming = 16)
+        Dedup.shingles(col("text"), 3), maxHamming = 7)
       .orderBy("id_a", "id_b")
 
   // --------------------------------------------------------- similarity

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming duals of the batch event operators (EventQueries): tumbling
+  * windows with watermark, late-data dedup, and the reference's
+  * latest-cycle-wins upsert as keyed state (`mapGroupsWithState`).
+  *
+  * Scale notes: watermarks bound all state (the streaming analogue of the
+  * reference's 7-day TTL, SURVEY §2.1 D1); windowed aggregation state is
+  * per (window × key); `dropDuplicates` state is bounded by the watermark
+  * horizon; keyed state in [[latestPerUser]] is O(distinct keys).
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Latest(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String, value: Double)
+
+  /** Tumbling 6 h counts per event type; watermark 1 h for late data —
+    * the T2 cycle bucketing, streaming form.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Exactly-once-per-event view under at-least-once delivery: drop replayed
+    * event ids within the watermark horizon — the streaming analogue of the
+    * reference's idempotent skip (T6, `converter.py:161-170`).
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  /** Latest event per user as keyed state — the reference's delete-then-
+    * insert freshness rule (T7) as `mapGroupsWithState`: newer timestamp
+    * (tie: higher event id) replaces the stored row.
+    */
+  def latestPerUser(events: Dataset[Event]): Dataset[Latest] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Latest]) =>
+          val incoming = batch.reduceOption { (a, b) =>
+            if (a.ts.after(b.ts) ||
+                (a.ts.equals(b.ts) && a.event_id > b.event_id)) a else b
+          }
+          val best = (state.getOption.toSeq ++ incoming.map(e =>
+            Latest(userId, e.ts, e.event_id, e.event_type, e.value)))
+            .maxBy(l => (l.ts.getTime, l.event_id))
+          state.update(best)
+          best
+      }
+  }
+
+  /** Output-mode helper for tests/jobs: run a windowed aggregate to an
+    * in-memory sink and return the query name to poll.
+    */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode) =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.wind.{WindIngest, WindStore}
+
+/** The reference's cron loop (`README.md:11`: fetch + convert every 6 h) as a
+  * Structured Streaming pipeline: a landing directory of decoded grib2json
+  * files is the source; each `Trigger.AvailableNow` run drains whatever new
+  * cycles landed, stamps valid times, filters U/V, and upserts — the exact
+  * cron-tick semantics, minus the cron.
+  *
+  * Scale: the file source lists incrementally and checkpoints progress; the
+  * per-batch upsert is [[WindStore.upsert]]'s freshness-gated dynamic
+  * partition overwrite, so replays/restarts are idempotent (exactly-once
+  * table state from at-least-once batches).
+  */
+object WindStream {
+
+  /** Start the ingest stream. `AvailableNow` processes everything pending
+    * then stops — run it from any scheduler in place of the reference's
+    * cron entry (`converter.py:230`).
+    */
+  def ingestOnce(
+      spark: SparkSession,
+      landingDir: String,
+      tablePath: String,
+      checkpointDir: String): StreamingQuery = {
+    val records = spark.readStream
+      .schema(graft.wind.WindModel.recordSchema)
+      .option("multiLine", value = true)
+      .json(landingDir)
+    val stamped = WindIngest.toTable(
+      WindIngest.stampRecordedTime(WindIngest.filterUV(records)))
+    stamped.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        WindStore.upsert(batch.sparkSession, batch, tablePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.queries.{EventQueries, Relational}
+import graft.wind.{WindIngest, WindStore}
+
+/** Physical-plan quality gates — the 100 TB properties, asserted: filters
+  * reach the parquet scan, dimension joins broadcast, aggregates are
+  * partial (map-side combine), point lookups prune partitions, hot paths
+  * stay inside whole-stage codegen.
+  *
+  * Join/agg shape is asserted on `sparkPlan` (the pre-AQE physical plan —
+  * deterministic without executing); scan properties are read from the
+  * untruncated FileSourceScanExec metadata.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physical(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.sparkPlan
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    physical(df).collect { case s: FileSourceScanExec => s }.toSeq
+
+  test("range filters are pushed into the parquet scan (q02)") {
+    val s = scans(Relational.revenueFilter(spark, dir))
+    assert(s.nonEmpty)
+    val pushed = s.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+  }
+
+  test("column pruning reaches the scan: q02 reads only needed columns") {
+    val read = scans(Relational.revenueFilter(spark, dir))
+      .head.metadata("ReadSchema")
+    assert(read.contains("l_extendedprice"), read)
+    assert(!read.contains("l_orderkey"), s"scan reads unprojected cols: $read")
+    assert(!read.contains("l_returnflag"), read)
+  }
+
+  test("all dimension joins in the 6-way query are broadcast (q04)") {
+    val plan = physical(Relational.regionalNationRevenue(spark, dir)).toString
+    // 4 explicit dim broadcasts; Catalyst may additionally auto-broadcast the
+    // orders side at tiny scale (size-based) — that is correct behavior
+    val broadcasts = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 4, s"want >=4 broadcast joins, got $broadcasts:\n$plan")
+    val shuffles = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 3, s"too many shuffles ($shuffles):\n$plan")
+  }
+
+  test("aggregation is partial: two HashAggregate stages (q01)") {
+    val plan = physical(Relational.pricingSummary(spark, dir)).toString
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"no partial aggregation:\n$plan")
+    val executed = {
+      val df = Relational.pricingSummary(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // whole-stage codegen spans render as `*(n)` stage markers
+    assert(executed.contains("*(1)"), executed)
+  }
+
+  test("semi/anti joins stay joins, not subquery materializations (q06/q07)") {
+    val anti = physical(Relational.customersWithoutOrders(spark, dir)).toString
+    assert(anti.contains("LeftAnti"), anti)
+    val semi = physical(Relational.customersWithBigOrders(spark, dir)).toString
+    assert(semi.contains("LeftSemi"), semi)
+  }
+
+  test("point lookup prunes to one partition (WindStore Q1)") {
+    val path = tmpDir() + "/t"
+    val golden = WindIngest.toTable(WindIngest.stampRecordedTime(
+      WindIngest.readRecords(spark, s"$goldenDir/wind_data.json")))
+    WindStore.write(golden, path)
+    val lookup = WindStore.pointLookup(spark, path,
+      java.sql.Timestamp.valueOf("2020-08-12 12:00:00"))
+    val s = scans(lookup)
+    assert(s.nonEmpty)
+    val partFilters = s.head.partitionFilters.mkString(";")
+    assert(partFilters.contains("valid_date"), partFilters)
+    assert(partFilters.contains("valid_hour"), partFilters)
+    // and the pruned scan actually selects exactly one partition directory
+    assert(s.head.relation.location.listFiles(
+      s.head.partitionFilters, s.head.dataFilters).length == 1)
+  }
+
+  test("event scan does not read props for queries that drop it") {
+    val read = scans(EventQueries.latestPerUser(spark, dir))
+      .head.metadata("ReadSchema")
+    assert(!read.contains("props"), read)
+  }
+}
