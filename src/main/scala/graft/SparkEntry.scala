@@ -9,7 +9,7 @@ object SparkEntry {
   /** Every implemented operator, one QueryDef each (SURVEY.md §2). */
   def all: Seq[QueryDef] =
     Relational.defs ++ WindQueries.defs ++ EventQueries.defs ++
-      ScalarQueries.defs ++ ExtensionQueries.defs
+      ScalarQueries.defs ++ ExtensionQueries.defs ++ JoinQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

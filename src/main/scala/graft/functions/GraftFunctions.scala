@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration surface for graft's native expressions.
+  *
+  * Two entry points, same builders:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at session build
+  *    (the production wiring, SURVEY §7 custom-vs-built-in ladder);
+  *  - [[GraftFunctions.register]] for an existing session (idempotent).
+  *
+  * Column construction goes through the public `call_function` API (resolved
+  * by the analyzer against the registry), not Column-from-Expression —
+  * those helpers are `private[sql]`.
+  */
+object GraftFunctions {
+
+  private val builders: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      vecDotBuilder))
+
+  private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"vec_dot takes exactly 2 arguments, got ${children.size}")
+    VectorDot(children(0), children(1))
+  }
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+
+  /** Column-API form of the native dot product. The active session must have
+    * [[register]]ed (or been built with [[GraftExtensions]]).
+    */
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+}
+
+/** `spark.sql.extensions` hook. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (new FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+        GraftFunctions.vecDotBuilder _))
+}

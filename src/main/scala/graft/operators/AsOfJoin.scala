@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for every left row, the latest right row with the
+  * same key whose time is ≤ the left row's time — the generalization of the
+  * reference's freshness rule ("latest cycle at or before this valid time",
+  * SURVEY §2.2 joins row: "as-of = latest refTime ≤ t pattern from T6").
+  *
+  * Implementation is union + running `last(ignoreNulls)` over a single
+  * (key)-partitioned window — ONE shuffle of left+right on the key, no
+  * range-condition join and therefore no quadratic pair blowup and no skew
+  * amplification: exactly the plan you want at 100 TB (a range join would
+  * re-probe every right row per left row within a key).
+  */
+object AsOfJoin {
+
+  /** @param rightCols right columns to carry (each emitted as `asof_<name>`)
+    * Right rows at the exact same time as a left row DO match (`>=`).
+    * Within-right ties on (key, time) must be pre-deduplicated by the caller
+    * (as-of is ill-defined under them — every engine picks arbitrarily).
+    */
+  def backward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    val carried = rightCols.map(c => s"asof_$c")
+    val r = right.select(
+      col(key) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+        rightCols.map(c => col(c).as(s"asof_$c")): _*)
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows sort before left rows at equal time → `>=` semantics
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = carried.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__t", "__side")
+  }
+}

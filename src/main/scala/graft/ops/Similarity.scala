@@ -85,21 +85,24 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, numPlanes: Int = 12, probeRadius: Int = 1,
               seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = spread(corpus).select(col("vec_id").as("neighbor_id"),
-      asDouble(col("embedding")).as("c_vec"),
+      col("embedding").as("c_vec"),
       lshBucket(col("embedding"), dim, numPlanes, seed).as("bucket"))
     // multiprobe: expand each query to its bucket + neighbors within radius
     val flips: Seq[Long] = 0L +: (if (probeRadius >= 1)
       (0 until numPlanes).map(p => 1L << p) else Seq())
     val q = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("q_vec"),
+      col("embedding").as("q_vec"),
       lshBucket(col("embedding"), dim, numPlanes, seed).as("q_bucket"))
       .withColumn("bucket",
         explode(transform(lit(flips.toArray),
           f => col("q_bucket").bitwiseXOR(f))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", dot(col("q_vec"), col("c_vec")))
+      // exact re-rank in the native codegen'd expression — the hot loop
+      .withColumn("score",
+        graft.functions.GraftFunctions.vec_dot(col("q_vec"), col("c_vec")))
       .select("query_id", "neighbor_id", "score").distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
@@ -116,21 +119,24 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val centroids = corpus
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(nCells)
       .select(col("vec_id").as("cell_id"),
-        asDouble(col("embedding")).as("cell_vec"))
+        col("embedding").as("cell_vec"))
     // corpus→cell: argmax over ≤nCells scores, computed per row inside one
     // projection (scores array → max struct), so assignment is map-only.
     val c = spread(corpus)
       .select(col("vec_id").as("neighbor_id"),
-        asDouble(col("embedding")).as("c_vec"))
+        col("embedding").as("c_vec"))
       .join(broadcast(centroids))
       .groupBy(col("neighbor_id"))
       .agg(
         first(col("c_vec")).as("c_vec"),
-        max(struct(dot(col("c_vec"), col("cell_vec")).as("s"),
+        max(struct(
+          graft.functions.GraftFunctions.vec_dot(col("c_vec"), col("cell_vec"))
+            .as("s"),
           col("cell_id").as("cell_id"))).as("best"))
       .select(col("neighbor_id"), col("c_vec"),
         col("best.cell_id").as("cell_id"))
@@ -138,15 +144,17 @@ object Similarity {
       .orderBy(col("cell_score").desc, col("cell_id"))
     val q = queries
       .select(col("vec_id").as("query_id"),
-        asDouble(col("embedding")).as("q_vec"))
+        col("embedding").as("q_vec"))
       .join(broadcast(centroids))
-      .withColumn("cell_score", dot(col("q_vec"), col("cell_vec")))
+      .withColumn("cell_score",
+        graft.functions.GraftFunctions.vec_dot(col("q_vec"), col("cell_vec")))
       .withColumn("cell_rank", row_number().over(qw))
       .filter(col("cell_rank") <= nProbe)
       .select("query_id", "q_vec", "cell_id")
     val scored = c.join(broadcast(q), Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", dot(col("q_vec"), col("c_vec")))
+      .withColumn("score",
+        graft.functions.GraftFunctions.vec_dot(col("q_vec"), col("c_vec")))
       .select("query_id", "neighbor_id", "score").distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Join-shape and window-shape coverage beyond the core set: as-of join,
+  * range (non-equi) join, full outer join, explicit grouping sets, and the
+  * analytic window-function family.
+  */
+object JoinQueries {
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** As-of join: each error event paired with the user's latest purchase at
+    * or before it (the reference's latest-cycle-wins rule as an operator).
+    */
+  def asofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val errors = e.filter(col("event_type") === "error")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+    AsOfJoin.backward(errors, purchases,
+        key = "user_id", leftTime = "ts", rightTime = "p_ts",
+        rightCols = Seq("p_ts", "p_value"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        date_format(col("ts"), tsFmt).as("ts"),
+        date_format(col("asof_p_ts"), tsFmt).as("purchase_ts"),
+        col("asof_p_value").as("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  private val asofPurchaseSql =
+    """SELECT e.event_id, e.user_id,
+      | strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      | strftime(p.p_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      | p.p_value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts AS p_ts, value AS p_value
+      |  FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.p_ts
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Range (non-equi) join: orders binned into price bands via BETWEEN. */
+  def priceBands(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val bands = Seq(
+      ("p0_100k", 0.0, 100000.0), ("p100_200k", 100000.0, 200000.0),
+      ("p200_300k", 200000.0, 300000.0), ("p300_400k", 300000.0, 400000.0),
+      ("p400k_up", 400000.0, 1e9))
+      .toDF("band", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        graft.Exact.fxSum(col("o_totalprice"), 2).as("total"))
+      .orderBy("band")
+  }
+
+  private val priceBandsSql =
+    s"""SELECT band, count(*) AS n,
+       | ${graft.Exact.sqlFxSum("o_totalprice", 2)} AS total
+       |FROM orders
+       |JOIN (VALUES ('p0_100k', 0e0, 100000e0), ('p100_200k', 100000e0, 200000e0),
+       |  ('p200_300k', 200000e0, 300000e0), ('p300_400k', 300000e0, 400000e0),
+       |  ('p400k_up', 400000e0, 1e9)) AS b(band, lo, hi)
+       |  ON o_totalprice >= lo AND o_totalprice < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+
+  /** Full outer join: per-nation customer vs supplier counts. */
+  def nationFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_customers"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, col("nk_c") === col("nk_s"), "full_outer")
+      .select(
+        coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  private val nationFullOuterSql =
+    """SELECT coalesce(nk_c, nk_s) AS nationkey,
+      | coalesce(n_customers, 0) AS n_customers,
+      | coalesce(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS nk_c, count(*) AS n_customers
+      |      FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS nk_s, count(*) AS n_suppliers
+      |      FROM supplier GROUP BY 1) s
+      |  ON nk_c = nk_s
+      |ORDER BY nationkey""".stripMargin
+
+  /** Explicit GROUPING SETS through the SQL surface. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         | coalesce(o_orderpriority, 'ALL') AS priority,
+         | count(*) AS n
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      | coalesce(o_orderpriority, 'ALL') AS priority,
+      | count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
+  /** The analytic window family: lag delta, first/last frame values, ntile,
+    * percent_rank — per user over event time.
+    */
+  def windowShapes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        (unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(w))).as("secs_since_prev"),
+        first(col("event_id")).over(frame).as("first_event"),
+        last(col("event_id")).over(frame).as("last_event"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val windowShapesSql =
+    """SELECT user_id, event_id,
+      | date_diff('second',
+      |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)
+      |   AS secs_since_prev,
+      | first_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |   AS first_event,
+      | last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |   AS last_event,
+      | CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |   AS INTEGER) AS quartile,
+      | round(percent_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |   6) AS pct_rank
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("j01_asof_purchase", Some(asofPurchaseSql), asofPurchase),
+    QueryDef("j02_price_bands_range", Some(priceBandsSql), priceBands),
+    QueryDef("j03_nation_full_outer", Some(nationFullOuterSql), nationFullOuter),
+    QueryDef("j04_grouping_sets", Some(groupingSetsSql), groupingSets),
+    QueryDef("j05_window_shapes", Some(windowShapesSql), windowShapes),
+  )
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorDotSpec extends SparkSpec {
+
+  private lazy val em = {
+    GraftFunctions.register(spark)
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  }
+
+  test("vec_dot equals the composable fold on real embeddings") {
+    val fold = aggregate(
+      zip_with(col("a"), col("b"), (x, y) =>
+        x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, t) => acc + t)
+    val pairs = em.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(em.filter(col("vec_id") < 3)
+        .select(col("embedding").as("b")))
+    val diff = pairs
+      .select(abs(GraftFunctions.vec_dot(col("a"), col("b")) - fold).as("d"))
+      .agg(max(col("d"))).collect()(0).getDouble(0)
+    assert(diff < 1e-9, s"max diff $diff")
+  }
+
+  test("vec_dot handles nulls, length mismatch, and empty arrays") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),       // 4+10+18 = 32
+      (Seq(1f, 2f), Seq(3f, 4f, 5f)),           // common prefix: 3+8 = 11
+      (Seq.empty[Float], Seq(1f))               // 0
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.vec_dot(col("a"), col("b")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(32.0, 11.0, 0.0))
+    // null array → null result
+    val n = df.select(GraftFunctions.vec_dot(lit(null).cast("array<float>"),
+      col("b"))).collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
+
+  test("SQL registration: vec_dot callable after GraftFunctions.register") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("vec_dot stays inside whole-stage codegen") {
+    val df = em.select(
+      GraftFunctions.vec_dot(col("embedding"), col("embedding")).as("n2"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan) // codegen'd projection stage
+  }
+}

@@ -1,0 +1,33 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+
+  test("backward as-of picks latest right row at or before left time") {
+    val left = Seq((1L, t(5), "l5"), (1L, t(10), "l10"), (2L, t(4), "l4"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, t(3), "a"), (1L, t(7), "b"), (1L, t(10), "c"),
+        (3L, t(1), "z"))
+      .toDF("k", "rts", "v")
+    val got = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("v"))
+      .select("tag", "asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("l5") == Some("a"))   // 3 <= 5 < 7
+    assert(got("l10") == Some("c"))  // equal time matches (>=)
+    assert(got("l4") == None)        // no right rows for key 2
+  }
+
+  test("left rows before any right row get null") {
+    val left = Seq((1L, t(1), "early")).toDF("k", "ts", "tag")
+    val right = Seq((1L, t(9), "late")).toDF("k", "rts", "v")
+    val got = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("v"))
+      .select("asof_v").collect()
+    assert(got.length == 1 && got(0).isNullAt(0))
+  }
+}
