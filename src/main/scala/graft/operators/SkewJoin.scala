@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for hot-key skew (SURVEY §2.2 "salting for skew"; the
+  * manual complement to AQE's runtime skew-join splitting, for when skew is
+  * known ahead of plan time).
+  *
+  * The skewed (large) side gets a deterministic pseudo-random salt in
+  * `[0, factor)`; the small side is replicated `factor` times with every
+  * salt value. The join key becomes (key, salt), so one hot key fans out
+  * across `factor` reducers instead of landing on one. Result set is
+  * identical to the unsalted join (salting only routes rows).
+  */
+object SkewJoin {
+
+  /** @param skewed   the large, possibly skewed side
+    * @param small    the replicated side (cost ×`factor` — keep it the dim)
+    * @param key      equi-join key column present on both sides
+    * @param factor   salt fan-out (≈ number of reducers a hot key should use)
+    */
+  def salted(skewed: DataFrame, small: DataFrame, key: String,
+             factor: Int): DataFrame = {
+    // route deterministically off the row content (hash of all columns):
+    // stable across retries, unlike rand()
+    val salt = pmod(
+      xxhash64(struct(skewed.columns.map(col).toSeq: _*)), lit(factor))
+    val l = skewed.withColumn("__salt", salt)
+    val r = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor - 1L))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -241,6 +241,21 @@ object ExtensionQueries {
         round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
       .orderBy("asset_id", "frame_idx")
 
+  /** Sketch aggregates: HLL++ distinct counts + t-digest-style quantile
+    * estimates per event type. Approximation algorithms are engine-specific
+    * — rows-only for the driver; accuracy bounds asserted in spec.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000))
+          .as("approx_median"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql), neardupJaccard),
@@ -256,5 +271,6 @@ object ExtensionQueries {
     QueryDef("x12_rolling_fingerprint", None, rollingFingerprint),
     QueryDef("x13_multimodal_meta", Some(multimodalMetaSql), multimodalMeta),
     QueryDef("x14_multimodal_frames", None, multimodalFrames),
+    QueryDef("x15_approx_stats", None, approxStats),
   )
 }

@@ -151,6 +151,30 @@ object ScalarQueries {
        |  SELECT ${sqlFxSum("l2.l_quantity", 2)}/count(l2.l_quantity)
        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
+  /** Exact interpolated percentiles (posexploded to scalar rows; both
+    * engines use the same (1−f)·a + f·b interpolation on sorted values).
+    */
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("ps"))
+      .select(col("l_returnflag"),
+        posexplode(col("ps")).as(Seq("q_idx", "q_value")))
+      .select(col("l_returnflag"), col("q_idx"),
+        round(col("q_value"), 6).as("q_value"))
+      .orderBy("l_returnflag", "q_idx")
+
+  private val quantityPercentilesSql =
+    """SELECT l_returnflag, CAST(u.i - 1 AS INTEGER) AS q_idx,
+      | round(u.q, 6) AS q_value
+      |FROM (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_quantity, [0.25e0, 0.5e0, 0.75e0]) AS ps
+      |  FROM lineitem GROUP BY l_returnflag),
+      |  LATERAL (SELECT unnest(generate_series(1, 3)) AS i,
+      |           unnest(ps) AS q) u
+      |ORDER BY l_returnflag, q_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("s01_string_math", Some(stringMathSql), stringMath),
     QueryDef("s02_date_functions", Some(dateFunctionsSql), dateFunctions),
@@ -158,5 +182,6 @@ object ScalarQueries {
     QueryDef("s04_cube_lineitem", Some(cubeLineitemSql), cubeLineitem),
     QueryDef("s05_distinct_brands", Some(distinctBrandsSql), distinctBrands),
     QueryDef("s06_small_quantity_revenue", Some(smallQuantityRevenueSql), smallQuantityRevenue),
+    QueryDef("s07_quantity_percentiles", Some(quantityPercentilesSql), quantityPercentiles),
   )
 }

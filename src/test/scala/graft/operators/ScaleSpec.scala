@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Scale-mechanism tests: salted joins under manufactured skew, and bucketed
+  * tables joining without a shuffle (the co-located-join story).
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the rows of the plain join under skew") {
+    // 50k rows, 90% on one hot key
+    val skewed = spark.range(50000)
+      .select(
+        when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100)
+          .as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(100).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    val plain = skewed.join(dim, "k")
+    val saltedJ = SkewJoin.salted(skewed, dim, "k", factor = 8)
+    assert(saltedJ.count() == plain.count())
+    val diff = saltedJ.select("k", "payload", "v")
+      .exceptAll(plain.select("k", "payload", "v")).count()
+    assert(diff == 0)
+    // and the hot key's rows really spread across many salt values
+    val spreadCount = skewed
+      .withColumn("__salt",
+        pmod(xxhash64(struct(skewed.columns.map(col).toSeq: _*)), lit(8)))
+      .filter(col("k") === 7).select("__salt").distinct().count()
+    assert(spreadCount == 8)
+  }
+
+  test("bucketed tables sort-merge join with zero exchanges") {
+    val wh = tmpDir()
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      val c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      o.write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+      c.write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() ==
+        o.join(c, col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}

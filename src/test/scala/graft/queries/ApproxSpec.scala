@@ -1,0 +1,21 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Accuracy bounds for the sketch aggregates (rows-only for the driver). */
+class ApproxSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact; approx median sane") {
+    val rows = ExtensionQueries.approxStats(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+      val med = r.getAs[Double]("approx_median")
+      assert(med > 0.0 && med < 200.0, s"median out of range: $med")
+    }
+  }
+}
