@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session front door: a SparkSession configured the way every
+  * graft pipeline expects — UTC semantics, AQE with partition coalescing and
+  * skew-join handling, native functions registered (SURVEY §7 design
+  * stance). A user of the reference switches by building their session here
+  * and calling the `graft.*` operators.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .withExtensions(new graft.functions.GraftExtensions)
+
+  def getOrCreate(master: String = "local[*]",
+                  shufflePartitions: Int = 32): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    // getOrCreate may return a pre-existing session whose builder never saw
+    // our extensions — registering through the registry keeps it idempotent
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -66,6 +66,26 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each error event matched to same-user
+    * purchases within the preceding hour. Both sides carry watermarks so the
+    * join state is bounded (Spark evicts buffered rows once the watermark
+    * passes the interval) — the streaming form of the as-of lookup.
+    */
+  def errorsNearPurchases(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    e.join(p,
+      col("user_id") === col("p_user_id") &&
+      col("purchase_ts") >= col("error_ts") - expr("INTERVAL 1 HOUR") &&
+      col("purchase_ts") <= col("error_ts"))
+      .select("error_id", "user_id", "error_ts", "purchase_ts",
+        "purchase_value")
+  }
+
   /** Output-mode helper for tests/jobs: run a windowed aggregate to an
     * in-memory sink and return the query name to poll.
     */

@@ -1,0 +1,15 @@
+package graft
+
+class GraftSessionSpec extends SparkSpec {
+
+  test("getOrCreate configures semantics and registers native functions") {
+    // in-JVM getOrCreate returns the shared test session; the registry
+    // fallback must still make vec_dot resolvable
+    val s = GraftSession.getOrCreate("local[4]", 4)
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    val r = s.sql(
+      "SELECT vec_dot(array(CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT)))")
+      .collect()(0).getDouble(0)
+    assert(r == 6.0)
+  }
+}

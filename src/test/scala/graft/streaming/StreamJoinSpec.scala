@@ -1,0 +1,39 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Stream-stream interval join with watermark-bounded state. */
+class StreamJoinSpec extends SparkSpec {
+
+  test("errors join same-user purchases within the preceding hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val errors = MemoryStream[EventStreams.Event]
+    val purchases = MemoryStream[EventStreams.Event]
+    val joined = EventStreams.errorsNearPurchases(
+      errors.toDF(), purchases.toDF())
+    val q = joined.writeStream.format("memory").queryName("epjoin")
+      .outputMode(OutputMode.Append()).start()
+
+    def ev(id: Long, hm: String, user: Long, t: String, v: Double) =
+      EventStreams.Event(id, Timestamp.valueOf(s"2024-01-01 $hm:00"), user, t, v)
+
+    purchases.addData(
+      ev(1, "10:00", 5, "purchase", 100.0),  // 40 min before the error ✓
+      ev(2, "08:00", 5, "purchase", 50.0),   // 2h40 before → outside window
+      ev(3, "10:20", 9, "purchase", 70.0))   // other user
+    errors.addData(ev(10, "10:40", 5, "error", 0.0))
+    q.processAllAvailable()
+
+    val got = spark.table("epjoin")
+      .select("error_id", "purchase_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSet == Set((10L, 100.0)))
+    q.stop()
+  }
+}

@@ -1,0 +1,80 @@
+package graft.wind
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** The reference's steady state, simulated at volume: 7 days × 4 cycles/day
+  * × 2 records (≈ the "56 live rows" of BASELINE.md) flowing through write →
+  * upsert → TTL → pruned lookup on the partitioned store.
+  */
+class WindVolumeSpec extends SparkSpec {
+
+  private val miniSchema = StructType(Seq(
+    StructField("recorded_time", TimestampType),
+    StructField("header", StructType(Seq(
+      StructField("parameterNumber", IntegerType),
+      StructField("refTime", StringType)))),
+    StructField("header_json", StringType),
+    StructField("data", ArrayType(DoubleType))))
+
+  /** Two records (U+V) per 6h cycle over `days` days starting 2020-08-01. */
+  private def cycles(days: Int) = {
+    val rows = for {
+      d <- 0 until days
+      h <- Seq(0, 6, 12, 18)
+      p <- Seq(2, 3)
+    } yield {
+      val ts = Timestamp.valueOf(f"2020-08-${d + 1}%02d $h%02d:00:00")
+      val ref = f"2020-08-${d + 1}%02dT$h%02d:00:00.000Z"
+      Row(ts, Row(p, ref), s"""{"parameterNumber":$p}""",
+        Seq.tabulate(64)(i => (d * 100 + h + i).toDouble))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      miniSchema)
+  }
+
+  test("7 days of cycles: partitioned layout, TTL halves, lookup prunes") {
+    val path = tmpDir() + "/t"
+    WindStore.write(cycles(14), path) // 14 days × 8 rows = 112
+    assert(WindStore.read(spark, path).count() == 112)
+
+    // partition layout: one dir per day, hours nested
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val days = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(_.getPath.getName.startsWith("valid_date="))
+    assert(days == 14)
+
+    // retention: as-of day 15, the 7-day window keeps days 8..14 only
+    WindStore.expire(spark, path,
+      Timestamp.valueOf("2020-08-15 00:00:00"), retentionDays = 7)
+    val left = WindStore.read(spark, path)
+    assert(left.count() == 56) // the reference's steady state
+    assert(left.agg(min(col("recorded_time"))).collect()(0)
+      .getTimestamp(0).toString.startsWith("2020-08-08"))
+
+    // pruned point lookup still returns exactly one cycle's pair
+    val hit = WindStore.pointLookup(spark, path,
+      Timestamp.valueOf("2020-08-10 12:00:00"))
+    assert(hit.count() == 2)
+
+    // upsert of a re-analysis for one valid time touches only that partition
+    val redo = cycles(14)
+      .filter(col("recorded_time") === lit(Timestamp.valueOf("2020-08-10 12:00:00")))
+      .withColumn("header", col("header")
+        .withField("refTime", lit("2020-08-10T18:00:00.000Z")))
+    WindStore.upsert(spark, redo, path)
+    assert(WindStore.read(spark, path).count() == 56)
+    val refs = WindStore.pointLookup(spark, path,
+      Timestamp.valueOf("2020-08-10 12:00:00"))
+      .select(col("header.refTime")).distinct().collect().map(_.getString(0))
+    assert(refs.toSeq == Seq("2020-08-10T18:00:00.000Z"))
+  }
+}
