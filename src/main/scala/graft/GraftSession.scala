@@ -25,8 +25,13 @@ object GraftSession {
                   shufflePartitions: Int = 32): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
     // getOrCreate may return a pre-existing session whose builder never saw
-    // our extensions — registering through the registry keeps it idempotent
+    // our extensions — re-apply through public runtime hooks, idempotently
     graft.functions.GraftFunctions.register(spark)
+    if (!spark.experimental.extraOptimizations
+          .exists(_.isInstanceOf[graft.plans.RewriteFoldDot])) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new graft.plans.RewriteFoldDot
+    }
     spark
   }
 }

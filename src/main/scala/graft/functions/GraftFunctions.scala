@@ -42,11 +42,13 @@ object GraftFunctions {
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 }
 
-/** `spark.sql.extensions` hook. */
+/** `spark.sql.extensions` hook: native functions + optimizer rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (new FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
         GraftFunctions.vecDotBuilder _))
+    ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
+  }
 }

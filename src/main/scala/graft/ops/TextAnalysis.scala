@@ -89,6 +89,34 @@ object TextAnalysis {
   def wordSetFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(words(text)))))
 
+  /** TF-IDF top-k terms per document: tf = term count / doc words,
+    * idf = ln(N / df). One explode + two aggregations + a per-doc window —
+    * every step is a standard shuffle op, so the whole thing scales as a
+    * word-count. Scores are rounded to 1e-6 before ranking so libm 1-ulp
+    * noise in `ln` can never flip a rank across engines; ties break on the
+    * term itself.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"),
+      size(words(col("text"))).as("n_words"),
+      explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"), col("n_words"))
+      .agg(count(lit(1)).as("tc"))
+    val df_ = terms.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("tc") / col("n_words")) *
+          log(col("n_docs") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+  }
+
   /** Rolling hash over the word sequence (order-*sensitive*): fold
     * h ← rotl(h, 5) ⊕ xxhash64(word). Rotate-xor instead of the classic
     * multiply-add so the fold stays total under ANSI arithmetic (no long

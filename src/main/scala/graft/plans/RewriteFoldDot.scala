@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.VectorDot
+
+/** Optimizer rule (SURVEY §7 ladder step (c)): rewrite the composable
+  * dot-product idiom
+  *
+  * {{{ aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)),
+  *               0d, (acc, t) => acc + t) }}}
+  *
+  * into the native codegen'd [[VectorDot]] when both inputs are
+  * `array<float>`. The two forms are value-identical (exact float→double
+  * promotion, left-to-right double accumulation), but the higher-order
+  * lambda form evaluates *interpreted* — users who write the natural
+  * DataFrame idiom get the native expression for free.
+  *
+  * Injected via `GraftExtensions` (`injectOptimizerRule`) or
+  * `spark.experimental.extraOptimizations` on a live session.
+  */
+class RewriteFoldDot extends Rule[LogicalPlan] {
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private object FoldDot {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+          ZipWith(a, b, LambdaFunction(
+            Multiply(
+              Cast(x: NamedLambdaVariable, DoubleType, _, _),
+              Cast(y: NamedLambdaVariable, DoubleType, _, _), _),
+            Seq(lx: NamedLambdaVariable, ly: NamedLambdaVariable), _)),
+          Literal(zero, DoubleType),
+          LambdaFunction(
+            Add(acc: NamedLambdaVariable, t: NamedLambdaVariable, _),
+            Seq(la: NamedLambdaVariable, lt: NamedLambdaVariable), _),
+          LambdaFunction(fin: NamedLambdaVariable,
+            Seq(fv: NamedLambdaVariable), _))
+        if zero == 0.0 &&
+          x.exprId == lx.exprId && y.exprId == ly.exprId &&
+          acc.exprId == la.exprId && t.exprId == lt.exprId &&
+          fin.exprId == fv.exprId &&
+          isFloatArray(a) && isFloatArray(b) =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case FoldDot(a, b) => VectorDot(a, b)
+    }
+}

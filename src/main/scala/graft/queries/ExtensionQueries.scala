@@ -241,6 +241,36 @@ object ExtensionQueries {
         round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
       .orderBy("asset_id", "frame_idx")
 
+  /** TF-IDF top terms per document (first 50 docs keep the output compact). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(
+        Tables.documents(spark, dir).filter(col("doc_id") < 50), 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rk")
+
+  private val tfidfTopTermsSql =
+    """WITH d AS (SELECT * FROM documents WHERE doc_id < 50),
+      |terms AS (
+      |  SELECT doc_id, len(string_split(text,' ')) AS n_words,
+      |    unnest(string_split(text,' ')) AS term
+      |  FROM d),
+      |tf AS (SELECT doc_id, term, n_words, count(*) AS tc
+      |       FROM terms GROUP BY doc_id, term, n_words),
+      |idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+      |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round((tc / CAST(n_words AS DOUBLE)) * ln(n_docs / CAST(df AS DOUBLE)), 6)
+      |      AS tfidf
+      |  FROM tf JOIN idf USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS rk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tfidf
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   /** Sketch aggregates: HLL++ distinct counts + t-digest-style quantile
     * estimates per event type. Approximation algorithms are engine-specific
     * — rows-only for the driver; accuracy bounds asserted in spec.
@@ -272,5 +302,6 @@ object ExtensionQueries {
     QueryDef("x13_multimodal_meta", Some(multimodalMetaSql), multimodalMeta),
     QueryDef("x14_multimodal_frames", None, multimodalFrames),
     QueryDef("x15_approx_stats", None, approxStats),
+    QueryDef("x16_tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms),
   )
 }

@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The fold-dot → VectorDot rewrite: fires on the canonical idiom, leaves
+  * near-misses alone, and preserves values bitwise.
+  */
+class RewriteFoldDotSpec extends SparkSpec {
+
+  private def foldDot = aggregate(
+    zip_with(col("a"), col("b"), (x, y) =>
+      x.cast("double") * y.cast("double")),
+    lit(0.0), (acc, t) => acc + t)
+
+  private lazy val em = {
+    if (!spark.experimental.extraOptimizations
+          .exists(_.isInstanceOf[RewriteFoldDot])) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new RewriteFoldDot
+    }
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("a"),
+        reverse(col("embedding")).as("b"))
+  }
+
+  test("the composable fold idiom is rewritten to the native vec_dot") {
+    val df = em.select(foldDot.as("d"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("vec_dot"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("aggregate("), plan)
+  }
+
+  test("rewrite preserves values bitwise") {
+    // compute with the rule disabled vs enabled: identical doubles
+    val withRule = em.select(col("vec_id"), foldDot.as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_.isInstanceOf[RewriteFoldDot])
+    try {
+      val without = em.select(col("vec_id"), foldDot.as("d")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(withRule == without)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("near-miss folds are left alone") {
+    // no casts → float multiply (different numerics): must NOT rewrite
+    val noCast = em.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t).as("d"))
+    assert(!noCast.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    // wrong zero → must NOT rewrite
+    val wrongZero = em.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) =>
+        x.cast("double") * y.cast("double")),
+      lit(1.0), (acc, t) => acc + t).as("d"))
+    assert(!wrongZero.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+  }
+}
