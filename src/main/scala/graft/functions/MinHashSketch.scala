@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import scala.util.hashing.MurmurHash3
+
+/** Typed UDAF (the `Aggregator[IN, BUF, OUT]` tier of SURVEY §2.2): a
+  * `numHashes`-wide MinHash sketch of a *group's* token set.
+  *
+  * Where the column-expression MinHash ([[graft.ops.Dedup]]) sketches one
+  * document per row, this aggregates arbitrarily many rows per group into
+  * one signature — set-similarity sketches for groups (per-source, per-day,
+  * per-shard corpora) with ordinary `groupBy(...).agg(...)` mechanics:
+  * partial-aggregation friendly (`merge` is elementwise min, associative and
+  * commutative, so map-side combine applies and the result is
+  * partitioning-invariant).
+  */
+class MinHashSketch(numHashes: Int)
+    extends Aggregator[String, Array[Long], Array[Long]] {
+
+  private def h(i: Int, token: String): Long = {
+    val lo = MurmurHash3.stringHash(token, i)
+    val hi = MurmurHash3.stringHash(token, i + 0x9e3779b9)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
+  override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], token: String): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      val v = h(i, token)
+      if (v < buf(i)) buf(i) = v
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      if (b(i) < a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object MinHashSketch {
+  /** Jaccard estimate from two signatures: fraction of agreeing slots. */
+  def similarity(a: Array[Long], b: Array[Long]): Double = {
+    require(a.length == b.length)
+    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+  }
+}

@@ -183,6 +183,26 @@ object EventQueries {
       |SELECT user_id FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id""".stripMargin
 
+  /** Pivot: per user-bucket event-type count matrix. */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", expr("user_id div 10"))
+      .groupBy(col("user_bucket"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_bucket")
+
+  private val pivotCountsSql =
+    """SELECT user_id // 10 AS user_bucket,
+      | count(*) FILTER (WHERE event_type = 'click') AS click,
+      | count(*) FILTER (WHERE event_type = 'error') AS error,
+      | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      | count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_bucket ORDER BY user_bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("e01_tumbling_6h", Some(tumbling6hSql), tumbling6h),
     QueryDef("e02_latest_per_user", Some(latestPerUserSql), latestPerUser),
@@ -192,5 +212,6 @@ object EventQueries {
     QueryDef("e06_sliced_union", Some(slicedUnionSql), slicedUnion),
     QueryDef("e07_intersect_users", Some(intersectUsersSql), intersectUsers),
     QueryDef("e08_except_users", Some(exceptUsersSql), exceptUsers),
+    QueryDef("e09_pivot_counts", Some(pivotCountsSql), pivotCounts),
   )
 }

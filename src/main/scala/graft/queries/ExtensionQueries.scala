@@ -241,6 +241,29 @@ object ExtensionQueries {
         round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
       .orderBy("asset_id", "frame_idx")
 
+  /** Per-source corpus sketches via the typed MinHash UDAF, then pairwise
+    * similarity estimates — group-level set similarity with plain
+    * groupBy/agg mechanics. Rows-only (MurmurHash-seeded sketch family).
+    */
+  def sourceSketchSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val mh = udaf(new graft.functions.MinHashSketch(64), Encoders.STRING)
+    val sketches = Tables.documents(spark, dir)
+      .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .groupBy(col("source"))
+      .agg(mh(col("s")).as("sig"))
+    val a = sketches.select(col("source").as("source_a"), col("sig").as("sig_a"))
+    val b = sketches.select(col("source").as("source_b"), col("sig").as("sig_b"))
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("similarity",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, t) => acc + t).cast("double") / 64)
+      .select("source_a", "source_b", "similarity")
+      .orderBy("source_a", "source_b")
+  }
+
   /** TF-IDF top terms per document (first 50 docs keep the output compact). */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfIdfTopTerms(
@@ -303,5 +326,6 @@ object ExtensionQueries {
     QueryDef("x14_multimodal_frames", None, multimodalFrames),
     QueryDef("x15_approx_stats", None, approxStats),
     QueryDef("x16_tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms),
+    QueryDef("x17_source_sketch_similarity", None, sourceSketchSimilarity),
   )
 }

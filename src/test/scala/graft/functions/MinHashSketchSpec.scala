@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MinHashSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mh = udaf(new MinHashSketch(64), Encoders.STRING)
+
+  private def sketchOf(tokens: Seq[String]): Array[Long] =
+    tokens.toDF("t").repartition(4).agg(mh(col("t"))).collect()(0)
+      .getAs[scala.collection.Seq[Long]](0).toArray
+
+  test("identical token sets give identical signatures regardless of order, duplication, partitioning") {
+    val s1 = sketchOf(Seq("alpha", "beta", "gamma", "delta"))
+    val s2 = sketchOf(Seq("delta", "beta", "beta", "gamma", "alpha", "alpha"))
+    assert(s1.sameElements(s2))
+    assert(s1.length == 64)
+  }
+
+  test("similarity estimate tracks true jaccard") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val same = sketchOf(base)
+    val overlapping = sketchOf(base.take(30) ++ (100 to 109).map(i => s"tok$i"))
+    val disjoint = sketchOf((200 to 239).map(i => s"tok$i"))
+    assert(MinHashSketch.similarity(same, sketchOf(base)) == 1.0)
+    val est = MinHashSketch.similarity(same, overlapping) // true jac = 30/50
+    assert(est > 0.35 && est < 0.85, s"estimate $est for true 0.6")
+    assert(MinHashSketch.similarity(same, disjoint) < 0.1)
+  }
+
+  test("grouped sketches: per-source aggregation is partition-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def sigs(parts: Int) = docs.repartition(parts)
+      .select(col("source"),
+        explode(graft.ops.Dedup.shingles(col("text"), 3)).as("s"))
+      .groupBy(col("source")).agg(mh(col("s")).as("sig"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[Long]]("sig").toSeq).toMap
+    assert(sigs(2) == sigs(13))
+  }
+}
