@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink format breadth: CSV, JSON(L), ORC, partitioned parquet all
+  * round-trip the same data losslessly (the §2.2 scans/sinks rows beyond
+  * what the query surface exercises).
+  */
+class FormatsSpec extends SparkSpec {
+
+  private lazy val sample =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .limit(200).cache()
+
+  private def assertSame(got: org.apache.spark.sql.DataFrame): Unit = {
+    assert(got.count() == 200)
+    assert(got.exceptAll(sample.selectExpr(got.columns: _*)).count() == 0)
+  }
+
+  test("csv round-trip (header + explicit schema + timestamp format)") {
+    val p = tmpDir() + "/csv"
+    sample.write.option("header", "true")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(p)
+    val back = spark.read.option("header", "true")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+      .schema(sample.schema).csv(p)
+    assertSame(back)
+  }
+
+  test("jsonl round-trip") {
+    val p = tmpDir() + "/json"
+    sample.write.json(p)
+    assertSame(spark.read.schema(sample.schema).json(p))
+  }
+
+  test("orc round-trip") {
+    val p = tmpDir() + "/orc"
+    sample.write.orc(p)
+    assertSame(spark.read.orc(p))
+  }
+
+  test("partitioned parquet round-trip with pruning-friendly layout") {
+    val p = tmpDir() + "/pq"
+    sample.withColumn("y", year(col("o_orderdate")))
+      .write.partitionBy("y").parquet(p)
+    val back = spark.read.parquet(p)
+    assertSame(back.drop("y"))
+    // partition dirs exist per year
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .exists(_.getPath.getName.startsWith("y=")))
+  }
+}

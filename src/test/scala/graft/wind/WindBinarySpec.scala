@@ -1,0 +1,55 @@
+package graft.wind
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WindBinarySpec extends SparkSpec {
+
+  private def landBlobs(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/cycle1.grb2"),
+      Array.tabulate[Byte](256)(i => (i * 7).toByte))
+    Files.write(Paths.get(s"$dir/cycle2.grb2"),
+      Array.tabulate[Byte](512)(i => (i * 3).toByte))
+    Files.write(Paths.get(s"$dir/ignored.txt"), "not a grib".getBytes)
+  }
+
+  test("binaryFile source picks up only .grb2 blobs") {
+    val dir = tmpDir()
+    landBlobs(dir)
+    val blobs = WindBinary.readBlobs(spark, dir).collect()
+    assert(blobs.length == 2)
+    assert(blobs.map(_.payload.length).sorted.toSeq == Seq(256, 512))
+  }
+
+  test("decode emits U+V messages per blob; stamping works downstream") {
+    val dir = tmpDir()
+    landBlobs(dir)
+    val msgs = WindBinary.decode(WindBinary.readBlobs(spark, dir))
+    assert(msgs.count() == 4) // 2 blobs × U,V
+    val params = msgs.select("parameterNumber").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(params == Seq(2, 3))
+    // the binary leg feeds the same stamping as the JSON leg
+    val stamped = WindIngest.stampRecordedTime(
+      WindBinary.ingest(spark, dir))
+    val times = stamped.select(col("recordedTime")).distinct().collect()
+    assert(times.length == 1)
+    assert(times(0).getString(0) == "2020-08-12 12:00:00+00")
+  }
+
+  test("decode is deterministic and partition-parallel") {
+    val dir = tmpDir()
+    landBlobs(dir)
+    def sums(parts: Int) = WindBinary.decode(
+        WindBinary.readBlobs(spark, dir).repartition(parts))
+      .select(col("parameterNumber"),
+        aggregate(transform(col("data"), x => round(x * lit(1e6))),
+          lit(0.0), (a, x) => a + x).as("s"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sorted.toSeq
+    assert(sums(1) == sums(4))
+  }
+}
