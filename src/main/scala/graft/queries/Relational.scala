@@ -194,6 +194,21 @@ object Relational {
       |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Canary: a legitimately empty result (no row matches) — exercises the
+    * comparator's empty-set path so a driver-side quirk there surfaces as
+    * one failed canary, not as noise across real queries.
+    */
+  def emptyCanary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") < 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val emptyCanarySql =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem WHERE l_quantity < 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", Some(pricingSummarySql), pricingSummary),
     QueryDef("q02_revenue_filter", Some(revenueFilterSql), revenueFilter),
@@ -202,5 +217,6 @@ object Relational {
     QueryDef("q05_top_orders_window", Some(topOrdersPerCustomerSql), topOrdersPerCustomer),
     QueryDef("q06_customers_without_orders", Some(customersWithoutOrdersSql), customersWithoutOrders),
     QueryDef("q07_customers_big_orders_semi", Some(customersWithBigOrdersSql), customersWithBigOrders),
+    QueryDef("q08_empty_canary", Some(emptyCanarySql), emptyCanary),
   )
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Null/empty semantics of the deterministic aggregation helpers: they must
+  * track SQL aggregate semantics exactly (null-skipping sums, null on
+  * all-null input) or the DuckDB oracle comparison would drift on sparse
+  * data.
+  */
+class ExactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fxSum skips nulls; all-null and empty groups yield null") {
+    val df = Seq(
+      ("a", Some(1.25)), ("a", None), ("a", Some(2.5)),
+      ("b", None), ("b", None))
+      .toDF("k", "v")
+    val got = df.groupBy("k").agg(Exact.fxSum(col("v"), 2).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got("a") == Some(3.75))
+    assert(got("b") == None)
+    val empty = spark.emptyDataFrame
+      .select(lit(1.0).as("v")).filter(lit(false))
+      .agg(Exact.fxSum(col("v"), 2)).collect()
+    assert(empty(0).isNullAt(0))
+  }
+
+  test("fxProdSum and fxAvg null behavior") {
+    val df = Seq(
+      (Some(2.0), Some(3.0)), (None, Some(4.0)), (Some(5.0), None))
+      .toDF("a", "b")
+    val ps = df.agg(Exact.fxProdSum((col("a"), 2), (col("b"), 2))).collect()(0)
+    assert(ps.getDouble(0) == 6.0) // only the fully-non-null row contributes
+    val avg = df.agg(Exact.fxAvg(col("a"), 2)).collect()(0).getDouble(0)
+    assert(avg == 3.5) // (2+5)/2, null-skipping count
+  }
+
+  test("fxSum is exact where plain double sums drift") {
+    // 0.1 summed 1e5 times: plain double accumulates visible error
+    val df = spark.range(100000).select(lit(0.1).as("v"))
+    val exact = df.agg(Exact.fxSum(col("v"), 6)).collect()(0).getDouble(0)
+    assert(exact == 10000.0)
+  }
+}

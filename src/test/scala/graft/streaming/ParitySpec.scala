@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.{SparkSpec, Tables}
+
+/** Batch/stream parity: the same events data produces identical tumbling
+  * aggregates whether it flows through the batch query or the Structured
+  * Streaming pipeline (file source, AvailableNow) — the core Structured
+  * Streaming guarantee, asserted.
+  */
+class ParitySpec extends SparkSpec {
+
+  test("streaming tumbling counts equal the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val landing = tmpDir() + "/landing"
+    // land the events as JSONL with ts re-encoded (streaming source reads
+    // the same rows the batch side reads)
+    val events = Tables.events(spark, dir)
+    events.withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .write.json(landing)
+
+    val schema = "event_id LONG, ts STRING, user_id LONG, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    val stream = spark.readStream.schema(schema).json(landing)
+      .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+    val agg = EventStreams.tumblingCounts(stream)
+    val q = agg.writeStream.format("memory").queryName("parity")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("parity")
+      .select(date_format(col("bucket_start"), "yyyy-MM-dd HH:mm:ss")
+        .as("b"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = events
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("b"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+}
