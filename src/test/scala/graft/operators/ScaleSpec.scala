@@ -33,6 +33,36 @@ class ScaleSpec extends SparkSpec {
     assert(spreadCount == 8)
   }
 
+  test("AQE splits a skewed join partition at runtime (the automatic path)") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val skewed = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 50)
+          .as("k"), col("id").as("payload"))
+      val right = spark.range(50).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"))
+      val joined = skewed.join(right, "k")
+      // execute THIS QueryExecution (a write/count would plan its own) so
+      // the AQE final plan is observable on it
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(4000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables sort-merge join with zero exchanges") {
     val wh = tmpDir()
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
