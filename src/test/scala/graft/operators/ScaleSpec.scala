@@ -63,6 +63,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned-fact join") {
+    val p = tmpDir() + "/fact"
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("y", year(col("o_orderdate")))
+      .write.partitionBy("y").parquet(p)
+    val fact = spark.read.parquet(p)
+    // dim restricted by a non-partition predicate → pruning value is only
+    // known at runtime → DPP must inject a dynamic filter on `y`
+    val dim = spark.range(1995, 2002)
+      .select(col("id").cast("int").as("y"),
+        (col("id") % 2 === 0).as("even"))
+      .filter(col("even"))
+    val joined = fact.join(dim, Seq("y"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${plan.take(3000)}")
+    assert(joined.count() > 0)
+  }
+
   test("bucketed tables sort-merge join with zero exchanges") {
     val wh = tmpDir()
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
