@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *    band buckets (one shuffle on band key) → candidate pairs only within
   *    buckets → exact Jaccard re-verification of candidates. All-pairs
   *    comparison never happens;
-  *  - n-gram Jaccard all-pairs is kept for *verification* and small blocks
-  *    (it is the oracle the LSH path is tested against) and requires a
-  *    blocking column to bound the quadratic term.
+  *  - n-gram Jaccard is the *verification* path (the oracle LSH is tested
+  *    against), computed through an inverted shingle index — cost Σf² over
+  *    shingle frequencies within (block, length-bucket) cells, never a
+  *    per-pair array intersection.
   */
 object Dedup {
 

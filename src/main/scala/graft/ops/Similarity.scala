@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   *    partitioned-by at write time — probing then touches only matching
   *    partitions.
   *
-  * All dot products fold in fixed point (`round(x*y*1e12)` term-wise — exact
-  * integer sums, associative, engine-portable; see [[graft.Exact]]).
+  * Numerics: the oracle-checked paths ([[bruteForceTopK]], [[topPairs]])
+  * fold in fixed point (`round(x*y*1e12)` term-wise — exact integer sums,
+  * associative, engine-portable; see [[graft.Exact]]); the ANN re-rank hot
+  * paths score through the native codegen'd
+  * [[graft.functions.VectorDot]] expression (deterministic left-to-right
+  * double accumulation, partition-invariant).
   */
 object Similarity {
 
