@@ -203,6 +203,43 @@ object EventQueries {
       | count(*) FILTER (WHERE event_type = 'view') AS view
       |FROM events GROUP BY user_bucket ORDER BY user_bucket""".stripMargin
 
+  /** MapType functions: build an event_type→count map per user bucket
+    * (sorted entries — collect_list order is partition-dependent), then
+    * extract keys/values back out. Exercises map_from_entries / map_keys /
+    * element_at; missing-key lookups coalesce to 0 in both engines.
+    */
+  def mapRollup(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(expr("user_id div 10").as("user_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy(col("user_bucket"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("n")))))
+        .as("m"))
+      .select(
+        col("user_bucket"),
+        size(map_keys(col("m"))).as("n_types"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("click"),
+        coalesce(element_at(col("m"), "error"), lit(0L)).as("error"),
+        coalesce(element_at(col("m"), "nosuch"), lit(0L)).as("missing"))
+      .orderBy("user_bucket")
+  }
+
+  private val mapRollupSql =
+    """WITH c AS (SELECT user_id // 10 AS user_bucket, event_type AS t,
+      |           count(*) AS n
+      |           FROM events GROUP BY user_bucket, t),
+      |m AS (SELECT user_bucket,
+      |        map_from_entries(list_sort(list({'k': t, 'v': n}))) AS mm
+      |      FROM c GROUP BY user_bucket)
+      |SELECT user_bucket,
+      |  CAST(len(map_keys(mm)) AS INTEGER) AS n_types,
+      |  coalesce(mm['click'][1], 0) AS click,
+      |  coalesce(mm['error'][1], 0) AS error,
+      |  coalesce(mm['nosuch'][1], 0) AS missing
+      |FROM m ORDER BY user_bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("e01_tumbling_6h", Some(tumbling6hSql), tumbling6h),
     QueryDef("e02_latest_per_user", Some(latestPerUserSql), latestPerUser),
@@ -213,5 +250,6 @@ object EventQueries {
     QueryDef("e07_intersect_users", Some(intersectUsersSql), intersectUsers),
     QueryDef("e08_except_users", Some(exceptUsersSql), exceptUsers),
     QueryDef("e09_pivot_counts", Some(pivotCountsSql), pivotCounts),
+    QueryDef("e10_map_rollup", Some(mapRollupSql), mapRollup),
   )
 }
