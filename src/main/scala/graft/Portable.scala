@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine *portable* hashing: every primitive here is computed by an
+  * identical formula in Spark (as a codegen'd column expression) and in
+  * DuckDB (as generated oracle SQL) — so MinHash / SimHash / LSH / rolling
+  * fingerprints hash-compare bit-identically between the engine and the
+  * oracle, which Spark-private hashes (`xxhash64`, MurmurHash3) cannot.
+  *
+  * Base hash: md5 of the salted input (both engines hash the same UTF-8
+  * bytes and print the same lowercase hex), then fixed hex substrings parsed
+  * as integers — Spark `conv(substr, 16, 10)`, DuckDB `CAST('0x'||substr AS
+  * BIGINT)`. Derived 64-slot families use the affine universal family
+  * `h_i(x) = (A_i * x + B_i) mod (2^31 - 1)` over the 31-bit Mersenne prime
+  * with constants from a driver-side splitmix64. The modulus must be SMALL
+  * relative to the product range: `A_i * x` reaches ~2^62, i.e. wraps the
+  * 31-bit modulus ~2^31 times, so the family mixes properly (a 61-bit
+  * modulus would wrap at most twice, leaving the map order-preserving in
+  * `x` — every MinHash slot would then pick the same argmin shingle). And
+  * 2^62 stays below 2^63 — no 64-bit overflow, hence no divergence between
+  * Spark's ANSI-checked arithmetic and DuckDB's checked BIGINT ops (both
+  * would *throw* on overflow rather than wrap; this family never can).
+  *
+  * Rotations are done in a 60-bit space (values from [[hash60]]) with
+  * pre-masked shifts for the same reason: DuckDB's `<<` throws on signed
+  * overflow, so `rotl60` masks the low 55 bits before shifting.
+  */
+object Portable {
+
+  /** Mersenne prime 2^31 - 1: modulus of the affine family. */
+  val P: Long = (1L << 31) - 1
+
+  private val Mask31 = (1L << 31) - 1
+
+  /** splitmix64 finalizer (public-domain PRNG; driver-side only — this runs
+    * in plain JVM arithmetic, never as a SQL expression).
+    */
+  def splitmix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Affine-family constants: `A_i` in [1, P), `B_i` in [0, P). */
+  def affineA(i: Int): Long = ((splitmix64(0x5eedA000L + i) & Mask31) % (P - 1)) + 1
+  def affineB(i: Int): Long = (splitmix64(0x5eedB000L + i) & Mask31) % P
+
+  /** ±1 pseudo-random sign for (row, col) — LSH hyperplane components. */
+  def sign(seed: Long, row: Int, col: Int): Int =
+    if ((splitmix64(seed * 0x9e3779b9L + row * 8192L + col) & 1L) == 0L) -1 else 1
+
+  // ------------------------------------------------------------ base hash
+
+  private def saltedMd5(s: Column, salt: String): Column =
+    md5(concat(lit(salt + ":"), s))
+
+  /** 32-bit hash (as a non-negative long): hex chars [1+8*slot, 8+8*slot] of
+    * md5(salt ":" s). Slots 0..3 are four independent 32-bit values from ONE
+    * md5 evaluation (Catalyst collapses the common subexpression).
+    */
+  def hash32(s: Column, salt: String, slot: Int = 0): Column =
+    conv(substring(saltedMd5(s, salt), 1 + 8 * slot, 8), 16, 10).cast("long")
+
+  /** Same, DuckDB side. `expr` must be a VARCHAR SQL expression. */
+  def sqlHash32(expr: String, salt: String, slot: Int = 0): String =
+    s"CAST('0x' || substr(md5('$salt:' || ($expr)), ${1 + 8 * slot}, 8) AS BIGINT)"
+
+  /** 60-bit hash (15 hex chars — keeps the top bits clear so rotations and
+    * xors never touch the sign bit in either engine).
+    */
+  def hash60(s: Column, salt: String): Column =
+    conv(substring(saltedMd5(s, salt), 1, 15), 16, 10).cast("long")
+
+  def sqlHash60(expr: String, salt: String): String =
+    s"CAST('0x' || substr(md5('$salt:' || ($expr)), 1, 15) AS BIGINT)"
+
+  // --------------------------------------------------------- affine family
+
+  /** `h_i(x) = (A_i * (x mod P) + B_i) mod P` over a 32-bit base hash
+    * column (the base is folded into the 31-bit domain first).
+    */
+  def affine(i: Int, h: Column): Column =
+    (lit(affineA(i)) * (h % lit(P)) + lit(affineB(i))) % lit(P)
+
+  def sqlAffine(i: Int, h: String): String =
+    s"(${affineA(i)} * (($h) % $P) + ${affineB(i)}) % $P"
+
+  // ------------------------------------------------------------- rotations
+
+  /** Rotate-left by `r` within a 60-bit word (input must be < 2^60, e.g. a
+    * [[hash60]] or a prior rotl60 result). Shift is pre-masked so the value
+    * never crosses 2^60 — identical and overflow-free in both engines.
+    */
+  def rotl60(h: Column, r: Int): Column = {
+    require(r > 0 && r < 60)
+    shiftleft(h.bitwiseAND(lit((1L << (60 - r)) - 1)), r)
+      .bitwiseOR(shiftright(h, 60 - r))
+  }
+
+  def sqlRotl60(h: String, r: Int): String = {
+    require(r > 0 && r < 60)
+    s"((($h) & ${(1L << (60 - r)) - 1}) << $r) | (($h) >> ${60 - r})"
+  }
+}

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Portable
+
 /** Deduplication operators for large-scale training-data pipelines: exact
   * (hash-group), n-gram Jaccard, MinHash+LSH, and SimHash. All operate on a
   * `documents`-shaped table (`doc_id`, `text`, blocking columns).
@@ -92,51 +94,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
   }
 
-  /** 64-bit MinHash signature entries: `numHashes` per doc. Hash family:
-    * `h_i(s) = xxhash64(seed=i)(shingle)` minimized per doc — one map-side
-    * pass, no shuffle. Emitted long-form (doc_id, hash_idx, min_hash).
+  /** Salt for the MinHash base hash (shared with the oracle SQL). */
+  private val MinHashSalt = "mh"
+
+  /** MinHash signatures, wide form: one row per doc, columns `m0..m{H-1}`.
+    *
+    * Hash family is the engine-portable affine family over a 32-bit md5 base
+    * ([[graft.Portable]]): the shingle is md5-hashed ONCE (codegen'd), then
+    * each of the `numHashes` slots is `min((A_i*h + B_i) mod P)` — flat
+    * codegen'd min aggregates with map-side combine, one shuffle of one row
+    * per doc. No interpreted lambdas (the round-1 form paid numHashes
+    * interpreted `transform` hashes per shingle) and, because the family is
+    * portable, the whole pipeline is DuckDB-checkable.
     */
   def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(col("text"), n)
-    val hashIdx = explode(sequence(lit(0), lit(numHashes - 1)))
-    docs
-      .select(col("doc_id"), sh.as("sh"))
-      .select(col("doc_id"), col("sh"), hashIdx.as("hash_idx"))
-      .withColumn("min_hash",
-        array_min(transform(col("sh"),
-          s => xxhash64(col("hash_idx"), s))))
-      .select("doc_id", "hash_idx", "min_hash")
+    val ex = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), Portable.hash32(col("s"), MinHashSalt).as("h"))
+    val mins = (0 until numHashes).map(i =>
+      min(Portable.affine(i, col("h"))).as(s"m$i"))
+    ex.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH banding: group the signature into `bands` bands of
-    * `numHashes / bands` rows each; docs sharing any full band land in the
-    * same bucket. Returns (band, band_hash, doc_id) bucket entries — the only
-    * shuffle key in the pipeline.
+  /** LSH banding over wide signatures: band `b` covers slots
+    * `[b*rowsPerBand, (b+1)*rowsPerBand)`; its key is the comma-joined slot
+    * values (decimal strings — both engines render longs identically). Docs
+    * sharing any full band key land in the same bucket. Returns
+    * (band, band_key, doc_id) — the only shuffle key in the pipeline.
     */
-  def lshBuckets(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def lshBucketEntries(signatures: DataFrame, numHashes: Int,
+                       bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    signatures
-      .withColumn("band", floor(col("hash_idx") / rowsPerBand))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(sort_array(collect_list(struct(col("hash_idx"), col("min_hash"))))
-        .as("rows"))
-      .withColumn("band_hash",
-        xxhash64(to_json(transform(col("rows"), r => r.getField("min_hash")))))
-      .select("band", "band_hash", "doc_id")
+    val keys = (0 until bands).map { b =>
+      concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    signatures.select(col("doc_id"),
+      posexplode(array(keys: _*)).as(Seq("band", "band_key")))
   }
 
   /** Candidate pairs from shared LSH buckets (distinct across bands). */
   def minHashCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
                         bands: Int = 8): DataFrame = {
-    val buckets = lshBuckets(minHashSignatures(docs, n, numHashes),
+    val entries = lshBucketEntries(minHashSignatures(docs, n, numHashes),
       numHashes, bands)
-    val l = buckets.select(col("band"), col("band_hash"),
+    val l = entries.select(col("band"), col("band_key"),
       col("doc_id").as("id_a"))
-    val r = buckets.select(col("band").as("band_r"),
-      col("band_hash").as("band_hash_r"), col("doc_id").as("id_b"))
+    val r = entries.select(col("band").as("band_r"),
+      col("band_key").as("band_key_r"), col("doc_id").as("id_b"))
     l.join(r,
         col("band") === col("band_r") &&
-        col("band_hash") === col("band_hash_r") &&
+        col("band_key") === col("band_key_r") &&
         col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
@@ -159,11 +167,19 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash as a single long column: per token-hash bit votes
-    * (+1/−1), sign of each vote → bit. Map-only per doc; token hashes are
-    * materialized once and folded 64× (not re-hashed per bit). Tokenization
-    * is caller-supplied — shingles give order-sensitive signatures, words
-    * give bag-of-words ones.
+  /** Salt for the SimHash token hash (shared with the oracle SQL). */
+  private val SimHashSalt = "sh"
+
+  /** 64-bit SimHash as two non-negative 32-bit halves (`sim_lo` = bits 0-31,
+    * `sim_hi` = bits 32-63): per token-hash bit votes (+1/−1), sign of each
+    * vote → bit. Map-only per doc; the token is md5-hashed ONCE and the two
+    * halves come from different hex substrings of the same digest.
+    *
+    * Two halves instead of one long so no value ever touches the sign bit —
+    * every shift/mask/xor is then identical in Spark and DuckDB (which
+    * *throws* on signed shift overflow) and the whole signature is
+    * oracle-checkable. Tokenization is caller-supplied — shingles give
+    * order-sensitive signatures, words give bag-of-words ones.
     */
   def simHashBits(docs: DataFrame, toks: Column): DataFrame = {
     // explode token hashes and take 64 flat `sum(±1)` aggregates rather than
@@ -171,18 +187,54 @@ object Dedup {
     // (no whole-stage codegen) and cost seconds per thousand docs, while
     // flat aggregates with map-side combine codegen cleanly and shuffle one
     // row per doc.
-    val exploded = docs.select(col("doc_id"),
-      explode(transform(toks, t => xxhash64(t))).as("h"))
+    val exploded = docs.select(col("doc_id"), explode(toks).as("t"))
+      .select(col("doc_id"),
+        Portable.hash32(col("t"), SimHashSalt, slot = 0).as("hlo"),
+        Portable.hash32(col("t"), SimHashSalt, slot = 1).as("hhi"))
     val voteCols = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
+      val (h, bit) = if (b < 32) (col("hlo"), b) else (col("hhi"), b - 32)
+      sum(when(h.bitwiseAND(lit(1L << bit)) =!= 0L, 1).otherwise(-1))
         .as(s"v$b")
     }
     val votes = exploded.groupBy(col("doc_id"))
       .agg(voteCols.head, voteCols.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    def half(from: Int): Column = (0 until 32).map { b =>
+      when(col(s"v${from + b}") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce[Column](_ bitwiseOR _)
-    votes.select(col("doc_id"), sig.as("simhash"))
+    votes.select(col("doc_id"), half(0).as("sim_lo"), half(32).as("sim_hi"))
+  }
+
+  /** Bit range [from, until) of a (lo, hi)-halved signature as a portable
+    * string key: the range's overlap with each half is masked out and the
+    * two parts comma-joined. Values stay below 2^32 — no sign-bit hazards in
+    * either engine. Shared shape with [[sqlChunkKey]].
+    */
+  private def chunkKey(lo: Column, hi: Column, from: Int, until: Int): Column = {
+    val loPart =
+      if (from >= 32) lit(0L)
+      else shiftright(lo, from)
+        .bitwiseAND(lit((1L << (math.min(until, 32) - from)) - 1))
+    val hiPart =
+      if (until <= 32) lit(0L)
+      else shiftright(hi, math.max(from - 32, 0))
+        .bitwiseAND(lit((1L << (until - math.max(from, 32))) - 1))
+    concat_ws(",", loPart, hiPart)
+  }
+
+  private def sqlChunkKey(lo: String, hi: String, from: Int, until: Int): String = {
+    val loPart =
+      if (from >= 32) "0"
+      else s"((($lo) >> $from) & ${(1L << (math.min(until, 32) - from)) - 1})"
+    val hiPart =
+      if (until <= 32) "0"
+      else s"((($hi) >> ${math.max(from - 32, 0)}) & ${(1L << (until - math.max(from, 32))) - 1})"
+    s"CAST($loPart AS VARCHAR) || ',' || CAST($hiPart AS VARCHAR)"
+  }
+
+  /** Chunk bit-boundaries for a Hamming budget: `maxHamming + 1` chunks. */
+  private def chunkBounds(maxHamming: Int): IndexedSeq[Int] = {
+    val nChunks = math.min(maxHamming + 1, 64)
+    (0 to nChunks).map(i => i * 64 / nChunks)
   }
 
   /** Hamming-distance pairs over SimHash, bucketed by signature chunks.
@@ -193,33 +245,130 @@ object Dedup {
     * scalable operating point, exactly as in the SimHash literature.
     */
   def simHashPairs(docs: DataFrame, toks: Column, maxHamming: Int = 3): DataFrame = {
-    val nChunks = math.min(maxHamming + 1, 64)
-    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
-    val chunkCols = (0 until nChunks).map { c =>
-      val width = bounds(c + 1) - bounds(c)
-      val mask = if (width == 64) -1L else (1L << width) - 1L
-      shiftrightunsigned(col("simhash"), bounds(c)).bitwiseAND(lit(mask))
+    val bounds = chunkBounds(maxHamming)
+    val chunkCols = (0 until bounds.length - 1).map { c =>
+      chunkKey(col("sim_lo"), col("sim_hi"), bounds(c), bounds(c + 1))
     }
     val sigs = simHashBits(docs, toks)
     val withVal = sigs
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         posexplode(array(chunkCols: _*)).as(Seq("chunk", "chunk_val")))
     val l = withVal.select(col("chunk"), col("chunk_val"),
-      col("doc_id").as("id_a"), col("simhash").as("sig_a"))
+      col("doc_id").as("id_a"),
+      col("sim_lo").as("lo_a"), col("sim_hi").as("hi_a"))
     val r = withVal.select(col("chunk").as("chunk_r"),
-      col("chunk_val").as("chunk_val_r"),
-      col("doc_id").as("id_b"), col("simhash").as("sig_b"))
+      col("chunk_val").as("chunk_val_r"), col("doc_id").as("id_b"),
+      col("sim_lo").as("lo_b"), col("sim_hi").as("hi_b"))
     l.join(r,
         col("chunk") === col("chunk_r") &&
         col("chunk_val") === col("chunk_val_r") &&
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).as("hamming"))
       // filter BEFORE distinct: the hamming test is a cheap codegen'd
       // per-row op, while distinct is a shuffle — on skew-heavy buckets
       // (correlated signatures) this is the difference between shuffling
       // a handful of survivors and shuffling every candidate pair
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  // ------------------------------------------------- DuckDB oracle dialect
+  // Kept adjacent to the operators (the Exact.scala convention) so the two
+  // dialects cannot drift: every constant below comes from the same n /
+  // numHashes / bands / salts the Spark side uses.
+
+  /** DuckDB shingles of a `w` (word-list) column — mirrors [[shingles]]
+    * exactly, including the short-document whole-text fallback.
+    */
+  def sqlShingles(w: String, n: Int): String =
+    s"CASE WHEN len($w) >= $n THEN " +
+      s"list_distinct(list_transform(range(len($w) - ${n - 1}), " +
+      s"i -> array_to_string(list_slice($w, i + 1, i + $n), ' '))) " +
+      s"ELSE [array_to_string($w, ' ')] END"
+
+  /** Shared CTE prefix: documents → word lists → shingle sets. */
+  private def sqlShingleCtes(n: Int): String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, ${sqlShingles("w", n)} AS s FROM w)""".stripMargin
+
+  /** DuckDB replica of [[nearDuplicates]]: identical hash family, banding,
+    * candidate generation and exact re-verification.
+    */
+  def nearDuplicatesSql(threshold: Double, n: Int, numHashes: Int,
+                        bands: Int): String = {
+    val rowsPerBand = numHashes / bands
+    val mins = (0 until numHashes)
+      .map(i => s"min(${Portable.sqlAffine(i, "h")}) AS m$i").mkString(",\n    ")
+    val bandKeys = (0 until bands).map { b =>
+      (0 until rowsPerBand)
+        .map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH ${sqlShingleCtes(n)},
+       |hb AS (SELECT doc_id, ${Portable.sqlHash32("tok", MinHashSalt)} AS h
+       |       FROM (SELECT doc_id, unnest(s) AS tok FROM sh)),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hb GROUP BY doc_id),
+       |bk AS (SELECT doc_id, unnest(range($bands)) AS band,
+       |    unnest($bandKeys) AS band_key
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |ver AS (SELECT id_a, id_b,
+       |    len(list_intersect(sa.s, sb.s)) AS ni,
+       |    len(sa.s) AS na, len(sb.s) AS nb
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = id_a
+       |  JOIN sh sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b,
+       |  ni / CAST(na + nb - ni AS DOUBLE) AS jaccard
+       |FROM ver
+       |WHERE ni / CAST(na + nb - ni AS DOUBLE) >= ${threshold}e0
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replica of [[simHashPairs]] over [[shingles]] tokens. */
+  def simHashPairsSql(n: Int, maxHamming: Int): String = {
+    val voteCols = (0 until 64).map { b =>
+      val (h, bit) = if (b < 32) ("hlo", b) else ("hhi", b - 32)
+      s"sum(CASE WHEN ($h & ${1L << bit}) <> 0 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    def half(from: Int): String = (0 until 32)
+      .map(b => s"(CASE WHEN v${from + b} > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    val bounds = chunkBounds(maxHamming)
+    val chunkKeys = (0 until bounds.length - 1)
+      .map(c => sqlChunkKey("sim_lo", "sim_hi", bounds(c), bounds(c + 1)))
+      .mkString("[", ",\n      ", "]")
+    s"""WITH ${sqlShingleCtes(n)},
+       |hb AS (SELECT doc_id,
+       |    ${Portable.sqlHash32("tok", SimHashSalt, slot = 0)} AS hlo,
+       |    ${Portable.sqlHash32("tok", SimHashSalt, slot = 1)} AS hhi
+       |  FROM (SELECT doc_id, unnest(s) AS tok FROM sh)),
+       |votes AS (SELECT doc_id,
+       |    $voteCols
+       |  FROM hb GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |    CAST(${half(0)} AS BIGINT) AS sim_lo,
+       |    CAST(${half(32)} AS BIGINT) AS sim_hi
+       |  FROM votes),
+       |ck AS (SELECT doc_id, sim_lo, sim_hi,
+       |    unnest(range(${bounds.length - 1})) AS chunk,
+       |    unnest($chunkKeys) AS chunk_val
+       |  FROM sig)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+       |     + bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
+       |FROM ck a JOIN ck b
+       |  ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+       |    + bit_count(xor(a.sim_hi, b.sim_hi)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
   }
 }

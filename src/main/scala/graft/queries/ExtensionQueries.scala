@@ -31,13 +31,16 @@ object ExtensionQueries {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
       .orderBy("id_a", "id_b")
 
-  private val neardupJaccardSql =
-    """WITH sh AS (
+  /** Generated from the same `n` the Spark call uses (and with the same
+    * short-document fallback), so the two sides cannot drift.
+    */
+  private def neardupJaccardSql(n: Int): String =
+    s"""WITH w AS (
       |  SELECT doc_id, lang, length(text) // 64 AS lb,
-      |    list_distinct(list_transform(range(len(string_split(text,' '))-2),
-      |      i -> array_to_string(list_slice(string_split(text,' '), i+1, i+3),
-      |                           ' '))) AS s
+      |    string_split(text, ' ') AS w
       |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, lang, lb, ${Dedup.sqlShingles("w", n)} AS s FROM w),
       |p AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    len(list_intersect(a.s, b.s)) AS n_inter,
@@ -49,22 +52,30 @@ object ExtensionQueries {
       |FROM p WHERE n_inter / CAST(na + nb - n_inter AS DOUBLE) >= 0.25e0
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash+LSH near-dup (subquadratic path) — xxhash64 family, rows-only
-    * for the driver; recall vs exact Jaccard is asserted in DedupSpec.
+  /** MinHash+LSH near-dup (subquadratic path) — portable affine hash family,
+    * oracle-checked end-to-end; recall vs exact Jaccard additionally
+    * asserted in DedupSpec.
     */
   def neardupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearDuplicates(Tables.documents(spark, dir), threshold = 0.25,
         n = 3, numHashes = 64, bands = 32)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup over order-sensitive shingle signatures — rows-only.
-    * Budget 7 ⇒ 8-bit chunks: the scalable operating point (wider budgets
-    * shrink chunks and inflate candidate buckets quadratically).
+  private val neardupMinhashSql =
+    Dedup.nearDuplicatesSql(threshold = 0.25, n = 3, numHashes = 64,
+      bands = 32)
+
+  /** SimHash near-dup over order-sensitive shingle signatures — portable
+    * md5-halves token hash, oracle-checked. Budget 7 ⇒ 8-bit chunks: the
+    * scalable operating point (wider budgets shrink chunks and inflate
+    * candidate buckets quadratically).
     */
   def neardupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(spark, dir),
         Dedup.shingles(col("text"), 3), maxHamming = 7)
       .orderBy("id_a", "id_b")
+
+  private val neardupSimhashSql = Dedup.simHashPairsSql(n = 3, maxHamming = 7)
 
   // --------------------------------------------------------- similarity
 
@@ -311,9 +322,9 @@ object ExtensionQueries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
-    QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql), neardupJaccard),
-    QueryDef("x03_neardup_minhash", None, neardupMinhash),
-    QueryDef("x04_neardup_simhash", None, neardupSimhash),
+    QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
+    QueryDef("x03_neardup_minhash", Some(neardupMinhashSql), neardupMinhash),
+    QueryDef("x04_neardup_simhash", Some(neardupSimhashSql), neardupSimhash),
     QueryDef("x05_embed_top_pairs", Some(embedTopPairsSql), embedTopPairs),
     QueryDef("x06_ann_brute_force", Some(annBruteForceSql), annBruteForce),
     QueryDef("x07_ann_lsh", None, annLsh),
