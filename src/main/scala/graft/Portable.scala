@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *
   * Rotations are done in a 60-bit space (values from [[hash60]]) with
   * pre-masked shifts for the same reason: DuckDB's `<<` throws on signed
-  * overflow, so `rotl60` masks the low 55 bits before shifting.
+  * overflow, so `rotl60` masks the low 60−r bits before shifting.
   */
 object Portable {
 
@@ -51,6 +51,33 @@ object Portable {
   /** ±1 pseudo-random sign for (row, col) — LSH hyperplane components. */
   def sign(seed: Long, row: Int, col: Int): Int =
     if ((splitmix64(seed * 0x9e3779b9L + row * 8192L + col) & 1L) == 0L) -1 else 1
+
+  // --------------------------------------------------------- JVM-side twins
+  // For typed aggregators (Aggregator[IN, BUF, OUT] runs plain JVM code, not
+  // column expressions) that still need oracle-checkable hashes: the same
+  // md5-substring base and affine family, computed with MessageDigest.
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** JVM twin of [[hash32]]: bytes `[4*slot, 4*slot+4)` of
+    * md5(salt ":" s) as an unsigned 32-bit value (identical to parsing hex
+    * chars `[1+8*slot, 8+8*slot]`).
+    */
+  def jvmHash32(s: String, salt: String, slot: Int = 0): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest((salt + ":" + s)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val o = 4 * slot
+    ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+      ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+  }
+
+  /** JVM twin of [[affine]]. */
+  def jvmAffine(i: Int, h: Long): Long = (affineA(i) * (h % P) + affineB(i)) % P
 
   // ------------------------------------------------------------ base hash
 

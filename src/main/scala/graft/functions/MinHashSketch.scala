@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-import scala.util.hashing.MurmurHash3
+import graft.Portable
 
 /** Typed UDAF (the `Aggregator[IN, BUF, OUT]` tier of SURVEY §2.2): a
   * `numHashes`-wide MinHash sketch of a *group's* token set.
@@ -15,22 +15,24 @@ import scala.util.hashing.MurmurHash3
   * partial-aggregation friendly (`merge` is elementwise min, associative and
   * commutative, so map-side combine applies and the result is
   * partitioning-invariant).
+  *
+  * Hash family: the same portable md5-base + affine family as the
+  * column-expression MinHash ([[graft.Portable.jvmHash32]] /
+  * [[graft.Portable.jvmAffine]]) — one md5 per token, `numHashes` affine
+  * maps of it — so a sketch computed here equals the one DuckDB computes
+  * with `min((A_i*h + B_i) mod P)` slots and the whole query is
+  * oracle-checkable.
   */
 class MinHashSketch(numHashes: Int)
     extends Aggregator[String, Array[Long], Array[Long]] {
 
-  private def h(i: Int, token: String): Long = {
-    val lo = MurmurHash3.stringHash(token, i)
-    val hi = MurmurHash3.stringHash(token, i + 0x9e3779b9)
-    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
-  }
-
   override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], token: String): Array[Long] = {
+    val base = Portable.jvmHash32(token, MinHashSketch.Salt)
     var i = 0
     while (i < numHashes) {
-      val v = h(i, token)
+      val v = Portable.jvmAffine(i, base)
       if (v < buf(i)) buf(i) = v
       i += 1
     }
@@ -56,6 +58,9 @@ class MinHashSketch(numHashes: Int)
 }
 
 object MinHashSketch {
+  /** Salt of the sketch's base hash (shared with generated oracle SQL). */
+  val Salt = "mhs"
+
   /** Jaccard estimate from two signatures: fraction of agreeing slots. */
   def similarity(a: Array[Long], b: Array[Long]): Double = {
     require(a.length == b.length)

@@ -17,13 +17,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * keeps it inside the generated code as a tight float loop.
   *
   * Accumulates in double over exact float→double promotions, left-to-right —
-  * deterministic for a given input, independent of partitioning. Arrays of
-  * different lengths dot over the common prefix; null elements are treated
-  * as 0 (training-data embeddings do not contain nulls; the guard keeps the
-  * expression total).
+  * deterministic for a given input, independent of partitioning.
+  *
+  * Null semantics match the composable idiom *exactly* (so [[graft.plans
+  * .RewriteFoldDot]] is semantics-preserving): arrays of different lengths
+  * → NULL (`zip_with` pads with nulls, which poison the fold), any null
+  * element → NULL, either array NULL → NULL. Embedding columns are
+  * same-length and null-free, so the ANN hot paths never hit the null exits.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // may return NULL even for non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -40,13 +46,13 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      }
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
     s
@@ -58,14 +64,17 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

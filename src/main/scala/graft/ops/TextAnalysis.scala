@@ -117,14 +117,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
   }
 
+  /** Salt for the rolling-hash word hash (shared with [[rollingHashSql]]). */
+  val RollingSalt = "rh"
+
   /** Rolling hash over the word sequence (order-*sensitive*): fold
-    * h ← rotl(h, 5) ⊕ xxhash64(word). Rotate-xor instead of the classic
-    * multiply-add so the fold stays total under ANSI arithmetic (no long
-    * overflow). Not SQL-portable (xxhash64 is Spark's) — verified by spec,
-    * not oracle.
+    * h ← rotl60(h, 5) ⊕ hash60(word) in the 60-bit portable space of
+    * [[graft.Portable]]. Rotate-xor instead of the classic multiply-add so
+    * the fold stays total under ANSI arithmetic (no long overflow), and
+    * 60-bit values so no shift ever touches the sign bit in either engine —
+    * the fingerprint is bit-identical in DuckDB ([[rollingHashSql]]).
     */
   def rollingHash(text: Column): Column =
     aggregate(words(text), lit(0L), (h, w) =>
-      shiftleft(h, 5).bitwiseOR(shiftrightunsigned(h, 59))
-        .bitwiseXOR(xxhash64(w)))
+      graft.Portable.rotl60(h, 5)
+        .bitwiseXOR(graft.Portable.hash60(w, RollingSalt)))
+
+  /** DuckDB twin of [[rollingHash]] over a `text` VARCHAR expression: the
+    * same fold, written as `list_reduce` with the zero accumulator prepended
+    * (`list_reduce(prepend(0, map(hash60)), (acc, x) -> rotl60(acc) ⊕ x)` is
+    * literally `aggregate(words, 0, ...)`).
+    */
+  def rollingHashSql(text: String): String = {
+    val h60 = graft.Portable.sqlHash60("w", RollingSalt)
+    val rot = graft.Portable.sqlRotl60("acc", 5)
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($text, ' '), w -> $h60)), " +
+      s"(acc, x) -> xor($rot, x))"
+  }
 }

@@ -14,10 +14,11 @@ import graft.functions.VectorDot
   *               0d, (acc, t) => acc + t) }}}
   *
   * into the native codegen'd [[VectorDot]] when both inputs are
-  * `array<float>`. The two forms are value-identical (exact float→double
-  * promotion, left-to-right double accumulation), but the higher-order
-  * lambda form evaluates *interpreted* — users who write the natural
-  * DataFrame idiom get the native expression for free.
+  * `array<float>`. The two forms are value-identical — exact float→double
+  * promotion, left-to-right double accumulation, and the same NULL contract
+  * (unequal lengths, null elements, or null arrays all yield NULL in both) —
+  * but the higher-order lambda form evaluates *interpreted*; users who write
+  * the natural DataFrame idiom get the native expression for free.
   *
   * Injected via `GraftExtensions` (`injectOptimizerRule`) or
   * `spark.experimental.extraOptimizations` on a live session.

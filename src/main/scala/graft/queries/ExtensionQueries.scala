@@ -8,9 +8,12 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline extension operators (BASELINE.json north star):
   * dedup, similarity search, text analysis, multimodal — over the
-  * `documents` and `embeddings` tables. SQL-expressible ops carry DuckDB
-  * oracles; hash-family ops (MinHash/SimHash/LSH buckets use Spark's
-  * xxhash64) are rows-only here and verified by spec instead.
+  * `documents` and `embeddings` tables. Every hash-family op (MinHash,
+  * SimHash, LSH buckets, rolling fingerprints, group sketches) runs on the
+  * engine-portable md5-affine family of [[graft.Portable]] and is
+  * oracle-checked bit-for-bit against DuckDB; the only rows-only queries are
+  * x14 (stub multimodal codec — no SQL form) and x15 (engine-specific
+  * approximation algorithms), both verified by spec instead.
   */
 object ExtensionQueries {
 
@@ -212,12 +215,18 @@ object ExtensionQueries {
       |   ' ')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Order-sensitive rolling-hash fingerprint — xxhash64-based, rows-only. */
+  /** Order-sensitive rolling-hash fingerprint — portable 60-bit rotate-xor
+    * fold ([[graft.Portable]]), oracle-checked bit-for-bit.
+    */
   def rollingFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
+
+  private val rollingFingerprintSql =
+    s"""SELECT doc_id, ${TextAnalysis.rollingHashSql("text")} AS rolling_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------- multimodal
 
@@ -254,7 +263,8 @@ object ExtensionQueries {
 
   /** Per-source corpus sketches via the typed MinHash UDAF, then pairwise
     * similarity estimates — group-level set similarity with plain
-    * groupBy/agg mechanics. Rows-only (MurmurHash-seeded sketch family).
+    * groupBy/agg mechanics. The sketch family is the portable md5-affine one
+    * ([[graft.Portable]]), so the whole query is oracle-checked.
     */
   def sourceSketchSimilarity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Encoders
@@ -273,6 +283,32 @@ object ExtensionQueries {
           lit(0), (acc, t) => acc + t).cast("double") / 64)
       .select("source_a", "source_b", "similarity")
       .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB replica of [[sourceSketchSimilarity]]: same shingles, same
+    * md5-affine family, `min()` slots per source, slot-agreement fraction.
+    * Generated from the identical constants (numHashes=64, n=3, salt).
+    */
+  private val sourceSketchSimilaritySql = {
+    val numHashes = 64
+    val mins = (0 until numHashes)
+      .map(i => s"min(${graft.Portable.sqlAffine(i, "h")}) AS m$i")
+      .mkString(",\n    ")
+    val agree = (0 until numHashes)
+      .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT source, ${Dedup.sqlShingles("w", 3)} AS s FROM w),
+       |hb AS (SELECT source,
+       |    ${graft.Portable.sqlHash32("tok", graft.functions.MinHashSketch.Salt)} AS h
+       |  FROM (SELECT source, unnest(s) AS tok FROM sh)),
+       |sig AS (SELECT source,
+       |    $mins
+       |  FROM hb GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST($agree AS DOUBLE) / 64 AS similarity
+       |FROM sig a JOIN sig b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
   }
 
   /** TF-IDF top terms per document (first 50 docs keep the output compact). */
@@ -332,11 +368,13 @@ object ExtensionQueries {
     QueryDef("x09_lang_id", Some(langIdSql), langId),
     QueryDef("x10_quality_scores", Some(qualityScoresSql), qualityScores),
     QueryDef("x11_token_stats", Some(tokenStatsSql), tokenStats),
-    QueryDef("x12_rolling_fingerprint", None, rollingFingerprint),
+    QueryDef("x12_rolling_fingerprint", Some(rollingFingerprintSql),
+      rollingFingerprint),
     QueryDef("x13_multimodal_meta", Some(multimodalMetaSql), multimodalMeta),
     QueryDef("x14_multimodal_frames", None, multimodalFrames),
     QueryDef("x15_approx_stats", None, approxStats),
     QueryDef("x16_tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms),
-    QueryDef("x17_source_sketch_similarity", None, sourceSketchSimilarity),
+    QueryDef("x17_source_sketch_similarity", Some(sourceSketchSimilaritySql),
+      sourceSketchSimilarity),
   )
 }

@@ -28,18 +28,24 @@ class VectorDotSpec extends SparkSpec {
   test("vec_dot handles nulls, length mismatch, and empty arrays") {
     import spark.implicits._
     GraftFunctions.register(spark)
+    // idiom-identical semantics: mismatched lengths and null elements → NULL
     val df = Seq(
       (Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)),       // 4+10+18 = 32
-      (Seq(1f, 2f), Seq(3f, 4f, 5f)),           // common prefix: 3+8 = 11
-      (Seq.empty[Float], Seq(1f))               // 0
+      (Seq(1f, 2f), Seq(3f, 4f, 5f)),           // length mismatch → NULL
+      (Seq.empty[Float], Seq.empty[Float])      // empty = empty fold → 0
     ).toDF("a", "b")
     val got = df.select(GraftFunctions.vec_dot(col("a"), col("b")))
-      .collect().map(_.getDouble(0)).toSeq
-    assert(got == Seq(32.0, 11.0, 0.0))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(32.0), None, Some(0.0)))
     // null array → null result
     val n = df.select(GraftFunctions.vec_dot(lit(null).cast("array<float>"),
       col("b"))).collect()
     assert(n.forall(_.isNullAt(0)))
+    // null element → null result
+    val ne = spark.sql(
+      "SELECT vec_dot(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").collect()
+    assert(ne.forall(_.isNullAt(0)))
   }
 
   test("SQL registration: vec_dot callable after GraftFunctions.register") {

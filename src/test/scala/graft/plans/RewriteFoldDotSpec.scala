@@ -46,6 +46,36 @@ class RewriteFoldDotSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("rewrite preserves NULL semantics: null elements and unequal lengths") {
+    import spark.implicits._
+    // the idiom returns NULL when zip_with pads (unequal lengths) or when an
+    // element is null — the rewritten VectorDot must agree exactly.
+    // Round-trip through parquet: a LocalRelation would be constant-folded
+    // (ConvertToLocalRelation) before the rewrite could fire.
+    val dir = java.nio.file.Files.createTempDirectory("folddot").toString
+    Seq(
+      (0, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f, 5f)),
+      (1, Seq[java.lang.Float](1f, null), Seq[java.lang.Float](3f, 4f)),
+      (2, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f))
+    ).toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    def run(): Seq[Option[Double]] =
+      df.select(col("id"), foldDot.as("d")).orderBy("id").collect()
+        .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
+    // rule enabled (em forces registration of the rule)
+    em
+    val plan = df.select(foldDot.as("d")).queryExecution.optimizedPlan.toString
+    assert(plan.contains("vec_dot"), s"rewrite did not fire:\n$plan")
+    val withRule = run()
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_.isInstanceOf[RewriteFoldDot])
+    try {
+      assert(withRule == run())
+      assert(withRule == Seq(None, None, Some(11.0)))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("near-miss folds are left alone") {
     // no casts → float multiply (different numerics): must NOT rewrite
     val noCast = em.select(aggregate(
