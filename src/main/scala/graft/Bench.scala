@@ -4,13 +4,27 @@ import org.apache.spark.sql.SparkSession
 
 /** Throughput benchmark: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},
+  * "runs":{...},"failures":[...],"sf":...}`.
   *
   * Protocol: one untimed warmup pass (JVM/JIT, codegen cache, parquet footer
-  * + file listing) then one timed pass per query to a `noop` sink — full
-  * materialization of every row, no driver collect, no disk write skew.
+  * + file listing) then best-of-2 timed passes per query to a `noop` sink —
+  * full materialization of every row, no driver collect, no disk write skew.
+  *
+  * Honesty guarantees (a loaded machine once let noise read as a 2.4×
+  * regression, and a crashing query *shrank* the total):
+  *  - `runs` carries every raw per-run time — widely split runs of the same
+  *    query are the machine-contention signature, distinguishable from a
+  *    real regression (where both runs move together) from the JSON alone;
+  *  - a query with no successful run lands in `failures` and is counted
+  *    into the total at [[FailurePenaltySec]] — a crash can only ever grow
+  *    the number, never improve it.
   */
 object Bench {
+
+  /** Charged to the total per query with zero successful runs. */
+  val FailurePenaltySec = 600.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,13 +47,21 @@ object Bench {
         val ok = try { run(fn); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+      val good = times.filter(_ >= 0)
+      (name, times, if (good.nonEmpty) good.min else FailurePenaltySec)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val failures = results.collect { case (n, ts, _) if ts.forall(_ < 0) => n }
+    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val runs = results
+      .map { case (k, ts, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._3).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""runs":$runs,"failures":$fs,""" +
+        s""""penalty_sec_per_failure":$FailurePenaltySec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

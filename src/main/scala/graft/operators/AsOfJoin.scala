@@ -21,6 +21,11 @@ object AsOfJoin {
     * Right rows at the exact same time as a left row DO match (`>=`).
     * Within-right ties on (key, time) must be pre-deduplicated by the caller
     * (as-of is ill-defined under them — every engine picks arbitrarily).
+    *
+    * The carried columns travel as ONE struct through a single
+    * `last(ignoreNulls)` window — atomic row semantics: a legitimately-NULL
+    * field in the matched right row stays NULL (per-column windows would
+    * backfill it from an *older* right row, mixing fields across rows).
     */
   def backward(
       left: DataFrame, right: DataFrame,
@@ -28,18 +33,23 @@ object AsOfJoin {
       rightCols: Seq[String]): DataFrame = {
     val carried = rightCols.map(c => s"asof_$c")
     val r = right.select(
-      col(key) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        rightCols.map(c => col(c).as(s"asof_$c")): _*)
+      col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+      struct(rightCols.map(c => col(c).as(s"asof_$c")): _*).as("__asof"))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
+    // left rows get __asof = NULL from the union; ignoreNulls skips them,
+    // and a right row's struct is non-null even when its fields are null —
+    // so the window always carries the whole latest right ROW, atomically
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort before left rows at equal time → `>=` semantics
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = carried.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    val filled = unioned.withColumn("__asof",
+      last(col("__asof"), ignoreNulls = true).over(w))
+    carried.foldLeft(filled) { (df, c) =>
+        df.withColumn(c, col("__asof").getField(c))
+      }
+      .filter(col("__side") === 1).drop("__t", "__side", "__asof")
   }
 }

@@ -53,17 +53,33 @@ object Dedup {
     */
   val LenBucketWidth = 64
 
+  /** Document-frequency cap for the inverted index in [[jaccardPairs]]: a
+    * shingle appearing in more than `DfCap` documents of a block is a
+    * stop-shingle (boilerplate, ubiquitous n-grams) and is dropped before
+    * the self-join. The index join's cost is Σf² over per-shingle document
+    * frequencies — unbounded under shingle skew without a cap (one shingle
+    * in a million docs costs 10¹² candidate rows), ≤ DfCap² per shingle
+    * with it. Contract: `n_inter` counts only non-stop overlap (a lower
+    * bound) and pairs whose *entire* overlap is stop-shingles are not
+    * emitted — the standard trade for bounded cost, and immaterial for
+    * near-dup detection (a pair overlapping only in ubiquitous shingles is
+    * not a near-duplicate). The oracle SQL applies the identical cap.
+    */
+  val DfCap = 64
+
   /** N-gram Jaccard pairs within `blockCol` blocks via an inverted shingle
     * index: explode distinct shingles, equi-join on (block, shingle), count
     * matches per pair — |A∩B| without ever materializing per-pair array
     * intersections (array ops are interpreted, the index join is all
     * codegen'd shuffle work; cost is Σf² over shingle frequencies, not
-    * |block|²). Candidates are length-filtered (same or adjacent
-    * `length div 64` bucket — high Jaccard needs comparable shingle counts).
-    * Returns pairs sharing at least one shingle; Jaccard is integer set
-    * sizes + one double division, cross-engine deterministic.
+    * |block|²), with frequencies capped at `dfCap` (see [[DfCap]]).
+    * Candidates are length-filtered (same or adjacent `length div 64`
+    * bucket — high Jaccard needs comparable shingle counts). Returns pairs
+    * sharing at least one non-stop shingle; Jaccard is integer set sizes +
+    * one double division, cross-engine deterministic.
     */
-  def jaccardPairs(docs: DataFrame, n: Int, blockCol: String): DataFrame = {
+  def jaccardPairs(docs: DataFrame, n: Int, blockCol: String,
+                   dfCap: Int = DfCap): DataFrame = {
     val base = docs.select(
       col("doc_id"), col(blockCol).as("block"),
       floor(length(col("text")) / LenBucketWidth).as("lb"),
@@ -71,9 +87,20 @@ object Dedup {
     val sizes = base.select(col("doc_id"), size(col("sh")).as("nsh"))
     val ex = base.select(col("block"), col("lb"), col("doc_id"),
       explode(col("sh")).as("s"))
-    val l = ex.select(col("block"), col("s"), col("doc_id").as("id_a"),
+    // df-cutoff: one partial-agg pass (map-side combine — shuffles one row
+    // per distinct (block, shingle), not per occurrence) finds the over-cap
+    // stop set, which is anti-joined away. The stop set is tiny by
+    // construction (only shingles hot enough to break the cap), so AQE
+    // broadcasts the anti-join at runtime; no hint — it is an aggregate
+    // whose size the planner should judge, not us.
+    val stop = ex.groupBy(col("block"), col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("block"), col("s"))
+    val exf = ex.join(stop, Seq("block", "s"), "left_anti")
+    val l = exf.select(col("block"), col("s"), col("doc_id").as("id_a"),
       col("lb").as("lb_a"))
-    val r = ex.select(col("block").as("block_b"), col("s").as("s_b"),
+    val r = exf.select(col("block").as("block_b"), col("s").as("s_b"),
       col("doc_id").as("id_b"), col("lb").as("lb_b"))
     val inter = l.join(r,
         col("block") === col("block_b") && col("s") === col("s_b") &&

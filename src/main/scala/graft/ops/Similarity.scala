@@ -14,17 +14,19 @@ import org.apache.spark.sql.functions._
   *  - [[lshTopK]] (random hyperplanes) and [[ivfTopK]] (inverted-file over
   *    sampled centroids): the 100 TB paths. Both prune the corpus to a
   *    bucket/cell subset with one equi-join, then exact-re-rank only the
-  *    survivors. Bucket assignment is a pure column expression (deterministic
-  *    seeded planes), so it pushes into the scan and can be precomputed and
-  *    partitioned-by at write time — probing then touches only matching
-  *    partitions.
+  *    survivors. Bucket/cell assignment is a pure column expression over
+  *    literal plane/centroid vectors (no join, no shuffle), so it pushes
+  *    into the scan and can be precomputed and partitioned-by at write
+  *    time — probing then touches only matching partitions.
   *
-  * Numerics: the oracle-checked paths ([[bruteForceTopK]], [[topPairs]])
-  * fold in fixed point (`round(x*y*1e12)` term-wise — exact integer sums,
-  * associative, engine-portable; see [[graft.Exact]]); the ANN re-rank hot
-  * paths score through the native codegen'd
-  * [[graft.functions.VectorDot]] expression (deterministic left-to-right
-  * double accumulation, partition-invariant).
+  * Numerics: the oracle-checked pair/brute-force paths fold in fixed point
+  * (`round(x*y*1e12)` term-wise — exact integer sums, associative,
+  * engine-portable; see [[graft.Exact]]); the ANN paths score through the
+  * native codegen'd [[graft.functions.VectorDot]] expression (deterministic
+  * left-to-right double accumulation, partition-invariant), whose DuckDB
+  * twin is the identical left-to-right `list_reduce` fold ([[sqlVecDot]]) —
+  * bitwise-equal because both engines promote float→double exactly and add
+  * in the same order.
   */
 object Similarity {
 
@@ -37,6 +39,16 @@ object Similarity {
       lit(0.0), (acc, t) => acc + t) / lit(1e12)
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** DuckDB twin of the native `vec_dot` expression over FLOAT[] columns:
+    * the same left-to-right fold of exact float→double promoted products
+    * (`list_reduce` seeds with the first element; `0.0 + p0 = p0` exactly,
+    * so the addition sequences coincide).
+    */
+  def sqlVecDot(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range($dim), " +
+      s"k -> CAST(($a)[k+1] AS DOUBLE) * CAST(($b)[k+1] AS DOUBLE)), " +
+      s"(x, y) -> x + y)"
 
   /** Small single-file corpora arrive as ONE input partition, which would
     * serialize every pair-generation join on one task (the streaming/probe
@@ -66,21 +78,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
-  /** Deterministic ±1 random hyperplanes: component i of plane p is the sign
-    * of a hash of (seed, p, i). Returns the `numPlanes`-bit bucket id of an
-    * embedding as a pure column expression.
+  /** Components of hyperplane `p` as a literal ±1 vector (driver-side
+    * [[graft.Portable.sign]] — the same constants are embedded in the
+    * generated oracle SQL, so bucket ids agree across engines).
+    */
+  def signRow(seed: Long, p: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim)(i => graft.Portable.sign(seed, p, i).toFloat)
+
+  /** Deterministic ±1 random hyperplanes: the `numPlanes`-bit bucket id of
+    * an embedding as a pure column expression. Each plane dot is one native
+    * codegen'd `vec_dot` against a *literal* sign vector — a tight
+    * generated-code float loop on the scan's hot path (the interpreted
+    * higher-order-lambda form this replaces ran numPlanes×dim lambda calls
+    * per row). Caller must have registered [[graft.functions.GraftFunctions]].
     */
   def lshBucket(vec: Column, dim: Int, numPlanes: Int, seed: Long): Column = {
     val planeDots = (0 until numPlanes).map { p =>
-      val terms = transform(sequence(lit(0), lit(dim - 1)), i =>
-        element_at(vec, i + 1).cast("double") *
-          when(xxhash64(lit(seed), lit(p), i).bitwiseAND(lit(1L)) === 1L, 1.0)
-            .otherwise(-1.0))
-      aggregate(terms, lit(0.0), (a, x) => a + x)
+      graft.functions.GraftFunctions.vec_dot(vec, typedlit(signRow(seed, p, dim)))
     }
     planeDots.zipWithIndex.map { case (d, p) =>
       when(d > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce[Column](_ bitwiseOR _)
+  }
+
+  /** DuckDB twin of [[lshBucket]] over a FLOAT[] SQL expression: identical
+    * literal sign vectors, identical fold, identical `> 0` threshold —
+    * bucket ids agree bit-for-bit (multiplying by ±1.0 is exact in both
+    * engines, and the addition order matches [[sqlVecDot]]).
+    */
+  def sqlLshBucket(v: String, dim: Int, numPlanes: Int, seed: Long): String = {
+    val terms = (0 until numPlanes).map { p =>
+      val signs = signRow(seed, p, dim)
+        .map(s => if (s > 0) "1" else "-1").mkString("[", ",", "]")
+      val d = sqlVecDot(v, s"CAST($signs AS DOUBLE[])", dim)
+      s"(CASE WHEN $d > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    terms.mkString("(", " + ", ")")
   }
 
   /** ANN via sign-LSH: bucket the corpus, probe the query's bucket plus all
@@ -115,43 +148,63 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Salt of the IVF centroid-sample id-hash (shared with oracle SQL). */
+  val IvfSalt = "ivf"
+
   /** IVF: centroids sampled deterministically from the corpus (the `nCells`
-    * vectors with the smallest id-hash — a TakeOrdered top-k, no global
-    * window), vectors assigned to their nearest centroid via a broadcast
-    * join + map-side `max(struct)` argmax (no corpus shuffle by id), queries
-    * probe the `nProbe` nearest cells.
+    * vectors with the smallest portable id-hash — a TakeOrdered top-k, no
+    * global sort), then collected to the driver. The collect is bounded by
+    * the `nCells` *parameter*, never the corpus, and turns cell assignment
+    * into a literal projection: per row, an `array_max` argmax over the
+    * nCells `vec_dot`s against literal centroid vectors — genuinely
+    * map-only, zero joins and zero shuffles between the corpus scan and its
+    * cell id. Queries probe the `nProbe` nearest cells.
     */
+  /** The deterministic centroid sample: the `nCells` corpus vectors with the
+    * smallest portable id-hash (TakeOrdered — no global sort), collected to
+    * the driver. Bounded by the `nCells` parameter, never the corpus.
+    */
+  def centroidSample(corpus: DataFrame, nCells: Int): Array[(Long, Array[Float])] =
+    corpus
+      .orderBy(graft.Portable.hash32(col("vec_id").cast("string"), IvfSalt),
+        col("vec_id"))
+      .limit(nCells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** (score, cell_id) structs for every centroid — `array_max` over these is
+    * the lexicographic argmax: best score, ties to the larger cell_id.
+    */
+  def cellScores(vec: Column, cents: Array[(Long, Array[Float])]): Column =
+    array(cents.map { case (id, v) =>
+      struct(graft.functions.GraftFunctions.vec_dot(vec, typedlit(v)).as("s"),
+        lit(id).as("cell_id"))
+    }: _*)
+
+  /** Nearest-centroid id as ONE projection expression — the map-only cell
+    * assignment (no join, no shuffle between the scan and the cell id).
+    */
+  def assignCell(vec: Column, cents: Array[(Long, Array[Float])]): Column =
+    array_max(cellScores(vec, cents)).getField("cell_id")
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val centroids = corpus
-      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(nCells)
-      .select(col("vec_id").as("cell_id"),
-        col("embedding").as("cell_vec"))
-    // corpus→cell: argmax over ≤nCells scores, computed per row inside one
-    // projection (scores array → max struct), so assignment is map-only.
+    val cents = centroidSample(corpus, nCells)
     val c = spread(corpus)
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_vec"))
-      .join(broadcast(centroids))
-      .groupBy(col("neighbor_id"))
-      .agg(
-        first(col("c_vec")).as("c_vec"),
-        max(struct(
-          graft.functions.GraftFunctions.vec_dot(col("c_vec"), col("cell_vec"))
-            .as("s"),
-          col("cell_id").as("cell_id"))).as("best"))
-      .select(col("neighbor_id"), col("c_vec"),
-        col("best.cell_id").as("cell_id"))
+      .withColumn("cell_id", assignCell(col("c_vec"), cents))
     val qw = Window.partitionBy(col("query_id"))
       .orderBy(col("cell_score").desc, col("cell_id"))
     val q = queries
       .select(col("vec_id").as("query_id"),
-        col("embedding").as("q_vec"))
-      .join(broadcast(centroids))
-      .withColumn("cell_score",
-        graft.functions.GraftFunctions.vec_dot(col("q_vec"), col("cell_vec")))
+        col("embedding").as("q_vec"),
+        explode(cellScores(col("embedding"), cents)).as("cell"))
+      .select(col("query_id"), col("q_vec"),
+        col("cell.cell_id").as("cell_id"),
+        col("cell.s").as("cell_score"))
       .withColumn("cell_rank", row_number().over(qw))
       .filter(col("cell_rank") <= nProbe)
       .select("query_id", "q_vec", "cell_id")
@@ -168,15 +221,22 @@ object Similarity {
   }
 
   /** Top near-duplicate pairs across the whole corpus by exact cosine —
-    * all-pairs; for bounded inputs and verification (the subquadratic path
-    * is LSH/IVF above).
+    * all-pairs by declared intent: the exact verification primitive for
+    * bounded inputs (the subquadratic near-dup paths are LSH/IVF above).
+    * No broadcast hint: a corpus-proportional broadcast would OOM executors
+    * at scale, so join strategy is left to the planner — small corpora
+    * auto-broadcast under the threshold, large ones fall back to a
+    * partitioned nested-loop that spills instead of exploding.
     */
   def topPairs(corpus: DataFrame, topN: Int): DataFrame = {
+    // spread BOTH sides: the planner picks the build side itself, and the
+    // streamed side of a nested-loop join inherits input partitioning — a
+    // single-file corpus would otherwise serialize all O(n²) work on one task
     val a = spread(corpus).select(col("vec_id").as("id_a"),
       asDouble(col("embedding")).as("vec_a"))
-    val b = corpus.select(col("vec_id").as("id_b"),
+    val b = spread(corpus).select(col("vec_id").as("id_b"),
       asDouble(col("embedding")).as("vec_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    a.join(b, col("id_a") < col("id_b"))
       .withColumn("score", dot(col("vec_a"), col("vec_b")))
       .select("id_a", "id_b", "score")
       .orderBy(col("score").desc, col("id_a"), col("id_b"))

@@ -108,8 +108,9 @@ object TextAnalysis {
     val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(df_, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",
+        // scale-0 round quantization — portable, unlike round(x, 6)
         round((col("tc") / col("n_words")) *
-          log(col("n_docs") / col("df")), 6))
+          log(col("n_docs") / col("df")) * 1e6) / 1e6)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rk", row_number().over(w))

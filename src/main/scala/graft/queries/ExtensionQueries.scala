@@ -34,8 +34,10 @@ object ExtensionQueries {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("jaccard"))
       .orderBy("id_a", "id_b")
 
-  /** Generated from the same `n` the Spark call uses (and with the same
-    * short-document fallback), so the two sides cannot drift.
+  /** Generated from the same `n` and [[Dedup.DfCap]] the Spark call uses
+    * (and with the same short-document fallback), so the two sides cannot
+    * drift: the identical inverted-index shape — explode shingles, drop the
+    * over-cap stop set, equi-join on (block, shingle), count per pair.
     */
   private def neardupJaccardSql(n: Int): String =
     s"""WITH w AS (
@@ -44,15 +46,26 @@ object ExtensionQueries {
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, lang, lb, ${Dedup.sqlShingles("w", n)} AS s FROM w),
+      |sz AS (SELECT doc_id, len(s) AS ns FROM sh),
+      |ex AS (SELECT lang, lb, doc_id, unnest(s) AS tok FROM sh),
+      |stop AS (SELECT lang, tok FROM (
+      |    SELECT lang, tok, count(*) AS f FROM ex GROUP BY lang, tok)
+      |  WHERE f > ${Dedup.DfCap}),
+      |exf AS (SELECT ex.lang, ex.lb, ex.doc_id, ex.tok
+      |  FROM ex ANTI JOIN stop
+      |    ON ex.lang = stop.lang AND ex.tok = stop.tok),
       |p AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    len(list_intersect(a.s, b.s)) AS n_inter,
-      |    len(a.s) AS na, len(b.s) AS nb
-      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |    AND abs(a.lb - b.lb) <= 1)
-      |SELECT id_a, id_b, CAST(n_inter AS INTEGER) AS n_inter,
-      |  n_inter / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
-      |FROM p WHERE n_inter / CAST(na + nb - n_inter AS DOUBLE) >= 0.25e0
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM exf a JOIN exf b ON a.lang = b.lang AND a.tok = b.tok
+      |    AND a.doc_id < b.doc_id AND abs(a.lb - b.lb) <= 1
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT id_a, id_b, n_inter,
+      |    n_inter / CAST(sa.ns + sb.ns - n_inter AS DOUBLE) AS jaccard
+      |  FROM p JOIN sz sa ON sa.doc_id = id_a
+      |    JOIN sz sb ON sb.doc_id = id_b)
+      |SELECT id_a, id_b, CAST(n_inter AS INTEGER) AS n_inter, jaccard
+      |FROM j WHERE jaccard >= 0.25e0
       |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash+LSH near-dup (subquadratic path) — portable affine hash family,
@@ -117,8 +130,11 @@ object ExtensionQueries {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
-  /** Sign-LSH ANN — rows-only (bucket ids from Spark's xxhash64); recall vs
-    * brute force is asserted in SimilaritySpec on planted clusters.
+  /** Sign-LSH ANN — literal ±1 hyperplanes from the portable sign family,
+    * scored by the codegen'd `vec_dot`; the oracle replays the identical
+    * planes and fold in DuckDB, so bucket ids and scores agree bit-for-bit.
+    * Recall vs brute force is additionally asserted in SimilaritySpec on
+    * planted clusters.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val em = Tables.embeddings(spark, dir)
@@ -126,11 +142,83 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** IVF ANN — rows-only (centroid sample keyed by xxhash64). */
+  /** Generated from the same constants as [[annLsh]] (dim=64, numPlanes=12,
+    * probeRadius=1, seed=42, k=5) so the two sides cannot drift.
+    */
+  private val annLshSql: String = {
+    val dim = 64; val numPlanes = 12; val seed = 42L; val k = 5
+    val bucket = Similarity.sqlLshBucket("embedding", dim, numPlanes, seed)
+    val flips = (0L +: (0 until numPlanes).map(p => 1L << p))
+      .map(f => s"($f)").mkString(",")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding AS v, $bucket AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS q_vec, bucket AS q_bucket
+       |  FROM b WHERE vec_id < 8),
+       |probes AS (
+       |  SELECT query_id, q_vec, xor(q_bucket, CAST(f AS BIGINT)) AS bucket
+       |  FROM q CROSS JOIN (VALUES $flips) t(f)),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+       |    ${Similarity.sqlVecDot("p.q_vec", "c.v", dim)} AS score
+       |  FROM probes p JOIN b c ON p.bucket = c.bucket
+       |    AND p.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** IVF ANN — deterministic centroid sample by portable id-hash, literal
+    * map-only cell assignment; the oracle replays the same sample, argmax
+    * tie-breaks, and dot fold in DuckDB.
+    */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val em = Tables.embeddings(spark, dir)
     Similarity.ivfTopK(em, em.filter(col("vec_id") < 8), 5)
       .orderBy("query_id", "rank")
+  }
+
+  /** Generated from the same constants as [[annIvf]] (nCells=16, nProbe=4,
+    * k=5, dim=64). Assignment tie-breaks DESC on cell_id (Spark's
+    * `array_max` over (score, cell_id) structs is lexicographic); probe
+    * ranks ASC on cell_id (explicit window order).
+    */
+  private val annIvfSql: String = {
+    val dim = 64; val nCells = 16; val nProbe = 4; val k = 5
+    val idHash = graft.Portable.sqlHash32(
+      "CAST(vec_id AS VARCHAR)", Similarity.IvfSalt)
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cell_id, v AS cell_vec FROM e
+       |  ORDER BY $idHash, vec_id LIMIT $nCells),
+       |ascore AS (
+       |  SELECT e.vec_id AS neighbor_id, e.v AS c_vec, c.cell_id,
+       |    ${Similarity.sqlVecDot("e.v", "c.cell_vec", dim)} AS s
+       |  FROM e CROSS JOIN cent c),
+       |assign AS (SELECT neighbor_id, c_vec, cell_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY s DESC, cell_id DESC) AS rk
+       |    FROM ascore) WHERE rk = 1),
+       |qscore AS (
+       |  SELECT e.vec_id AS query_id, e.v AS q_vec, c.cell_id,
+       |    ${Similarity.sqlVecDot("e.v", "c.cell_vec", dim)} AS cell_score
+       |  FROM e CROSS JOIN cent c WHERE e.vec_id < 8),
+       |probe AS (SELECT query_id, q_vec, cell_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cell_score DESC, cell_id) AS rk
+       |    FROM qscore) WHERE rk <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.neighbor_id,
+       |    ${Similarity.sqlVecDot("p.q_vec", "a.c_vec", dim)} AS score
+       |  FROM probe p JOIN assign a ON p.cell_id = a.cell_id
+       |    AND p.query_id <> a.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   // ------------------------------------------------------ text analysis
@@ -330,8 +418,8 @@ object ExtensionQueries {
       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
       |scored AS (
       |  SELECT tf.doc_id, tf.term,
-      |    round((tc / CAST(n_words AS DOUBLE)) * ln(n_docs / CAST(df AS DOUBLE)), 6)
-      |      AS tfidf
+      |    round((tc / CAST(n_words AS DOUBLE)) * ln(n_docs / CAST(df AS DOUBLE))
+      |      * 1e6)/1e6 AS tfidf
       |  FROM tf JOIN idf USING (term) CROSS JOIN n),
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -363,8 +451,8 @@ object ExtensionQueries {
     QueryDef("x04_neardup_simhash", Some(neardupSimhashSql), neardupSimhash),
     QueryDef("x05_embed_top_pairs", Some(embedTopPairsSql), embedTopPairs),
     QueryDef("x06_ann_brute_force", Some(annBruteForceSql), annBruteForce),
-    QueryDef("x07_ann_lsh", None, annLsh),
-    QueryDef("x08_ann_ivf", None, annIvf),
+    QueryDef("x07_ann_lsh", Some(annLshSql), annLsh),
+    QueryDef("x08_ann_ivf", Some(annIvfSql), annIvf),
     QueryDef("x09_lang_id", Some(langIdSql), langId),
     QueryDef("x10_quality_scores", Some(qualityScoresSql), qualityScores),
     QueryDef("x11_token_stats", Some(tokenStatsSql), tokenStats),

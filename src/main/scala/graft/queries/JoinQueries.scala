@@ -137,7 +137,8 @@ object JoinQueries {
         first(col("event_id")).over(frame).as("first_event"),
         last(col("event_id")).over(frame).as("last_event"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"))
+        // scale-0 round quantization — portable, unlike round(x, 6)
+        (round(percent_rank().over(w) * 1e6) / 1e6).as("pct_rank"))
       .orderBy("user_id", "event_id")
   }
 
@@ -154,8 +155,8 @@ object JoinQueries {
       |   AS last_event,
       | CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |   AS INTEGER) AS quartile,
-      | round(percent_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id),
-      |   6) AS pct_rank
+      | round(percent_rank() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |   * 1e6)/1e6 AS pct_rank
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 

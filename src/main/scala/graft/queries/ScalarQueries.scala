@@ -161,12 +161,15 @@ object ScalarQueries {
       .select(col("l_returnflag"),
         posexplode(col("ps")).as(Seq("q_idx", "q_value")))
       .select(col("l_returnflag"), col("q_idx"),
-        round(col("q_value"), 6).as("q_value"))
+        // quantize, don't round(x, 6): Spark's scale-k round (BigDecimal
+        // HALF_UP) and DuckDB's (multiply-then-std::round) can diverge near
+        // .5 boundaries; scale-0 round is identical in both engines
+        (round(col("q_value") * 1e6) / 1e6).as("q_value"))
       .orderBy("l_returnflag", "q_idx")
 
   private val quantityPercentilesSql =
     """SELECT l_returnflag, CAST(u.i - 1 AS INTEGER) AS q_idx,
-      | round(u.q, 6) AS q_value
+      | round(u.q * 1e6)/1e6 AS q_value
       |FROM (
       |  SELECT l_returnflag,
       |    quantile_cont(l_quantity, [0.25e0, 0.5e0, 0.75e0]) AS ps

@@ -99,7 +99,8 @@ object WindQueries {
         col("pos").cast("long").as("pos"),
         col("lat"), col("lon"), col("u"), col("v"),
         col("speed"),
-        round(col("direction"), 6).as("direction"))
+        // scale-0 round quantization — portable, unlike round(x, 6)
+        (round(col("direction") * 1e6) / 1e6).as("direction"))
       .orderBy("pos")
 
   private val windVectorsBboxSql =
@@ -119,7 +120,8 @@ object WindQueries {
        |v AS (SELECT pos, value AS v FROM geo WHERE parameter = 3)
        |SELECT u.pos, u.lat, u.lon, u.u, v.v,
        |  sqrt(u.u*u.u + v.v*v.v) AS speed,
-       |  round(fmod(degrees(atan2(-u.u, -v.v)) + 360e0, 360e0), 6) AS direction
+       |  round(fmod(degrees(atan2(-u.u, -v.v)) + 360e0, 360e0) * 1e6)/1e6
+       |    AS direction
        |FROM u JOIN v ON u.pos = v.pos
        |ORDER BY u.pos""".stripMargin
 

@@ -23,6 +23,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got("l4") == None)        // no right rows for key 2
   }
 
+  test("carried columns are atomic: a NULL field never backfills from an older right row") {
+    // right row at t=7 matches, and its `v` is legitimately NULL — the
+    // older t=3 row's "stale" must NOT leak into the carried output
+    val left = Seq((1L, t(9), "l9")).toDF("k", "ts", "tag")
+    val right = Seq(
+        (1L, t(3), Option("stale"), Option("u3")),
+        (1L, t(7), Option.empty[String], Option("u7")))
+      .toDF("k", "rts", "v", "u")
+    val got = AsOfJoin.backward(left, right, "k", "ts", "rts", Seq("v", "u"))
+      .select("asof_v", "asof_u").collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(0), s"NULL field mixed from older row: ${got(0)}")
+    assert(got(0).getString(1) == "u7")
+  }
+
   test("left rows before any right row get null") {
     val left = Seq((1L, t(1), "early")).toDF("k", "ts", "tag")
     val right = Seq((1L, t(9), "late")).toDF("k", "rts", "v")

@@ -88,6 +88,25 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${hits}/${exact.size}")
   }
 
+  test("IVF cell assignment is map-only: no exchange between scan and cell id") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ivfplan").toString
+    clustered(10).write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val cents = Similarity.centroidSample(corpus, 8)
+    assert(cents.length == 8)
+    val assigned = corpus.withColumn("cell_id",
+      Similarity.assignCell(col("embedding"), cents))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"cell assignment must be a pure projection:\n$plan")
+    // codegen shows as `*(n)` stage markers in treeString
+    assert(plan.contains("*(1) Project"), plan)
+    // every row gets a cell, and cells are among the sampled centroid ids
+    val cellIds = cents.map(_._1).toSet
+    assert(assigned.collect().forall(r => cellIds(r.getAs[Long]("cell_id"))))
+  }
+
   test("topPairs finds the tightest cluster pairs first") {
     val data = clustered(5)
     val pairs = Similarity.topPairs(data, 10).collect()
