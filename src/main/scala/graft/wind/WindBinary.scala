@@ -4,46 +4,30 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The raw-GRIB2 ingest path (SURVEY §2.1 S1/S2 binary leg): land `.grb2`
-  * blobs, read them with the `binaryFile` source, decode per partition.
+  * blobs, read them with the `binaryFile` source, decode per partition with
+  * the in-engine [[Grib2]] parser.
   *
-  * The reference shells out to grib2json for the decode
-  * (`converter.py:49-53`) and its repo strips the sample blob
-  * (`.MISSING_LARGE_BLOBS:1`), so — exactly like [[graft.ops.Multimodal]] —
-  * the *decoder* is a clearly-marked STUB while the Spark plumbing (source
-  * format, partition-parallel decode, schema contract with the JSON leg) is
-  * real and tested. Swapping in a real GRIB2 parser (or re-wiring to the
-  * external grib2json step) changes only `StubGribCodec.decode`.
+  * The reference shells out to grib2json for this step
+  * (`converter.py:49-53`) — one forked JVM per file on one node. Here the
+  * decode is a pure function running inside the executors
+  * (iterator→iterator `mapPartitions`, payloads never shuffle), so a
+  * thousand-file GFS drop decodes with full cluster parallelism, and the
+  * reference's pre-decode parameter filters (`--fp/--fv`) become a
+  * [[Grib2.Key]] predicate pushed *below* bit-unpacking: rejected messages
+  * cost section walks, not grid-point decodes.
   */
 object WindBinary {
 
   case class RawGrib(path: String, payload: Array[Byte])
 
   /** One decoded GRIB2 message in the same shape as the JSON landing leg
-    * (subset of the 48-field header that the stub can derive).
+    * (subset of the 48-field header derivable from the binary sections).
     */
   case class GribMessage(
-      parameterNumber: Int, refTime: String, forecastTime: Int,
+      discipline: Int, parameterCategory: Int, parameterNumber: Int,
+      refTime: String, forecastTime: Int,
       nx: Int, ny: Int, la1: Double, lo1: Double, dx: Double, dy: Double,
       data: Array[Double])
-
-  /** ===== STUB boundary ===== deterministic fake decode: message count and
-    * values derived from the bytes. A real implementation parses GRIB2
-    * sections here.
-    */
-  object StubGribCodec {
-    def decode(blob: RawGrib): Iterator[GribMessage] = {
-      val n = blob.payload.length
-      Iterator(2, 3).map { param =>
-        GribMessage(
-          parameterNumber = param,
-          refTime = "2020-08-12T06:00:00.000Z",
-          forecastTime = 6,
-          nx = 8, ny = 4, la1 = 90.0, lo1 = 0.0, dx = 1.0, dy = 1.0,
-          data = Array.tabulate(32)(i =>
-            ((blob.payload((i + param) % math.max(n, 1)) & 0xFF) - 128) / 10.0))
-      }
-    }
-  }
 
   /** Read a directory of `.grb2` blobs via the binaryFile source. */
   def readBlobs(spark: SparkSession, dir: String): Dataset[RawGrib] = {
@@ -55,18 +39,22 @@ object WindBinary {
       .as[RawGrib]
   }
 
-  /** Partition-parallel decode: iterator→iterator, blobs never shuffle. */
-  def decode(blobs: Dataset[RawGrib]): DataFrame = {
+  /** Partition-parallel decode: iterator→iterator, blobs never shuffle.
+    * `keep` is the decode-time parameter pushdown ([[Grib2.decode]]).
+    */
+  def decode(blobs: Dataset[RawGrib],
+             keep: Grib2.Key => Boolean = _ => true): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
-    blobs.mapPartitions(_.flatMap(StubGribCodec.decode)).toDF()
+    blobs.mapPartitions(_.flatMap(b => Grib2.decode(b.payload, keep))).toDF()
   }
 
   /** Full binary leg: blobs → decoded messages in the storage shape, ready
     * for [[WindIngest.stampRecordedTime]] → [[WindStore.upsert]].
     */
-  def ingest(spark: SparkSession, dir: String): DataFrame = {
-    val decoded = decode(readBlobs(spark, dir))
+  def ingest(spark: SparkSession, dir: String,
+             keep: Grib2.Key => Boolean = _ => true): DataFrame = {
+    val decoded = decode(readBlobs(spark, dir), keep)
     decoded.select(
       struct(decoded.columns.filter(_ != "data").map(col): _*).as("header"),
       lit(null).cast("string").as("recordedTime"),

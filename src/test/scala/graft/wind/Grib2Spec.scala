@@ -1,0 +1,95 @@
+package graft.wind
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decoder unit tests: encode with [[Grib2TestWriter]] (written against the
+  * WMO octet tables, not against the parser) and decode with [[Grib2]].
+  */
+class Grib2Spec extends AnyFunSuite {
+
+  private def msg(
+      number: Int = 2, category: Int = 2, discipline: Int = 0,
+      r: Float = 0f, e: Int = 0, d: Int = 0, nbits: Int = 10,
+      m: Array[Long] = Array.tabulate(32)(_.toLong),
+      la1Micro: Long = 90000000L) =
+    Grib2TestWriter.Msg(
+      discipline = discipline, category = category, number = number,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 4,
+      la1Micro = la1Micro, lo1Micro = 0L,
+      dxMicro = 1000000L, dyMicro = 1000000L,
+      r = r, e = e, d = d, nbits = nbits, m = m)
+
+  test("round-trip: header fields and exact values (E=0, D=0)") {
+    val vals = Array.tabulate(32)(i => (i * 17 % 1000).toLong)
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      r = -100f, m = vals)))
+    assert(decoded.length == 1)
+    val g = decoded.head
+    assert(g.discipline == 0 && g.parameterCategory == 2 &&
+      g.parameterNumber == 2)
+    assert(g.refTime == "2020-08-12T06:00:00.000Z")
+    assert(g.forecastTime == 6)
+    assert(g.nx == 8 && g.ny == 4)
+    assert(g.la1 == 90.0 && g.lo1 == 0.0 && g.dx == 1.0 && g.dy == 1.0)
+    // R + M·2^0 / 10^0 with integer M and exactly-representable R
+    assert(g.data.toSeq == vals.map(_ - 100.0).toSeq)
+  }
+
+  test("binary and decimal scale factors apply (R + M·2^E)/10^D") {
+    // E=-2 → quarter steps; D=1 → divide by 10; both sign-magnitude on wire
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      r = 8f, e = -2, d = 1, m = Array(0L, 1L, 2L, 7L), nbits = 3)))
+    assert(decoded.head.data.toSeq ==
+      Seq(0.8, (8 + 0.25) / 10, (8 + 0.5) / 10, (8 + 1.75) / 10))
+  }
+
+  test("sign-magnitude negative latitude decodes (not two's complement)") {
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      la1Micro = -45500000L)))
+    assert(decoded.head.la1 == -45.5)
+  }
+
+  test("nbits=0 encodes a constant field of R") {
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      r = 3.5f, nbits = 0, m = Array.fill(32)(0L))))
+    assert(decoded.head.data.toSeq == Seq.fill(32)(3.5))
+  }
+
+  test("multi-message files decode in order") {
+    val payload = Grib2TestWriter.file(msg(number = 2), msg(number = 3))
+    val decoded = Grib2.decode(payload)
+    assert(decoded.map(_.parameterNumber) == Seq(2, 3))
+  }
+
+  test("parameter filter skips messages before bit-unpacking") {
+    val payload = Grib2TestWriter.file(
+      msg(number = 2), msg(number = 3), msg(category = 0, number = 0))
+    val u = Grib2.decode(payload, k => k.number == 2 && k.category == 2)
+    assert(u.map(_.parameterNumber) == Seq(2))
+    val wind = Grib2.decode(payload, Grib2.WindKeys)
+    assert(wind.map(_.parameterNumber) == Seq(2, 3))
+  }
+
+  test("garbage and truncated payloads fail loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      Grib2.decode("definitely not a grib file".getBytes)
+    }
+    val good = Grib2TestWriter.message(msg())
+    intercept[IllegalArgumentException] {
+      Grib2.decode(good.dropRight(8)) // truncated: length check fires
+    }
+    intercept[IllegalArgumentException] {
+      Grib2.decode(good.take(good.length - 4) ++ "xxxx".getBytes) // no 7777
+    }
+  }
+
+  test("unpackBits reads MSB-first across byte boundaries") {
+    // 3 values × 12 bits = 36 bits: 0xABC, 0x123, 0xFFF
+    val packed = Grib2TestWriter.message(msg(
+      nbits = 12, m = Array(0xABCL, 0x123L, 0xFFFL, 0L) ++ Array.fill(28)(0L)))
+    val decoded = Grib2.decode(packed)
+    assert(decoded.head.data.take(3).toSeq ==
+      Seq(0xABC.toDouble, 0x123.toDouble, 0xFFF.toDouble))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.wind
+
+import java.io.ByteArrayOutputStream
+
+/** Test-side GRIB2 *encoder*: builds spec-conformant edition-2 messages
+  * (templates 3.0 / 4.0 / 5.0, no bitmap) so the decoder can be
+  * round-trip-tested without any sample blob (the reference strips its own:
+  * `.MISSING_LARGE_BLOBS:1`). Every octet offset here mirrors the WMO
+  * layout [[Grib2]] parses — the two are written against the same tables,
+  * not against each other.
+  */
+object Grib2TestWriter {
+
+  final case class Msg(
+      discipline: Int, category: Int, number: Int,
+      year: Int, month: Int, day: Int, hour: Int,
+      forecastHours: Int,
+      nx: Int, ny: Int,
+      la1Micro: Long, lo1Micro: Long, dxMicro: Long, dyMicro: Long,
+      r: Float, e: Int, d: Int, nbits: Int, m: Array[Long])
+
+  private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def w32(v: Long): Unit = { w16((v >> 16).toInt); w16(v.toInt) }
+    def w64(v: Long): Unit = { w32(v >> 32); w32(v) }
+    /** GRIB sign-magnitude encodings (top bit = sign). */
+    def s16(v: Int): Unit = w16(if (v < 0) 0x8000 | -v else v)
+    def s32(v: Long): Unit = w32(if (v < 0) 0x80000000L | -v else v)
+    def f32(v: Float): Unit = w32(java.lang.Float.floatToIntBits(v) & 0xffffffffL)
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  /** MSB-first fixed-width bit packing (inverse of `Grib2.unpackBits`). */
+  private def packBits(values: Array[Long], nbits: Int): Array[Byte] = {
+    val nBytes = (values.length * nbits + 7) / 8
+    val out = new Array[Byte](nBytes)
+    var bitPos = 0
+    values.foreach { v =>
+      var k = nbits - 1
+      while (k >= 0) {
+        if (((v >> k) & 1L) != 0)
+          out(bitPos >> 3) = (out(bitPos >> 3) | (1 << (7 - (bitPos & 7)))).toByte
+        bitPos += 1
+        k -= 1
+      }
+    }
+    out
+  }
+
+  private def section(num: Int)(body: W => Unit): Array[Byte] = {
+    val b = new W
+    body(b)
+    val payload = b.bytes
+    val w = new W
+    w.w32(payload.length + 5)
+    w.w8(num)
+    w.out.write(payload)
+    w.bytes
+  }
+
+  def message(msg: Msg): Array[Byte] = {
+    val s1 = section(1) { w =>
+      w.w16(7)             // originating centre (NCEP)
+      w.w16(0)             // subcentre
+      w.w8(2); w.w8(1)     // master / local table versions
+      w.w8(1)              // significance of reference time: start of forecast
+      w.w16(msg.year); w.w8(msg.month); w.w8(msg.day)
+      w.w8(msg.hour); w.w8(0); w.w8(0)
+      w.w8(0); w.w8(1)     // production status, type of data
+    }
+    val s3 = section(3) { w =>
+      w.w8(0)                         // source of grid definition
+      w.w32(msg.nx.toLong * msg.ny)   // number of data points
+      w.w8(0); w.w8(0)                // no optional list
+      w.w16(0)                        // template 3.0: regular lat/lon
+      w.w8(6)                         // shape of earth
+      w.w8(0); w.w32(0)               // radius scale factor + value
+      w.w8(0); w.w32(0)               // major axis
+      w.w8(0); w.w32(0)               // minor axis
+      w.w32(msg.nx); w.w32(msg.ny)    // Ni, Nj
+      w.w32(0); w.w32(0)              // basic angle + subdivisions
+      w.s32(msg.la1Micro); w.w32(msg.lo1Micro) // La1, Lo1
+      w.w8(48)                        // resolution/component flags
+      w.s32(msg.la1Micro - (msg.ny - 1) * msg.dyMicro) // La2
+      w.w32(msg.lo1Micro + (msg.nx - 1) * msg.dxMicro) // Lo2
+      w.w32(msg.dxMicro); w.w32(msg.dyMicro)   // Di, Dj
+      w.w8(0)                         // scanning mode: +i, -j
+    }
+    val s4 = section(4) { w =>
+      w.w16(0)            // no coordinate values
+      w.w16(0)            // template 4.0
+      w.w8(msg.category); w.w8(msg.number)
+      w.w8(2)             // generating process: forecast
+      w.w8(0); w.w8(96)   // background / analysis process ids
+      w.w16(0); w.w8(0)   // observational cutoff
+      w.w8(1)             // time unit: hour
+      w.w32(msg.forecastHours)
+      w.w8(103); w.w8(0); w.w32(10) // first surface: 10 m above ground
+      w.w8(255); w.w8(0); w.w32(0)  // second surface: missing
+    }
+    val s5 = section(5) { w =>
+      w.w32(msg.m.length)
+      w.w16(0)            // template 5.0: simple packing
+      w.f32(msg.r); w.s16(msg.e); w.s16(msg.d)
+      w.w8(msg.nbits)
+      w.w8(0)             // original field type: float
+    }
+    val s6 = section(6)(_.w8(255)) // no bitmap
+    val s7 = section(7)(_.out.write(packBits(msg.m, msg.nbits)))
+
+    val body = Array(s1, s3, s4, s5, s6, s7).flatten
+    val w = new W
+    w.out.write("GRIB".getBytes("US-ASCII"))
+    w.w16(0)
+    w.w8(msg.discipline)
+    w.w8(2)                          // edition
+    w.w64(16L + body.length + 4)     // total message length
+    w.out.write(body)
+    w.out.write("7777".getBytes("US-ASCII"))
+    w.bytes
+  }
+
+  /** Concatenate messages into one multi-message file payload. */
+  def file(msgs: Msg*): Array[Byte] = msgs.toArray.flatMap(message)
+}

@@ -6,14 +6,27 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** The Spark side of the binary leg: binaryFile source, partition-parallel
+  * decode with the real [[Grib2]] codec, schema contract with the JSON leg.
+  */
 class WindBinarySpec extends SparkSpec {
+
+  private def uv(cycleHour: Int): Array[Byte] = {
+    def m(number: Int) = Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = number,
+      year = 2020, month = 8, day = 12, hour = cycleHour, forecastHours = 6,
+      nx = 8, ny = 4,
+      la1Micro = 90000000L, lo1Micro = 0L,
+      dxMicro = 1000000L, dyMicro = 1000000L,
+      r = -100f, e = 0, d = 0, nbits = 10,
+      m = Array.tabulate(32)(i => ((i * 7 + number) % 200).toLong))
+    Grib2TestWriter.file(m(2), m(3))
+  }
 
   private def landBlobs(dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(s"$dir/cycle1.grb2"),
-      Array.tabulate[Byte](256)(i => (i * 7).toByte))
-    Files.write(Paths.get(s"$dir/cycle2.grb2"),
-      Array.tabulate[Byte](512)(i => (i * 3).toByte))
+    Files.write(Paths.get(s"$dir/cycle1.grb2"), uv(6))
+    Files.write(Paths.get(s"$dir/cycle2.grb2"), uv(6))
     Files.write(Paths.get(s"$dir/ignored.txt"), "not a grib".getBytes)
   }
 
@@ -22,7 +35,6 @@ class WindBinarySpec extends SparkSpec {
     landBlobs(dir)
     val blobs = WindBinary.readBlobs(spark, dir).collect()
     assert(blobs.length == 2)
-    assert(blobs.map(_.payload.length).sorted.toSeq == Seq(256, 512))
   }
 
   test("decode emits U+V messages per blob; stamping works downstream") {
@@ -39,6 +51,27 @@ class WindBinarySpec extends SparkSpec {
     val times = stamped.select(col("recordedTime")).distinct().collect()
     assert(times.length == 1)
     assert(times(0).getString(0) == "2020-08-12 12:00:00+00")
+  }
+
+  test("decoded values survive the leg exactly (R + M, E=0, D=0)") {
+    val dir = tmpDir()
+    landBlobs(dir)
+    val first = WindBinary.decode(WindBinary.readBlobs(spark, dir))
+      .filter(col("parameterNumber") === 2)
+      .select(element_at(col("data"), 1), element_at(col("data"), 32))
+      .collect().head
+    assert(first.getDouble(0) == ((0 * 7 + 2) % 200) - 100.0)
+    assert(first.getDouble(1) == ((31 * 7 + 2) % 200) - 100.0)
+  }
+
+  test("parameter pushdown: rejected messages never materialize") {
+    val dir = tmpDir()
+    landBlobs(dir)
+    val uOnly = WindBinary.decode(WindBinary.readBlobs(spark, dir),
+      k => k.category == 2 && k.number == 2)
+    assert(uOnly.select("parameterNumber").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    assert(uOnly.count() == 2)
   }
 
   test("decode is deterministic and partition-parallel") {
