@@ -148,6 +148,60 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Write-side of the LSH story: persist the corpus with its bucket id as
+    * a *partition column*. The bucket is a deterministic pure expression of
+    * the embedding ([[lshBucket]]), so it can be computed once at ingest;
+    * probing then never scans the corpus — it reads only the probed bucket
+    * directories ([[probeBucketed]], partition pruning proven in
+    * SimilaritySpec). This is the ANN analogue of the wind store's
+    * partition-pruned point lookup (Q1).
+    */
+  def writeBucketed(corpus: DataFrame, path: String, dim: Int,
+                    numPlanes: Int = 12, seed: Long = 42L): Unit = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .withColumn("bucket", lshBucket(col("embedding"), dim, numPlanes, seed))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+  }
+
+  /** Probe a [[writeBucketed]] store: compute the query batch's multiprobe
+    * bucket set (driver-side — bounded by |queries|·(numPlanes+1), a batch
+    * parameter, never the corpus), filter the store to those *literal*
+    * buckets so the scan lists only matching partition directories, then
+    * exact-re-rank exactly like [[lshTopK]] — identical results, corpus
+    * scan replaced by a pruned read.
+    */
+  def probeBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, dim: Int,
+                    numPlanes: Int = 12, probeRadius: Int = 1,
+                    seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val flips: Seq[Long] = 0L +: (if (probeRadius >= 1)
+      (0 until numPlanes).map(p => 1L << p) else Seq())
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_vec"),
+      lshBucket(col("embedding"), dim, numPlanes, seed).as("q_bucket"))
+      .withColumn("bucket",
+        explode(transform(lit(flips.toArray),
+          f => col("q_bucket").bitwiseXOR(f))))
+    val probeSet = q.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val c = spark.read.parquet(path)
+      .filter(col("bucket").isin(probeSet: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"), col("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        graft.functions.GraftFunctions.vec_dot(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "score").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Salt of the IVF centroid-sample id-hash (shared with oracle SQL). */
   val IvfSalt = "ivf"
 

@@ -107,6 +107,39 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.collect().forall(r => cellIds(r.getAs[Long]("cell_id"))))
   }
 
+  test("bucketed LSH store: probe prunes partitions and matches lshTopK exactly") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val data = clustered(10)
+    val queries = data.filter(col("vec_id") < 8)
+    val path = java.nio.file.Files.createTempDirectory("lshstore").toString + "/b"
+    Similarity.writeBucketed(data, path, dim = dim, numPlanes = 10)
+    // partition pruning: a single-query, radius-0 probe must list ONLY that
+    // query's bucket directory (sparkPlan, not executedPlan — AQE wraps the
+    // latter before execution)
+    val one = Similarity.probeBucketed(spark, path,
+      queries.filter(col("vec_id") === 0), 1,
+      dim = dim, numPlanes = 10, probeRadius = 0)
+    val scan = one.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.mkString(";").contains("bucket"),
+      scan.partitionFilters.mkString(";"))
+    val totalParts = spark.read.parquet(path)
+      .select("bucket").distinct().count()
+    val readParts = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).length
+    assert(readParts == 1 && totalParts > 1,
+      s"probe read $readParts of $totalParts partitions — no pruning")
+    // identical results to the scan-everything lshTopK on the same params
+    val probed = Similarity.probeBucketed(spark, path, queries, 1,
+      dim = dim, numPlanes = 10, probeRadius = 1)
+    val direct = Similarity.lshTopK(data, queries, 1, dim = dim,
+        numPlanes = 10, probeRadius = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStore = probed.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStore == direct)
+  }
+
   test("topPairs finds the tightest cluster pairs first") {
     val data = clustered(5)
     val pairs = Similarity.topPairs(data, 10).collect()
