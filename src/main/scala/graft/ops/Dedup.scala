@@ -87,17 +87,17 @@ object Dedup {
     val sizes = base.select(col("doc_id"), size(col("sh")).as("nsh"))
     val ex = base.select(col("block"), col("lb"), col("doc_id"),
       explode(col("sh")).as("s"))
-    // df-cutoff: one partial-agg pass (map-side combine — shuffles one row
-    // per distinct (block, shingle), not per occurrence) finds the over-cap
-    // stop set, which is anti-joined away. The stop set is tiny by
-    // construction (only shingles hot enough to break the cap), so AQE
-    // broadcasts the anti-join at runtime; no hint — it is an aggregate
-    // whose size the planner should judge, not us.
-    val stop = ex.groupBy(col("block"), col("s"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap)
-      .select(col("block"), col("s"))
-    val exf = ex.join(stop, Seq("block", "s"), "left_anti")
+    // df-cutoff as a window count over the SAME (block, shingle) hash
+    // partitioning the self-join requires: the one shuffle does double duty
+    // (df filter + join co-location, no separate aggregation branch
+    // re-shingling the corpus, and AQE reuses the stage across the two join
+    // sides). ex is distinct per doc, so count(*) over (block, s) IS the
+    // document frequency.
+    val exf = ex
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("block"), col("s"))))
+      .filter(col("df") <= dfCap)
     val l = exf.select(col("block"), col("s"), col("doc_id").as("id_a"),
       col("lb").as("lb_a"))
     val r = exf.select(col("block").as("block_b"), col("s").as("s_b"),
