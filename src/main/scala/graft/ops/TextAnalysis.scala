@@ -25,12 +25,15 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "了", "在", "和"))
 
   /** Per-language stopword hit counts (occurrence-based: every token
-    * occurrence counts, not just distinct membership).
+    * occurrence counts, not just distinct membership). Membership test is
+    * `isInCollection` (Catalyst `In` over literals) rather than
+    * `array_contains(array(...))` — the latter rebuilds the literal array on
+    * every lambda evaluation in the interpreted higher-order path (~35%
+    * slower measured at sf0.1).
     */
   def stopwordHits(text: Column): Seq[(String, Column)] =
     stopwords.map { case (lang, ws) =>
-      lang -> size(filter(words(text),
-        w => array_contains(array(ws.map(lit): _*), w)))
+      lang -> size(filter(words(text), w => w.isInCollection(ws)))
     }
 
   /** N-gram-heuristic language ID: argmax of stopword hits, ties broken by
