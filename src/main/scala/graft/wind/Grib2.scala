@@ -92,9 +92,15 @@ object Grib2 {
     * Messages whose [[Key]] fails `keep` are *skipped before bit-unpacking*
     * — their sections are only walked by length, so a parameter filter costs
     * O(sections) instead of O(grid points) per rejected message.
+    *
+    * `withData = false` is projection pushdown's hook: headers decode but
+    * grid points are never unpacked (`data` comes back empty) — a
+    * metadata-only query over a GRIB archive reads section bytes, not
+    * values.
     */
   def decode(payload: Array[Byte],
-             keep: Key => Boolean = _ => true): Seq[WindBinary.GribMessage] = {
+             keep: Key => Boolean = _ => true,
+             withData: Boolean = true): Seq[WindBinary.GribMessage] = {
     val out = Vector.newBuilder[WindBinary.GribMessage]
     var off = 0
     while (off < payload.length) {
@@ -165,10 +171,12 @@ object Grib2 {
             require(u8(payload, p + 5) == 255, "bitmapped fields unsupported")
           case 7 => // data — ONLY unpacked when the key survives the filter
             if (keep(Key(discipline, cat, num))) {
-              val twoPowE = math.pow(2, e)
-              val tenPowD = math.pow(10, d)
-              data = unpackBits(payload, p + 5, nData, nbits)
-                .map(m => (r + m * twoPowE) / tenPowD)
+              if (withData) {
+                val twoPowE = math.pow(2, e)
+                val tenPowD = math.pow(10, d)
+                data = unpackBits(payload, p + 5, nData, nbits)
+                  .map(m => (r + m * twoPowE) / tenPowD)
+              } else data = Array.emptyDoubleArray
             }
           case s => throw new IllegalArgumentException(s"unknown section $s")
         }

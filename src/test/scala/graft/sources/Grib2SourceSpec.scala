@@ -1,0 +1,100 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.wind.{Grib2TestWriter, WindBinary}
+
+/** DataSource V2 connector tests: `format("grib2")` row parity with the
+  * mapPartitions leg, key-filter pushdown (visible in the plan, applied in
+  * the reader), and data-column pruning.
+  */
+class Grib2SourceSpec extends SparkSpec {
+
+  private def m(number: Int, category: Int = 2, hour: Int = 6) =
+    Grib2TestWriter.Msg(
+      discipline = 0, category = category, number = number,
+      year = 2020, month = 8, day = 12, hour = hour, forecastHours = 6,
+      nx = 8, ny = 4,
+      la1Micro = 90000000L, lo1Micro = 0L,
+      dxMicro = 1000000L, dyMicro = 1000000L,
+      r = -100f, e = 0, d = 0, nbits = 10,
+      m = Array.tabulate(32)(i => ((i * 7 + number) % 200).toLong))
+
+  private def land(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/a.grb2"),
+      Grib2TestWriter.file(m(2), m(3), m(0, category = 0)))
+    Files.write(Paths.get(s"$dir/b.grb2"),
+      Grib2TestWriter.file(m(2, hour = 12), m(3, hour = 12)))
+    Files.write(Paths.get(s"$dir/skip.txt"), "not grib".getBytes)
+  }
+
+  test("format(grib2) rows match the mapPartitions decode leg") {
+    val dir = tmpDir()
+    land(dir)
+    val viaSource = spark.read.format("grib2").load(dir)
+      .orderBy("refTime", "parameterCategory", "parameterNumber")
+      .collect().map(_.toString).toSeq
+    val viaMapPartitions =
+      WindBinary.decode(WindBinary.readBlobs(spark, dir))
+        .orderBy("refTime", "parameterCategory", "parameterNumber")
+        .collect().map(_.toString).toSeq
+    assert(viaSource == viaMapPartitions)
+    assert(viaSource.size == 5)
+  }
+
+  test("key filters push below the scan and are consumed, not re-evaluated") {
+    val dir = tmpDir()
+    land(dir)
+    val df = spark.read.format("grib2").load(dir)
+      .filter(col("parameterNumber") === 2 && col("parameterCategory") === 2)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedGribFilters: [EqualTo(parameterNumber,2), " +
+      "EqualTo(parameterCategory,2)]"), plan)
+    // consumed: no post-scan Filter node re-checks the pushed predicates
+    assert(!plan.contains("Filter ("), plan)
+    assert(df.count() == 2) // one U message per file
+    assert(df.select("parameterNumber").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("IN-list filters push as one key predicate") {
+    val dir = tmpDir()
+    land(dir)
+    val df = spark.read.format("grib2").load(dir)
+      .filter(col("parameterNumber").isin(2, 3))
+    assert(df.queryExecution.sparkPlan.toString
+      .contains("PushedGribFilters: [In(parameterNumber"), df.queryExecution.sparkPlan)
+    assert(df.count() == 4)
+  }
+
+  test("non-key filters stay above the scan and still apply") {
+    val dir = tmpDir()
+    land(dir)
+    val df = spark.read.format("grib2").load(dir)
+      .filter(col("refTime") === "2020-08-12T12:00:00.000Z")
+    assert(df.count() == 2)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("PushedGribFilters: []"), plan)
+  }
+
+  test("column pruning: header-only reads never unpack grid points") {
+    val dir = tmpDir()
+    land(dir)
+    val df = spark.read.format("grib2").load(dir)
+      .select("parameterNumber", "nx", "ny")
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.replaceAll("PushedGribFilters[^,]*", "")
+      .contains("data"), plan)
+    assert(df.collect().forall(r => r.getInt(1) == 8 && r.getInt(2) == 4))
+    // and values are still correct when data IS required
+    val withData = spark.read.format("grib2").load(dir)
+      .filter(col("parameterNumber") === 2 &&
+        col("refTime") === "2020-08-12T06:00:00.000Z")
+      .select(element_at(col("data"), 1)).collect()
+    assert(withData.map(_.getDouble(0)).toSeq == Seq(2 % 200 - 100.0))
+  }
+}
