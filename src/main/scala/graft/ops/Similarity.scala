@@ -116,8 +116,23 @@ object Similarity {
     terms.mkString("(", " + ", ")")
   }
 
+  /** XOR masks reaching every bucket within Hamming distance `radius` of a
+    * query's bucket (radius ≤ 2: identity + single-bit + pair flips —
+    * 1 + n + n(n−1)/2 probes). Multiprobe trades probe count for recall
+    * without touching the stored corpus.
+    */
+  def probeFlips(numPlanes: Int, radius: Int): Seq[Long] = {
+    val singles = (0 until numPlanes).map(p => 1L << p)
+    val pairs = for {
+      p <- 0 until numPlanes; q <- p + 1 until numPlanes
+    } yield (1L << p) | (1L << q)
+    0L +: ((if (radius >= 1) singles else Seq()) ++
+      (if (radius >= 2) pairs else Seq()))
+  }
+
   /** ANN via sign-LSH: bucket the corpus, probe the query's bucket plus all
-    * buckets at Hamming distance ≤ `probeRadius`, exact-re-rank survivors.
+    * buckets at Hamming distance ≤ `probeRadius` (0-2), exact-re-rank
+    * survivors.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, numPlanes: Int = 12, probeRadius: Int = 1,
@@ -127,8 +142,7 @@ object Similarity {
       col("embedding").as("c_vec"),
       lshBucket(col("embedding"), dim, numPlanes, seed).as("bucket"))
     // multiprobe: expand each query to its bucket + neighbors within radius
-    val flips: Seq[Long] = 0L +: (if (probeRadius >= 1)
-      (0 until numPlanes).map(p => 1L << p) else Seq())
+    val flips = probeFlips(numPlanes, probeRadius)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec"),
       lshBucket(col("embedding"), dim, numPlanes, seed).as("q_bucket"))
@@ -176,8 +190,7 @@ object Similarity {
                     numPlanes: Int = 12, probeRadius: Int = 1,
                     seed: Long = 42L): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val flips: Seq[Long] = 0L +: (if (probeRadius >= 1)
-      (0 until numPlanes).map(p => 1L << p) else Seq())
+    val flips = probeFlips(numPlanes, probeRadius)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec"),
       lshBucket(col("embedding"), dim, numPlanes, seed).as("q_bucket"))

@@ -88,6 +88,21 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${hits}/${exact.size}")
   }
 
+  test("multiprobe radius 2 candidates strictly contain radius 1's") {
+    val data = clustered(10)
+    val queries = data.filter(col("vec_id") < 8)
+    def pairs(radius: Int) = Similarity.lshTopK(data, queries, 40,
+        dim = dim, numPlanes = 10, probeRadius = radius)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = pairs(1)
+    val r2 = pairs(2)
+    assert(r1.subsetOf(r2), s"radius-2 lost pairs: ${r1 -- r2}")
+    // flips: identity + 10 singles + 45 pairs
+    assert(Similarity.probeFlips(10, 2).length == 56)
+    assert(Similarity.probeFlips(10, 2).distinct.length == 56)
+  }
+
   test("IVF cell assignment is map-only: no exchange between scan and cell id") {
     graft.functions.GraftFunctions.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("ivfplan").toString
