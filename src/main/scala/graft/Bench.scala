@@ -36,10 +36,25 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    queries.foreach { case (_, fn) =>
-      try run(fn) catch { case _: Throwable => () } // warmup, untimed
+    // rows are observed on the UNTIMED warmup only: a CollectMetrics node
+    // takes the query off the AQE path (measured 3× on the top-k sort
+    // queries), so the timed runs must stay unobserved — but the counts
+    // don't change between runs, and a query that silently starts returning
+    // 0 rows is still visible in the bench JSON
+    def observedRun(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      fn(spark, sfDir)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+        .write.format("noop").mode("overwrite").save()
+      obs.get("rows").asInstanceOf[Long]
     }
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val warmRows = queries.map { case (name, fn) =>
+      name -> (try observedRun(fn) catch { case _: Throwable => -1L })
+    }.toMap
     // best-of-2 timed runs: damps GC/compilation noise on a shared machine
     val results = queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
@@ -48,19 +63,22 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val good = times.filter(_ >= 0)
-      (name, times, if (good.nonEmpty) good.min else FailurePenaltySec)
+      (name, times, if (good.nonEmpty) good.min else FailurePenaltySec,
+        warmRows(name))
     }
-    val failures = results.collect { case (n, ts, _) if ts.forall(_ < 0) => n }
-    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
+    val failures = results.collect { case (n, ts, _, _) if ts.forall(_ < 0) => n }
+    val qs = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val runs = results
-      .map { case (k, ts, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      .map { case (k, ts, _, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val rows = results.map { case (k, _, _, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
     val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._3).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""runs":$runs,"failures":$fs,""" +
+        s""""runs":$runs,"rows":$rows,"failures":$fs,""" +
         s""""penalty_sec_per_failure":$FailurePenaltySec,"sf":"$sfDir"}""")
     spark.stop()
   }
