@@ -60,6 +60,8 @@ object Grib2Source {
     StructField("parameterNumber", IntegerType, nullable = false),
     StructField("refTime", StringType, nullable = false),
     StructField("forecastTime", IntegerType, nullable = false),
+    StructField("surface1Type", IntegerType, nullable = false),
+    StructField("surface1Value", DoubleType, nullable = false),
     StructField("nx", IntegerType, nullable = false),
     StructField("ny", IntegerType, nullable = false),
     StructField("la1", DoubleType, nullable = false),
@@ -69,12 +71,17 @@ object Grib2Source {
     StructField("data", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
-  /** The key-filterable columns and their extractors. */
-  private[sources] def keyField(name: String): Option[Grib2.Key => Int] =
+  /** The key-filterable columns and their (double-valued) extractors —
+    * everything known before bit-unpacking, i.e. the reference's
+    * `--fp/--fs/--fv` filter surface.
+    */
+  private[sources] def keyField(name: String): Option[Grib2.Key => Double] =
     name match {
-      case "discipline"        => Some(_.discipline)
-      case "parameterCategory" => Some(_.category)
-      case "parameterNumber"   => Some(_.number)
+      case "discipline"        => Some(_.discipline.toDouble)
+      case "parameterCategory" => Some(_.category.toDouble)
+      case "parameterNumber"   => Some(_.number.toDouble)
+      case "surface1Type"      => Some(_.surface1Type.toDouble)
+      case "surface1Value"     => Some(_.surface1Value)
       case _                   => None
     }
 
@@ -83,10 +90,10 @@ object Grib2Source {
     val tests: Seq[Grib2.Key => Boolean] = filters.collect {
       case EqualTo(attr, v: Number) if keyField(attr).isDefined =>
         val f = keyField(attr).get
-        (k: Grib2.Key) => f(k) == v.intValue()
+        (k: Grib2.Key) => f(k) == v.doubleValue()
       case In(attr, vs) if keyField(attr).isDefined =>
         val f = keyField(attr).get
-        val set = vs.collect { case v: Number => v.intValue() }.toSet
+        val set = vs.collect { case v: Number => v.doubleValue() }.toSet
         (k: Grib2.Key) => set(f(k))
     }
     k => tests.forall(_(k))
@@ -181,6 +188,7 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType)
           val full = Array[Any](
             m.discipline, m.parameterCategory, m.parameterNumber,
             UTF8String.fromString(m.refTime), m.forecastTime,
+            m.surface1Type, m.surface1Value,
             m.nx, m.ny, m.la1, m.lo1, m.dx, m.dy,
             ArrayData.toArrayData(m.data))
           new GenericInternalRow(fieldIdx.map(full))

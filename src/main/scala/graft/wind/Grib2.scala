@@ -26,19 +26,28 @@ package graft.wind
   */
 object Grib2 {
 
-  /** Identity of a message's physical quantity: (discipline, parameter
-    * category, parameter number) — e.g. (0, 2, 2) = UGRD, (0, 2, 3) = VGRD.
-    * This is the unit of decode-time predicate pushdown: filters on the key
-    * skip the bit-unpacking of rejected messages entirely (the analogue of
-    * the reference's `--fp/--fv` pre-decode filters).
+  /** Identity of a message's physical quantity and level: (discipline,
+    * parameter category, parameter number, first fixed surface type/value)
+    * — e.g. (0, 2, 2, 103, 10.0) = UGRD at 10 m above ground. This is the
+    * unit of decode-time predicate pushdown: filters on the key skip the
+    * bit-unpacking of rejected messages entirely (the analogue of the
+    * reference's `--fp/--fs/--fv` pre-decode filters,
+    * `converter.py:44-53`).
     */
-  final case class Key(discipline: Int, category: Int, number: Int)
+  final case class Key(discipline: Int, category: Int, number: Int,
+                       surface1Type: Int, surface1Value: Double)
 
   /** U and V wind components (discipline 0 "meteorological", category 2
     * "momentum", numbers 2/3) — the reference's `--fc wind` filter.
     */
   val WindKeys: Key => Boolean =
     k => k.discipline == 0 && k.category == 2 && (k.number == 2 || k.number == 3)
+
+  /** The reference's full decode filter: wind at 10 m above ground
+    * (`--fp 2|3 --fs 103 --fv 10.0`).
+    */
+  val WindKeys10m: Key => Boolean =
+    k => WindKeys(k) && k.surface1Type == 103 && k.surface1Value == 10.0
 
   // ------------------------------------------------------------ primitives
 
@@ -120,6 +129,7 @@ object Grib2 {
       var refTime = ""
       var forecastHours = 0
       var cat = -1; var num = -1
+      var surfType = 255; var surfVal = 0.0
       var nx = 0; var ny = 0
       var la1 = 0.0; var lo1 = 0.0; var dx = 0.0; var dy = 0.0
       var nData = 0; var r = 0.0f; var e = 0; var d = 0; var nbits = 0
@@ -159,6 +169,10 @@ object Grib2 {
               case u => throw new IllegalArgumentException(
                 s"unsupported forecast time unit $u")
             }
+            surfType = u8(payload, p + 22)          // surface type, octet 23
+            val sScale = u8(payload, p + 23)        // scale factor, octet 24
+            val sVal = u32(payload, p + 24)         // scaled value, 25-28
+            surfVal = sVal / math.pow(10, sScale)
           case 5 => // data representation; template 5.0 (simple packing)
             nData = u32(payload, p + 5).toInt      // octets 6-9
             val tmpl = u16(payload, p + 9)         // octets 10-11
@@ -170,7 +184,7 @@ object Grib2 {
           case 6 =>
             require(u8(payload, p + 5) == 255, "bitmapped fields unsupported")
           case 7 => // data — ONLY unpacked when the key survives the filter
-            if (keep(Key(discipline, cat, num))) {
+            if (keep(Key(discipline, cat, num, surfType, surfVal))) {
               if (withData) {
                 val twoPowE = math.pow(2, e)
                 val tenPowD = math.pow(10, d)
@@ -187,6 +201,7 @@ object Grib2 {
           discipline = discipline, parameterCategory = cat,
           parameterNumber = num, refTime = refTime,
           forecastTime = forecastHours,
+          surface1Type = surfType, surface1Value = surfVal,
           nx = nx, ny = ny, la1 = la1, lo1 = lo1, dx = dx, dy = dy,
           data = data)
       }

@@ -26,6 +26,7 @@ object WindBinary {
   case class GribMessage(
       discipline: Int, parameterCategory: Int, parameterNumber: Int,
       refTime: String, forecastTime: Int,
+      surface1Type: Int, surface1Value: Double,
       nx: Int, ny: Int, la1: Double, lo1: Double, dx: Double, dy: Double,
       data: Array[Double])
 

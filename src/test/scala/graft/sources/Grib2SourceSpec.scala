@@ -81,6 +81,20 @@ class Grib2SourceSpec extends SparkSpec {
     assert(plan.contains("PushedGribFilters: []"), plan)
   }
 
+  test("reference filter parity: wind at 10 m (--fp 2|3 --fs 103 --fv 10.0)") {
+    val dir = tmpDir()
+    land(dir)
+    // the encoder stamps surface 103 @ 10 m on every message
+    val df = spark.read.format("grib2").load(dir)
+      .filter(col("parameterNumber").isin(2, 3) &&
+        col("parameterCategory") === 2 &&
+        col("surface1Type") === 103 && col("surface1Value") === 10.0)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("EqualTo(surface1Type,103)"), plan)
+    assert(plan.contains("EqualTo(surface1Value,10.0)"), plan)
+    assert(df.count() == 4)
+  }
+
   test("column pruning: header-only reads never unpack grid points") {
     val dir = tmpDir()
     land(dir)
