@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, struct}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.wind.{WindIngest, WindStore}
+import graft.wind.{Grib2, WindBinary, WindIngest, WindStore}
 
 /** The reference's cron loop (`README.md:11`: fetch + convert every 6 h) as a
   * Structured Streaming pipeline: a landing directory of decoded grib2json
@@ -33,6 +34,49 @@ object WindStream {
       .json(landingDir)
     val stamped = WindIngest.toTable(
       WindIngest.stampRecordedTime(WindIngest.filterUV(records)))
+    stamped.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        WindStore.upsert(batch.sparkSession, batch, tablePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The raw-binary twin of [[ingestOnce]]: a landing directory of `.grb2`
+    * files, decoded in-stream by the in-engine [[Grib2]] codec with the
+    * reference's full pre-decode filter (wind at 10 m) pushed below
+    * bit-unpacking — no external decode step at all. Same checkpointing,
+    * same idempotent freshness-gated upsert per batch.
+    */
+  def ingestBinaryOnce(
+      spark: SparkSession,
+      landingDir: String,
+      tablePath: String,
+      checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    // streaming file sources require an explicit schema; binaryFile's is fixed
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val blobs = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.grb2")
+      .load(landingDir)
+      .select(col("path"), col("content").as("payload"))
+      .as[WindBinary.RawGrib]
+    val decoded = blobs.mapPartitions(_.flatMap(b =>
+      Grib2.decode(b.payload, Grib2.WindKeys10m))).toDF()
+    val shaped = decoded.select(
+      struct(decoded.columns.filter(_ != "data").map(col): _*).as("header"),
+      col("data"))
+    val stamped = WindIngest.toTable(WindIngest.stampRecordedTime(shaped))
     stamped.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         WindStore.upsert(batch.sparkSession, batch, tablePath)

@@ -39,6 +39,39 @@ class StreamingSpec extends SparkSpec {
     assert(WindStore.read(spark, table).count() == 2)
   }
 
+  test("binary streaming leg: .grb2 landing -> in-stream decode -> upsert") {
+    import graft.wind.Grib2TestWriter
+    val base = tmpDir()
+    val landing = s"$base/landing"; val table = s"$base/table"
+    Files.createDirectories(Paths.get(landing))
+    def m(number: Int) = Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = number,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 4, la1Micro = 90000000L, lo1Micro = 0L,
+      dxMicro = 1000000L, dyMicro = 1000000L,
+      r = 0f, e = 0, d = 0, nbits = 8,
+      m = Array.tabulate(32)(i => (i % 100).toLong))
+    // U + V at 10 m, plus one surface-pressure message the pushed
+    // wind-at-10m filter must drop in-stream
+    Files.write(Paths.get(s"$landing/c1.grb2"),
+      Grib2TestWriter.file(m(2), m(3), m(1).copy(category = 3)))
+
+    WindStream.ingestBinaryOnce(spark, landing, table, s"$base/ckpt")
+      .awaitTermination()
+    val stored = WindStore.read(spark, table)
+    assert(stored.count() == 2)
+    assert(stored.select("header.parameterNumber").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    assert(stored.select(date_format(col("recorded_time"),
+        "yyyy-MM-dd HH:mm:ss")).distinct().collect()
+      .head.getString(0) == "2020-08-12 12:00:00")
+
+    // second trigger with no new files: no-op (checkpointed progress)
+    WindStream.ingestBinaryOnce(spark, landing, table, s"$base/ckpt")
+      .awaitTermination()
+    assert(WindStore.read(spark, table).count() == 2)
+  }
+
   test("tumbling window aggregation with watermark (streaming T2)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
