@@ -80,6 +80,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""runs":$runs,"rows":$rows,"failures":$fs,""" +
         s""""penalty_sec_per_failure":$FailurePenaltySec,"sf":"$sfDir"}""")
+    // The driver captures only the last ~2 KiB of output; round 3's hardened
+    // JSON outgrew that window and lost its leading "total" field. This
+    // short trailing line always survives tail truncation.
+    println(s"""{"metric":"total","value":$total,"failures":${failures.length}}""")
     spark.stop()
   }
 }

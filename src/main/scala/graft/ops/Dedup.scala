@@ -306,6 +306,15 @@ object Dedup {
   // dialects cannot drift: every constant below comes from the same n /
   // numHashes / bands / salts the Spark side uses.
 
+  /** Render a Double as a DuckDB DOUBLE literal that round-trips bit-exactly
+    * for ANY value — `Double.toString` may emit scientific notation (1e-4 →
+    * "1.0E-4"), which a bare `...e0` suffix would corrupt; going through a
+    * plain-decimal string + CAST keeps the literal valid and exact
+    * (`Double.toString` is the shortest round-tripping representation).
+    */
+  private[ops] def sqlDouble(v: Double): String =
+    s"CAST('${java.math.BigDecimal.valueOf(v).toPlainString}' AS DOUBLE)"
+
   /** DuckDB shingles of a `w` (word-list) column — mirrors [[shingles]]
     * exactly, including the short-document whole-text fallback.
     */
@@ -355,7 +364,7 @@ object Dedup {
        |SELECT id_a, id_b,
        |  ni / CAST(na + nb - ni AS DOUBLE) AS jaccard
        |FROM ver
-       |WHERE ni / CAST(na + nb - ni AS DOUBLE) >= ${threshold}e0
+       |WHERE ni / CAST(na + nb - ni AS DOUBLE) >= ${sqlDouble(threshold)}
        |ORDER BY id_a, id_b""".stripMargin
   }
 

@@ -50,6 +50,19 @@ class DedupSpec extends SparkSpec {
     assert(verified >= 0.6)
   }
 
+  test("nearDuplicatesSql renders valid plain-decimal thresholds (1e-4 trap)") {
+    // Double.toString(1e-4) is scientific ("1.0E-4"); a naive "${t}e0"
+    // interpolation would emit the invalid literal `1.0E-4e0`
+    val sql = Dedup.nearDuplicatesSql(1e-4, 3, 64, 32)
+    assert(sql.contains("CAST('0.00010' AS DOUBLE)"))
+    assert(!sql.contains("E-"), "scientific notation leaked into SQL")
+    assert(Dedup.sqlDouble(0.25) == "CAST('0.25' AS DOUBLE)")
+    // round-trip exactness: the rendered decimal parses back to the same bits
+    for (v <- Seq(1e-4, 0.25, 1.0 / 3.0, 123456.789e-7))
+      assert(java.lang.Double.parseDouble(
+        java.math.BigDecimal.valueOf(v).toPlainString) == v)
+  }
+
   test("simhash: identical docs have hamming 0, disjoint docs differ") {
     import spark.implicits._
     val d = Seq(
