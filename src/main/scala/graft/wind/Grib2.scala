@@ -10,19 +10,24 @@ package graft.wind
   * partition-parallel inside the executors instead of forking a JVM per
   * file.
   *
-  * Scope (the GFS wind subset the reference consumes): grid definition
-  * template 3.0 (regular lat/lon), product definition template 4.0
-  * (analysis/forecast at a point in time), data representation template 5.0
-  * (simple packing), no bitmap. Anything else throws — a poison message
-  * surfaces as a task error with the template number in it, never as
-  * silently wrong data.
+  * Scope: grid definition template 3.0 (regular lat/lon), product definition
+  * template 4.0 (analysis/forecast at a point in time), data representation
+  * templates 5.0 (simple packing) and **5.2/5.3 (complex packing, with
+  * spatial differencing of order 1 or 2)** — the packing real NOAA GFS pgrb2
+  * products predominantly use — and section-6 **bitmaps** (indicator 0;
+  * masked grid points decode as `Double.NaN`). Messages may repeat sections
+  * 4-7 (multiple fields per message, legal per spec): each data section
+  * emits its own [[WindBinary.GribMessage]] under its own header. Anything
+  * else throws — a poison message surfaces as a task error with the template
+  * number in it, never as silently wrong data.
   *
   * Layout notes (all offsets 1-based octets per the WMO tables, converted
   * to 0-based below): every section is `length(4) | number(1) | body`;
   * integers are big-endian; *signed* GRIB integers are sign-magnitude (top
-  * bit = sign), NOT two's complement — `s16sm`/`s32sm` below; latitudes/
-  * longitudes/increments are micro-degrees; packed values decode as
-  * `(R + M·2^E) / 10^D` with M the raw `nbits`-wide unsigned integer.
+  * bit = sign), NOT two's complement — `s8sm`/`s16sm`/`s32sm`/`sNsm` below;
+  * latitudes/longitudes/increments are micro-degrees; packed values decode
+  * as `(R + X·2^E) / 10^D` with X the (group-reconstructed, un-differenced)
+  * integer.
   */
 object Grib2 {
 
@@ -58,7 +63,12 @@ object Grib2 {
   private def u64(b: Array[Byte], i: Int): Long =
     (u32(b, i) << 32) | u32(b, i + 4)
 
-  /** GRIB sign-magnitude 16-bit: top bit is the sign, not a 2^15 weight. */
+  /** GRIB sign-magnitude integers: top bit is the sign, not a 2^(n-1) weight. */
+  private def s8sm(b: Array[Byte], i: Int): Int = {
+    val v = u8(b, i)
+    if ((v & 0x80) != 0) -(v & 0x7f) else v
+  }
+
   private def s16sm(b: Array[Byte], i: Int): Int = {
     val v = u16(b, i)
     if ((v & 0x8000) != 0) -(v & 0x7fff) else v
@@ -67,6 +77,17 @@ object Grib2 {
   private def s32sm(b: Array[Byte], i: Int): Long = {
     val v = u32(b, i)
     if ((v & 0x80000000L) != 0) -(v & 0x7fffffffL) else v
+  }
+
+  /** `n`-octet sign-magnitude (the 5.3 extra descriptors' width is itself a
+    * field in the message, octet 49).
+    */
+  private def sNsm(b: Array[Byte], i: Int, n: Int): Long = {
+    var v = 0L
+    var k = 0
+    while (k < n) { v = (v << 8) | u8(b, i + k); k += 1 }
+    val sign = 1L << (n * 8 - 1)
+    if ((v & sign) != 0) -(v & (sign - 1)) else v
   }
 
   private def f32(b: Array[Byte], i: Int): Float =
@@ -95,17 +116,133 @@ object Grib2 {
     out
   }
 
+  private def bytesFor(n: Int, nbits: Int): Int = (n * nbits + 7) / 8
+
+  // -------------------------------------------- data representation state
+
+  /** Section-5 state, consumed (and cleared) by the next section 7. */
+  private sealed trait Packing {
+    def r: Float; def e: Int; def d: Int; def nbits: Int
+  }
+  private final case class Simple(r: Float, e: Int, d: Int, nbits: Int)
+      extends Packing
+  /** Templates 5.2 (`spatialOrder == 0`) and 5.3 (order 1 or 2). */
+  private final case class Complex(
+      r: Float, e: Int, d: Int, nbits: Int,
+      spatialOrder: Int, octetsExtra: Int,
+      ng: Int, refGroupWidths: Int, bitsGroupWidths: Int,
+      refGroupLengths: Long, lenIncrement: Int, lastGroupLength: Long,
+      bitsGroupLengths: Int) extends Packing
+
+  /** Unpack a complex-packed (template 7.2/7.3) data section into the raw X
+    * integers of the decode formula, spatial differencing already undone.
+    *
+    * Wire layout (each sequence zero-padded to an octet boundary per spec):
+    * [5.3 only: order initial value(s) + overall minimum, sign-magnitude,
+    * `octetsExtra` octets each] → NG group reference values (`nbits` wide)
+    * → NG group widths (`bitsGroupWidths` wide, biased by `refGroupWidths`)
+    * → NG scaled group lengths (`bitsGroupLengths` wide, `ref + inc·scaled`;
+    * the LAST group's length comes from `lastGroupLength` instead) → the
+    * values, group-by-group at that group's width (width 0 = whole group
+    * equals its reference), packed continuously.
+    */
+  private def unpackComplex(b: Array[Byte], start: Int, nData: Int,
+                            c: Complex): Array[Long] = {
+    var pos = start
+    var ival1 = 0L; var ival2 = 0L; var minsd = 0L
+    if (c.spatialOrder > 0) {
+      require(nData > c.spatialOrder,
+        s"spatial differencing order ${c.spatialOrder} needs > ${c.spatialOrder} points, got $nData")
+      ival1 = sNsm(b, pos, c.octetsExtra); pos += c.octetsExtra
+      if (c.spatialOrder == 2) { ival2 = sNsm(b, pos, c.octetsExtra); pos += c.octetsExtra }
+      minsd = sNsm(b, pos, c.octetsExtra); pos += c.octetsExtra
+    }
+    val refs = unpackBits(b, pos, c.ng, c.nbits)
+    pos += bytesFor(c.ng, c.nbits)
+    val widths = unpackBits(b, pos, c.ng, c.bitsGroupWidths)
+    pos += bytesFor(c.ng, c.bitsGroupWidths)
+    val lens = unpackBits(b, pos, c.ng, c.bitsGroupLengths)
+    pos += bytesFor(c.ng, c.bitsGroupLengths)
+
+    val out = new Array[Long](nData)
+    var bitPos = pos.toLong * 8
+    var i = 0
+    var g = 0
+    while (g < c.ng) {
+      val width = c.refGroupWidths + widths(g).toInt
+      val len =
+        if (g == c.ng - 1) c.lastGroupLength.toInt
+        else (c.refGroupLengths + lens(g) * c.lenIncrement).toInt
+      require(i + len <= nData,
+        s"complex-packed groups overflow $nData points at group $g")
+      val ref = refs(g)
+      var j = 0
+      while (j < len) {
+        var v = 0L
+        var k = 0
+        while (k < width) {
+          val byteIdx = (bitPos >> 3).toInt
+          v = (v << 1) | ((b(byteIdx) >> (7 - (bitPos & 7).toInt)) & 1L)
+          bitPos += 1
+          k += 1
+        }
+        out(i) = ref + v
+        i += 1
+        j += 1
+      }
+      g += 1
+    }
+    require(i == nData, s"complex-packed groups cover $i of $nData points")
+
+    // Undo spatial differencing: stored values are h(i) = f(i) - minsd with
+    // f the order-1/2 difference field; the first `order` values are carried
+    // in the descriptors and the packed slots they shadow are ignored.
+    if (c.spatialOrder == 1) {
+      out(0) = ival1
+      var t = 1
+      while (t < nData) { out(t) = out(t) + minsd + out(t - 1); t += 1 }
+    } else if (c.spatialOrder == 2) {
+      out(0) = ival1; out(1) = ival2
+      var t = 2
+      while (t < nData) {
+        out(t) = out(t) + minsd + 2 * out(t - 1) - out(t - 2); t += 1
+      }
+    }
+    out
+  }
+
+  /** Scatter the `nData` present values across the full grid: masked points
+    * (bitmap bit 0) become `Double.NaN`.
+    */
+  private def applyBitmap(vals: Array[Double],
+                          bitmap: Array[Boolean]): Array[Double] = {
+    val out = new Array[Double](bitmap.length)
+    var i = 0
+    var j = 0
+    while (i < bitmap.length) {
+      if (bitmap(i)) { out(i) = vals(j); j += 1 } else out(i) = Double.NaN
+      i += 1
+    }
+    require(j == vals.length,
+      s"bitmap has $j set bits but data section carries ${vals.length} values")
+    out
+  }
+
   // ---------------------------------------------------------------- decode
 
-  /** Decode every message in a (possibly multi-message) GRIB2 payload.
-    * Messages whose [[Key]] fails `keep` are *skipped before bit-unpacking*
-    * — their sections are only walked by length, so a parameter filter costs
-    * O(sections) instead of O(grid points) per rejected message.
+  /** Decode every field in a (possibly multi-message, possibly
+    * multi-field-per-message) GRIB2 payload. Fields whose [[Key]] fails
+    * `keep` are *skipped before bit-unpacking* — their sections are only
+    * walked by length, so a parameter filter costs O(sections) instead of
+    * O(grid points) per rejected field.
     *
     * `withData = false` is projection pushdown's hook: headers decode but
     * grid points are never unpacked (`data` comes back empty) — a
     * metadata-only query over a GRIB archive reads section bytes, not
     * values.
+    *
+    * Bitmapped fields return a full `nx·ny` grid with `Double.NaN` at
+    * masked points, so grid→point addressing ([[Grid]]) stays positional.
     */
   def decode(payload: Array[Byte],
              keep: Key => Boolean = _ => true,
@@ -126,14 +263,18 @@ object Grib2 {
       require(new String(payload, off + totalLen - 4, 4, "US-ASCII") == "7777",
         "missing 7777 end section")
 
+      // message-scoped state (sections 1/3 persist across repeated 4-7 groups)
       var refTime = ""
+      var nx = 0; var ny = 0
+      var la1 = 0.0; var lo1 = 0.0; var dx = 0.0; var dy = 0.0
+      // field-scoped state, reset after every data section (sections 4-7
+      // legally repeat within one message — each repetition is one field)
       var forecastHours = 0
       var cat = -1; var num = -1
       var surfType = 255; var surfVal = 0.0
-      var nx = 0; var ny = 0
-      var la1 = 0.0; var lo1 = 0.0; var dx = 0.0; var dy = 0.0
-      var nData = 0; var r = 0.0f; var e = 0; var d = 0; var nbits = 0
-      var data: Array[Double] = null
+      var nData = 0
+      var packing: Packing = null
+      var bitmap: Array[Boolean] = null
 
       var p = off + 16
       while (p < off + totalLen - 4) {
@@ -163,47 +304,99 @@ object Grib2 {
             val unit = u8(payload, p + 17)         // time unit, octet 18
             val ft = u32(payload, p + 18).toInt    // forecast time, 19-22
             forecastHours = unit match {
-              case 0 => ft / 60 // minutes
+              case 0 => // minutes: flooring would silently misstamp — refuse
+                require(ft % 60 == 0,
+                  s"forecast time $ft min is not a whole hour")
+                ft / 60
               case 1 => ft      // hours
               case 2 => ft * 24 // days
               case u => throw new IllegalArgumentException(
                 s"unsupported forecast time unit $u")
             }
             surfType = u8(payload, p + 22)          // surface type, octet 23
-            val sScale = u8(payload, p + 23)        // scale factor, octet 24
-            val sVal = u32(payload, p + 24)         // scaled value, 25-28
-            surfVal = sVal / math.pow(10, sScale)
-          case 5 => // data representation; template 5.0 (simple packing)
+            // scale factor (octet 24) and scaled value (25-28) are GRIB
+            // sign-magnitude; all-ones means missing
+            val sScaleRaw = u8(payload, p + 23)
+            val sValRaw = u32(payload, p + 24)
+            surfVal =
+              if (surfType == 255 || sValRaw == 0xffffffffL) 0.0
+              else s32sm(payload, p + 24) /
+                math.pow(10, if (sScaleRaw == 0xff) 0 else s8sm(payload, p + 23))
+          case 5 => // data representation; templates 5.0 / 5.2 / 5.3
             nData = u32(payload, p + 5).toInt      // octets 6-9
             val tmpl = u16(payload, p + 9)         // octets 10-11
-            require(tmpl == 0, s"unsupported data representation template 5.$tmpl")
-            r = f32(payload, p + 11)               // reference, octets 12-15
-            e = s16sm(payload, p + 15)             // binary scale, 16-17
-            d = s16sm(payload, p + 17)             // decimal scale, 18-19
-            nbits = u8(payload, p + 19)            // bits per value, octet 20
-          case 6 =>
-            require(u8(payload, p + 5) == 255, "bitmapped fields unsupported")
-          case 7 => // data — ONLY unpacked when the key survives the filter
-            if (keep(Key(discipline, cat, num, surfType, surfVal))) {
-              if (withData) {
-                val twoPowE = math.pow(2, e)
-                val tenPowD = math.pow(10, d)
-                data = unpackBits(payload, p + 5, nData, nbits)
-                  .map(m => (r + m * twoPowE) / tenPowD)
-              } else data = Array.emptyDoubleArray
+            val r = f32(payload, p + 11)           // reference, octets 12-15
+            val e = s16sm(payload, p + 15)         // binary scale, 16-17
+            val d = s16sm(payload, p + 17)         // decimal scale, 18-19
+            val nbits = u8(payload, p + 19)        // bits per value, octet 20
+            packing = tmpl match {
+              case 0 => Simple(r, e, d, nbits)
+              case 2 | 3 =>
+                val missing = u8(payload, p + 22)  // missing value mgmt, oct 23
+                require(missing == 0,
+                  s"unsupported missing-value management $missing (use bitmaps)")
+                val ng = u32(payload, p + 31).toInt   // NG, octets 32-35
+                val refW = u8(payload, p + 35)        // width reference, oct 36
+                val bitsW = u8(payload, p + 36)       // width bits, octet 37
+                val refL = u32(payload, p + 37)       // length ref, octets 38-41
+                val incL = u8(payload, p + 41)        // length increment, oct 42
+                val lastL = u32(payload, p + 42)      // last group len, 43-46
+                val bitsL = u8(payload, p + 46)       // length bits, octet 47
+                val (order, octets) =
+                  if (tmpl == 3) {
+                    val o = u8(payload, p + 47)       // octet 48
+                    val oc = u8(payload, p + 48)      // octet 49
+                    require(o == 1 || o == 2,
+                      s"unsupported spatial differencing order $o")
+                    require(oc >= 1 && oc <= 4,
+                      s"unsupported extra-descriptor width $oc octets")
+                    (o, oc)
+                  } else (0, 0)
+                Complex(r, e, d, nbits, order, octets, ng, refW, bitsW,
+                  refL, incL, lastL, bitsL)
+              case t => throw new IllegalArgumentException(
+                s"unsupported data representation template 5.$t")
             }
+          case 6 =>
+            u8(payload, p + 5) match {              // bitmap indicator, oct 6
+              case 255 => bitmap = null
+              case 0 =>
+                require(nx > 0 && ny > 0, "bitmap before grid definition")
+                bitmap = unpackBits(payload, p + 6, nx * ny, 1).map(_ == 1L)
+              case i => throw new IllegalArgumentException(
+                s"unsupported bitmap indicator $i")
+            }
+          case 7 => // data — ONLY unpacked when the key survives the filter
+            require(cat >= 0 && packing != null,
+              "data section before product/representation sections")
+            if (keep(Key(discipline, cat, num, surfType, surfVal))) {
+              val data: Array[Double] =
+                if (!withData) Array.emptyDoubleArray
+                else {
+                  val raw = packing match {
+                    case s: Simple => unpackBits(payload, p + 5, nData, s.nbits)
+                    case c: Complex => unpackComplex(payload, p + 5, nData, c)
+                  }
+                  val twoPowE = math.pow(2, packing.e)
+                  val tenPowD = math.pow(10, packing.d)
+                  val vals = raw.map(x => (packing.r + x * twoPowE) / tenPowD)
+                  if (bitmap == null) vals else applyBitmap(vals, bitmap)
+                }
+              out += WindBinary.GribMessage(
+                discipline = discipline, parameterCategory = cat,
+                parameterNumber = num, refTime = refTime,
+                forecastTime = forecastHours,
+                surface1Type = surfType, surface1Value = surfVal,
+                nx = nx, ny = ny, la1 = la1, lo1 = lo1, dx = dx, dy = dy,
+                data = data)
+            }
+            // this field is done: clear its state so a repeated 4-7 group
+            // can never inherit (or mix with) the previous field's header
+            cat = -1; num = -1; surfType = 255; surfVal = 0.0
+            forecastHours = 0; nData = 0; packing = null; bitmap = null
           case s => throw new IllegalArgumentException(s"unknown section $s")
         }
         p += secLen
-      }
-      if (data != null) {
-        out += WindBinary.GribMessage(
-          discipline = discipline, parameterCategory = cat,
-          parameterNumber = num, refTime = refTime,
-          forecastTime = forecastHours,
-          surface1Type = surfType, surface1Value = surfVal,
-          nx = nx, ny = ny, la1 = la1, lo1 = lo1, dx = dx, dy = dy,
-          data = data)
       }
       off += totalLen
     }

@@ -84,6 +84,123 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------ complex packing and bitmaps
+
+  private val gridVals: Array[Long] = {
+    // a wavy field with plateaus: exercises varying group widths, a width-0
+    // (constant) group, and negative spatial differences
+    Array.tabulate(32) { i =>
+      (500 + 300 * math.sin(i / 3.0)).toLong + (if (i >= 20 && i < 24) 0 else i % 7)
+    }
+  }
+
+  test("complex packing 5.2 round-trips bit-exactly") {
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      r = -50f, e = -1, d = 1, nbits = 12, m = gridVals)
+      .copy(packing = Grib2TestWriter.ComplexPacking(groupSize = 7))))
+    assert(decoded.length == 1)
+    assert(decoded.head.data.toSeq ==
+      gridVals.map(x => (-50 + x * 0.5) / 10).toSeq)
+  }
+
+  test("complex packing 5.3 with spatial differencing (orders 1 and 2)") {
+    for (order <- Seq(1, 2)) {
+      val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+        r = 0f, e = 0, d = 0, nbits = 12, m = gridVals)
+        .copy(packing = Grib2TestWriter.ComplexPacking(
+          spatialOrder = order, octetsExtra = 2, groupSize = 5))))
+      assert(decoded.head.data.toSeq == gridVals.map(_.toDouble).toSeq,
+        s"order-$order spatial differencing corrupted values")
+    }
+  }
+
+  test("5.3 handles negative initial values and 4-octet descriptors") {
+    // descending field: every difference negative, g(0) negative too
+    val vals = Array.tabulate(12)(i => 100000L - 25000L * i)
+      .map(_ - 150000L) // g(0) = -50000
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      nbits = 16, m = vals.map(_ + 400000L)) // keep X >= 0 pre-differencing
+      .copy(packing = Grib2TestWriter.ComplexPacking(
+        spatialOrder = 1, octetsExtra = 4, groupSize = 4))))
+    assert(decoded.head.data.toSeq == vals.map(_ + 400000.0).toSeq)
+  }
+
+  test("bitmapped simple packing: masked points decode as NaN, grid stays positional") {
+    val bm = Array.tabulate(32)(i => i % 3 != 0) // mask every third point
+    val present = gridVals.zip(bm).collect { case (v, true) => v }
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      r = 0f, nbits = 12, m = present).copy(bitmap = Some(bm))))
+    val d = decoded.head.data
+    assert(d.length == 32)
+    (0 until 32).foreach { i =>
+      if (bm(i)) assert(d(i) == gridVals(i).toDouble)
+      else assert(d(i).isNaN, s"point $i should be masked")
+    }
+  }
+
+  test("bitmapped complex 5.3 round-trips (the real NOAA shape)") {
+    val bm = Array.tabulate(32)(i => i < 4 || i >= 9) // contiguous mask hole
+    val present = gridVals.zip(bm).collect { case (v, true) => v }
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      nbits = 12, m = present).copy(
+      bitmap = Some(bm),
+      packing = Grib2TestWriter.ComplexPacking(spatialOrder = 2, groupSize = 6))))
+    val d = decoded.head.data
+    var j = 0
+    (0 until 32).foreach { i =>
+      if (bm(i)) { assert(d(i) == present(j).toDouble); j += 1 }
+      else assert(d(i).isNaN)
+    }
+  }
+
+  // --------------------------------------- multi-field messages + headers
+
+  test("repeated 4-7 groups: every field decodes under its own header") {
+    val payload = Grib2TestWriter.multiFieldMessage(
+      msg(number = 2, m = Array.tabulate(32)(i => (i * 3).toLong)),
+      msg(number = 3, m = Array.tabulate(32)(i => (i * 5).toLong)))
+    val decoded = Grib2.decode(payload)
+    assert(decoded.map(_.parameterNumber) == Seq(2, 3))
+    assert(decoded(0).data.toSeq == (0 until 32).map(_ * 3.0))
+    assert(decoded(1).data.toSeq == (0 until 32).map(_ * 5.0))
+  }
+
+  test("filtering one field of a multi-field message never mixes data") {
+    // the round-3 hazard: field A passes the filter, field B does not —
+    // A's data must be emitted under A's header, B dropped entirely
+    val payload = Grib2TestWriter.multiFieldMessage(
+      msg(number = 2, m = Array.tabulate(32)(i => (i * 3).toLong)),
+      msg(number = 3, m = Array.tabulate(32)(i => (i * 5).toLong)))
+    val onlyU = Grib2.decode(payload, k => k.number == 2)
+    assert(onlyU.length == 1)
+    assert(onlyU.head.parameterNumber == 2)
+    assert(onlyU.head.data.toSeq == (0 until 32).map(_ * 3.0))
+    val onlyV = Grib2.decode(payload, k => k.number == 3)
+    assert(onlyV.head.parameterNumber == 3)
+    assert(onlyV.head.data.toSeq == (0 until 32).map(_ * 5.0))
+  }
+
+  test("negative surface scale factor decodes sign-magnitude (not 10^129)") {
+    // scale -1, scaled value 15 → 15 / 10^-1 = 150 m
+    val decoded = Grib2.decode(Grib2TestWriter.message(
+      msg().copy(surfScale = -1, surfValueScaled = 15L)))
+    assert(decoded.head.surface1Value == 150.0)
+    // and a negative scaled value
+    val neg = Grib2.decode(Grib2TestWriter.message(
+      msg().copy(surfScale = 2, surfValueScaled = -500L)))
+    assert(neg.head.surface1Value == -5.0)
+  }
+
+  test("minute-resolution forecast times: whole hours convert, partial throw") {
+    val whole = Grib2.decode(Grib2TestWriter.message(
+      msg().copy(timeUnit = 0, forecastHours = 120))) // 120 min
+    assert(whole.head.forecastTime == 2)
+    intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(
+        msg().copy(timeUnit = 0, forecastHours = 90))) // 1.5 h: refuse
+    }
+  }
+
   test("unpackBits reads MSB-first across byte boundaries") {
     // 3 values × 12 bits = 36 bits: 0xABC, 0x123, 0xFFF
     val packed = Grib2TestWriter.message(msg(

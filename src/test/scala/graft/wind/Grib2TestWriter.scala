@@ -3,21 +3,39 @@ package graft.wind
 import java.io.ByteArrayOutputStream
 
 /** Test-side GRIB2 *encoder*: builds spec-conformant edition-2 messages
-  * (templates 3.0 / 4.0 / 5.0, no bitmap) so the decoder can be
-  * round-trip-tested without any sample blob (the reference strips its own:
-  * `.MISSING_LARGE_BLOBS:1`). Every octet offset here mirrors the WMO
-  * layout [[Grib2]] parses — the two are written against the same tables,
-  * not against each other.
+  * (grid 3.0 / product 4.0; data representation 5.0 simple packing or
+  * 5.2/5.3 complex packing with spatial differencing; optional section-6
+  * bitmaps; optionally several 4-7 field groups per message) so the decoder
+  * can be round-trip-tested without any sample blob (the reference strips
+  * its own: `.MISSING_LARGE_BLOBS:1`). Every octet offset here mirrors the
+  * WMO layout [[Grib2]] parses — the two are written against the same
+  * tables, not against each other.
   */
 object Grib2TestWriter {
 
+  sealed trait PackingSpec
+  /** Data representation template 5.0. */
+  case object SimplePacking extends PackingSpec
+  /** Templates 5.2 (`spatialOrder == 0`) / 5.3 (order 1 or 2). */
+  final case class ComplexPacking(spatialOrder: Int = 0, octetsExtra: Int = 2,
+                                  groupSize: Int = 10) extends PackingSpec
+
+  /** One field's worth of message content. `m` carries the raw X integers:
+    * the full `nx·ny` grid without a bitmap, or just the present points'
+    * values with one (`bitmap.count(true) == m.length`). `forecastHours` is
+    * the raw forecast-time value in `timeUnit` units (1 = hours).
+    */
   final case class Msg(
       discipline: Int, category: Int, number: Int,
       year: Int, month: Int, day: Int, hour: Int,
       forecastHours: Int,
       nx: Int, ny: Int,
       la1Micro: Long, lo1Micro: Long, dxMicro: Long, dyMicro: Long,
-      r: Float, e: Int, d: Int, nbits: Int, m: Array[Long])
+      r: Float, e: Int, d: Int, nbits: Int, m: Array[Long],
+      timeUnit: Int = 1,
+      surfScale: Int = 0, surfValueScaled: Long = 10,
+      bitmap: Option[Array[Boolean]] = None,
+      packing: PackingSpec = SimplePacking)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -25,8 +43,16 @@ object Grib2TestWriter {
     def w32(v: Long): Unit = { w16((v >> 16).toInt); w16(v.toInt) }
     def w64(v: Long): Unit = { w32(v >> 32); w32(v) }
     /** GRIB sign-magnitude encodings (top bit = sign). */
+    def s8(v: Int): Unit = w8(if (v < 0) 0x80 | -v else v)
     def s16(v: Int): Unit = w16(if (v < 0) 0x8000 | -v else v)
     def s32(v: Long): Unit = w32(if (v < 0) 0x80000000L | -v else v)
+    def sN(v: Long, n: Int): Unit = {
+      val mag = if (v < 0) -v else v
+      require(mag < (1L << (n * 8 - 1)), s"$v does not fit $n sign-magnitude octets")
+      val enc = (if (v < 0) 1L << (n * 8 - 1) else 0L) | mag
+      var k = n - 1
+      while (k >= 0) { w8(((enc >> (k * 8)) & 0xff).toInt); k -= 1 }
+    }
     def f32(v: Float): Unit = w32(java.lang.Float.floatToIntBits(v) & 0xffffffffL)
     def bytes: Array[Byte] = out.toByteArray
   }
@@ -48,6 +74,32 @@ object Grib2TestWriter {
     out
   }
 
+  /** Continuous bit stream of per-group values at per-group widths (the
+    * template 7.2/7.3 data body), padded to an octet boundary at the end.
+    */
+  private def packVarWidth(groups: Array[Array[Long]],
+                           widths: Array[Int]): Array[Byte] = {
+    val totalBits =
+      groups.zip(widths).map { case (g, w) => g.length.toLong * w }.sum
+    val out = new Array[Byte](((totalBits + 7) / 8).toInt)
+    var bitPos = 0L
+    for ((g, w) <- groups.zip(widths); v <- g) {
+      var k = w - 1
+      while (k >= 0) {
+        if (((v >> k) & 1L) != 0) {
+          val i = (bitPos >> 3).toInt
+          out(i) = (out(i) | (1 << (7 - (bitPos & 7).toInt))).toByte
+        }
+        bitPos += 1
+        k -= 1
+      }
+    }
+    out
+  }
+
+  private def bitsNeeded(v: Long): Int =
+    if (v == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+
   private def section(num: Int)(body: W => Unit): Array[Byte] = {
     val b = new W
     body(b)
@@ -59,46 +111,62 @@ object Grib2TestWriter {
     w.bytes
   }
 
-  def message(msg: Msg): Array[Byte] = {
-    val s1 = section(1) { w =>
-      w.w16(7)             // originating centre (NCEP)
-      w.w16(0)             // subcentre
-      w.w8(2); w.w8(1)     // master / local table versions
-      w.w8(1)              // significance of reference time: start of forecast
-      w.w16(msg.year); w.w8(msg.month); w.w8(msg.day)
-      w.w8(msg.hour); w.w8(0); w.w8(0)
-      w.w8(0); w.w8(1)     // production status, type of data
-    }
-    val s3 = section(3) { w =>
-      w.w8(0)                         // source of grid definition
-      w.w32(msg.nx.toLong * msg.ny)   // number of data points
-      w.w8(0); w.w8(0)                // no optional list
-      w.w16(0)                        // template 3.0: regular lat/lon
-      w.w8(6)                         // shape of earth
-      w.w8(0); w.w32(0)               // radius scale factor + value
-      w.w8(0); w.w32(0)               // major axis
-      w.w8(0); w.w32(0)               // minor axis
-      w.w32(msg.nx); w.w32(msg.ny)    // Ni, Nj
-      w.w32(0); w.w32(0)              // basic angle + subdivisions
-      w.s32(msg.la1Micro); w.w32(msg.lo1Micro) // La1, Lo1
-      w.w8(48)                        // resolution/component flags
-      w.s32(msg.la1Micro - (msg.ny - 1) * msg.dyMicro) // La2
-      w.w32(msg.lo1Micro + (msg.nx - 1) * msg.dxMicro) // Lo2
-      w.w32(msg.dxMicro); w.w32(msg.dyMicro)   // Di, Dj
-      w.w8(0)                         // scanning mode: +i, -j
-    }
-    val s4 = section(4) { w =>
-      w.w16(0)            // no coordinate values
-      w.w16(0)            // template 4.0
-      w.w8(msg.category); w.w8(msg.number)
-      w.w8(2)             // generating process: forecast
-      w.w8(0); w.w8(96)   // background / analysis process ids
-      w.w16(0); w.w8(0)   // observational cutoff
-      w.w8(1)             // time unit: hour
-      w.w32(msg.forecastHours)
-      w.w8(103); w.w8(0); w.w32(10) // first surface: 10 m above ground
-      w.w8(255); w.w8(0); w.w32(0)  // second surface: missing
-    }
+  private def sec1(msg: Msg): Array[Byte] = section(1) { w =>
+    w.w16(7)             // originating centre (NCEP)
+    w.w16(0)             // subcentre
+    w.w8(2); w.w8(1)     // master / local table versions
+    w.w8(1)              // significance of reference time: start of forecast
+    w.w16(msg.year); w.w8(msg.month); w.w8(msg.day)
+    w.w8(msg.hour); w.w8(0); w.w8(0)
+    w.w8(0); w.w8(1)     // production status, type of data
+  }
+
+  private def sec3(msg: Msg): Array[Byte] = section(3) { w =>
+    w.w8(0)                         // source of grid definition
+    w.w32(msg.nx.toLong * msg.ny)   // number of data points
+    w.w8(0); w.w8(0)                // no optional list
+    w.w16(0)                        // template 3.0: regular lat/lon
+    w.w8(6)                         // shape of earth
+    w.w8(0); w.w32(0)               // radius scale factor + value
+    w.w8(0); w.w32(0)               // major axis
+    w.w8(0); w.w32(0)               // minor axis
+    w.w32(msg.nx); w.w32(msg.ny)    // Ni, Nj
+    w.w32(0); w.w32(0)              // basic angle + subdivisions
+    w.s32(msg.la1Micro); w.w32(msg.lo1Micro) // La1, Lo1
+    w.w8(48)                        // resolution/component flags
+    w.s32(msg.la1Micro - (msg.ny - 1) * msg.dyMicro) // La2
+    w.w32(msg.lo1Micro + (msg.nx - 1) * msg.dxMicro) // Lo2
+    w.w32(msg.dxMicro); w.w32(msg.dyMicro)   // Di, Dj
+    w.w8(0)                         // scanning mode: +i, -j
+  }
+
+  private def sec4(msg: Msg): Array[Byte] = section(4) { w =>
+    w.w16(0)            // no coordinate values
+    w.w16(0)            // template 4.0
+    w.w8(msg.category); w.w8(msg.number)
+    w.w8(2)             // generating process: forecast
+    w.w8(0); w.w8(96)   // background / analysis process ids
+    w.w16(0); w.w8(0)   // observational cutoff
+    w.w8(msg.timeUnit)  // time unit (octet 18)
+    w.w32(msg.forecastHours)
+    // first surface: height above ground, sign-magnitude scale + value
+    w.w8(103); w.s8(msg.surfScale); w.s32(msg.surfValueScaled)
+    w.w8(255); w.w8(0); w.w32(0)  // second surface: missing
+  }
+
+  private def sec6(msg: Msg): Array[Byte] = msg.bitmap match {
+    case None => section(6)(_.w8(255))
+    case Some(bm) =>
+      require(bm.length == msg.nx * msg.ny, "bitmap must cover the grid")
+      require(bm.count(identity) == msg.m.length,
+        "m must carry exactly the present points' values")
+      section(6) { w =>
+        w.w8(0)
+        w.out.write(packBits(bm.map(b => if (b) 1L else 0L), 1))
+      }
+  }
+
+  private def sec567Simple(msg: Msg): Array[Byte] = {
     val s5 = section(5) { w =>
       w.w32(msg.m.length)
       w.w16(0)            // template 5.0: simple packing
@@ -106,20 +174,100 @@ object Grib2TestWriter {
       w.w8(msg.nbits)
       w.w8(0)             // original field type: float
     }
-    val s6 = section(6)(_.w8(255)) // no bitmap
-    val s7 = section(7)(_.out.write(packBits(msg.m, msg.nbits)))
+    s5 ++ sec6(msg) ++ section(7)(_.out.write(packBits(msg.m, msg.nbits)))
+  }
 
-    val body = Array(s1, s3, s4, s5, s6, s7).flatten
+  private def sec567Complex(msg: Msg, cx: ComplexPacking): Array[Byte] = {
+    val order = cx.spatialOrder
+    val g = msg.m
+    val n = g.length
+    // 1. spatial differencing at the X level (5.3); identity for 5.2
+    var ival1 = 0L; var ival2 = 0L; var minsd = 0L
+    val h = new Array[Long](n)
+    if (order == 0) System.arraycopy(g, 0, h, 0, n)
+    else {
+      require(n > order, "need more points than the differencing order")
+      val f = new Array[Long](n)
+      if (order == 1) {
+        var i = 1; while (i < n) { f(i) = g(i) - g(i - 1); i += 1 }
+      } else {
+        var i = 2; while (i < n) { f(i) = g(i) - 2 * g(i - 1) + g(i - 2); i += 1 }
+      }
+      minsd = (order until n).map(f).min
+      ival1 = g(0); if (order == 2) ival2 = g(1)
+      var i = order
+      while (i < n) { h(i) = f(i) - minsd; i += 1 }
+      // h(0..order-1) stay 0: the decoder takes them from the descriptors
+    }
+    // 2. group splitting: fixed-size groups, per-group min reference
+    val groups = h.grouped(cx.groupSize).toArray
+    val ng = groups.length
+    val refs = groups.map(_.min)
+    require(refs.forall(r => r >= 0 && bitsNeeded(r) <= msg.nbits),
+      "group reference overflows nbits")
+    val packed = groups.zip(refs).map { case (grp, ref) => grp.map(_ - ref) }
+    val widths = packed.map(pg => bitsNeeded(pg.max))
+    require(widths.forall(_ <= 63), "group width overflows 6 bits")
+
+    val s5 = section(5) { w =>
+      w.w32(n)                              // octets 6-9: values in section 7
+      w.w16(if (order == 0) 2 else 3)       // template 5.2 / 5.3
+      w.f32(msg.r); w.s16(msg.e); w.s16(msg.d)
+      w.w8(msg.nbits)                       // octet 20: group-reference bits
+      w.w8(0)                               // octet 21: original field type
+      w.w8(1)                               // octet 22: general group splitting
+      w.w8(0)                               // octet 23: no missing-value mgmt
+      w.w32(0); w.w32(0)                    // octets 24-31: missing substitutes
+      w.w32(ng)                             // octets 32-35: NG
+      w.w8(0)                               // octet 36: group width reference
+      w.w8(6)                               // octet 37: group width bits
+      w.w32(0)                              // octets 38-41: group length ref
+      w.w8(1)                               // octet 42: length increment
+      w.w32(groups.last.length)             // octets 43-46: last group length
+      w.w8(16)                              // octet 47: group length bits
+      if (order > 0) { w.w8(order); w.w8(cx.octetsExtra) } // octets 48-49
+    }
+    val s7 = section(7) { w =>
+      if (order > 0) {
+        w.sN(ival1, cx.octetsExtra)
+        if (order == 2) w.sN(ival2, cx.octetsExtra)
+        w.sN(minsd, cx.octetsExtra)
+      }
+      w.out.write(packBits(refs, msg.nbits))
+      w.out.write(packBits(widths.map(_.toLong), 6))
+      w.out.write(packBits(groups.map(_.length.toLong), 16))
+      w.out.write(packVarWidth(packed, widths))
+    }
+    s5 ++ sec6(msg) ++ s7
+  }
+
+  private def sec567(msg: Msg): Array[Byte] = msg.packing match {
+    case SimplePacking      => sec567Simple(msg)
+    case cx: ComplexPacking => sec567Complex(msg, cx)
+  }
+
+  private def envelope(head: Msg, body: Array[Byte]): Array[Byte] = {
     val w = new W
     w.out.write("GRIB".getBytes("US-ASCII"))
     w.w16(0)
-    w.w8(msg.discipline)
+    w.w8(head.discipline)
     w.w8(2)                          // edition
     w.w64(16L + body.length + 4)     // total message length
     w.out.write(body)
     w.out.write("7777".getBytes("US-ASCII"))
     w.bytes
   }
+
+  def message(msg: Msg): Array[Byte] =
+    envelope(msg, sec1(msg) ++ sec3(msg) ++ sec4(msg) ++ sec567(msg))
+
+  /** ONE message carrying several fields as repeated section 4-7 groups
+    * (legal per spec); sections 1/3 come from the first field.
+    */
+  def multiFieldMessage(fields: Msg*): Array[Byte] =
+    envelope(fields.head,
+      sec1(fields.head) ++ sec3(fields.head) ++
+        fields.toArray.flatMap(f => sec4(f) ++ sec567(f)))
 
   /** Concatenate messages into one multi-message file payload. */
   def file(msgs: Msg*): Array[Byte] = msgs.toArray.flatMap(message)
