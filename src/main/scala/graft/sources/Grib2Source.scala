@@ -16,6 +16,7 @@ import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.wind.Grib2
 
@@ -163,10 +164,15 @@ class Grib2Scan(path: String, pushed: Array[Filter], required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Grib2ReaderFactory(pushed, required)
+    // Ship the DRIVER's Hadoop conf to the executors: a default
+    // `new Configuration()` at read time would drop session fs settings
+    // (object-store credentials, endpoints) that planning already honored.
+    new Grib2ReaderFactory(pushed, required, new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf()))
 }
 
-class Grib2ReaderFactory(pushed: Array[Filter], required: StructType)
+class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
+                         private[sources] val hadoopConf: SerializableConfiguration)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -177,8 +183,13 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType)
     new PartitionReader[InternalRow] {
       private val messages: Iterator[InternalRow] = {
         val p = new Path(file)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val len = fs.getFileStatus(p).getLen.toInt
+        val fs = p.getFileSystem(hadoopConf.value)
+        val fileLen = fs.getFileStatus(p).getLen
+        // GRIB messages are whole-file concatenations decoded from one
+        // buffer; a ≥ 2 GiB file would silently truncate `toInt`
+        require(fileLen <= Int.MaxValue,
+          s"$file is $fileLen bytes — exceeds the 2 GiB single-buffer decode limit")
+        val len = fileLen.toInt
         val bytes = new Array[Byte](len)
         val in = fs.open(p)
         try in.readFully(0, bytes) finally in.close()

@@ -95,6 +95,26 @@ class Grib2SourceSpec extends SparkSpec {
     assert(df.count() == 4)
   }
 
+  test("executor-side readers see the session's Hadoop conf, not defaults") {
+    val dir = tmpDir()
+    land(dir)
+    // a non-default fs key set on the session must survive into the reader
+    // factory (a `new Configuration()` at read time would drop it — the
+    // object-store credential failure mode)
+    spark.sparkContext.hadoopConfiguration.set("graft.test.fs.marker", "set")
+    try {
+      val df = spark.read.format("grib2").load(dir)
+      val batch = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      val factory = batch.batch.createReaderFactory()
+        .asInstanceOf[Grib2ReaderFactory]
+      assert(factory.hadoopConf.value.get("graft.test.fs.marker") == "set")
+      // and the reader actually opens files through that conf
+      assert(df.count() == 5)
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.fs.marker")
+  }
+
   test("column pruning: header-only reads never unpack grid points") {
     val dir = tmpDir()
     land(dir)
