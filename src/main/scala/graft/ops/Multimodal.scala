@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,34 +9,206 @@ import org.apache.spark.sql.functions._
   * typed metadata, with decode / feature-extraction plumbing over
   * `mapPartitions`.
   *
-  * The real Spark-side concerns — schema, batch shape, partition-parallel
-  * decode, typed output — are implemented for real. The codec itself is a
-  * STUB (this container ships no image/audio libraries): `FakeCodec` derives
-  * deterministic pseudo-metadata from the bytes. Swapping in a real decoder
-  * changes one function body, not the pipeline.
+  * The image and audio codecs are REAL and JDK-only: `javax.imageio`
+  * decodes PNG/BMP/JPEG/GIF containers (dimensions + pixels), and a
+  * hand-rolled RIFF walker parses WAV (sample rate, channels, PCM samples).
+  * Container detection is by magic bytes ([[Codec.sniff]]). Only payloads no
+  * JDK codec speaks — video containers, arbitrary blobs — fall back to the
+  * clearly-marked [[FakeCodec]] stub (this container ships no video
+  * libraries; swapping a real demuxer in changes one match arm).
   *
   * Scale notes: decode is per-partition iterator → iterator (no
   * materialization of whole partitions), decode parallelism = partition
   * count, payloads never shuffle — metadata extraction projects *before* any
-  * aggregation, and frame sampling explodes only the sampled indices.
+  * aggregation, and frame extraction emits features, never raw frames.
   */
 object Multimodal {
 
   /** One media asset: opaque payload + envelope metadata. */
   case class Asset(asset_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Decoded (stubbed) media metadata. */
+  /** Decoded media metadata. Image fields are 0 for audio and vice versa;
+    * `format` is the sniffed container ("png", "wav", … or "opaque").
+    */
   case class AssetMeta(
-      asset_id: Long, media_type: String, n_bytes: Long,
-      checksum: String, width: Int, height: Int, n_frames: Int)
+      asset_id: Long, media_type: String, n_bytes: Long, checksum: String,
+      format: String, width: Int, height: Int,
+      sample_rate: Int, channels: Int, n_frames: Int)
 
-  /** Extracted per-frame feature vector (stubbed decode). */
+  /** Extracted per-frame feature vector. */
   case class FrameFeature(
       asset_id: Long, frame_idx: Int, feature: Array[Float])
 
+  // ------------------------------------------------------------ real codecs
+
+  /** JDK-only real codecs: magic-byte container sniffing, `javax.imageio`
+    * image decode, RIFF/WAV PCM parse.
+    */
+  object Codec {
+
+    /** Identify the container by its magic bytes. */
+    def sniff(p: Array[Byte]): String =
+      if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+        p(2) == 'N' && p(3) == 'G') "png"
+      else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+      else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
+      else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8') "gif"
+      else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E') "wav"
+      else "opaque"
+
+    def isImage(format: String): Boolean =
+      format == "png" || format == "bmp" || format == "jpeg" || format == "gif"
+
+    /** Real image decode: container → (width, height, per-pixel integer
+      * Rec.601 luma 0-255, row-major). Throws on corrupt payloads — a bad
+      * asset is a task error, never silently fake metadata.
+      */
+    def decodeImage(p: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(p))
+      require(img != null, "imageio could not decode image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      val lum = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          lum(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, lum)
+    }
+
+    /** A parsed PCM WAV clip: `samples` are interleaved 16-bit signed
+      * values; sample frames = `samples.length / channels`.
+      */
+    final case class Wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                         samples: Array[Int])
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      le16(b, i) | (le16(b, i + 2) << 16)
+
+    /** Real RIFF/WAVE parse: walks chunks (with odd-size pad bytes), reads
+      * the `fmt ` header and 16-bit PCM `data`. Fails loudly on non-PCM or
+      * truncated clips.
+      */
+    def decodeWav(p: Array[Byte]): Wav = {
+      require(sniff(p) == "wav", "not a RIFF/WAVE payload")
+      var sampleRate = 0
+      var channels = 0
+      var bits = 0
+      var samples: Array[Int] = null
+      var pos = 12
+      while (pos + 8 <= p.length) {
+        val id = new String(p, pos, 4, "US-ASCII")
+        val size = le32(p, pos + 4)
+        require(size >= 0 && pos + 8 + size <= p.length,
+          s"truncated WAV chunk $id ($size bytes at $pos)")
+        id match {
+          case "fmt " =>
+            val audioFormat = le16(p, pos + 8)
+            require(audioFormat == 1, s"unsupported WAV format $audioFormat (PCM only)")
+            channels = le16(p, pos + 10)
+            sampleRate = le32(p, pos + 12)
+            bits = le16(p, pos + 22)
+            require(bits == 16, s"unsupported WAV bit depth $bits (16-bit only)")
+          case "data" =>
+            require(bits == 16, "WAV data chunk before fmt chunk")
+            val n = size / 2
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              out(i) = le16(p, pos + 8 + 2 * i).toShort.toInt
+              i += 1
+            }
+            samples = out
+          case _ => () // LIST/INFO etc: skip
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(samples != null, "WAV payload has no data chunk")
+      Wav(sampleRate, channels, bits, samples)
+    }
+  }
+
+  /** JDK-only *encoders* — used by the demo asset source and the specs to
+    * fabricate real containers (the test environment ships no media files).
+    */
+  object Gen {
+    /** A real PNG: grayscale pixels seeded cyclically from `seed` bytes
+      * (gray (b,b,b) has exact integer luma b, so decode round-trips).
+      */
+    def png(w: Int, h: Int, seed: Array[Byte]): Array[Byte] =
+      image(w, h, seed, "png")
+
+    /** Same pixels, BMP container. */
+    def bmp(w: Int, h: Int, seed: Array[Byte]): Array[Byte] =
+      image(w, h, seed, "bmp")
+
+    private def image(w: Int, h: Int, seed: Array[Byte],
+                      format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val b = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
+          img.setRGB(x, y, (b << 16) | (b << 8) | b)
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+
+    /** A real 16-bit PCM WAV: `frames` sample frames per channel, samples
+      * seeded cyclically from `seed` bytes.
+      */
+    def wav(sampleRate: Int, channels: Int, frames: Int,
+            seed: Array[Byte]): Array[Byte] = {
+      val dataSize = frames * channels * 2
+      val out = new ByteArrayOutputStream(44 + dataSize)
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      ascii("RIFF"); le32(36 + dataSize); ascii("WAVE")
+      ascii("fmt "); le32(16)
+      le16(1)                       // PCM
+      le16(channels)
+      le32(sampleRate)
+      le32(sampleRate * channels * 2) // byte rate
+      le16(channels * 2)            // block align
+      le16(16)                      // bits per sample
+      ascii("data"); le32(dataSize)
+      var i = 0
+      val n = frames * channels
+      while (i < n) {
+        val b = if (seed.isEmpty) 0 else seed(i % seed.length) & 0xff
+        le16(((b - 128) * 256) & 0xffff) // 16-bit signed sample
+        i += 1
+      }
+      out.toByteArray
+    }
+  }
+
   /** ===== STUB boundary =====
-    * Deterministic fake codec: metadata and "pixels" derived from payload
-    * bytes. A real implementation would parse the container format here.
+    * Deterministic fake codec for payloads no JDK codec speaks (video
+    * containers, arbitrary blobs): metadata and "pixels" derived from
+    * payload bytes. A real demuxer would replace exactly this object.
     */
   object FakeCodec {
     def dims(payload: Array[Byte]): (Int, Int) = {
@@ -58,23 +232,53 @@ object Multimodal {
     }
   }
 
-  /** Wrap a text/binary table into assets (demo source: the `documents`
-    * table's text bytes as payloads; real sources would be
-    * `spark.read.format("binaryFile")` or parquet with a binary column).
+  /** 16-bucket L1-normalized histogram of 0-255 values — the shared feature
+    * shape across image luma, audio amplitude, and the fake codec.
+    */
+  private def histogram16(values: Array[Int]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < values.length) {
+      hist((values(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    val total = math.max(values.length, 1).toFloat
+    hist.map(_ / total)
+  }
+
+  /** Demo asset source over the `documents` table: REAL containers
+    * fabricated deterministically from each doc's text bytes — ids ≡ 0 mod 3
+    * become PNGs (dims derived from byte length), ≡ 1 become PCM WAVs
+    * (rate/channels/frames from byte length), ≡ 2 stay opaque "video"
+    * blobs. Real sources would be `spark.read.format("binaryFile")` or
+    * parquet with a binary column; the derivation formulas here exist so the
+    * DuckDB oracle can predict what the REAL decode must recover — the
+    * oracle check verifies the whole encode→decode round trip.
     */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
-        col("doc_id").as("asset_id"),
-        expr("element_at(array('image','audio','video'), " +
-          "cast(pmod(doc_id, 3) + 1 as int))").as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[Asset]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val len = bytes.length
+          math.floorMod(id, 3) match {
+            case 0 =>
+              Asset(id, "image", Gen.png(8 + len % 57, 8 + len % 41, bytes))
+            case 1 =>
+              Asset(id, "audio", Gen.wav(8000 + (len % 8) * 1000,
+                1 + len % 2, 64 + len % 129, bytes))
+            case _ => Asset(id, "video", bytes)
+          }
+        }
+      }
   }
 
   /** Partition-parallel metadata decode: iterator→iterator, constant memory,
-    * payload column dropped on output (never shuffled).
+    * payload column dropped on output (never shuffled). Image and WAV
+    * payloads are REALLY decoded; only unknown containers go through the
+    * fake codec.
     */
   def decodeMeta(assets: Dataset[Asset]): Dataset[AssetMeta] = {
     val spark = assets.sparkSession
@@ -82,28 +286,53 @@ object Multimodal {
     assets.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { a =>
-        val (w, h) = FakeCodec.dims(a.payload)
         digest.reset()
         val sum = digest.digest(a.payload).map("%02x".format(_)).mkString
-        AssetMeta(a.asset_id, a.media_type, a.payload.length.toLong, sum,
-          w, h, FakeCodec.frameCount(a.payload, a.media_type))
+        val nBytes = a.payload.length.toLong
+        Codec.sniff(a.payload) match {
+          case f if Codec.isImage(f) =>
+            val (w, h, _) = Codec.decodeImage(a.payload)
+            AssetMeta(a.asset_id, a.media_type, nBytes, sum, f,
+              w, h, 0, 0, 1)
+          case "wav" =>
+            val wv = Codec.decodeWav(a.payload)
+            AssetMeta(a.asset_id, a.media_type, nBytes, sum, "wav",
+              0, 0, wv.sampleRate, wv.channels,
+              wv.samples.length / wv.channels)
+          case _ =>
+            val (w, h) = FakeCodec.dims(a.payload)
+            AssetMeta(a.asset_id, a.media_type, nBytes, sum, "opaque",
+              w, h, 0, 0, FakeCodec.frameCount(a.payload, a.media_type))
+        }
       }
     }
   }
 
-  /** Frame sampling + feature extraction: sample every `stride`-th frame,
-    * emit one feature row per sampled frame. Batch shape: explode happens
-    * inside the partition iterator, so a long video never materializes all
-    * frames at once.
+  /** Frame/feature extraction: images yield one 16-bucket luma histogram
+    * over the REAL decoded pixels; WAV clips one amplitude histogram over
+    * the REAL decoded samples; opaque video falls back to the fake codec's
+    * per-frame features, sampled every `stride`-th frame. The explode
+    * happens inside the partition iterator — a long video never
+    * materializes all frames at once.
     */
   def extractFrameFeatures(assets: Dataset[Asset], stride: Int = 8): Dataset[FrameFeature] = {
     val spark = assets.sparkSession
     import spark.implicits._
     assets.mapPartitions { it =>
       it.flatMap { a =>
-        val n = FakeCodec.frameCount(a.payload, a.media_type)
-        (0 until n by stride).iterator.map { f =>
-          FrameFeature(a.asset_id, f, FakeCodec.frameFeature(a.payload, f))
+        Codec.sniff(a.payload) match {
+          case f if Codec.isImage(f) =>
+            val (_, _, lum) = Codec.decodeImage(a.payload)
+            Iterator.single(FrameFeature(a.asset_id, 0, histogram16(lum)))
+          case "wav" =>
+            val wv = Codec.decodeWav(a.payload)
+            val amp = wv.samples.map(s => ((s + 32768) >> 8) & 0xff)
+            Iterator.single(FrameFeature(a.asset_id, 0, histogram16(amp)))
+          case _ =>
+            val n = FakeCodec.frameCount(a.payload, a.media_type)
+            (0 until n by stride).iterator.map { fr =>
+              FrameFeature(a.asset_id, fr, FakeCodec.frameFeature(a.payload, fr))
+            }
         }
       }
     }

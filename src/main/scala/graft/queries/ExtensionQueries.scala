@@ -318,27 +318,45 @@ object ExtensionQueries {
 
   // --------------------------------------------------------- multimodal
 
+  /** Real-codec metadata decode: the demo source fabricates REAL PNG/WAV
+    * containers with parameters derived from each doc's byte length
+    * ([[Multimodal.assetsFromDocuments]]), `javax.imageio` / the RIFF
+    * walker decode them back, and the oracle predicts what the decode must
+    * recover — so the hash check verifies the whole encode→decode round
+    * trip. (`n_bytes`/`checksum` cover the *encoded* container, which no
+    * SQL engine can replay — exercised in MultimodalSpec instead.)
+    */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(
         Multimodal.assetsFromDocuments(Tables.documents(spark, dir)))
       .toDF()
+      .select("asset_id", "media_type", "format", "width", "height",
+        "sample_rate", "channels", "n_frames")
       .orderBy("asset_id")
 
   private val multimodalMetaSql =
-    """SELECT doc_id AS asset_id,
+    """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len
+      |  FROM documents)
+      |SELECT doc_id AS asset_id,
       | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |   ELSE 'video' END AS media_type,
-      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      | md5(text) AS checksum,
-      | CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS width,
-      | CAST(64 + octet_length(encode(text)) % 419 AS INTEGER) AS height,
-      | CAST(CASE WHEN doc_id % 3 = 2
-      |   THEN 1 + octet_length(encode(text)) % 24 ELSE 1 END AS INTEGER)
-      |   AS n_frames
-      |FROM documents ORDER BY asset_id""".stripMargin
+      | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+      |   ELSE 'opaque' END AS format,
+      | CAST(CASE doc_id % 3 WHEN 0 THEN 8 + len % 57 WHEN 1 THEN 0
+      |   ELSE 64 + len % 577 END AS INTEGER) AS width,
+      | CAST(CASE doc_id % 3 WHEN 0 THEN 8 + len % 41 WHEN 1 THEN 0
+      |   ELSE 64 + len % 419 END AS INTEGER) AS height,
+      | CAST(CASE doc_id % 3 WHEN 1 THEN 8000 + (len % 8) * 1000
+      |   ELSE 0 END AS INTEGER) AS sample_rate,
+      | CAST(CASE doc_id % 3 WHEN 1 THEN 1 + len % 2
+      |   ELSE 0 END AS INTEGER) AS channels,
+      | CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 64 + len % 129
+      |   ELSE 1 + len % 24 END AS INTEGER) AS n_frames
+      |FROM b ORDER BY asset_id""".stripMargin
 
-  /** Frame-feature extraction (stubbed codec) — rows-only; the feature
-    * histogram math is asserted in MultimodalSpec.
+  /** Frame-feature extraction — rows-only (feature histograms over real
+    * decoded pixels/samples have no SQL form); the histogram math is
+    * asserted against known containers in MultimodalSpec.
     */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFrameFeatures(
@@ -346,7 +364,7 @@ object ExtensionQueries {
       .toDF()
       .select(col("asset_id"), col("frame_idx"),
         size(col("feature")).as("feature_dim"),
-        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+        element_at(col("feature"), 1).cast("double").as("f0"))
       .orderBy("asset_id", "frame_idx")
 
   /** Per-source corpus sketches via the typed MinHash UDAF, then pairwise

@@ -4,6 +4,10 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+/** Real-codec tests: known containers decode to known dimensions, samples
+  * and features; the demo asset source fabricates real PNG/WAV payloads;
+  * only video/opaque blobs hit the fake codec.
+  */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -15,30 +19,87 @@ class MultimodalSpec extends SparkSpec {
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
-  test("assetsFromDocuments assigns media types round-robin by id") {
-    val a = Multimodal.assetsFromDocuments(docs).collect()
-      .map(x => x.asset_id -> x.media_type).toMap
-    assert(a == Map(0L -> "image", 1L -> "audio", 2L -> "video",
-      5L -> "video"))
+  test("codec sniffs containers by magic bytes") {
+    assert(Multimodal.Codec.sniff(Multimodal.Gen.png(3, 2, Array(1, 2))) == "png")
+    assert(Multimodal.Codec.sniff(Multimodal.Gen.bmp(3, 2, Array(1, 2))) == "bmp")
+    assert(Multimodal.Codec.sniff(Multimodal.Gen.wav(8000, 1, 4, Array(9))) == "wav")
+    assert(Multimodal.Codec.sniff("just text".getBytes) == "opaque")
   }
 
-  test("decodeMeta: deterministic stub metadata + real checksum") {
+  test("png/bmp round-trip: real imageio decode recovers dims AND pixels") {
+    val seed = Array[Byte](0, 17, 64, 127, -1, 33) // gray values incl. 255
+    for (bytes <- Seq(Multimodal.Gen.png(5, 4, seed),
+                      Multimodal.Gen.bmp(5, 4, seed))) {
+      val (w, h, lum) = Multimodal.Codec.decodeImage(bytes)
+      assert(w == 5 && h == 4)
+      // gray (b,b,b) pixels have exact integer Rec.601 luma b
+      val expected = Array.tabulate(20)(i => seed(i % seed.length) & 0xff)
+      assert(lum.toSeq == expected.toSeq)
+    }
+  }
+
+  test("wav round-trip: RIFF parse recovers rate, channels and samples") {
+    val seed = Array[Byte](0, 100, -56, 127)
+    val wav = Multimodal.Codec.decodeWav(
+      Multimodal.Gen.wav(44100, 2, 6, seed))
+    assert(wav.sampleRate == 44100 && wav.channels == 2 &&
+      wav.bitsPerSample == 16)
+    assert(wav.samples.length == 12) // 6 frames × 2 channels
+    val expected = Array.tabulate(12)(i =>
+      (((seed(i % seed.length) & 0xff) - 128) * 256).toShort.toInt)
+    assert(wav.samples.toSeq == expected.toSeq)
+  }
+
+  test("wav parser fails loudly on truncated and non-PCM clips") {
+    val good = Multimodal.Gen.wav(8000, 1, 8, Array[Byte](1, 2, 3))
+    intercept[IllegalArgumentException] {
+      Multimodal.Codec.decodeWav(good.dropRight(5))
+    }
+    val nonPcm = good.clone()
+    nonPcm(20) = 3 // audio format: IEEE float
+    intercept[IllegalArgumentException] { Multimodal.Codec.decodeWav(nonPcm) }
+  }
+
+  test("assetsFromDocuments fabricates real containers round-robin by id") {
+    val a = Multimodal.assetsFromDocuments(docs).collect()
+      .map(x => x.asset_id -> x).toMap
+    assert(a(0L).media_type == "image" &&
+      Multimodal.Codec.sniff(a(0L).payload) == "png")
+    assert(a(1L).media_type == "audio" &&
+      Multimodal.Codec.sniff(a(1L).payload) == "wav")
+    assert(a(2L).media_type == "video" &&
+      Multimodal.Codec.sniff(a(2L).payload) == "opaque")
+  }
+
+  test("decodeMeta recovers the generation parameters from real containers") {
     val metas = Multimodal.decodeMeta(
       Multimodal.assetsFromDocuments(docs)).collect()
       .map(m => m.asset_id -> m).toMap
-    val text0 = "image payload bytes"
-    assert(metas(0L).n_bytes == text0.length)
+    val imgLen = "image payload bytes".getBytes("UTF-8").length
+    assert(metas(0L).format == "png")
+    assert(metas(0L).width == 8 + imgLen % 57)
+    assert(metas(0L).height == 8 + imgLen % 41)
+    assert(metas(0L).n_frames == 1)
+    val audLen = "audio payload".getBytes("UTF-8").length
+    assert(metas(1L).format == "wav")
+    assert(metas(1L).sample_rate == 8000 + (audLen % 8) * 1000)
+    assert(metas(1L).channels == 1 + audLen % 2)
+    assert(metas(1L).n_frames == 64 + audLen % 129)
+    // video: fake-codec fallback, payload = raw text bytes
+    val vidLen = "video content with more bytes in it".getBytes("UTF-8").length
+    assert(metas(2L).format == "opaque")
+    assert(metas(2L).width == 64 + vidLen % 577)
+    assert(metas(2L).n_frames == 1 + vidLen % 24)
+    // checksum is the md5 of the ENCODED container bytes
     val md = java.security.MessageDigest.getInstance("MD5")
-    val want = md.digest(text0.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    assert(metas(0L).checksum == want)
-    assert(metas(0L).width == 64 + text0.length % 577)
-    assert(metas(0L).n_frames == 1)           // image
-    assert(metas(2L).n_frames > 1 ||          // video: 1 + len % 24
-      "video content with more bytes in it".length % 24 == 0)
+    val pngBytes = Multimodal.Gen.png(8 + imgLen % 57, 8 + imgLen % 41,
+      "image payload bytes".getBytes("UTF-8"))
+    assert(metas(0L).checksum ==
+      md.digest(pngBytes).map("%02x".format(_)).mkString)
+    assert(metas(0L).n_bytes == pngBytes.length.toLong)
   }
 
-  test("extractFrameFeatures: normalized 16-bucket histograms per frame") {
+  test("extractFrameFeatures: real pixel/sample histograms, normalized") {
     val feats = Multimodal.extractFrameFeatures(
       Multimodal.assetsFromDocuments(docs), stride = 4).collect()
     assert(feats.nonEmpty)
@@ -46,10 +107,19 @@ class MultimodalSpec extends SparkSpec {
       assert(f.feature.length == 16)
       assert(math.abs(f.feature.map(_.toDouble).sum - 1.0) < 1e-5)
     }
-    // video assets emit one feature per sampled frame
+    // image: histogram over REAL decoded luma == histogram over seed bytes
+    // (gray pixels round-trip exactly, pixels cycle through the text bytes)
+    val imgSeed = "image payload bytes".getBytes("UTF-8")
+    val w = 8 + imgSeed.length % 57
+    val h = 8 + imgSeed.length % 41
+    val expected = new Array[Float](16)
+    (0 until w * h).foreach(i => expected((imgSeed(i % imgSeed.length) & 0xff) >> 4) += 1f)
+    val img0 = feats.find(_.asset_id == 0L).get
+    assert(img0.feature.toSeq == expected.map(_ / (w * h)).toSeq)
+    // audio + image emit exactly one frame; video one per sampled fake frame
     val byAsset = feats.groupBy(_.asset_id).view.mapValues(_.length).toMap
+    assert(byAsset(0L) == 1 && byAsset(1L) == 1)
     val vlen = "video content with more bytes in it".length
     assert(byAsset(2L) == (1 + vlen % 24 + 3) / 4)
-    assert(byAsset(0L) == 1)
   }
 }
