@@ -287,6 +287,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Subquadratic top near-duplicate pairs — the 100 TB surface for what
+    * [[topPairs]] verifies exactly on bounded inputs. Every vector gets its
+    * sign-LSH bucket as a map-only projection; candidate pairs are generated
+    * only within a bucket (plus, for `probeRadius` ≥ 1, across buckets one
+    * hyperplane flip apart, so near-dups straddling a plane aren't lost);
+    * survivors are exact-re-ranked with the fixed-point dot. ONE shuffle —
+    * the bucket equi-join — replaces the O(n²) cross join: expected
+    * candidate count is Σ_buckets n_b² · |flips| / 2 ≈ n²·|flips|/2^planes.
+    * A duplicate candidate reached via several flip routes scores
+    * identically (the fold is deterministic), so the post-score `distinct`
+    * is exact.
+    */
+  def lshTopPairs(corpus: DataFrame, topN: Int, dim: Int,
+                  numPlanes: Int = 12, probeRadius: Int = 1,
+                  seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val flips = probeFlips(numPlanes, probeRadius)
+    val a = spread(corpus).select(col("vec_id").as("id_a"),
+        asDouble(col("embedding")).as("vec_a"),
+        lshBucket(col("embedding"), dim, numPlanes, seed).as("bucket_a"))
+      .withColumn("bucket",
+        explode(transform(lit(flips.toArray),
+          f => col("bucket_a").bitwiseXOR(f))))
+      .drop("bucket_a")
+    val b = spread(corpus).select(col("vec_id").as("id_b"),
+      asDouble(col("embedding")).as("vec_b"),
+      lshBucket(col("embedding"), dim, numPlanes, seed).as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", dot(col("vec_a"), col("vec_b")))
+      .select("id_a", "id_b", "score").distinct()
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+  }
+
   /** Top near-duplicate pairs across the whole corpus by exact cosine —
     * all-pairs by declared intent: the exact verification primitive for
     * bounded inputs (the subquadratic near-dup paths are LSH/IVF above).

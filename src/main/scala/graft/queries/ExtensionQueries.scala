@@ -108,6 +108,36 @@ object ExtensionQueries {
       |SELECT id_a, id_b, score FROM p
       |ORDER BY score DESC, id_a, id_b LIMIT 20""".stripMargin
 
+  /** The subquadratic top-pairs *surface*: identical output contract to
+    * [[embedTopPairs]] but candidates come from the one-shuffle LSH bucket
+    * join ([[Similarity.lshTopPairs]]) instead of the O(n²) cross join —
+    * this is the entry a 100 TB corpus runs; x05 stays as the bounded-input
+    * exact-verification primitive.
+    */
+  def embedTopPairsLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopPairs(Tables.embeddings(spark, dir), 20, dim = 64)
+
+  /** Generated from the same constants as [[embedTopPairsLsh]] (dim=64,
+    * numPlanes=12, probeRadius=1, seed=42, topN=20): identical literal
+    * planes, flip set, candidate join and fixed-point re-rank.
+    */
+  private val embedTopPairsLshSql: String = {
+    val dim = 64; val numPlanes = 12; val seed = 42L; val topN = 20
+    val bucket = Similarity.sqlLshBucket("embedding", dim, numPlanes, seed)
+    val flips = Similarity.probeFlips(numPlanes, 1)
+      .map(f => s"($f)").mkString(",")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    $bucket AS bucket FROM embeddings),
+       |fl AS (SELECT vec_id, v, xor(bucket, CAST(f AS BIGINT)) AS bucket
+       |  FROM e CROSS JOIN (VALUES $flips) t(f)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_sum(list_transform(range($dim),
+       |      k -> round(a.v[k+1]*b.v[k+1]*1e12)))/1e12 AS score
+       |  FROM fl a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, score FROM cand
+       |ORDER BY score DESC, id_a, id_b LIMIT $topN""".stripMargin
+  }
+
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val em = Tables.embeddings(spark, dir)
     Similarity.bruteForceTopK(em, em.filter(col("vec_id") < 8), 5)
@@ -482,5 +512,7 @@ object ExtensionQueries {
     QueryDef("x16_tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms),
     QueryDef("x17_source_sketch_similarity", Some(sourceSketchSimilaritySql),
       sourceSketchSimilarity),
+    QueryDef("x18_embed_top_pairs_lsh", Some(embedTopPairsLshSql),
+      embedTopPairsLsh),
   )
 }

