@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, struct}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.wind.{Grib2, WindBinary, WindIngest, WindStore}
@@ -73,9 +73,9 @@ object WindStream {
       .as[WindBinary.RawGrib]
     val decoded = blobs.mapPartitions(_.flatMap(b =>
       Grib2.decode(b.payload, Grib2.WindKeys10m))).toDF()
-    val shaped = decoded.select(
-      struct(decoded.columns.filter(_ != "data").map(col): _*).as("header"),
-      col("data"))
+    // conform to the FULL storage header schema so the streaming binary leg
+    // writes the same table shape as every other leg
+    val shaped = WindBinary.conformHeader(decoded)
     val stamped = WindIngest.toTable(WindIngest.stampRecordedTime(shaped))
     stamped.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>

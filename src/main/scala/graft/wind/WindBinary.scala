@@ -1,6 +1,6 @@
 package graft.wind
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The raw-GRIB2 ingest path (SURVEY §2.1 S1/S2 binary leg): land `.grb2`
@@ -50,15 +50,50 @@ object WindBinary {
     blobs.mapPartitions(_.flatMap(b => Grib2.decode(b.payload, keep))).toDF()
   }
 
-  /** Full binary leg: blobs → decoded messages in the storage shape, ready
-    * for [[WindIngest.stampRecordedTime]] → [[WindStore.upsert]].
+  /** Binary-decoded fields projected into the FULL storage header schema
+    * ([[WindModel.headerSchema]], same field order and types as the JSON
+    * leg): the 13 section-decoded fields, plus the two envelope-derivables
+    * (`gribEdition` — the decoder requires edition 2 — and `numberPoints` =
+    * nx·ny); fields only grib2json's code-table lookups produce (names,
+    * units, la2/lo2 under unknown scan modes) stay null. Both ingest legs
+    * therefore write ONE physical table with ONE header schema.
+    */
+  def conformHeader(decoded: DataFrame): DataFrame = {
+    val present: Map[String, Column] = Map(
+      "discipline" -> col("discipline"),
+      "gribEdition" -> lit(2),
+      "parameterCategory" -> col("parameterCategory"),
+      "parameterNumber" -> col("parameterNumber"),
+      "surface1Type" -> col("surface1Type"),
+      "surface1Value" -> col("surface1Value"),
+      "numberPoints" -> col("nx") * col("ny"),
+      "nx" -> col("nx"),
+      "ny" -> col("ny"),
+      "forecastTime" -> col("forecastTime"),
+      "la1" -> col("la1"),
+      "lo1" -> col("lo1"),
+      "dx" -> col("dx"),
+      "dy" -> col("dy"),
+      "refTime" -> col("refTime"))
+    // Decoded fields keep the encoder's non-null markers — stricter than the
+    // JSON leg's all-nullable read schema but identical in names/types/order,
+    // which is the contract parquet actually enforces (nullability is
+    // advisory; no field here claims non-null while holding nulls).
+    val header = WindModel.headerSchema.fields.map { f =>
+      present.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name)
+    }
+    decoded.select(
+      struct(header.toIndexedSeq: _*).as("header"),
+      col("data").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)).as("data"))
+  }
+
+  /** Full binary leg: blobs → decoded messages conformed to the storage
+    * header schema, ready for the SAME downstream as the JSON leg —
+    * [[WindIngest.stampRecordedTime]] → [[WindIngest.toTable]] →
+    * [[WindStore.upsert]] into one shared table.
     */
   def ingest(spark: SparkSession, dir: String,
-             keep: Grib2.Key => Boolean = _ => true): DataFrame = {
-    val decoded = decode(readBlobs(spark, dir), keep)
-    decoded.select(
-      struct(decoded.columns.filter(_ != "data").map(col): _*).as("header"),
-      lit(null).cast("string").as("recordedTime"),
-      col("data"))
-  }
+             keep: Grib2.Key => Boolean = _ => true): DataFrame =
+    conformHeader(decode(readBlobs(spark, dir), keep))
 }

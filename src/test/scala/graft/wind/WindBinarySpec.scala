@@ -53,6 +53,48 @@ class WindBinarySpec extends SparkSpec {
     assert(times(0).getString(0) == "2020-08-12 12:00:00+00")
   }
 
+  test("both legs share one table: binary rows upsert into a JSON-leg store") {
+    val dir = tmpDir()
+    landBlobs(dir)
+    val path = tmpDir() + "/t"
+    // 1. the JSON leg creates the table (golden 06Z cycle, valid 12:00)
+    val jsonLeg = WindIngest.toTable(WindIngest.stampRecordedTime(
+      WindIngest.readRecords(spark, s"$goldenDir/wind_data.json")))
+    WindStore.upsert(spark, jsonLeg, path)
+    // 2. the binary leg upserts its decoded rows (06Z + 6h → valid 12:00,
+    //    same refTime → freshness gate keeps the stored JSON rows) and a
+    //    genuinely new valid time would simply land in its own partition
+    val binLeg = WindIngest.toTable(WindIngest.stampRecordedTime(
+      WindBinary.ingest(spark, dir)))
+    // identical names/types/order; nullability markers are advisory to
+    // parquet (the binary leg's decoded fields are provably non-null, the
+    // JSON read schema is all-nullable) so compare shapes with them relaxed
+    import org.apache.spark.sql.types._
+    def relax(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, relax(f.dataType))))
+      case a: ArrayType => ArrayType(relax(a.elementType))
+      case m: MapType => MapType(relax(m.keyType), relax(m.valueType))
+      case o => o
+    }
+    assert(relax(binLeg.schema) == relax(jsonLeg.schema),
+      "binary leg must emit the exact storage schema")
+    WindStore.upsert(spark, binLeg, path)
+    // 3. one readable table through WindStore, one header schema
+    val stored = WindStore.read(spark, path)
+    assert(stored.select("header.*").schema.fieldNames.toSeq ==
+      WindModel.headerSchema.fieldNames.toSeq)
+    assert(stored.count() == 2) // same valid time + refTime → no-op upsert
+    // binary-sourced rows expose decoded fields through the shared schema
+    assert(binLeg.select(col("header.numberPoints")).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(32))
+    assert(binLeg.select(col("header.gribEdition")).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    // fields only grib2json's table lookups produce stay null, not garbage
+    assert(binLeg.select(col("header.parameterUnit")).distinct()
+      .collect().map(_.isNullAt(0)).toSeq == Seq(true))
+  }
+
   test("decoded values survive the leg exactly (R + M, E=0, D=0)") {
     val dir = tmpDir()
     landBlobs(dir)
