@@ -287,6 +287,70 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** IVF analogue of [[writeBucketed]]: persist the corpus partitioned by
+    * its cell id — assignment is already a pure projection
+    * ([[assignCell]]), so it costs one pass at ingest — alongside the
+    * centroid sample itself (probing must replay the exact same cells;
+    * re-sampling on a changed corpus would silently shift assignments).
+    * Probes then prune to the probed cells' directories.
+    */
+  def writeIvf(corpus: DataFrame, path: String, nCells: Int = 16): Unit = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = centroidSample(corpus, nCells)
+    corpus
+      .withColumn("cell_id", assignCell(col("embedding"), cents))
+      .write.partitionBy("cell_id").mode("overwrite").parquet(s"$path/corpus")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("cell_id", "cell_vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a [[writeIvf]] store: rank the stored centroids per query
+    * (driver-side — the centroid read is bounded by `nCells`, never the
+    * corpus), filter the store to the probed *literal* cell ids so the scan
+    * lists only those partition directories, then exact-re-rank exactly
+    * like [[ivfTopK]] — identical results, corpus scan replaced by a pruned
+    * read.
+    */
+  def probeIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+               queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getAs[Long]("cell_id"),
+        r.getAs[scala.collection.Seq[Float]]("cell_vec").toArray))
+      .sortBy(_._1)
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_score").desc, col("cell_id"))
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("q_vec"),
+        explode(cellScores(col("embedding"), cents)).as("cell"))
+      .select(col("query_id"), col("q_vec"),
+        col("cell.cell_id").as("cell_id"),
+        col("cell.s").as("cell_score"))
+      .withColumn("cell_rank", row_number().over(qw))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "q_vec", "cell_id")
+    val probeCells = q.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).sorted // bounded by |queries|·nProbe
+    val c = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell_id").isin(probeCells: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_vec"), col("cell_id"))
+    val scored = c.join(broadcast(q), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        graft.functions.GraftFunctions.vec_dot(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "score").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** Subquadratic top near-duplicate pairs — the 100 TB surface for what
     * [[topPairs]] verifies exactly on bounded inputs. Every vector gets its
     * sign-LSH bucket as a map-only projection; candidate pairs are generated

@@ -155,6 +155,39 @@ class SimilaritySpec extends SparkSpec {
     assert(viaStore == direct)
   }
 
+  test("IVF store: probe prunes cell partitions and matches ivfTopK exactly") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val data = clustered(10)
+    val queries = data.filter(col("vec_id") < 8)
+    val path = java.nio.file.Files.createTempDirectory("ivfstore").toString + "/s"
+    Similarity.writeIvf(data, path, nCells = 8)
+    // pruning: a single-query, single-probe read lists ONLY that cell's dir
+    val one = Similarity.probeIvf(spark, path,
+      queries.filter(col("vec_id") === 0), 1, nProbe = 1)
+    val scan = one.queryExecution.sparkPlan
+      .collect { case f: FileSourceScanExec => f }
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("corpus")))
+      .get
+    assert(scan.partitionFilters.mkString(";").contains("cell_id"),
+      scan.partitionFilters.mkString(";"))
+    val totalCells = spark.read.parquet(s"$path/corpus")
+      .select("cell_id").distinct().count()
+    // evaluate only the static literal isin filter (the join also injects a
+    // DynamicPruningSubquery, which is unevaluable outside execution)
+    val static = scan.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    val readParts = scan.relation.location
+      .listFiles(static, scan.dataFilters).length
+    assert(readParts == 1 && totalCells > 1,
+      s"probe read $readParts of $totalCells cells — no pruning")
+    // identical results to the scan-everything ivfTopK on the same params
+    val direct = Similarity.ivfTopK(data, queries, 1, nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStore = Similarity.probeIvf(spark, path, queries, 1, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStore == direct)
+  }
+
   test("lshTopPairs matches exact topPairs on planted clusters (scores exact)") {
     val data = clustered(5) // 20 vectors, 4 tight clusters
     val exact = Similarity.topPairs(data, 10).collect()
