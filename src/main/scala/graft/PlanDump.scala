@@ -1,0 +1,19 @@
+package graft
+
+/** One-off plan audit helper: prints the executed plan of a named
+  * SparkEntry query at a given sf dir (the PLANS.md source).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = GraftSession.builder("local[8]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.toRdd.count()
+    println("=== executedPlan (final) ===")
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}
