@@ -95,6 +95,33 @@ class Grib2SourceSpec extends SparkSpec {
     assert(df.count() == 4)
   }
 
+  test("complex-packed + bitmapped files read identically through the connector") {
+    val dir = tmpDir()
+    Files.createDirectories(Paths.get(dir))
+    val bm = Array.tabulate(32)(i => i % 5 != 0)
+    val present = Array.tabulate(32)(i => ((i * 11) % 300).toLong)
+      .zip(bm).collect { case (v, true) => v }
+    Files.write(Paths.get(s"$dir/c.grb2"), Grib2TestWriter.file(
+      m(2).copy(nbits = 12,
+        packing = Grib2TestWriter.ComplexPacking(spatialOrder = 2, groupSize = 6)),
+      m(3).copy(nbits = 12, m = present, bitmap = Some(bm),
+        packing = Grib2TestWriter.ComplexPacking(spatialOrder = 1, groupSize = 5))))
+    val viaSource = spark.read.format("grib2").load(dir)
+      .orderBy("parameterNumber")
+      .select("parameterNumber", "data").collect()
+    val viaMapPartitions =
+      WindBinary.decode(WindBinary.readBlobs(spark, dir))
+        .orderBy("parameterNumber")
+        .select("parameterNumber", "data").collect()
+    assert(viaSource.map(_.toString).toSeq ==
+      viaMapPartitions.map(_.toString).toSeq)
+    // NaN at masked points survives the connector's non-null double arrays
+    val vData = viaSource(1).getSeq[Double](1)
+    assert(vData.length == 32)
+    assert(vData.zipWithIndex.forall { case (v, i) =>
+      if (bm(i)) !v.isNaN else v.isNaN })
+  }
+
   test("executor-side readers see the session's Hadoop conf, not defaults") {
     val dir = tmpDir()
     land(dir)
