@@ -12,9 +12,11 @@ package graft.wind
   *
   * Scope: grid definition template 3.0 (regular lat/lon), product definition
   * template 4.0 (analysis/forecast at a point in time), data representation
-  * templates 5.0 (simple packing) and **5.2/5.3 (complex packing, with
+  * templates 5.0 (simple packing), **5.2/5.3 (complex packing, with
   * spatial differencing of order 1 or 2)** — the packing real NOAA GFS pgrb2
-  * products predominantly use — and section-6 **bitmaps** (indicator 0;
+  * products predominantly use — **5.41 (PNG packing**, the MRMS
+  * representation; decoded with the JDK's ImageIO**)**, and section-6
+  * **bitmaps** (indicator 0;
   * masked grid points decode as `Double.NaN`). Messages may repeat sections
   * 4-7 (multiple fields per message, legal per spec): each data section
   * emits its own [[WindBinary.GribMessage]] under its own header. Anything
@@ -126,6 +128,13 @@ object Grib2 {
   }
   private final case class Simple(r: Float, e: Int, d: Int, nbits: Int)
       extends Packing
+  /** Template 5.41: the data section is a PNG image of the grid (grayscale
+    * at bit depth `nbits` ≤ 16; 24/32 = RGB/RGBA octet-concatenated).
+    * NOAA MRMS products ship this representation; the JDK's ImageIO is a
+    * complete PNG codec, so it decodes with zero dependencies.
+    */
+  private final case class PngPacked(r: Float, e: Int, d: Int, nbits: Int)
+      extends Packing
   /** Templates 5.2 (`spatialOrder == 0`) and 5.3 (order 1 or 2). */
   private final case class Complex(
       r: Float, e: Int, d: Int, nbits: Int,
@@ -208,6 +217,53 @@ object Grib2 {
         out(t) = out(t) + minsd + 2 * out(t - 1) - out(t - 2); t += 1
       }
     }
+    out
+  }
+
+  /** Decode a PNG-packed (template 7.41) data section into raw X integers:
+    * the section body IS a PNG image; pixel samples in row-major order are
+    * the packed values (grayscale for depth ≤ 16, RGB/RGBA octets
+    * big-endian-concatenated for 24/32).
+    */
+  private def unpackPng(b: Array[Byte], start: Int, len: Int, nData: Int,
+                        nbits: Int): Array[Long] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b, start, len))
+    require(img != null, "unreadable PNG-packed data section")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w.toLong * h == nData,
+      s"PNG-packed image is $w x $h but section 5 declares $nData points")
+    val out = new Array[Long](nData)
+    var i = 0
+    if (nbits <= 16) {
+      val raster = img.getRaster
+      require(raster.getNumBands == 1,
+        s"expected a grayscale PNG for bit depth $nbits, got ${raster.getNumBands} bands")
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(i) = raster.getSample(x, y, 0).toLong & 0xffffL
+          i += 1; x += 1
+        }
+        y += 1
+      }
+    } else if (nbits == 24 || nbits == 32) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y) // A<<24 | R<<16 | G<<8 | B
+          out(i) =
+            if (nbits == 24) (argb & 0xffffff).toLong
+            else ((argb.toLong & 0xffffffL) << 8) | ((argb >>> 24) & 0xffL)
+          i += 1; x += 1
+        }
+        y += 1
+      }
+    } else throw new IllegalArgumentException(
+      s"unsupported PNG-packed bit depth $nbits")
     out
   }
 
@@ -331,6 +387,7 @@ object Grib2 {
             val nbits = u8(payload, p + 19)        // bits per value, octet 20
             packing = tmpl match {
               case 0 => Simple(r, e, d, nbits)
+              case 41 => PngPacked(r, e, d, nbits)
               case 2 | 3 =>
                 val missing = u8(payload, p + 22)  // missing value mgmt, oct 23
                 require(missing == 0,
@@ -376,6 +433,8 @@ object Grib2 {
                   val raw = packing match {
                     case s: Simple => unpackBits(payload, p + 5, nData, s.nbits)
                     case c: Complex => unpackComplex(payload, p + 5, nData, c)
+                    case g: PngPacked =>
+                      unpackPng(payload, p + 5, secLen - 5, nData, g.nbits)
                   }
                   val twoPowE = math.pow(2, packing.e)
                   val tenPowD = math.pow(10, packing.d)

@@ -153,6 +153,34 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("PNG packing 5.41 round-trips at 8 and 16-bit depths") {
+    // 8-bit: full 8×4 grid rendered as the image
+    val v8 = Array.tabulate(32)(i => ((i * 29) % 256).toLong)
+    val d8 = Grib2.decode(Grib2TestWriter.message(msg(
+      r = -10f, e = -1, d = 1, nbits = 8, m = v8)
+      .copy(packing = Grib2TestWriter.PngPacking)))
+    assert(d8.head.data.toSeq == v8.map(x => (-10 + x * 0.5) / 10).toSeq)
+    // 16-bit: values beyond one octet
+    val v16 = Array.tabulate(32)(i => ((i * 2251) % 65536).toLong)
+    val d16 = Grib2.decode(Grib2TestWriter.message(msg(
+      nbits = 16, m = v16).copy(packing = Grib2TestWriter.PngPacking)))
+    assert(d16.head.data.toSeq == v16.map(_.toDouble).toSeq)
+  }
+
+  test("PNG packing with a bitmap: present strip decodes, masked points NaN") {
+    val bm = Array.tabulate(32)(i => i % 4 != 2)
+    val present = gridVals.zip(bm).collect { case (v, true) => v }
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      nbits = 16, m = present).copy(
+      bitmap = Some(bm), packing = Grib2TestWriter.PngPacking)))
+    val d = decoded.head.data
+    var j = 0
+    (0 until 32).foreach { i =>
+      if (bm(i)) { assert(d(i) == present(j).toDouble); j += 1 }
+      else assert(d(i).isNaN)
+    }
+  }
+
   // --------------------------------------- multi-field messages + headers
 
   test("repeated 4-7 groups: every field decodes under its own header") {

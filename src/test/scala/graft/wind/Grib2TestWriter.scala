@@ -19,6 +19,8 @@ object Grib2TestWriter {
   /** Templates 5.2 (`spatialOrder == 0`) / 5.3 (order 1 or 2). */
   final case class ComplexPacking(spatialOrder: Int = 0, octetsExtra: Int = 2,
                                   groupSize: Int = 10) extends PackingSpec
+  /** Template 5.41: the data section is a grayscale PNG of the grid. */
+  case object PngPacking extends PackingSpec
 
   /** One field's worth of message content. `m` carries the raw X integers:
     * the full `nx·ny` grid without a bitmap, or just the present points'
@@ -241,9 +243,46 @@ object Grib2TestWriter {
     s5 ++ sec6(msg) ++ s7
   }
 
+  private def sec567Png(msg: Msg): Array[Byte] = {
+    val n = msg.m.length
+    // full grids render nx×ny; bitmapped subsets render as a 1-row strip
+    val (w, h) =
+      if (msg.bitmap.isEmpty && msg.nx * msg.ny == n) (msg.nx, msg.ny)
+      else (n, 1)
+    val imgType =
+      if (msg.nbits <= 8) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+    require(msg.nbits <= 16, "writer supports grayscale PNG packing (<=16)")
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    val raster = img.getRaster
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        require(msg.m(i) >= 0 && msg.m(i) < (1L << msg.nbits),
+          s"value ${msg.m(i)} does not fit $imgType depth")
+        raster.setSample(x, y, 0, msg.m(i).toInt)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val s5 = section(5) { w5 =>
+      w5.w32(n)
+      w5.w16(41)          // template 5.41: PNG packing
+      w5.f32(msg.r); w5.s16(msg.e); w5.s16(msg.d)
+      w5.w8(msg.nbits)    // bit depth
+      w5.w8(0)            // original field type: float
+    }
+    s5 ++ sec6(msg) ++ section(7)(_.out.write(bos.toByteArray))
+  }
+
   private def sec567(msg: Msg): Array[Byte] = msg.packing match {
     case SimplePacking      => sec567Simple(msg)
     case cx: ComplexPacking => sec567Complex(msg, cx)
+    case PngPacking         => sec567Png(msg)
   }
 
   private def envelope(head: Msg, body: Array[Byte]): Array[Byte] = {
