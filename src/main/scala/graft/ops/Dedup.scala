@@ -301,6 +301,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-duplicate pair graph — the
+    * canonicalization step of a dedup pipeline: every document appearing in
+    * at least one near-dup pair gets the smallest doc_id reachable through
+    * pair edges as its `cluster_id` (keep-one-per-cluster is then a trivial
+    * `doc_id = cluster_id` filter). Min-label propagation to fixpoint: each
+    * round is ONE neighbor join + min-agg shuffle over (long, long) label
+    * pairs — document text never enters the loop — and `localCheckpoint`
+    * truncates lineage so the plan stays O(1) per round. Rounds are bounded
+    * by component diameter; near-dup clusters are near-cliques, so real
+    * corpora close in 2-4 rounds (the driver-side loop condition is a
+    * changed-label count, a scalar action per round, never row data).
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // ------------------------------------------------- DuckDB oracle dialect
   // Kept adjacent to the operators (the Exact.scala convention) so the two
   // dialects cannot drift: every constant below comes from the same n /

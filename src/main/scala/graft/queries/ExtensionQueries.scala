@@ -108,6 +108,32 @@ object ExtensionQueries {
       |SELECT id_a, id_b, score FROM p
       |ORDER BY score DESC, id_a, id_b LIMIT 20""".stripMargin
 
+  /** Near-dup cluster canonicalization: connected components over the x03
+    * MinHash pair graph (identical constants), cluster id = smallest
+    * reachable doc_id. The oracle replays the same pairs and closes them
+    * with a recursive CTE — transitive closure is exact on both sides.
+    */
+  def neardupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+        Dedup.nearDuplicates(Tables.documents(spark, dir), threshold = 0.25,
+          n = 3, numHashes = 64, bands = 32))
+      .orderBy("cluster_id", "doc_id")
+
+  private val neardupClustersSql = {
+    val pairsSql = Dedup.nearDuplicatesSql(threshold = 0.25, n = 3,
+      numHashes = 64, bands = 32)
+    s"""WITH RECURSIVE p AS ($pairsSql),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id,
+       |  CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY cluster_id, doc_id""".stripMargin
+  }
+
   /** The subquadratic top-pairs *surface*: identical output contract to
     * [[embedTopPairs]] but candidates come from the one-shuffle LSH bucket
     * join ([[Similarity.lshTopPairs]]) instead of the O(n²) cross join —
@@ -514,5 +540,7 @@ object ExtensionQueries {
       sourceSketchSimilarity),
     QueryDef("x18_embed_top_pairs_lsh", Some(embedTopPairsLshSql),
       embedTopPairsLsh),
+    QueryDef("x19_neardup_clusters", Some(neardupClustersSql),
+      neardupClusters),
   )
 }

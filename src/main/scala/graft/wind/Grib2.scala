@@ -352,6 +352,12 @@ object Grib2 {
             lo1 = u32(payload, p + 50) / 1e6       // Lo1, octets 51-54
             dx = u32(payload, p + 63) / 1e6        // Di, octets 64-67
             dy = u32(payload, p + 67) / 1e6        // Dj, octets 68-71
+            // scanning mode, octet 72: grid addressing ([[Grid]]) assumes
+            // +i, -j consecutive-i ordering; any other mode would silently
+            // transpose or mirror the grid — refuse instead
+            val scan = u8(payload, p + 71)
+            require(scan == 0,
+              f"unsupported scanning mode 0x$scan%02x (only +i, -j row-major)")
           case 4 => // product definition; template 4.0 only
             val tmpl = u16(payload, p + 7)
             require(tmpl == 0, s"unsupported product template 4.$tmpl")

@@ -50,6 +50,29 @@ class DedupSpec extends SparkSpec {
     assert(verified >= 0.6)
   }
 
+  test("duplicateClusters: transitive closure to the min reachable id") {
+    import spark.implicits._
+    // two components, one only connected transitively (1-2, 2-3: no 1-3 edge)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val c = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a 10-node chain forces multiple propagation rounds (diameter 9)
+    val chain = (0 until 9).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.duplicateClusters(chain).collect()
+    assert(cc.length == 10 && cc.forall(_.getLong(1) == 0L))
+    // fixture: every pair endpoint lands in exactly one cluster whose id is
+    // a member (the canonical doc is real)
+    val fPairs = Dedup.nearDuplicates(docs, 0.25, 3, 64, 32)
+    val fc = Dedup.duplicateClusters(fPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(fc.nonEmpty)
+    val members = fc.map(_._1).toSet
+    assert(fc.map(_._2).toSet.subsetOf(members))
+    assert(fc.forall { case (d, cl) => cl <= d })
+  }
+
   test("nearDuplicatesSql renders valid plain-decimal thresholds (1e-4 trap)") {
     // Double.toString(1e-4) is scientific ("1.0E-4"); a naive "${t}e0"
     // interpolation would emit the invalid literal `1.0E-4e0`
