@@ -9,13 +9,13 @@ import org.apache.spark.sql.functions._
   * typed metadata, with decode / feature-extraction plumbing over
   * `mapPartitions`.
   *
-  * The image and audio codecs are REAL and JDK-only: `javax.imageio`
-  * decodes PNG/BMP/JPEG/GIF containers (dimensions + pixels), and a
-  * hand-rolled RIFF walker parses WAV (sample rate, channels, PCM samples).
-  * Container detection is by magic bytes ([[Codec.sniff]]). Only payloads no
-  * JDK codec speaks — video containers, arbitrary blobs — fall back to the
-  * clearly-marked [[FakeCodec]] stub (this container ships no video
-  * libraries; swapping a real demuxer in changes one match arm).
+  * The codecs are REAL and JDK-only: `javax.imageio` decodes PNG/BMP/JPEG
+  * stills AND multi-frame animated GIFs (the video leg — per-frame pixels),
+  * and a hand-rolled RIFF walker parses WAV (sample rate, channels, PCM
+  * samples). Container detection is by magic bytes ([[Codec.sniff]]). Only
+  * payloads no JDK codec speaks — MP4-style containers, arbitrary blobs —
+  * fall back to the clearly-marked [[FakeCodec]] stub (this container ships
+  * no demuxer libraries; swapping one in changes one match arm).
   *
   * Scale notes: decode is per-partition iterator → iterator (no
   * materialization of whole partitions), decode parallelism = partition
@@ -46,6 +46,14 @@ object Multimodal {
     */
   object Codec {
 
+    // ImageIO's convenience entry points default to FILE-cache-backed
+    // streams — a temp file created and deleted per asset, which dominates
+    // decode cost in a tight per-row loop. Memory-cache streams keep the
+    // whole pipeline in-heap (payloads are small by construction).
+    private[ops] def memIn(p: Array[Byte]) =
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(p))
+
     /** Identify the container by its magic bytes. */
     def sniff(p: Array[Byte]): String =
       if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
@@ -67,7 +75,8 @@ object Multimodal {
       * asset is a task error, never silently fake metadata.
       */
     def decodeImage(p: Array[Byte]): (Int, Int, Array[Int]) = {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(p))
+      // ImageIO.read(ImageInputStream) closes the stream itself
+      val img = javax.imageio.ImageIO.read(memIn(p))
       require(img != null, "imageio could not decode image payload")
       val w = img.getWidth
       val h = img.getHeight
@@ -84,6 +93,40 @@ object Multimodal {
         y += 1
       }
       (w, h, lum)
+    }
+
+    /** Real multi-frame decode: an animated GIF's frames as (width, height,
+      * per-frame luma arrays). The JDK's GIF reader returns each stored
+      * frame; our generator writes full frames, so no disposal compositing
+      * is needed.
+      */
+    def decodeGifFrames(p: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(memIn(p))
+        val n = reader.getNumImages(true)
+        require(n >= 1, "GIF payload has no frames")
+        val frames = (0 until n).map { f =>
+          val img = reader.read(f)
+          val w = img.getWidth
+          val h = img.getHeight
+          val lum = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              lum(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          lum
+        }
+        val first = reader.read(0)
+        (first.getWidth, first.getHeight, frames)
+      } finally reader.dispose()
     }
 
     /** A parsed PCM WAV clip: `samples` are interleaved 16-bit signed
@@ -171,7 +214,53 @@ object Multimodal {
         y += 1
       }
       val bos = new ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, format, bos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, format, ios) finally ios.close()
+      bos.toByteArray
+    }
+
+    /** A real animated GIF: `frames` full grayscale frames seeded from
+      * `seed` bytes (frame f shifts the seed phase by 31·f). An explicit
+      * 256-gray palette guarantees the round trip is exact — no quantizer
+      * runs.
+      */
+    def gif(w: Int, h: Int, frames: Int, seed: Array[Byte]): Array[Byte] = {
+      val grays = Array.tabulate(256)(g => (0xff << 24) | (g << 16) | (g << 8) | g)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, 0, false, -1,
+        java.awt.image.DataBuffer.TYPE_BYTE)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        // the JDK GIF writer interlaces by default and the interlaced rows
+        // do not round-trip through its own reader — write progressive
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < frames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var i = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val b = if (seed.isEmpty) 0
+                      else seed((i + f * 31) % seed.length) & 0xff
+              raster.setSample(x, y, 0, b)
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.dispose() }
       bos.toByteArray
     }
 
@@ -249,11 +338,12 @@ object Multimodal {
   /** Demo asset source over the `documents` table: REAL containers
     * fabricated deterministically from each doc's text bytes — ids ≡ 0 mod 3
     * become PNGs (dims derived from byte length), ≡ 1 become PCM WAVs
-    * (rate/channels/frames from byte length), ≡ 2 stay opaque "video"
-    * blobs. Real sources would be `spark.read.format("binaryFile")` or
-    * parquet with a binary column; the derivation formulas here exist so the
-    * DuckDB oracle can predict what the REAL decode must recover — the
-    * oracle check verifies the whole encode→decode round trip.
+    * (rate/channels/frames from byte length), ≡ 2 become animated GIFs
+    * (dims + frame count from byte length). Real sources would be
+    * `spark.read.format("binaryFile")` or parquet with a binary column; the
+    * derivation formulas here exist so the DuckDB oracle can predict what
+    * the REAL decode must recover — the oracle check verifies the whole
+    * encode→decode round trip for every media type.
     */
   def assetsFromDocuments(docs: DataFrame): Dataset[Asset] = {
     val spark = docs.sparkSession
@@ -269,7 +359,9 @@ object Multimodal {
             case 1 =>
               Asset(id, "audio", Gen.wav(8000 + (len % 8) * 1000,
                 1 + len % 2, 64 + len % 129, bytes))
-            case _ => Asset(id, "video", bytes)
+            case _ =>
+              Asset(id, "video", Gen.gif(8 + len % 17, 8 + len % 13,
+                1 + len % 12, bytes))
           }
         }
       }
@@ -290,6 +382,10 @@ object Multimodal {
         val sum = digest.digest(a.payload).map("%02x".format(_)).mkString
         val nBytes = a.payload.length.toLong
         Codec.sniff(a.payload) match {
+          case "gif" => // the one multi-frame container the JDK decodes
+            val (w, h, frames) = Codec.decodeGifFrames(a.payload)
+            AssetMeta(a.asset_id, a.media_type, nBytes, sum, "gif",
+              w, h, 0, 0, frames.length)
           case f if Codec.isImage(f) =>
             val (w, h, _) = Codec.decodeImage(a.payload)
             AssetMeta(a.asset_id, a.media_type, nBytes, sum, f,
@@ -321,6 +417,11 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.flatMap { a =>
         Codec.sniff(a.payload) match {
+          case "gif" => // every stride-th REAL decoded frame
+            val (_, _, frames) = Codec.decodeGifFrames(a.payload)
+            (0 until frames.length by stride).iterator.map { f =>
+              FrameFeature(a.asset_id, f, histogram16(frames(f)))
+            }
           case f if Codec.isImage(f) =>
             val (_, _, lum) = Codec.decodeImage(a.payload)
             Iterator.single(FrameFeature(a.asset_id, 0, histogram16(lum)))

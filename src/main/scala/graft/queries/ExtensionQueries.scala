@@ -374,8 +374,8 @@ object ExtensionQueries {
 
   // --------------------------------------------------------- multimodal
 
-  /** Real-codec metadata decode: the demo source fabricates REAL PNG/WAV
-    * containers with parameters derived from each doc's byte length
+  /** Real-codec metadata decode: the demo source fabricates REAL PNG/WAV/
+    * animated-GIF containers with parameters derived from each doc's byte length
     * ([[Multimodal.assetsFromDocuments]]), `javax.imageio` / the RIFF
     * walker decode them back, and the oracle predicts what the decode must
     * recover — so the hash check verifies the whole encode→decode round
@@ -397,17 +397,17 @@ object ExtensionQueries {
       | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |   ELSE 'video' END AS media_type,
       | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
-      |   ELSE 'opaque' END AS format,
+      |   ELSE 'gif' END AS format,
       | CAST(CASE doc_id % 3 WHEN 0 THEN 8 + len % 57 WHEN 1 THEN 0
-      |   ELSE 64 + len % 577 END AS INTEGER) AS width,
+      |   ELSE 8 + len % 17 END AS INTEGER) AS width,
       | CAST(CASE doc_id % 3 WHEN 0 THEN 8 + len % 41 WHEN 1 THEN 0
-      |   ELSE 64 + len % 419 END AS INTEGER) AS height,
+      |   ELSE 8 + len % 13 END AS INTEGER) AS height,
       | CAST(CASE doc_id % 3 WHEN 1 THEN 8000 + (len % 8) * 1000
       |   ELSE 0 END AS INTEGER) AS sample_rate,
       | CAST(CASE doc_id % 3 WHEN 1 THEN 1 + len % 2
       |   ELSE 0 END AS INTEGER) AS channels,
       | CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 64 + len % 129
-      |   ELSE 1 + len % 24 END AS INTEGER) AS n_frames
+      |   ELSE 1 + len % 12 END AS INTEGER) AS n_frames
       |FROM b ORDER BY asset_id""".stripMargin
 
   /** Frame-feature extraction — rows-only (feature histograms over real

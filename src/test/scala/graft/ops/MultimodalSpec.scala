@@ -50,6 +50,20 @@ class MultimodalSpec extends SparkSpec {
     assert(wav.samples.toSeq == expected.toSeq)
   }
 
+  test("gif round-trip: multi-frame decode recovers dims, count and pixels") {
+    val seed = Array[Byte](3, 90, -120, 55, 0)
+    val bytes = Multimodal.Gen.gif(4, 3, 5, seed)
+    assert(Multimodal.Codec.sniff(bytes) == "gif")
+    val (w, h, frames) = Multimodal.Codec.decodeGifFrames(bytes)
+    assert(w == 4 && h == 3 && frames.length == 5)
+    // the explicit 256-gray palette makes pixels exact, per frame phase
+    frames.zipWithIndex.foreach { case (lum, f) =>
+      val expected = Array.tabulate(12)(i =>
+        seed((i + f * 31) % seed.length) & 0xff)
+      assert(lum.toSeq == expected.toSeq, s"frame $f pixels drifted")
+    }
+  }
+
   test("wav parser fails loudly on truncated and non-PCM clips") {
     val good = Multimodal.Gen.wav(8000, 1, 8, Array[Byte](1, 2, 3))
     intercept[IllegalArgumentException] {
@@ -68,7 +82,7 @@ class MultimodalSpec extends SparkSpec {
     assert(a(1L).media_type == "audio" &&
       Multimodal.Codec.sniff(a(1L).payload) == "wav")
     assert(a(2L).media_type == "video" &&
-      Multimodal.Codec.sniff(a(2L).payload) == "opaque")
+      Multimodal.Codec.sniff(a(2L).payload) == "gif")
   }
 
   test("decodeMeta recovers the generation parameters from real containers") {
@@ -85,11 +99,12 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(1L).sample_rate == 8000 + (audLen % 8) * 1000)
     assert(metas(1L).channels == 1 + audLen % 2)
     assert(metas(1L).n_frames == 64 + audLen % 129)
-    // video: fake-codec fallback, payload = raw text bytes
+    // video: REAL animated GIF — frame count comes from the actual decode
     val vidLen = "video content with more bytes in it".getBytes("UTF-8").length
-    assert(metas(2L).format == "opaque")
-    assert(metas(2L).width == 64 + vidLen % 577)
-    assert(metas(2L).n_frames == 1 + vidLen % 24)
+    assert(metas(2L).format == "gif")
+    assert(metas(2L).width == 8 + vidLen % 17)
+    assert(metas(2L).height == 8 + vidLen % 13)
+    assert(metas(2L).n_frames == 1 + vidLen % 12)
     // checksum is the md5 of the ENCODED container bytes
     val md = java.security.MessageDigest.getInstance("MD5")
     val pngBytes = Multimodal.Gen.png(8 + imgLen % 57, 8 + imgLen % 41,
@@ -116,10 +131,22 @@ class MultimodalSpec extends SparkSpec {
     (0 until w * h).foreach(i => expected((imgSeed(i % imgSeed.length) & 0xff) >> 4) += 1f)
     val img0 = feats.find(_.asset_id == 0L).get
     assert(img0.feature.toSeq == expected.map(_ / (w * h)).toSeq)
-    // audio + image emit exactly one frame; video one per sampled fake frame
+    // audio + image emit exactly one frame; video one per sampled REAL frame
     val byAsset = feats.groupBy(_.asset_id).view.mapValues(_.length).toMap
     assert(byAsset(0L) == 1 && byAsset(1L) == 1)
     val vlen = "video content with more bytes in it".length
-    assert(byAsset(2L) == (1 + vlen % 24 + 3) / 4)
+    assert(byAsset(2L) == (1 + vlen % 12 + 3) / 4)
+  }
+
+  test("opaque blobs still decode through the declared fake codec") {
+    import spark.implicits._
+    val blob = "no container magic here".getBytes("UTF-8")
+    val assets = Seq(Multimodal.Asset(7L, "video", blob)).toDS()
+    val meta = Multimodal.decodeMeta(assets).collect().head
+    assert(meta.format == "opaque")
+    assert(meta.width == 64 + blob.length % 577)
+    assert(meta.n_frames == 1 + blob.length % 24)
+    val feats = Multimodal.extractFrameFeatures(assets, stride = 8).collect()
+    assert(feats.length == (1 + blob.length % 24 + 7) / 8)
   }
 }
