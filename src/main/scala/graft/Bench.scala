@@ -36,6 +36,26 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // Scan width per query, derived from the PLAN (deterministic — task
+    // input metrics under-report parquet data pages on local filesystems):
+    // post-static-pruning file bytes + required column count across every
+    // file scan. A query that silently loses partition pruning moves in
+    // `scan_bytes`; one that loses column pruning moves in `scan_cols` —
+    // both independent of wall-clock noise.
+    def scanStats(df: org.apache.spark.sql.DataFrame): (Long, Int) = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      val bytes = scans.map { f =>
+        val static = f.partitionFilters.filterNot(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+        f.relation.location.listFiles(static, f.dataFilters)
+          .flatMap(_.files.map(_.getLen)).sum
+      }.sum
+      (bytes, scans.map(_.requiredSchema.size).sum)
+    }
+
     // rows are observed on the UNTIMED warmup only: a CollectMetrics node
     // takes the query off the AQE path (measured 3× on the top-k sort
     // queries), so the timed runs must stay unobserved — but the counts
@@ -54,6 +74,9 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmRows = queries.map { case (name, fn) =>
       name -> (try observedRun(fn) catch { case _: Throwable => -1L })
+    }.toMap
+    val warmScan = queries.map { case (name, fn) =>
+      name -> (try scanStats(fn(spark, sfDir)) catch { case _: Throwable => (-1L, -1) })
     }.toMap
     // best-of-2 timed runs: damps GC/compilation noise on a shared machine
     val results = queries.map { case (name, fn) =>
@@ -74,11 +97,16 @@ object Bench {
       .mkString("{", ",", "}")
     val rows = results.map { case (k, _, _, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
+    val bytes = results.map { case (k, _, _, _) => "\"" + k + "\":" + warmScan(k)._1 }
+      .mkString("{", ",", "}")
+    val cols = results.map { case (k, _, _, _) => "\"" + k + "\":" + warmScan(k)._2 }
+      .mkString("{", ",", "}")
     val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._3).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""runs":$runs,"rows":$rows,"failures":$fs,""" +
+        s""""runs":$runs,"rows":$rows,"scan_bytes":$bytes,"scan_cols":$cols,""" +
+        s""""failures":$fs,""" +
         s""""penalty_sec_per_failure":$FailurePenaltySec,"sf":"$sfDir"}""")
     // The driver captures only the last ~2 KiB of output; round 3's hardened
     // JSON outgrew that window and lost its leading "total" field. This
