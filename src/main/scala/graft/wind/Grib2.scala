@@ -135,16 +135,21 @@ object Grib2 {
     */
   private final case class PngPacked(r: Float, e: Int, d: Int, nbits: Int)
       extends Packing
-  /** Templates 5.2 (`spatialOrder == 0`) and 5.3 (order 1 or 2). */
+  /** Templates 5.2 (`spatialOrder == 0`) and 5.3 (order 1 or 2).
+    * `missingMode` 0 = none, 1 = primary, 2 = primary+secondary in-group
+    * missing markers (octet 23) — both decode to NaN like bitmap holes.
+    */
   private final case class Complex(
       r: Float, e: Int, d: Int, nbits: Int,
       spatialOrder: Int, octetsExtra: Int,
       ng: Int, refGroupWidths: Int, bitsGroupWidths: Int,
       refGroupLengths: Long, lenIncrement: Int, lastGroupLength: Long,
-      bitsGroupLengths: Int) extends Packing
+      bitsGroupLengths: Int, missingMode: Int) extends Packing
 
   /** Unpack a complex-packed (template 7.2/7.3) data section into the raw X
     * integers of the decode formula, spatial differencing already undone.
+    * Returns the values plus a missing-point mask (`null` when the message
+    * carries no missing-value management).
     *
     * Wire layout (each sequence zero-padded to an octet boundary per spec):
     * [5.3 only: order initial value(s) + overall minimum, sign-magnitude,
@@ -154,9 +159,17 @@ object Grib2 {
     * the LAST group's length comes from `lastGroupLength` instead) → the
     * values, group-by-group at that group's width (width 0 = whole group
     * equals its reference), packed continuously.
+    *
+    * Missing-value management (octet 23 mode 1/2, the MRMS convention):
+    * within a group of width w > 0, an all-ones packed value (2^w−1) is
+    * primary-missing (mode 2 adds 2^w−2 as secondary); a width-0 group
+    * whose reference is all-ones (2^nbits−1) is missing wholesale. Spatial
+    * differencing applies to the NON-missing subsequence only — the
+    * reconstruction carries across missing points (the same semantics as
+    * the reference's bundled netCDF-Java decoder).
     */
   private def unpackComplex(b: Array[Byte], start: Int, nData: Int,
-                            c: Complex): Array[Long] = {
+                            c: Complex): (Array[Long], Array[Boolean]) = {
     var pos = start
     var ival1 = 0L; var ival2 = 0L; var minsd = 0L
     if (c.spatialOrder > 0) {
@@ -174,6 +187,8 @@ object Grib2 {
     pos += bytesFor(c.ng, c.bitsGroupLengths)
 
     val out = new Array[Long](nData)
+    val missing = if (c.missingMode == 0) null else new Array[Boolean](nData)
+    val refAllOnes = if (c.nbits == 0) -1L else (1L << c.nbits) - 1
     var bitPos = pos.toLong * 8
     var i = 0
     var g = 0
@@ -185,6 +200,8 @@ object Grib2 {
       require(i + len <= nData,
         s"complex-packed groups overflow $nData points at group $g")
       val ref = refs(g)
+      val groupMissing =
+        c.missingMode >= 1 && width == 0 && c.nbits > 0 && ref == refAllOnes
       var j = 0
       while (j < len) {
         var v = 0L
@@ -195,7 +212,11 @@ object Grib2 {
           bitPos += 1
           k += 1
         }
-        out(i) = ref + v
+        val isMissing = groupMissing ||
+          (c.missingMode >= 1 && width > 0 &&
+            (v == (1L << width) - 1 ||
+              (c.missingMode == 2 && v == (1L << width) - 2)))
+        if (isMissing) missing(i) = true else out(i) = ref + v
         i += 1
         j += 1
       }
@@ -203,21 +224,37 @@ object Grib2 {
     }
     require(i == nData, s"complex-packed groups cover $i of $nData points")
 
-    // Undo spatial differencing: stored values are h(i) = f(i) - minsd with
-    // f the order-1/2 difference field; the first `order` values are carried
-    // in the descriptors and the packed slots they shadow are ignored.
-    if (c.spatialOrder == 1) {
-      out(0) = ival1
-      var t = 1
-      while (t < nData) { out(t) = out(t) + minsd + out(t - 1); t += 1 }
-    } else if (c.spatialOrder == 2) {
-      out(0) = ival1; out(1) = ival2
-      var t = 2
+    // Undo spatial differencing over the non-missing subsequence: stored
+    // values are h(i) = f(i) - minsd with f the order-1/2 difference field;
+    // the first `order` NON-missing values come from the descriptors and
+    // the packed slots they shadow are ignored.
+    if (c.spatialOrder > 0) {
+      val idx = new Array[Int](nData)
+      var n = 0
+      var t = 0
       while (t < nData) {
-        out(t) = out(t) + minsd + 2 * out(t - 1) - out(t - 2); t += 1
+        if (missing == null || !missing(t)) { idx(n) = t; n += 1 }
+        t += 1
+      }
+      require(n > c.spatialOrder,
+        s"spatial differencing order ${c.spatialOrder} needs > ${c.spatialOrder} present points, got $n")
+      out(idx(0)) = ival1
+      if (c.spatialOrder == 1) {
+        var u = 1
+        while (u < n) {
+          out(idx(u)) = out(idx(u)) + minsd + out(idx(u - 1)); u += 1
+        }
+      } else {
+        out(idx(1)) = ival2
+        var u = 2
+        while (u < n) {
+          out(idx(u)) = out(idx(u)) + minsd +
+            2 * out(idx(u - 1)) - out(idx(u - 2))
+          u += 1
+        }
       }
     }
-    out
+    (out, missing)
   }
 
   /** Decode a PNG-packed (template 7.41) data section into raw X integers:
@@ -396,8 +433,8 @@ object Grib2 {
               case 41 => PngPacked(r, e, d, nbits)
               case 2 | 3 =>
                 val missing = u8(payload, p + 22)  // missing value mgmt, oct 23
-                require(missing == 0,
-                  s"unsupported missing-value management $missing (use bitmaps)")
+                require(missing <= 2,
+                  s"unsupported missing-value management $missing")
                 val ng = u32(payload, p + 31).toInt   // NG, octets 32-35
                 val refW = u8(payload, p + 35)        // width reference, oct 36
                 val bitsW = u8(payload, p + 36)       // width bits, octet 37
@@ -416,7 +453,7 @@ object Grib2 {
                     (o, oc)
                   } else (0, 0)
                 Complex(r, e, d, nbits, order, octets, ng, refW, bitsW,
-                  refL, incL, lastL, bitsL)
+                  refL, incL, lastL, bitsL, missing)
               case t => throw new IllegalArgumentException(
                 s"unsupported data representation template 5.$t")
             }
@@ -436,15 +473,19 @@ object Grib2 {
               val data: Array[Double] =
                 if (!withData) Array.emptyDoubleArray
                 else {
-                  val raw = packing match {
-                    case s: Simple => unpackBits(payload, p + 5, nData, s.nbits)
+                  val (raw, rawMissing) = packing match {
+                    case s: Simple =>
+                      (unpackBits(payload, p + 5, nData, s.nbits), null)
                     case c: Complex => unpackComplex(payload, p + 5, nData, c)
                     case g: PngPacked =>
-                      unpackPng(payload, p + 5, secLen - 5, nData, g.nbits)
+                      (unpackPng(payload, p + 5, secLen - 5, nData, g.nbits), null)
                   }
                   val twoPowE = math.pow(2, packing.e)
                   val tenPowD = math.pow(10, packing.d)
-                  val vals = raw.map(x => (packing.r + x * twoPowE) / tenPowD)
+                  val vals = Array.tabulate(nData) { x =>
+                    if (rawMissing != null && rawMissing(x)) Double.NaN
+                    else (packing.r + raw(x) * twoPowE) / tenPowD
+                  }
                   if (bitmap == null) vals else applyBitmap(vals, bitmap)
                 }
               out += WindBinary.GribMessage(

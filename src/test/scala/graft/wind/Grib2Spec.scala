@@ -153,6 +153,37 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("missing-value management mode 1: in-group markers decode as NaN") {
+    // every 5th point missing, plus one ENTIRELY missing group (slots 14-20)
+    val miss = Array.tabulate(32)(i => i % 5 == 1 || (i >= 14 && i < 21))
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      r = -20f, e = -1, d = 0, nbits = 12, m = gridVals)
+      .copy(missingMask = Some(miss),
+        packing = Grib2TestWriter.ComplexPacking(groupSize = 7))))
+    val d = decoded.head.data
+    (0 until 32).foreach { i =>
+      if (miss(i)) assert(d(i).isNaN, s"point $i should be missing")
+      else assert(d(i) == -20 + gridVals(i) * 0.5, s"point $i value")
+    }
+  }
+
+  test("missing values + 5.3 spatial differencing: reconstruction skips holes") {
+    for (order <- Seq(1, 2)) {
+      val miss = Array.tabulate(32)(i => i == 0 || i == 7 || i == 20)
+      val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+        nbits = 12, m = gridVals)
+        .copy(missingMask = Some(miss),
+          packing = Grib2TestWriter.ComplexPacking(
+            spatialOrder = order, groupSize = 6))))
+      val d = decoded.head.data
+      (0 until 32).foreach { i =>
+        if (miss(i)) assert(d(i).isNaN)
+        else assert(d(i) == gridVals(i).toDouble,
+          s"order-$order point $i corrupted by the missing holes")
+      }
+    }
+  }
+
   test("PNG packing 5.41 round-trips at 8 and 16-bit depths") {
     // 8-bit: full 8×4 grid rendered as the image
     val v8 = Array.tabulate(32)(i => ((i * 29) % 256).toLong)

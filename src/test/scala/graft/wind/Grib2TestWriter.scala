@@ -26,6 +26,9 @@ object Grib2TestWriter {
     * the full `nx·ny` grid without a bitmap, or just the present points'
     * values with one (`bitmap.count(true) == m.length`). `forecastHours` is
     * the raw forecast-time value in `timeUnit` units (1 = hours).
+    * `missingMask` (complex packing only) marks slots of `m` encoded as
+    * in-group primary-missing markers — octet-23 mode 1 — instead of
+    * values.
     */
   final case class Msg(
       discipline: Int, category: Int, number: Int,
@@ -37,6 +40,7 @@ object Grib2TestWriter {
       timeUnit: Int = 1,
       surfScale: Int = 0, surfValueScaled: Long = 10,
       bitmap: Option[Array[Boolean]] = None,
+      missingMask: Option[Array[Boolean]] = None,
       packing: PackingSpec = SimplePacking)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
@@ -183,32 +187,68 @@ object Grib2TestWriter {
     val order = cx.spatialOrder
     val g = msg.m
     val n = g.length
-    // 1. spatial differencing at the X level (5.3); identity for 5.2
+    val miss = msg.missingMask.getOrElse(Array.fill(n)(false))
+    require(miss.length == n, "missingMask must cover m")
+    val mode = if (msg.missingMask.isDefined) 1 else 0
+    val present = (0 until n).filter(i => !miss(i)).toArray
+    // 1. spatial differencing at the X level (5.3) over the NON-missing
+    //    subsequence; identity for 5.2
     var ival1 = 0L; var ival2 = 0L; var minsd = 0L
     val h = new Array[Long](n)
-    if (order == 0) System.arraycopy(g, 0, h, 0, n)
-    else {
-      require(n > order, "need more points than the differencing order")
-      val f = new Array[Long](n)
+    if (order == 0) {
+      present.foreach(i => h(i) = g(i))
+    } else {
+      require(present.length > order,
+        "need more present points than the differencing order")
+      val f = new Array[Long](present.length)
       if (order == 1) {
-        var i = 1; while (i < n) { f(i) = g(i) - g(i - 1); i += 1 }
+        var t = 1
+        while (t < present.length) {
+          f(t) = g(present(t)) - g(present(t - 1)); t += 1
+        }
       } else {
-        var i = 2; while (i < n) { f(i) = g(i) - 2 * g(i - 1) + g(i - 2); i += 1 }
+        var t = 2
+        while (t < present.length) {
+          f(t) = g(present(t)) - 2 * g(present(t - 1)) + g(present(t - 2))
+          t += 1
+        }
       }
-      minsd = (order until n).map(f).min
-      ival1 = g(0); if (order == 2) ival2 = g(1)
-      var i = order
-      while (i < n) { h(i) = f(i) - minsd; i += 1 }
-      // h(0..order-1) stay 0: the decoder takes them from the descriptors
+      minsd = (order until present.length).map(f).min
+      ival1 = g(present(0)); if (order == 2) ival2 = g(present(1))
+      var t = order
+      while (t < present.length) { h(present(t)) = f(t) - minsd; t += 1 }
+      // the first `order` present slots stay 0: the decoder takes them from
+      // the descriptors
     }
-    // 2. group splitting: fixed-size groups, per-group min reference
-    val groups = h.grouped(cx.groupSize).toArray
-    val ng = groups.length
-    val refs = groups.map(_.min)
+    // 2. group splitting: fixed-size groups, per-group min reference over
+    //    present values; missing slots take the all-ones in-group marker
+    val slots = (0 until n).toArray.grouped(cx.groupSize).toArray
+    val ng = slots.length
+    val refAllOnes = (1L << msg.nbits) - 1
+    // (ref, width, packed-per-slot) per group
+    val encoded = slots.map { slot =>
+      val pres = slot.filter(i => !miss(i))
+      if (pres.isEmpty) {
+        require(mode == 1, "all-missing group without missing management")
+        (refAllOnes, 0, slot.map(_ => 0L)) // width-0 all-ones ref = missing
+      } else {
+        val ref = pres.map(h).min
+        val maxPacked = pres.map(h(_) - ref).max
+        var width = bitsNeeded(maxPacked)
+        if (mode == 1 && slot.exists(miss)) {
+          // the marker (all-ones) must not collide with a real value
+          if (width == 0 || maxPacked == (1L << width) - 1) width += 1
+        }
+        (ref, width,
+          slot.map(i => if (miss(i)) (1L << width) - 1 else h(i) - ref))
+      }
+    }
+    val refs = encoded.map(_._1)
+    val widths = encoded.map(_._2)
+    val packed = encoded.map(_._3)
+    val groups = slots // lengths only below
     require(refs.forall(r => r >= 0 && bitsNeeded(r) <= msg.nbits),
       "group reference overflows nbits")
-    val packed = groups.zip(refs).map { case (grp, ref) => grp.map(_ - ref) }
-    val widths = packed.map(pg => bitsNeeded(pg.max))
     require(widths.forall(_ <= 63), "group width overflows 6 bits")
 
     val s5 = section(5) { w =>
@@ -218,7 +258,7 @@ object Grib2TestWriter {
       w.w8(msg.nbits)                       // octet 20: group-reference bits
       w.w8(0)                               // octet 21: original field type
       w.w8(1)                               // octet 22: general group splitting
-      w.w8(0)                               // octet 23: no missing-value mgmt
+      w.w8(mode)                            // octet 23: missing-value mgmt
       w.w32(0); w.w32(0)                    // octets 24-31: missing substitutes
       w.w32(ng)                             // octets 32-35: NG
       w.w8(0)                               // octet 36: group width reference
