@@ -518,6 +518,109 @@ object ExtensionQueries {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** The end-to-end training-data funnel a corpus-prep user actually runs,
+    * composed from the engine's own operators in one plan: language gate
+    * ([[TextAnalysis.languageId]]) → quality threshold
+    * ([[TextAnalysis.qualityScore]]) → exact dedup (sha-256, min-id
+    * canonical) → order-insensitive word-set dedup
+    * ([[TextAnalysis.wordSetFingerprint]]), reporting surviving docs and
+    * token budget per stage. Two window shuffles (content hash, word-set
+    * fingerprint) + one single-row aggregate — stage counts come from
+    * conditional aggregation, not five scans.
+    */
+  def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis.qualityScore(docs, col("text"))
+      .select(col("doc_id"), col("text"), col("quality"))
+      .withColumn("pred", TextAnalysis.languageId(col("text")))
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("chash", sha2(col("text"), 256))
+      .withColumn("wfp", TextAnalysis.wordSetFingerprint(col("text")))
+    val kept = scored
+      .withColumn("pass_lang", col("pred") === "en")
+      .withColumn("pass_q", col("pass_lang") && col("quality") >= 0.5)
+      .withColumn("keep_exact", col("pass_q") && col("doc_id") ===
+        min(when(col("pass_q"), col("doc_id")))
+          .over(Window.partitionBy("chash")))
+      .withColumn("keep_wfp", col("keep_exact") && col("doc_id") ===
+        min(when(col("keep_exact"), col("doc_id")))
+          .over(Window.partitionBy("wfp")))
+    val stages = Seq(
+      ("1_all", lit(true)), ("2_lang_en", col("pass_lang")),
+      ("3_quality", col("pass_q")), ("4_exact_dedup", col("keep_exact")),
+      ("5_wordset_dedup", col("keep_wfp")))
+    val aggs = stages.flatMap { case (n, c) => Seq(
+      count(when(c, 1)).as(s"d_$n"),
+      coalesce(sum(when(c, col("n_tok"))), lit(0L)).as(s"t_$n")) }
+    kept.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(stages.map { case (n, _) =>
+        struct(lit(n).as("stage"), col(s"d_$n").as("n_docs"),
+          col(s"t_$n").as("n_tokens")) }: _*)).as("s"))
+      .select("s.stage", "s.n_docs", "s.n_tokens")
+      .orderBy("stage")
+  }
+
+  /** Generated from the same stopword profiles and quality weights the
+    * Spark side uses; the stage predicates, window mins and conditional
+    * aggregation are replayed verbatim.
+    */
+  private val corpusFunnelSql = {
+    val profiles = TextAnalysis.stopwords.zipWithIndex.map {
+      case ((lang, ws), i) =>
+        s"('$lang', $i, [${ws.map(w => s"'$w'").mkString(",")}])"
+    }.mkString(",\n      ")
+    val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+    val stages = Seq("1_all" -> "TRUE", "2_lang_en" -> "pass_lang",
+      "3_quality" -> "pass_q", "4_exact_dedup" -> "keep_exact",
+      "5_wordset_dedup" -> "keep_wfp")
+    val unions = stages.map { case (n, c) =>
+      s"""SELECT '$n' AS stage,
+         |  count(CASE WHEN $c THEN 1 END) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN $c THEN n_tok END), 0) AS BIGINT)
+         |    AS n_tokens
+         |FROM k2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sig AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+       |    sha256(text) AS chash,
+       |    md5(array_to_string(list_sort(list_distinct(
+       |      string_split(text,' '))), ' ')) AS wfp,
+       |    CAST(length(text) AS INTEGER) AS nc,
+       |    CAST(len(string_split(text,' ')) AS INTEGER) AS nw,
+       |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+       |         AS INTEGER) AS nalpha,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |         w -> list_contains([$en], w))) AS INTEGER) AS nstop
+       |  FROM documents),
+       |hits AS (
+       |  SELECT d.doc_id, p.cand, p.ord,
+       |    len(list_filter(string_split(d.text, ' '),
+       |        w -> list_contains(p.ws, w))) AS h
+       |  FROM documents d CROSS JOIN (VALUES
+       |      $profiles) AS p(cand, ord, ws)),
+       |pred AS (
+       |  SELECT doc_id, CASE WHEN h > 0 THEN cand ELSE 'und' END AS predicted
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY h DESC, ord) AS rk FROM hits) WHERE rk = 1),
+       |f AS (
+       |  SELECT s.*,
+       |    (p.predicted = 'en') AS pass_lang,
+       |    (p.predicted = 'en' AND
+       |     least(CAST(nw AS DOUBLE)/64, 1e0)*0.4e0
+       |       + (CAST(nalpha AS DOUBLE)/nc)*0.4e0
+       |       + least((CAST(nstop AS DOUBLE)/nw)*4e0, 1e0)*0.2e0 >= 0.5e0)
+       |      AS pass_q
+       |  FROM sig s JOIN pred p USING (doc_id)),
+       |k1 AS (SELECT *, pass_q AND doc_id = min(CASE WHEN pass_q THEN doc_id END)
+       |    OVER (PARTITION BY chash) AS keep_exact FROM f),
+       |k2 AS (SELECT *, keep_exact AND doc_id = min(CASE WHEN keep_exact THEN doc_id END)
+       |    OVER (PARTITION BY wfp) AS keep_wfp FROM k1)
+       |$unions
+       |ORDER BY stage""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -542,5 +645,6 @@ object ExtensionQueries {
       embedTopPairsLsh),
     QueryDef("x19_neardup_clusters", Some(neardupClustersSql),
       neardupClusters),
+    QueryDef("x20_corpus_funnel", Some(corpusFunnelSql), corpusFunnel),
   )
 }
