@@ -69,6 +69,24 @@ object Grib2Source {
     StructField("lo1", DoubleType, nullable = false),
     StructField("dx", DoubleType, nullable = false),
     StructField("dy", DoubleType, nullable = false),
+    StructField("gribLength", IntegerType, nullable = false),
+    StructField("center", IntegerType, nullable = false),
+    StructField("subcenter", IntegerType, nullable = false),
+    StructField("significanceOfRT", IntegerType, nullable = false),
+    StructField("productStatus", IntegerType, nullable = false),
+    StructField("productType", IntegerType, nullable = false),
+    StructField("productDefinitionTemplate", IntegerType, nullable = false),
+    StructField("genProcessType", IntegerType, nullable = false),
+    StructField("gridDefinitionTemplate", IntegerType, nullable = false),
+    StructField("numberPoints", IntegerType, nullable = false),
+    StructField("shape", IntegerType, nullable = false),
+    StructField("basicAngle", IntegerType, nullable = false),
+    StructField("resolution", IntegerType, nullable = false),
+    StructField("scanMode", IntegerType, nullable = false),
+    StructField("la2", DoubleType, nullable = false),
+    StructField("lo2", DoubleType, nullable = false),
+    StructField("surface2Type", IntegerType, nullable = false),
+    StructField("surface2Value", DoubleType, nullable = false),
     StructField("data", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
@@ -201,6 +219,12 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
             UTF8String.fromString(m.refTime), m.forecastTime,
             m.surface1Type, m.surface1Value,
             m.nx, m.ny, m.la1, m.lo1, m.dx, m.dy,
+            m.gribLength, m.center, m.subcenter,
+            m.significanceOfRT, m.productStatus, m.productType,
+            m.productDefinitionTemplate, m.genProcessType,
+            m.gridDefinitionTemplate, m.numberPoints, m.shape,
+            m.basicAngle, m.resolution, m.scanMode,
+            m.la2, m.lo2, m.surface2Type, m.surface2Value,
             ArrayData.toArrayData(m.data))
           new GenericInternalRow(fieldIdx.map(full))
         }

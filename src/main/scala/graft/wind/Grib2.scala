@@ -360,11 +360,18 @@ object Grib2 {
       var refTime = ""
       var nx = 0; var ny = 0
       var la1 = 0.0; var lo1 = 0.0; var dx = 0.0; var dy = 0.0
+      var la2 = 0.0; var lo2 = 0.0
+      var center = 0; var subcenter = 0; var significanceOfRT = 0
+      var productStatus = 0; var productType = 0
+      var numberPoints = 0; var shape = 0; var basicAngle = 0
+      var resolution = 0
       // field-scoped state, reset after every data section (sections 4-7
       // legally repeat within one message — each repetition is one field)
       var forecastHours = 0
       var cat = -1; var num = -1
       var surfType = 255; var surfVal = 0.0
+      var surf2Type = 255; var surf2Val = 0.0
+      var genProcessType = 0
       var nData = 0
       var packing: Packing = null
       var bitmap: Array[Boolean] = null
@@ -375,18 +382,29 @@ object Grib2 {
         require(secLen >= 5, s"bad section length $secLen at $p")
         u8(payload, p + 4) match {
           case 1 => // identification: octets 13-19 = Y(2) M D h m s
+            center = u16(payload, p + 5)           // centre, octets 6-7
+            subcenter = u16(payload, p + 7)        // subcentre, octets 8-9
+            significanceOfRT = u8(payload, p + 11) // octet 12
             val y = u16(payload, p + 12)
             refTime = f"$y%04d-${u8(payload, p + 14)}%02d-${u8(payload, p + 15)}%02d" +
               f"T${u8(payload, p + 16)}%02d:${u8(payload, p + 17)}%02d" +
               f":${u8(payload, p + 18)}%02d.000Z"
+            productStatus = u8(payload, p + 19)    // octet 20
+            productType = u8(payload, p + 20)      // octet 21
           case 2 => () // local use
           case 3 => // grid definition; template 3.0 only
             val tmpl = u16(payload, p + 12)
             require(tmpl == 0, s"unsupported grid template 3.$tmpl")
+            numberPoints = u32(payload, p + 6).toInt // octets 7-10
+            shape = u8(payload, p + 14)            // shape of earth, octet 15
             nx = u32(payload, p + 30).toInt        // Ni, octets 31-34
             ny = u32(payload, p + 34).toInt        // Nj, octets 35-38
+            basicAngle = u32(payload, p + 38).toInt // octets 39-42
             la1 = s32sm(payload, p + 46) / 1e6     // La1, octets 47-50
             lo1 = u32(payload, p + 50) / 1e6       // Lo1, octets 51-54
+            resolution = u8(payload, p + 54)       // res/component flags, oct 55
+            la2 = s32sm(payload, p + 55) / 1e6     // La2, octets 56-59
+            lo2 = u32(payload, p + 59) / 1e6       // Lo2, octets 60-63
             dx = u32(payload, p + 63) / 1e6        // Di, octets 64-67
             dy = u32(payload, p + 67) / 1e6        // Dj, octets 68-71
             // scanning mode, octet 72: grid addressing ([[Grid]]) assumes
@@ -400,6 +418,7 @@ object Grib2 {
             require(tmpl == 0, s"unsupported product template 4.$tmpl")
             cat = u8(payload, p + 9)               // category, octet 10
             num = u8(payload, p + 10)              // number, octet 11
+            genProcessType = u8(payload, p + 11)   // generating process, oct 12
             val unit = u8(payload, p + 17)         // time unit, octet 18
             val ft = u32(payload, p + 18).toInt    // forecast time, 19-22
             forecastHours = unit match {
@@ -421,6 +440,14 @@ object Grib2 {
               if (surfType == 255 || sValRaw == 0xffffffffL) 0.0
               else s32sm(payload, p + 24) /
                 math.pow(10, if (sScaleRaw == 0xff) 0 else s8sm(payload, p + 23))
+            // second fixed surface, octets 29-34, same encoding
+            surf2Type = u8(payload, p + 28)
+            val s2ScaleRaw = u8(payload, p + 29)
+            val s2ValRaw = u32(payload, p + 30)
+            surf2Val =
+              if (surf2Type == 255 || s2ValRaw == 0xffffffffL) 0.0
+              else s32sm(payload, p + 30) /
+                math.pow(10, if (s2ScaleRaw == 0xff) 0 else s8sm(payload, p + 29))
           case 5 => // data representation; templates 5.0 / 5.2 / 5.3
             nData = u32(payload, p + 5).toInt      // octets 6-9
             val tmpl = u16(payload, p + 9)         // octets 10-11
@@ -494,11 +521,21 @@ object Grib2 {
                 forecastTime = forecastHours,
                 surface1Type = surfType, surface1Value = surfVal,
                 nx = nx, ny = ny, la1 = la1, lo1 = lo1, dx = dx, dy = dy,
+                gribLength = totalLen, center = center, subcenter = subcenter,
+                significanceOfRT = significanceOfRT,
+                productStatus = productStatus, productType = productType,
+                productDefinitionTemplate = 0, genProcessType = genProcessType,
+                gridDefinitionTemplate = 0, numberPoints = numberPoints,
+                shape = shape, basicAngle = basicAngle,
+                resolution = resolution, scanMode = 0,
+                la2 = la2, lo2 = lo2,
+                surface2Type = surf2Type, surface2Value = surf2Val,
                 data = data)
             }
             // this field is done: clear its state so a repeated 4-7 group
             // can never inherit (or mix with) the previous field's header
             cat = -1; num = -1; surfType = 255; surfVal = 0.0
+            surf2Type = 255; surf2Val = 0.0; genProcessType = 0
             forecastHours = 0; nData = 0; packing = null; bitmap = null
           case s => throw new IllegalArgumentException(s"unknown section $s")
         }

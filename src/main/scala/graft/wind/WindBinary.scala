@@ -20,14 +20,24 @@ object WindBinary {
 
   case class RawGrib(path: String, payload: Array[Byte])
 
-  /** One decoded GRIB2 message in the same shape as the JSON landing leg
-    * (subset of the 48-field header derivable from the binary sections).
+  /** One decoded GRIB2 message carrying every numeric field of the JSON
+    * leg's 48-field header — all of them are plain section integers/floats
+    * the binary decoder reads directly; only the code-table NAME strings
+    * (disciplineName, parameterUnit, …) genuinely need grib2json's lookup
+    * tables and stay out of the binary shape.
     */
   case class GribMessage(
       discipline: Int, parameterCategory: Int, parameterNumber: Int,
       refTime: String, forecastTime: Int,
       surface1Type: Int, surface1Value: Double,
       nx: Int, ny: Int, la1: Double, lo1: Double, dx: Double, dy: Double,
+      gribLength: Int, center: Int, subcenter: Int,
+      significanceOfRT: Int, productStatus: Int, productType: Int,
+      productDefinitionTemplate: Int, genProcessType: Int,
+      gridDefinitionTemplate: Int, numberPoints: Int, shape: Int,
+      basicAngle: Int, resolution: Int, scanMode: Int,
+      la2: Double, lo2: Double,
+      surface2Type: Int, surface2Value: Double,
       data: Array[Double])
 
   /** Read a directory of `.grb2` blobs via the binaryFile source. */
@@ -52,29 +62,22 @@ object WindBinary {
 
   /** Binary-decoded fields projected into the FULL storage header schema
     * ([[WindModel.headerSchema]], same field order and types as the JSON
-    * leg): the 13 section-decoded fields, plus the two envelope-derivables
-    * (`gribEdition` — the decoder requires edition 2 — and `numberPoints` =
-    * nx·ny); fields only grib2json's code-table lookups produce (names,
-    * units, la2/lo2 under unknown scan modes) stay null. Both ingest legs
+    * leg): every NUMERIC header field is decoded from the binary sections
+    * (31 of 48); only the code-table NAME strings that grib2json looks up
+    * (disciplineName, parameterUnit, winds, …) stay null. Both ingest legs
     * therefore write ONE physical table with ONE header schema.
     */
   def conformHeader(decoded: DataFrame): DataFrame = {
-    val present: Map[String, Column] = Map(
-      "discipline" -> col("discipline"),
-      "gribEdition" -> lit(2),
-      "parameterCategory" -> col("parameterCategory"),
-      "parameterNumber" -> col("parameterNumber"),
-      "surface1Type" -> col("surface1Type"),
-      "surface1Value" -> col("surface1Value"),
-      "numberPoints" -> col("nx") * col("ny"),
-      "nx" -> col("nx"),
-      "ny" -> col("ny"),
-      "forecastTime" -> col("forecastTime"),
-      "la1" -> col("la1"),
-      "lo1" -> col("lo1"),
-      "dx" -> col("dx"),
-      "dy" -> col("dy"),
-      "refTime" -> col("refTime"))
+    val passthrough = Seq(
+      "discipline", "parameterCategory", "parameterNumber",
+      "surface1Type", "surface1Value", "surface2Type", "surface2Value",
+      "nx", "ny", "forecastTime", "la1", "la2", "lo1", "lo2", "dx", "dy",
+      "refTime", "gribLength", "center", "subcenter", "significanceOfRT",
+      "productStatus", "productType", "productDefinitionTemplate",
+      "genProcessType", "gridDefinitionTemplate", "numberPoints", "shape",
+      "basicAngle", "resolution", "scanMode")
+    val present: Map[String, Column] =
+      passthrough.map(n => n -> col(n)).toMap + ("gribEdition" -> lit(2))
     // Decoded fields keep the encoder's non-null markers — stricter than the
     // JSON leg's all-nullable read schema but identical in names/types/order,
     // which is the contract parquet actually enforces (nullability is

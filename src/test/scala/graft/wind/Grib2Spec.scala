@@ -44,6 +44,21 @@ class Grib2Spec extends AnyFunSuite {
       Seq(0.8, (8 + 0.25) / 10, (8 + 0.5) / 10, (8 + 1.75) / 10))
   }
 
+  test("extended header: every numeric field of the 48-field header decodes") {
+    val payload = Grib2TestWriter.message(msg())
+    val g = Grib2.decode(payload).head
+    assert(g.gribLength == payload.length)
+    assert(g.center == 7 && g.subcenter == 0)       // NCEP, per the writer
+    assert(g.significanceOfRT == 1)                 // start of forecast
+    assert(g.productStatus == 0 && g.productType == 1)
+    assert(g.productDefinitionTemplate == 0 && g.gridDefinitionTemplate == 0)
+    assert(g.genProcessType == 2)                   // forecast
+    assert(g.numberPoints == 32 && g.shape == 6)
+    assert(g.basicAngle == 0 && g.resolution == 48 && g.scanMode == 0)
+    assert(g.la2 == 90.0 - 3.0 && g.lo2 == 7.0)     // la1-(ny-1)dy, lo1+(nx-1)dx
+    assert(g.surface2Type == 255 && g.surface2Value == 0.0)
+  }
+
   test("sign-magnitude negative latitude decodes (not two's complement)") {
     val decoded = Grib2.decode(Grib2TestWriter.message(msg(
       la1Micro = -45500000L)))
