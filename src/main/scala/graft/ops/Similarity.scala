@@ -386,6 +386,36 @@ object Similarity {
       .limit(topN)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * storage/serving compression: per vector, `scale = max(|v|)/127` and
+    * `q_i = floor(v_i/scale + 0.5)` (round-half-up — identical algebra in
+    * every engine, unlike banker's/HALF_UP library rounding). Returns
+    * (scale, q[int]) columns; everything is a pure projection — quantizing
+    * 100 TB of embeddings is a map-only pass.
+    */
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, v => abs(v.cast("double")))) / lit(127.0)
+
+  /** Quantize against a PRE-COMPUTED scale column (compute [[int8Scale]] in
+    * a prior projection — inlining it would re-evaluate the array max per
+    * element in the interpreted higher-order path, O(d²) per row).
+    */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, v => floor(v.cast("double") / scale + lit(0.5)).cast("int"))
+
+  /** Reconstruction (dequantize): `q_i · scale` — used by the spec to bound
+    * the quantization error at scale/2 per component.
+    */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** DuckDB twin of [[quantizeInt8]]'s per-component integers: identical
+    * float→double promotion, division and `floor(x + 0.5)` fold against a
+    * pre-computed scale expression.
+    */
+  def sqlQuantize(v: String, scale: String): String =
+    s"list_transform($v, x -> CAST(floor(CAST(x AS DOUBLE) / $scale + 0.5e0) AS INTEGER))"
+
   /** Top near-duplicate pairs across the whole corpus by exact cosine —
     * all-pairs by declared intent: the exact verification primitive for
     * bounded inputs (the subquadratic near-dup paths are LSH/IVF above).

@@ -621,6 +621,40 @@ object ExtensionQueries {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Int8 embedding quantization audit: per vector, the quantized integer
+    * stream's sum/min/max plus the fixed-point scale — all integers (plus
+    * one fx-quantized double), so the oracle check is exact. The quantize
+    * itself is a pure projection (map-only at any scale).
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    em.select(col("vec_id"), col("embedding"),
+        Similarity.int8Scale(col("embedding")).as("s"))
+      .select(col("vec_id"), col("s"),
+        Similarity.quantizeInt8(col("embedding"), col("s")).as("q"))
+      .select(col("vec_id"),
+        round(col("s") * 1e12).cast("long").as("scale_fx"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  private val embedQuantizeSql =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+       |      / 127e0 AS s
+       |  FROM embeddings),
+       |qz AS (SELECT vec_id, s,
+       |    ${Similarity.sqlQuantize("embedding", "s")} AS q
+       |  FROM e)
+       |SELECT vec_id,
+       |  CAST(round(s * 1e12, 0) AS BIGINT) AS scale_fx,
+       |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+       |  CAST(list_min(q) AS INTEGER) AS q_min,
+       |  CAST(list_max(q) AS INTEGER) AS q_max
+       |FROM qz ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -646,5 +680,6 @@ object ExtensionQueries {
     QueryDef("x19_neardup_clusters", Some(neardupClustersSql),
       neardupClusters),
     QueryDef("x20_corpus_funnel", Some(corpusFunnelSql), corpusFunnel),
+    QueryDef("x21_embed_quantize", Some(embedQuantizeSql), embedQuantize),
   )
 }

@@ -207,6 +207,30 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("int8 quantization: |q| <= 127, reconstruction error <= scale/2") {
+    val data = clustered(10)
+    val quantized = data
+      .select(col("vec_id"), col("embedding"),
+        Similarity.int8Scale(col("embedding")).as("s"))
+      .select(col("vec_id"), col("embedding"), col("s"),
+        Similarity.quantizeInt8(col("embedding"), col("s")).as("q"))
+      .withColumn("deq", Similarity.dequantize(col("q"), col("s")))
+      .collect()
+    quantized.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val s = r.getAs[Double]("s")
+      val q = r.getAs[scala.collection.Seq[Int]]("q")
+      val deq = r.getAs[scala.collection.Seq[Double]]("deq")
+      assert(q.forall(x => x >= -127 && x <= 127))
+      // the max-|v| component quantizes to exactly ±127
+      assert(q.map(math.abs).max == 127)
+      v.zip(deq).foreach { case (orig, rec) =>
+        assert(math.abs(orig.toDouble - rec) <= s / 2 + 1e-12,
+          s"component error exceeds scale/2")
+      }
+    }
+  }
+
   test("topPairs finds the tightest cluster pairs first") {
     val data = clustered(5)
     val pairs = Similarity.topPairs(data, 10).collect()
