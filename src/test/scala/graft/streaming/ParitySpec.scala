@@ -47,4 +47,35 @@ class ParitySpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming corpus gates: lang + quality filters match the batch funnel") {
+    import graft.ops.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val landing = tmpDir() + "/docs"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.write.json(landing)
+
+    // the funnel's stateless stages applied verbatim to a stream — language
+    // gate and quality threshold are pure projections, so the SAME column
+    // expressions run unchanged over readStream
+    def gates(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      TextAnalysis.qualityScore(df, col("text"))
+        .withColumn("pred", TextAnalysis.languageId(col("text")))
+        .filter(col("pred") === "en" && col("quality") >= 0.5)
+        .select("doc_id")
+
+    val schema = "doc_id LONG, text STRING, lang STRING, source STRING, " +
+      "n_chars LONG"
+    val q = gates(spark.readStream.schema(schema).json(landing))
+      .writeStream.format("memory").queryName("gates_parity")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("gates_parity")
+      .collect().map(_.getLong(0)).toSet
+    val batch = gates(docs).collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.size < docs.count())
+  }
 }
