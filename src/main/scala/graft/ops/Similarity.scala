@@ -200,7 +200,7 @@ object Similarity {
     val probeSet = q.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted
     val c = spark.read.parquet(path)
-      .filter(col("bucket").isin(probeSet: _*))
+      .filter(col("bucket").isin(probeSet.toIndexedSeq: _*))
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_vec"), col("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
@@ -244,7 +244,7 @@ object Similarity {
     * the lexicographic argmax: best score, ties to the larger cell_id.
     */
   def cellScores(vec: Column, cents: Array[(Long, Array[Float])]): Column =
-    array(cents.map { case (id, v) =>
+    array(cents.toIndexedSeq.map { case (id, v) =>
       struct(graft.functions.GraftFunctions.vec_dot(vec, typedlit(v)).as("s"),
         lit(id).as("cell_id"))
     }: _*)
@@ -336,7 +336,7 @@ object Similarity {
     val probeCells = q.select(col("cell_id")).distinct()
       .collect().map(_.getLong(0)).sorted // bounded by |queries|·nProbe
     val c = spark.read.parquet(s"$path/corpus")
-      .filter(col("cell_id").isin(probeCells: _*))
+      .filter(col("cell_id").isin(probeCells.toIndexedSeq: _*))
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_vec"), col("cell_id"))
     val scored = c.join(broadcast(q), Seq("cell_id"))
