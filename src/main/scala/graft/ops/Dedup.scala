@@ -301,6 +301,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination — the train/test-overlap check every
+    * training-data pipeline runs before a model sees the corpus: flag
+    * training documents sharing any `n`-gram with a held-out benchmark
+    * subset, with the overlap count as evidence. One distinct pass builds
+    * the benchmark n-gram set; training shingles semi-join against it on
+    * the shingle itself — at 100 TB that is a broadcast join when the
+    * benchmark is small (it is, by definition) or one hash shuffle on the
+    * shingle otherwise. `n` defaults to 8: long enough that shared n-grams
+    * mean real leakage, not idiom.
+    */
+  def contamination(docs: DataFrame, isBenchmark: Column,
+                    n: Int = 8): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), isBenchmark.as("is_bench"),
+        explode(shingles(col("text"), n)).as("tok"))
+    val bench = ex.filter(col("is_bench")).select("tok").distinct()
+    ex.filter(!col("is_bench"))
+      .join(bench, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_hits"))
+  }
+
   /** Connected components over a near-duplicate pair graph — the
     * canonicalization step of a dedup pipeline: every document appearing in
     * at least one near-dup pair gets the smallest doc_id reachable through

@@ -655,6 +655,28 @@ object ExtensionQueries {
        |  CAST(list_max(q) AS INTEGER) AS q_max
        |FROM qz ORDER BY vec_id""".stripMargin
 
+  /** Decontamination sweep: docs with id ≡ 0 (mod 50) act as the held-out
+    * benchmark; any other doc sharing an 8-gram with them is flagged with
+    * its overlap count. The oracle replays the same shingling (including
+    * the short-document whole-text fallback) and semi-join.
+    */
+  def decontamination(spark: SparkSession, dir: String): DataFrame =
+    Dedup.contamination(Tables.documents(spark, dir),
+        pmod(col("doc_id"), lit(50)) === 0)
+      .orderBy("doc_id")
+
+  private val decontaminationSql =
+    s"""WITH w AS (SELECT doc_id, doc_id % 50 = 0 AS is_bench,
+       |    string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, is_bench, ${Dedup.sqlShingles("w", 8)} AS s
+       |  FROM w),
+       |ex AS (SELECT doc_id, is_bench, unnest(s) AS tok FROM sh),
+       |bench AS (SELECT DISTINCT tok FROM ex WHERE is_bench)
+       |SELECT e.doc_id, CAST(count(DISTINCT e.tok) AS BIGINT) AS n_hits
+       |FROM ex e JOIN bench b USING (tok)
+       |WHERE NOT e.is_bench
+       |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -681,5 +703,6 @@ object ExtensionQueries {
       neardupClusters),
     QueryDef("x20_corpus_funnel", Some(corpusFunnelSql), corpusFunnel),
     QueryDef("x21_embed_quantize", Some(embedQuantizeSql), embedQuantize),
+    QueryDef("x22_decontamination", Some(decontaminationSql), decontamination),
   )
 }

@@ -50,6 +50,24 @@ class DedupSpec extends SparkSpec {
     assert(verified >= 0.6)
   }
 
+  test("contamination flags training docs sharing n-grams with a benchmark") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"), // benchmark
+      (1L, "prefix words then the quick brown fox jumps over the lazy dog tonight indeed"),
+      (2L, "completely unrelated text with no overlap whatsoever in it"),
+      (3L, "the quick brown fox sleeps all day long instead today")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contamination(d, col("doc_id") === 0, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L), "doc 1 embeds a full benchmark 8-gram")
+    assert(!flagged.contains(2L))
+    assert(!flagged.contains(3L), "7-gram prefix overlap must NOT flag at n=8")
+    assert(flagged(1L) >= 1L)
+    // the benchmark docs themselves are never in the output
+    assert(!flagged.contains(0L))
+  }
+
   test("duplicateClusters: transitive closure to the min reachable id") {
     import spark.implicits._
     // two components, one only connected transitively (1-2, 2-3: no 1-3 edge)
