@@ -1,0 +1,21 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Reproducible corpus sampling — the mixture-weighting step of a training
+  * run: keep a row iff `hash(id) mod 100 < rate_pct`, with the engine's
+  * portable hash family ([[graft.Portable]]) so the SAME subset falls out
+  * on any engine, any partitioning, any rerun (`df.sample` is none of
+  * those: it is seed- and partitioning-dependent). The filter is a pure
+  * projection — sampling 100 TB is a map-only scan, and the rate can be
+  * any per-row column (per-source mixture weights, quality-tiered rates).
+  */
+object Sampling {
+
+  /** Keep rows where the salted portable hash of `id` lands under
+    * `ratePct` (percent, 0-100). Deterministic and stable under resharding.
+    */
+  def sampleByRate(df: DataFrame, id: Column, ratePct: Column,
+                   salt: String): DataFrame =
+    df.filter(graft.Portable.hash32(id.cast("string"), salt) % 100 < ratePct)
+}

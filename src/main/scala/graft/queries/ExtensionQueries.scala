@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Training-data-pipeline extension operators (BASELINE.json north star):
   * dedup, similarity search, text analysis, multimodal — over the
@@ -677,6 +677,37 @@ object ExtensionQueries {
        |WHERE NOT e.is_bench
        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin
 
+  /** Salt of the reproducible-sampling hash (shared with oracle SQL). */
+  private val SampleSalt = "sample"
+
+  /** Reproducible stratified sampling audit: per-source mixture rates
+    * (25-60%, derived from the source id), the portable-hash keep rule, and
+    * the resulting per-source doc/token budget. The oracle replays the
+    * identical hash and rate formula, so the sampled SUBSET (not just its
+    * size) is engine-portable.
+    */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = lit(25) +
+      lit(5) * pmod(substring(col("source"), 4, 10).cast("int"), lit(8))
+    Sampling.sampleByRate(Tables.documents(spark, dir), col("doc_id"),
+        rate, SampleSalt)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  private val corpusSampleSql = {
+    val h = graft.Portable.sqlHash32("CAST(doc_id AS VARCHAR)", SampleSalt)
+    s"""WITH r AS (SELECT *,
+       |    25 + 5 * (CAST(substr(source, 4) AS INTEGER) % 8) AS rate
+       |  FROM documents),
+       |k AS (SELECT * FROM r WHERE $h % 100 < rate)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -704,5 +735,6 @@ object ExtensionQueries {
     QueryDef("x20_corpus_funnel", Some(corpusFunnelSql), corpusFunnel),
     QueryDef("x21_embed_quantize", Some(embedQuantizeSql), embedQuantize),
     QueryDef("x22_decontamination", Some(decontaminationSql), decontamination),
+    QueryDef("x23_corpus_sample", Some(corpusSampleSql), corpusSample),
   )
 }

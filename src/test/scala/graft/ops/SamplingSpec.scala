@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Reproducible sampling: rate calibration, determinism under resharding,
+  * monotone subsets across rates.
+  */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("sampled fraction tracks the rate; rerun and reshard are identical") {
+    val ids = Sampling.sampleByRate(docs, col("doc_id"), lit(50), "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val frac = ids.size.toDouble / docs.count()
+    assert(math.abs(frac - 0.5) < 0.1, s"50% rate sampled ${frac * 100}%")
+    // identical subset on a rerun AND under a different partitioning —
+    // exactly what df.sample does not guarantee
+    val again = Sampling.sampleByRate(docs.repartition(13), col("doc_id"),
+        lit(50), "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+
+  test("lower rates are strict subsets of higher rates (stable thresholds)") {
+    def at(pct: Int) = Sampling.sampleByRate(docs, col("doc_id"),
+        lit(pct), "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s20 = at(20)
+    val s60 = at(60)
+    assert(s20.subsetOf(s60), "threshold rule must nest subsets")
+    assert(s20.nonEmpty && s60.size > s20.size)
+    // different salts decorrelate the subsets
+    val other = Sampling.sampleByRate(docs, col("doc_id"), lit(20), "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(other != s20)
+  }
+}
