@@ -106,10 +106,17 @@ object Multimodal {
         reader.setInput(memIn(p))
         val n = reader.getNumImages(true)
         require(n >= 1, "GIF payload has no frames")
+        val w0 = reader.getWidth(0)
+        val h0 = reader.getHeight(0)
         val frames = (0 until n).map { f =>
           val img = reader.read(f)
           val w = img.getWidth
           val h = img.getHeight
+          // delta-optimized GIFs store partial frame rects; compositing
+          // them needs disposal handling we don't implement — refuse
+          // rather than silently emit a patch as a whole frame
+          require(w == w0 && h == h0,
+            s"GIF frame $f is a $w x $h delta rect (logical $w0 x $h0) — unsupported")
           val lum = new Array[Int](w * h)
           var y = 0
           while (y < h) {
@@ -124,8 +131,7 @@ object Multimodal {
           }
           lum
         }
-        val first = reader.read(0)
-        (first.getWidth, first.getHeight, frames)
+        (w0, h0, frames)
       } finally reader.dispose()
     }
 

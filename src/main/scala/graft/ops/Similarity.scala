@@ -398,10 +398,14 @@ object Similarity {
 
   /** Quantize against a PRE-COMPUTED scale column (compute [[int8Scale]] in
     * a prior projection — inlining it would re-evaluate the array max per
-    * element in the interpreted higher-order path, O(d²) per row).
+    * element in the interpreted higher-order path, O(d²) per row). A zero
+    * vector (scale 0) quantizes to all zeros — without the guard the 0/0
+    * would reach `cast(int)` as NaN and THROW under ANSI mode.
     */
   def quantizeInt8(vec: Column, scale: Column): Column =
-    transform(vec, v => floor(v.cast("double") / scale + lit(0.5)).cast("int"))
+    transform(vec, v =>
+      when(scale === 0, lit(0))
+        .otherwise(floor(v.cast("double") / scale + lit(0.5)).cast("int")))
 
   /** Reconstruction (dequantize): `q_i · scale` — used by the spec to bound
     * the quantization error at scale/2 per component.
@@ -414,7 +418,8 @@ object Similarity {
     * pre-computed scale expression.
     */
   def sqlQuantize(v: String, scale: String): String =
-    s"list_transform($v, x -> CAST(floor(CAST(x AS DOUBLE) / $scale + 0.5e0) AS INTEGER))"
+    s"list_transform($v, x -> CAST(CASE WHEN $scale = 0 THEN 0 " +
+      s"ELSE floor(CAST(x AS DOUBLE) / $scale + 0.5e0) END AS INTEGER))"
 
   /** Top near-duplicate pairs across the whole corpus by exact cosine —
     * all-pairs by declared intent: the exact verification primitive for

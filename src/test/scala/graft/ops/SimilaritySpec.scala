@@ -216,6 +216,19 @@ class SimilaritySpec extends SparkSpec {
         Similarity.quantizeInt8(col("embedding"), col("s")).as("q"))
       .withColumn("deq", Similarity.dequantize(col("q"), col("s")))
       .collect()
+    // a zero vector quantizes to zeros instead of throwing on NaN casts
+    import scala.jdk.CollectionConverters._
+    val zero = spark.createDataFrame(
+      List(org.apache.spark.sql.Row(99L, Seq.fill(dim)(0f))).asJava,
+      data.schema("vec_id") :: data.schema("embedding") :: Nil match {
+        case fs => org.apache.spark.sql.types.StructType(fs)
+      })
+    val zq = zero
+      .select(col("vec_id"), col("embedding"),
+        Similarity.int8Scale(col("embedding")).as("s"))
+      .select(Similarity.quantizeInt8(col("embedding"), col("s")).as("q"))
+      .collect().head.getAs[scala.collection.Seq[Int]]("q")
+    assert(zq.forall(_ == 0))
     quantized.foreach { r =>
       val v = r.getAs[scala.collection.Seq[Float]]("embedding")
       val s = r.getAs[Double]("s")
