@@ -71,7 +71,13 @@ object Bench {
       obs.get("rows").asInstanceOf[Long]
     }
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // optional args: name prefixes to run a subset (e.g. `Bench x0 q01`)
+    val queries = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      if (args.isEmpty) all
+      else all.filter { case (n, _) => args.exists(n.startsWith) }
+    }
+    require(queries.nonEmpty, s"no queries match prefixes ${args.mkString(",")}")
     val warmRows = queries.map { case (name, fn) =>
       name -> (try observedRun(fn) catch { case _: Throwable => -1L })
     }.toMap
