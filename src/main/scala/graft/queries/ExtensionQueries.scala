@@ -11,9 +11,11 @@ import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
   * `documents` and `embeddings` tables. Every hash-family op (MinHash,
   * SimHash, LSH buckets, rolling fingerprints, group sketches) runs on the
   * engine-portable md5-affine family of [[graft.Portable]] and is
-  * oracle-checked bit-for-bit against DuckDB; the only rows-only queries are
-  * x14 (stub multimodal codec — no SQL form) and x15 (engine-specific
-  * approximation algorithms), both verified by spec instead.
+  * oracle-checked bit-for-bit against DuckDB; the only rows-only query is
+  * x15 (engine-specific approximation algorithms), verified by spec instead.
+  * Both multimodal queries (x13 metadata, x14 frame histograms) are
+  * hash-green: the demo containers are fabricated from each doc's bytes, so
+  * the oracle predicts what the REAL codecs must recover.
   */
 object ExtensionQueries {
 
@@ -410,18 +412,62 @@ object ExtensionQueries {
       |   ELSE 1 + len % 12 END AS INTEGER) AS n_frames
       |FROM b ORDER BY asset_id""".stripMargin
 
-  /** Frame-feature extraction — rows-only (feature histograms over real
-    * decoded pixels/samples have no SQL form); the histogram math is
-    * asserted against known containers in MultimodalSpec.
+  /** Frame-feature extraction over the REAL codecs, fully oracle-checked:
+    * every decoded value is the doc's cycled UTF-8 bytes (gray (b,b,b) has
+    * luma b, GIF palette index b round-trips, WAV amplitude bucket of
+    * (b-128)·256 is b — see [[Multimodal.Gen]]), so each 16-bucket histogram
+    * is a weighted count of high hex nibbles the oracle replays from
+    * `hex(encode(text))`. All 16 normalized buckets are emitted; the float32
+    * division is bitwise-reproducible in DuckDB (`FLOAT / FLOAT` is IEEE
+    * single, exact for counts < 2^24).
     */
-  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = (0 until 16).map(i =>
+      element_at(col("feature"), i + 1).cast("double").as(s"f$i"))
     Multimodal.extractFrameFeatures(
         Multimodal.assetsFromDocuments(Tables.documents(spark, dir)))
       .toDF()
-      .select(col("asset_id"), col("frame_idx"),
-        size(col("feature")).as("feature_dim"),
-        element_at(col("feature"), 1).cast("double").as("f0"))
+      .select(Seq(col("asset_id"), col("frame_idx"),
+        size(col("feature")).as("feature_dim")) ++ buckets: _*)
       .orderBy("asset_id", "frame_idx")
+  }
+
+  /** DuckDB replica of the decode: per doc the asset's value count `total`
+    * and frame list follow the [[Multimodal.assetsFromDocuments]] length
+    * formulas; value index i of frame f reads byte `(i + 31·f) mod len`, so
+    * byte position j carries weight `total/len + [((j - 31·f mod len) mod
+    * len) < total mod len]`; its histogram bucket is the byte's high hex
+    * nibble. Stride mirrors [[Multimodal.extractFrameFeatures]]'s default 8.
+    */
+  private val multimodalFramesSql = {
+    val bucketCols = (0 until 16).map(k =>
+      s"""  CAST(CAST(sum(CASE WHEN bucket = $k THEN w ELSE 0 END) AS FLOAT)
+         |    / CAST(max(total) AS FLOAT) AS DOUBLE) AS f$k""".stripMargin)
+      .mkString(",\n")
+    s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len,
+       |    hex(encode(text)) AS hx
+       |  FROM documents),
+       |g AS (SELECT doc_id, len, hx,
+       |    CASE doc_id % 3
+       |      WHEN 0 THEN (8 + len % 57) * (8 + len % 41)
+       |      WHEN 1 THEN (64 + len % 129) * (1 + len % 2)
+       |      ELSE (8 + len % 17) * (8 + len % 13) END AS total,
+       |    CASE WHEN doc_id % 3 = 2 THEN 1 + len % 12 ELSE 1 END AS nf
+       |  FROM b),
+       |fr AS (SELECT doc_id, len, hx, total,
+       |    unnest(generate_series(0, nf - 1, 8)) AS frame_idx
+       |  FROM g),
+       |pos AS (SELECT doc_id, frame_idx, total,
+       |    (total // len) + (CASE WHEN (j - (31 * frame_idx) % len + len) % len
+       |        < total % len THEN 1 ELSE 0 END) AS w,
+       |    strpos('0123456789ABCDEF', substr(hx, 2 * j + 1, 1)) - 1 AS bucket
+       |  FROM fr, LATERAL (SELECT unnest(generate_series(0, len - 1)) AS j) p)
+       |SELECT doc_id AS asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |  CAST(16 AS INTEGER) AS feature_dim,
+       |$bucketCols
+       |FROM pos GROUP BY doc_id, frame_idx
+       |ORDER BY asset_id, frame_idx""".stripMargin
+  }
 
   /** Per-source corpus sketches via the typed MinHash UDAF, then pairwise
     * similarity estimates — group-level set similarity with plain
@@ -723,7 +769,8 @@ object ExtensionQueries {
     QueryDef("x12_rolling_fingerprint", Some(rollingFingerprintSql),
       rollingFingerprint),
     QueryDef("x13_multimodal_meta", Some(multimodalMetaSql), multimodalMeta),
-    QueryDef("x14_multimodal_frames", None, multimodalFrames),
+    QueryDef("x14_multimodal_frames", Some(multimodalFramesSql),
+      multimodalFrames),
     QueryDef("x15_approx_stats", None, approxStats),
     QueryDef("x16_tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms),
     QueryDef("x17_source_sketch_similarity", Some(sourceSketchSimilaritySql),

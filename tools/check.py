@@ -26,8 +26,11 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    prefixes = sys.argv[3:]  # optional query-name prefixes for subset checks
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if prefixes and not any(name.startswith(p) for p in prefixes):
+            continue
         try:
             exp = con.execute(sql).fetch_df()
             got = con.execute(f"SELECT * FROM '{out}/{name}/*.parquet'").fetch_df()
