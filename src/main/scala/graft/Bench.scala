@@ -42,18 +42,26 @@ object Bench {
     // file scan. A query that silently loses partition pruning moves in
     // `scan_bytes`; one that loses column pruning moves in `scan_cols` —
     // both independent of wall-clock noise.
+    // RULE: a query whose construction already ran actions (localCheckpoint
+    // loops like x19) roots its plan in an RDD scan — the parquet files it
+    // actually read are invisible to plan inspection, so we report an
+    // explicit -1 sentinel instead of a dishonest 0: the scan-width drift
+    // instrument does NOT cover construction-materializing queries.
     def scanStats(df: org.apache.spark.sql.DataFrame): (Long, Int) = {
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      val scans = df.queryExecution.sparkPlan.collect {
-        case f: FileSourceScanExec => f
+      import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec}
+      val plan = df.queryExecution.sparkPlan
+      val materialized = plan.collectFirst { case r: RDDScanExec => r }.nonEmpty
+      if (materialized) (-1L, -1)
+      else {
+        val scans = plan.collect { case f: FileSourceScanExec => f }
+        val bytes = scans.map { f =>
+          val static = f.partitionFilters.filterNot(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+          f.relation.location.listFiles(static, f.dataFilters)
+            .flatMap(_.files.map(_.getLen)).sum
+        }.sum
+        (bytes, scans.map(_.requiredSchema.size).sum)
       }
-      val bytes = scans.map { f =>
-        val static = f.partitionFilters.filterNot(_.exists(
-          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
-        f.relation.location.listFiles(static, f.dataFilters)
-          .flatMap(_.files.map(_.getLen)).sum
-      }.sum
-      (bytes, scans.map(_.requiredSchema.size).sum)
     }
 
     // rows are observed on the UNTIMED warmup only: a CollectMetrics node

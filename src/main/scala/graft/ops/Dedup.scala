@@ -327,15 +327,30 @@ object Dedup {
     * canonicalization step of a dedup pipeline: every document appearing in
     * at least one near-dup pair gets the smallest doc_id reachable through
     * pair edges as its `cluster_id` (keep-one-per-cluster is then a trivial
-    * `doc_id = cluster_id` filter). Min-label propagation to fixpoint: each
-    * round is ONE neighbor join + min-agg shuffle over (long, long) label
-    * pairs — document text never enters the loop — and `localCheckpoint`
-    * truncates lineage so the plan stays O(1) per round. Rounds are bounded
-    * by component diameter; near-dup clusters are near-cliques, so real
-    * corpora close in 2-4 rounds (the driver-side loop condition is a
-    * changed-label count, a scalar action per round, never row data).
+    * `doc_id = cluster_id` filter). Min-label propagation WITH pointer
+    * jumping: each round a node takes the min over its own label, its
+    * neighbors' labels (edge join), and its label's label (`lbl(lbl(v))` —
+    * labels are node ids, so the label table self-joins). The jump halves
+    * the distance to the component minimum every round, so rounds are
+    * O(log diameter) — a 1,000-link chain closes in ~11 rounds, not 1,000 —
+    * while near-clique dup clusters still close in 2-3. All loop state is
+    * (long, long) label pairs (document text never enters the loop);
+    * `localCheckpoint` truncates lineage so the plan stays O(1) per round;
+    * and convergence detection rides the same pass — the old label is
+    * carried through the min-agg and a `LongAccumulator` counts improved
+    * labels during the checkpoint's own job, so each round runs exactly ONE
+    * action (the eager checkpoint), with no separate join-and-count job.
     */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
+  def duplicateClusters(pairs: DataFrame): DataFrame =
+    duplicateClustersWithRounds(pairs)._1
+
+  /** [[duplicateClusters]] plus the number of label-propagation rounds run —
+    * exposed so the spec can pin the O(log diameter) bound.
+    */
+  private[graft] def duplicateClustersWithRounds(
+      pairs: DataFrame): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -343,20 +358,36 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
+    var rounds = 0
     var changed = 1L
     while (changed > 0) {
+      val acc = spark.sparkContext.longAccumulator(s"cc-changed-round-$rounds")
+      // the self candidate also carries the node's current label so the
+      // min-agg can see old vs new without a second join
+      val self = labels.select(
+        col("id"), col("lbl").as("cand"), col("lbl").as("old"))
       val prop = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") < col("old")).count()
+        .select(col("dst").as("id"), col("lbl").as("cand"),
+          lit(null).cast("long").as("old"))
+      val jump = labels
+        .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("lbl") === col("jid"))
+        .select(col("id"), col("jlbl").as("cand"),
+          lit(null).cast("long").as("old"))
+      val next = self.union(prop).union(jump)
+        .groupBy("id")
+        .agg(min("cand").as("lbl"), min("old").as("old"))
+        .as[(Long, Long, Long)] // old is never null: every id has a self row
+        .map { case (id, lbl, old) => if (lbl < old) acc.add(1L); (id, lbl) }
+        .toDF("id", "lbl")
+        .localCheckpoint() // eager: the one action of the round
+      changed = acc.value
       labels = next
+      rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    (labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")),
+      rounds)
   }
 
   // ------------------------------------------------- DuckDB oracle dialect

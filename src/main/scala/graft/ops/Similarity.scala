@@ -421,15 +421,30 @@ object Similarity {
     s"list_transform($v, x -> CAST(CASE WHEN $scale = 0 THEN 0 " +
       s"ELSE floor(CAST(x AS DOUBLE) / $scale + 0.5e0) END AS INTEGER))"
 
+  /** Ceiling on [[topPairs]] input size: beyond this, all-pairs cosine is a
+    * scale bug, not a verification pass — callers must go through the
+    * subquadratic [[topPairsLsh]] instead. 100k rows ≈ 5·10⁹ candidate
+    * pairs, the outer edge of what "bounded verification input" can mean.
+    */
+  val TopPairsMaxRows = 100000L
+
   /** Top near-duplicate pairs across the whole corpus by exact cosine —
     * all-pairs by declared intent: the exact verification primitive for
     * bounded inputs (the subquadratic near-dup paths are LSH/IVF above).
+    * The bounded-input contract is ENFORCED, not advisory: inputs over
+    * [[TopPairsMaxRows]] throw before any quadratic work starts (the count
+    * is one cheap action against a, typically, pre-filtered input).
     * No broadcast hint: a corpus-proportional broadcast would OOM executors
     * at scale, so join strategy is left to the planner — small corpora
     * auto-broadcast under the threshold, large ones fall back to a
     * partitioned nested-loop that spills instead of exploding.
     */
   def topPairs(corpus: DataFrame, topN: Int): DataFrame = {
+    val n = corpus.count()
+    require(n <= TopPairsMaxRows,
+      s"topPairs is an all-pairs verification primitive for bounded inputs: " +
+        s"got $n rows > TopPairsMaxRows=$TopPairsMaxRows — use lshTopPairs " +
+        s"for unbounded corpora")
     // spread BOTH sides: the planner picks the build side itself, and the
     // streamed side of a nested-loop join inherits input partitioning — a
     // single-file corpus would otherwise serialize all O(n²) work on one task

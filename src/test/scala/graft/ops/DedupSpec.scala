@@ -91,6 +91,19 @@ class DedupSpec extends SparkSpec {
     assert(fc.forall { case (d, cl) => cl <= d })
   }
 
+  test("duplicateClusters: pointer jumping closes a 1,000-link chain in O(log n) rounds") {
+    import spark.implicits._
+    // adversarial diameter: a pure chain 0-1-...-1000. Plain min-label
+    // propagation needs ~1,000 rounds; the lbl(lbl(v)) jump halves the
+    // remaining distance every round, so ceil(log2) + change-settling ≈ 12
+    val chain = (0 until 1000).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(chain)
+    assert(rounds <= 12, s"expected O(log n) rounds, got $rounds")
+    val c = labels.collect()
+    assert(c.length == 1001 && c.forall(_.getLong(1) == 0L))
+  }
+
   test("nearDuplicatesSql renders valid plain-decimal thresholds (1e-4 trap)") {
     // Double.toString(1e-4) is scientific ("1.0E-4"); a naive "${t}e0"
     // interpolation would emit the invalid literal `1.0E-4e0`

@@ -257,4 +257,17 @@ class SimilaritySpec extends SparkSpec {
     val scores = pairs.map(_.getAs[Double]("score"))
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
   }
+
+  test("topPairs refuses an input over its bounded-verification ceiling") {
+    import spark.implicits._
+    // the contract is enforced before any quadratic work: an over-limit
+    // input throws with a pointer at the subquadratic path
+    val big = spark.range(Similarity.TopPairsMaxRows + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.topPairs(big, 5)
+    }
+    assert(e.getMessage.contains("lshTopPairs"))
+  }
 }
