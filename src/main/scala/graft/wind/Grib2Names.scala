@@ -1,0 +1,136 @@
+package graft.wind
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The wind-relevant subset of the WMO GRIB2 code tables (FM 92 GRIB
+  * edition 2) plus NCEP's center table — the lookup grib2json performs with
+  * `--names` (`converter.py:49-52`; golden strings `data/u_comp.json` /
+  * `data/v_comp.json`). Embedding the subset keeps the binary ingest leg
+  * dependency-free while filling the human-readable header columns the
+  * reference's consumers see; codes outside the subset stay null (the
+  * numeric code column is always present and authoritative).
+  *
+  * Name strings follow grib2json's rendering exactly — asserted against the
+  * reference golden files for the UGRD/VGRD-at-10 m headers in
+  * WindBinarySpec.
+  */
+object Grib2Names {
+
+  /** Code table 0.0 — discipline of processed data. */
+  val discipline: Map[Int, String] = Map(
+    0 -> "Meteorological products",
+    1 -> "Hydrological products",
+    2 -> "Land surface products",
+    10 -> "Oceanographic products")
+
+  /** Common code table C-11 — originating/generating center. */
+  val center: Map[Int, String] = Map(
+    7 -> "US National Weather Service - NCEP(WMC)",
+    8 -> "US National Weather Service Telecommunications Gateway",
+    9 -> "US National Weather Service - Other")
+
+  /** Code table 4.1 (discipline 0) — parameter category. */
+  val parameterCategory: Map[Int, String] = Map(
+    0 -> "Temperature",
+    1 -> "Moisture",
+    2 -> "Momentum",
+    3 -> "Mass")
+
+  /** Code table 4.2 keyed "discipline.category.number" — parameter name. */
+  val parameterNumber: Map[String, String] = Map(
+    "0.2.0" -> "Wind_direction",
+    "0.2.1" -> "Wind_speed",
+    "0.2.2" -> "U-component_of_wind",
+    "0.2.3" -> "V-component_of_wind",
+    "0.2.22" -> "Wind_speed_gust")
+
+  /** Units for the code-table 4.2 subset above. */
+  val parameterUnit: Map[String, String] = Map(
+    "0.2.0" -> "deg",
+    "0.2.1" -> "m.s-1",
+    "0.2.2" -> "m.s-1",
+    "0.2.3" -> "m.s-1",
+    "0.2.22" -> "m.s-1")
+
+  /** Code table 1.2 — significance of reference time. */
+  val significanceOfRT: Map[Int, String] = Map(
+    0 -> "Analysis",
+    1 -> "Start of forecast",
+    2 -> "Verifying time of forecast",
+    3 -> "Observation time")
+
+  /** Code table 1.3 — production status. */
+  val productStatus: Map[Int, String] = Map(
+    0 -> "Operational products",
+    1 -> "Operational test products",
+    2 -> "Research products",
+    3 -> "Re-analysis products")
+
+  /** Code table 1.4 — type of processed data. */
+  val productType: Map[Int, String] = Map(
+    0 -> "Analysis products",
+    1 -> "Forecast products",
+    2 -> "Analysis and forecast products",
+    3 -> "Control forecast products")
+
+  /** Code table 4.0 — product definition template. */
+  val productDefinitionTemplate: Map[Int, String] = Map(
+    0 -> "Analysis/forecast at horizontal level/layer at a point in time",
+    1 -> "Individual ensemble forecast at a point in time",
+    8 -> "Average, accumulation, extreme values or other statistically processed values at a horizontal level or in a horizontal layer in a continuous or non-continuous time interval")
+
+  /** Code table 4.3 — type of generating process. */
+  val genProcessType: Map[Int, String] = Map(
+    0 -> "Analysis",
+    1 -> "Initialization",
+    2 -> "Forecast",
+    3 -> "Bias corrected forecast",
+    4 -> "Ensemble forecast")
+
+  /** Code table 4.5 — fixed surface types. */
+  val surfaceType: Map[Int, String] = Map(
+    1 -> "Ground or water surface",
+    2 -> "Cloud base level",
+    3 -> "Level of cloud tops",
+    100 -> "Isobaric surface",
+    101 -> "Mean sea level",
+    103 -> "Specified height level above ground",
+    255 -> "Missing")
+
+  /** Code table 3.1 — grid definition template (grib2json rendering). */
+  val gridDefinitionTemplate: Map[Int, String] = Map(
+    0 -> "Latitude_Longitude",
+    30 -> "Lambert_Conformal",
+    40 -> "Gaussian_Latitude_Longitude")
+
+  /** Grid units for the template 3.1 subset (lat/lon family → degrees). */
+  val gridUnits: Map[Int, String] = Map(
+    0 -> "degrees",
+    40 -> "degrees")
+
+  /** Code table 3.2 — shape of the reference system. */
+  val shape: Map[Int, String] = Map(
+    0 -> "Earth spherical with radius = 6,367,470.0 m",
+    6 -> "Earth spherical with radius of 6,371,229.0 m")
+
+  /** Flag table 3.3 bit 5 (0x08): u/v components resolved relative to true
+    * east/north (0 → "true") or to the grid's i/j axes (1 → "grid").
+    */
+  def winds(resolution: Column): Column =
+    when(resolution.isNull, lit(null).cast("string"))
+      .when(resolution.bitwiseAND(lit(0x08)) === 0, lit("true"))
+      .otherwise(lit("grid"))
+
+  /** A code column → name-string column over one of the Int-keyed tables
+    * (null outside the subset; `try_element_at` keeps ANSI mode non-throwing).
+    */
+  def lookup(table: Map[Int, String], code: Column): Column =
+    try_element_at(typedLit(table), code)
+
+  /** Lookup over the "discipline.category.number"-keyed parameter tables. */
+  def lookupParam(table: Map[String, String], discipline: Column,
+                  category: Column, number: Column): Column =
+    try_element_at(typedLit(table),
+      concat_ws(".", discipline, category, number))
+}

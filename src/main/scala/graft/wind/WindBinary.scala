@@ -63,9 +63,12 @@ object WindBinary {
   /** Binary-decoded fields projected into the FULL storage header schema
     * ([[WindModel.headerSchema]], same field order and types as the JSON
     * leg): every NUMERIC header field is decoded from the binary sections
-    * (31 of 48); only the code-table NAME strings that grib2json looks up
-    * (disciplineName, parameterUnit, winds, …) stay null. Both ingest legs
-    * therefore write ONE physical table with ONE header schema.
+    * (31 of 48), and the code-table NAME strings grib2json looks up with
+    * `--names` (disciplineName, parameterUnit, winds, …) are filled from the
+    * embedded WMO subset ([[Grib2Names]]) — codes outside the subset stay
+    * null, the numeric column stays authoritative. Both ingest legs
+    * therefore write ONE physical table with ONE header schema, and a
+    * binary-only deployment keeps the human-readable columns.
     */
   def conformHeader(decoded: DataFrame): DataFrame = {
     val passthrough = Seq(
@@ -76,8 +79,37 @@ object WindBinary {
       "productStatus", "productType", "productDefinitionTemplate",
       "genProcessType", "gridDefinitionTemplate", "numberPoints", "shape",
       "basicAngle", "resolution", "scanMode")
+    import Grib2Names.{lookup, lookupParam}
+    val names: Map[String, Column] = Map(
+      "disciplineName" -> lookup(Grib2Names.discipline, col("discipline")),
+      "centerName" -> lookup(Grib2Names.center, col("center")),
+      "parameterCategoryName" ->
+        lookup(Grib2Names.parameterCategory, col("parameterCategory")),
+      "parameterNumberName" -> lookupParam(Grib2Names.parameterNumber,
+        col("discipline"), col("parameterCategory"), col("parameterNumber")),
+      "parameterUnit" -> lookupParam(Grib2Names.parameterUnit,
+        col("discipline"), col("parameterCategory"), col("parameterNumber")),
+      "significanceOfRTName" ->
+        lookup(Grib2Names.significanceOfRT, col("significanceOfRT")),
+      "productStatusName" ->
+        lookup(Grib2Names.productStatus, col("productStatus")),
+      "productTypeName" -> lookup(Grib2Names.productType, col("productType")),
+      "productDefinitionTemplateName" -> lookup(
+        Grib2Names.productDefinitionTemplate,
+        col("productDefinitionTemplate")),
+      "genProcessTypeName" ->
+        lookup(Grib2Names.genProcessType, col("genProcessType")),
+      "surface1TypeName" -> lookup(Grib2Names.surfaceType, col("surface1Type")),
+      "surface2TypeName" -> lookup(Grib2Names.surfaceType, col("surface2Type")),
+      "gridDefinitionTemplateName" -> lookup(
+        Grib2Names.gridDefinitionTemplate, col("gridDefinitionTemplate")),
+      "gridUnits" ->
+        lookup(Grib2Names.gridUnits, col("gridDefinitionTemplate")),
+      "shapeName" -> lookup(Grib2Names.shape, col("shape")),
+      "winds" -> Grib2Names.winds(col("resolution")))
     val present: Map[String, Column] =
-      passthrough.map(n => n -> col(n)).toMap + ("gribEdition" -> lit(2))
+      passthrough.map(n => n -> col(n)).toMap ++ names +
+        ("gribEdition" -> lit(2))
     // Decoded fields keep the encoder's non-null markers — stricter than the
     // JSON leg's all-nullable read schema but identical in names/types/order,
     // which is the contract parquet actually enforces (nullability is

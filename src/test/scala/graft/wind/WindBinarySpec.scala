@@ -90,9 +90,51 @@ class WindBinarySpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSeq == Seq(32))
     assert(binLeg.select(col("header.gribEdition")).distinct()
       .collect().map(_.getInt(0)).toSeq == Seq(2))
-    // fields only grib2json's table lookups produce stay null, not garbage
+    // the embedded WMO code-table subset fills the name columns grib2json
+    // produces with --names
     assert(binLeg.select(col("header.parameterUnit")).distinct()
-      .collect().map(_.isNullAt(0)).toSeq == Seq(true))
+      .collect().map(_.getString(0)).toSeq == Seq("m.s-1"))
+  }
+
+  test("binary leg fills the grib2json --names columns from the WMO tables") {
+    val dir = tmpDir()
+    landBlobs(dir)
+    // golden strings from the reference's grib2json output for UGRD/VGRD at
+    // 10 m (data/u_comp.json / data/v_comp.json header fields)
+    val h = WindBinary.ingest(spark, dir)
+      .select("header.*").where(col("parameterNumber") === 2)
+      .distinct().collect()
+    assert(h.length == 1)
+    val r = h.head
+    def s(n: String) = r.getString(r.fieldIndex(n))
+    assert(s("disciplineName") == "Meteorological products")
+    assert(s("centerName") == "US National Weather Service - NCEP(WMC)")
+    assert(s("parameterCategoryName") == "Momentum")
+    assert(s("parameterNumberName") == "U-component_of_wind")
+    assert(s("parameterUnit") == "m.s-1")
+    assert(s("significanceOfRTName") == "Start of forecast")
+    assert(s("productStatusName") == "Operational products")
+    assert(s("productTypeName") == "Forecast products")
+    assert(s("productDefinitionTemplateName") ==
+      "Analysis/forecast at horizontal level/layer at a point in time")
+    assert(s("genProcessTypeName") == "Forecast")
+    assert(s("surface1TypeName") == "Specified height level above ground")
+    assert(s("surface2TypeName") == "Missing")
+    assert(s("gridDefinitionTemplateName") == "Latitude_Longitude")
+    assert(s("gridUnits") == "degrees")
+    assert(s("shapeName") == "Earth spherical with radius of 6,371,229.0 m")
+    assert(s("winds") == "true") // resolution flag 0x08 clear → true winds
+    val v = WindBinary.ingest(spark, dir)
+      .select("header.parameterNumberName")
+      .where(col("header.parameterNumber") === 3).distinct().collect()
+    assert(v.map(_.getString(0)).toSeq == Seq("V-component_of_wind"))
+    // a code outside the embedded subset stays null, never garbage
+    import spark.implicits._
+    val unknown = WindBinary.conformHeader(
+      WindBinary.decode(WindBinary.readBlobs(spark, dir))
+        .withColumn("discipline", lit(209)))
+      .select("header.disciplineName").distinct().collect()
+    assert(unknown.map(_.isNullAt(0)).toSeq == Seq(true))
   }
 
   test("decoded values survive the leg exactly (R + M, E=0, D=0)") {
