@@ -481,6 +481,13 @@ object Grib2 {
                   } else (0, 0)
                 Complex(r, e, d, nbits, order, octets, ng, refW, bitsW,
                   refL, incL, lastL, bitsL, missing)
+              case 40 => throw new IllegalArgumentException(
+                "unsupported data representation template 5.40 " +
+                  "(JPEG2000 packing): the JDK ships no JPEG2000 codec. " +
+                  "The reference decodes these via grib2json's bundled " +
+                  "netCDF-Java reader; re-encode the product with simple " +
+                  "(5.0), complex (5.2/5.3) or PNG (5.41) packing, all of " +
+                  "which this engine decodes in-engine")
               case t => throw new IllegalArgumentException(
                 s"unsupported data representation template 5.$t")
             }

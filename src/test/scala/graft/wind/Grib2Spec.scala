@@ -99,6 +99,23 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("JPEG2000 packing 5.40 fails with a crisp, named error") {
+    // patch a good message's section-5 template number (octets 10-11) to 40
+    val good = Grib2TestWriter.message(msg())
+    def u32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    var p = 16 // first section after the 16-octet indicator
+    while (good(p + 4) != 5) p += u32(good, p)
+    val patched = good.clone()
+    patched(p + 9) = 0; patched(p + 10) = 40
+    val e = intercept[IllegalArgumentException] { Grib2.decode(patched) }
+    assert(e.getMessage.contains("5.40"))
+    assert(e.getMessage.contains("JPEG2000"))
+    assert(e.getMessage.contains("netCDF-Java"),
+      "error must name the reference's decode path for the gap")
+  }
+
   // ------------------------------------------ complex packing and bitmaps
 
   private val gridVals: Array[Long] = {
