@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ops.TextAnalysis
+
+/** The corpus-prep funnel's gate stages
+  * ([[graft.queries.ExtensionQueries.corpusFunnel]] stages 2-4) as a
+  * streaming leg over a landing directory — the same
+  * `Trigger.AvailableNow` + `foreachBatch` shape as the wind ingest legs
+  * ([[WindStream]]): run it from any scheduler and each tick drains whatever
+  * documents landed, gates them, and appends the exact-dedup survivors.
+  *
+  * The language gate and quality threshold are pure projections, so the
+  * batch funnel's column expressions run verbatim on the stream (parity
+  * asserted in ParitySpec); the exact-dedup stage is the stateful part and
+  * runs per batch in [[upsertDeduped]]: smallest doc_id wins inside a batch
+  * (the funnel's `keep_exact` rule), first writer wins across batches via an
+  * anti-join on the stored content hashes — so replays and restarts are
+  * idempotent, mirroring the wind legs' freshness-gated upsert.
+  *
+  * Scale: gates are map-only; the per-batch dedup joins the BATCH (small,
+  * one tick's worth) against a 1-column projection of the store — at real
+  * scale the store side prunes to the chash column only, and the join is
+  * broadcast-able whenever a tick's batch is.
+  */
+object CorpusStream {
+
+  /** Landing-file schema (the `documents` table shape as JSON). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** The funnel's stateless gates: language == "en", quality ≥ 0.5 —
+    * identical column expressions to the batch funnel, plus the content
+    * hash and token count the downstream stages need.
+    */
+  def gates(docs: DataFrame): DataFrame =
+    TextAnalysis.qualityScore(docs, col("text"))
+      .withColumn("pred", TextAnalysis.languageId(col("text")))
+      .filter(col("pred") === "en" && col("quality") >= 0.5)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+        sha2(col("text"), 256).as("chash"))
+
+  /** Exact-dedup append: keep the smallest doc_id per content hash within
+    * the batch, drop hashes already stored, append the rest.
+    */
+  def upsertDeduped(batch: DataFrame, tablePath: String): Unit = {
+    val spark = batch.sparkSession
+    val inBatch = batch
+      .withColumn("keep", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy("chash")))
+      .filter(col("keep")).drop("keep")
+    val exists = new Path(tablePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(new Path(tablePath))
+    val fresh =
+      if (!exists) inBatch
+      else inBatch.join(
+        spark.read.parquet(tablePath).select("chash").distinct(),
+        Seq("chash"), "left_anti")
+    fresh.write.mode("append").parquet(tablePath)
+  }
+
+  /** Drain the landing directory once: gate, dedup, append. `AvailableNow`
+    * processes everything pending then stops — the cron-tick form.
+    */
+  def funnelOnce(
+      spark: SparkSession,
+      landingDir: String,
+      tablePath: String,
+      checkpointDir: String): StreamingQuery =
+    gates(spark.readStream.schema(docSchema).json(landingDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertDeduped(batch, tablePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

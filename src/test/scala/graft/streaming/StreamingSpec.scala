@@ -39,6 +39,38 @@ class StreamingSpec extends SparkSpec {
     assert(WindStore.read(spark, table).count() == 2)
   }
 
+  test("corpus funnel stream: landing docs -> gates -> dedup table equals batch; replay idempotent") {
+    val base = tmpDir()
+    val landing = s"$base/landing"; val table = s"$base/table"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.json(landing)
+
+    CorpusStream.funnelOnce(spark, landing, table, s"$base/ckpt")
+      .awaitTermination()
+    val streamed = spark.read.parquet(table)
+    // counts equal the batch funnel's exact-dedup stage: gated docs whose
+    // doc_id is the smallest for their content hash
+    val batchExpected = CorpusStream.gates(docs)
+      .withColumn("keep", col("doc_id") === min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("chash")))
+      .filter(col("keep"))
+    assert(streamed.count() == batchExpected.count())
+    assert(streamed.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      batchExpected.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(streamed.count() > 0 && streamed.count() < docs.count())
+
+    // second tick, no new files: no-op
+    CorpusStream.funnelOnce(spark, landing, table, s"$base/ckpt")
+      .awaitTermination()
+    assert(spark.read.parquet(table).count() == batchExpected.count())
+
+    // fresh checkpoint (replay of the same landing files): the stored-hash
+    // anti-join keeps the table identical — first writer wins
+    CorpusStream.funnelOnce(spark, landing, table, s"$base/ckpt2")
+      .awaitTermination()
+    assert(spark.read.parquet(table).count() == batchExpected.count())
+  }
+
   test("binary streaming leg: .grb2 landing -> in-stream decode -> upsert") {
     import graft.wind.Grib2TestWriter
     val base = tmpDir()
