@@ -793,6 +793,141 @@ object ExtensionQueries {
        |FROM k GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------- chunking / vocab / LM scoring
+
+  /** Chunk length (tokens) for training-sample packing. */
+  val ChunkTokens = 64
+
+  /** Chunk stride: 64-token chunks overlapping by 8. */
+  val ChunkStride = 56
+
+  /** Sliding-window document chunking — the sample-packing step of a
+    * training pipeline: each doc's token sequence becomes 64-token chunks
+    * with 8-token overlap, each carrying its md5 fingerprint (chunk-level
+    * dedup joins on it downstream). Map-only at any scale: `sequence` +
+    * `posexplode` + `slice` are pure projections, so chunking 100 TB is one
+    * embarrassingly parallel pass.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+          lit(ChunkStride))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col").as("start_tok"),
+        slice(col("ws"), col("col") + 1, lit(ChunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val docChunksSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |    len(string_split(text, ' ')) AS n FROM documents),
+       |s AS (SELECT doc_id, ws,
+       |    unnest(generate_series(0, n - 1, $ChunkStride)) AS st FROM t)
+       |SELECT doc_id, CAST(st // $ChunkStride AS INTEGER) AS chunk_idx,
+       |  CAST(st AS INTEGER) AS start_tok,
+       |  CAST(len(ws[st + 1 : st + $ChunkTokens]) AS INTEGER) AS n_tok,
+       |  md5(array_to_string(ws[st + 1 : st + $ChunkTokens], ' ')) AS chash
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Minimum document frequency for a term to enter the vocabulary. */
+  val VocabMinDf = 5
+
+  /** Vocabulary size cap (the tokenizer-budget analogue). */
+  val VocabTopK = 200
+
+  /** Vocabulary building with corpus coverage — the tokenizer-training
+    * question "how much of the corpus do the top-K terms cover": one
+    * word-count aggregation, a df floor, and a cumulative-coverage window
+    * over the (vocabulary-sized, corpus-sublinear) term table. Coverage is
+    * quantized at 1e-6 before the hash compare (scale-0 round — portable).
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+    val total = tok.select(count(lit(1)).as("total"))
+    val vocab = tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= VocabMinDf)
+    // the global window runs over the aggregated vocab, never corpus rows
+    val w = Window.orderBy(col("cf").desc, col("term"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vocab.crossJoin(broadcast(total))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cf").desc, col("term"))))
+      .withColumn("cum", sum(col("cf")).over(w))
+      .filter(col("rk") <= VocabTopK)
+      .select(col("rk"), col("term"), col("cf"), col("df"),
+        (round(col("cum").cast("double") / col("total") * 1e6) / 1e6)
+          .as("coverage"))
+      .orderBy("rk")
+  }
+
+  private val vocabCoverageSql =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tot AS (SELECT count(*) AS total FROM tok),
+       |v AS (SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+       |  FROM tok GROUP BY term HAVING count(DISTINCT doc_id) >= $VocabMinDf),
+       |r AS (SELECT term, cf, df,
+       |    row_number() OVER (ORDER BY cf DESC, term) AS rk,
+       |    sum(cf) OVER (ORDER BY cf DESC, term
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM v)
+       |SELECT CAST(rk AS INTEGER) AS rk, term, CAST(cf AS BIGINT) AS cf,
+       |  CAST(df AS BIGINT) AS df,
+       |  round(CAST(cum AS DOUBLE) / total * 1e6) / 1e6 AS coverage
+       |FROM r CROSS JOIN tot WHERE rk <= $VocabTopK ORDER BY rk""".stripMargin
+
+  /** Per-document unigram language-model score — the classic
+    * perplexity-flavored quality signal: mean log-probability of the doc's
+    * tokens under the corpus's own unigram distribution. Each token's
+    * `ln(cf/total)` is quantized to 1e-6 (absorbing libm last-ulp skew) and
+    * summed as exact micro-nat integers, so the per-doc mean is one exact
+    * long sum and one double division — bitwise stable across engines and
+    * partitionings ([[graft.Exact]] discipline). Shape: word-count, a
+    * term join (vocabulary-sized build side), one per-doc aggregation.
+    */
+  def unigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+    val total = tok.select(count(lit(1)).as("total"))
+    val uni = tok.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+      .crossJoin(broadcast(total))
+      .select(col("term"),
+        round(log(col("cf").cast("double") / col("total")) * 1e6)
+          .cast("long").as("logp_micro"))
+    tok.join(uni, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("logp_micro")).as("sum_logp_micro"))
+      .select(col("doc_id"), col("n_tok"), col("sum_logp_micro"),
+        (col("sum_logp_micro").cast("double") / 1e6 / col("n_tok"))
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val unigramLmScoreSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS total FROM tok),
+      |uni AS (SELECT term,
+      |    CAST(round(ln(CAST(count(*) AS DOUBLE) / total) * 1e6) AS BIGINT)
+      |      AS logp_micro
+      |  FROM tok CROSS JOIN tot GROUP BY term, total),
+      |d AS (SELECT doc_id, count(*) AS n_tok,
+      |    sum(logp_micro) AS sum_logp_micro
+      |  FROM tok JOIN uni USING (term) GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |  CAST(sum_logp_micro AS BIGINT) AS sum_logp_micro,
+      |  CAST(sum_logp_micro AS DOUBLE) / 1e6 / n_tok AS avg_logp
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -822,5 +957,8 @@ object ExtensionQueries {
     QueryDef("x21_embed_quantize", Some(embedQuantizeSql), embedQuantize),
     QueryDef("x22_decontamination", Some(decontaminationSql), decontamination),
     QueryDef("x23_corpus_sample", Some(corpusSampleSql), corpusSample),
+    QueryDef("x24_doc_chunks", Some(docChunksSql), docChunks),
+    QueryDef("x25_vocab_coverage", Some(vocabCoverageSql), vocabCoverage),
+    QueryDef("x26_unigram_lm_score", Some(unigramLmScoreSql), unigramLmScore),
   )
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Structural invariants of the chunking / vocabulary / LM-score queries —
+  * the oracle hash-checks the values; these pin the semantics a user relies
+  * on (tiling, monotone coverage, negative log-probs).
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("doc chunks tile every document with the declared stride and overlap") {
+    val chunks = ExtensionQueries.docChunks(spark, dir)
+      .select("doc_id", "chunk_idx", "start_tok", "n_tok").collect()
+      .groupBy(_.getLong(0))
+    val nTok = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet == nTok.keySet, "every doc is chunked")
+    chunks.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_.getInt(1))
+      // chunk_idx is dense from 0; starts advance by the stride
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i)
+        assert(r.getInt(2) == i * ExtensionQueries.ChunkStride)
+        assert(r.getInt(3) >= 1 && r.getInt(3) <= ExtensionQueries.ChunkTokens)
+      }
+      // the last chunk reaches the end of the doc: start + len == n
+      val last = sorted.last
+      assert(last.getInt(2) + last.getInt(3) == nTok(id),
+        s"doc $id: chunks must cover the full token sequence")
+      // every start is inside the doc (no empty trailing chunk)
+      assert(sorted.forall(_.getInt(2) < nTok(id)))
+    }
+  }
+
+  test("vocab coverage is monotone, bounded by 1, and df-floored") {
+    val v = ExtensionQueries.vocabCoverage(spark, dir).collect()
+    assert(v.nonEmpty)
+    assert(v.forall(_.getLong(3) >= ExtensionQueries.VocabMinDf))
+    val cov = v.map(_.getDouble(4))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(cov.last <= 1.0 + 1e-9)
+    // cf is non-increasing down the ranking
+    val cf = v.map(_.getLong(2))
+    assert(cf.zip(cf.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("unigram LM scores are negative means of per-token log-probs") {
+    val s = ExtensionQueries.unigramLmScore(spark, dir).collect()
+    assert(s.length == graft.Tables.documents(spark, dir).count())
+    s.foreach { r =>
+      val nTok = r.getLong(1)
+      val sumMicro = r.getLong(2)
+      assert(sumMicro < 0, "log-probs of a nontrivial corpus are negative")
+      assert(math.abs(r.getDouble(3) - sumMicro / 1e6 / nTok) < 1e-12)
+    }
+  }
+}
