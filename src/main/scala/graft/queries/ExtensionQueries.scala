@@ -928,6 +928,73 @@ object ExtensionQueries {
       |  CAST(sum_logp_micro AS DOUBLE) / 1e6 / n_tok AS avg_logp
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Outliers reported per label by [[labelCentroidOutliers]]. */
+  val CentroidOutliers = 3
+
+  /** Per-label embedding centroids + the vectors farthest from their own
+    * centroid — the k-means/IVF update step and the embedding-space outlier
+    * screen a corpus-filtering pipeline runs, in exact integer arithmetic:
+    * components quantize to micro-units (×1e6) as longs, per-label component
+    * sums come from one posexplode + (label, pos) aggregation (map-side
+    * combine; shuffle is |labels|·dim rows, corpus-sublinear), and each
+    * vector's dot with its centroid-sum is an integer fold — so
+    * `cos_to_centroid = dot_fx / (n·1e12)` is bitwise portable with no
+    * float-summation order anywhere. Long bound: |dot_fx| ≤ dim·1e6·n·1e6,
+    * safe to n ≈ 1.4e6 vectors/label at dim 64; beyond that the sums need
+    * decimal(38,0) (ANSI mode throws rather than wraps — never silent).
+    * The centroid and count tables are label-sized — both broadcast.
+    */
+  def labelCentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vq = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("v"))
+    val comp = vq.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("s"))
+    val cents = comp.groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("label"),
+        transform(col("ps"), p => p.getField("s")).as("cent"))
+    val counts = vq.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dot_fx").asc, col("vec_id"))
+    vq.join(broadcast(cents), "label").join(broadcast(counts), "label")
+      .withColumn("dot_fx",
+        aggregate(zip_with(col("v"), col("cent"), (a, b) => a * b),
+          lit(0L), (acc, t) => acc + t))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= CentroidOutliers)
+      .select(col("label"), col("n_vecs"), col("rk"), col("vec_id"),
+        col("dot_fx"),
+        (col("dot_fx").cast("double") /
+          (col("n_vecs").cast("double") * 1e12)).as("cos_to_centroid"))
+      .orderBy("label", "rk")
+  }
+
+  private val labelCentroidOutliersSql =
+    s"""WITH vq AS (SELECT vec_id, label,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |comp AS (SELECT label, k AS pos, sum(v[k + 1]) AS s
+       |  FROM vq, LATERAL (SELECT unnest(range(len(v))) AS k) r
+       |  GROUP BY label, k),
+       |cent AS (SELECT label, list(s ORDER BY pos) AS cent
+       |  FROM comp GROUP BY label),
+       |cnt AS (SELECT label, count(*) AS n_vecs FROM vq GROUP BY label),
+       |sc AS (SELECT q.vec_id, q.label, n_vecs,
+       |    list_sum(list_transform(range(len(q.v)),
+       |      k -> q.v[k + 1] * c.cent[k + 1])) AS dot_fx
+       |  FROM vq q JOIN cent c USING (label) JOIN cnt USING (label)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY label
+       |    ORDER BY dot_fx, vec_id) AS rk FROM sc)
+       |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(rk AS INTEGER) AS rk, vec_id, CAST(dot_fx AS BIGINT) AS dot_fx,
+       |  CAST(dot_fx AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1e12)
+       |    AS cos_to_centroid
+       |FROM r WHERE rk <= $CentroidOutliers ORDER BY label, rk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -960,5 +1027,7 @@ object ExtensionQueries {
     QueryDef("x24_doc_chunks", Some(docChunksSql), docChunks),
     QueryDef("x25_vocab_coverage", Some(vocabCoverageSql), vocabCoverage),
     QueryDef("x26_unigram_lm_score", Some(unigramLmScoreSql), unigramLmScore),
+    QueryDef("x27_label_centroid_outliers", Some(labelCentroidOutliersSql),
+      labelCentroidOutliers),
   )
 }
