@@ -1,0 +1,22 @@
+package graft
+
+/** Dev tool: print `explain formatted` for queries matching the given name
+  * prefixes (all queries when no args) — the source of PLANS.md excerpts.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = GraftSession.builder("local[8]", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }
+      .foreach { case (n, fn) =>
+        println(s"\n===== $n =====")
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+    spark.stop()
+  }
+}
