@@ -995,6 +995,70 @@ object ExtensionQueries {
        |    AS cos_to_centroid
        |FROM r WHERE rk <= $CentroidOutliers ORDER BY label, rk""".stripMargin
 
+  /** Token budget per packed training sample. */
+  val PackSeqLen = 512
+
+  /** Packing parallelism: independent packing units. */
+  val PackBuckets = 32
+
+  /** Salt for the reproducible packing shuffle order. */
+  private val PackSalt = "pack"
+
+  /** Sequential sample packing — the concat-and-cut step that turns a
+    * filtered corpus into fixed-budget training samples: documents are
+    * shuffled reproducibly (portable hash order), concatenated, and cut
+    * every [[PackSeqLen]] tokens; each doc joins the sample where its first
+    * token lands. Packing is bucket-parallel: [[PackBuckets]] independent
+    * units (windows partition by bucket — no global single-partition sort),
+    * which is exactly how distributed packing shards at 100 TB; within a
+    * bucket the running token sum is one window over doc-count rows.
+    * Output: per-sample doc/token counts and fill fraction.
+    */
+  def samplePacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.Portable.hash32(col("doc_id").cast("string"), PackSalt)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+        (h % PackBuckets).as("bucket"), h.as("hkey"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("sample_idx",
+        floor(col("cum_before") / PackSeqLen).cast("int"))
+      .groupBy(col("bucket"), col("sample_idx"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .select(col("bucket"), col("sample_idx"), col("n_docs"),
+        col("n_tokens"), col("first_doc"),
+        least(col("n_tokens").cast("double") / PackSeqLen, lit(1.0))
+          .as("fill"))
+      .orderBy("bucket", "sample_idx")
+  }
+
+  private val samplePackingSql = {
+    val h = graft.Portable.sqlHash32("CAST(doc_id AS VARCHAR)", PackSalt)
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    $h % $PackBuckets AS bucket, $h AS hkey
+       |  FROM documents),
+       |c AS (SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY bucket
+       |      ORDER BY hkey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS cum_before FROM d),
+       |s AS (SELECT bucket, CAST(floor(CAST(cum_before AS DOUBLE)
+       |      / $PackSeqLen) AS INTEGER) AS sample_idx,
+       |    doc_id, n_tok FROM c)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, sample_idx,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc,
+       |  least(CAST(sum(n_tok) AS DOUBLE) / $PackSeqLen, 1e0) AS fill
+       |FROM s GROUP BY bucket, sample_idx
+       |ORDER BY bucket, sample_idx""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -1029,5 +1093,6 @@ object ExtensionQueries {
     QueryDef("x26_unigram_lm_score", Some(unigramLmScoreSql), unigramLmScore),
     QueryDef("x27_label_centroid_outliers", Some(labelCentroidOutliersSql),
       labelCentroidOutliers),
+    QueryDef("x28_sample_packing", Some(samplePackingSql), samplePacking),
   )
 }

@@ -49,6 +49,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cf.zip(cf.tail).forall { case (a, b) => a >= b })
   }
 
+  test("sample packing conserves docs and tokens and respects the budget") {
+    val docs = graft.Tables.documents(spark, dir)
+    val packed = ExtensionQueries.samplePacking(spark, dir).collect()
+    // every document lands in exactly one sample; tokens are conserved
+    assert(packed.map(_.getLong(2)).sum == docs.count())
+    val totalTok = docs
+      .select(sum(size(split(col("text"), " ")).cast("long"))).collect()
+      .head.getLong(0)
+    assert(packed.map(_.getLong(3)).sum == totalTok)
+    // fill is bounded and samples are never empty
+    packed.foreach { r =>
+      assert(r.getLong(2) >= 1)
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+    }
+    // bucket-parallel: more than one independent packing unit in play
+    assert(packed.map(_.getLong(0)).distinct.length > 1)
+  }
+
   test("unigram LM scores are negative means of per-token log-probs") {
     val s = ExtensionQueries.unigramLmScore(spark, dir).collect()
     assert(s.length == graft.Tables.documents(spark, dir).count())
