@@ -61,4 +61,15 @@ object Exact {
   }
   def sqlFxAvg(expr: String, k: Int): String =
     s"${sqlFxSum(expr, k)}/count($expr)"
+
+  /** A DuckDB DOUBLE literal bit-identical to the JVM double `v`: DuckDB
+    * parses scientific notation for small magnitudes ("1.0E-4") differently
+    * than a bare `...e0` suffix would tolerate, so the literal goes through
+    * the plain-decimal string + CAST (`Double.toString` via BigDecimal is
+    * the shortest round-tripping representation — both engines land on the
+    * same bits). Shared by every generated-SQL site that interpolates a
+    * Scala-computed double constant (quality weights, BM25 parameters …).
+    */
+  def sqlDouble(v: Double): String =
+    s"CAST('${java.math.BigDecimal.valueOf(v).toPlainString}' AS DOUBLE)"
 }

@@ -458,4 +458,132 @@ object Similarity {
       .orderBy(col("score").desc, col("id_a"), col("id_b"))
       .limit(topN)
   }
+
+  // ------------------------------------------------------ k-means refinement
+
+  /** Milli-quantized integer vector: component grid 1e-3 (unit-normalized
+    * corpus ⇒ |component| ≤ 1000). The coarse grid keeps every Lloyd-step
+    * quantity small enough for exact long arithmetic: squared distances are
+    * ≤ dim·(2000)² = 2.56e8 per row, so even a 1e9-row cluster's summed
+    * inertia stays under 2^63 (ANSI mode would throw, never wrap).
+    */
+  private def quantizeMilli(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1e3).cast("long"))
+
+  /** Round half away from zero (the shared `round()` semantics of Spark SQL
+    * and DuckDB on doubles) — `math.round` rounds half toward +∞, which
+    * would diverge on negative .5 component means.
+    */
+  private def roundAway(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
+  /** Lloyd/k-means refinement over milli-quantized vectors — the iterative
+    * version of the single centroid-update step in
+    * [[graft.queries.ExtensionQueries.labelCentroidOutliers]], and the
+    * refinement loop an IVF index ([[writeIvf]]) trains its cells with.
+    *
+    * Exactness: vectors and centroids live on the 1e-3 integer grid, so
+    * assignment is an exact integer argmin of squared L2 distance (ties →
+    * lower centroid id); the centroid update re-quantizes each component
+    * mean to the grid (`round(sum/n)` — the one double op, a single exact
+    * IEEE division plus the shared round-half-away-from-zero), so every
+    * iteration is bit-reproducible across engines and partitionings.
+    *
+    * Scale: per iteration, assignment is a map-only projection against k·dim
+    * LITERAL centroids (no join, no shuffle — same pattern as [[assignCell]])
+    * and the update is one (cid, pos) partial aggregation whose shuffle
+    * carries k·dim rows, corpus-sublinear. The driver collects only the
+    * k·dim component sums per iteration — bounded by the parameters, never
+    * the corpus. Empty clusters drop (their ids simply stop appearing),
+    * matching the SQL replay's group-by semantics.
+    *
+    * Returns the final assignment: (vec_id, cid, dist_fx) plus each
+    * cluster's final centroid checksum column `cent_sum` (Σ components).
+    */
+  def kmeansRefine(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vq = corpus.select(col("vec_id"), quantizeMilli(col("embedding")).as("v"))
+    // seeds: the k lowest vec_ids' vectors — deterministic, engine-portable
+    var cents: Seq[(Int, Seq[Long])] =
+      vq.orderBy(col("vec_id")).limit(k).collect().toSeq.zipWithIndex.map {
+        case (r, i) => i -> r.getSeq[Long](1)
+      }
+    def assign(df: DataFrame): DataFrame = {
+      val scored = cents.sortBy(_._1).map { case (cid, c) =>
+        val cl = array(c.map(lit): _*)
+        struct(
+          aggregate(zip_with(col("v"), cl, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, t) => acc + t).as("dist"),
+          lit(cid).as("cid"))
+      }
+      // fold in ascending cid order with strict <, so ties keep the lower cid
+      val best = scored.reduce[Column]((a, b) =>
+        when(b.getField("dist") < a.getField("dist"), b).otherwise(a))
+      df.withColumn("best", best)
+        .select(col("vec_id"), col("v"), col("best").getField("cid").as("cid"),
+          col("best").getField("dist").as("dist_fx"))
+    }
+    for (_ <- 1 to iters) {
+      val sums = assign(vq)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect() // k·dim rows — bounded by parameters, never the corpus
+      cents = sums.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1))
+          .map(r => roundAway(r.getLong(2).toDouble / r.getLong(3))).toSeq
+      }
+    }
+    // nested CASE via reduceRight — each when-column takes `otherwise` once
+    val centSum = cents.sortBy(_._1).map { case (cid, c) =>
+      when(col("cid") === cid, lit(c.sum))
+    }.reduceRight[Column]((w, rest) => w.otherwise(rest))
+    assign(vq).withColumn("cent_sum", centSum)
+  }
+
+  /** DuckDB replay of [[kmeansRefine]] over the `embeddings` table: seeds,
+    * `iters` unrolled assign/update rounds, and a final assignment — the
+    * identical integer grid, argmin tie order and mean re-quantization.
+    * Returns CTE text ending in a relation `kfinal(vec_id, cid, dist_fx,
+    * cent_sum)`.
+    */
+  def sqlKmeansRefine(k: Int, iters: Int, dim: Int): String = {
+    def assignCte(name: String, centTable: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, v, cid, dist AS dist_fx FROM (
+         |    SELECT vec_id, v, cid, dist,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cid) AS rk
+         |    FROM (SELECT q.vec_id, q.v, c.cid,
+         |        list_sum(list_transform(range($dim),
+         |          j -> (q.v[j+1] - c.cent[j+1]) * (q.v[j+1] - c.cent[j+1])))
+         |          AS dist
+         |      FROM vq q CROSS JOIN $centTable c))
+         |  WHERE rk = 1)""".stripMargin
+    def updateCte(sname: String, cname: String, from: String): String =
+      s"""$sname AS (
+         |  SELECT cid, j AS pos, sum(v[j+1]) AS s, count(*) AS n
+         |  FROM $from, LATERAL (SELECT unnest(range($dim)) AS j) r
+         |  GROUP BY cid, j),
+         |$cname AS (
+         |  SELECT cid, list(CAST(round(CAST(s AS DOUBLE) / n) AS BIGINT)
+         |    ORDER BY pos) AS cent
+         |  FROM $sname GROUP BY cid)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      assignCte(s"a$t", s"c${t - 1}") + ",\n" +
+        updateCte(s"s$t", s"c$t", s"a$t")
+    }.mkString(",\n")
+    s"""vq AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e3) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cent
+       |  FROM vq ORDER BY vec_id LIMIT $k),
+       |$rounds,
+       |${assignCte("afinal", s"c$iters")},
+       |kfinal AS (
+       |  SELECT a.vec_id, a.cid, a.dist_fx, cs.cent_sum
+       |  FROM afinal a JOIN (SELECT cid, list_sum(cent) AS cent_sum
+       |    FROM c$iters) cs USING (cid))""".stripMargin
+  }
 }

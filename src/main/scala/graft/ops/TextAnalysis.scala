@@ -121,6 +121,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("term"), col("tfidf"))
   }
 
+  /** NON-distinct word n-grams over a word-list column (order-preserving,
+    * with the short-document whole-text fallback shared with
+    * [[graft.ops.Dedup.shingles]]). Repetition analysis needs multiplicity —
+    * `Dedup.shingles` deliberately dedups for set-similarity joins.
+    */
+  def ngrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", w)))
+
+  /** DuckDB twin of [[ngrams]] over a word-list expression. */
+  def sqlNgrams(w: String, n: Int): String =
+    s"CASE WHEN len($w) >= $n THEN " +
+      s"list_transform(range(len($w) - ${n - 1}), " +
+      s"i -> array_to_string(list_slice($w, i + 1, i + $n), ' ')) " +
+      s"ELSE [array_to_string($w, ' ')] END"
+
   /** Salt for the rolling-hash word hash (shared with [[rollingHashSql]]). */
   val RollingSalt = "rh"
 

@@ -1059,6 +1059,212 @@ object ExtensionQueries {
        |ORDER BY bucket, sample_idx""".stripMargin
   }
 
+  // --------------------------------- k-means / chunk dedup / quality / BM25
+
+  /** Clusters for the k-means refinement query. */
+  val KmeansK = 8
+
+  /** Lloyd iterations (each = one assign + one centroid update). */
+  val KmeansIters = 2
+
+  /** K-means refinement over the embedding corpus — the iterative IVF
+    * training loop ([[graft.ops.Similarity.kmeansRefine]]): exact integer
+    * Lloyd steps on the milli grid, reported as per-cluster sizes, exact
+    * within-cluster squared-distance sums (inertia) and centroid checksums.
+    * The oracle unrolls the identical iterations in SQL.
+    */
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansRefine(Tables.embeddings(spark, dir), KmeansK, KmeansIters)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist_fx")).as("wcss_fx"),
+        min(col("cent_sum")).as("cent_sum"))
+      .orderBy("cid")
+
+  private val kmeansClustersSql =
+    s"""WITH ${Similarity.sqlKmeansRefine(KmeansK, KmeansIters, 64)}
+       |SELECT CAST(cid AS INTEGER) AS cid, count(*) AS n_vecs,
+       |  CAST(sum(dist_fx) AS BIGINT) AS wcss_fx,
+       |  CAST(min(cent_sum) AS BIGINT) AS cent_sum
+       |FROM kfinal GROUP BY cid ORDER BY cid""".stripMargin
+
+  /** Duplicated chunks reported by [[chunkDedup]]. */
+  val ChunkDupTopK = 20
+
+  /** Chunk-level dedup: the [[docChunks]] fingerprints grouped across the
+    * corpus — the most-repeated chunks with their occurrence count, distinct
+    * document count and canonical (minimum) location. This is the join key
+    * the funnel uses to drop repeated boilerplate passages that document-level
+    * dedup can't see. Shape: one map-only chunking pass + one hash
+    * aggregation on the 16-byte fingerprint + a top-k — a word-count at any
+    * scale.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    docChunks(spark, dir)
+      .groupBy(col("chash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), min(col("n_tok")).as("n_tok"))
+      .orderBy(col("n_copies").desc, col("chash"))
+      .limit(ChunkDupTopK)
+
+  private val chunkDedupSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |    len(string_split(text, ' ')) AS n FROM documents),
+       |s AS (SELECT doc_id, ws,
+       |    unnest(generate_series(0, n - 1, $ChunkStride)) AS st FROM t),
+       |ch AS (SELECT doc_id,
+       |    CAST(len(ws[st + 1 : st + $ChunkTokens]) AS INTEGER) AS n_tok,
+       |    md5(array_to_string(ws[st + 1 : st + $ChunkTokens], ' ')) AS chash
+       |  FROM s)
+       |SELECT chash, count(*) AS n_copies,
+       |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc,
+       |  CAST(min(n_tok) AS INTEGER) AS n_tok
+       |FROM ch GROUP BY chash
+       |ORDER BY n_copies DESC, chash LIMIT $ChunkDupTopK""".stripMargin
+
+  /** Gopher-style repetition gate: max duplicate-trigram fraction. */
+  val RepMaxDupFrac = 0.3
+
+  /** Gopher-style repetition gate: max single-word dominance. */
+  val RepMaxTopFrac = 0.2
+
+  /** Intra-document repetition signals — the corpus-filtering rules of the
+    * Gopher/MassiveText family (Rae et al. 2021): duplicate word-trigram
+    * fraction (boilerplate/looping-text detector) and top-word dominance
+    * (degenerate repetition), with a pass/fail gate at the documented
+    * thresholds. All counts are exact integers; each ratio is one IEEE
+    * division — engine-portable without tolerance. Shape: one map-only
+    * n-gram projection plus a per-doc word-count aggregation.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tri = docs.select(col("doc_id"),
+        TextAnalysis.words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        TextAnalysis.ngrams(col("w"), 3).as("tri"))
+      .select(col("doc_id"), col("n_words"), size(col("tri")).as("n_tri"),
+        size(array_distinct(col("tri"))).as("n_tri_d"))
+    val topw = docs.select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tc"))
+      .groupBy(col("doc_id")).agg(max(col("tc")).as("max_tc"))
+    tri.join(topw, "doc_id")
+      .withColumn("dup_tri_frac",
+        (col("n_tri") - col("n_tri_d")).cast("double") / col("n_tri"))
+      .withColumn("top_word_frac",
+        col("max_tc").cast("double") / col("n_words"))
+      .withColumn("pass",
+        col("dup_tri_frac") <= RepMaxDupFrac &&
+          col("top_word_frac") <= RepMaxTopFrac)
+      .select("doc_id", "n_words", "n_tri", "n_tri_d", "dup_tri_frac",
+        "top_word_frac", "pass")
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSignalsSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tri AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words,
+       |    ${TextAnalysis.sqlNgrams("w", 3)} AS tri FROM w),
+       |tc AS (SELECT doc_id, n_words, CAST(len(tri) AS INTEGER) AS n_tri,
+       |    CAST(len(list_distinct(tri)) AS INTEGER) AS n_tri_d FROM tri),
+       |tw AS (SELECT doc_id, max(c) AS max_tc FROM (
+       |    SELECT doc_id, count(*) AS c FROM (
+       |      SELECT doc_id, unnest(w) AS t FROM w) GROUP BY doc_id, t)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_words, n_tri, n_tri_d,
+       |  CAST(n_tri - n_tri_d AS DOUBLE) / n_tri AS dup_tri_frac,
+       |  CAST(max_tc AS DOUBLE) / n_words AS top_word_frac,
+       |  (CAST(n_tri - n_tri_d AS DOUBLE) / n_tri
+       |     <= ${graft.Exact.sqlDouble(RepMaxDupFrac)}
+       |   AND CAST(max_tc AS DOUBLE) / n_words
+       |     <= ${graft.Exact.sqlDouble(RepMaxTopFrac)}) AS pass
+       |FROM tc JOIN tw USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** BM25 `k1` (term-frequency saturation). */
+  val Bm25K1 = 1.2
+
+  /** BM25 `b` (length normalization). */
+  val Bm25B = 0.75
+
+  /** The fixed query-term set scored by [[bm25Scores]]. */
+  val Bm25Query = Seq("the", "of", "and", "data", "model")
+
+  /** BM25 relevance scores (Robertson–Spärck Jones, the standard retrieval
+    * ranking function) of every document against [[Bm25Query]]. Exactness
+    * follows the [[unigramLmScore]] pattern: the one libm call (`ln` in the
+    * idf) is quantized to micro-units, every later step is deterministic
+    * IEEE arithmetic with constants interpolated bit-identically into the
+    * oracle ([[graft.Exact.sqlDouble]]), and per-term micro scores sum as
+    * exact longs. Shape: corpus-wide stats broadcast (2 scalars), term
+    * postings for 5 literal terms (filter pushes to the scan), one per-doc
+    * aggregation — a retrieval scoring pass that scales as a word-count.
+    */
+  def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dl = docs.select(col("doc_id"),
+      size(TextAnalysis.words(col("text"))).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val tf = docs.select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("term"))
+      .filter(col("term").isInCollection(Bm25Query))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dft), "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro", round(log(
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) * 1e6).cast("long"))
+      .withColumn("tfpart",
+        col("tf").cast("double") * lit(Bm25K1 + 1) /
+          (col("tf").cast("double") + lit(Bm25K1) *
+            (lit(1 - Bm25B) + lit(Bm25B) * col("dl").cast("double") /
+              (col("total_dl").cast("double") / col("n_docs")))))
+      .withColumn("s_micro",
+        round(col("idf_micro").cast("double") / 1e6 * col("tfpart") * 1e6)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"), sum(col("s_micro")).as("bm25_micro"))
+      .withColumn("bm25", col("bm25_micro").cast("double") / 1e6)
+      .orderBy("doc_id")
+  }
+
+  private val bm25ScoresSql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val k1p1 = graft.Exact.sqlDouble(Bm25K1 + 1)
+    val k1 = graft.Exact.sqlDouble(Bm25K1)
+    val oneMb = graft.Exact.sqlDouble(1 - Bm25B)
+    val b = graft.Exact.sqlDouble(Bm25B)
+    s"""WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+       |  FROM documents),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents)
+       |  WHERE term IN ($terms) GROUP BY doc_id, term),
+       |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       |  GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |    CAST(round(ln((CAST(n_docs - df AS DOUBLE) + 0.5e0)
+       |        / (CAST(df AS DOUBLE) + 0.5e0)) * 1e6) AS BIGINT)
+       |      AS idf_micro,
+       |    CAST(tf AS DOUBLE) * $k1p1
+       |      / (CAST(tf AS DOUBLE) + $k1
+       |        * ($oneMb + $b * CAST(dl AS DOUBLE)
+       |          / (CAST(total_dl AS DOUBLE) / n_docs))) AS tfpart
+       |  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN st),
+       |ps AS (SELECT doc_id,
+       |    CAST(round(CAST(idf_micro AS DOUBLE) / 1e6 * tfpart * 1e6)
+       |      AS BIGINT) AS s_micro
+       |  FROM sc)
+       |SELECT doc_id, count(*) AS n_hit_terms,
+       |  CAST(sum(s_micro) AS BIGINT) AS bm25_micro,
+       |  CAST(sum(s_micro) AS DOUBLE) / 1e6 AS bm25
+       |FROM ps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -1094,5 +1300,10 @@ object ExtensionQueries {
     QueryDef("x27_label_centroid_outliers", Some(labelCentroidOutliersSql),
       labelCentroidOutliers),
     QueryDef("x28_sample_packing", Some(samplePackingSql), samplePacking),
+    QueryDef("x29_kmeans_clusters", Some(kmeansClustersSql), kmeansClusters),
+    QueryDef("x30_chunk_dedup", Some(chunkDedupSql), chunkDedup),
+    QueryDef("x31_repetition_signals", Some(repetitionSignalsSql),
+      repetitionSignals),
+    QueryDef("x32_bm25_scores", Some(bm25ScoresSql), bm25Scores),
   )
 }

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ops.{Similarity, TextAnalysis}
+
+/** Structural invariants of the k-means / chunk-dedup / repetition / BM25
+  * queries — the oracle hash-checks the values; these pin the semantics.
+  */
+class CurationOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kmeans refinement partitions the corpus and never raises inertia") {
+    val em = graft.Tables.embeddings(spark, dir)
+    val n = em.count()
+    val refined = Similarity.kmeansRefine(em, 8, 2)
+    val byCluster = refined.groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("dist_fx").as("wcss")).collect()
+    assert(byCluster.map(_.getLong(1)).sum == n, "assignment is a partition")
+    assert(byCluster.length <= 8)
+    // Lloyd steps cannot raise total inertia (grid re-quantization moves a
+    // centroid at most half a cell, which both runs pay identically — the
+    // seed-assignment inertia is measured through the same quantized assign)
+    val wcss0 = Similarity.kmeansRefine(em, 8, 0)
+      .agg(sum("dist_fx")).collect().head.getLong(0)
+    val wcss2 = byCluster.map(_.getLong(2)).sum
+    assert(wcss2 <= wcss0, s"refined inertia $wcss2 > seed inertia $wcss0")
+  }
+
+  test("chunk dedup reports copies in descending order with sane bounds") {
+    val rows = ExtensionQueries.chunkDedup(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= ExtensionQueries.ChunkDupTopK)
+    val copies = rows.map(_.getLong(1))
+    assert(copies.zip(copies.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), "copies >= distinct docs")
+      assert(r.getLong(2) >= 1)
+      val nTok = r.getInt(4)
+      assert(nTok >= 1 && nTok <= ExtensionQueries.ChunkTokens)
+    }
+  }
+
+  test("ngrams keep multiplicity and order; repetition signals are bounded") {
+    import spark.implicits._
+    val df = Seq("a b c d", "x x x x x", "one").toDF("text")
+      .select(TextAnalysis.ngrams(split(col("text"), " "), 3).as("tri"))
+    val tri = df.collect().map(_.getSeq[String](0))
+    assert(tri(0) == Seq("a b c", "b c d"))
+    assert(tri(1) == Seq("x x x", "x x x", "x x x"), "multiplicity survives")
+    assert(tri(2) == Seq("one"), "short-doc fallback")
+
+    val sig = ExtensionQueries.repetitionSignals(spark, dir).collect()
+    assert(sig.length == graft.Tables.documents(spark, dir).count())
+    sig.foreach { r =>
+      assert(r.getInt(3) <= r.getInt(2), "distinct trigrams <= trigrams")
+      val dup = r.getDouble(4)
+      val top = r.getDouble(5)
+      assert(dup >= 0 && dup < 1)
+      assert(top > 0 && top <= 1)
+      assert(r.getBoolean(6) == (dup <= ExtensionQueries.RepMaxDupFrac &&
+        top <= ExtensionQueries.RepMaxTopFrac), "gate matches its signals")
+    }
+  }
+
+  test("bm25 scores exactly the docs containing a query term") {
+    val scored = ExtensionQueries.bm25Scores(spark, dir).collect()
+    val expected = graft.Tables.documents(spark, dir)
+      .filter(size(filter(split(col("text"), " "),
+        t => t.isInCollection(ExtensionQueries.Bm25Query))) > 0)
+      .count()
+    assert(scored.length == expected)
+    scored.foreach { r =>
+      val hits = r.getLong(1)
+      assert(hits >= 1 && hits <= ExtensionQueries.Bm25Query.length)
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 1e6) < 1e-12)
+    }
+  }
+}
