@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * `mapPartitions`.
   *
   * The codecs are REAL and JDK-only: `javax.imageio` decodes PNG/BMP/JPEG
-  * stills AND multi-frame animated GIFs (the video leg — per-frame pixels),
-  * and a hand-rolled RIFF walker parses WAV (sample rate, channels, PCM
-  * samples). Container detection is by magic bytes ([[Codec.sniff]]). Only
-  * payloads no JDK codec speaks — MP4-style containers, arbitrary blobs —
-  * fall back to the clearly-marked [[FakeCodec]] stub (this container ships
-  * no demuxer libraries; swapping one in changes one match arm).
+  * stills AND multi-frame animated GIFs, and a hand-rolled RIFF walker
+  * parses WAV (sample rate, channels, PCM samples) and demuxes AVI video
+  * (uncompressed 8-bit palettized / 24-bit BGR DIB frames — per-frame
+  * pixels through [[Codec.decodeAviFrames]]). Container detection is by
+  * magic bytes ([[Codec.sniff]]). Only payloads no JDK-only parser speaks —
+  * MP4-style containers, arbitrary blobs — fall back to the clearly-marked
+  * [[FakeCodec]] stub (swapping a real MP4 demuxer in changes one match
+  * arm).
   *
   * Scale notes: decode is per-partition iterator → iterator (no
   * materialization of whole partitions), decode parallelism = partition
@@ -65,6 +67,9 @@ object Multimodal {
       else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
         p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
         p(11) == 'E') "wav"
+      else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'A' && p(9) == 'V' && p(10) == 'I' &&
+        p(11) == ' ') "avi"
       else "opaque"
 
     def isImage(format: String): Boolean =
@@ -187,6 +192,94 @@ object Multimodal {
       require(samples != null, "WAV payload has no data chunk")
       Wav(sampleRate, channels, bits, samples)
     }
+
+    /** Real RIFF/AVI demux: walks the LIST hierarchy (`hdrl` → `strl` →
+      * `strf` BITMAPINFOHEADER, then `movi` → `00db` frames), decoding
+      * uncompressed 8-bit palettized or 24-bit BGR DIB frames to per-frame
+      * Rec.601 luma arrays (same output shape as [[decodeGifFrames]]).
+      * Bottom-up and top-down DIBs both handled (biHeight sign); compressed
+      * streams (`00dc`, biCompression ≠ 0) and other bit depths fail loudly
+      * — never silently wrong pixels.
+      */
+    def decodeAviFrames(p: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+      require(sniff(p) == "avi", "not a RIFF/AVI payload")
+      var width = 0
+      var heightRaw = 0
+      var bitCount = 0
+      var compression = 0
+      var palette: Array[Int] = null // packed 0xRRGGBB
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+      def walk(from: Int, to: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = new String(p, pos, 4, "US-ASCII")
+          val size = le32(p, pos + 4)
+          require(size >= 0 && pos + 8 + size <= to,
+            s"truncated AVI chunk $id ($size bytes at $pos)")
+          id match {
+            case "LIST" => walk(pos + 12, pos + 8 + size) // skip list type fcc
+            case "strf" if width == 0 =>
+              require(size >= 40, s"strf too small ($size) for BITMAPINFOHEADER")
+              width = le32(p, pos + 8 + 4)
+              heightRaw = le32(p, pos + 8 + 8)
+              bitCount = le16(p, pos + 8 + 14)
+              compression = le32(p, pos + 8 + 16)
+              if (bitCount == 8) {
+                val clrUsed = le32(p, pos + 8 + 32)
+                val n = if (clrUsed == 0) 256 else clrUsed
+                require(size >= 40 + 4 * n, "strf palette truncated")
+                palette = Array.tabulate(n) { i =>
+                  val o = pos + 8 + 40 + 4 * i // RGBQUAD: b, g, r, reserved
+                  ((p(o + 2) & 0xff) << 16) | ((p(o + 1) & 0xff) << 8) |
+                    (p(o) & 0xff)
+                }
+              }
+            case "00dc" =>
+              throw new IllegalArgumentException(
+                "AVI stream is compressed (00dc) — only uncompressed DIB (00db) supported")
+            case "00db" =>
+              frames += java.util.Arrays.copyOfRange(p, pos + 8, pos + 8 + size)
+            case _ => () // avih/strh/idx1/JUNK etc: not needed for decode
+          }
+          pos += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, p.length)
+      require(width > 0 && heightRaw != 0, "AVI payload has no strf header")
+      require(compression == 0,
+        s"unsupported AVI compression $compression (BI_RGB only)")
+      require(bitCount == 8 || bitCount == 24,
+        s"unsupported AVI bit depth $bitCount (8-bit palettized / 24-bit BGR only)")
+      require(frames.nonEmpty, "AVI payload has no 00db frames")
+      val h = math.abs(heightRaw)
+      val topDown = heightRaw < 0
+      val bytesPerPx = bitCount / 8
+      val stride = (width * bytesPerPx + 3) & ~3 // DIB rows pad to 4 bytes
+      val lumas = frames.toSeq.map { d =>
+        require(d.length >= stride * h,
+          s"AVI frame too small (${d.length} < ${stride * h})")
+        val lum = new Array[Int](width * h)
+        var y = 0
+        while (y < h) {
+          val row = if (topDown) y else h - 1 - y
+          var x = 0
+          while (x < width) {
+            val o = row * stride + x * bytesPerPx
+            val (r, g, b) =
+              if (bitCount == 8) {
+                val c = palette(d(o) & 0xff)
+                ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+              } else (d(o + 2) & 0xff, d(o + 1) & 0xff, d(o) & 0xff)
+            lum(y * width + x) = (r * 299 + g * 587 + b * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        lum
+      }
+      (width, h, lumas)
+    }
   }
 
   /** JDK-only *encoders* — used by the demo asset source and the specs to
@@ -270,6 +363,74 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** A real RIFF/AVI video: `frames` uncompressed 8-bit palettized DIB
+      * frames (`00db`) with a 256-gray palette, pixels seeded from `seed`
+      * with the same per-frame phase shift as [[gif]] (pixel i of frame f =
+      * seed[(i + 31·f) mod len] — palette index = gray value, so decode
+      * round-trips exactly). Rows are bottom-up with 4-byte padding, per the
+      * DIB spec.
+      */
+    def avi(w: Int, h: Int, frames: Int, seed: Array[Byte]): Array[Byte] = {
+      val stride = (w + 3) & ~3
+      val frameSize = stride * h
+      val out = new ByteArrayOutputStream()
+      def ascii(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      val strfSize = 40 + 4 * 256
+      val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + strfSize))
+      val moviSize = 4 + frames * (8 + frameSize)
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      ascii("RIFF"); le32(riffSize); ascii("AVI ")
+      ascii("LIST"); le32(hdrlSize); ascii("hdrl")
+      ascii("avih"); le32(56)
+      le32(100000)        // dwMicroSecPerFrame (10 fps)
+      le32(0); le32(0); le32(0) // maxBytesPerSec, padding, flags
+      le32(frames)        // dwTotalFrames
+      le32(0); le32(1)    // initialFrames, streams
+      le32(frameSize)     // suggestedBufferSize
+      le32(w); le32(h)
+      le32(0); le32(0); le32(0); le32(0) // reserved
+      ascii("LIST"); le32(4 + (8 + 56) + (8 + strfSize)); ascii("strl")
+      ascii("strh"); le32(56)
+      ascii("vids"); ascii("DIB ")
+      le32(0); le32(0); le32(0) // flags, prio+lang, initialFrames
+      le32(1); le32(10)   // scale, rate (10 fps)
+      le32(0); le32(frames) // start, length
+      le32(frameSize); le32(0); le32(0) // bufferSize, quality, sampleSize
+      le16(0); le16(0); le16(w); le16(h) // rcFrame
+      ascii("strf"); le32(strfSize)
+      le32(40); le32(w); le32(h) // biSize, biWidth, biHeight (bottom-up)
+      le16(1); le16(8)    // biPlanes, biBitCount
+      le32(0)             // biCompression = BI_RGB
+      le32(frameSize)
+      le32(0); le32(0)    // pels-per-meter
+      le32(256); le32(0)  // biClrUsed, biClrImportant
+      var g = 0
+      while (g < 256) { // gray RGBQUADs: b, g, r, reserved
+        out.write(g); out.write(g); out.write(g); out.write(0)
+        g += 1
+      }
+      ascii("LIST"); le32(moviSize); ascii("movi")
+      var f = 0
+      while (f < frames) {
+        ascii("00db"); le32(frameSize)
+        var y = h - 1 // bottom-up row order
+        while (y >= 0) {
+          var x = 0
+          while (x < stride) {
+            val b = if (x >= w || seed.isEmpty) 0
+                    else seed((y * w + x + f * 31) % seed.length) & 0xff
+            out.write(b)
+            x += 1
+          }
+          y -= 1
+        }
+        f += 1
+      }
+      out.toByteArray
+    }
+
     /** A real 16-bit PCM WAV: `frames` sample frames per channel, samples
       * seeded cyclically from `seed` bytes.
       */
@@ -344,8 +505,10 @@ object Multimodal {
   /** Demo asset source over the `documents` table: REAL containers
     * fabricated deterministically from each doc's text bytes — ids ≡ 0 mod 3
     * become PNGs (dims derived from byte length), ≡ 1 become PCM WAVs
-    * (rate/channels/frames from byte length), ≡ 2 become animated GIFs
-    * (dims + frame count from byte length). Real sources would be
+    * (rate/channels/frames from byte length), ≡ 2 become video split across
+    * both real multi-frame container families (≡ 2 mod 6 animated GIF,
+    * ≡ 5 mod 6 RIFF/AVI — identical dims/frame-count/pixel formulas, so the
+    * two containers must decode to the same values). Real sources would be
     * `spark.read.format("binaryFile")` or parquet with a binary column; the
     * derivation formulas here exist so the DuckDB oracle can predict what
     * the REAL decode must recover — the oracle check verifies the whole
@@ -366,7 +529,8 @@ object Multimodal {
               Asset(id, "audio", Gen.wav(8000 + (len % 8) * 1000,
                 1 + len % 2, 64 + len % 129, bytes))
             case _ =>
-              Asset(id, "video", Gen.gif(8 + len % 17, 8 + len % 13,
+              val gen = if (math.floorMod(id, 6) == 5) Gen.avi _ else Gen.gif _
+              Asset(id, "video", gen(8 + len % 17, 8 + len % 13,
                 1 + len % 12, bytes))
           }
         }
@@ -388,9 +552,13 @@ object Multimodal {
         val sum = digest.digest(a.payload).map("%02x".format(_)).mkString
         val nBytes = a.payload.length.toLong
         Codec.sniff(a.payload) match {
-          case "gif" => // the one multi-frame container the JDK decodes
+          case "gif" => // multi-frame via the JDK's GIF reader
             val (w, h, frames) = Codec.decodeGifFrames(a.payload)
             AssetMeta(a.asset_id, a.media_type, nBytes, sum, "gif",
+              w, h, 0, 0, frames.length)
+          case "avi" => // multi-frame via the hand-rolled RIFF demuxer
+            val (w, h, frames) = Codec.decodeAviFrames(a.payload)
+            AssetMeta(a.asset_id, a.media_type, nBytes, sum, "avi",
               w, h, 0, 0, frames.length)
           case f if Codec.isImage(f) =>
             val (w, h, _) = Codec.decodeImage(a.payload)
@@ -423,8 +591,10 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.flatMap { a =>
         Codec.sniff(a.payload) match {
-          case "gif" => // every stride-th REAL decoded frame
-            val (_, _, frames) = Codec.decodeGifFrames(a.payload)
+          case "gif" | "avi" => // every stride-th REAL decoded frame
+            val (_, _, frames) =
+              if (Codec.sniff(a.payload) == "gif") Codec.decodeGifFrames(a.payload)
+              else Codec.decodeAviFrames(a.payload)
             (0 until frames.length by stride).iterator.map { f =>
               FrameFeature(a.asset_id, f, histogram16(frames(f)))
             }

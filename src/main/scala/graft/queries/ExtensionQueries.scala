@@ -416,12 +416,13 @@ object ExtensionQueries {
   // --------------------------------------------------------- multimodal
 
   /** Real-codec metadata decode: the demo source fabricates REAL PNG/WAV/
-    * animated-GIF containers with parameters derived from each doc's byte length
-    * ([[Multimodal.assetsFromDocuments]]), `javax.imageio` / the RIFF
-    * walker decode them back, and the oracle predicts what the decode must
-    * recover — so the hash check verifies the whole encode→decode round
-    * trip. (`n_bytes`/`checksum` cover the *encoded* container, which no
-    * SQL engine can replay — exercised in MultimodalSpec instead.)
+    * animated-GIF/AVI containers with parameters derived from each doc's
+    * byte length ([[Multimodal.assetsFromDocuments]]), `javax.imageio` / the
+    * RIFF walker-demuxer decode them back, and the oracle predicts what the
+    * decode must recover — so the hash check verifies the whole
+    * encode→decode round trip. (`n_bytes`/`checksum` cover the *encoded*
+    * container, which no SQL engine can replay — exercised in
+    * MultimodalSpec instead.)
     */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(
@@ -438,7 +439,7 @@ object ExtensionQueries {
       | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |   ELSE 'video' END AS media_type,
       | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
-      |   ELSE 'gif' END AS format,
+      |   ELSE CASE doc_id % 6 WHEN 5 THEN 'avi' ELSE 'gif' END END AS format,
       | CAST(CASE doc_id % 3 WHEN 0 THEN 8 + len % 57 WHEN 1 THEN 0
       |   ELSE 8 + len % 17 END AS INTEGER) AS width,
       | CAST(CASE doc_id % 3 WHEN 0 THEN 8 + len % 41 WHEN 1 THEN 0

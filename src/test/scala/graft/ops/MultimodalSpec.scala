@@ -64,6 +64,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("avi round-trip: RIFF demux recovers dims, count and pixels") {
+    val seed = Array[Byte](3, 90, -120, 55, 0)
+    // w=5 exercises row padding (stride 8 != width)
+    val bytes = Multimodal.Gen.avi(5, 3, 4, seed)
+    assert(Multimodal.Codec.sniff(bytes) == "avi")
+    val (w, h, frames) = Multimodal.Codec.decodeAviFrames(bytes)
+    assert(w == 5 && h == 3 && frames.length == 4)
+    // gray palette index = pixel value; same per-frame phase as Gen.gif
+    frames.zipWithIndex.foreach { case (lum, f) =>
+      val expected = Array.tabulate(15)(i =>
+        seed((i + f * 31) % seed.length) & 0xff)
+      assert(lum.toSeq == expected.toSeq, s"frame $f pixels drifted")
+    }
+    // gif and avi built from the same parameters decode identically
+    val (_, _, gifFrames) =
+      Multimodal.Codec.decodeGifFrames(Multimodal.Gen.gif(5, 3, 4, seed))
+    frames.zip(gifFrames).foreach { case (a, g) => assert(a.toSeq == g.toSeq) }
+  }
+
+  test("avi demuxer fails loudly on compressed/truncated/alien payloads") {
+    val good = Multimodal.Gen.avi(4, 3, 2, Array[Byte](1, 2, 3))
+    intercept[IllegalArgumentException] {
+      Multimodal.Codec.decodeAviFrames(good.dropRight(7))
+    }
+    val compressed = good.clone()
+    // flip the first movi frame chunk id 00db -> 00dc
+    val movi = {
+      var i = 12
+      while (!(compressed(i) == '0' && compressed(i + 1) == '0' &&
+        compressed(i + 2) == 'd' && compressed(i + 3) == 'b')) i += 1
+      i
+    }
+    compressed(movi + 3) = 'c'
+    intercept[IllegalArgumentException] {
+      Multimodal.Codec.decodeAviFrames(compressed)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Codec.decodeAviFrames("RIFFxxxxAVI too short".getBytes)
+    }
+  }
+
   test("wav parser fails loudly on truncated and non-PCM clips") {
     val good = Multimodal.Gen.wav(8000, 1, 8, Array[Byte](1, 2, 3))
     intercept[IllegalArgumentException] {
@@ -83,6 +124,9 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.Codec.sniff(a(1L).payload) == "wav")
     assert(a(2L).media_type == "video" &&
       Multimodal.Codec.sniff(a(2L).payload) == "gif")
+    // ids ≡ 5 (mod 6) carry the second real video container family
+    assert(a(5L).media_type == "video" &&
+      Multimodal.Codec.sniff(a(5L).payload) == "avi")
   }
 
   test("decodeMeta recovers the generation parameters from real containers") {
