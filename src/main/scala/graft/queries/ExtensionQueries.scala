@@ -1266,6 +1266,143 @@ object ExtensionQueries {
        |FROM ps GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------- mixture / source overlap / 3-way split
+
+  /** Token budget of the mixture plan: keep half the corpus. */
+  val MixKeepFrac = 0.5
+
+  /** Domain-mixture reweighting — the "how hard do I sample each source to
+    * hit my target mixture" planning step of corpus assembly: per-source
+    * token inventory, a target share (integer weights derived from the
+    * source id, normalized), and the resulting per-source sampling rate and
+    * expected token yield against a [[MixKeepFrac]] budget. All counts are
+    * exact longs; shares/rates are a fixed chain of IEEE divisions the
+    * oracle replays verbatim. Shape: one aggregation to |sources| rows, then
+    * arithmetic on the (broadcastable) inventory — corpus-sublinear
+    * everywhere past the word count.
+    */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val inv = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        lit(1) + pmod(substring(col("source"), 4, 10).cast("int"), lit(4)))
+    val tot = inv.agg(sum(col("n_tokens")).as("total_tokens"),
+      sum(col("weight")).as("total_weight"))
+    inv.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        round(col("weight").cast("double") / col("total_weight") *
+          (col("total_tokens").cast("double") * lit(MixKeepFrac)))
+          .cast("long"))
+      .withColumn("rate", least(lit(1.0),
+        col("target_tokens").cast("double") / col("n_tokens")))
+      .withColumn("expected_tokens",
+        round(col("rate") * col("n_tokens")).cast("long"))
+      .select("source", "n_docs", "n_tokens", "weight", "target_tokens",
+        "rate", "expected_tokens")
+      .orderBy("source")
+  }
+
+  private val mixturePlanSql =
+    s"""WITH inv AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |    1 + (CAST(substr(source, 4) AS INTEGER) % 4) AS weight
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(sum(weight) AS BIGINT) AS total_weight FROM inv),
+       |t AS (SELECT *,
+       |    CAST(round(CAST(weight AS DOUBLE) / total_weight
+       |      * (CAST(total_tokens AS DOUBLE)
+       |         * ${graft.Exact.sqlDouble(MixKeepFrac)})) AS BIGINT)
+       |      AS target_tokens
+       |  FROM inv CROSS JOIN tot)
+       |SELECT source, n_docs, n_tokens, weight, target_tokens,
+       |  least(1e0, CAST(target_tokens AS DOUBLE) / n_tokens) AS rate,
+       |  CAST(round(least(1e0, CAST(target_tokens AS DOUBLE) / n_tokens)
+       |    * n_tokens) AS BIGINT) AS expected_tokens
+       |FROM t ORDER BY source""".stripMargin
+
+  /** Exact cross-source shingle overlap — the EXACT twin of the MinHash
+    * estimate in [[sourceSketchSimilarity]] (x17): per source the distinct
+    * 3-shingle set, pairwise intersection via one inverted-index self-join
+    * on the shingle (per-shingle fan-out is bounded by |sources|, so the
+    * join is Σ|sources-per-shingle|² — corpus-linear, never all-pairs over
+    * docs), and exact Jaccard from inclusion–exclusion. x17 estimates this
+    * same matrix from 64-slot sketches; SimilaritySpec pins the two within
+    * sampling error. Pairs with zero overlap drop (inner join) — present in
+    * x17 with estimate 0.
+    */
+  def sourceOverlapExact(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val common = sh.toDF("source_a", "s")
+      .join(sh.toDF("source_b", "s2"),
+        col("s") === col("s2") && col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.toDF("source_a", "sz_a")), "source_a")
+      .join(broadcast(sizes.toDF("source_b", "sz_b")), "source_b")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("n_common")))
+      .select("source_a", "source_b", "sz_a", "sz_b", "n_common", "jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
+  private val sourceOverlapExactSql =
+    s"""WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT DISTINCT source, tok FROM (
+       |    SELECT source, unnest(${Dedup.sqlShingles("w", 3)}) AS tok FROM w)),
+       |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+       |cm AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    count(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT source_a, source_b,
+       |  CAST(za.sz AS BIGINT) AS sz_a, CAST(zb.sz AS BIGINT) AS sz_b,
+       |  CAST(n_common AS BIGINT) AS n_common,
+       |  CAST(n_common AS DOUBLE) / (za.sz + zb.sz - n_common) AS jaccard
+       |FROM cm JOIN sz za ON cm.source_a = za.source
+       |  JOIN sz zb ON cm.source_b = zb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
+  /** Salt of the split-assignment hash (shared with the oracle). */
+  private val SplitSalt = "split"
+
+  /** Reproducible 3-way train/val/test split — the portable-hash assignment
+    * rule of [[graft.ops.Sampling]] extended to named partitions (hash mod
+    * 100: <80 train, <90 val, else test), reported as per-(source, split)
+    * doc/token counts. The assignment is a map-only projection, deterministic
+    * under rerun and resharding, and the SUBSET (not just its size) is
+    * engine-portable — the oracle replays the identical hash.
+    */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.Portable.hash32(col("doc_id").cast("string"), SplitSalt) % 100
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .orderBy("source", "split")
+  }
+
+  private val corpusSplitSql = {
+    val h = graft.Portable.sqlHash32("CAST(doc_id AS VARCHAR)", SplitSalt)
+    s"""WITH a AS (SELECT source,
+       |    CASE WHEN $h % 100 < 80 THEN 'train'
+       |         WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+       |    len(string_split(text, ' ')) AS n_tok
+       |  FROM documents)
+       |SELECT source, split, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -1306,5 +1443,9 @@ object ExtensionQueries {
     QueryDef("x31_repetition_signals", Some(repetitionSignalsSql),
       repetitionSignals),
     QueryDef("x32_bm25_scores", Some(bm25ScoresSql), bm25Scores),
+    QueryDef("x33_mixture_plan", Some(mixturePlanSql), mixturePlan),
+    QueryDef("x34_source_overlap_exact", Some(sourceOverlapExactSql),
+      sourceOverlapExact),
+    QueryDef("x35_corpus_split", Some(corpusSplitSql), corpusSplit),
   )
 }

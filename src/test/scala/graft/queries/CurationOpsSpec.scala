@@ -64,6 +64,54 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixture plan conserves the token budget and bounds rates") {
+    val rows = ExtensionQueries.mixturePlan(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val rate = r.getDouble(5)
+      assert(rate > 0 && rate <= 1.0)
+      assert(r.getLong(6) <= r.getLong(2), "can't yield more than inventory")
+      // uncapped sources yield exactly their target (mod the final rounding)
+      if (rate < 1.0) assert(math.abs(r.getLong(6) - r.getLong(4)) <= 1)
+    }
+    // targets sum to the declared budget share, mod per-source rounding
+    val targetSum = rows.map(_.getLong(4)).sum
+    assert(math.abs(targetSum - total * ExtensionQueries.MixKeepFrac)
+      <= rows.length)
+  }
+
+  test("exact source overlap agrees with the x17 MinHash estimates") {
+    val exact = ExtensionQueries.sourceOverlapExact(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(exact.nonEmpty)
+    val est = ExtensionQueries.sourceSketchSimilarity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // every overlapping pair is present in the estimate surface
+    assert(exact.keySet.subsetOf(est.keySet))
+    val errs = exact.map { case (k, j) => math.abs(est(k) - j) }
+    assert(errs.max <= 0.3, s"64-slot estimate off by ${errs.max}")
+    assert(errs.sum / errs.size <= 0.1, "mean estimate error too large")
+  }
+
+  test("corpus split partitions every source across the three splits") {
+    val rows = ExtensionQueries.corpusSplit(spark, dir).collect()
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+    val bySource = rows.groupBy(_.getString(0))
+    val docCounts = graft.Tables.documents(spark, dir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.keySet == docCounts.keySet)
+    bySource.foreach { case (s, rs) =>
+      assert(rs.map(_.getLong(2)).sum == docCounts(s), s"source $s conserved")
+    }
+    // the 80/10/10 rule shows up corpus-wide
+    val bySplit = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val n = bySplit.values.sum.toDouble
+    assert(bySplit("train") / n > 0.7 && bySplit("train") / n < 0.9)
+  }
+
   test("bm25 scores exactly the docs containing a query term") {
     val scored = ExtensionQueries.bm25Scores(spark, dir).collect()
     val expected = graft.Tables.documents(spark, dir)
