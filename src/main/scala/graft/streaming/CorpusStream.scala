@@ -49,10 +49,13 @@ object CorpusStream {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
         sha2(col("text"), 256).as("chash"))
 
-  /** Exact-dedup append: keep the smallest doc_id per content hash within
-    * the batch, drop hashes already stored, append the rest.
+  /** The batch's exact-dedup survivors: smallest doc_id per content hash
+    * within the batch, hashes already in the store dropped via anti-join.
+    * Pure computation — callers decide when to write (and must materialize
+    * BEFORE appending to `tablePath`, or the anti-join would see its own
+    * output).
     */
-  def upsertDeduped(batch: DataFrame, tablePath: String): Unit = {
+  def dedupFresh(batch: DataFrame, tablePath: String): DataFrame = {
     val spark = batch.sparkSession
     val inBatch = batch
       .withColumn("keep", col("doc_id") ===
@@ -60,12 +63,59 @@ object CorpusStream {
       .filter(col("keep")).drop("keep")
     val exists = new Path(tablePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration).exists(new Path(tablePath))
+    if (!exists) inBatch
+    else inBatch.join(
+      spark.read.parquet(tablePath).select("chash").distinct(),
+      Seq("chash"), "left_anti")
+  }
+
+  /** Exact-dedup append: keep the smallest doc_id per content hash within
+    * the batch, drop hashes already stored, append the rest.
+    */
+  def upsertDeduped(batch: DataFrame, tablePath: String): Unit =
+    dedupFresh(batch, tablePath).write.mode("append").parquet(tablePath)
+
+  /** Chunk the gated docs with the batch pipeline's exact tiling
+    * ([[graft.queries.ExtensionQueries.docChunks]] — same
+    * `ChunkTokens`/`ChunkStride` constants), carrying the chunk text and its
+    * md5 fingerprint. Map-only, so it runs verbatim on a stream.
+    */
+  def chunkStage(docs: DataFrame): DataFrame = {
+    import graft.queries.ExtensionQueries.{ChunkStride, ChunkTokens}
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+          lit(ChunkStride))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        concat_ws(" ", slice(col("ws"), col("col") + 1, lit(ChunkTokens)))
+          .as("chunk_text"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(split(col("chunk_text"), " ")).as("n_tok"),
+        md5(col("chunk_text")).as("chunk_hash"), col("chunk_text"))
+  }
+
+  /** Chunk-level dedup append: first (doc_id, chunk_idx) wins per chunk
+    * fingerprint within the batch, fingerprints already stored drop — the
+    * streaming form of the x30 chunk-dedup rule, with the same
+    * first-writer-wins idempotence as the document store.
+    */
+  def upsertChunks(chunks: DataFrame, chunkPath: String): Unit = {
+    val spark = chunks.sparkSession
+    val w = Window.partitionBy("chunk_hash")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val inBatch = chunks
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    val exists = new Path(chunkPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(new Path(chunkPath))
     val fresh =
       if (!exists) inBatch
       else inBatch.join(
-        spark.read.parquet(tablePath).select("chash").distinct(),
-        Seq("chash"), "left_anti")
-    fresh.write.mode("append").parquet(tablePath)
+        spark.read.parquet(chunkPath).select("chunk_hash").distinct(),
+        Seq("chunk_hash"), "left_anti")
+    fresh.write.mode("append").parquet(chunkPath)
   }
 
   /** Drain the landing directory once: gate, dedup, append. `AvailableNow`
@@ -80,6 +130,31 @@ object CorpusStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertDeduped(batch, tablePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The full streaming funnel with the chunk leg: gate → doc-level exact
+    * dedup → chunk the NEW docs → chunk-level dedup → two appended stores.
+    * The batch's fresh docs are localCheckpointed before either write: the
+    * doc append must not be re-read by its own anti-join, and the chunk
+    * stage must see exactly the docs this tick admitted (each survives
+    * restarts because both stores gate on stored hashes — first writer
+    * wins at both granularities).
+    */
+  def funnelWithChunksOnce(
+      spark: SparkSession,
+      landingDir: String,
+      tablePath: String,
+      chunkPath: String,
+      checkpointDir: String): StreamingQuery =
+    gates(spark.readStream.schema(docSchema).json(landingDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = dedupFresh(batch, tablePath).localCheckpoint()
+        fresh.write.mode("append").parquet(tablePath)
+        upsertChunks(chunkStage(fresh), chunkPath)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -71,6 +71,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == batchExpected.count())
   }
 
+  test("chunked funnel stream: doc and chunk stores dedup independently; replay idempotent") {
+    val base = tmpDir()
+    val landing = s"$base/landing"; val table = s"$base/table"
+    val chunks = s"$base/chunks"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.json(landing)
+
+    CorpusStream.funnelWithChunksOnce(spark, landing, table, chunks,
+      s"$base/ckpt").awaitTermination()
+    val storedDocs = spark.read.parquet(table)
+    val storedChunks = spark.read.parquet(chunks)
+    // chunk store holds each distinct fingerprint of the admitted docs once
+    val expected = CorpusStream.chunkStage(storedDocs)
+      .select("chunk_hash").distinct().count()
+    assert(storedChunks.count() == expected && expected > 0)
+    assert(storedChunks.select("chunk_hash").distinct().count() == expected)
+    // chunks tile exactly the admitted documents
+    assert(storedChunks.select("doc_id").distinct().count()
+      <= storedDocs.count())
+
+    // replay from a fresh checkpoint: both stores unchanged (first writer
+    // wins at doc AND chunk granularity)
+    CorpusStream.funnelWithChunksOnce(spark, landing, table, chunks,
+      s"$base/ckpt2").awaitTermination()
+    assert(spark.read.parquet(table).count() == storedDocs.count())
+    assert(spark.read.parquet(chunks).count() == expected)
+  }
+
   test("binary streaming leg: .grb2 landing -> in-stream decode -> upsert") {
     import graft.wind.Grib2TestWriter
     val base = tmpDir()
