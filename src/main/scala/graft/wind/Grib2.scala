@@ -10,7 +10,10 @@ package graft.wind
   * partition-parallel inside the executors instead of forking a JVM per
   * file.
   *
-  * Scope: grid definition template 3.0 (regular lat/lon), product definition
+  * Scope: grid definition templates 3.0 (regular lat/lon) and **3.40
+  * (gaussian lat/lon** — the native GFS spectral-output grid; N rides the
+  * Dj octets per the wire format and [[Grid.gaussianLatitudes]] supplies
+  * the row latitudes**)**, product definition
   * template 4.0 (analysis/forecast at a point in time), data representation
   * templates 5.0 (simple packing), **5.2/5.3 (complex packing, with
   * spatial differencing of order 1 or 2)** — the packing real NOAA GFS pgrb2
@@ -364,7 +367,7 @@ object Grib2 {
       var center = 0; var subcenter = 0; var significanceOfRT = 0
       var productStatus = 0; var productType = 0
       var numberPoints = 0; var shape = 0; var basicAngle = 0
-      var resolution = 0
+      var resolution = 0; var gridTmpl = 0
       // field-scoped state, reset after every data section (sections 4-7
       // legally repeat within one message — each repetition is one field)
       var forecastHours = 0
@@ -392,9 +395,11 @@ object Grib2 {
             productStatus = u8(payload, p + 19)    // octet 20
             productType = u8(payload, p + 20)      // octet 21
           case 2 => () // local use
-          case 3 => // grid definition; template 3.0 only
+          case 3 => // grid definition; templates 3.0 (lat/lon) and 3.40 (gaussian)
             val tmpl = u16(payload, p + 12)
-            require(tmpl == 0, s"unsupported grid template 3.$tmpl")
+            require(tmpl == 0 || tmpl == 40,
+              s"unsupported grid template 3.$tmpl")
+            gridTmpl = tmpl
             numberPoints = u32(payload, p + 6).toInt // octets 7-10
             shape = u8(payload, p + 14)            // shape of earth, octet 15
             nx = u32(payload, p + 30).toInt        // Ni, octets 31-34
@@ -406,7 +411,16 @@ object Grib2 {
             la2 = s32sm(payload, p + 55) / 1e6     // La2, octets 56-59
             lo2 = u32(payload, p + 59) / 1e6       // Lo2, octets 60-63
             dx = u32(payload, p + 63) / 1e6        // Di, octets 64-67
-            dy = u32(payload, p + 67) / 1e6        // Dj, octets 68-71
+            // 3.0: octets 68-71 are Dj (micro-degrees). 3.40: the same
+            // octets are N, the integer count of parallels between a pole
+            // and the equator (Nj = 2N rows at the gaussian latitudes of
+            // [[gaussianLatitudes]]) — carried verbatim in the dy slot,
+            // exactly what the wire format puts there
+            dy = if (tmpl == 40) u32(payload, p + 67).toDouble
+                 else u32(payload, p + 67) / 1e6   // Dj, octets 68-71
+            if (tmpl == 40)
+              require(ny == 2 * dy.toInt,
+                s"gaussian grid Nj=$ny != 2N=${2 * dy.toInt}")
             // scanning mode, octet 72: grid addressing ([[Grid]]) assumes
             // +i, -j consecutive-i ordering; any other mode would silently
             // transpose or mirror the grid — refuse instead
@@ -532,7 +546,7 @@ object Grib2 {
                 significanceOfRT = significanceOfRT,
                 productStatus = productStatus, productType = productType,
                 productDefinitionTemplate = 0, genProcessType = genProcessType,
-                gridDefinitionTemplate = 0, numberPoints = numberPoints,
+                gridDefinitionTemplate = gridTmpl, numberPoints = numberPoints,
                 shape = shape, basicAngle = basicAngle,
                 resolution = resolution, scanMode = 0,
                 la2 = la2, lo2 = lo2,

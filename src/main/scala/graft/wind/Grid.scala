@@ -64,6 +64,68 @@ object Grid {
         "direction")
   }
 
+  /** The 2n gaussian latitudes of a GRIB template 3.40 grid (N = n parallels
+    * between pole and equator), degrees, north→south — `asin` of the roots
+    * of the Legendre polynomial P₂ₙ, found by Newton iteration on the
+    * standard three-term recurrence (the classic Golub–Welsch-free
+    * construction every met library uses; converges quadratically from the
+    * cosine initial guess). Pure driver-side function: the latitude table is
+    * a property of the product family (e.g. n=768 for a T1534 gaussian
+    * grid), so [[toPointsGaussian]] bakes it in as a literal array — the
+    * same literal-table pattern as the IVF centroids.
+    */
+  def gaussianLatitudes(n: Int): Array[Double] = {
+    require(n >= 1, s"need at least one parallel per hemisphere, got $n")
+    val m = 2 * n
+    val roots = new Array[Double](m)
+    var k = 0
+    while (k < n) {
+      var x = math.cos(math.Pi * (k + 0.75) / (m + 0.5))
+      var delta = 1.0
+      var iter = 0
+      while (math.abs(delta) > 1e-15 && iter < 100) {
+        var p0 = 1.0
+        var p1 = x
+        var j = 2
+        while (j <= m) { // P_j(x) three-term recurrence
+          val p2 = ((2 * j - 1) * x * p1 - (j - 1) * p0) / j
+          p0 = p1; p1 = p2
+          j += 1
+        }
+        val dp = m * (x * p1 - p0) / (x * x - 1) // P'_m from P_m, P_{m-1}
+        delta = p1 / dp
+        x -= delta
+        iter += 1
+      }
+      roots(k) = x             // k-th largest positive root: northern rows
+      roots(m - 1 - k) = -x    // mirror root: southern rows
+      k += 1
+    }
+    roots.map(x => math.toDegrees(math.asin(x)))
+  }
+
+  /** Exploded point view of a gaussian (template 3.40) grid: longitudes are
+    * uniform exactly as in [[toPoints]]; latitudes come from the
+    * [[gaussianLatitudes]] table for the grid's N, row-indexed — a literal
+    * lookup, so the whole addressing stays a codegen'd projection with no
+    * join. Callers pass the N their product family uses (the decoder carries
+    * it in the `dy` slot of a 3.40 header, exactly as the wire format does).
+    */
+  def toPointsGaussian(records: DataFrame, n: Int): DataFrame = {
+    val latTable = array(gaussianLatitudes(n).map(lit): _*)
+    records
+      .select(
+        col("recorded_time"),
+        col("header.parameterNumber").as("parameter"),
+        col("header.nx").as("nx"),
+        col("header.lo1").as("lo1"), col("header.dx").as("dx"),
+        posexplode(col("data")).as(Seq("pos", "value")))
+      .withColumn("lat",
+        element_at(latTable, floor(col("pos") / col("nx")).cast("int") + 1))
+      .withColumn("lon", col("lo1") + pmod(col("pos"), col("nx")) * col("dx"))
+      .select("recorded_time", "parameter", "pos", "lat", "lon", "value")
+  }
+
   /** Inverse of [[toPoints]]: reassemble the flat array per record. */
   def implode(points: DataFrame): DataFrame =
     points

@@ -36,6 +36,22 @@ class Grib2Spec extends AnyFunSuite {
     assert(g.data.toSeq == vals.map(_ - 100.0).toSeq)
   }
 
+  test("gaussian grid 3.40 decodes: template, N in the Dj slot, symmetric La2") {
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      la1Micro = 59444000L).copy(gridTemplate = 40)))
+    val g = decoded.head
+    assert(g.gridDefinitionTemplate == 40)
+    assert(g.nx == 8 && g.ny == 4)
+    assert(g.dy == 2.0, "Dj slot carries N = Nj/2 verbatim for 3.40")
+    assert(g.la2 == -g.la1, "gaussian grids are pole-symmetric")
+    assert(g.data.length == 32)
+    // Nj inconsistent with N fails loudly rather than mis-addressing rows
+    val bad = Grib2TestWriter.message(msg().copy(gridTemplate = 40, ny = 5,
+      m = Array.tabulate(40)(_.toLong)))
+    val err = intercept[IllegalArgumentException] { Grib2.decode(bad) }
+    assert(err.getMessage.contains("gaussian grid Nj"))
+  }
+
   test("binary and decimal scale factors apply (R + M·2^E)/10^D") {
     // E=-2 → quarter steps; D=1 → divide by 10; both sign-magnitude on wire
     val decoded = Grib2.decode(Grib2TestWriter.message(msg(

@@ -41,7 +41,8 @@ object Grib2TestWriter {
       surfScale: Int = 0, surfValueScaled: Long = 10,
       bitmap: Option[Array[Boolean]] = None,
       missingMask: Option[Array[Boolean]] = None,
-      packing: PackingSpec = SimplePacking)
+      packing: PackingSpec = SimplePacking,
+      gridTemplate: Int = 0)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -131,7 +132,7 @@ object Grib2TestWriter {
     w.w8(0)                         // source of grid definition
     w.w32(msg.nx.toLong * msg.ny)   // number of data points
     w.w8(0); w.w8(0)                // no optional list
-    w.w16(0)                        // template 3.0: regular lat/lon
+    w.w16(msg.gridTemplate)         // 3.0 regular lat/lon or 3.40 gaussian
     w.w8(6)                         // shape of earth
     w.w8(0); w.w32(0)               // radius scale factor + value
     w.w8(0); w.w32(0)               // major axis
@@ -140,9 +141,12 @@ object Grib2TestWriter {
     w.w32(0); w.w32(0)              // basic angle + subdivisions
     w.s32(msg.la1Micro); w.w32(msg.lo1Micro) // La1, Lo1
     w.w8(48)                        // resolution/component flags
-    w.s32(msg.la1Micro - (msg.ny - 1) * msg.dyMicro) // La2
+    w.s32(if (msg.gridTemplate == 40) -msg.la1Micro
+          else msg.la1Micro - (msg.ny - 1) * msg.dyMicro) // La2
     w.w32(msg.lo1Micro + (msg.nx - 1) * msg.dxMicro) // Lo2
-    w.w32(msg.dxMicro); w.w32(msg.dyMicro)   // Di, Dj
+    w.w32(msg.dxMicro)              // Di
+    // 3.0: Dj in micro-degrees. 3.40: N, parallels pole↔equator (= Nj/2)
+    w.w32(if (msg.gridTemplate == 40) msg.ny / 2 else msg.dyMicro)
     w.w8(0)                         // scanning mode: +i, -j
   }
 

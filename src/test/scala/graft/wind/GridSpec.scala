@@ -49,6 +49,48 @@ class GridSpec extends SparkSpec {
     assert(at(5).getAs[Double]("value") == 6.0)
   }
 
+  test("gaussian latitudes are the Legendre roots, antisymmetric, descending") {
+    // closed-form roots: P2 at ±1/√3, P4 at ±√((15±2√30)/35)
+    val l1 = Grid.gaussianLatitudes(1)
+    assert(l1.length == 2)
+    assert(math.abs(math.sin(math.toRadians(l1(0))) - 1 / math.sqrt(3)) < 1e-12)
+    assert(l1(1) == -l1(0))
+    val l2 = Grid.gaussianLatitudes(2)
+    val hi = math.sqrt((15 + 2 * math.sqrt(30)) / 35)
+    val lo = math.sqrt((15 - 2 * math.sqrt(30)) / 35)
+    assert(math.abs(math.sin(math.toRadians(l2(0))) - hi) < 1e-12)
+    assert(math.abs(math.sin(math.toRadians(l2(1))) - lo) < 1e-12)
+    assert(l2(2) == -l2(1) && l2(3) == -l2(0))
+    // production-sized table: strictly descending, pole-antisymmetric
+    val l = Grid.gaussianLatitudes(96)
+    assert(l.length == 192)
+    assert(l.zip(l.tail).forall { case (a, b) => a > b })
+    assert(l.zip(l.reverse).forall { case (a, b) => math.abs(a + b) < 1e-9 })
+    assert(l.head < 90.0 && l.head > 89.0, "northernmost row near the pole")
+  }
+
+  test("toPointsGaussian addresses rows at the gaussian latitudes") {
+    val vals = (1 to 8).map(_.toDouble)
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(
+        java.sql.Timestamp.valueOf("2020-08-12 12:00:00"),
+        Row(2, 4, 2, 90.0, 0.0, 1.0, 1.0), vals.toArray.toSeq)),
+      StructType(Seq(
+        StructField("recorded_time", TimestampType),
+        StructField("header", miniHeaderSchema),
+        StructField("data", ArrayType(DoubleType)))))
+    val pts = Grid.toPointsGaussian(df, 1).orderBy("pos").collect()
+    assert(pts.length == 8)
+    val lats = Grid.gaussianLatitudes(1)
+    // first row (pos 0-3) at the northern gaussian latitude, second at -it
+    assert(pts.take(4).forall(_.getAs[Double]("lat") == lats(0)))
+    assert(pts.drop(4).forall(_.getAs[Double]("lat") == lats(1)))
+    // longitudes stay uniform; values preserved in row-major order
+    assert(pts.map(_.getAs[Double]("lon")).toSeq ==
+      Seq(0.0, 1.0, 2.0, 3.0, 0.0, 1.0, 2.0, 3.0))
+    assert(pts.map(_.getAs[Double]("value")).toSeq == vals)
+  }
+
   test("bbox keeps the inclusive window (X1)") {
     val pts = Grid.toPoints(mini(2, uVals))
     val in = Grid.bbox(pts, 1.0, 2.0, 89.0, 90.0).orderBy("pos").collect()
