@@ -88,6 +88,49 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${hits}/${exact.size}")
   }
 
+  test("recall@5 curves rise with probe effort (LSH radius, IVF nProbe)") {
+    val data = clustered(10)
+    val queries = data.filter(col("vec_id") < 8)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(data, queries, k).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    def recall(approx: Array[Row]): Double =
+      approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(exact).size.toDouble / exact.size
+    // candidate sets are supersets as effort grows, so each curve is
+    // monotone by construction — the assert pins that the implementation
+    // actually delivers the contract, and that full effort reaches quality
+    val lshCurve = Seq(0, 1, 2).map { r =>
+      recall(Similarity.lshTopK(data, queries, k, dim = dim,
+        numPlanes = 10, probeRadius = r)
+        .select("query_id", "neighbor_id").collect())
+    }
+    assert(lshCurve.zip(lshCurve.tail).forall { case (a, b) => a <= b },
+      s"LSH recall curve not monotone: $lshCurve")
+    assert(lshCurve.last >= 0.8, s"LSH recall@5 too low: $lshCurve")
+    val ivfCurve = Seq(1, 2, 4).map { p =>
+      recall(Similarity.ivfTopK(data, queries, k, nCells = 8, nProbe = p)
+        .select("query_id", "neighbor_id").collect())
+    }
+    assert(ivfCurve.zip(ivfCurve.tail).forall { case (a, b) => a <= b },
+      s"IVF recall curve not monotone: $ivfCurve")
+    assert(ivfCurve.last >= 0.8, s"IVF recall@5 too low: $ivfCurve")
+  }
+
+  test("kmeans refinement separates planted clusters into pure groups") {
+    val data = clustered(10) // 4 tight clusters, 40 vectors
+    val assigned = Similarity.kmeansRefine(data, 4, 3)
+      .join(data.select(col("vec_id"), col("label")), "vec_id")
+      .select("cid", "label").collect()
+      .map(r => r.getInt(0) -> r.getInt(1))
+    // every refined cluster is label-pure (the planted structure is strong)
+    val purity = assigned.groupBy(_._1).values.map { rows =>
+      rows.groupBy(_._2).values.map(_.size).max.toDouble / rows.size
+    }
+    assert(purity.forall(_ >= 0.9), s"cluster purity $purity")
+  }
+
   test("multiprobe radius 2 candidates strictly contain radius 1's") {
     val data = clustered(10)
     val queries = data.filter(col("vec_id") < 8)
