@@ -508,17 +508,30 @@ object Similarity {
         case (r, i) => i -> r.getSeq[Long](1)
       }
     def assign(df: DataFrame): DataFrame = {
+      // |v-c|² = Σv² + Σc² − 2·Σ vⱼcⱼ over exact longs — algebraically
+      // identical integers to the direct Σ(vⱼ-cⱼ)², but expanded into flat
+      // codegen'd element_at arithmetic instead of higher-order
+      // aggregate/zip_with lambdas (those evaluate INTERPRETED — measured
+      // 13 s → ~1 s on x29 at sf0.1: k·dim boxed lambda calls per row
+      // dwarfed the actual integer work). Σv² is computed once and shared
+      // across the k centroid distances.
+      val dim = cents.head._2.length
+      val n2 = (0 until dim).map { j =>
+        val e = element_at(col("v"), j + 1); e * e
+      }.reduce[Column](_ + _)
       val scored = cents.sortBy(_._1).map { case (cid, c) =>
-        val cl = array(c.map(lit): _*)
-        struct(
-          aggregate(zip_with(col("v"), cl, (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, t) => acc + t).as("dist"),
+        require(c.length == dim, s"centroid $cid dim ${c.length} != $dim")
+        val dot = c.zipWithIndex.collect {
+          case (cj, j) if cj != 0L => element_at(col("v"), j + 1) * lit(cj)
+        }.reduceOption[Column](_ + _).getOrElse(lit(0L))
+        val cNorm2 = c.map(x => x * x).sum
+        struct((col("n2") + lit(cNorm2) - lit(2L) * dot).as("dist"),
           lit(cid).as("cid"))
       }
       // fold in ascending cid order with strict <, so ties keep the lower cid
       val best = scored.reduce[Column]((a, b) =>
         when(b.getField("dist") < a.getField("dist"), b).otherwise(a))
-      df.withColumn("best", best)
+      df.withColumn("n2", n2).withColumn("best", best)
         .select(col("vec_id"), col("v"), col("best").getField("cid").as("cid"),
           col("best").getField("dist").as("dist_fx"))
     }
@@ -586,4 +599,60 @@ object Similarity {
        |  FROM afinal a JOIN (SELECT cid, list_sum(cent) AS cent_sum
        |    FROM c$iters) cs USING (cid))""".stripMargin
   }
+
+  // ------------------------------------------------------- semantic dedup
+
+  /** Embedding-cosine near-duplicate pairs, SemDeDup-style (Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the corpus with k-means, then compare
+    * vectors only WITHIN their cluster and emit pairs whose exact
+    * fixed-point dot (milli-quantized grid, ≈ 1e6·cosine on a
+    * unit-normalized corpus) clears `minDotFx`. The cluster scoping is the
+    * paper's pruning step — candidate work drops from O(n²) to
+    * Σ|cell|², and cross-cluster near-dups are deliberately out of
+    * contract (documents that embed into different k-means cells are "not
+    * semantic duplicates" by construction).
+    *
+    * Exactness: assignment is [[kmeansRefine]]'s bit-reproducible integer
+    * Lloyd loop; the pair score is an exact Σ aᵢ·bᵢ over long components —
+    * no IEEE summation order anywhere, so the pair set is engine-portable.
+    *
+    * Scale: ONE self-equi-join shuffle keyed on the cluster id. k bounds
+    * the reduce-side fan-in — production corpora size k ≈ √n so cells stay
+    * O(√n) (the paper runs 50k clusters for 1e8+ docs); at this demo scale
+    * k=[[graft.queries.ExtensionQueries.KmeansK]] cells on thousands of
+    * vectors. The shuffle carries the milli-quantized long vector (dim·8
+    * bytes/row), never the raw embedding or document payload.
+    */
+  def semanticPairs(corpus: DataFrame, k: Int, iters: Int,
+      minDotFx: Long, dim: Int): DataFrame = {
+    val assigned = kmeansRefine(corpus, k, iters)
+      .select(col("vec_id"), col("v"), col("cid"))
+    // flat codegen'd integer sum — the higher-order aggregate/zip_with form
+    // evaluates interpreted, which the pair join (the hot path here)
+    // cannot afford
+    val dotFx = (0 until dim).map { j =>
+      element_at(col("a.v"), j + 1) * element_at(col("b.v"), j + 1)
+    }.reduce[Column](_ + _)
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        dotFx.as("dot_fx"))
+      .filter(col("dot_fx") >= minDotFx)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB replay of [[semanticPairs]]: the [[sqlKmeansRefine]] CTEs, the
+    * vector re-join (kfinal drops `v`), and the same within-cell exact
+    * integer dot threshold. Returns CTE text ending in relation
+    * `sempairs(id_a, id_b)`; prepend the k-means CTEs.
+    */
+  def sqlSemanticPairs(minDotFx: Long, dim: Int): String =
+    s"""sd AS (SELECT k.vec_id, k.cid, q.v
+       |  FROM kfinal k JOIN vq q USING (vec_id)),
+       |sempairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sd a JOIN sd b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(range($dim),
+       |    j -> a.v[j+1] * b.v[j+1])) >= $minDotFx)""".stripMargin
 }

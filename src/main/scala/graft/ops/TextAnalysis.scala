@@ -166,4 +166,50 @@ object TextAnalysis {
       s"list_transform(string_split($text, ' '), w -> $h60)), " +
       s"(acc, x) -> xor($rot, x))"
   }
+
+  /** Exact phrase occurrences via a positional inverted index — the IR
+    * sibling of [[graft.queries.ExtensionQueries.bm25Scores]] (bag-of-words
+    * can't see adjacency). One posexplode builds (doc_id, pos, term) —
+    * at scale, that IS the positional postings table, term-partitionable
+    * and reusable across phrase queries; each phrase word becomes a
+    * postings leg re-based to its candidate phrase START (`pos - i`), and
+    * the legs intersect on the composite key (doc_id, start) — the
+    * classic first-term-anchor merge, expressed as |phrase|-1 equi-joins
+    * that all reuse ONE (doc_id, start) hash partitioning (the first
+    * shuffle co-locates every leg; no re-exchange between joins). Each
+    * leg is pre-filtered to its own term, so join inputs are
+    * term-selectivity-sized, never corpus-sized.
+    *
+    * Returns one row per doc containing the phrase: (doc_id, n_hits,
+    * first_pos), 0-based positions.
+    */
+  def phraseHits(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = docs.select(col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("pos", "term")))
+    val legs = phrase.zipWithIndex.map { case (w, i) =>
+      toks.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+  }
+
+  /** DuckDB twin of [[phraseHits]]: candidate starts by generate_series,
+    * conjunctive word-at-offset predicate, same 0-based positions. Ends in
+    * relation `phits(doc_id, n_hits, first_pos)`.
+    */
+  def phraseHitsSql(phrase: Seq[String]): String = {
+    val preds = phrase.zipWithIndex
+      .map { case (w, i) => s"ws[p + $i] = '$w'" }.mkString(" AND ")
+    s"""pt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |pu AS (SELECT doc_id, ws,
+       |    unnest(generate_series(1, len(ws) - ${phrase.size - 1})) AS p
+       |  FROM pt),
+       |phits AS (
+       |  SELECT doc_id, count(*) AS n_hits, CAST(min(p) - 1 AS INTEGER)
+       |    AS first_pos
+       |  FROM pu WHERE $preds GROUP BY doc_id)""".stripMargin
+  }
 }

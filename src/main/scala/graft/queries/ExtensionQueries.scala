@@ -1403,6 +1403,65 @@ object ExtensionQueries {
        |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin
   }
 
+  /** x36 dup threshold on the milli-grid exact dot (≈ cosine 0.35 on the
+    * unit-normalized corpus — scaled to the synthetic embeddings' similarity
+    * range; production SemDeDup runs 0.95+ on real model embeddings).
+    */
+  val SemDedupDotFx = 350000L
+
+  /** Semantic dedup, SemDeDup-style: k-means-cell-scoped embedding-cosine
+    * near-dup pairs ([[Similarity.semanticPairs]] — exact fixed-point dot,
+    * one cid-keyed self-join shuffle) closed into clusters by the same
+    * pointer-jumping connected components as x19, keep = cluster minimum.
+    * Output: one row per clustered vector with its cluster id and the
+    * keep/drop decision — the rows a curation pipeline would anti-join
+    * against the corpus. The oracle replays assignment, pairing and the
+    * transitive closure (recursive CTE) exactly.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+        Similarity.semanticPairs(Tables.embeddings(spark, dir),
+          KmeansK, KmeansIters, SemDedupDotFx, dim = 64))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+      .orderBy("cluster_id", "vec_id")
+
+  private val semanticDedupSql =
+    s"""WITH RECURSIVE ${Similarity.sqlKmeansRefine(KmeansK, KmeansIters, 64)},
+       |${Similarity.sqlSemanticPairs(SemDedupDotFx, 64)},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM sempairs
+       |  UNION SELECT id_b, id_a FROM sempairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS vec_id,
+       |  CAST(least(src, min(dst)) AS BIGINT) AS cluster_id,
+       |  src = least(src, min(dst)) AS keep
+       |FROM reach GROUP BY src ORDER BY cluster_id, vec_id""".stripMargin
+
+  /** The x37 query phrase — chosen as a frequent word trigram of the
+    * synthetic corpus so the result exercises multi-hit documents.
+    */
+  val PhraseQuery: Seq[String] = Seq("slow", "hash", "batch")
+
+  /** Top documents matched by x37. */
+  val PhraseTopK = 20
+
+  /** Exact phrase search over the positional inverted index
+    * ([[TextAnalysis.phraseHits]]): most-matching documents first, with
+    * occurrence count and first match position.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.phraseHits(Tables.documents(spark, dir), PhraseQuery)
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(PhraseTopK)
+
+  private val phraseSearchSql =
+    s"""WITH ${TextAnalysis.phraseHitsSql(PhraseQuery)}
+       |SELECT doc_id, n_hits, first_pos FROM phits
+       |ORDER BY n_hits DESC, doc_id LIMIT $PhraseTopK""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -1447,5 +1506,7 @@ object ExtensionQueries {
     QueryDef("x34_source_overlap_exact", Some(sourceOverlapExactSql),
       sourceOverlapExact),
     QueryDef("x35_corpus_split", Some(corpusSplitSql), corpusSplit),
+    QueryDef("x36_semantic_dedup", Some(semanticDedupSql), semanticDedup),
+    QueryDef("x37_phrase_search", Some(phraseSearchSql), phraseSearch),
   )
 }

@@ -324,6 +324,44 @@ object Grib2 {
     out
   }
 
+  /** Reorder a full `nx·ny` grid from scanning-mode `scan` storage order to
+    * canonical mode 0 (+i west→east within a row, rows north→south,
+    * i-consecutive). Flag bits (GRIB2 table 3.4): 0x80 first run scans -i,
+    * 0x40 rows advance +j (south→north), 0x20 adjacent points are
+    * j-consecutive (column-major runs), 0x10 alternate runs reverse
+    * direction (boustrophedon). The undo order matters and mirrors how the
+    * flags compose on the wire: un-reverse odd runs first (0x10 alternation
+    * is relative to the FIRST run's direction), then mirror i and/or j
+    * globally, transposing run/offset into (i,j) per 0x20.
+    */
+  private[wind] def normalizeScan(vals: Array[Double], nx: Int, ny: Int,
+                                  scan: Int): Array[Double] = {
+    if (scan == 0 || vals.isEmpty) return vals
+    require(vals.length == nx.toLong * ny,
+      s"scan normalization needs the full grid (${vals.length} != ${nx * ny})")
+    val negI = (scan & 0x80) != 0
+    val posJ = (scan & 0x40) != 0
+    val jCons = (scan & 0x20) != 0
+    val alt = (scan & 0x10) != 0
+    val (nRuns, runLen) = if (jCons) (nx, ny) else (ny, nx)
+    val out = new Array[Double](vals.length)
+    var r = 0
+    while (r < nRuns) {
+      var t = 0
+      while (t < runLen) {
+        val tt = if (alt && (r & 1) == 1) runLen - 1 - t else t
+        val iScan = if (jCons) r else tt  // i index in first-point frame
+        val jScan = if (jCons) tt else r
+        val i = if (negI) nx - 1 - iScan else iScan
+        val j = if (posJ) ny - 1 - jScan else jScan
+        out(j * nx + i) = vals(r * runLen + t)
+        t += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** Decode every field in a (possibly multi-message, possibly
@@ -367,7 +405,7 @@ object Grib2 {
       var center = 0; var subcenter = 0; var significanceOfRT = 0
       var productStatus = 0; var productType = 0
       var numberPoints = 0; var shape = 0; var basicAngle = 0
-      var resolution = 0; var gridTmpl = 0
+      var resolution = 0; var gridTmpl = 0; var scanRaw = 0
       // field-scoped state, reset after every data section (sections 4-7
       // legally repeat within one message — each repetition is one field)
       var forecastHours = 0
@@ -421,12 +459,23 @@ object Grib2 {
             if (tmpl == 40)
               require(ny == 2 * dy.toInt,
                 s"gaussian grid Nj=$ny != 2N=${2 * dy.toInt}")
-            // scanning mode, octet 72: grid addressing ([[Grid]]) assumes
-            // +i, -j consecutive-i ordering; any other mode would silently
-            // transpose or mirror the grid — refuse instead
+            // scanning mode, octet 72: the engine normalizes every decoded
+            // grid to canonical mode 0 (+i west→east, -j north→south,
+            // i-consecutive), so grid addressing ([[Grid]]) sees ONE layout
+            // regardless of how the producer scanned. Flag bits 1-4
+            // (-i / +j / j-consecutive / boustrophedon) are undone by
+            // [[normalizeScan]] on the data array at decode; the corner
+            // coordinates are canonicalized here so (la1,lo1) is always the
+            // north-west-of-scan corner the -j row-major layout starts at.
+            // Bits 5-8 (offset-row/staggered grids) have no dense nx·ny
+            // array form — refuse loudly rather than mis-address
             val scan = u8(payload, p + 71)
-            require(scan == 0,
-              f"unsupported scanning mode 0x$scan%02x (only +i, -j row-major)")
+            require((scan & 0x0f) == 0,
+              f"unsupported scanning mode 0x$scan%02x " +
+                "(bits 5-8: staggered/offset grids)")
+            scanRaw = scan
+            if ((scan & 0x40) != 0) { val t = la1; la1 = la2; la2 = t }
+            if ((scan & 0x80) != 0) { val t = lo1; lo1 = lo2; lo2 = t }
           case 4 => // product definition; template 4.0 only
             val tmpl = u16(payload, p + 7)
             require(tmpl == 0, s"unsupported product template 4.$tmpl")
@@ -534,7 +583,11 @@ object Grib2 {
                     if (rawMissing != null && rawMissing(x)) Double.NaN
                     else (packing.r + raw(x) * twoPowE) / tenPowD
                   }
-                  if (bitmap == null) vals else applyBitmap(vals, bitmap)
+                  val full = if (bitmap == null) vals
+                             else applyBitmap(vals, bitmap)
+                  // bitmap holes travel with their cells: the bitmap is in
+                  // scan order too, so expand first, then reorder
+                  normalizeScan(full, nx, ny, scanRaw)
                 }
               out += WindBinary.GribMessage(
                 discipline = discipline, parameterCategory = cat,

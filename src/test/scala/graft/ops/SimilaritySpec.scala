@@ -313,4 +313,30 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("lshTopPairs"))
   }
+
+  test("semanticPairs links within planted clusters, never across") {
+    val data = clustered(8) // 4 tight clusters, 32 vectors, labels = id % 4
+    // within-cluster cosine ≈ 0.99+ (milli-dot ≈ 990k); across ≪ threshold
+    val pairs = Similarity.semanticPairs(data, k = 4, iters = 2,
+        minDotFx = 900000L, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(a < b, s"pair not canonical: ($a,$b)")
+      assert(a % 4 == b % 4, s"cross-cluster semantic pair: ($a,$b)")
+    }
+    // closed into dedup decisions: every cluster keeps exactly its minimum
+    val decisions = graft.ops.Dedup.duplicateClusters(
+        Similarity.semanticPairs(data, k = 4, iters = 2,
+          minDotFx = 900000L, dim = dim))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = decisions.groupBy(_._2)
+    byCluster.foreach { case (cl, members) =>
+      assert(members.map(_._1).min == cl, "cluster id is its min member")
+    }
+    // the 4 planted clusters are tight enough that all 32 vectors cluster
+    assert(decisions.length == 32)
+    assert(byCluster.keySet == Set(0L, 1L, 2L, 3L))
+  }
 }

@@ -59,4 +59,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L)._2 != fp(2L)._2) // order matters
     assert(fp(1L)._2 != fp(3L)._2)
   }
+
+  test("phraseHits counts overlapping occurrences at exact positions") {
+    val df = Seq(
+      (1L, "a b a b a"),     // "a b a" at 0 and (overlapping) 2
+      (2L, "x a b a y"),     // one hit at 1
+      (3L, "a b b a"),       // no hit
+      (4L, "a b"),           // shorter than the phrase
+      (5L, "a b a")).toDF("doc_id", "text") // exact-length hit at 0
+    val hits = TextAnalysis.phraseHits(df, Seq("a", "b", "a"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(hits == Map(1L -> (2L, 0), 2L -> (1L, 1), 5L -> (1L, 0)))
+  }
+
+  test("phraseHits legs join on one shared partitioning (no re-exchange)") {
+    val dir = java.nio.file.Files.createTempDirectory("phrase").toString
+    Seq((1L, "a b c d"), (2L, "b c d a")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val plan = TextAnalysis.phraseHits(docs, Seq("b", "c", "d"))
+      .queryExecution.executedPlan.toString
+    // 3 legs → 3 leg-side exchanges (+1 for the final per-doc aggregate);
+    // a plan that re-partitioned between the leg joins would exceed that
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"unexpected re-exchange between phrase legs:\n$plan")
+  }
 }

@@ -316,4 +316,79 @@ class Grib2Spec extends AnyFunSuite {
     assert(decoded.head.data.take(3).toSeq ==
       Seq(0xABC.toDouble, 0x123.toDouble, 0xFFF.toDouble))
   }
+
+  /** Spec-side inverse of `Grib2.normalizeScan`: permute a canonical
+    * (+i, -j, row-major) grid into `scan`-mode storage order. Written
+    * independently from the WMO flag table so the two permutations are not
+    * copies of each other.
+    */
+  private def toScanOrder(canonical: Array[Long], nx: Int, ny: Int,
+                          scan: Int): Array[Long] = {
+    val (nRuns, runLen) = if ((scan & 0x20) != 0) (nx, ny) else (ny, nx)
+    val out = new Array[Long](canonical.length)
+    for (r <- 0 until nRuns; t <- 0 until runLen) {
+      val tt = if ((scan & 0x10) != 0 && (r & 1) == 1) runLen - 1 - t else t
+      val iScan = if ((scan & 0x20) != 0) r else tt
+      val jScan = if ((scan & 0x20) != 0) tt else r
+      val i = if ((scan & 0x80) != 0) nx - 1 - iScan else iScan
+      val j = if ((scan & 0x40) != 0) ny - 1 - jScan else jScan
+      out(r * runLen + t) = canonical(j * nx + i)
+    }
+    out
+  }
+
+  test("every 16-flag scanning mode normalizes to canonical +i,-j row-major") {
+    // distinct value per cell so ANY mis-addressing (mirror, transpose,
+    // missed alternation) changes the decoded sequence
+    val canonical = Array.tabulate(32)(i => (i * 7 + 3).toLong)
+    for (scan <- Seq(0x00, 0x10, 0x20, 0x30, 0x40, 0x50, 0x60, 0x70,
+                     0x80, 0x90, 0xa0, 0xb0, 0xc0, 0xd0, 0xe0, 0xf0)) {
+      val decoded = Grib2.decode(Grib2TestWriter.message(
+        msg(m = toScanOrder(canonical, 8, 4, scan))
+          .copy(scanMode = scan, lo1Micro = 350000000L)))
+      assert(decoded.head.data.toSeq == canonical.map(_.toDouble).toSeq,
+        f"scan mode 0x$scan%02x")
+      assert(decoded.head.scanMode == 0, "emitted grids are canonical")
+    }
+  }
+
+  test("scan-mode corner canonicalization: la1/lo1 become north-west-of-scan") {
+    // +j: first scan point is the SOUTH edge → decoder swaps La1/La2
+    val posJ = Grib2.decode(Grib2TestWriter.message(
+      msg(la1Micro = -90000000L, m = toScanOrder(
+        Array.tabulate(32)(_.toLong), 8, 4, 0x40)).copy(scanMode = 0x40))).head
+    assert(posJ.la1 == -90.0 + 3.0 && posJ.la2 == -90.0,
+      "la1 is the north edge after normalization")
+    // -i: first scan point is the EAST end → decoder swaps Lo1/Lo2
+    val negI = Grib2.decode(Grib2TestWriter.message(
+      msg(m = toScanOrder(Array.tabulate(32)(_.toLong), 8, 4, 0x80))
+        .copy(scanMode = 0x80, lo1Micro = 350000000L))).head
+    assert(negI.lo1 == 350.0 - 7.0 && negI.lo2 == 350.0,
+      "lo1 is the west end after normalization")
+  }
+
+  test("bitmap holes land at the canonically-addressed cell under +j scan") {
+    // canonical hole at (i=2, j=1); under +j storage the bitmap must mask
+    // scan cell (2, ny-1-1=2) — build both in scan coordinates
+    val scan = 0x40
+    val canonical = Array.tabulate(32)(i => (i + 1).toLong)
+    val scanVals = toScanOrder(canonical, 8, 4, scan)
+    val holeScanIdx = 2 * 8 + 2 // j_scan = ny-1-1, i = 2
+    val bitmap = Array.tabulate(32)(_ != holeScanIdx)
+    val present = scanVals.zipWithIndex.collect {
+      case (v, i) if i != holeScanIdx => v
+    }
+    val decoded = Grib2.decode(Grib2TestWriter.message(
+      msg(m = present).copy(scanMode = scan, bitmap = Some(bitmap)))).head
+    assert(decoded.data(1 * 8 + 2).isNaN, "hole at canonical (2,1)")
+    assert(decoded.data.count(_.isNaN) == 1)
+    assert(decoded.data(0) == canonical(0).toDouble)
+  }
+
+  test("scanning modes with reserved bits 5-8 refuse loudly") {
+    val err = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(msg().copy(scanMode = 0x08)))
+    }
+    assert(err.getMessage.contains("unsupported scanning mode"))
+  }
 }

@@ -42,7 +42,8 @@ object Grib2TestWriter {
       bitmap: Option[Array[Boolean]] = None,
       missingMask: Option[Array[Boolean]] = None,
       packing: PackingSpec = SimplePacking,
-      gridTemplate: Int = 0)
+      gridTemplate: Int = 0,
+      scanMode: Int = 0)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -139,15 +140,22 @@ object Grib2TestWriter {
     w.w8(0); w.w32(0)               // minor axis
     w.w32(msg.nx); w.w32(msg.ny)    // Ni, Nj
     w.w32(0); w.w32(0)              // basic angle + subdivisions
-    w.s32(msg.la1Micro); w.w32(msg.lo1Micro) // La1, Lo1
+    w.s32(msg.la1Micro); w.w32(msg.lo1Micro) // La1, Lo1 (first point of scan)
     w.w8(48)                        // resolution/component flags
+    // La2/Lo2 are the LAST point of the scan: j advances -j unless flag
+    // 0x40, i advances +i unless flag 0x80 (gaussian grids are symmetric
+    // about the equator, so La2 is always the mirror of La1)
     w.s32(if (msg.gridTemplate == 40) -msg.la1Micro
+          else if ((msg.scanMode & 0x40) != 0)
+            msg.la1Micro + (msg.ny - 1) * msg.dyMicro
           else msg.la1Micro - (msg.ny - 1) * msg.dyMicro) // La2
-    w.w32(msg.lo1Micro + (msg.nx - 1) * msg.dxMicro) // Lo2
+    w.w32(if ((msg.scanMode & 0x80) != 0)
+            msg.lo1Micro - (msg.nx - 1) * msg.dxMicro
+          else msg.lo1Micro + (msg.nx - 1) * msg.dxMicro) // Lo2
     w.w32(msg.dxMicro)              // Di
     // 3.0: Dj in micro-degrees. 3.40: N, parallels pole↔equator (= Nj/2)
     w.w32(if (msg.gridTemplate == 40) msg.ny / 2 else msg.dyMicro)
-    w.w8(0)                         // scanning mode: +i, -j
+    w.w8(msg.scanMode)              // scanning mode flags (table 3.4)
   }
 
   private def sec4(msg: Msg): Array[Byte] = section(4) { w =>
