@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.{SparkSpec, Tables}
+
+/** Incremental replay gate: beyond ParitySpec's single-gulp AvailableNow
+  * runs, these tests force the SAME input through MANY micro-batches
+  * (`maxFilesPerTrigger = 1` over a multi-file landing dir) and assert the
+  * final state still equals the batch answer. Single-batch parity can pass
+  * with state handling that is subtly wrong across batch boundaries
+  * (e.g. per-batch instead of cumulative reduction); multi-batch replay is
+  * what actually exercises state accumulation, which is how a production
+  * stream — one micro-batch per landing file, arriving over hours — runs.
+  */
+class ReplaySpec extends SparkSpec {
+
+  private val eventSchema = "event_id LONG, ts STRING, user_id LONG, " +
+    "event_type STRING, value DOUBLE, props STRING"
+
+  /** Land sf0.001 events as `nFiles` JSON files; return (landing, batchDf). */
+  private def land(nFiles: Int): (String, org.apache.spark.sql.DataFrame) = {
+    val landing = tmpDir() + "/landing"
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    events
+      .withColumn("ts", date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .repartition(nFiles)
+      .write.json(landing)
+    (landing, events)
+  }
+
+  private def stream(landing: String) =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .json(landing)
+      .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+  test("tumbling aggregate accumulates across micro-batches to the batch answer") {
+    val (landing, events) = land(nFiles = 5)
+    val q = EventStreams.tumblingCounts(stream(landing))
+      .writeStream.format("memory").queryName("replay_tumbling")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the replay must actually have been incremental: one batch per file
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >=4 non-empty micro-batches, got " +
+        q.recentProgress.map(_.numInputRows).mkString(","))
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))
+    val streamed = spark.table("replay_tumbling")
+      .select(col("bucket_start"), col("event_type"), col("n"),
+        col("value_sum")).collect().map(key).toSet
+    val batch = events
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start"), col("event_type"), col("n"),
+        col("value_sum")).collect().map(key).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("latest-per-user keyed state survives batch boundaries (T6/T7 replay)") {
+    import spark.implicits._
+    val (landing, events) = land(nFiles = 5)
+    val typed = stream(landing)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Event]
+    val q = EventStreams.latestPerUser(typed)
+      .writeStream.format("memory").queryName("replay_latest")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // Update mode emits one row per touched key per batch: the LAST update
+    // per user is that key's final state
+    val streamed = spark.table("replay_latest")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rk") === 1)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = events
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts"), col("event_id")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+}
