@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
+
+/** Native Catalyst expression: exact integer k-means assignment — the argmin
+  * of squared L2 distance from an `array<bigint>` vector to a FOLDABLE
+  * centroid matrix, returning `struct(dist: bigint, cid: int)`. Ties keep
+  * the lowest cid (rows must arrive cid-ascending; enforced).
+  *
+  * Why a custom expression (the option-(b) tier of SURVEY §7): the
+  * composable forms both break down as k grows —
+  *  - higher-order lambdas (`aggregate`/`zip_with`) evaluate interpreted
+  *    (boxed lambda calls per element; measured 13 s on x29 at k=8);
+  *  - expanding k·dim literal `element_at` arithmetic keeps codegen but
+  *    builds an O(k·dim) expression TREE, so driver-side analysis/
+  *    optimization/codegen dominate once k grows past ~10 (measured ~20 s
+  *    per x36 pass at k=44, dim=64 — whole-stage codegen gave up on the
+  *    ~12k-node projection).
+  * Here the plan carries ONE fixed-size node; the matrix rides along as a
+  * referenced `long[][]` (never serialized into the expression tree), and
+  * both eval paths run the same tight primitive loop. Everything is exact
+  * long arithmetic on the milli grid — bit-reproducible across engines,
+  * partitionings and eval modes.
+  *
+  * Fail-loud contract: a vector whose length differs from the centroid
+  * dimension throws (a silent wrong-dim dot product changes results; see
+  * the ADVICE on [[graft.ops.Similarity.semanticPairs]]'s old `dim`
+  * parameter). Null vectors propagate NULL; elements are assumed non-null
+  * (quantized embeddings), and a null element throws loudly in
+  * `toLongArray` rather than poisoning the argmin.
+  */
+case class CentroidArgmin(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def nullable: Boolean = first.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(IntegerType, _),
+          ArrayType(ArrayType(LongType, _), _)) =>
+        if (!second.foldable || !third.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            "centroid_argmin cids and matrix must be foldable literals")
+        else TypeCheckResult.TypeCheckSuccess
+      case (v, c, m) => TypeCheckResult.TypeCheckFailure(
+        "centroid_argmin requires (array<bigint>, array<int>, " +
+          s"array<array<bigint>>), got ($v, $c, $m)")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dist", LongType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+
+  override def prettyName: String = "centroid_argmin"
+
+  /** cid per matrix row, cid-ascending (tie → lowest cid = first win). */
+  @transient private lazy val centIds: Array[Int] = {
+    val ids = second.eval().asInstanceOf[ArrayData].toIntArray()
+    require(ids.nonEmpty, "centroid_argmin: empty centroid set")
+    require(ids.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "centroid_argmin: cids must be strictly ascending")
+    ids
+  }
+
+  @transient private lazy val centMatrix: Array[Array[Long]] = {
+    val m = third.eval().asInstanceOf[ArrayData]
+    val rows = Array.tabulate(m.numElements())(i => m.getArray(i).toLongArray())
+    require(rows.length == centIds.length,
+      s"centroid_argmin: ${rows.length} rows for ${centIds.length} cids")
+    require(rows.forall(_.length == rows.head.length),
+      "centroid_argmin: ragged centroid matrix")
+    rows
+  }
+
+  /** The loop both eval paths share: exact long Σ(vⱼ−cⱼ)², strict-< argmin. */
+  def argmin(v: Array[Long], ids: Array[Int],
+      mat: Array[Array[Long]]): InternalRow = {
+    if (v.length != mat(0).length) throw new IllegalArgumentException(
+      s"centroid_argmin: vector dim ${v.length} != centroid dim ${mat(0).length}")
+    var bestD = Long.MaxValue
+    var bestI = 0
+    var c = 0
+    while (c < mat.length) {
+      val row = mat(c)
+      var d = 0L
+      var j = 0
+      while (j < v.length) { val t = v(j) - row(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; bestI = c }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestD, ids(bestI)))
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = first.eval(input)
+    if (v == null) null
+    else argmin(v.asInstanceOf[ArrayData].toLongArray(), centIds, centMatrix)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    // the matrix is a driver-built reference object — O(1) in the generated
+    // source and the expression tree regardless of k·dim
+    val self = ctx.addReferenceObj("centroidArgmin", this, classOf[CentroidArgmin].getName)
+    val ids = ctx.addReferenceObj("centIds", centIds, "int[]")
+    val mat = ctx.addReferenceObj("centMat", centMatrix, "long[][]")
+    val childGen = first.genCode(ctx)
+    val code =
+      code"""
+        |${childGen.code}
+        |boolean ${ev.isNull} = ${childGen.isNull};
+        |InternalRow ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $self.argmin(${childGen.value}.toLongArray(), $ids, $mat);
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): CentroidArgmin =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

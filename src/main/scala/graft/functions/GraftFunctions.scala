@@ -22,12 +22,22 @@ object GraftFunctions {
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-      vecDotBuilder))
+      vecDotBuilder),
+    (new FunctionIdentifier("centroid_argmin"),
+      new ExpressionInfo(classOf[CentroidArgmin].getName, "centroid_argmin"),
+      centroidArgminBuilder))
 
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
       s"vec_dot takes exactly 2 arguments, got ${children.size}")
     VectorDot(children(0), children(1))
+  }
+
+  private[functions] def centroidArgminBuilder(
+      children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      s"centroid_argmin takes exactly 3 arguments, got ${children.size}")
+    CentroidArgmin(children(0), children(1), children(2))
   }
 
   def register(spark: SparkSession): Unit =
@@ -40,6 +50,14 @@ object GraftFunctions {
     * [[register]]ed (or been built with [[GraftExtensions]]).
     */
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Column-API form of the native k-means assignment argmin: `v` an
+    * `array<bigint>` vector, `cids` a literal `array<int>` (ascending),
+    * `mat` a literal `array<array<bigint>>` centroid matrix row-aligned
+    * with `cids`. Returns `struct(dist, cid)`.
+    */
+  def centroid_argmin(v: Column, cids: Column, mat: Column): Column =
+    call_function("centroid_argmin", v, cids, mat)
 }
 
 /** `spark.sql.extensions` hook: native functions + optimizer rules. */
@@ -49,6 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
         GraftFunctions.vecDotBuilder _))
+    ext.injectFunction(
+      (new FunctionIdentifier("centroid_argmin"),
+        new ExpressionInfo(classOf[CentroidArgmin].getName, "centroid_argmin"),
+        GraftFunctions.centroidArgminBuilder _))
     ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
   }
 }

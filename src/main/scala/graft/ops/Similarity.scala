@@ -508,30 +508,25 @@ object Similarity {
         case (r, i) => i -> r.getSeq[Long](1)
       }
     def assign(df: DataFrame): DataFrame = {
-      // |v-c|² = Σv² + Σc² − 2·Σ vⱼcⱼ over exact longs — algebraically
-      // identical integers to the direct Σ(vⱼ-cⱼ)², but expanded into flat
-      // codegen'd element_at arithmetic instead of higher-order
-      // aggregate/zip_with lambdas (those evaluate INTERPRETED — measured
-      // 13 s → ~1 s on x29 at sf0.1: k·dim boxed lambda calls per row
-      // dwarfed the actual integer work). Σv² is computed once and shared
-      // across the k centroid distances.
-      val dim = cents.head._2.length
-      val n2 = (0 until dim).map { j =>
-        val e = element_at(col("v"), j + 1); e * e
-      }.reduce[Column](_ + _)
-      val scored = cents.sortBy(_._1).map { case (cid, c) =>
-        require(c.length == dim, s"centroid $cid dim ${c.length} != $dim")
-        val dot = c.zipWithIndex.collect {
-          case (cj, j) if cj != 0L => element_at(col("v"), j + 1) * lit(cj)
-        }.reduceOption[Column](_ + _).getOrElse(lit(0L))
-        val cNorm2 = c.map(x => x * x).sum
-        struct((col("n2") + lit(cNorm2) - lit(2L) * dot).as("dist"),
-          lit(cid).as("cid"))
-      }
-      // fold in ascending cid order with strict <, so ties keep the lower cid
-      val best = scored.reduce[Column]((a, b) =>
-        when(b.getField("dist") < a.getField("dist"), b).otherwise(a))
-      df.withColumn("n2", n2).withColumn("best", best)
+      // Native codegen'd argmin ([[graft.functions.CentroidArgmin]]): one
+      // fixed-size plan node; the k·dim centroid matrix rides along as a
+      // referenced long[][], and the per-row work is a tight primitive
+      // Σ(vⱼ−cⱼ)² loop with strict-< tie → lowest cid. History of this hot
+      // spot, because every composable form failed at some k: higher-order
+      // aggregate/zip_with lambdas evaluate interpreted (13 s at k=8);
+      // expanded k·dim element_at literals fixed that (~1 s at k=8) but put
+      // O(k·dim) nodes in the tree, so at k≈√n=44 (x36) driver-side
+      // planning/codegen took ~20 s/pass — and a when().otherwise() argmin
+      // fold over those structs duplicated the accumulator per step, 2^k
+      // nodes, 109 s and 20 MiB task binaries at k=8 (round 6's regression).
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      val sorted = cents.sortBy(_._1)
+      val dim = sorted.head._2.length
+      sorted.foreach { case (cid, c) =>
+        require(c.length == dim, s"centroid $cid dim ${c.length} != $dim") }
+      val best = graft.functions.GraftFunctions.centroid_argmin(col("v"),
+        typedlit(sorted.map(_._1)), typedlit(sorted.map(_._2)))
+      df.withColumn("best", best)
         .select(col("vec_id"), col("v"), col("best").getField("cid").as("cid"),
           col("best").getField("dist").as("dist_fx"))
     }
@@ -559,7 +554,15 @@ object Similarity {
     * Returns CTE text ending in a relation `kfinal(vec_id, cid, dist_fx,
     * cent_sum)`.
     */
-  def sqlKmeansRefine(k: Int, iters: Int, dim: Int): String = {
+  def sqlKmeansRefine(k: Int, iters: Int, dim: Int): String =
+    sqlKmeansRefine(k.toString, iters, dim)
+
+  /** As [[sqlKmeansRefine]], but `kSql` is any DuckDB scalar expression for
+    * the cluster count — e.g. a subquery deriving k ≈ √n from the corpus
+    * itself, so the oracle stays constant-synced with a Spark side whose k
+    * is computed at runtime ([[scaledK]]).
+    */
+  def sqlKmeansRefine(kSql: String, iters: Int, dim: Int): String = {
     def assignCte(name: String, centTable: String): String =
       s"""$name AS (
          |  SELECT vec_id, v, cid, dist AS dist_fx FROM (
@@ -591,7 +594,7 @@ object Similarity {
        |  FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cent
-       |  FROM vq ORDER BY vec_id LIMIT $k),
+       |  FROM vq ORDER BY vec_id LIMIT $kSql),
        |$rounds,
        |${assignCte("afinal", s"c$iters")},
        |kfinal AS (
@@ -601,6 +604,17 @@ object Similarity {
   }
 
   // ------------------------------------------------------- semantic dedup
+
+  /** Cluster count for [[semanticPairs]] at corpus scale: k ≈ √n (with a
+    * small-corpus floor), which keeps cells O(√n) and within-cell candidate
+    * work Σ|cell|² at O(n·√n) under balanced cells — the SemDeDup
+    * production rule (the paper runs 50k cells for 1e8+ docs). Costs one
+    * count() action; [[kmeansRefine]]'s seed collect is then √n·dim rows —
+    * still corpus-sublinear. `toLong` truncation on a non-negative sqrt is
+    * floor, matching the oracle's `floor(sqrt(count(*)))`.
+    */
+  def scaledK(corpus: DataFrame, floor: Int): Int =
+    math.max(floor.toLong, math.sqrt(corpus.count().toDouble).toLong).toInt
 
   /** Embedding-cosine near-duplicate pairs, SemDeDup-style (Abbas et al.
     * 2023, arXiv:2303.09540): cluster the corpus with k-means, then compare
@@ -617,16 +631,24 @@ object Similarity {
     * no IEEE summation order anywhere, so the pair set is engine-portable.
     *
     * Scale: ONE self-equi-join shuffle keyed on the cluster id. k bounds
-    * the reduce-side fan-in — production corpora size k ≈ √n so cells stay
-    * O(√n) (the paper runs 50k clusters for 1e8+ docs); at this demo scale
-    * k=[[graft.queries.ExtensionQueries.KmeansK]] cells on thousands of
-    * vectors. The shuffle carries the milli-quantized long vector (dim·8
-    * bytes/row), never the raw embedding or document payload.
+    * the reduce-side fan-in — size k with [[scaledK]] (k ≈ √n, the paper
+    * runs 50k clusters for 1e8+ docs) so cells stay O(√n) and candidate
+    * work Σ|cell|² stays O(n^1.5), never n²/constant. The shuffle carries
+    * the milli-quantized long vector (dim·8 bytes/row), never the raw
+    * embedding or document payload. The assignment is localCheckpoint'ed
+    * once, so the k·dim projection over the corpus runs a single time
+    * rather than once per self-join side.
+    *
+    * The embedding dimension is read from the assignment itself (the same
+    * vectors [[kmeansRefine]] seeded from), so a caller can't silently
+    * truncate the dot product with a wrong guess.
     */
   def semanticPairs(corpus: DataFrame, k: Int, iters: Int,
-      minDotFx: Long, dim: Int): DataFrame = {
+      minDotFx: Long): DataFrame = {
     val assigned = kmeansRefine(corpus, k, iters)
       .select(col("vec_id"), col("v"), col("cid"))
+      .localCheckpoint() // eager: one evaluation feeds both join sides
+    val dim = assigned.head.getSeq[Long](1).length
     // flat codegen'd integer sum — the higher-order aggregate/zip_with form
     // evaluates interpreted, which the pair join (the hot path here)
     // cannot afford

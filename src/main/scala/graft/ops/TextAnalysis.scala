@@ -41,6 +41,9 @@ object TextAnalysis {
     */
   def languageId(text: Column): Column = {
     val hits = stopwordHits(text)
+    // CAUTION — when().otherwise(acc) folds duplicate the accumulator per
+    // step (O(2^n) tree). Safe ONLY at n = |profiles| ≈ 5; at larger n use a
+    // single linear node (see CentroidArgmin, round 6's 2^k regression).
     val best = hits.map { case (lang, h) => struct(h.as("h"), lit(lang).as("l")) }
       .reduce[Column]((a, b) => when(b.getField("h") > a.getField("h"), b).otherwise(a))
     when(best.getField("h") > 0, best.getField("l")).otherwise(lit("und"))
@@ -201,8 +204,12 @@ object TextAnalysis {
     * relation `phits(doc_id, n_hits, first_pos)`.
     */
   def phraseHitsSql(phrase: Seq[String]): String = {
+    // words are interpolated into single-quoted SQL literals: double any
+    // embedded quote (standard SQL escaping) so a quoted or metachar-bearing
+    // word yields a valid literal instead of broken/injectable oracle SQL
     val preds = phrase.zipWithIndex
-      .map { case (w, i) => s"ws[p + $i] = '$w'" }.mkString(" AND ")
+      .map { case (w, i) => s"ws[p + $i] = '${w.replace("'", "''")}'" }
+      .mkString(" AND ")
     s"""pt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |pu AS (SELECT doc_id, ws,
        |    unnest(generate_series(1, len(ws) - ${phrase.size - 1})) AS p

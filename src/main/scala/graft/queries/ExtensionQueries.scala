@@ -311,7 +311,11 @@ object ExtensionQueries {
       .groupBy(col("doc_id"), col("lang"))
       .agg(aggs.head, aggs.tail: _*)
     // identical argmax to languageId: later profile wins only if strictly
-    // greater, so ties keep the earliest profile
+    // greater, so ties keep the earliest profile.
+    // CAUTION — this when().otherwise(acc) fold duplicates the accumulator
+    // per step: the tree is O(2^n). Safe ONLY because n = |stopword
+    // profiles| ≈ 5 and the struct is 2 tiny fields; at larger n use a
+    // single linear node (see CentroidArgmin, round 6's 2^k regression).
     val best = TextAnalysis.stopwords.map { case (l, _) =>
       struct(col(s"h_$l").as("h"), lit(l).as("l")) }
       .reduce[Column]((a, b) =>
@@ -1333,11 +1337,17 @@ object ExtensionQueries {
     * same matrix from 64-slot sketches; SimilaritySpec pins the two within
     * sampling error. Pairs with zero overlap drop (inner join) — present in
     * x17 with estimate 0.
+    *
+    * The distinct (source, shingle) index feeds FOUR plan legs (sizes + both
+    * self-join sides); localCheckpoint materializes it once — the in-session
+    * form of the x07/x08 store/probe pattern — instead of re-shingling and
+    * re-deduplicating the corpus per leg.
     */
   def sourceOverlapExact(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("s"))
       .distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     val common = sh.toDF("source_a", "s")
       .join(sh.toDF("source_b", "s2"),
@@ -1418,16 +1428,27 @@ object ExtensionQueries {
     * against the corpus. The oracle replays assignment, pairing and the
     * transitive closure (recursive CTE) exactly.
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    // k ≈ √n with floor KmeansK (SemDeDup's production sizing — keeps
+    // Σ|cell|² at O(n·√n) by construction); the oracle derives the same k
+    // from the same table via the subquery-LIMIT below, so the two sides
+    // stay constant-synced at every scale factor
     Dedup.duplicateClusters(
-        Similarity.semanticPairs(Tables.embeddings(spark, dir),
-          KmeansK, KmeansIters, SemDedupDotFx, dim = 64))
+        Similarity.semanticPairs(emb,
+          Similarity.scaledK(emb, KmeansK), KmeansIters, SemDedupDotFx))
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("keep"))
       .orderBy("cluster_id", "vec_id")
+  }
+
+  /** The oracle's twin of [[Similarity.scaledK]] over the same table. */
+  private val semDedupKSql =
+    s"(SELECT greatest($KmeansK, CAST(floor(sqrt(count(*))) AS BIGINT)) " +
+      "FROM embeddings)"
 
   private val semanticDedupSql =
-    s"""WITH RECURSIVE ${Similarity.sqlKmeansRefine(KmeansK, KmeansIters, 64)},
+    s"""WITH RECURSIVE ${Similarity.sqlKmeansRefine(semDedupKSql, KmeansIters, 64)},
        |${Similarity.sqlSemanticPairs(SemDedupDotFx, 64)},
        |edges AS (SELECT id_a AS src, id_b AS dst FROM sempairs
        |  UNION SELECT id_b, id_a FROM sempairs),

@@ -474,8 +474,29 @@ object Grib2 {
               f"unsupported scanning mode 0x$scan%02x " +
                 "(bits 5-8: staggered/offset grids)")
             scanRaw = scan
-            if ((scan & 0x40) != 0) { val t = la1; la1 = la2; la2 = t }
-            if ((scan & 0x80) != 0) { val t = lo1; lo1 = lo2; lo2 = t }
+            // Canonical corners derive from the FIRST point alone. The wire
+            // La2/Lo2 are the LAST SCANNED point (table 3.1 note 1), NOT a
+            // diagonal corner: under boustrophedon (0x10) with an even run
+            // count the last run is reversed, so the last point's i lands on
+            // the SAME edge as the first — swapping corners keyed on the
+            // direction bits alone mis-georeferences the grid by its width.
+            // (la1, lo1) + (dx, dy, nx, ny) + the direction bits determine
+            // the geometry completely; recompute both corners from them.
+            // Longitudes stay on the unwrapped monotone axis [[Grid]] uses
+            // (lo = lo1 + i·dx): a −i grid crossing Greenwich canonicalizes
+            // to a negative west corner rather than wrapping mod 360.
+            if (tmpl == 40) {
+              // gaussian rows are non-uniform but symmetric about the
+              // equator (ny = 2N enforced above): the north edge is the
+              // mirror of the first row's latitude when scanning +j
+              if ((scan & 0x40) != 0) la1 = -la1
+              la2 = -la1
+            } else {
+              if ((scan & 0x40) != 0) la1 += (ny - 1) * dy
+              la2 = la1 - (ny - 1) * dy
+            }
+            if ((scan & 0x80) != 0) lo1 -= (nx - 1) * dx
+            lo2 = lo1 + (nx - 1) * dx
           case 4 => // product definition; template 4.0 only
             val tmpl = u16(payload, p + 7)
             require(tmpl == 0, s"unsupported product template 4.$tmpl")

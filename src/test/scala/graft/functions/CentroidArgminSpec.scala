@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CentroidArgminSpec extends SparkSpec {
+
+  private def withRegistry[A](f: => A): A = { GraftFunctions.register(spark); f }
+
+  test("centroid_argmin matches a composable reference argmin") {
+    withRegistry {
+      import spark.implicits._
+      val rnd = new scala.util.Random(11)
+      val dim = 8
+      val cents = Seq(0, 2, 5).map(cid =>
+        cid -> Seq.fill(dim)(rnd.nextInt(2001) - 1000L))
+      val vecs = (0L until 200L).map(id =>
+        id -> Seq.fill(dim)(rnd.nextInt(2001) - 1000L))
+      val df = vecs.toDF("vec_id", "v")
+      val native = df.select(col("vec_id"),
+        GraftFunctions.centroid_argmin(col("v"),
+          typedlit(cents.map(_._1)), typedlit(cents.map(_._2))).as("best"))
+        .select(col("vec_id"), col("best.dist"), col("best.cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      // reference: per-centroid struct(dist, cid), array_min lexicographic
+      val scored = cents.map { case (cid, c) =>
+        val dist = c.zipWithIndex.map { case (cj, j) =>
+          val e = element_at(col("v"), j + 1) - lit(cj); e * e
+        }.reduce[org.apache.spark.sql.Column](_ + _)
+        struct(dist.as("dist"), lit(cid).as("cid"))
+      }
+      val reference = df.select(col("vec_id"),
+        array_min(array(scored: _*)).as("best"))
+        .select(col("vec_id"), col("best.dist"), col("best.cid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      assert(native.sameElements(reference))
+    }
+  }
+
+  test("ties keep the lowest cid; interpreted eval matches codegen") {
+    withRegistry {
+      import spark.implicits._
+      // two identical centroids → every vector ties; lowest cid must win
+      val df = Seq((1L, Seq(3L, 4L)), (2L, Seq(-1L, 0L))).toDF("vec_id", "v")
+      val out = df.select(
+        GraftFunctions.centroid_argmin(col("v"),
+          typedlit(Seq(1, 7)), typedlit(Seq(Seq(0L, 0L), Seq(0L, 0L))))
+          .as("best"))
+        .select(col("best.cid"), col("best.dist"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      assert(out.toSeq == Seq((1, 25L), (1, 1L)))
+      // interpreted path (fresh expression, direct eval)
+      val expr = CentroidArgmin(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq(3L, 4L), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq(1, 7), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq(Seq(0L, 0L), Seq(0L, 0L)), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType))))
+      val row = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      assert(row.getLong(0) == 25L && row.getInt(1) == 1)
+    }
+  }
+
+  test("dimension mismatch fails loudly; null vector propagates null") {
+    withRegistry {
+      import spark.implicits._
+      val bad = Seq((1L, Seq(1L, 2L, 3L))).toDF("vec_id", "v")
+      val e = intercept[Exception] {
+        bad.select(GraftFunctions.centroid_argmin(col("v"),
+          typedlit(Seq(0)), typedlit(Seq(Seq(0L, 0L))))).collect()
+      }
+      assert(e.getMessage != null)
+      val withNull = Seq((1L, Some(Seq(1L, 2L))), (2L, None))
+        .toDF("vec_id", "v")
+      val out = withNull.select(GraftFunctions.centroid_argmin(col("v"),
+          typedlit(Seq(0)), typedlit(Seq(Seq(0L, 0L)))).as("best"))
+        .collect()
+      assert(!out(0).isNullAt(0) && out(1).isNullAt(0))
+    }
+  }
+}

@@ -318,7 +318,7 @@ class SimilaritySpec extends SparkSpec {
     val data = clustered(8) // 4 tight clusters, 32 vectors, labels = id % 4
     // within-cluster cosine ≈ 0.99+ (milli-dot ≈ 990k); across ≪ threshold
     val pairs = Similarity.semanticPairs(data, k = 4, iters = 2,
-        minDotFx = 900000L, dim = dim)
+        minDotFx = 900000L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) =>
@@ -328,7 +328,7 @@ class SimilaritySpec extends SparkSpec {
     // closed into dedup decisions: every cluster keeps exactly its minimum
     val decisions = graft.ops.Dedup.duplicateClusters(
         Similarity.semanticPairs(data, k = 4, iters = 2,
-          minDotFx = 900000L, dim = dim))
+          minDotFx = 900000L))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val byCluster = decisions.groupBy(_._2)

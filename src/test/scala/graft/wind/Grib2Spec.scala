@@ -367,6 +367,28 @@ class Grib2Spec extends AnyFunSuite {
       "lo1 is the west end after normalization")
   }
 
+  test("boustrophedon even runs: corners derive from first point, not wire La2/Lo2") {
+    val canonical = Array.tabulate(32)(i => (i * 5 + 1).toLong)
+    // 0x10 (+i, -j, boustrophedon), ny=4 rows: the LAST row is reversed, so
+    // the wire Lo2 (last scanned point) equals Lo1 — the west edge. A
+    // decoder trusting La2/Lo2 as the diagonal corner emits lo2 == lo1;
+    // the canonical east corner must still be lo1 + (nx-1)·dx
+    val b = Grib2.decode(Grib2TestWriter.message(
+      msg(m = toScanOrder(canonical, 8, 4, 0x10))
+        .copy(scanMode = 0x10, lo1Micro = 10000000L))).head
+    assert(b.lo1 == 10.0 && b.lo2 == 17.0, "canonical west/east corners")
+    assert(b.la1 == 90.0 && b.la2 == 87.0, "rows untouched by boustrophedon")
+    assert(b.data.toSeq == canonical.map(_.toDouble).toSeq)
+    // 0x90 (−i, boustrophedon): first point is the EAST edge; by run parity
+    // the wire Lo2 is ALSO the east edge, so a corner-swap keyed on the −i
+    // bit alone would move lo1 to the east edge — off by the grid width
+    val s = Grib2.decode(Grib2TestWriter.message(
+      msg(m = toScanOrder(canonical, 8, 4, 0x90))
+        .copy(scanMode = 0x90, lo1Micro = 350000000L))).head
+    assert(s.lo1 == 343.0 && s.lo2 == 350.0, "west = east − (nx−1)·dx")
+    assert(s.data.toSeq == canonical.map(_.toDouble).toSeq)
+  }
+
   test("bitmap holes land at the canonically-addressed cell under +j scan") {
     // canonical hole at (i=2, j=1); under +j storage the bitmap must mask
     // scan cell (2, ny-1-1=2) — build both in scan coordinates

@@ -142,16 +142,25 @@ object Grib2TestWriter {
     w.w32(0); w.w32(0)              // basic angle + subdivisions
     w.s32(msg.la1Micro); w.w32(msg.lo1Micro) // La1, Lo1 (first point of scan)
     w.w8(48)                        // resolution/component flags
-    // La2/Lo2 are the LAST point of the scan: j advances -j unless flag
-    // 0x40, i advances +i unless flag 0x80 (gaussian grids are symmetric
-    // about the equator, so La2 is always the mirror of La1)
-    w.s32(if (msg.gridTemplate == 40) -msg.la1Micro
-          else if ((msg.scanMode & 0x40) != 0)
-            msg.la1Micro + (msg.ny - 1) * msg.dyMicro
-          else msg.la1Micro - (msg.ny - 1) * msg.dyMicro) // La2
-    w.w32(if ((msg.scanMode & 0x80) != 0)
-            msg.lo1Micro - (msg.nx - 1) * msg.dxMicro
-          else msg.lo1Micro + (msg.nx - 1) * msg.dxMicro) // Lo2
+    // La2/Lo2 are the LAST SCANNED point (table 3.1 note 1) — NOT a
+    // diagonal corner. Under boustrophedon (0x10) runs alternate direction,
+    // so with an even run count the last point's cross-run coordinate
+    // returns to the START edge. Writing these spec-faithfully is what lets
+    // the specs catch a decoder that trusts them for geometry.
+    val jCons = (msg.scanMode & 0x20) != 0
+    val alt = (msg.scanMode & 0x10) != 0
+    val (nRuns, runLen) = if (jCons) (msg.nx, msg.ny) else (msg.ny, msg.nx)
+    val tLast = if (alt && ((nRuns - 1) & 1) == 1) 0 else runLen - 1
+    val iSteps = if (jCons) nRuns - 1 else tLast // i displacement, scan frame
+    val jSteps = if (jCons) tLast else nRuns - 1 // j displacement, scan frame
+    w.s32(if (msg.gridTemplate == 40) {
+            // gaussian rows mirror about the equator; the last point's scan
+            // row is 0 or ny-1 by construction of tLast
+            if (jSteps == 0) msg.la1Micro else -msg.la1Micro
+          } else msg.la1Micro +
+            (if ((msg.scanMode & 0x40) != 0) 1 else -1) * jSteps * msg.dyMicro)
+    w.w32(msg.lo1Micro +
+      (if ((msg.scanMode & 0x80) != 0) -1 else 1) * iSteps * msg.dxMicro)
     w.w32(msg.dxMicro)              // Di
     // 3.0: Dj in micro-degrees. 3.40: N, parallels pole↔equator (= Nj/2)
     w.w32(if (msg.gridTemplate == 40) msg.ny / 2 else msg.dyMicro)
