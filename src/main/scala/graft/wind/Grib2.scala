@@ -438,6 +438,17 @@ object Grib2 {
             require(tmpl == 0 || tmpl == 40,
               s"unsupported grid template 3.$tmpl")
             gridTmpl = tmpl
+            // octet 11: octets per entry in the optional list of numbers —
+            // non-zero marks a quasi-regular (thinned/reduced) grid whose
+            // per-row point counts vary (Ni is coded missing); there is no
+            // dense nx·ny layout to decode into. The reference's
+            // netCDF-Java path handles these; refuse loudly rather than
+            // mis-address through a bogus nx
+            val optListOctets = u8(payload, p + 10)
+            require(optListOctets == 0,
+              "unsupported quasi-regular (thinned) grid: per-row point " +
+                s"counts present ($optListOctets-octet list entries); only " +
+                "dense rectangular 3.0/3.40 grids decode in-engine")
             numberPoints = u32(payload, p + 6).toInt // octets 7-10
             shape = u8(payload, p + 14)            // shape of earth, octet 15
             nx = u32(payload, p + 30).toInt        // Ni, octets 31-34

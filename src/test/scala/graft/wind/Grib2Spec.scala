@@ -407,6 +407,24 @@ class Grib2Spec extends AnyFunSuite {
     assert(decoded.data(0) == canonical(0).toDouble)
   }
 
+  test("JPEG2000 packing (5.40, the NOAA 0p25/0p50 encoding) refuses by name") {
+    val err = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(
+        msg().copy(packing = Grib2TestWriter.Jpeg2000Packing)))
+    }
+    assert(err.getMessage.contains("5.40") &&
+      err.getMessage.contains("JPEG2000"), err.getMessage)
+  }
+
+  test("quasi-regular (thinned/reduced) grids refuse by name") {
+    // reduced gaussian: template 3.40 plus a per-row point-count list
+    val err = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(
+        msg().copy(gridTemplate = 40, thinnedListOctets = 1)))
+    }
+    assert(err.getMessage.contains("quasi-regular"), err.getMessage)
+  }
+
   test("scanning modes with reserved bits 5-8 refuse loudly") {
     val err = intercept[IllegalArgumentException] {
       Grib2.decode(Grib2TestWriter.message(msg().copy(scanMode = 0x08)))

@@ -22,6 +22,12 @@ object Grib2TestWriter {
   /** Template 5.41: the data section is a grayscale PNG of the grid. */
   case object PngPacking extends PackingSpec
 
+  /** Template 5.40 (JPEG2000) header as NOAA 0p25/0p50 pgrb2 products carry
+    * it — exists to pin the decoder's loud refusal (the JDK has no JPEG2000
+    * codec), not to round-trip.
+    */
+  case object Jpeg2000Packing extends PackingSpec
+
   /** One field's worth of message content. `m` carries the raw X integers:
     * the full `nx·ny` grid without a bitmap, or just the present points'
     * values with one (`bitmap.count(true) == m.length`). `forecastHours` is
@@ -43,7 +49,10 @@ object Grib2TestWriter {
       missingMask: Option[Array[Boolean]] = None,
       packing: PackingSpec = SimplePacking,
       gridTemplate: Int = 0,
-      scanMode: Int = 0)
+      scanMode: Int = 0,
+      // non-zero writes a quasi-regular (thinned) grid marker: octet 11 of
+      // section 3 = octets per entry of the per-row point-count list
+      thinnedListOctets: Int = 0)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -132,7 +141,10 @@ object Grib2TestWriter {
   private def sec3(msg: Msg): Array[Byte] = section(3) { w =>
     w.w8(0)                         // source of grid definition
     w.w32(msg.nx.toLong * msg.ny)   // number of data points
-    w.w8(0); w.w8(0)                // no optional list
+    // octets 11-12: optional list of numbers (per-row counts) — 0/0 for
+    // dense grids; a non-zero entry width marks a quasi-regular grid
+    w.w8(msg.thinnedListOctets)
+    w.w8(if (msg.thinnedListOctets != 0) 1 else 0)
     w.w16(msg.gridTemplate)         // 3.0 regular lat/lon or 3.40 gaussian
     w.w8(6)                         // shape of earth
     w.w8(0); w.w32(0)               // radius scale factor + value
@@ -340,10 +352,27 @@ object Grib2TestWriter {
     s5 ++ sec6(msg) ++ section(7)(_.out.write(bos.toByteArray))
   }
 
+  private def sec567Jpeg2000(msg: Msg): Array[Byte] = {
+    val s5 = section(5) { w5 =>
+      w5.w32(msg.m.length)
+      w5.w16(40)          // template 5.40: JPEG2000 packing
+      w5.f32(msg.r); w5.s16(msg.e); w5.s16(msg.d)
+      w5.w8(msg.nbits)    // bit depth
+      w5.w8(0)            // original field type: float
+      w5.w8(0)            // compression type: lossless
+      w5.w8(255)          // target compression ratio: missing (lossless)
+    }
+    // section 7 would carry a JPEG2000 codestream (SOC+SIZ marker prefix
+    // here); the decoder must refuse at section 5 before reading it
+    s5 ++ sec6(msg) ++ section(7)(_.out.write(
+      Array[Byte](0xff.toByte, 0x4f, 0xff.toByte, 0x51)))
+  }
+
   private def sec567(msg: Msg): Array[Byte] = msg.packing match {
     case SimplePacking      => sec567Simple(msg)
     case cx: ComplexPacking => sec567Complex(msg, cx)
     case PngPacking         => sec567Png(msg)
+    case Jpeg2000Packing    => sec567Jpeg2000(msg)
   }
 
   private def envelope(head: Msg, body: Array[Byte]): Array[Byte] = {
