@@ -138,6 +138,13 @@ object Grib2 {
     */
   private final case class PngPacked(r: Float, e: Int, d: Int, nbits: Int)
       extends Packing
+  /** Template 5.40: the data section is a raw JPEG2000 codestream of the
+    * grid (the encoding NOAA 0p25/0p50 pgrb2 products use). Decoded
+    * in-engine by [[Jpeg2000]] — lossless 5/3 profile; lossy 9/7 and other
+    * out-of-profile codestreams refuse loudly by feature name.
+    */
+  private final case class Jpeg2000Packed(r: Float, e: Int, d: Int, nbits: Int)
+      extends Packing
   /** Templates 5.2 (`spatialOrder == 0`) and 5.3 (order 1 or 2).
     * `missingMode` 0 = none, 1 = primary, 2 = primary+secondary in-group
     * missing markers (octet 23) — both decode to NaN like bitmap holes.
@@ -265,6 +272,25 @@ object Grib2 {
     * the packed values (grayscale for depth ≤ 16, RGB/RGBA octets
     * big-endian-concatenated for 24/32).
     */
+  /** Unpack a JPEG2000-packed (template 7.40) data section: the section
+    * body is one raw codestream whose samples are the X integers of the
+    * decode formula. An empty body with nbits = 0 is the constant-field
+    * form (every X = 0, value = R/10^D), mirroring simple packing.
+    */
+  private def unpackJpeg2000(b: Array[Byte], start: Int, len: Int,
+                             nData: Int): Array[Long] = {
+    if (len == 0) return new Array[Long](nData)
+    val img = Jpeg2000.decode(java.util.Arrays.copyOfRange(b, start, start + len))
+    require(img.width.toLong * img.height == nData,
+      s"JPEG2000 grid is ${img.width} x ${img.height} but section 5 " +
+        s"declares $nData points")
+    require(!img.signed, "JPEG2000-packed fields are unsigned integers")
+    val out = new Array[Long](nData)
+    var i = 0
+    while (i < nData) { out(i) = img.samples(i).toLong; i += 1 }
+    out
+  }
+
   private def unpackPng(b: Array[Byte], start: Int, len: Int, nData: Int,
                         nbits: Int): Array[Long] = {
     val img = javax.imageio.ImageIO.read(
@@ -576,13 +602,7 @@ object Grib2 {
                   } else (0, 0)
                 Complex(r, e, d, nbits, order, octets, ng, refW, bitsW,
                   refL, incL, lastL, bitsL, missing)
-              case 40 => throw new IllegalArgumentException(
-                "unsupported data representation template 5.40 " +
-                  "(JPEG2000 packing): the JDK ships no JPEG2000 codec. " +
-                  "The reference decodes these via grib2json's bundled " +
-                  "netCDF-Java reader; re-encode the product with simple " +
-                  "(5.0), complex (5.2/5.3) or PNG (5.41) packing, all of " +
-                  "which this engine decodes in-engine")
+              case 40 => Jpeg2000Packed(r, e, d, nbits)
               case t => throw new IllegalArgumentException(
                 s"unsupported data representation template 5.$t")
             }
@@ -608,6 +628,8 @@ object Grib2 {
                     case c: Complex => unpackComplex(payload, p + 5, nData, c)
                     case g: PngPacked =>
                       (unpackPng(payload, p + 5, secLen - 5, nData, g.nbits), null)
+                    case _: Jpeg2000Packed =>
+                      (unpackJpeg2000(payload, p + 5, secLen - 5, nData), null)
                   }
                   val twoPowE = math.pow(2, packing.e)
                   val tenPowD = math.pow(10, packing.d)

@@ -115,8 +115,12 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
-  test("JPEG2000 packing 5.40 fails with a crisp, named error") {
-    // patch a good message's section-5 template number (octets 10-11) to 40
+  test("5.40 with a non-codestream data section fails loudly, not garbage") {
+    // patch a good SIMPLE-packed message's section-5 template (octets
+    // 10-11) to 40: section 7 then holds bit-packed data, not a JPEG2000
+    // codestream — the decoder must refuse on the missing SOC marker
+    // rather than mis-decode (5.40 itself round-trips; see the
+    // "decodes end-to-end" test and Jpeg2000Spec)
     val good = Grib2TestWriter.message(msg())
     def u32(b: Array[Byte], i: Int): Int =
       ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
@@ -126,10 +130,7 @@ class Grib2Spec extends AnyFunSuite {
     val patched = good.clone()
     patched(p + 9) = 0; patched(p + 10) = 40
     val e = intercept[IllegalArgumentException] { Grib2.decode(patched) }
-    assert(e.getMessage.contains("5.40"))
-    assert(e.getMessage.contains("JPEG2000"))
-    assert(e.getMessage.contains("netCDF-Java"),
-      "error must name the reference's decode path for the gap")
+    assert(e.getMessage.contains("SOC"), e.getMessage)
   }
 
   // ------------------------------------------ complex packing and bitmaps
@@ -407,13 +408,32 @@ class Grib2Spec extends AnyFunSuite {
     assert(decoded.data(0) == canonical(0).toDouble)
   }
 
-  test("JPEG2000 packing (5.40, the NOAA 0p25/0p50 encoding) refuses by name") {
+  test("JPEG2000 packing (5.40, the NOAA 0p25/0p50 encoding) decodes end-to-end") {
+    // committed fixture: jj2000-encoded 8×4 grid of (i*2917+13) mod 256,
+    // cross-checked against netCDF's Grib2JpegDecoder (FIXTURES.md §4)
+    val cs = Jpeg2000Spec.fixture("g8x4d8.j2k")
+    val expected = Array.tabulate(32)(i => ((i * 2917L + 13L) % 256).toLong)
+    val decoded = Grib2.decode(Grib2TestWriter.message(
+      msg(nbits = 8, m = expected)
+        .copy(packing = Grib2TestWriter.Jpeg2000Packing(cs)))).head
+    assert(decoded.data.toSeq == expected.map(_.toDouble).toSeq)
+    // scale factors apply to the JPEG2000 samples like any other packing
+    val scaled = Grib2.decode(Grib2TestWriter.message(
+      msg(nbits = 8, m = expected, r = 50f, e = 1, d = 1)
+        .copy(packing = Grib2TestWriter.Jpeg2000Packing(cs)))).head
+    assert(scaled.data.toSeq ==
+      expected.map(x => (50.0 + x * 2.0) / 10.0).toSeq)
+  }
+
+  test("lossy 9/7 JPEG2000 refuses by feature name, never silently decodes") {
     val err = intercept[IllegalArgumentException] {
       Grib2.decode(Grib2TestWriter.message(
-        msg().copy(packing = Grib2TestWriter.Jpeg2000Packing)))
+        msg(nbits = 8, m = Array.fill(32)(0L)).copy(packing =
+          Grib2TestWriter.Jpeg2000Packing(
+            Jpeg2000Spec.fixture("lossy97_16x8d8.j2k")))))
     }
-    assert(err.getMessage.contains("5.40") &&
-      err.getMessage.contains("JPEG2000"), err.getMessage)
+    assert(err.getMessage.contains("9/7") || err.getMessage.contains("quant"),
+      err.getMessage)
   }
 
   test("quasi-regular (thinned/reduced) grids refuse by name") {

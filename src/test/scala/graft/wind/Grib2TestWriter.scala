@@ -22,11 +22,13 @@ object Grib2TestWriter {
   /** Template 5.41: the data section is a grayscale PNG of the grid. */
   case object PngPacking extends PackingSpec
 
-  /** Template 5.40 (JPEG2000) header as NOAA 0p25/0p50 pgrb2 products carry
-    * it — exists to pin the decoder's loud refusal (the JDK has no JPEG2000
-    * codec), not to round-trip.
+  /** Template 5.40 (JPEG2000) as NOAA 0p25/0p50 pgrb2 products carry it.
+    * The writer has no JPEG2000 encoder; `codestream` is a pre-encoded raw
+    * codestream (the committed fixtures were produced by the public jj2000
+    * encoder and cross-checked against netCDF's Grib2JpegDecoder — see
+    * FIXTURES.md §4) spliced verbatim into section 7.
     */
-  case object Jpeg2000Packing extends PackingSpec
+  final case class Jpeg2000Packing(codestream: Array[Byte]) extends PackingSpec
 
   /** One field's worth of message content. `m` carries the raw X integers:
     * the full `nx·ny` grid without a bitmap, or just the present points'
@@ -352,7 +354,7 @@ object Grib2TestWriter {
     s5 ++ sec6(msg) ++ section(7)(_.out.write(bos.toByteArray))
   }
 
-  private def sec567Jpeg2000(msg: Msg): Array[Byte] = {
+  private def sec567Jpeg2000(msg: Msg, cs: Array[Byte]): Array[Byte] = {
     val s5 = section(5) { w5 =>
       w5.w32(msg.m.length)
       w5.w16(40)          // template 5.40: JPEG2000 packing
@@ -362,17 +364,14 @@ object Grib2TestWriter {
       w5.w8(0)            // compression type: lossless
       w5.w8(255)          // target compression ratio: missing (lossless)
     }
-    // section 7 would carry a JPEG2000 codestream (SOC+SIZ marker prefix
-    // here); the decoder must refuse at section 5 before reading it
-    s5 ++ sec6(msg) ++ section(7)(_.out.write(
-      Array[Byte](0xff.toByte, 0x4f, 0xff.toByte, 0x51)))
+    s5 ++ sec6(msg) ++ section(7)(_.out.write(cs))
   }
 
   private def sec567(msg: Msg): Array[Byte] = msg.packing match {
-    case SimplePacking      => sec567Simple(msg)
-    case cx: ComplexPacking => sec567Complex(msg, cx)
-    case PngPacking         => sec567Png(msg)
-    case Jpeg2000Packing    => sec567Jpeg2000(msg)
+    case SimplePacking        => sec567Simple(msg)
+    case cx: ComplexPacking   => sec567Complex(msg, cx)
+    case PngPacking           => sec567Png(msg)
+    case Jpeg2000Packing(cs)  => sec567Jpeg2000(msg, cs)
   }
 
   private def envelope(head: Msg, body: Array[Byte]): Array[Byte] = {

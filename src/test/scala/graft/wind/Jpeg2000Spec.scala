@@ -1,0 +1,68 @@
+package graft.wind
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture provenance (FIXTURES.md §4): every `g{W}x{H}d{D}.j2k` under
+  * `src/test/resources/jpeg2000/` is a raw lossless codestream of the
+  * deterministic grid `v(i) = (i·2917 + 13) mod 2^D` (row-major W×H),
+  * encoded by the PUBLIC jj2000 encoder (bundled in netCDF-Java's grib
+  * module — the exact library the reference's grib2json uses for 5.40) and
+  * cross-checked at generation time against netCDF's own
+  * `Grib2JpegDecoder`. The spec therefore tests this decoder against a
+  * REAL third-party encoder, not against itself.
+  */
+object Jpeg2000Spec {
+  def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/jpeg2000/$name")
+    require(in != null, s"missing fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  def expected(w: Int, h: Int, depth: Int): Array[Int] =
+    Array.tabulate(w * h)(i => ((i * 2917L + 13L) % (1L << depth)).toInt)
+}
+
+class Jpeg2000Spec extends AnyFunSuite {
+  import Jpeg2000Spec._
+
+  private val grids = Seq(
+    // (file, w, h, depth) — shapes chosen to stress the decoder: tiny grids
+    // that collapse to 1×1 through 5 DWT levels, odd dimensions, multiple
+    // code-blocks per subband, 12/16-bit depths, and the real GFS 1p00
+    // 360×181 grid shape
+    ("g8x4d8.j2k", 8, 4, 8),
+    ("g7x5d8.j2k", 7, 5, 8),
+    ("g64x64d8.j2k", 64, 64, 8),
+    ("g33x17d12.j2k", 33, 17, 12),
+    ("g100x50d16.j2k", 100, 50, 16),
+    ("g360x181d12.j2k", 360, 181, 12))
+
+  for ((name, w, h, d) <- grids)
+    test(s"decodes jj2000-encoded $name bit-exactly") {
+      val img = Jpeg2000.decode(fixture(name))
+      assert(img.width == w && img.height == h && img.depth == d)
+      assert(!img.signed)
+      val want = expected(w, h, d)
+      val got = img.samples
+      assert(got.length == want.length)
+      val firstBad = got.indices.find(i => got(i) != want(i))
+      assert(firstBad.isEmpty,
+        firstBad.map(i => s"first mismatch at $i: ${got(i)} != ${want(i)}")
+          .getOrElse(""))
+    }
+
+  test("lossy 9/7 codestreams refuse by feature name") {
+    val err = intercept[IllegalArgumentException] {
+      Jpeg2000.decode(fixture("lossy97_16x8d8.j2k"))
+    }
+    assert(err.getMessage.contains("9/7") || err.getMessage.contains("quant"),
+      err.getMessage)
+  }
+
+  test("non-codestream bytes refuse on the missing SOC marker") {
+    val err = intercept[IllegalArgumentException] {
+      Jpeg2000.decode(Array[Byte](0x00, 0x01, 0x02, 0x03))
+    }
+    assert(err.getMessage.contains("SOC"))
+  }
+}
