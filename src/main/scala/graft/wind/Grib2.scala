@@ -360,6 +360,51 @@ object Grib2 {
     * is relative to the FIRST run's direction), then mirror i and/or j
     * globally, transposing run/offset into (i,j) per 0x20.
     */
+  /** Expand quasi-regular (thinned) rows to a dense `nx`-wide grid by
+    * natural cubic spline over uniform x = 0..n−1 per row, evaluated at
+    * x = i·(n−1)/(nx−1) — the interpolation netCDF-Java's `QuasiRegular`
+    * applies to the same files (`convertQuasiGrid`; its 1e30 boundary
+    * markers are the Numerical-Recipes "natural spline" convention).
+    * Grib2Spec pins this against reference-generated goldens. Rows whose
+    * length equals nx pass through bit-exactly (the spline interpolates its
+    * knots). Each row needs ≥ 2 points — enforced at parse.
+    */
+  private[wind] def expandThinned(vals: Array[Double], rows: Array[Int],
+                                  nx: Int): Array[Double] = {
+    val out = new Array[Double](nx * rows.length)
+    var off = 0
+    var j = 0
+    while (j < rows.length) {
+      val n = rows(j)
+      // natural cubic spline second derivatives: uniform-x tridiagonal
+      val y2 = new Array[Double](n)
+      val u = new Array[Double](n)
+      var i = 1
+      while (i < n - 1) {
+        val p = 0.5 * y2(i - 1) + 2.0
+        y2(i) = -0.5 / p
+        u(i) = vals(off + i + 1) - 2.0 * vals(off + i) + vals(off + i - 1)
+        u(i) = (3.0 * u(i) - 0.5 * u(i - 1)) / p
+        i += 1
+      }
+      var k = n - 2
+      while (k >= 0) { y2(k) = y2(k) * y2(k + 1) + u(k); k -= 1 }
+      i = 0
+      while (i < nx) {
+        val x = if (nx == 1) 0.0 else i.toDouble * (n - 1) / (nx - 1)
+        val klo = math.max(0, math.min(n - 2, x.toInt))
+        val a = (klo + 1) - x
+        val b = x - klo
+        out(j * nx + i) = a * vals(off + klo) + b * vals(off + klo + 1) +
+          ((a * a * a - a) * y2(klo) + (b * b * b - b) * y2(klo + 1)) / 6.0
+        i += 1
+      }
+      off += n
+      j += 1
+    }
+    out
+  }
+
   private[wind] def normalizeScan(vals: Array[Double], nx: Int, ny: Int,
                                   scan: Int): Array[Double] = {
     if (scan == 0 || vals.isEmpty) return vals
@@ -432,6 +477,7 @@ object Grib2 {
       var productStatus = 0; var productType = 0
       var numberPoints = 0; var shape = 0; var basicAngle = 0
       var resolution = 0; var gridTmpl = 0; var scanRaw = 0
+      var rowCounts: Array[Int] = null // non-null ⇔ quasi-regular grid
       // field-scoped state, reset after every data section (sections 4-7
       // legally repeat within one message — each repetition is one field)
       var forecastHours = 0
@@ -464,17 +510,15 @@ object Grib2 {
             require(tmpl == 0 || tmpl == 40,
               s"unsupported grid template 3.$tmpl")
             gridTmpl = tmpl
-            // octet 11: octets per entry in the optional list of numbers —
-            // non-zero marks a quasi-regular (thinned/reduced) grid whose
-            // per-row point counts vary (Ni is coded missing); there is no
-            // dense nx·ny layout to decode into. The reference's
-            // netCDF-Java path handles these; refuse loudly rather than
-            // mis-address through a bogus nx
+            // octets 11-12: optional list of numbers — non-zero entry width
+            // marks a quasi-regular (thinned/reduced) grid whose per-row
+            // point counts vary (Ni and Di are coded missing). Decoded
+            // below by expanding each row to the longest row with the
+            // natural-cubic-spline interpolation netCDF-Java's QuasiRegular
+            // applies to the same files (spec-pinned against its output);
+            // unsupported combinations refuse by name
             val optListOctets = u8(payload, p + 10)
-            require(optListOctets == 0,
-              "unsupported quasi-regular (thinned) grid: per-row point " +
-                s"counts present ($optListOctets-octet list entries); only " +
-                "dense rectangular 3.0/3.40 grids decode in-engine")
+            val optListInterp = u8(payload, p + 11)
             numberPoints = u32(payload, p + 6).toInt // octets 7-10
             shape = u8(payload, p + 14)            // shape of earth, octet 15
             nx = u32(payload, p + 30).toInt        // Ni, octets 31-34
@@ -511,6 +555,34 @@ object Grib2 {
               f"unsupported scanning mode 0x$scan%02x " +
                 "(bits 5-8: staggered/offset grids)")
             scanRaw = scan
+            rowCounts = null
+            if (optListOctets != 0) {
+              // quasi-regular profile: the list gives points per parallel
+              // (interpretation 1), canonical scan order, every row wide
+              // enough for the cubic spline to be defined
+              require(optListInterp == 1,
+                "unsupported quasi-regular grid: optional-list " +
+                  s"interpretation $optListInterp (only 1 = points per row)")
+              require(scan == 0,
+                f"unsupported quasi-regular grid with scan mode 0x$scan%02x" +
+                  " (only canonical +i,-j row-major)")
+              require(optListOctets == 1 || optListOctets == 2,
+                s"unsupported $optListOctets-octet row-count list entries")
+              require(secLen >= 72 + optListOctets * ny,
+                s"section 3 too short ($secLen) for a $ny-row count list")
+              rowCounts = Array.tabulate(ny) { j =>
+                if (optListOctets == 1) u8(payload, p + 72 + j)
+                else u16(payload, p + 72 + 2 * j)
+              }
+              rowCounts.foreach(n => require(n >= 2,
+                s"quasi-regular row of $n points (spline needs at least 2)"))
+              require(rowCounts.sum == numberPoints,
+                s"row counts sum ${rowCounts.sum} != $numberPoints points")
+              // Ni and Di are coded missing on the wire: the dense emitted
+              // grid is the longest row; its spacing spans wire Lo1..Lo2
+              nx = rowCounts.max
+              dx = (u32(payload, p + 59) / 1e6 - lo1) / (nx - 1)
+            }
             // Canonical corners derive from the FIRST point alone. The wire
             // La2/Lo2 are the LAST SCANNED point (table 3.1 note 1), NOT a
             // diagonal corner: under boustrophedon (0x10) with an even run
@@ -637,11 +709,23 @@ object Grib2 {
                     if (rawMissing != null && rawMissing(x)) Double.NaN
                     else (packing.r + raw(x) * twoPowE) / tenPowD
                   }
-                  val full = if (bitmap == null) vals
-                             else applyBitmap(vals, bitmap)
-                  // bitmap holes travel with their cells: the bitmap is in
-                  // scan order too, so expand first, then reorder
-                  normalizeScan(full, nx, ny, scanRaw)
+                  if (rowCounts != null) {
+                    // quasi-regular: expand each thinned row to the dense
+                    // nx-wide grid (scan 0 enforced at parse, so no
+                    // normalization step). A bitmap would put NaN holes
+                    // under the spline — undefined; refuse loudly.
+                    require(bitmap == null,
+                      "unsupported quasi-regular grid with a bitmap " +
+                        "(section 6): interpolation across masked points " +
+                        "is undefined")
+                    expandThinned(vals, rowCounts, nx)
+                  } else {
+                    val full = if (bitmap == null) vals
+                               else applyBitmap(vals, bitmap)
+                    // bitmap holes travel with their cells: the bitmap is in
+                    // scan order too, so expand first, then reorder
+                    normalizeScan(full, nx, ny, scanRaw)
+                  }
                 }
               out += WindBinary.GribMessage(
                 discipline = discipline, parameterCategory = cat,
@@ -653,7 +737,11 @@ object Grib2 {
                 significanceOfRT = significanceOfRT,
                 productStatus = productStatus, productType = productType,
                 productDefinitionTemplate = 0, genProcessType = genProcessType,
-                gridDefinitionTemplate = gridTmpl, numberPoints = numberPoints,
+                gridDefinitionTemplate = gridTmpl,
+                // quasi-regular grids emit the EXPANDED dense layout (the
+                // netCDF-Java convention), so numberPoints == data.length
+                numberPoints =
+                  if (rowCounts != null) nx * ny else numberPoints,
                 shape = shape, basicAngle = basicAngle,
                 resolution = resolution, scanMode = 0,
                 la2 = la2, lo2 = lo2,

@@ -436,13 +436,71 @@ class Grib2Spec extends AnyFunSuite {
       err.getMessage)
   }
 
-  test("quasi-regular (thinned/reduced) grids refuse by name") {
-    // reduced gaussian: template 3.40 plus a per-row point-count list
-    val err = intercept[IllegalArgumentException] {
+  // reduced-gaussian row profile shared by the quasi-regular tests:
+  // symmetric about the equator, values v(i) = (i*37 mod 101)/10
+  private val QRows = Seq(2, 5, 8, 8, 5, 2)
+  private val QVals = Array.tabulate(QRows.sum)(i => (i * 37 % 101).toLong)
+
+  test("quasi-regular (thinned) grids decode via the netCDF spline expansion") {
+    // expansion semantics golden: generated by netCDF-Java's own
+    // QuasiRegular.convertQuasiGrid over the identical input (the decode
+    // path grib2json rides for the same files) — reference-checked, not
+    // self-checked
+    val golden = Seq(
+      Seq(0.0, 0.5285715, 1.057143, 1.5857143, 2.114286, 2.6428573,
+        3.1714287, 3.7),
+      Seq(7.4, 2.7711368, 0.9543732, 2.9803207, 6.4196796, 8.445626,
+        6.6288624, 2.0),
+      Seq(5.7, 9.4, 3.0, 6.7, 0.3, 4.0, 7.7, 1.3),
+      Seq(5.0, 8.7, 2.3, 6.0, 9.7, 3.3, 7.0, 0.6),
+      Seq(4.3, 7.733049, 7.3601933, 3.0657537, 1.6317891, 4.47171,
+        7.2327576, 9.0),
+      Seq(2.6, 3.1285715, 3.6571429, 4.1857142, 4.714286, 5.2428575,
+        5.7714286, 6.3))
+    val decoded = Grib2.decode(Grib2TestWriter.message(
+      msg(m = QVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 40,
+        rowCounts = Some(QRows)))
+      ).head
+    assert(decoded.nx == 8 && decoded.ny == 6 && decoded.numberPoints == 48)
+    assert(decoded.data.length == 48)
+    val flat = golden.flatten
+    decoded.data.zip(flat).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(math.abs(got - want) < 1e-4, s"point $i: $got != $want")
+    }
+    // rows already at full width pass through bit-exactly (spline knots)
+    assert(decoded.data.slice(16, 32).toSeq ==
+      QVals.slice(7, 23).map(_ / 10.0).toSeq)
+  }
+
+  test("quasi-regular refusal battery: unsupported combinations named") {
+    // bitmap + thinned: interpolation across holes is undefined
+    val bm = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(
+        msg(m = QVals.filterNot(_ == QVals(3)), d = 1).copy(
+          nx = 8, ny = 6, gridTemplate = 40, rowCounts = Some(QRows),
+          bitmap = Some(Array.tabulate(QRows.sum)(_ != 3)))))
+    }
+    assert(bm.getMessage.contains("bitmap"), bm.getMessage)
+    // non-canonical scan order
+    val sc = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(
+        msg(m = QVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 40,
+          rowCounts = Some(QRows), scanMode = 0x40)))
+    }
+    assert(sc.getMessage.contains("scan mode"), sc.getMessage)
+    // a row too short for the spline
+    val sh = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(
+        msg(m = QVals.take(29), d = 1).copy(nx = 8, ny = 6, gridTemplate = 40,
+          rowCounts = Some(Seq(1, 5, 8, 8, 5, 2)))))
+    }
+    assert(sh.getMessage.contains("at least 2"), sh.getMessage)
+    // marker without a list body: the in-section bounds check fires
+    val mk = intercept[IllegalArgumentException] {
       Grib2.decode(Grib2TestWriter.message(
         msg().copy(gridTemplate = 40, thinnedListOctets = 1)))
     }
-    assert(err.getMessage.contains("quasi-regular"), err.getMessage)
+    assert(mk.getMessage.contains("too short"), mk.getMessage)
   }
 
   test("scanning modes with reserved bits 5-8 refuse loudly") {

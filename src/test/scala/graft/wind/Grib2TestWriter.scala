@@ -53,8 +53,13 @@ object Grib2TestWriter {
       gridTemplate: Int = 0,
       scanMode: Int = 0,
       // non-zero writes a quasi-regular (thinned) grid marker: octet 11 of
-      // section 3 = octets per entry of the per-row point-count list
-      thinnedListOctets: Int = 0)
+      // section 3 = octets per entry of the per-row point-count list —
+      // WITHOUT a list body (malformed-input tests)
+      thinnedListOctets: Int = 0,
+      // a real quasi-regular grid: per-row point counts (2-octet entries);
+      // Ni/Di are then coded missing, number of points = the counts' sum,
+      // and `m` holds the concatenated thinned rows
+      rowCounts: Option[Seq[Int]] = None)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -142,17 +147,26 @@ object Grib2TestWriter {
 
   private def sec3(msg: Msg): Array[Byte] = section(3) { w =>
     w.w8(0)                         // source of grid definition
-    w.w32(msg.nx.toLong * msg.ny)   // number of data points
+    w.w32(msg.rowCounts match {     // number of data points
+      case Some(rc) => rc.sum.toLong
+      case None     => msg.nx.toLong * msg.ny
+    })
     // octets 11-12: optional list of numbers (per-row counts) — 0/0 for
     // dense grids; a non-zero entry width marks a quasi-regular grid
-    w.w8(msg.thinnedListOctets)
-    w.w8(if (msg.thinnedListOctets != 0) 1 else 0)
+    val listOctets =
+      if (msg.rowCounts.isDefined) 2 else msg.thinnedListOctets
+    w.w8(listOctets)
+    w.w8(if (listOctets != 0) 1 else 0)
     w.w16(msg.gridTemplate)         // 3.0 regular lat/lon or 3.40 gaussian
     w.w8(6)                         // shape of earth
     w.w8(0); w.w32(0)               // radius scale factor + value
     w.w8(0); w.w32(0)               // major axis
     w.w8(0); w.w32(0)               // minor axis
-    w.w32(msg.nx); w.w32(msg.ny)    // Ni, Nj
+    // Ni is coded missing for quasi-regular grids (rows vary); callers set
+    // msg.nx = max(rowCounts) so the La2/Lo2 last-point math below spans
+    // the longest row, matching the expanded dense grid
+    w.w32(if (msg.rowCounts.isDefined) 0xffffffffL else msg.nx.toLong)
+    w.w32(msg.ny)                   // Nj
     w.w32(0); w.w32(0)              // basic angle + subdivisions
     w.s32(msg.la1Micro); w.w32(msg.lo1Micro) // La1, Lo1 (first point of scan)
     w.w8(48)                        // resolution/component flags
@@ -175,10 +189,13 @@ object Grib2TestWriter {
             (if ((msg.scanMode & 0x40) != 0) 1 else -1) * jSteps * msg.dyMicro)
     w.w32(msg.lo1Micro +
       (if ((msg.scanMode & 0x80) != 0) -1 else 1) * iSteps * msg.dxMicro)
-    w.w32(msg.dxMicro)              // Di
+    // Di is coded missing for quasi-regular grids
+    w.w32(if (msg.rowCounts.isDefined) 0xffffffffL else msg.dxMicro)
     // 3.0: Dj in micro-degrees. 3.40: N, parallels pole↔equator (= Nj/2)
     w.w32(if (msg.gridTemplate == 40) msg.ny / 2 else msg.dyMicro)
     w.w8(msg.scanMode)              // scanning mode flags (table 3.4)
+    // quasi-regular: the per-row point-count list follows the template
+    msg.rowCounts.foreach(_.foreach(w.w16))
   }
 
   private def sec4(msg: Msg): Array[Byte] = section(4) { w =>

@@ -35,7 +35,9 @@ class Jpeg2000Spec extends AnyFunSuite {
     ("g64x64d8.j2k", 64, 64, 8),
     ("g33x17d12.j2k", 33, 17, 12),
     ("g100x50d16.j2k", 100, 50, 16),
-    ("g360x181d12.j2k", 360, 181, 12))
+    ("g360x181d12.j2k", 360, 181, 12),
+    // encoded with SOP + EPH marker segments on (Psop/Peph)
+    ("gsop40x30d8.j2k", 40, 30, 8))
 
   for ((name, w, h, d) <- grids)
     test(s"decodes jj2000-encoded $name bit-exactly") {
