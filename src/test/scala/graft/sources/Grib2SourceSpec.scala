@@ -122,6 +122,33 @@ class Grib2SourceSpec extends SparkSpec {
       if (bm(i)) !v.isNaN else v.isNaN })
   }
 
+  test("JPEG2000 (5.40) and thinned-grid files read through the connector") {
+    val dir = tmpDir()
+    Files.createDirectories(Paths.get(dir))
+    // one 5.40 message (committed jj2000 fixture, 8x4 d8) and one
+    // quasi-regular reduced-gaussian message in the same landing dir
+    val j2kVals = Array.tabulate(32)(i => (i * 2917L + 13L) % 256)
+    val qRows = Seq(2, 5, 8, 8, 5, 2)
+    val qVals = Array.tabulate(qRows.sum)(i => (i * 37 % 101).toLong)
+    Files.write(Paths.get(s"$dir/j.grb2"), Grib2TestWriter.file(
+      m(2).copy(nbits = 8, r = 0f, m = j2kVals,
+        packing = Grib2TestWriter.Jpeg2000Packing(
+          graft.wind.Jpeg2000Spec.fixture("g8x4d8.j2k"))),
+      m(3).copy(ny = 6, r = 0f, d = 1, m = qVals, gridTemplate = 40,
+        rowCounts = Some(qRows))))
+    val rows = spark.read.format("grib2").load(dir)
+      .orderBy("parameterNumber")
+      .select("parameterNumber", "nx", "ny", "numberPoints", "data")
+      .collect()
+    assert(rows(0).getSeq[Double](4) == j2kVals.map(_.toDouble).toSeq)
+    // thinned grid expands to the dense 8-wide layout; full-width rows are
+    // the spline knots and pass through exactly
+    assert(rows(1).getInt(1) == 8 && rows(1).getInt(2) == 6 &&
+      rows(1).getInt(3) == 48)
+    assert(rows(1).getSeq[Double](4).slice(16, 32) ==
+      qVals.slice(7, 23).map(_ / 10.0).toSeq)
+  }
+
   test("executor-side readers see the session's Hadoop conf, not defaults") {
     val dir = tmpDir()
     land(dir)
