@@ -1483,6 +1483,75 @@ object ExtensionQueries {
        |SELECT doc_id, n_hits, first_pos FROM phits
        |ORDER BY n_hits DESC, doc_id LIMIT $PhraseTopK""".stripMargin
 
+  /** Merge candidates reported by x38. */
+  val BigramTopK = 30
+
+  /** Adjacent-word-pair (bigram) merge statistics — the first merge step a
+    * BPE-style tokenizer trainer computes over a corpus: the most frequent
+    * adjacent pairs with their occurrence and document counts. The pair
+    * extraction is `arrays_zip(slice, slice)` over the in-row token array —
+    * native codegen'd functions, no higher-order lambdas, no explode-join —
+    * so the corpus-sized work is map-only and the only shuffle carries
+    * (pair → partial counts), vocabulary²-bounded, corpus-sublinear. This
+    * is a word-count with a zipped key at any scale.
+    */
+  def bigramMerges(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("w1"),
+          slice(ws, lit(2), size(ws) - 1).as("w2"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_pairs").desc, col("w1"), col("w2"))
+      .limit(BigramTopK)
+  }
+
+  private val bigramMergesSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r)
+       |SELECT w1, w2, count(*) AS n_pairs,
+       |  count(DISTINCT doc_id) AS n_docs
+       |FROM b GROUP BY w1, w2
+       |ORDER BY n_pairs DESC, w1, w2 LIMIT $BigramTopK""".stripMargin
+
+  /** Per-source lexical diversity: document/token/type counts and the
+    * type-token ratio — the corpus-profile report a data-mixing decision
+    * reads next to x33's budgets. Exact long counts plus one double
+    * division (engine-portable); the distinct-(source, word) shuffle is
+    * vocabulary-bounded per source after partial aggregation, never
+    * token-cardinality.
+    */
+  def sourceTokenTypes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("source"),
+      explode(TextAnalysis.words(col("text"))).as("w"))
+    val perSource = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("w")).as("n_types"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(perSource, Seq("source"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .select("source", "n_docs", "n_tokens", "n_types", "ttr")
+      .orderBy("source")
+  }
+
+  private val sourceTokenTypesSql =
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |per AS (SELECT source, count(*) AS n_tokens,
+       |    count(DISTINCT w) AS n_types
+       |  FROM toks GROUP BY source),
+       |d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT d.source, n_docs, n_tokens, n_types,
+       |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+       |FROM d JOIN per USING (source) ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -1529,5 +1598,8 @@ object ExtensionQueries {
     QueryDef("x35_corpus_split", Some(corpusSplitSql), corpusSplit),
     QueryDef("x36_semantic_dedup", Some(semanticDedupSql), semanticDedup),
     QueryDef("x37_phrase_search", Some(phraseSearchSql), phraseSearch),
+    QueryDef("x38_bigram_merges", Some(bigramMergesSql), bigramMerges),
+    QueryDef("x39_source_token_types", Some(sourceTokenTypesSql),
+      sourceTokenTypes),
   )
 }

@@ -125,4 +125,43 @@ class CurationOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - r.getLong(2) / 1e6) < 1e-12)
     }
   }
+
+  test("bigram merges: pair extraction matches a hand-built example") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    // reuse the query's extraction shape on a controlled frame
+    val ws = TextAnalysis.words(col("text"))
+    val pairs = docs.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("w1"),
+          slice(ws, lit(2), size(ws) - 1).as("w2"))).as("p"))
+      .groupBy(col("p.w1"), col("p.w2"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("d"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(pairs(("a", "b")) == (3L, 2L))
+    assert(pairs(("b", "a")) == (1L, 1L))
+    assert(pairs(("b", "c")) == (1L, 1L))
+    assert(pairs(("b", "x")) == (1L, 1L))
+    assert(pairs.size == 4)
+    // the corpus query: descending counts, conservation of rank order
+    val rows = ExtensionQueries.bigramMerges(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= ExtensionQueries.BigramTopK)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(2),
+      "distinct docs cannot exceed pair occurrences"))
+  }
+
+  test("source token types: bounds and exact-division ttr") {
+    val rows = ExtensionQueries.sourceTokenTypes(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nTokens, nTypes, ttr) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nDocs >= 1 && nTypes >= 1 && nTypes <= nTokens)
+      assert(ttr == nTypes.toDouble / nTokens.toDouble, "exact division")
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+  }
 }
