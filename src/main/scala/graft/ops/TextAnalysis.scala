@@ -41,11 +41,13 @@ object TextAnalysis {
     */
   def languageId(text: Column): Column = {
     val hits = stopwordHits(text)
-    // CAUTION — when().otherwise(acc) folds duplicate the accumulator per
-    // step (O(2^n) tree). Safe ONLY at n = |profiles| ≈ 5; at larger n use a
-    // single linear node (see CentroidArgmin, round 6's 2^k regression).
-    val best = hits.map { case (lang, h) => struct(h.as("h"), lit(lang).as("l")) }
-      .reduce[Column]((a, b) => when(b.getField("h") > a.getField("h"), b).otherwise(a))
+    // linear argmax: array_max over (hits, -profileIdx, lang) structs — max
+    // hits first, tie → max -idx = EARLIEST profile, the same semantics as
+    // a later-wins-only-if-strictly-greater fold but with an O(n) tree. (A
+    // when().otherwise(acc) fold duplicates the accumulator per step:
+    // O(2^n) — the idiom behind round 6's 2^k kmeans regression.)
+    val best = array_max(array(hits.zipWithIndex.map { case ((lang, h), i) =>
+      struct(h.as("h"), lit(-i).as("r"), lit(lang).as("l")) }: _*))
     when(best.getField("h") > 0, best.getField("l")).otherwise(lit("und"))
   }
 

@@ -310,16 +310,13 @@ object ExtensionQueries {
     val perDoc = tok.join(broadcast(profile), "w")
       .groupBy(col("doc_id"), col("lang"))
       .agg(aggs.head, aggs.tail: _*)
-    // identical argmax to languageId: later profile wins only if strictly
-    // greater, so ties keep the earliest profile.
-    // CAUTION — this when().otherwise(acc) fold duplicates the accumulator
-    // per step: the tree is O(2^n). Safe ONLY because n = |stopword
-    // profiles| ≈ 5 and the struct is 2 tiny fields; at larger n use a
-    // single linear node (see CentroidArgmin, round 6's 2^k regression).
-    val best = TextAnalysis.stopwords.map { case (l, _) =>
-      struct(col(s"h_$l").as("h"), lit(l).as("l")) }
-      .reduce[Column]((a, b) =>
-        when(b.getField("h") > a.getField("h"), b).otherwise(a))
+    // identical argmax to languageId: linear array_max over
+    // (hits, -profileIdx, lang) structs — max hits, tie → earliest profile
+    // (the O(n) replacement for the O(2^n) when-fold idiom behind round 6's
+    // 2^k kmeans regression)
+    val best = array_max(array(
+      TextAnalysis.stopwords.zipWithIndex.map { case ((l, _), i) =>
+        struct(col(s"h_$l").as("h"), lit(-i).as("r"), lit(l).as("l")) }: _*))
     val classified = perDoc
       .select(col("lang"), best.getField("l").as("predicted"))
       .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
