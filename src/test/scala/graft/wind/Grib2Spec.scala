@@ -472,6 +472,21 @@ class Grib2Spec extends AnyFunSuite {
       QVals.slice(7, 23).map(_ / 10.0).toSeq)
   }
 
+  test("thinned LAT/LON grids (template 3.0 + row list) expand identically") {
+    // the expansion path is template-agnostic; 3.0 rows carry Dj spacing
+    val decoded = Grib2.decode(Grib2TestWriter.message(
+      msg(m = QVals, d = 1).copy(nx = 8, ny = 6,
+        rowCounts = Some(QRows)))).head
+    assert(decoded.gridDefinitionTemplate == 0)
+    assert(decoded.nx == 8 && decoded.ny == 6 && decoded.numberPoints == 48)
+    // full-width rows are spline knots: exact passthrough
+    assert(decoded.data.slice(16, 32).toSeq ==
+      QVals.slice(7, 23).map(_ / 10.0).toSeq)
+    // uniform-grid corners: la2 = la1 - (ny-1)dy; dx spans wire Lo1..Lo2
+    assert(decoded.la2 == decoded.la1 - 5.0)
+    assert(decoded.lo2 == decoded.lo1 + 7 * decoded.dx)
+  }
+
   test("quasi-regular refusal battery: unsupported combinations named") {
     // bitmap + thinned: interpolation across holes is undefined
     val bm = intercept[IllegalArgumentException] {

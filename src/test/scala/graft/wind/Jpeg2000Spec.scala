@@ -34,6 +34,8 @@ class Jpeg2000Spec extends AnyFunSuite {
     ("g7x5d8.j2k", 7, 5, 8),
     ("g64x64d8.j2k", 64, 64, 8),
     ("g33x17d12.j2k", 33, 17, 12),
+    // odd (non-byte-aligned) bit depth, as real NCEP fields carry
+    ("g50x20d11.j2k", 50, 20, 11),
     ("g100x50d16.j2k", 100, 50, 16),
     ("g360x181d12.j2k", 360, 181, 12),
     // encoded with SOP + EPH marker segments on (Psop/Peph)
