@@ -38,6 +38,36 @@ class CentroidArgminSpec extends SparkSpec {
     }
   }
 
+  test("property sweep: matches the reference argmin across k, dim, signs") {
+    withRegistry {
+      import spark.implicits._
+      val rnd = new scala.util.Random(97)
+      for (k <- Seq(1, 7, 33); dim <- Seq(1, 5)) {
+        // negative components too — distances stay non-negative but the
+        // dot/diff arithmetic must handle signed longs
+        val cents = (0 until k).map(c =>
+          c * 2 -> Seq.fill(dim)(rnd.nextInt(4001) - 2000L)) // sparse cids
+        val vecs = (0L until 60L).map(id =>
+          id -> Seq.fill(dim)(rnd.nextInt(4001) - 2000L))
+        val df = vecs.toDF("vec_id", "v")
+        val native = df.select(col("vec_id"),
+          GraftFunctions.centroid_argmin(col("v"),
+            typedlit(cents.map(_._1)), typedlit(cents.map(_._2))).as("b"))
+          .select(col("vec_id"), col("b.dist"), col("b.cid"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .sortBy(_._1)
+        val expected = vecs.map { case (id, v) =>
+          val scored = cents.map { case (cid, c) =>
+            (v.zip(c).map { case (a, b) => val t = a - b; t * t }.sum, cid) }
+          val best = scored.minBy(identity) // (dist, cid) lexicographic
+          (id, best._1, best._2)
+        }
+        assert(native.toSeq == expected,
+          s"k=$k dim=$dim diverged from the reference argmin")
+      }
+    }
+  }
+
   test("ties keep the lowest cid; interpreted eval matches codegen") {
     withRegistry {
       import spark.implicits._
