@@ -130,6 +130,25 @@ class StreamingSpec extends SparkSpec {
     WindStream.ingestBinaryOnce(spark, landing, table, s"$base/ckpt")
       .awaitTermination()
     assert(WindStore.read(spark, table).count() == 2)
+
+    // third trigger lands a JPEG2000-packed (5.40) U field at a NEWER
+    // refTime: the in-stream decoder takes the same path as batch, and the
+    // freshness gate upserts over the simple-packed predecessor
+    val j2kVals = Array.tabulate(32)(i => (i * 2917L + 13L) % 256)
+    Files.write(Paths.get(s"$landing/c2.grb2"),
+      Grib2TestWriter.file(m(2).copy(hour = 12,
+        m = j2kVals,
+        packing = Grib2TestWriter.Jpeg2000Packing(
+          graft.wind.Jpeg2000Spec.fixture("g8x4d8.j2k")))))
+    WindStream.ingestBinaryOnce(spark, landing, table, s"$base/ckpt")
+      .awaitTermination()
+    val after = WindStore.read(spark, table)
+    assert(after.count() == 3)
+    val u18 = after.filter(col("header.parameterNumber") === 2 &&
+        date_format(col("recorded_time"), "HH") === "18")
+      .select("data").collect()
+    assert(u18.length == 1)
+    assert(u18.head.getSeq[Double](0) == j2kVals.map(_.toDouble).toSeq)
   }
 
   test("tumbling window aggregation with watermark (streaming T2)") {
