@@ -489,9 +489,11 @@ object Similarity {
     * IEEE division plus the shared round-half-away-from-zero), so every
     * iteration is bit-reproducible across engines and partitionings.
     *
-    * Scale: per iteration, assignment is a map-only projection against k·dim
-    * LITERAL centroids (no join, no shuffle — same pattern as [[assignCell]])
-    * and the update is one (cid, pos) partial aggregation whose shuffle
+    * Scale: per iteration, assignment is a map-only projection through ONE
+    * native [[graft.functions.CentroidArgmin]] node whose k·dim centroid
+    * matrix rides along as a referenced `long[][]` (no join, no shuffle,
+    * and O(1) plan size at any k — see the expression-history note in
+    * `assign`), and the update is one (cid, pos) partial aggregation whose shuffle
     * carries k·dim rows, corpus-sublinear. The driver collects only the
     * k·dim component sums per iteration — bounded by the parameters, never
     * the corpus. Empty clusters drop (their ids simply stop appearing),
