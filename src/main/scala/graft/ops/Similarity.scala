@@ -543,10 +543,12 @@ object Similarity {
           .map(r => roundAway(r.getLong(2).toDouble / r.getLong(3))).toSeq
       }
     }
-    // nested CASE via reduceRight — each when-column takes `otherwise` once
-    val centSum = cents.sortBy(_._1).map { case (cid, c) =>
-      when(col("cid") === cid, lit(c.sum))
-    }.reduceRight[Column]((w, rest) => w.otherwise(rest))
+    // cid → Σ components as ONE map-literal lookup (a nested CASE chain is
+    // O(k) nodes — linear, not the 2^k fold, but still parameter-sized;
+    // the map literal is a single node at any k, and assignments only emit
+    // cids present in the map, so the lookup never misses)
+    val centSum = element_at(
+      typedlit(cents.map { case (cid, c) => cid -> c.sum }.toMap), col("cid"))
     assign(vq).withColumn("cent_sum", centSum)
   }
 

@@ -99,4 +99,23 @@ class PlanSpec extends SparkSpec {
       .head.metadata("ReadSchema")
     assert(!read.contains("props"), read)
   }
+
+  test("expression size stays O(1) in k: kmeans assign at k=200 (audit #5)") {
+    // PLANS.md checklist #5, executable: a clean plan SHAPE can hide a
+    // pathological expression TREE (round 6 shipped a 2^k argmin behind a
+    // "map-only Project"). The native CentroidArgmin node keeps the whole
+    // optimized plan parameter-independent — assert it at a k where the
+    // old literal-expansion form would blow past 100k nodes.
+    val em = graft.Tables.embeddings(spark, dir) // 500 vecs, dim 64
+    val assigned = graft.ops.Similarity.kmeansRefine(em, k = 200, iters = 0)
+    val nodes = assigned.queryExecution.optimizedPlan
+      .map(p => p.expressions.map(_.collect { case e => e }.size).sum).sum
+    assert(nodes < 500,
+      s"optimized-plan expression tree has $nodes nodes at k=200 — " +
+        "parameter-sized expressions belong in a native node")
+    // and the result is still a partition of the corpus
+    assert(assigned.groupBy("cid").count()
+      .agg(org.apache.spark.sql.functions.sum("count"))
+      .collect().head.getLong(0) == 500L)
+  }
 }
