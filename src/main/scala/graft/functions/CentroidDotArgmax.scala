@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native Catalyst expression: IVF cell assignment — the argmax of
+  * [[VectorDot]]-style dot products from an `array<float>` vector to a
+  * FOLDABLE centroid matrix, returning the winning cell id (`bigint`).
+  *
+  * Semantics are EXACTLY the composable
+  * `array_max(array(struct(vec_dot(v, c_i), id_i)…)).getField("cell_id")`
+  * idiom this replaces ([[graft.ops.Similarity.assignCell]]): each score is
+  * the deterministic left-to-right float→double promoted accumulation
+  * [[VectorDot]] computes (bitwise-identical — same operation sequence),
+  * and ties go to the LARGER cell id (lexicographic struct max). What
+  * changes is plan size: the composable form puts O(nCells) nodes — each
+  * with its own embedded literal vector — in the expression tree, the same
+  * parameter-sized-tree hazard the k-means argmin hit at k≈√n (see
+  * [[CentroidArgmin]]); here the matrix rides along as ONE referenced
+  * `float[][]` and the tree is O(1) at any cell count. PlanSpec enforces
+  * the bound ("audit #5").
+  *
+  * Fail-loud contract: a vector whose length differs from the centroid
+  * dimension throws (the composable form silently null-poisons the max).
+  * Null vectors propagate NULL.
+  */
+case class CentroidDotArgmax(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def nullable: Boolean = first.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _),
+          ArrayType(ArrayType(FloatType, _), _)) =>
+        if (!second.foldable || !third.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            "centroid_dot_argmax ids and matrix must be foldable literals")
+        else TypeCheckResult.TypeCheckSuccess
+      case (v, c, m) => TypeCheckResult.TypeCheckFailure(
+        "centroid_dot_argmax requires (array<float>, array<bigint>, " +
+          s"array<array<float>>), got ($v, $c, $m)")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "centroid_dot_argmax"
+
+  @transient private lazy val cellIds: Array[Long] = {
+    val ids = second.eval().asInstanceOf[ArrayData].toLongArray()
+    require(ids.nonEmpty, "centroid_dot_argmax: empty centroid set")
+    ids
+  }
+
+  @transient private lazy val centMatrix: Array[Array[Float]] = {
+    val m = third.eval().asInstanceOf[ArrayData]
+    val rows = Array.tabulate(m.numElements())(i => m.getArray(i).toFloatArray())
+    require(rows.length == cellIds.length,
+      s"centroid_dot_argmax: ${rows.length} rows for ${cellIds.length} ids")
+    require(rows.forall(_.length == rows.head.length),
+      "centroid_dot_argmax: ragged centroid matrix")
+    rows
+  }
+
+  /** Shared by both eval paths: vec_dot scores, lexicographic (score, id)
+    * max — ties to the larger id, matching `array_max` over structs.
+    */
+  def argmax(v: Array[Float], ids: Array[Long],
+      mat: Array[Array[Float]]): Long = {
+    if (v.length != mat(0).length) throw new IllegalArgumentException(
+      s"centroid_dot_argmax: vector dim ${v.length} != centroid dim " +
+        s"${mat(0).length}")
+    var bestS = Double.NegativeInfinity
+    var bestId = Long.MinValue
+    var c = 0
+    while (c < mat.length) {
+      val row = mat(c)
+      var s = 0.0
+      var j = 0
+      while (j < v.length) { s += v(j).toDouble * row(j).toDouble; j += 1 }
+      if (s > bestS || (s == bestS && ids(c) > bestId)) {
+        bestS = s; bestId = ids(c)
+      }
+      c += 1
+    }
+    bestId
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = first.eval(input)
+    if (v == null) null
+    else argmax(v.asInstanceOf[ArrayData].toFloatArray(), cellIds, centMatrix)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("centroidDotArgmax", this,
+      classOf[CentroidDotArgmax].getName)
+    val ids = ctx.addReferenceObj("cellIds", cellIds, "long[]")
+    val mat = ctx.addReferenceObj("centMatF", centMatrix, "float[][]")
+    val childGen = first.genCode(ctx)
+    val code =
+      code"""
+        |${childGen.code}
+        |boolean ${ev.isNull} = ${childGen.isNull};
+        |long ${ev.value} = 0L;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = $self.argmax(${childGen.value}.toFloatArray(), $ids, $mat);
+        |}
+      """.stripMargin
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): CentroidDotArgmax =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

@@ -25,7 +25,11 @@ object GraftFunctions {
       vecDotBuilder),
     (new FunctionIdentifier("centroid_argmin"),
       new ExpressionInfo(classOf[CentroidArgmin].getName, "centroid_argmin"),
-      centroidArgminBuilder))
+      centroidArgminBuilder),
+    (new FunctionIdentifier("centroid_dot_argmax"),
+      new ExpressionInfo(classOf[CentroidDotArgmax].getName,
+        "centroid_dot_argmax"),
+      centroidDotArgmaxBuilder))
 
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
@@ -38,6 +42,13 @@ object GraftFunctions {
     require(children.size == 3,
       s"centroid_argmin takes exactly 3 arguments, got ${children.size}")
     CentroidArgmin(children(0), children(1), children(2))
+  }
+
+  private[functions] def centroidDotArgmaxBuilder(
+      children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      s"centroid_dot_argmax takes exactly 3 arguments, got ${children.size}")
+    CentroidDotArgmax(children(0), children(1), children(2))
   }
 
   def register(spark: SparkSession): Unit =
@@ -58,6 +69,14 @@ object GraftFunctions {
     */
   def centroid_argmin(v: Column, cids: Column, mat: Column): Column =
     call_function("centroid_argmin", v, cids, mat)
+
+  /** Column-API form of the native IVF cell-assignment argmax: `v` an
+    * `array<float>` vector, `ids` a literal `array<bigint>`, `mat` a
+    * literal `array<array<float>>` row-aligned with `ids`. Returns the
+    * winning cell id (vec_dot scores, ties to the larger id).
+    */
+  def centroid_dot_argmax(v: Column, ids: Column, mat: Column): Column =
+    call_function("centroid_dot_argmax", v, ids, mat)
 }
 
 /** `spark.sql.extensions` hook: native functions + optimizer rules. */
@@ -71,6 +90,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("centroid_argmin"),
         new ExpressionInfo(classOf[CentroidArgmin].getName, "centroid_argmin"),
         GraftFunctions.centroidArgminBuilder _))
+    ext.injectFunction(
+      (new FunctionIdentifier("centroid_dot_argmax"),
+        new ExpressionInfo(classOf[CentroidDotArgmax].getName,
+          "centroid_dot_argmax"),
+        GraftFunctions.centroidDotArgmaxBuilder _))
     ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
   }
 }

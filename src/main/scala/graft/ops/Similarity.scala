@@ -251,9 +251,19 @@ object Similarity {
 
   /** Nearest-centroid id as ONE projection expression — the map-only cell
     * assignment (no join, no shuffle between the scan and the cell id).
+    * Since round 7 this is the native [[graft.functions.CentroidDotArgmax]]
+    * node: identical scores (vec_dot's left-to-right double accumulation)
+    * and tie order (larger cell id) to the composable
+    * `array_max(cellScores(…))` form, but O(1) expression nodes at any
+    * nCells — production IVF runs tens of thousands of cells, where the
+    * per-cell struct array would be a parameter-sized tree (the k-means
+    * argmin lesson; PlanSpec's audit-#5 gate covers both). [[cellScores]]
+    * stays for the probe side, which needs every score, bounded by the
+    * query-side cardinality.
     */
   def assignCell(vec: Column, cents: Array[(Long, Array[Float])]): Column =
-    array_max(cellScores(vec, cents)).getField("cell_id")
+    graft.functions.GraftFunctions.centroid_dot_argmax(vec,
+      typedlit(cents.map(_._1).toSeq), typedlit(cents.map(_._2.toSeq).toSeq))
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {

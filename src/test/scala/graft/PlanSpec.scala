@@ -118,4 +118,17 @@ class PlanSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("count"))
       .collect().head.getLong(0) == 500L)
   }
+
+  test("expression size stays O(1) in nCells: IVF assignment at 300 (audit #5)") {
+    val em = graft.Tables.embeddings(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
+    val cents = graft.ops.Similarity.centroidSample(em, 300)
+    val assigned = em.select(org.apache.spark.sql.functions.col("vec_id"),
+      graft.ops.Similarity.assignCell(
+        org.apache.spark.sql.functions.col("embedding"), cents).as("cell_id"))
+    val nodes = assigned.queryExecution.optimizedPlan
+      .map(p => p.expressions.map(_.collect { case e => e }.size).sum).sum
+    assert(nodes < 100,
+      s"optimized-plan expression tree has $nodes nodes at nCells=300")
+  }
 }

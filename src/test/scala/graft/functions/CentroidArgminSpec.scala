@@ -98,6 +98,37 @@ class CentroidArgminSpec extends SparkSpec {
     }
   }
 
+  test("centroid_dot_argmax matches the composable array_max(cellScores) form") {
+    withRegistry {
+      import spark.implicits._
+      val rnd = new scala.util.Random(23)
+      val dim = 8
+      // duplicate vectors under different ids engineer exact score ties —
+      // array_max resolves to the larger id; the native node must agree
+      val base = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+      val cents: Array[(Long, Array[Float])] =
+        (Array(7L -> base, 11L -> base.clone()) ++
+          (0 until 20).map(i =>
+            (100L + i) -> Array.fill(dim)(rnd.nextFloat() - 0.5f))).toArray
+      val vecs = (0L until 100L).map(id =>
+        id -> Seq.fill(dim)(rnd.nextFloat() - 0.5f))
+      val df = vecs.toDF("vec_id", "embedding")
+      val native = df.select(col("vec_id"),
+        graft.ops.Similarity.assignCell(col("embedding"), cents).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val composable = df.select(col("vec_id"),
+        array_max(graft.ops.Similarity.cellScores(col("embedding"), cents))
+          .getField("cell_id").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(native.sameElements(composable))
+      // the tie pair (7, 11) must always lose to 11, never 7
+      val tied = df.select(graft.ops.Similarity.assignCell(col("embedding"),
+          Array(7L -> base, 11L -> base.clone())).as("c"))
+        .collect().map(_.getLong(0))
+      assert(tied.forall(_ == 11L))
+    }
+  }
+
   test("dimension mismatch fails loudly; null vector propagates null") {
     withRegistry {
       import spark.implicits._
