@@ -64,6 +64,16 @@ object Bench {
       }
     }
 
+    // Expression-size instrument (PLANS.md audit #5): total expression-tree
+    // node count across the optimized plan. A clean plan SHAPE can hide a
+    // parameter-sized (or 2^k) expression TREE — round 6's regression was
+    // invisible in scan stats; this number moves when it happens. Derived
+    // from the plan, deterministic, independent of wall-clock noise.
+    def exprNodes(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.optimizedPlan
+        .map(p => p.expressions.map(_.collect { case e => e }.size).sum)
+        .map(_.toLong).sum
+
     // rows are observed on the UNTIMED warmup only: a CollectMetrics node
     // takes the query off the AQE path (measured 3× on the top-k sort
     // queries), so the timed runs must stay unobserved — but the counts
@@ -92,6 +102,9 @@ object Bench {
     val warmScan = queries.map { case (name, fn) =>
       name -> (try scanStats(fn(spark, sfDir)) catch { case _: Throwable => (-1L, -1) })
     }.toMap
+    val warmExpr = queries.map { case (name, fn) =>
+      name -> (try exprNodes(fn(spark, sfDir)) catch { case _: Throwable => -1L })
+    }.toMap
     // best-of-2 timed runs: damps GC/compilation noise on a shared machine
     val results = queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
@@ -115,11 +128,14 @@ object Bench {
       .mkString("{", ",", "}")
     val cols = results.map { case (k, _, _, _) => "\"" + k + "\":" + warmScan(k)._2 }
       .mkString("{", ",", "}")
+    val exprs = results.map { case (k, _, _, _) => "\"" + k + "\":" + warmExpr(k) }
+      .mkString("{", ",", "}")
     val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._3).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""runs":$runs,"rows":$rows,"scan_bytes":$bytes,"scan_cols":$cols,""" +
+        s""""expr_nodes":$exprs,""" +
         s""""failures":$fs,""" +
         s""""penalty_sec_per_failure":$FailurePenaltySec,"sf":"$sfDir"}""")
     // The driver captures only the last ~2 KiB of output; round 3's hardened
