@@ -543,6 +543,8 @@ object Jpeg2000 {
     while (u16(cs, p) != 0xff93) { // skip tile-header markers up to SOD
       val m = u16(cs, p)
       if (m == 0xff52 || m == 0xff5c) fail("per-tile COD/QCD overrides")
+      if (m == 0xff5f) fail("POC progression-order change (tile header)")
+      if (m == 0xff61) fail("PPT packed packet headers (tile header)")
       p += 2 + u16(cs, p + 2)
     }
     p += 2 // past SOD
