@@ -39,7 +39,11 @@ class Jpeg2000Spec extends AnyFunSuite {
     ("g100x50d16.j2k", 100, 50, 16),
     ("g360x181d12.j2k", 360, 181, 12),
     // encoded with SOP + EPH marker segments on (Psop/Peph)
-    ("gsop40x30d8.j2k", 40, 30, 8))
+    ("gsop40x30d8.j2k", 40, 30, 8),
+    // TWO quality layers (RLCP): exercises per-precinct multi-packet
+    // decoding — re-inclusion bits, Lblock accumulation, cross-layer
+    // codeword-chunk concatenation
+    ("glay2_40x30d8.j2k", 40, 30, 8))
 
   for ((name, w, h, d) <- grids)
     test(s"decodes jj2000-encoded $name bit-exactly") {
