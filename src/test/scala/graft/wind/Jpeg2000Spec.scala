@@ -43,7 +43,10 @@ class Jpeg2000Spec extends AnyFunSuite {
     // TWO quality layers (RLCP): exercises per-precinct multi-packet
     // decoding — re-inclusion bits, Lblock accumulation, cross-layer
     // codeword-chunk concatenation
-    ("glay2_40x30d8.j2k", 40, 30, 8))
+    ("glay2_40x30d8.j2k", 40, 30, 8),
+    // 16x32 (asymmetric, non-default) code-blocks and ELEVEN quality
+    // layers: many blocks per subband, non-trivial tag-tree grids
+    ("gcb16x32_100x50d8.j2k", 100, 50, 8))
 
   for ((name, w, h, d) <- grids)
     test(s"decodes jj2000-encoded $name bit-exactly") {
