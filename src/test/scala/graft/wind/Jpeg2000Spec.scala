@@ -46,7 +46,9 @@ class Jpeg2000Spec extends AnyFunSuite {
     ("glay2_40x30d8.j2k", 40, 30, 8),
     // 16x32 (asymmetric, non-default) code-blocks and ELEVEN quality
     // layers: many blocks per subband, non-trivial tag-tree grids
-    ("gcb16x32_100x50d8.j2k", 100, 50, 8))
+    ("gcb16x32_100x50d8.j2k", 100, 50, 8),
+    // ZERO decomposition levels: a single LL band, no inverse DWT at all
+    ("gw0_20x10d8.j2k", 20, 10, 8))
 
   for ((name, w, h, d) <- grids)
     test(s"decodes jj2000-encoded $name bit-exactly") {
