@@ -1549,6 +1549,83 @@ object ExtensionQueries {
        |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
        |FROM d JOIN per USING (source) ORDER BY source""".stripMargin
 
+  /** Interpolation weight on the bigram term of [[bigramLmScore]] (0.25 on
+    * the unigram backoff); 0.75 and 0.25 are exact binary doubles, so the
+    * mixture arithmetic is engine-portable.
+    */
+  val BigramLambda = 0.75
+
+  /** Interpolated bigram LM scoring — the perplexity-filter primitive a
+    * CCNet-style curation pipeline ranks documents with, one modeling step
+    * past x26's unigram scorer: per adjacent pair (u, w),
+    * `p = λ·c(u,w)/c(u·) + (1−λ)·c(w)/T` (c(u·) = u's count as a context),
+    * quantized to exact micro-nats like x26; per-doc mean = one exact long
+    * sum + one division.
+    *
+    * Scale: pair extraction is the x38 map-only `arrays_zip` shape; the
+    * count tables are vocabulary(²)-bounded and BROADCAST, so scoring
+    * every pair occurrence is map-side — the only corpus-sized shuffle is
+    * the per-doc aggregation.
+    */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextAnalysis.words(col("text"))
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(ws, lit(1), size(ws) - 1).as("u"),
+          slice(ws, lit(2), size(ws) - 1).as("w"))).as("p"))
+      .select(col("doc_id"), col("p.u").as("u"), col("p.w").as("w"))
+    val tok = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+    val total = tok.select(count(lit(1)).as("total"))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val ctx = pairs.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val bi = pairs.groupBy(col("u"), col("w")).agg(count(lit(1)).as("cuw"))
+      .join(broadcast(ctx), "u")
+      .join(broadcast(uni), "w")
+      .crossJoin(broadcast(total))
+      .select(col("u"), col("w"),
+        round(log(
+          lit(BigramLambda) * (col("cuw").cast("double") / col("cu")) +
+            lit(1.0 - BigramLambda) *
+            (col("cw").cast("double") / col("total"))) * 1e6)
+          .cast("long").as("logp_micro"))
+    pairs.join(broadcast(bi), Seq("u", "w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("logp_micro")).as("sum_logp_micro"))
+      .select(col("doc_id"), col("n_pairs"), col("sum_logp_micro"),
+        (col("sum_logp_micro").cast("double") / 1e6 / col("n_pairs"))
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramLmScoreSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |pairs AS (SELECT doc_id, ws[i] AS u, ws[i + 1] AS w
+       |  FROM t, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r),
+       |tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |tot AS (SELECT count(*) AS total FROM tok),
+       |uni AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+       |ctx AS (SELECT u, count(*) AS cu FROM pairs GROUP BY u),
+       |bi AS (SELECT p.u, p.w,
+       |    CAST(round(ln(
+       |      ${graft.Exact.sqlDouble(BigramLambda)}
+       |        * (CAST(count(*) AS DOUBLE) / any_value(cu))
+       |      + ${graft.Exact.sqlDouble(1.0 - BigramLambda)}
+       |        * (CAST(any_value(cw) AS DOUBLE) / any_value(total))
+       |    ) * 1e6) AS BIGINT) AS logp_micro
+       |  FROM pairs p JOIN ctx ON p.u = ctx.u JOIN uni ON p.w = uni.w
+       |  CROSS JOIN tot GROUP BY p.u, p.w),
+       |d AS (SELECT doc_id, count(*) AS n_pairs,
+       |    sum(logp_micro) AS sum_logp_micro
+       |  FROM pairs JOIN bi USING (u, w) GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(sum_logp_micro AS BIGINT) AS sum_logp_micro,
+       |  CAST(sum_logp_micro AS DOUBLE) / 1e6 / n_pairs AS avg_logp
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -1598,5 +1675,6 @@ object ExtensionQueries {
     QueryDef("x38_bigram_merges", Some(bigramMergesSql), bigramMerges),
     QueryDef("x39_source_token_types", Some(sourceTokenTypesSql),
       sourceTokenTypes),
+    QueryDef("x40_bigram_lm_score", Some(bigramLmScoreSql), bigramLmScore),
   )
 }

@@ -164,4 +164,21 @@ class CurationOpsSpec extends SparkSpec {
       assert(ttr > 0.0 && ttr <= 1.0)
     }
   }
+
+  test("bigram LM: scores are valid log-probs and rank repeated text higher") {
+    val rows = ExtensionQueries.bigramLmScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nPairs, avg) = (r.getLong(1), r.getDouble(3))
+      assert(nPairs >= 1)
+      assert(avg < 0.0, "log-probabilities are negative")
+      // interpolated probability is bounded below by (1-lambda) * min
+      // unigram mass, so the mean can't run away to -infinity
+      assert(avg > -30.0, s"implausible mean log-prob $avg")
+    }
+    // the mean over docs should sit in the plausible n-gram entropy range
+    // for a ~60-word vocabulary: ln(1/60) is about -4.1
+    val grand = rows.map(_.getDouble(3)).sum / rows.length
+    assert(grand > -8.0 && grand < -1.0, s"grand mean $grand")
+  }
 }
