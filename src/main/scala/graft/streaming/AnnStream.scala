@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.Similarity
+
+/** Streaming ANN-index ingestion: embedding vectors land as JSON files and
+  * each micro-batch is assigned to IVF cells and appended to the same
+  * cell-partitioned store layout [[Similarity.writeIvf]] produces — so
+  * [[Similarity.probeIvf]] serves partition-pruned queries over an index
+  * that GROWS with the stream, no rebuild.
+  *
+  * Centroids are trained ONCE, from the first batch's deterministic sample,
+  * then frozen in the store ([[Similarity.centroidSample]] — a production
+  * system trains/refreshes centroids offline the same way). Frozen
+  * centroids are what make incremental ingest sound: cell ids stay stable,
+  * so earlier partitions never need reshuffling and probes see one
+  * consistent geometry.
+  *
+  * Replay idempotence matches the engine's other streaming stores: within a
+  * batch the first row per vec_id wins; vec_ids already stored drop via an
+  * anti-join (the store carries vec_id in every cell partition). Re-running
+  * a drained landing directory is a no-op.
+  */
+object AnnStream {
+
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = false)))
+
+  /** One micro-batch into the store: train-or-load frozen centroids,
+    * in-batch first-wins dedup, anti-join against stored ids, assign cells
+    * with the native argmax, append cell-partitioned.
+    */
+  def upsertVectors(batch: DataFrame, storePath: String, nCells: Int): Unit = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    if (batch.isEmpty) return
+    val fs = new Path(storePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val centPath = new Path(s"$storePath/centroids")
+    val cents: Array[(Long, Array[Float])] =
+      if (fs.exists(centPath)) {
+        spark.read.parquet(centPath.toString).collect()
+          .map(r => (r.getAs[Long]("cell_id"),
+            r.getAs[scala.collection.Seq[Float]]("cell_vec").toArray))
+          .sortBy(_._1)
+      } else {
+        val c = Similarity.centroidSample(batch, nCells)
+        import spark.implicits._
+        c.toSeq.toDF("cell_id", "cell_vec")
+          .coalesce(1).write.mode("overwrite").parquet(centPath.toString)
+        c
+      }
+    val w = Window.partitionBy("vec_id").orderBy(col("embedding"))
+    val inBatch = batch
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    val corpusPath = s"$storePath/corpus"
+    val fresh =
+      if (!fs.exists(new Path(corpusPath))) inBatch
+      else inBatch.join(
+        spark.read.parquet(corpusPath).select("vec_id").distinct(),
+        Seq("vec_id"), "left_anti")
+    fresh
+      .withColumn("cell_id", Similarity.assignCell(col("embedding"), cents))
+      .write.partitionBy("cell_id").mode("append").parquet(corpusPath)
+  }
+
+  /** Drain the landing directory once (`AvailableNow`) into the IVF store —
+    * the cron-tick form, checkpointed so replays are no-ops.
+    */
+  def ingestOnce(
+      spark: SparkSession,
+      landingDir: String,
+      storePath: String,
+      checkpointDir: String,
+      nCells: Int = 16): StreamingQuery =
+    spark.readStream.schema(vecSchema).json(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertVectors(batch, storePath, nCells)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

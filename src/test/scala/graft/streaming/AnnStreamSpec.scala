@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.ops.Similarity
+
+import scala.jdk.CollectionConverters._
+
+/** Incremental IVF store: planted clusters land in two batches; probes see
+  * a growing index with frozen centroids, and replay is a no-op.
+  */
+class AnnStreamSpec extends SparkSpec {
+
+  private val dim = 16
+
+  /** 4 well-separated unit cluster centers + tight perturbations (the
+    * SimilaritySpec fixture shape): label = id % 4.
+    */
+  private def clustered(ids: Range): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.tabulate(4) { c =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val axis = v.zipWithIndex.map { case (x, i) =>
+        x * 0.05 + (if (i == c * 4) 1.0 else 0.0) }
+      val n = math.sqrt(axis.map(x => x * x).sum)
+      axis.map(x => (x / n).toFloat)
+    }
+    ids.map { id =>
+      val r = new scala.util.Random(100 + id)
+      val c = id % 4
+      val v = centers(c).map(x => x + (r.nextGaussian() * 0.02).toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum)
+      (id.toLong, v.map(x => (x / n).toFloat))
+    }
+  }
+
+  private def land(dir: String, file: String,
+      vecs: Seq[(Long, Array[Float])]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val lines = vecs.map { case (id, v) =>
+      s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}""" }
+    Files.write(Paths.get(s"$dir/$file"), lines.mkString("\n").getBytes)
+  }
+
+  private def df(vecs: Seq[(Long, Array[Float])]): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        vecs.map { case (id, v) => Row(id, v.toSeq) }.asJava),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+
+  test("two-batch ingest grows the index; centroids freeze; replay no-op") {
+    val base = tmpDir()
+    val landing = s"$base/landing"; val store = s"$base/ivf"
+    val batch1 = clustered(0 until 32)
+    val batch2 = clustered(32 until 64)
+
+    land(landing, "b1.json", batch1)
+    AnnStream.ingestOnce(spark, landing, store, s"$base/ckpt", nCells = 8)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$store/corpus").count() == 32)
+    val cents1 = spark.read.parquet(s"$store/centroids")
+      .orderBy("cell_id").collect().map(_.toString).toSeq
+
+    // batch 2 replays 4 batch-1 ids (dup drop) plus the 32 new vectors
+    land(landing, "b2.json", batch2 ++ batch1.take(4))
+    AnnStream.ingestOnce(spark, landing, store, s"$base/ckpt", nCells = 8)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$store/corpus").count() == 64,
+      "new vectors appended, replayed ids dropped")
+    val cents2 = spark.read.parquet(s"$store/centroids")
+      .orderBy("cell_id").collect().map(_.toString).toSeq
+    assert(cents1 == cents2, "centroids are frozen after first training")
+
+    // probes over the incremental store: same-cluster neighbors, recall
+    // vs exact brute force over the identical 64-vector corpus
+    val queries = df(clustered(0 until 4)) // one per planted cluster
+    val got = Similarity.probeIvf(spark, store, queries, k = 5, nProbe = 3)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(q % 4 == n % 4, s"cross-cluster neighbor: query $q got $n")
+    }
+    val exact = Similarity.bruteForceTopK(
+        df(batch1 ++ batch2), queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val approx = got.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+
+    // replay with a drained landing dir: checkpoint makes it a no-op
+    AnnStream.ingestOnce(spark, landing, store, s"$base/ckpt", nCells = 8)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$store/corpus").count() == 64)
+  }
+}
