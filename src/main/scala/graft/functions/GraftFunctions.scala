@@ -29,7 +29,10 @@ object GraftFunctions {
     (new FunctionIdentifier("centroid_dot_argmax"),
       new ExpressionInfo(classOf[CentroidDotArgmax].getName,
         "centroid_dot_argmax"),
-      centroidDotArgmaxBuilder))
+      centroidDotArgmaxBuilder),
+    (new FunctionIdentifier("vec_dot_fx"),
+      new ExpressionInfo(classOf[VecDotFx].getName, "vec_dot_fx"),
+      vecDotFxBuilder))
 
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
@@ -49,6 +52,13 @@ object GraftFunctions {
     require(children.size == 3,
       s"centroid_dot_argmax takes exactly 3 arguments, got ${children.size}")
     CentroidDotArgmax(children(0), children(1), children(2))
+  }
+
+  private[functions] def vecDotFxBuilder(
+      children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"vec_dot_fx takes exactly 2 arguments, got ${children.size}")
+    VecDotFx(children(0), children(1))
   }
 
   def register(spark: SparkSession): Unit =
@@ -77,6 +87,13 @@ object GraftFunctions {
     */
   def centroid_dot_argmax(v: Column, ids: Column, mat: Column): Column =
     call_function("centroid_dot_argmax", v, ids, mat)
+
+  /** Column-API form of the native exact fixed-point dot product over
+    * `array<double>` columns (bitwise-equal to the composable
+    * aggregate/zip_with round(x*y*1e12) idiom).
+    */
+  def vec_dot_fx(a: Column, b: Column): Column =
+    call_function("vec_dot_fx", a, b)
 }
 
 /** `spark.sql.extensions` hook: native functions + optimizer rules. */
@@ -95,6 +112,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[CentroidDotArgmax].getName,
           "centroid_dot_argmax"),
         GraftFunctions.centroidDotArgmaxBuilder _))
+    ext.injectFunction(
+      (new FunctionIdentifier("vec_dot_fx"),
+        new ExpressionInfo(classOf[VecDotFx].getName, "vec_dot_fx"),
+        GraftFunctions.vecDotFxBuilder _))
     ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
   }
 }

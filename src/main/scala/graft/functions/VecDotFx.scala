@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: the engine's EXACT fixed-point dot product
+  * over two `array<double>` columns — bitwise-identical to the composable
+  * idiom it replaces ([[graft.ops.Similarity.dot]]):
+  *
+  *   `aggregate(zip_with(a, b, (x, y) => round(x*y*1e12)), 0.0, _+_) / 1e12`
+  *
+  * Per term: two double multiplies, then Spark `round(_, 0)` — which is
+  * round-half-AWAY-FROM-ZERO on the exact double value (RoundProbe-verified
+  * bitwise against the branchy floor form used here: `a − floor(a)` is
+  * exact below 2^52, so the ≥ 0.5 test is exact); terms are integer-valued
+  * doubles summed left-to-right (exact below 2^53), one final division.
+  * VecDotFxSpec pins bitwise equality against the composable form on real
+  * corpus pairs and adversarial randoms.
+  *
+  * Why native (the option-(b) tier): `aggregate`/`zip_with` lambdas
+  * evaluate INTERPRETED — boxed per-element calls dominate the quadratic
+  * verification paths (x05 bounded top-pairs, x18's LSH exact re-rank)
+  * where this dot is the innermost loop over millions of pairs.
+  *
+  * Null semantics match the composable idiom exactly: length mismatch →
+  * NULL (zip_with pads with nulls, poisoning the fold), any null element →
+  * NULL, either array NULL → NULL.
+  */
+case class VecDotFx(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot_fx requires (array<double>, array<double>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_dot_fx"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += VecDotFx.roundAway(x.getDouble(i) * y.getDouble(i) * 1e12)
+      i += 1
+    }
+    s / 1e12
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val t = ctx.freshName("t")
+      val av = ctx.freshName("av")
+      val f = ctx.freshName("f")
+      val m = ctx.freshName("m")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $t = $a.getDouble($i) * $b.getDouble($i) * 1e12;
+         |    double $av = Math.abs($t);
+         |    double $f = Math.floor($av);
+         |    double $m = ($av - $f >= 0.5) ? $f + 1.0 : $f;
+         |    $s += ($t < 0) ? -$m : $m;
+         |  }
+         |  ${ev.value} = $s / 1e12;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotFx =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDotFx {
+  /** Round half away from zero on the exact double value — bitwise-equal to
+    * Spark's `round(_, 0)` on DoubleType (`a − floor(a)` is exact for
+    * a < 2^52, so the tie test never sees representation error).
+    */
+  def roundAway(t: Double): Double = {
+    val a = math.abs(t)
+    val f = math.floor(a)
+    val m = if (a - f >= 0.5) f + 1.0 else f
+    if (t < 0) -m else m
+  }
+}

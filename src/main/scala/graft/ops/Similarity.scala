@@ -31,9 +31,19 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact fixed-point dot product of two double arrays (deterministic under
-    * any evaluation order; unit-normalized corpus ⇒ dot = cosine).
+    * any evaluation order; unit-normalized corpus ⇒ dot = cosine). Since
+    * round 7 this is the native codegen'd [[graft.functions.VecDotFx]] —
+    * bitwise-equal to the composable fold below, which the quadratic
+    * verification paths (x05/x18 exact re-rank) could not afford
+    * interpreted; [[dotComposable]] remains as the equality reference.
     */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vec_dot_fx(a, b)
+
+  /** The composable reference form of [[dot]] (higher-order lambdas —
+    * evaluates interpreted; VecDotFxSpec pins the two bitwise-equal).
+    */
+  private[graft] def dotComposable(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => round(x * y * lit(1e12))),
       lit(0.0), (acc, t) => acc + t) / lit(1e12)
@@ -64,6 +74,7 @@ object Similarity {
     * score, rank).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = spread(corpus).select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_vec"))
     val q = queries.select(col("vec_id").as("query_id"),
@@ -450,6 +461,7 @@ object Similarity {
     * partitioned nested-loop that spills instead of exploding.
     */
   def topPairs(corpus: DataFrame, topN: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val n = corpus.count()
     require(n <= TopPairsMaxRows,
       s"topPairs is an all-pairs verification primitive for bounded inputs: " +

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VecDotFxSpec extends SparkSpec {
+
+  private def withRegistry[A](f: => A): A = { GraftFunctions.register(spark); f }
+
+  test("vec_dot_fx is bitwise-equal to the composable fold on real pairs") {
+    withRegistry {
+      val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      def d(c: org.apache.spark.sql.Column) = transform(c, _.cast("double"))
+      val pairs = em.select(col("vec_id"), d(col("embedding")).as("a"))
+        .crossJoin(em.filter(col("vec_id") < 20)
+          .select(d(col("embedding")).as("b")))
+      // bitwise: compare through doubleToLongBits, not a tolerance
+      val mismatches = pairs.select(
+          GraftFunctions.vec_dot_fx(col("a"), col("b")).as("n"),
+          graft.ops.Similarity.dotComposable(col("a"), col("b")).as("c"))
+        .filter(expr("n <=> c") === false)
+        .count()
+      assert(mismatches == 0L, s"$mismatches pairs diverged")
+    }
+  }
+
+  test("vec_dot_fx matches the fold on adversarial random doubles") {
+    withRegistry {
+      import spark.implicits._
+      val rnd = new scala.util.Random(41)
+      // magnitudes spanning tie-prone products around the 1e-12 grid
+      val rows = (0 until 2000).map { i =>
+        val dim = 1 + i % 7
+        (Seq.fill(dim)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(4) - 2)),
+          Seq.fill(dim)((rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(4) - 2)))
+      }
+      val df = rows.toDF("a", "b")
+      val mismatches = df.select(
+          GraftFunctions.vec_dot_fx(col("a"), col("b")).as("n"),
+          graft.ops.Similarity.dotComposable(col("a"), col("b")).as("c"))
+        .filter(expr("n <=> c") === false)
+        .count()
+      assert(mismatches == 0L)
+    }
+  }
+
+  test("null semantics match the composable idiom") {
+    withRegistry {
+      import spark.implicits._
+      val df = Seq(
+        (Some(Seq(1.0, 2.0)), Some(Seq(3.0))),           // length mismatch
+        (Some(Seq(1.0, 2.0)), None),                      // null array
+        (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))        // clean
+      ).toDF("a", "b")
+      val rows = df.select(
+          GraftFunctions.vec_dot_fx(col("a"), col("b")).as("n"),
+          graft.ops.Similarity.dotComposable(col("a"), col("b")).as("c"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1))
+        if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+      }
+      assert(rows(0).isNullAt(0) && rows(1).isNullAt(0) && !rows(2).isNullAt(0))
+    }
+  }
+}
