@@ -115,6 +115,21 @@ class Grib2Spec extends AnyFunSuite {
     }
   }
 
+  test("EVERY truncation of a valid message throws typed, never wrong data") {
+    // the indicator/total-length checks fire before any section walk, so a
+    // payload cut at any byte is a typed refusal — pinned across the whole
+    // range. The one legal degenerate: a zero-byte file decodes to zero
+    // messages (an empty landing file is not an error).
+    val good = Grib2TestWriter.message(msg())
+    assert(Grib2.decode(Array.emptyByteArray).isEmpty)
+    for (len <- 1 until good.length) {
+      val e = intercept[IllegalArgumentException] {
+        Grib2.decode(good.take(len))
+      }
+      assert(e.getMessage != null, s"untyped failure at length $len")
+    }
+  }
+
   test("5.40 with a non-codestream data section fails loudly, not garbage") {
     // patch a good SIMPLE-packed message's section-5 template (octets
     // 10-11) to 40: section 7 then holds bit-packed data, not a JPEG2000
