@@ -674,7 +674,7 @@ object Similarity {
     val assigned = kmeansRefine(corpus, k, iters)
       .select(col("vec_id"), col("v"), col("cid"))
       .localCheckpoint() // eager: one evaluation feeds both join sides
-    val dim = assigned.head.getSeq[Long](1).length
+    val dim = assigned.head().getSeq[Long](1).length
     // flat codegen'd integer sum — the higher-order aggregate/zip_with form
     // evaluates interpreted, which the pair join (the hot path here)
     // cannot afford

@@ -112,7 +112,7 @@ object Grid {
     * it in the `dy` slot of a 3.40 header, exactly as the wire format does).
     */
   def toPointsGaussian(records: DataFrame, n: Int): DataFrame = {
-    val latTable = array(gaussianLatitudes(n).map(lit): _*)
+    val latTable = array(gaussianLatitudes(n).toIndexedSeq.map(lit): _*)
     records
       .select(
         col("recorded_time"),
