@@ -69,6 +69,11 @@ case class CentroidDotArgmax(first: Expression, second: Expression,
 
   /** Shared by both eval paths: vec_dot scores, lexicographic (score, id)
     * max — ties to the larger id, matching `array_max` over structs.
+    * Scores compare with `java.lang.Double.compare`, i.e. Spark's SQL
+    * double ordering: NaN sorts GREATER than every other value (so a
+    * NaN-scored cell wins, exactly as `array_max` would pick it) and
+    * -0.0 < 0.0 — a strict `>` would never select a NaN score and
+    * silently assign a different cell than the composable form.
     */
   def argmax(v: Array[Float], ids: Array[Long],
       mat: Array[Array[Float]]): Long = {
@@ -83,7 +88,8 @@ case class CentroidDotArgmax(first: Expression, second: Expression,
       var s = 0.0
       var j = 0
       while (j < v.length) { s += v(j).toDouble * row(j).toDouble; j += 1 }
-      if (s > bestS || (s == bestS && ids(c) > bestId)) {
+      val cmp = java.lang.Double.compare(s, bestS)
+      if (cmp > 0 || (cmp == 0 && ids(c) > bestId)) {
         bestS = s; bestId = ids(c)
       }
       c += 1

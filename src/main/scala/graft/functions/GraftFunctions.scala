@@ -32,7 +32,10 @@ object GraftFunctions {
       centroidDotArgmaxBuilder),
     (new FunctionIdentifier("vec_dot_fx"),
       new ExpressionInfo(classOf[VecDotFx].getName, "vec_dot_fx"),
-      vecDotFxBuilder))
+      vecDotFxBuilder),
+    (new FunctionIdentifier("vec_dot_long"),
+      new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
+      vecDotLongBuilder))
 
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
@@ -59,6 +62,13 @@ object GraftFunctions {
     require(children.size == 2,
       s"vec_dot_fx takes exactly 2 arguments, got ${children.size}")
     VecDotFx(children(0), children(1))
+  }
+
+  private[functions] def vecDotLongBuilder(
+      children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"vec_dot_long takes exactly 2 arguments, got ${children.size}")
+    VecDotLong(children(0), children(1))
   }
 
   def register(spark: SparkSession): Unit =
@@ -94,6 +104,12 @@ object GraftFunctions {
     */
   def vec_dot_fx(a: Column, b: Column): Column =
     call_function("vec_dot_fx", a, b)
+
+  /** Column-API form of the exact integer dot product over `array<bigint>`
+    * columns — one O(1)-plan-size node at any dimension.
+    */
+  def vec_dot_long(a: Column, b: Column): Column =
+    call_function("vec_dot_long", a, b)
 }
 
 /** `spark.sql.extensions` hook: native functions + optimizer rules. */
@@ -116,6 +132,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("vec_dot_fx"),
         new ExpressionInfo(classOf[VecDotFx].getName, "vec_dot_fx"),
         GraftFunctions.vecDotFxBuilder _))
+    ext.injectFunction(
+      (new FunctionIdentifier("vec_dot_long"),
+        new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
+        GraftFunctions.vecDotLongBuilder _))
     ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
   }
 }

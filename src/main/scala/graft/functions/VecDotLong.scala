@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression: the exact integer dot product over two
+  * `array<bigint>` columns — Σ aᵢ·bᵢ in 64-bit integer arithmetic. The
+  * long-native sibling of [[VecDotFx]], built for the fixed-point
+  * (milli-quantized) vectors [[graft.ops.Similarity.kmeansRefine]] and
+  * `semanticPairs` carry: those previously expanded the dot as O(dim)
+  * `element_at(a, j) * element_at(b, j)` nodes — correct, codegen'd, but a
+  * parameter-sized expression tree (the `expr_nodes` bench instrument
+  * exists precisely to catch that shape). This node is O(1) plan size at
+  * any dimension and stays inside whole-stage codegen.
+  *
+  * Semantics vs the expanded form it replaces: identical on equal-length
+  * null-free arrays (integer + and * are associativity-exact — no IEEE
+  * rounding anywhere). Divergence is confined to the malformed cases the
+  * expanded form handled poorly: a length mismatch returns NULL here
+  * (the expanded `element_at` form throws under ANSI or null-poisons
+  * otherwise), and any null element returns NULL. Overflow wraps like
+  * Scala/Java `Long` — callers quantize so that dim·max² < 2^63
+  * (milli-quantization: 1e6² · 1e4 dims ≈ 1e16 ≪ 9.2e18).
+  */
+case class VecDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot_long requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "vec_dot_long"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotLong =
+    copy(left = newLeft, right = newRight)
+}

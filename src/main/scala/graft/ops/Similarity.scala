@@ -665,22 +665,24 @@ object Similarity {
     * once, so the k·dim projection over the corpus runs a single time
     * rather than once per self-join side.
     *
-    * The embedding dimension is read from the assignment itself (the same
-    * vectors [[kmeansRefine]] seeded from), so a caller can't silently
-    * truncate the dot product with a wrong guess.
+    * The pair score is the native [[graft.functions.VecDotLong]] (round 8;
+    * previously an O(dim) expanded `element_at` sum): one codegen'd node
+    * whatever the dimension, reading the length from the arrays themselves
+    * — no caller-supplied dim to silently truncate with, and no driver
+    * `head()` action to probe it.
     */
   def semanticPairs(corpus: DataFrame, k: Int, iters: Int,
       minDotFx: Long): DataFrame = {
     val assigned = kmeansRefine(corpus, k, iters)
       .select(col("vec_id"), col("v"), col("cid"))
       .localCheckpoint() // eager: one evaluation feeds both join sides
-    val dim = assigned.head().getSeq[Long](1).length
-    // flat codegen'd integer sum — the higher-order aggregate/zip_with form
-    // evaluates interpreted, which the pair join (the hot path here)
-    // cannot afford
-    val dotFx = (0 until dim).map { j =>
-      element_at(col("a.v"), j + 1) * element_at(col("b.v"), j + 1)
-    }.reduce[Column](_ + _)
+    // ONE codegen'd O(1)-plan-size node for the hot within-cell dot (the
+    // higher-order aggregate/zip_with form evaluates interpreted; the
+    // round-7 expanded element_at form was O(dim) expression nodes —
+    // exact integer arithmetic makes the two bit-identical, pinned by
+    // SimilaritySpec)
+    val dotFx = graft.functions.GraftFunctions.vec_dot_long(
+      col("a.v"), col("b.v"))
     assigned.as("a")
       .join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))

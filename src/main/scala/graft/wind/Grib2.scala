@@ -718,6 +718,16 @@ object Grib2 {
                       "unsupported quasi-regular grid with a bitmap " +
                         "(section 6): interpolation across masked points " +
                         "is undefined")
+                    // the same hazard arrives via complex-packing (5.2/5.3)
+                    // in-group missing values: a NaN spline knot silently
+                    // poisons every interpolated neighbor in its row. A
+                    // declared missing mode with zero actually-missing
+                    // points is harmless, so test the substitutions.
+                    require(rawMissing == null || !rawMissing.exists(identity),
+                      "unsupported quasi-regular grid with complex-packing " +
+                        "missing values (section 5 template 5.2/5.3, missing " +
+                        "mode != 0): interpolation across missing points " +
+                        "is undefined")
                     expandThinned(vals, rowCounts, nx)
                   } else {
                     val full = if (bitmap == null) vals

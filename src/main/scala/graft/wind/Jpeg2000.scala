@@ -117,10 +117,11 @@ object Jpeg2000 {
   // -------------------------------------------------- packet-header reader
 
   /** MSB-first bit reader with the packet-header 0xFF bit-stuffing rule
-    * (B.10.1: the byte after an 0xFF carries 7 bits). Headers never end in
-    * 0xFF, so no terminal special case.
+    * (B.10.1: the byte after an 0xFF carries 7 bits, its MSB being a
+    * stuffed 0). `private[wind]` so the spec can pin the bit-level
+    * contract directly, including the terminal-0xFF case below.
     */
-  private final class HeaderBitReader(buf: Array[Byte], var pos: Int) {
+  private[wind] final class HeaderBitReader(buf: Array[Byte], var pos: Int) {
     private var bitBuf = 0
     private var bitCnt = 0
     private var prevFF = false
@@ -142,6 +143,16 @@ object Jpeg2000 {
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
     }
+
+    /** Position of the first byte AFTER the header (B.10.1 terminal
+      * rule): if the last byte consumed was 0xFF, the encoder-mandated
+      * stuffed byte that follows is still part of the header and must be
+      * skipped — mirroring OpenJPEG's `opj_bio_inalign` and jj2000's
+      * packet-header reader. A final header byte can only be 0xFF when
+      * all 8 of its bits were meaningful (zero-padding to the byte
+      * boundary otherwise forces it below 0xFF), hence `bitCnt == 0`.
+      */
+    def endPos: Int = if (bitCnt == 0 && prevFF) pos + 1 else pos
   }
 
   // --------------------------------------------------------- tag trees
@@ -627,7 +638,7 @@ object Jpeg2000 {
           }
         }
       }
-      p = hr.pos
+      p = hr.endPos
       if (ephUsed) {
         require(u16(cs, p) == 0xff92, "missing EPH")
         p += 2

@@ -129,6 +129,39 @@ class CentroidArgminSpec extends SparkSpec {
     }
   }
 
+  test("NaN scores follow Spark ordering: NaN is greatest (round-8 ADVICE)") {
+    withRegistry {
+      import spark.implicits._
+      val rnd = new scala.util.Random(41)
+      val dim = 4
+      // a NaN centroid component makes every dot against it NaN; Spark's
+      // double ordering ranks NaN above all values, so array_max picks it
+      // — the native node must agree, not skip it via a strict `>`
+      val nanCent = Array.fill(dim)(rnd.nextFloat()); nanCent(1) = Float.NaN
+      val cents: Array[(Long, Array[Float])] = Array(
+        3L -> Array.fill(dim)(rnd.nextFloat()),
+        5L -> nanCent,
+        9L -> Array.fill(dim)(rnd.nextFloat()))
+      val df = (0L until 50L)
+        .map(id => id -> Seq.fill(dim)(rnd.nextFloat() - 0.5f))
+        .toDF("vec_id", "embedding")
+      val native = df.select(col("vec_id"),
+        graft.ops.Similarity.assignCell(col("embedding"), cents).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val composable = df.select(col("vec_id"),
+        array_max(graft.ops.Similarity.cellScores(col("embedding"), cents))
+          .getField("cell_id").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(native.sameElements(composable))
+      assert(native.forall(_._2 == 5L), "the NaN-scored cell must win")
+      // two NaN-scored cells tie; the larger id wins, as in the struct max
+      val both = df.select(graft.ops.Similarity.assignCell(col("embedding"),
+          Array(5L -> nanCent, 8L -> nanCent.clone())).as("c"))
+        .collect().map(_.getLong(0))
+      assert(both.forall(_ == 8L))
+    }
+  }
+
   test("dimension mismatch fails loudly; null vector propagates null") {
     withRegistry {
       import spark.implicits._

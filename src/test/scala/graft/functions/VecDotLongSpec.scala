@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VecDotLongSpec extends SparkSpec {
+
+  private def withRegistry[A](f: => A): A = { GraftFunctions.register(spark); f }
+
+  test("matches the expanded element_at integer sum it replaces (round 8)") {
+    withRegistry {
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      val dim = 64
+      // milli-quantized range, both signs — the semanticPairs shape
+      val rows = (0L until 300L).map(i =>
+        (i, Seq.fill(dim)(rnd.nextInt(2000001) - 1000000L),
+          Seq.fill(dim)(rnd.nextInt(2000001) - 1000000L)))
+      val df = rows.toDF("id", "a", "b")
+      val expanded = (0 until dim).map(j =>
+        element_at(col("a"), j + 1) * element_at(col("b"), j + 1))
+        .reduce[org.apache.spark.sql.Column](_ + _)
+      val out = df.select(col("id"),
+        GraftFunctions.vec_dot_long(col("a"), col("b")).as("n"),
+        expanded.as("e")).collect()
+      out.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+      val want = rows.map { case (_, a, b) =>
+        a.zip(b).map { case (x, y) => x * y }.sum }
+      assert(out.map(_.getLong(1)).toSeq == want)
+    }
+  }
+
+  test("null element, null array, and length mismatch return NULL") {
+    withRegistry {
+      val out = spark.sql(
+        """SELECT vec_dot_long(array(1L, 2L), array(3L, 4L)) AS ok,
+          |  vec_dot_long(array(1L, NULL), array(3L, 4L)) AS nel,
+          |  vec_dot_long(CAST(NULL AS ARRAY<BIGINT>), array(3L, 4L)) AS narr,
+          |  vec_dot_long(array(1L, 2L, 3L), array(3L, 4L)) AS mism
+          |""".stripMargin).collect().head
+      assert(out.getLong(0) == 11L)
+      assert(out.isNullAt(1) && out.isNullAt(2) && out.isNullAt(3))
+    }
+  }
+
+  test("interpreted eval agrees with codegen; wrong types refuse") {
+    withRegistry {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+      val e = VecDotLong(
+        Literal.create(Seq(2L, -3L), ArrayType(LongType)),
+        Literal.create(Seq(5L, 7L), ArrayType(LongType)))
+      assert(e.eval(null) == -11L)
+      val bad = VecDotLong(
+        Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)),
+        Literal.create(Seq(5L, 7L), ArrayType(LongType)))
+      assert(!bad.checkInputDataTypes().isSuccess)
+    }
+  }
+}

@@ -531,6 +531,31 @@ class Grib2Spec extends AnyFunSuite {
         msg().copy(gridTemplate = 40, thinnedListOctets = 1)))
     }
     assert(mk.getMessage.contains("too short"), mk.getMessage)
+    // complex-packing (5.2/5.3) in-group missing values: the same
+    // undefined-interpolation hazard as the bitmap, arriving via the
+    // packing instead of section 6 (round-8 ADVICE regression)
+    val cm = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(
+        msg(m = QVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 40,
+          rowCounts = Some(QRows),
+          missingMask = Some(Array.tabulate(QRows.sum)(_ == 10)),
+          packing = Grib2TestWriter.ComplexPacking(groupSize = 7))))
+    }
+    assert(cm.getMessage.contains("missing values"), cm.getMessage)
+  }
+
+  test("quasi-regular + declared-but-unused missing mode still decodes") {
+    // missing management mode 1 with zero actually-missing points puts no
+    // NaN under the spline — must NOT refuse
+    val decoded = Grib2.decode(Grib2TestWriter.message(
+      msg(m = QVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 40,
+        rowCounts = Some(QRows),
+        missingMask = Some(Array.fill(QRows.sum)(false)),
+        packing = Grib2TestWriter.ComplexPacking(groupSize = 7)))).head
+    assert(decoded.numberPoints == 48 && decoded.data.length == 48)
+    // full-width rows remain exact spline-knot passthrough
+    assert(decoded.data.slice(16, 32).toSeq ==
+      QVals.slice(7, 23).map(_ / 10.0).toSeq)
   }
 
   test("scanning modes with reserved bits 5-8 refuse loudly") {

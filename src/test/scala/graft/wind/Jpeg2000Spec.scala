@@ -78,4 +78,143 @@ class Jpeg2000Spec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("SOC"))
   }
+
+  // ------------- B.10.1 terminal stuffed byte (round-8 ADVICE regression)
+
+  test("HeaderBitReader skips the terminal stuffed byte after a full 0xFF") {
+    val r = new Jpeg2000.HeaderBitReader(Array(0xff.toByte, 0x00.toByte), 0)
+    assert(r.bits(8) == 0xff)
+    assert(r.endPos == 2) // the 0x00 stuffed byte belongs to the header
+  }
+
+  test("HeaderBitReader endPos without a terminal 0xFF is the next byte") {
+    val r = new Jpeg2000.HeaderBitReader(Array(0xf0.toByte, 0x12.toByte), 0)
+    assert(r.bits(4) == 0xf)
+    assert(r.endPos == 1)
+    // a fully-consumed post-0xFF stuffed byte (7 bits) is not itself 0xFF
+    val r2 = new Jpeg2000.HeaderBitReader(Array(0xff.toByte, 0x55.toByte), 0)
+    assert(r2.bits(8) == 0xff && r2.bits(7) == 0x55)
+    assert(r2.endPos == 2)
+  }
+
+  /** End-to-end: re-wrap a jj2000 fixture's code-block body in a
+    * hand-re-encoded packet header engineered (via Lblock-increment
+    * padding and body zero-padding, both semantics-preserving) to end in
+    * a full 0xFF byte, followed by the B.10.1-mandated stuffed byte and
+    * an EPH marker. A reader that fails to consume the stuffed byte sees
+    * 0x00 where EPH must be and dies loudly; the fixed reader decodes the
+    * identical samples as the original codestream.
+    */
+  test("packet header ending in 0xFF consumes the terminal stuffed byte") {
+    val cs = fixture("gw0_20x10d8.j2k")
+    def u16(b: Array[Byte], p: Int) = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+
+    // locate COD and SOT in the main header
+    var p = 2; var codPos = -1; var sotPos = -1
+    while (sotPos < 0) {
+      val m = u16(cs, p)
+      if (m == 0xff52) codPos = p
+      if (m == 0xff90) sotPos = p else p += 2 + u16(cs, p + 2)
+    }
+    assert(codPos > 0)
+    assert((cs(codPos + 4) & 0xff) == 0, "fixture COD has no SOP/EPH")
+    val sodPos = sotPos + 12
+    assert(u16(cs, sodPos) == 0xff93, "SOD right after SOT")
+
+    // parse the single packet header (1 resolution, 1 layer, 1 block)
+    val hr = new Jpeg2000.HeaderBitReader(cs, sodPos + 2)
+    assert(hr.bit() == 1, "non-empty packet")
+    assert(hr.bit() == 1, "block included") // 1x1 inclusion tag tree
+    var zbp = 0
+    while (hr.bit() == 0) zbp += 1 // 1x1 zero-bitplane tag tree
+    val np = // Table B.4
+      if (hr.bit() == 0) 1
+      else if (hr.bit() == 0) 2
+      else {
+        val t = hr.bits(2)
+        if (t < 3) 3 + t
+        else { val t2 = hr.bits(5); if (t2 < 31) 6 + t2 else 37 + hr.bits(7) }
+      }
+    var lblock = 3
+    while (hr.bit() == 1) lblock += 1
+    val log2np = 31 - Integer.numberOfLeadingZeros(np)
+    val nBytes = hr.bits(lblock + log2np)
+    val body = java.util.Arrays.copyOfRange(cs, hr.endPos, hr.endPos + nBytes)
+
+    // zero-pad the body so the length's low 8 bits are all ones — the
+    // header's trailing 8 bits are then 1s, allowing a final 0xFF byte
+    // (the MQ decoder never reads past what the passes consume)
+    val paddedLen = nBytes | 0xff
+    val padded = java.util.Arrays.copyOf(body, paddedLen)
+
+    // re-encode the header, brute-forcing the Lblock-increment count so
+    // it ends exactly on a byte boundary whose final byte is 0xFF
+    def render(incr: Int): Option[Array[Byte]] = {
+      val lenBits = 3 + incr + log2np
+      if (lenBits < 32 - Integer.numberOfLeadingZeros(paddedLen) ||
+        lenBits > 31) return None
+      val bits = collection.mutable.ArrayBuffer[Int](1, 1) // non-empty; incl
+      (0 until zbp).foreach(_ => bits += 0); bits += 1
+      np match { // Table B.4 inverse
+        case 1 => bits += 0
+        case 2 => bits += 1; bits += 0
+        case n if n <= 5 =>
+          bits ++= Seq(1, 1); bits += ((n - 3) >> 1) & 1; bits += (n - 3) & 1
+        case n if n <= 36 =>
+          bits ++= Seq(1, 1, 1, 1)
+          (4 to 0 by -1).foreach(i => bits += ((n - 6) >> i) & 1)
+        case n =>
+          bits ++= Seq.fill(9)(1)
+          (6 to 0 by -1).foreach(i => bits += ((n - 37) >> i) & 1)
+      }
+      (0 until incr).foreach(_ => bits += 1); bits += 0
+      ((lenBits - 1) to 0 by -1).foreach(i => bits += (paddedLen >> i) & 1)
+      // stuffing-aware serialization (encoder side of B.10.1)
+      val out = collection.mutable.ArrayBuffer.empty[Byte]
+      var cur = 0; var cap = 8
+      for (b <- bits) {
+        cur = (cur << 1) | b; cap -= 1
+        if (cap == 0) {
+          out += cur.toByte
+          cap = if ((cur & 0xff) == 0xff) 7 else 8
+          cur = 0
+        }
+      }
+      if (cap == 7 && out.nonEmpty && (out.last & 0xff) == 0xff) {
+        out += 0x00.toByte // the mandatory terminal stuffed byte
+        Some(out.toArray)
+      } else None
+    }
+    val hdr = (0 to 128).iterator.map(render).collectFirst { case Some(h) => h }
+      .getOrElse(fail("no Lblock-increment count aligns the header"))
+    assert((hdr(hdr.length - 2) & 0xff) == 0xff)
+
+    // assemble two single-layer streams over the SAME layer-0 body:
+    // (A) control — original header bytes verbatim; (B) the engineered
+    // terminal-0xFF header + EPH. Their decodes must agree sample-exactly.
+    def assemble(scod: Int, packet: Array[Byte]): Array[Byte] = {
+      val mainHdr = java.util.Arrays.copyOfRange(cs, 0, sotPos)
+      mainHdr(codPos + 4) = scod.toByte
+      mainHdr(codPos + 6) = 0; mainHdr(codPos + 7) = 1 // 1 layer
+      val psot = 12 + 2 + packet.length
+      val out = new java.io.ByteArrayOutputStream
+      out.write(mainHdr)
+      out.write(Array[Byte](0xff.toByte, 0x90.toByte, 0, 10, 0, 0,
+        (psot >> 24).toByte, (psot >> 16).toByte, (psot >> 8).toByte,
+        psot.toByte, 0, 1))
+      out.write(Array[Byte](0xff.toByte, 0x93.toByte))
+      out.write(packet)
+      out.write(Array[Byte](0xff.toByte, 0xd9.toByte)) // EOC
+      out.toByteArray
+    }
+    val control = assemble(0x00,
+      java.util.Arrays.copyOfRange(cs, sodPos + 2, hr.endPos + nBytes))
+    val engineered = assemble(0x04, // EPH on
+      hdr ++ Array[Byte](0xff.toByte, 0x92.toByte) ++ padded)
+
+    val want = Jpeg2000.decode(control)
+    val img = Jpeg2000.decode(engineered)
+    assert(img.width == 20 && img.height == 10)
+    assert(img.samples.sameElements(want.samples))
+  }
 }
