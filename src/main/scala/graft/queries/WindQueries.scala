@@ -185,6 +185,54 @@ object WindQueries {
        |SELECT parameter, ref_time, recorded_time FROM ranked WHERE rk = 1
        |ORDER BY parameter""".stripMargin
 
+  /** Projected-grid addressing as a driver-checkable query (round 8): the
+    * in-engine binary decoder reads the committed Lambert-conformal (3.30)
+    * fixture — whose octet layout is cross-checked against netCDF-Java's
+    * own `Grib2Gds` parser, `tools/gdscheck` — and [[Grid.toPointsLambert]]
+    * addresses every cell. The oracle replays the WHOLE path generatively:
+    * the simple-packing values from the fixture's generator formula
+    * (`v(i) = (i·37 mod 101)/10`) and the spherical Lambert inverse
+    * re-derived in DuckDB trig — an independent second implementation of
+    * the projection, agreeing to the 1e-5-degree quantization.
+    */
+  def lambertPoints(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/graft/wind/lambert330.grb2")
+    require(in != null, "missing lambert330.grb2 resource")
+    val bytes = try in.readAllBytes() finally in.close()
+    Grid.toPointsLambert(spark.createDataFrame(graft.wind.Grib2.decode(bytes)))
+      .select(col("pos").cast("long").as("pos"),
+        (round(col("lat") * 1e5) / 1e5).as("lat"),
+        (round(col("lon") * 1e5) / 1e5).as("lon"),
+        col("value"))
+      .orderBy("pos")
+  }
+
+  // fixture constants: tangent cone latin1 = latin2 = LaD = 38.5, LoV
+  // 262.5, first point (21.138123, 237.280472), 8×6 cells of 300 km,
+  // shape-6 sphere — ProjFixtureGen is the generator
+  private val lambertPointsSql =
+    """WITH a AS (
+      |  SELECT sin(radians(38.5)) AS n,
+      |    6371229.0 * cos(radians(38.5))
+      |      * pow(tan(pi()/4 + radians(38.5)/2), sin(radians(38.5)))
+      |      / sin(radians(38.5)) AS rf),
+      |anchor AS (
+      |  SELECT n, rf,
+      |    rf / pow(tan(pi()/4 + radians(21.138123)/2), n) AS rho1,
+      |    n * radians(237.280472 - 262.5) AS th1
+      |  FROM a),
+      |xy AS (
+      |  SELECT pos, n, rf,
+      |    rho1 * sin(th1) + (pos % 8) * 300000.0 AS x,
+      |    -rho1 * cos(th1) - (pos // 8) * 300000.0 AS y
+      |  FROM anchor, (SELECT unnest(range(48)) AS pos))
+      |SELECT CAST(pos AS BIGINT) AS pos,
+      |  round(degrees(2*atan(pow(rf / sqrt(x*x + y*y), 1.0/n)) - pi()/2)
+      |    * 1e5)/1e5 AS lat,
+      |  round(((262.5 + degrees(atan2(x, -y) / n)) % 360) * 1e5)/1e5 AS lon,
+      |  CAST(pos * 37 % 101 AS DOUBLE) / 10 AS value
+      |FROM xy ORDER BY pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_decoded_records", Some(decodedRecordsSql), decodedRecords),
     QueryDef("w02_uv_filter", Some(uvFilterSql), uvFilter),
@@ -192,5 +240,6 @@ object WindQueries {
     QueryDef("w04_wind_vectors_bbox", Some(windVectorsBboxSql), windVectorsBbox),
     QueryDef("w05_backtrack_candidates", Some(backtrackCandidatesSql), backtrackCandidates),
     QueryDef("w06_upsert_latest", Some(upsertLatestSql), upsertLatest),
+    QueryDef("w07_lambert_points", Some(lambertPointsSql), lambertPoints),
   )
 }

@@ -87,6 +87,12 @@ object Grib2Source {
     StructField("lo2", DoubleType, nullable = false),
     StructField("surface2Type", IntegerType, nullable = false),
     StructField("surface2Value", DoubleType, nullable = false),
+    StructField("lov", DoubleType, nullable = false),
+    StructField("lad", DoubleType, nullable = false),
+    StructField("latin1", DoubleType, nullable = false),
+    StructField("latin2", DoubleType, nullable = false),
+    StructField("projCenter", IntegerType, nullable = false),
+    StructField("earthRadius", DoubleType, nullable = false),
     StructField("data", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
@@ -225,6 +231,7 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
             m.gridDefinitionTemplate, m.numberPoints, m.shape,
             m.basicAngle, m.resolution, m.scanMode,
             m.la2, m.lo2, m.surface2Type, m.surface2Value,
+            m.lov, m.lad, m.latin1, m.latin2, m.projCenter, m.earthRadius,
             ArrayData.toArrayData(m.data))
           new GenericInternalRow(fieldIdx.map(full))
         }

@@ -433,6 +433,90 @@ object Grib2 {
     out
   }
 
+  /** Parsed section-3 body of a projected template (3.10 Mercator, 3.20
+    * polar stereographic, 3.30 Lambert conformal): corners already
+    * canonicalized to scan mode 0 in projection-plane space. `dx`/`dy` are
+    * METERS (wire 10⁻³ m), `la1`/`lo1`/`la2`/`lo2` the canonical
+    * start/far corner lat/lon.
+    */
+  private final case class ProjGrid(nx: Int, ny: Int,
+      la1: Double, lo1: Double, la2: Double, lo2: Double,
+      dx: Double, dy: Double, resolution: Int,
+      lov: Double, lad: Double, latin1: Double, latin2: Double,
+      projCenter: Int, earthRadius: Double, scan: Int)
+
+  /** Decode a projected section-3 template. Octet layouts per the WMO
+    * tables (the netCDF-Java decoder grib2json bundles reads the same
+    * offsets for HRRR/NAM/RAP-class products). Unsupported parameter
+    * combinations — oblate earth shapes, south-polar or bi-polar centre
+    * flags, rotated Mercator, a Lambert LaD off both standard parallels —
+    * refuse loudly by name rather than mis-georeference.
+    */
+  private def parseProjected(payload: Array[Byte], p: Int, tmpl: Int,
+      shape: Int, optListOctets: Int): ProjGrid = {
+    require(optListOctets == 0,
+      s"unsupported quasi-regular point list on projected grid template 3.$tmpl")
+    val radius = Projection.earthRadius(shape,
+      u8(payload, p + 15), u32(payload, p + 16))  // octets 16, 17-20
+    val nx = u32(payload, p + 30).toInt           // Nx/Ni, octets 31-34
+    val ny = u32(payload, p + 34).toInt           // Ny/Nj, octets 35-38
+    require(nx >= 1 && ny >= 1, s"projected grid ${nx}x$ny")
+    val la1 = s32sm(payload, p + 38) / 1e6        // La1, octets 39-42
+    val lo1 = u32(payload, p + 42) / 1e6          // Lo1, octets 43-46
+    val resolution = u8(payload, p + 46)          // octet 47
+    val lad = s32sm(payload, p + 47) / 1e6        // LaD, octets 48-51
+    var lov = 0.0; var latin1 = 0.0; var latin2 = 0.0
+    var projCenter = 0; var scan = 0
+    var dx = 0.0; var dy = 0.0
+    if (tmpl == 10) { // Mercator
+      scan = u8(payload, p + 59)                  // octet 60
+      val orient = u32(payload, p + 60)           // octets 61-64
+      require(orient == 0,
+        s"unsupported Mercator grid orientation $orient (equator-aligned only)")
+      dx = u32(payload, p + 64) / 1e3             // Di, octets 65-68
+      dy = u32(payload, p + 68) / 1e3             // Dj, octets 69-72
+    } else { // 3.20 / 3.30 share the LoV/Dx/Dy/centre-flag/scan octets
+      lov = u32(payload, p + 51) / 1e6            // LoV, octets 52-55
+      dx = u32(payload, p + 55) / 1e3             // Dx, octets 56-59
+      dy = u32(payload, p + 59) / 1e3             // Dy, octets 60-63
+      projCenter = u8(payload, p + 63)            // octet 64
+      require((projCenter & 0x80) == 0,
+        f"unsupported south-polar projection (centre flag 0x$projCenter%02x)")
+      require((projCenter & 0x40) == 0,
+        f"unsupported bi-polar projection (centre flag 0x$projCenter%02x)")
+      scan = u8(payload, p + 64)                  // octet 65
+      if (tmpl == 30) {
+        latin1 = s32sm(payload, p + 65) / 1e6     // Latin1, octets 66-69
+        latin2 = s32sm(payload, p + 69) / 1e6     // Latin2, octets 70-73
+        require(lad == latin1 || lad == latin2,
+          s"unsupported Lambert grid: LaD $lad differs from both standard " +
+            s"parallels ($latin1, $latin2) — Dx/Dy would not be true on " +
+            "the cone")
+      }
+    }
+    require((scan & 0x0f) == 0,
+      f"unsupported scanning mode 0x$scan%02x (bits 5-8: staggered/offset " +
+        "grids)")
+    val proj: Projection.Proj = tmpl match {
+      case 10 => Projection.Mercator(radius, lad, lo1)
+      case 20 => Projection.PolarStereo(radius, lov, lad)
+      case 30 => Projection.LambertConformal(radius, lov, latin1, latin2)
+    }
+    // Canonical corners in PLANE space: the wire (La1, Lo1) is the first
+    // SCANNED point; shift to the canonical (+i, -j) start corner, then
+    // derive the far corner — the same first-point-only policy as the
+    // lat/lon templates (wire La2/Lo2, where present, is the last scanned
+    // point, not a diagonal corner)
+    val (x1w, y1w) = proj.forward(la1, lo1)
+    var x1 = x1w; var y1 = y1w
+    if ((scan & 0x80) != 0) x1 -= (nx - 1) * dx
+    if ((scan & 0x40) != 0) y1 += (ny - 1) * dy
+    val (cla1, clo1) = proj.inverse(x1, y1)
+    val (cla2, clo2) = proj.inverse(x1 + (nx - 1) * dx, y1 - (ny - 1) * dy)
+    ProjGrid(nx, ny, cla1, clo1, cla2, clo2, dx, dy, resolution,
+      lov, lad, latin1, latin2, projCenter, radius, scan)
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** Decode every field in a (possibly multi-message, possibly
@@ -478,6 +562,9 @@ object Grib2 {
       var numberPoints = 0; var shape = 0; var basicAngle = 0
       var resolution = 0; var gridTmpl = 0; var scanRaw = 0
       var rowCounts: Array[Int] = null // non-null ⇔ quasi-regular grid
+      // projected-template (3.10/3.20/3.30) parameters; zero otherwise
+      var lov = 0.0; var lad = 0.0; var latin1 = 0.0; var latin2 = 0.0
+      var projCenter = 0; var earthRadius = 0.0
       // field-scoped state, reset after every data section (sections 4-7
       // legally repeat within one message — each repetition is one field)
       var forecastHours = 0
@@ -505,10 +592,11 @@ object Grib2 {
             productStatus = u8(payload, p + 19)    // octet 20
             productType = u8(payload, p + 20)      // octet 21
           case 2 => () // local use
-          case 3 => // grid definition; templates 3.0 (lat/lon) and 3.40 (gaussian)
+          case 3 => // grid definition; templates 3.0 lat/lon, 3.40 gaussian,
+            //        3.10 Mercator, 3.20 polar-stereographic, 3.30 Lambert
             val tmpl = u16(payload, p + 12)
-            require(tmpl == 0 || tmpl == 40,
-              s"unsupported grid template 3.$tmpl")
+            require(tmpl == 0 || tmpl == 10 || tmpl == 20 || tmpl == 30 ||
+              tmpl == 40, s"unsupported grid template 3.$tmpl")
             gridTmpl = tmpl
             // octets 11-12: optional list of numbers — non-zero entry width
             // marks a quasi-regular (thinned/reduced) grid whose per-row
@@ -521,6 +609,17 @@ object Grib2 {
             val optListInterp = u8(payload, p + 11)
             numberPoints = u32(payload, p + 6).toInt // octets 7-10
             shape = u8(payload, p + 14)            // shape of earth, octet 15
+            lov = 0.0; lad = 0.0; latin1 = 0.0; latin2 = 0.0
+            projCenter = 0; earthRadius = 0.0
+            if (tmpl == 10 || tmpl == 20 || tmpl == 30) {
+              val g = parseProjected(payload, p, tmpl, shape, optListOctets)
+              nx = g.nx; ny = g.ny; la1 = g.la1; lo1 = g.lo1
+              la2 = g.la2; lo2 = g.lo2; dx = g.dx; dy = g.dy
+              resolution = g.resolution; lov = g.lov; lad = g.lad
+              latin1 = g.latin1; latin2 = g.latin2; projCenter = g.projCenter
+              earthRadius = g.earthRadius; scanRaw = g.scan
+              basicAngle = 0; rowCounts = null
+            } else {
             nx = u32(payload, p + 30).toInt        // Ni, octets 31-34
             ny = u32(payload, p + 34).toInt        // Nj, octets 35-38
             basicAngle = u32(payload, p + 38).toInt // octets 39-42
@@ -606,6 +705,7 @@ object Grib2 {
             }
             if ((scan & 0x80) != 0) lo1 -= (nx - 1) * dx
             lo2 = lo1 + (nx - 1) * dx
+            }
           case 4 => // product definition; template 4.0 only
             val tmpl = u16(payload, p + 7)
             require(tmpl == 0, s"unsupported product template 4.$tmpl")
@@ -756,6 +856,8 @@ object Grib2 {
                 resolution = resolution, scanMode = 0,
                 la2 = la2, lo2 = lo2,
                 surface2Type = surf2Type, surface2Value = surf2Val,
+                lov = lov, lad = lad, latin1 = latin1, latin2 = latin2,
+                projCenter = projCenter, earthRadius = earthRadius,
                 data = data)
             }
             // this field is done: clear its state so a repeated 4-7 group

@@ -1,6 +1,6 @@
 package graft.wind
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Grid→point addressing and derived wind quantities (SURVEY.md §2.1 X1/X2).
@@ -124,6 +124,96 @@ object Grid {
         element_at(latTable, floor(col("pos") / col("nx")).cast("int") + 1))
       .withColumn("lon", col("lo1") + pmod(col("pos"), col("nx")) * col("dx"))
       .select("recorded_time", "parameter", "pos", "lat", "lon", "value")
+  }
+
+  // ---------------------------------------------- projected-grid addressing
+  //
+  // Templates 3.10/3.20/3.30 (round 8): per-point lat/lon via the spherical
+  // projection inverses — column-for-column the formulas of [[Projection]]
+  // (GridSpec pins the two against each other and the projection
+  // invariants), expressed entirely in codegen'd built-ins: the addressing
+  // stays a map-only projection over the explode — no UDF, no join, no
+  // shuffle. Inputs are the FLAT binary-decoded frame
+  // ([[WindBinary.decode]] / the `grib2` DataSource), which carries the
+  // projection parameters; the canonical corner (la1, lo1) anchors the
+  // plane at x1/y1 and cell (i, j) sits at (x1 + i·dx, y1 − j·dy) — dx/dy
+  // are METERS for these templates.
+
+  private val HalfPi = lit(math.Pi / 2)
+  private val QuarterPi = lit(math.Pi / 4)
+
+  /** Longitude difference wrapped to (-180, 180], column form of
+    * `Projection.dLon`.
+    */
+  private def dLonCol(lon: Column, lon0: Column): Column =
+    pmod(lon - lon0 + lit(180.0), lit(360.0)) - lit(180.0)
+
+  private def explodeFlat(records: DataFrame, tmpl: Int): DataFrame =
+    records.filter(col("gridDefinitionTemplate") === tmpl)
+      .select(
+        col("refTime").as("ref_time"),
+        col("parameterNumber").as("parameter"),
+        col("nx"), col("la1"), col("lo1"), col("dx"), col("dy"),
+        col("lov"), col("lad"), col("latin1"), col("latin2"),
+        col("earthRadius").as("r"),
+        posexplode(col("data")).as(Seq("pos", "value")))
+
+  private def finishPoints(df: DataFrame, lat: Column, lon: Column): DataFrame =
+    df.withColumn("lat", lat).withColumn("lon", lon)
+      .select("ref_time", "parameter", "pos", "lat", "lon", "value")
+
+  /** Exploded point view of a Lambert-conformal (template 3.30) grid:
+    * Snyder's spherical conic inverse per cell. Cone constant and F are
+    * per-row column constants — a handful of trig ops against the explode's
+    * per-point work.
+    */
+  def toPointsLambert(records: DataFrame): DataFrame = {
+    val df = explodeFlat(records, 30)
+    val phi1 = radians(col("latin1"))
+    val phi2 = radians(col("latin2"))
+    val n = when(col("latin1") === col("latin2"), sin(phi1))
+      .otherwise(log(cos(phi1) / cos(phi2)) /
+        log(tan(QuarterPi + phi2 / 2) / tan(QuarterPi + phi1 / 2)))
+    val rf = col("r") * cos(phi1) * pow(tan(QuarterPi + phi1 / 2), n) / n
+    val rho1 = rf / pow(tan(QuarterPi + radians(col("la1")) / 2), n)
+    val th1 = n * radians(dLonCol(col("lo1"), col("lov")))
+    val x = rho1 * sin(th1) + pmod(col("pos"), col("nx")) * col("dx")
+    val y = -rho1 * cos(th1) - floor(col("pos") / col("nx")) * col("dy")
+    val rho = sqrt(x * x + y * y)
+    val lat = degrees(lit(2.0) * atan(pow(rf / rho, lit(1.0) / n)) - HalfPi)
+    val lon = pmod(col("lov") + degrees(atan2(x, -y) / n), lit(360.0))
+    finishPoints(df, lat, lon)
+  }
+
+  /** Exploded point view of a north-polar-stereographic (template 3.20)
+    * grid: ρ = R(1+sin LaD)·tan(π/4−φ/2) inverse per cell.
+    */
+  def toPointsPolarStereo(records: DataFrame): DataFrame = {
+    val df = explodeFlat(records, 20)
+    val c = col("r") * (lit(1.0) + sin(radians(col("lad"))))
+    val rho1 = c * tan(QuarterPi - radians(col("la1")) / 2)
+    val th1 = radians(dLonCol(col("lo1"), col("lov")))
+    val x = rho1 * sin(th1) + pmod(col("pos"), col("nx")) * col("dx")
+    val y = -rho1 * cos(th1) - floor(col("pos") / col("nx")) * col("dy")
+    val lat = degrees(HalfPi - lit(2.0) * atan(sqrt(x * x + y * y) / c))
+    val lon = pmod(col("lov") + degrees(atan2(x, -y)), lit(360.0))
+    finishPoints(df, lat, lon)
+  }
+
+  /** Exploded point view of a Mercator (template 3.10) grid: rows are
+    * constant-latitude, columns constant-longitude; scale true at LaD.
+    * The plane anchors at the canonical first point (x₁ = 0 by
+    * construction — [[Projection.Mercator]] takes lo1 as its λ₀).
+    */
+  def toPointsMercator(records: DataFrame): DataFrame = {
+    val df = explodeFlat(records, 10)
+    val c = col("r") * cos(radians(col("lad")))
+    val y1 = c * log(tan(QuarterPi + radians(col("la1")) / 2))
+    val x = pmod(col("pos"), col("nx")) * col("dx")
+    val y = y1 - floor(col("pos") / col("nx")) * col("dy")
+    val lat = degrees(lit(2.0) * atan(exp(y / c)) - HalfPi)
+    val lon = pmod(col("lo1") + degrees(x / c), lit(360.0))
+    finishPoints(df, lat, lon)
   }
 
   /** Inverse of [[toPoints]]: reassemble the flat array per record. */

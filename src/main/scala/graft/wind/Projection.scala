@@ -1,0 +1,153 @@
+package graft.wind
+
+/** Spherical map projections for the GRIB2 projected grid templates —
+  * 3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert conformal (the
+  * NOAA HRRR/NAM/RAP families; the reference's bundled grib2json rides
+  * netCDF-Java, whose contract covers "any NCEP products",
+  * `grib2json/target/grib2json-0.8.0-SNAPSHOT/README.md:26`).
+  *
+  * Formulas are the standard spherical forms (Snyder, "Map Projections — A
+  * Working Manual", USGS PP 1395: Mercator I, polar stereographic, Lambert
+  * conformal conic). Angles are degrees at the API (GRIB wire convention,
+  * longitudes east-positive), x/y are meters on the projection plane with
+  * +x along +i of a canonically-scanned grid and +y toward the projection
+  * pole / north. The plane origin is projection-specific (the pole for the
+  * conic/azimuthal cases) — only *differences* of coordinates are ever
+  * meaningful to a grid, which anchors at its first point.
+  *
+  * Scale contract: grid increments Dx/Dy are true at the latitude the
+  * template names (LaD; the standard parallels for Lambert) — the
+  * projection-plane metric equals ground meters exactly there, which is
+  * what lets `forward(first point) + i·Dx` address every cell.
+  *
+  * Used driver-side by [[Grib2]] (corner canonicalization, La2/Lo2) and
+  * mirrored column-for-column by [[Grid]]'s codegen'd point addressing;
+  * GridSpec pins the two against each other and against the projection
+  * invariants (round-trip identity, true scale at LaD, conformality).
+  */
+object Projection {
+
+  /** Sphere radius in meters for a GRIB2 "shape of earth" code (table 3.2)
+    * given the custom-radius descriptors (octets 16-20 of the projected
+    * templates). Oblate shapes refuse loudly: the spherical formulas below
+    * would silently mis-place every point by up to ~20 km.
+    */
+  def earthRadius(shape: Int, radiusScale: Int, radiusValue: Long): Double =
+    shape match {
+      case 0 => 6367470.0
+      case 1 =>
+        require(radiusValue > 0,
+          s"earth shape 1 (custom sphere) with radius $radiusValue")
+        radiusValue * math.pow(10, -radiusScale)
+      case 6 => 6371229.0
+      case s => throw new IllegalArgumentException(
+        s"unsupported earth shape $s for a projected grid " +
+          "(spherical shapes 0/1/6 only; oblate projection math not implemented)")
+    }
+
+  /** Wrap a longitude difference into (-180, 180]. */
+  private def dLon(lonDeg: Double, lon0Deg: Double): Double = {
+    var d = (lonDeg - lon0Deg) % 360.0
+    if (d <= -180.0) d += 360.0 else if (d > 180.0) d -= 360.0
+    d
+  }
+
+  /** Normalize a longitude into [0, 360) — the GRIB wire convention. */
+  private def norm360(lonDeg: Double): Double = {
+    val m = lonDeg % 360.0
+    if (m < 0) m + 360.0 else m
+  }
+
+  sealed trait Proj {
+    /** lat/lon degrees → plane meters. */
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double)
+    /** plane meters → (lat degrees, lon degrees in [0, 360)). */
+    def inverse(x: Double, y: Double): (Double, Double)
+  }
+
+  /** Lambert conformal conic, northern hemisphere, secant (latin1 ≠
+    * latin2) or tangent (equal) — template 3.30. The pole is the plane
+    * origin; +y points from the grid toward the pole along the LoV
+    * meridian. Cone constant `n`, auxiliary `F` per Snyder 15-3/15-2.
+    */
+  final case class LambertConformal(r: Double, lovDeg: Double,
+      latin1Deg: Double, latin2Deg: Double) extends Proj {
+    require(latin1Deg > 0 && latin1Deg < 90 && latin2Deg > 0 && latin2Deg < 90,
+      s"unsupported Lambert standard parallels ($latin1Deg, $latin2Deg): " +
+        "northern-hemisphere cone only (0 < latin < 90)")
+    private val p1 = math.toRadians(latin1Deg)
+    private val p2 = math.toRadians(latin2Deg)
+    /** Cone constant: sin(latin1) when tangent (Snyder 15-4 limit). */
+    val n: Double =
+      if (latin1Deg == latin2Deg) math.sin(p1)
+      else math.log(math.cos(p1) / math.cos(p2)) /
+        math.log(math.tan(math.Pi / 4 + p2 / 2) /
+          math.tan(math.Pi / 4 + p1 / 2))
+    private val bigF =
+      math.cos(p1) * math.pow(math.tan(math.Pi / 4 + p1 / 2), n) / n
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val rho = r * bigF /
+        math.pow(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2), n)
+      val th = n * math.toRadians(dLon(lonDeg, lovDeg))
+      (rho * math.sin(th), -rho * math.cos(th))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.hypot(x, y)
+      val lat =
+        if (rho == 0) 90.0
+        else math.toDegrees(
+          2 * math.atan(math.pow(r * bigF / rho, 1.0 / n)) - math.Pi / 2)
+      (lat, norm360(lovDeg + math.toDegrees(math.atan2(x, -y) / n)))
+    }
+  }
+
+  /** Polar stereographic from the north pole — template 3.20. Scale true
+    * at LaD (60°N for every NCEP product): ρ = R(1+sin LaD)·tan(π/4−φ/2),
+    * the k₀=(1+sin φd)/2 specialization of Snyder 21-1. +y points from the
+    * grid toward the pole along the LoV meridian.
+    */
+  final case class PolarStereo(r: Double, lovDeg: Double,
+      ladDeg: Double) extends Proj {
+    require(ladDeg > 0 && ladDeg <= 90,
+      s"unsupported polar-stereographic LaD $ladDeg: north-pole projection " +
+        "needs 0 < LaD <= 90")
+    private val c = r * (1 + math.sin(math.toRadians(ladDeg)))
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val rho = c * math.tan(math.Pi / 4 - math.toRadians(latDeg) / 2)
+      val th = math.toRadians(dLon(lonDeg, lovDeg))
+      (rho * math.sin(th), -rho * math.cos(th))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.hypot(x, y)
+      val lat = math.toDegrees(math.Pi / 2 - 2 * math.atan(rho / c))
+      val lon =
+        if (rho == 0) norm360(lovDeg)
+        else norm360(lovDeg + math.toDegrees(math.atan2(x, -y)))
+      (lat, lon)
+    }
+  }
+
+  /** Mercator with true scale at LaD — template 3.10. `lon0Deg` anchors
+    * x = 0 (callers pass the grid's first-point longitude; only
+    * differences matter). y = R·cos(LaD)·ln tan(π/4+φ/2), Snyder 7-1/7-2
+    * scaled by cos LaD.
+    */
+  final case class Mercator(r: Double, ladDeg: Double,
+      lon0Deg: Double) extends Proj {
+    require(math.abs(ladDeg) < 90,
+      s"unsupported Mercator LaD $ladDeg (needs |LaD| < 90)")
+    private val c = r * math.cos(math.toRadians(ladDeg))
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) =
+      (c * math.toRadians(dLon(lonDeg, lon0Deg)),
+        c * math.log(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2)))
+
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (math.toDegrees(2 * math.atan(math.exp(y / c)) - math.Pi / 2),
+        norm360(lon0Deg + math.toDegrees(x / c)))
+  }
+}

@@ -25,6 +25,15 @@ object WindBinary {
     * the binary decoder reads directly; only the code-table NAME strings
     * (disciplineName, parameterUnit, …) genuinely need grib2json's lookup
     * tables and stay out of the binary shape.
+    *
+    * The `lov`/`lad`/`latin1`/`latin2`/`projCenter`/`earthRadius` tail
+    * (round 8) carries the projected-template parameters of grids 3.10 /
+    * 3.20 / 3.30 — zero for lat/lon and gaussian grids, whose `dx`/`dy`
+    * are degrees; for projected grids `dx`/`dy` are METERS and `la1`/`lo1`
+    * remain the first point's lat/lon. [[Grid.toPointsLambert]] /
+    * `toPointsPolarStereo` / `toPointsMercator` consume them. They stay
+    * out of the 48-field storage header ([[conformHeader]]), which is the
+    * JSON-leg parity schema.
     */
   case class GribMessage(
       discipline: Int, parameterCategory: Int, parameterNumber: Int,
@@ -38,6 +47,8 @@ object WindBinary {
       basicAngle: Int, resolution: Int, scanMode: Int,
       la2: Double, lo2: Double,
       surface2Type: Int, surface2Value: Double,
+      lov: Double, lad: Double, latin1: Double, latin2: Double,
+      projCenter: Int, earthRadius: Double,
       data: Array[Double])
 
   /** Read a directory of `.grb2` blobs via the binaryFile source. */

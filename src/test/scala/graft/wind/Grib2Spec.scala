@@ -564,4 +564,141 @@ class Grib2Spec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("unsupported scanning mode"))
   }
+
+  // --------------- projected grid templates 3.10 / 3.20 / 3.30 (round 8)
+
+  private val PVals = Array.tabulate(48)(i => (i * 37 % 101).toLong)
+  private val LambertRef = Projection.LambertConformal(6371229.0, 262.5, 38.5, 38.5)
+
+  /** HRRR-style tangent Lambert cone, 8×6 grid, 300 km spacing. */
+  private def lambertMsg(scan: Int = 0, m: Array[Long] = PVals) =
+    msg(m = m, d = 1).copy(nx = 8, ny = 6, gridTemplate = 30,
+      la1Micro = 21138123L, lo1Micro = 237280472L,
+      dxMicro = 300000000L, dyMicro = 300000000L, // 10^-3 m → 300 km
+      lovMicro = 262500000L, ladMicro = 38500000L,
+      latin1Micro = 38500000L, latin2Micro = 38500000L,
+      scanMode = scan)
+
+  test("Lambert-conformal 3.30 round-trip: meters, params, computed corners") {
+    val g = Grib2.decode(Grib2TestWriter.message(lambertMsg())).head
+    assert(g.gridDefinitionTemplate == 30)
+    assert(g.nx == 8 && g.ny == 6 && g.numberPoints == 48)
+    assert(g.dx == 300000.0 && g.dy == 300000.0, "Dx/Dy decode as meters")
+    assert(g.lov == 262.5 && g.lad == 38.5)
+    assert(g.latin1 == 38.5 && g.latin2 == 38.5 && g.projCenter == 0)
+    assert(g.earthRadius == 6371229.0) // shape 6
+    assert(math.abs(g.la1 - 21.138123) < 1e-12 &&
+      math.abs(g.lo1 - 237.280472) < 1e-12, "canonical first point = wire")
+    // far corner independently recomputed through the projection
+    val (x1, y1) = LambertRef.forward(21.138123, 237.280472)
+    val (la2, lo2) = LambertRef.inverse(x1 + 7 * 300000.0, y1 - 5 * 300000.0)
+    assert(math.abs(g.la2 - la2) < 1e-9 && math.abs(g.lo2 - lo2) < 1e-9)
+    assert(g.data.toSeq == PVals.map(_ / 10.0).toSeq)
+    assert(g.scanMode == 0 && g.basicAngle == 0)
+  }
+
+  test("projected scan modes canonicalize the data and the corner") {
+    val want = Grib2.decode(Grib2TestWriter.message(lambertMsg())).head
+    // -i scan (0x80): wire first point is canonical cell (nx-1, 0); rows
+    // are stored right-to-left
+    val (x1, y1) = LambertRef.forward(21.138123, 237.280472)
+    val (laNE, loNE) = LambertRef.inverse(x1 + 7 * 300000.0, y1)
+    val mNegI = Array.tabulate(48) { k =>
+      val r = k / 8; val t = k % 8; PVals(r * 8 + (7 - t))
+    }
+    val gNegI = Grib2.decode(Grib2TestWriter.message(lambertMsg(
+        scan = 0x80, m = mNegI).copy(
+        la1Micro = math.round(laNE * 1e6), lo1Micro = math.round(loNE * 1e6))))
+      .head
+    // the wire corner was micro-degree-rounded, so the canonicalized
+    // corner re-derives within the projection of that rounding (~1e-6 deg)
+    assert(math.abs(gNegI.la1 - want.la1) < 1e-5 &&
+      math.abs(gNegI.lo1 - want.lo1) < 1e-5)
+    assert(gNegI.data.toSeq == want.data.toSeq, "-i data normalizes")
+    // +j scan (0x40): wire first point is canonical cell (0, ny-1); rows
+    // are stored south-to-north
+    val (laSW, loSW) = LambertRef.inverse(x1, y1 - 5 * 300000.0)
+    val mPosJ = Array.tabulate(48) { k =>
+      val r = k / 8; val t = k % 8; PVals((5 - r) * 8 + t)
+    }
+    val gPosJ = Grib2.decode(Grib2TestWriter.message(lambertMsg(
+        scan = 0x40, m = mPosJ).copy(
+        la1Micro = math.round(laSW * 1e6), lo1Micro = math.round(loSW * 1e6))))
+      .head
+    assert(math.abs(gPosJ.la1 - want.la1) < 1e-5 &&
+      math.abs(gPosJ.lo1 - want.lo1) < 1e-5)
+    assert(gPosJ.data.toSeq == want.data.toSeq, "+j data normalizes")
+  }
+
+  test("polar-stereographic 3.20 round-trip") {
+    val g = Grib2.decode(Grib2TestWriter.message(
+      msg(m = PVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 20,
+        la1Micro = 30000000L, lo1Micro = 225000000L,
+        dxMicro = 381000000L, dyMicro = 381000000L, // 381 km (NCEP classic)
+        lovMicro = 255000000L, ladMicro = 60000000L))).head
+    assert(g.gridDefinitionTemplate == 20)
+    assert(g.dx == 381000.0 && g.lov == 255.0 && g.lad == 60.0)
+    assert(g.latin1 == 0.0 && g.latin2 == 0.0)
+    assert(math.abs(g.la1 - 30.0) < 1e-12 && math.abs(g.lo1 - 225.0) < 1e-12)
+    val ps = Projection.PolarStereo(6371229.0, 255.0, 60.0)
+    val (x1, y1) = ps.forward(30.0, 225.0)
+    val (la2, lo2) = ps.inverse(x1 + 7 * 381000.0, y1 - 5 * 381000.0)
+    assert(math.abs(g.la2 - la2) < 1e-9 && math.abs(g.lo2 - lo2) < 1e-9)
+    assert(g.data.toSeq == PVals.map(_ / 10.0).toSeq)
+  }
+
+  test("Mercator 3.10 round-trip") {
+    val g = Grib2.decode(Grib2TestWriter.message(
+      msg(m = PVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 10,
+        la1Micro = 25000000L, lo1Micro = 230000000L,
+        dxMicro = 200000000L, dyMicro = 200000000L, // 200 km
+        ladMicro = 20000000L))).head
+    assert(g.gridDefinitionTemplate == 10)
+    assert(g.dx == 200000.0 && g.lad == 20.0 && g.lov == 0.0)
+    assert(math.abs(g.la1 - 25.0) < 1e-12 && math.abs(g.lo1 - 230.0) < 1e-12)
+    val mc = Projection.Mercator(6371229.0, 20.0, 230.0)
+    val (x1, y1) = mc.forward(25.0, 230.0)
+    val (la2, lo2) = mc.inverse(x1 + 7 * 200000.0, y1 - 5 * 200000.0)
+    assert(math.abs(g.la2 - la2) < 1e-9 && math.abs(g.lo2 - lo2) < 1e-9)
+    assert(g.la2 < g.la1, "canonical rows run north to south")
+    assert(g.data.toSeq == PVals.map(_ / 10.0).toSeq)
+  }
+
+  test("bitmap holes survive projected-grid decode as NaN") {
+    val bm = Array.tabulate(48)(_ % 7 != 3)
+    val present = PVals.zipWithIndex.collect { case (v, i) if bm(i) => v }
+    val g = Grib2.decode(Grib2TestWriter.message(
+      lambertMsg(m = present).copy(bitmap = Some(bm)))).head
+    (0 until 48).foreach { i =>
+      if (bm(i)) assert(g.data(i) == PVals(i) / 10.0)
+      else assert(g.data(i).isNaN)
+    }
+  }
+
+  test("projected-grid refusal battery: unsupported parameters named") {
+    def decodeErr(m: Grib2TestWriter.Msg): String =
+      intercept[IllegalArgumentException] {
+        Grib2.decode(Grib2TestWriter.message(m))
+      }.getMessage
+    assert(decodeErr(msg().copy(gridTemplate = 20, nx = 8, ny = 4,
+      ladMicro = 60000000L, projCenterFlag = 0x80))
+      .contains("south-polar"))
+    assert(decodeErr(msg().copy(gridTemplate = 20, nx = 8, ny = 4,
+      ladMicro = 60000000L, projCenterFlag = 0x40))
+      .contains("bi-polar"))
+    assert(decodeErr(lambertMsg().copy(earthShape = 4))
+      .contains("earth shape"))
+    assert(decodeErr(lambertMsg().copy(ladMicro = 30000000L))
+      .contains("LaD"))
+    assert(decodeErr(msg().copy(gridTemplate = 10, nx = 8, ny = 4,
+      ladMicro = 20000000L, mercOrientation = 45000000L))
+      .contains("orientation"))
+    assert(decodeErr(lambertMsg().copy(thinnedListOctets = 1))
+      .contains("quasi-regular point list"))
+    assert(decodeErr(lambertMsg(scan = 0x08))
+      .contains("scanning mode"))
+    // unknown projected-family template refuses by number
+    assert(decodeErr(msg().copy(gridTemplate = 90))
+      .contains("3.90"))
+  }
 }

@@ -59,7 +59,15 @@ object Grib2TestWriter {
       // a real quasi-regular grid: per-row point counts (2-octet entries);
       // Ni/Di are then coded missing, number of points = the counts' sum,
       // and `m` holds the concatenated thinned rows
-      rowCounts: Option[Seq[Int]] = None)
+      rowCounts: Option[Seq[Int]] = None,
+      // projected templates 3.10/3.20/3.30 (round 8): for these,
+      // `dxMicro`/`dyMicro` carry the wire 10^-3 m grid lengths (NOT
+      // micro-degrees) and `la1Micro`/`lo1Micro` stay micro-degrees
+      lovMicro: Long = 0, ladMicro: Long = 0,
+      latin1Micro: Long = 0, latin2Micro: Long = 0,
+      projCenterFlag: Int = 0,
+      earthShape: Int = 6, radiusScale: Int = 0, radiusValue: Long = 0,
+      mercOrientation: Long = 0)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -143,6 +151,63 @@ object Grib2TestWriter {
     w.w16(msg.year); w.w8(msg.month); w.w8(msg.day)
     w.w8(msg.hour); w.w8(0); w.w8(0)
     w.w8(0); w.w8(1)     // production status, type of data
+  }
+
+  /** Section 3 for the projected templates (3.10 Mercator, 3.20 polar
+    * stereographic, 3.30 Lambert conformal), WMO octet layout. La2/Lo2
+    * (Mercator only) are written spec-faithfully as the LAST SCANNED
+    * point, computed through [[Projection]] in plane space.
+    */
+  private def sec3Projected(msg: Msg): Array[Byte] = section(3) { w =>
+    w.w8(0)                         // source of grid definition
+    w.w32(msg.nx.toLong * msg.ny)   // number of data points
+    // optional-list marker: normally absent; non-zero only for the
+    // malformed-input refusal tests (projected grids can't be thinned here)
+    w.w8(msg.thinnedListOctets)
+    w.w8(if (msg.thinnedListOctets != 0) 1 else 0)
+    w.w16(msg.gridTemplate)
+    w.w8(msg.earthShape)
+    w.w8(msg.radiusScale); w.w32(msg.radiusValue)
+    w.w8(0); w.w32(0)               // major axis
+    w.w8(0); w.w32(0)               // minor axis
+    w.w32(msg.nx); w.w32(msg.ny)
+    w.s32(msg.la1Micro); w.w32(msg.lo1Micro) // first point of scan
+    w.w8(8)                         // resolution/component flags
+    w.s32(msg.ladMicro)             // LaD, octets 48-51
+    if (msg.gridTemplate == 10) {
+      // last-scanned-point La2/Lo2 through the projection plane,
+      // boustrophedon-aware exactly like the lat/lon writer
+      val r = Projection.earthRadius(msg.earthShape, msg.radiusScale,
+        msg.radiusValue)
+      val proj = Projection.Mercator(r, msg.ladMicro / 1e6, msg.lo1Micro / 1e6)
+      val (x1, y1) = proj.forward(msg.la1Micro / 1e6, msg.lo1Micro / 1e6)
+      val jCons = (msg.scanMode & 0x20) != 0
+      val alt = (msg.scanMode & 0x10) != 0
+      val (nRuns, runLen) = if (jCons) (msg.nx, msg.ny) else (msg.ny, msg.nx)
+      val tLast = if (alt && ((nRuns - 1) & 1) == 1) 0 else runLen - 1
+      val iSteps = if (jCons) nRuns - 1 else tLast
+      val jSteps = if (jCons) tLast else nRuns - 1
+      val xL = x1 + (if ((msg.scanMode & 0x80) != 0) -1 else 1) *
+        iSteps * (msg.dxMicro / 1e3)
+      val yL = y1 + (if ((msg.scanMode & 0x40) != 0) 1 else -1) *
+        jSteps * (msg.dyMicro / 1e3)
+      val (la2, lo2) = proj.inverse(xL, yL)
+      w.s32(math.round(la2 * 1e6)); w.w32(math.round(lo2 * 1e6))
+      w.w8(msg.scanMode)            // octet 60
+      w.w32(msg.mercOrientation)    // octets 61-64
+      w.w32(msg.dxMicro)            // Di, 10^-3 m
+      w.w32(msg.dyMicro)            // Dj
+    } else {
+      w.w32(msg.lovMicro)           // LoV, octets 52-55
+      w.w32(msg.dxMicro)            // Dx, 10^-3 m
+      w.w32(msg.dyMicro)            // Dy
+      w.w8(msg.projCenterFlag)      // octet 64
+      w.w8(msg.scanMode)            // octet 65
+      if (msg.gridTemplate == 30) {
+        w.s32(msg.latin1Micro); w.s32(msg.latin2Micro) // octets 66-73
+        w.s32(-90000000L); w.w32(0) // southern pole of projection (unused)
+      }
+    }
   }
 
   private def sec3(msg: Msg): Array[Byte] = section(3) { w =>
@@ -403,15 +468,20 @@ object Grib2TestWriter {
     w.bytes
   }
 
+  private def sec3Dispatch(msg: Msg): Array[Byte] =
+    if (msg.gridTemplate == 10 || msg.gridTemplate == 20 ||
+      msg.gridTemplate == 30) sec3Projected(msg)
+    else sec3(msg)
+
   def message(msg: Msg): Array[Byte] =
-    envelope(msg, sec1(msg) ++ sec3(msg) ++ sec4(msg) ++ sec567(msg))
+    envelope(msg, sec1(msg) ++ sec3Dispatch(msg) ++ sec4(msg) ++ sec567(msg))
 
   /** ONE message carrying several fields as repeated section 4-7 groups
     * (legal per spec); sections 1/3 come from the first field.
     */
   def multiFieldMessage(fields: Msg*): Array[Byte] =
     envelope(fields.head,
-      sec1(fields.head) ++ sec3(fields.head) ++
+      sec1(fields.head) ++ sec3Dispatch(fields.head) ++
         fields.toArray.flatMap(f => sec4(f) ++ sec567(f)))
 
   /** Concatenate messages into one multi-message file payload. */

@@ -114,6 +114,93 @@ class GridSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("direction") - 180.0) < 1e-9))
   }
 
+  // ------------- projected-grid addressing (templates 3.10/3.20/3.30, r8)
+
+  /** Decode a writer message and hand the FLAT frame to the Grid
+    * addressing under test.
+    */
+  private def decodedDf(m: Grib2TestWriter.Msg) =
+    spark.createDataFrame(Grib2.decode(Grib2TestWriter.message(m)))
+
+  private val projVals = Array.tabulate(48)(i => (i * 37 % 101).toLong)
+
+  private def checkAgainstInverse(points: Array[org.apache.spark.sql.Row],
+      proj: Projection.Proj, la1: Double, lo1: Double,
+      dx: Double, dy: Double, nx: Int, n: Int): Unit = {
+    assert(points.length == n)
+    val (x1, y1) = proj.forward(la1, lo1)
+    points.foreach { r =>
+      val pos = r.getAs[Int]("pos")
+      val (lat, lon) = proj.inverse(x1 + (pos % nx) * dx, y1 - (pos / nx) * dy)
+      assert(math.abs(r.getAs[Double]("lat") - lat) < 1e-9,
+        s"pos $pos lat ${r.getAs[Double]("lat")} != $lat")
+      assert(math.abs(r.getAs[Double]("lon") - lon) < 1e-9,
+        s"pos $pos lon ${r.getAs[Double]("lon")} != $lon")
+      assert(r.getAs[Double]("value") == projVals(pos) / 10.0)
+    }
+  }
+
+  test("toPointsLambert matches the projection inverse cell-for-cell") {
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = 21138123L, lo1Micro = 237280472L,
+      dxMicro = 300000000L, dyMicro = 300000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 30, lovMicro = 262500000L, ladMicro = 38500000L,
+      latin1Micro = 38500000L, latin2Micro = 38500000L))
+    val pts = Grid.toPointsLambert(df)
+    // addressing is a map-only projection: no exchange in the plan
+    assert(!pts.queryExecution.executedPlan.toString.contains("Exchange"),
+      "projected-grid addressing must not shuffle")
+    checkAgainstInverse(pts.collect(),
+      Projection.LambertConformal(6371229.0, 262.5, 38.5, 38.5),
+      21.138123, 237.280472, 300000.0, 300000.0, 8, 48)
+  }
+
+  test("toPointsPolarStereo matches the projection inverse cell-for-cell") {
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = 30000000L, lo1Micro = 225000000L,
+      dxMicro = 381000000L, dyMicro = 381000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 20, lovMicro = 255000000L, ladMicro = 60000000L))
+    checkAgainstInverse(Grid.toPointsPolarStereo(df).collect(),
+      Projection.PolarStereo(6371229.0, 255.0, 60.0),
+      30.0, 225.0, 381000.0, 381000.0, 8, 48)
+  }
+
+  test("toPointsMercator matches the projection inverse cell-for-cell") {
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = 25000000L, lo1Micro = 230000000L,
+      dxMicro = 200000000L, dyMicro = 200000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 10, ladMicro = 20000000L))
+    val pts = Grid.toPointsMercator(df).collect()
+    checkAgainstInverse(pts,
+      Projection.Mercator(6371229.0, 20.0, 230.0),
+      25.0, 230.0, 200000.0, 200000.0, 8, 48)
+    // Mercator rows are constant-latitude: every cell of a row agrees
+    pts.groupBy(r => r.getAs[Int]("pos") / 8).values.foreach { row =>
+      assert(row.map(_.getAs[Double]("lat")).distinct.length == 1)
+    }
+  }
+
+  test("projected addressing filters to its own template") {
+    // a lat/lon 3.0 record must not leak through the Lambert view
+    val latlon = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 4, la1Micro = 90000000L, lo1Micro = 0L,
+      dxMicro = 1000000L, dyMicro = 1000000L,
+      r = 0f, e = 0, d = 0, nbits = 10,
+      m = Array.tabulate(32)(_.toLong)))
+    assert(Grid.toPointsLambert(latlon).count() == 0)
+  }
+
   test("implode is the inverse of toPoints") {
     val back = Grid.implode(Grid.toPoints(mini(2, uVals))).collect()
     assert(back.length == 1)

@@ -1,0 +1,49 @@
+package graft.wind
+
+/** Golden-generation tool (FIXTURES.md §5): writes the projected-template
+  * (3.10/3.20/3.30) test messages to `.grb2` files so the REFERENCE
+  * decoder (grib2json, netCDF-Java) can be run on them — cross-checking
+  * this writer's octet layout and [[Grib2]]'s decode against the library
+  * the reference pipeline actually ships. Usage:
+  *
+  *   sbt "Test/runMain graft.wind.ProjFixtureGen /tmp/projfix"
+  *   /root/reference/grib2json/target/grib2json-0.8.0-SNAPSHOT/bin/grib2json \
+  *     --names --data /tmp/projfix/lambert.grb2
+  */
+object ProjFixtureGen {
+
+  private val vals = Array.tabulate(48)(i => (i * 37 % 101).toLong)
+
+  def lambert: Grib2TestWriter.Msg = Grib2TestWriter.Msg(
+    discipline = 0, category = 2, number = 2,
+    year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+    nx = 8, ny = 6, la1Micro = 21138123L, lo1Micro = 237280472L,
+    dxMicro = 300000000L, dyMicro = 300000000L,
+    r = 0f, e = 0, d = 1, nbits = 10, m = vals,
+    gridTemplate = 30, lovMicro = 262500000L, ladMicro = 38500000L,
+    latin1Micro = 38500000L, latin2Micro = 38500000L)
+
+  def polarStereo: Grib2TestWriter.Msg = lambert.copy(
+    gridTemplate = 20, la1Micro = 30000000L, lo1Micro = 225000000L,
+    dxMicro = 381000000L, dyMicro = 381000000L,
+    lovMicro = 255000000L, ladMicro = 60000000L,
+    latin1Micro = 0L, latin2Micro = 0L)
+
+  def mercator: Grib2TestWriter.Msg = lambert.copy(
+    gridTemplate = 10, la1Micro = 25000000L, lo1Micro = 230000000L,
+    dxMicro = 200000000L, dyMicro = 200000000L,
+    lovMicro = 0L, ladMicro = 20000000L,
+    latin1Micro = 0L, latin2Micro = 0L)
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/projfix")
+    dir.mkdirs()
+    for ((name, m) <- Seq("lambert" -> lambert, "stereo" -> polarStereo,
+      "mercator" -> mercator)) {
+      val f = new java.io.File(dir, s"$name.grb2")
+      val out = new java.io.FileOutputStream(f)
+      try out.write(Grib2TestWriter.message(m)) finally out.close()
+      println(s"wrote $f")
+    }
+  }
+}

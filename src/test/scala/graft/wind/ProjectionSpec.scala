@@ -1,0 +1,108 @@
+package graft.wind
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant battery for the spherical projections backing grid templates
+  * 3.10/3.20/3.30. These are EXTERNAL checks, not self-consistency: the
+  * true-scale tests compare plane distances against independently-computed
+  * ground distances on the sphere (R·cosφ·Δλ along a parallel, R·Δφ along
+  * a meridian), which any mis-derived cone constant, F, or k₀ fails; the
+  * conformality check (equal scale in both directions) distinguishes the
+  * correct conformal forms from equal-area/equidistant impostors.
+  */
+class ProjectionSpec extends AnyFunSuite {
+
+  private val R = 6371229.0 // shape-6 sphere
+
+  private case class Case(name: String, proj: Projection.Proj,
+      trueLats: Seq[Double], testLats: Seq[Double])
+
+  private val cases = Seq(
+    Case("Lambert tangent 38.5 (HRRR-style)",
+      Projection.LambertConformal(R, 262.5, 38.5, 38.5),
+      trueLats = Seq(38.5), testLats = Seq(5.0, 21.1, 38.5, 55.0, 75.0)),
+    Case("Lambert secant 30/60",
+      Projection.LambertConformal(R, 265.0, 30.0, 60.0),
+      trueLats = Seq(30.0, 60.0), testLats = Seq(12.0, 30.0, 47.5, 60.0, 80.0)),
+    Case("polar stereographic LaD 60 (NCEP-style)",
+      Projection.PolarStereo(R, 255.0, 60.0),
+      trueLats = Seq(60.0), testLats = Seq(20.0, 45.0, 60.0, 80.0, 89.0)),
+    Case("Mercator LaD 20",
+      Projection.Mercator(R, 20.0, 230.0),
+      trueLats = Seq(20.0, -20.0), testLats = Seq(-45.0, -20.0, 0.0, 20.0, 66.0)))
+
+  private val testLons = Seq(190.0, 230.0, 262.5, 300.0, 350.5)
+
+  for (c <- cases) {
+    test(s"${c.name}: forward/inverse round-trip to 1e-9 degrees") {
+      for (lat <- c.testLats; lon <- testLons) {
+        val (x, y) = c.proj.forward(lat, lon)
+        val (lat2, lon2) = c.proj.inverse(x, y)
+        assert(math.abs(lat2 - lat) < 1e-9, s"lat $lat -> $lat2")
+        assert(math.abs(lon2 - lon) < 1e-9, s"lon $lon -> $lon2")
+      }
+    }
+
+    test(s"${c.name}: scale true on the named parallels, both directions") {
+      val d = 0.01 // degrees of separation for the finite difference
+      for (latD <- c.trueLats; lon <- Seq(240.0, 262.5)) {
+        val (x1, y1) = c.proj.forward(latD, lon)
+        // along the parallel: ground distance R·cosφ·Δλ
+        val (x2, y2) = c.proj.forward(latD, lon + d)
+        val alongPar = math.hypot(x2 - x1, y2 - y1)
+        val groundPar = R * math.cos(math.toRadians(latD)) * math.toRadians(d)
+        assert(math.abs(alongPar / groundPar - 1.0) < 1e-6,
+          s"parallel scale ${alongPar / groundPar} at $latD")
+        // along the meridian: ground distance R·Δφ (conformality: the same
+        // unit scale must hold in the perpendicular direction). CENTERED
+        // difference: at a secant parallel k(φd) = 1 but k'(φd) ≠ 0, so a
+        // one-sided step would read the first-order drift, not the scale
+        val (x3, y3) = c.proj.forward(latD + d / 2, lon)
+        val (x4, y4) = c.proj.forward(latD - d / 2, lon)
+        val alongMer = math.hypot(x3 - x4, y3 - y4)
+        val groundMer = R * math.toRadians(d)
+        assert(math.abs(alongMer / groundMer - 1.0) < 1e-6,
+          s"meridian scale ${alongMer / groundMer} at $latD")
+      }
+    }
+  }
+
+  test("Lambert/stereo: the LoV meridian maps to the x = 0 axis, +y poleward") {
+    for ((proj, lov) <- Seq(
+      (Projection.LambertConformal(R, 262.5, 38.5, 38.5), 262.5),
+      (Projection.PolarStereo(R, 255.0, 60.0), 255.0))) {
+      val (xa, ya) = proj.forward(30.0, lov)
+      val (xb, yb) = proj.forward(60.0, lov)
+      assert(math.abs(xa) < 1e-6 && math.abs(xb) < 1e-6)
+      assert(yb > ya, "+y must point toward the pole along LoV")
+    }
+  }
+
+  test("Lambert cone constant: tangent case is sin(latin), secant between") {
+    val tangent = Projection.LambertConformal(R, 265.0, 38.5, 38.5)
+    assert(math.abs(tangent.n - math.sin(math.toRadians(38.5))) < 1e-12)
+    val secant = Projection.LambertConformal(R, 265.0, 30.0, 60.0)
+    assert(secant.n > math.sin(math.toRadians(30.0)) &&
+      secant.n < math.sin(math.toRadians(60.0)))
+    // the two standard-parallel orders give the same cone
+    val swapped = Projection.LambertConformal(R, 265.0, 60.0, 30.0)
+    assert(math.abs(secant.n - swapped.n) < 1e-12)
+  }
+
+  test("earth radius codes: 0 and 6 fixed spheres, 1 scaled custom, else refuse") {
+    assert(Projection.earthRadius(0, 0, 0) == 6367470.0)
+    assert(Projection.earthRadius(6, 0, 0) == 6371229.0)
+    assert(Projection.earthRadius(1, 2, 637000000L) == 6370000.0)
+    val e = intercept[IllegalArgumentException](Projection.earthRadius(2, 0, 0))
+    assert(e.getMessage.contains("earth shape"), e.getMessage)
+    val z = intercept[IllegalArgumentException](Projection.earthRadius(1, 0, 0))
+    assert(z.getMessage.contains("radius"), z.getMessage)
+  }
+
+  test("constructor refusals: southern cone, polar LaD, Mercator LaD bounds") {
+    intercept[IllegalArgumentException](
+      Projection.LambertConformal(R, 265.0, -30.0, -60.0))
+    intercept[IllegalArgumentException](Projection.PolarStereo(R, 255.0, -60.0))
+    intercept[IllegalArgumentException](Projection.Mercator(R, 90.0, 230.0))
+  }
+}

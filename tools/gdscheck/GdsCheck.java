@@ -1,0 +1,50 @@
+import java.nio.file.*;
+
+/** Cross-check: parse section 3 of a .grb2 file with netCDF's Grib2Gds
+  * (the parser the reference's grib2json rides) and print its fields. */
+public class GdsCheck {
+  public static void main(String[] args) throws Exception {
+    byte[] all = Files.readAllBytes(Paths.get(args[0]));
+    int p = 16; // past GRIB indicator
+    while (p < all.length - 4) {
+      long len = ((all[p] & 0xffL) << 24) | ((all[p+1] & 0xffL) << 16)
+        | ((all[p+2] & 0xffL) << 8) | (all[p+3] & 0xffL);
+      int sec = all[p + 4] & 0xff;
+      if (sec == 3) {
+        byte[] s3 = java.util.Arrays.copyOfRange(all, p, p + (int) len);
+        int tmpl = ((s3[12] & 0xff) << 8) | (s3[13] & 0xff);
+        ucar.nc2.grib.grib2.Grib2Gds gds =
+          ucar.nc2.grib.grib2.Grib2Gds.factory(tmpl, s3);
+        System.out.println("template=" + gds.template
+          + " nx=" + gds.getNx() + " ny=" + gds.getNy()
+          + " earthShape=" + gds.earthShape
+          + " earthRadius=" + gds.earthRadius
+          + " scanMode=" + gds.scanMode);
+        if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.LambertConformal) {
+          ucar.nc2.grib.grib2.Grib2Gds.LambertConformal lc =
+            (ucar.nc2.grib.grib2.Grib2Gds.LambertConformal) gds;
+          System.out.println("LC la1=" + lc.la1 + " lo1=" + lc.lo1
+            + " lov=" + lc.lov + " lad=" + lc.lad + " dX=" + lc.dX
+            + " dY=" + lc.dY + " latin1=" + lc.latin1
+            + " latin2=" + lc.latin2 + " projCenterFlag=" + lc.projCenterFlag);
+        }
+        if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.PolarStereographic) {
+          ucar.nc2.grib.grib2.Grib2Gds.PolarStereographic ps =
+            (ucar.nc2.grib.grib2.Grib2Gds.PolarStereographic) gds;
+          System.out.println("PS la1=" + ps.la1 + " lo1=" + ps.lo1
+            + " lov=" + ps.lov + " lad=" + ps.lad + " dX=" + ps.dX
+            + " dY=" + ps.dY + " projCenterFlag=" + ps.projCenterFlag);
+        }
+        if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.Mercator) {
+          ucar.nc2.grib.grib2.Grib2Gds.Mercator mc =
+            (ucar.nc2.grib.grib2.Grib2Gds.Mercator) gds;
+          System.out.println("MC la1=" + mc.la1 + " lo1=" + mc.lo1
+            + " la2=" + mc.la2 + " lo2=" + mc.lo2 + " lad=" + mc.lad
+            + " dX=" + mc.dX + " dY=" + mc.dY);
+        }
+      }
+      p += (int) len;
+      if (sec == 7) { /* next message would need envelope walk; single msg fine */ }
+    }
+  }
+}

@@ -1,0 +1,9 @@
+package ucar.unidata.geoloc;
+/** Minimal stand-in for the stripped cdm jar class, just enough to let
+  * Grib2Gds section-3 parsing execute for the layout cross-check. */
+public class Earth {
+  private final double radius;
+  public Earth(double radius) { this.radius = radius; }
+  public Earth() { this(6371229.0); }
+  public double getEquatorRadius() { return radius; }
+}

@@ -1,0 +1,12 @@
+package ucar.unidata.geoloc;
+public class EarthEllipsoid extends Earth {
+  public static final EarthEllipsoid IAU =
+    new EarthEllipsoid("IAU", 0, 6378.16, 6356.7784, 0);
+  public static final EarthEllipsoid IAG_GRS80 =
+    new EarthEllipsoid("GRS80", 0, 6378.137, 6356.7523, 0);
+  public static final EarthEllipsoid WGS84 =
+    new EarthEllipsoid("WGS84", 0, 6378.137, 6356.7523, 0);
+  public EarthEllipsoid(String name, int code, double a, double b, double f) {
+    super(a * 1000.0);
+  }
+}

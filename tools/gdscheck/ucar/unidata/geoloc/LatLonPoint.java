@@ -1,0 +1,2 @@
+package ucar.unidata.geoloc;
+public interface LatLonPoint { double getLatitude(); double getLongitude(); }

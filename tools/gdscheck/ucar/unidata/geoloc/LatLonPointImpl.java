@@ -1,0 +1,7 @@
+package ucar.unidata.geoloc;
+public class LatLonPointImpl implements LatLonPoint {
+  public LatLonPointImpl() {}
+  public LatLonPointImpl(double lat, double lon) {}
+  public double getLatitude() { return 0; }
+  public double getLongitude() { return 0; }
+}

@@ -1,0 +1,4 @@
+package ucar.unidata.geoloc;
+public abstract class ProjectionImpl {
+  public ProjectionImpl() {}
+}

@@ -1,0 +1,2 @@
+package ucar.unidata.geoloc;
+public interface ProjectionPoint { double getX(); double getY(); }

@@ -1,0 +1,7 @@
+package ucar.unidata.geoloc;
+public class ProjectionPointImpl implements ProjectionPoint {
+  public ProjectionPointImpl() {}
+  public ProjectionPointImpl(double x, double y) {}
+  public double getX() { return 0; }
+  public double getY() { return 0; }
+}

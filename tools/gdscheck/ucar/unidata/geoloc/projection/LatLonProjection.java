@@ -1,0 +1,2 @@
+package ucar.unidata.geoloc.projection;
+public class LatLonProjection extends ucar.unidata.geoloc.ProjectionImpl {}

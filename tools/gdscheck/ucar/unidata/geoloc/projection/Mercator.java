@@ -1,0 +1,2 @@
+package ucar.unidata.geoloc.projection;
+public class Mercator extends ucar.unidata.geoloc.ProjectionImpl {}

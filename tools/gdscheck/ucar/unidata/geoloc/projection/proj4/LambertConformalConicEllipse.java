@@ -1,0 +1,2 @@
+package ucar.unidata.geoloc.projection.proj4;
+public class LambertConformalConicEllipse extends ucar.unidata.geoloc.ProjectionImpl {}

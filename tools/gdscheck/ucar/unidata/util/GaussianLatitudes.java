@@ -1,0 +1,2 @@
+package ucar.unidata.util;
+public class GaussianLatitudes { public double[] latd = new double[0]; }

@@ -1,0 +1,2 @@
+package ucar.unidata.util;
+public class StringUtil2 {}
