@@ -323,6 +323,72 @@ object Dedup {
       .agg(countDistinct(col("tok")).as("n_hits"))
   }
 
+  /** Maximal verbatim shared token spans (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499, substring-level primitive): every pair of documents
+    * sharing a word-for-word run of at least `n` tokens at ARBITRARY
+    * offsets, each run extended to its maximal length — the case the
+    * fixed-window chunk dedup (x30) and whole-n-gram membership (x22)
+    * cannot express.
+    *
+    * Shape: position-stamped n-gram seeds → inverted-index equi-join on
+    * the portable 60-bit gram hash ([[graft.Portable.hash60]]; df-capped
+    * like x02's stop-shingle rule) → per-(pair, diagonal) run merge. The
+    * diagonal trick does the "extension" declaratively: all seeds of one
+    * contiguous shared span satisfy `pos_a − pos_b = const`, so maximal
+    * extension is gaps-and-islands segmentation ORDER BY pos_a within
+    * (id_a, id_b, diag) — no suffix array, no iterative join; a run of k
+    * consecutive seeds is a span of k + n − 1 tokens.
+    *
+    * Scale: the join costs Σ df² over gram frequencies — unbounded under
+    * gram skew without the cap (boilerplate n-grams), ≤ dfCap² per gram
+    * with it; dropped hub grams can only SPLIT a reported span, never
+    * invent one (contract documented like x02's non-stop overlap). The
+    * shuffles carry (id, pos, 60-bit hash), never text. Window partitions
+    * are per-(pair, diagonal) — many and small, no skew pile-up. A hash
+    * collision would need two distinct grams colliding inside one capped
+    * df-group: ~2⁻⁶⁰ per candidate.
+    *
+    * Output: (id_a, id_b, start_a, start_b, span_tokens ≥ n), id_a < id_b,
+    * start positions 0-based token offsets.
+    */
+  def substringSpans(docs: DataFrame, n: Int, dfCap: Int): DataFrame = {
+    val w = tokens(col("text"))
+    val grams = docs
+      .filter(size(w) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), size(w) - n),
+          i => Portable.hash60(
+            concat_ws(" ", slice(w, i + lit(1), lit(n))), "x41")))
+          .as(Seq("pos", "gh")))
+    val capped = grams
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+      // eager: the capped index feeds BOTH self-join sides — materialize
+      // once instead of re-running the explode + df window per side (the
+      // x34/x36 localCheckpoint policy)
+      .localCheckpoint()
+    val seeds = capped.as("a")
+      .join(capped.as("b"), col("a.gh") === col("b.gh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val wDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    seeds
+      .withColumn("newseg",
+        when(col("pos_a") - lag("pos_a", 1).over(wDiag) === 1, 0).otherwise(1))
+      .withColumn("seg", sum("newseg").over(wDiag))
+      .groupBy("id_a", "id_b", "diag", "seg")
+      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        (count(lit(1)) + lit(n - 1)).as("span_tokens"))
+      .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+  }
+
   /** Connected components over a near-duplicate pair graph — the
     * canonicalization step of a dedup pipeline: every document appearing in
     * at least one near-dup pair gets the smallest doc_id reachable through

@@ -221,4 +221,59 @@ object TextAnalysis {
        |    AS first_pos
        |  FROM pu WHERE $preds GROUP BY doc_id)""".stripMargin
   }
+
+  // ------------------------------------------------------ PII scrubbing
+
+  /** PII classes scrubbed in a FIXED sequential order (the order is load-
+    * bearing: keys go before phones so a digit run inside a hex key can't
+    * count as a phone; IPs go before phones so dotted quads can't either).
+    * Each stage counts matches on the PREVIOUS stage's output, then
+    * replaces them — so counts and redactions are mutually consistent.
+    * Patterns stay inside the regex subset Java regex and RE2 (DuckDB)
+    * interpret identically: character classes, bounded quantifiers,
+    * non-capturing alternation, ASCII `\b` — no backreferences, no
+    * lookaround.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("keys", "\\b(?:AKIA[0-9A-Z]{16}|[A-Fa-f0-9]{32,})\\b", "[KEY]"),
+    ("ips", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
+    ("phones", "\\+?\\d[\\d\\- ]{6,}\\d", "[PHONE]"))
+
+  /** Regex-based PII redaction — a first-class stage of every real
+    * training-data pipeline: per-document hit counts per class plus the
+    * scrubbed text with typed placeholders. Map-only (codegen'd
+    * `regexp_extract_all` / `regexp_replace` chain, one pass over the
+    * corpus, no shuffle) — at 100 TB this is embarrassingly parallel and
+    * IO-bound, exactly as a scrubber should be.
+    */
+  def piiScrub(docs: DataFrame, text: Column): DataFrame = {
+    val (scrubbed, counts) = PiiPatterns
+      .foldLeft((text, Seq.empty[Column])) {
+        case ((txt, acc), (name, pat, repl)) =>
+          val n = size(regexp_extract_all(txt, lit(pat), lit(0)))
+            .cast("long").as(s"n_$name")
+          (regexp_replace(txt, pat, repl), acc :+ n)
+      }
+    docs.select(col("doc_id") +: counts :+ scrubbed.as("scrubbed"): _*)
+  }
+
+  /** DuckDB twin of [[piiScrub]] as chained CTEs over relation `d(doc_id,
+    * t)`: ends in relation `pii(doc_id, n_emails, n_keys, n_ips, n_phones,
+    * scrubbed)`. RE2 needs the explicit 'g' flag to replace all.
+    */
+  def piiScrubSql: String = {
+    val stages = PiiPatterns.zipWithIndex.map {
+      case ((name, pat, repl), i) =>
+        val prev = if (i == 0) "d" else s"p$i"
+        val carried = PiiPatterns.take(i).map { case (nm, _, _) => s"n_$nm" }
+        val cols = (carried :+
+          s"len(regexp_extract_all(t, '$pat')) AS n_$name") :+
+          s"regexp_replace(t, '$pat', '$repl', 'g') AS t"
+        s"p${i + 1} AS (SELECT doc_id, ${cols.mkString(", ")} FROM $prev)"
+    }
+    val names = PiiPatterns.map { case (nm, _, _) => s"n_$nm" }
+    (stages :+ (s"pii AS (SELECT doc_id, ${names.mkString(", ")}, " +
+      s"t AS scrubbed FROM p${PiiPatterns.size})")).mkString(",\n")
+  }
 }

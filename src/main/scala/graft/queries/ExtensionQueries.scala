@@ -1458,6 +1458,101 @@ object ExtensionQueries {
        |  src = least(src, min(dst)) AS keep
        |FROM reach GROUP BY src ORDER BY cluster_id, vec_id""".stripMargin
 
+  /** x41 seed length and hub cap: 8-token seeds (the decontamination
+    * convention — long enough that a shared run means real duplication)
+    * and the x02-style df cap dropping boilerplate grams before the
+    * inverted-index self-join.
+    */
+  private val SubstringN = 8
+  private val SubstringDfCap = 16
+
+  /** Exact substring-level dedup (Lee et al. 2022): maximal verbatim
+    * shared token runs ≥ 8 tokens between document pairs at arbitrary
+    * offsets — [[Dedup.substringSpans]]'s diagonal gaps-and-islands merge.
+    * The oracle replays the identical pipeline in SQL: same portable gram
+    * hash, same df cap, same two-pass window segmentation.
+    */
+  def substringSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringSpans(Tables.documents(spark, dir),
+        SubstringN, SubstringDfCap)
+      .select(col("id_a"), col("id_b"),
+        col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"),
+        col("span_tokens"))
+      .orderBy("id_a", "id_b", "start_a", "start_b")
+
+  private val substringSpansSql = {
+    val gram = "array_to_string(w[CAST(i+1 AS INTEGER):" +
+      s"CAST(i+$SubstringN AS INTEGER)], ' ')"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |grams AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |    ${graft.Portable.sqlHash60(gram, "x41")} AS gh
+       |  FROM toks, LATERAL (
+       |    SELECT unnest(range(len(w) - ${SubstringN - 1})) AS i)
+       |  WHERE len(w) >= $SubstringN),
+       |capped AS (
+       |  SELECT doc_id, pos, gh FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY gh) AS df FROM grams)
+       |  WHERE df <= $SubstringDfCap),
+       |seeds AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+       |  FROM capped a JOIN capped b
+       |    ON a.gh = b.gh AND a.doc_id < b.doc_id),
+       |flagged AS (
+       |  SELECT *, CASE WHEN pos_a - lag(pos_a) OVER
+       |      (PARTITION BY id_a, id_b, diag ORDER BY pos_a) = 1
+       |    THEN 0 ELSE 1 END AS newseg
+       |  FROM seeds),
+       |segs AS (
+       |  SELECT *, sum(newseg) OVER
+       |      (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS seg
+       |  FROM flagged)
+       |SELECT id_a, id_b,
+       |  CAST(min(pos_a) AS BIGINT) AS start_a,
+       |  CAST(min(pos_b) AS BIGINT) AS start_b,
+       |  count(*) + ${SubstringN - 1} AS span_tokens
+       |FROM segs GROUP BY id_a, id_b, diag, seg
+       |ORDER BY id_a, id_b, start_a, start_b""".stripMargin
+  }
+
+  /** PII scrubbing sweep (x42): the corpus text is first DECORATED with
+    * deterministic synthetic PII derived from `doc_id` (an email, a hex
+    * key, a dotted-quad IP, a phone number) so the scrubber demonstrably
+    * fires on every class at every scale factor — the raw synthetic corpus
+    * contains none. Then [[TextAnalysis.piiScrub]]'s sequential
+    * count-and-redact chain runs; the oracle replays the identical
+    * decoration and the identical regex chain stage by stage.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idStr = col("doc_id").cast("string")
+    val decorated = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), idStr, lit("@example.com key "),
+        md5(idStr), lit(" ip 10.0."),
+        pmod(col("doc_id"), lit(200L)).cast("string"),
+        lit(".7 call +1 555-301-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+        .as("text"))
+    TextAnalysis.piiScrub(decorated, col("text")).orderBy("doc_id")
+  }
+
+  private val piiScrubSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com key ' || md5(CAST(doc_id AS VARCHAR))
+       |      || ' ip 10.0.' || CAST(doc_id % 200 AS VARCHAR)
+       |      || '.7 call +1 555-301-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents),
+       |${TextAnalysis.piiScrubSql}
+       |SELECT doc_id, n_emails, n_keys, n_ips, n_phones, scrubbed
+       |FROM pii ORDER BY doc_id""".stripMargin
+
   /** The x37 query phrase — chosen as a frequent word trigram of the
     * synthetic corpus so the result exercises multi-hit documents.
     */
@@ -1676,5 +1771,7 @@ object ExtensionQueries {
     QueryDef("x39_source_token_types", Some(sourceTokenTypesSql),
       sourceTokenTypes),
     QueryDef("x40_bigram_lm_score", Some(bigramLmScoreSql), bigramLmScore),
+    QueryDef("x41_substring_spans", Some(substringSpansSql), substringSpans),
+    QueryDef("x42_pii_scrub", Some(piiScrubSql), piiScrub),
   )
 }

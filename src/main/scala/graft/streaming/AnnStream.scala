@@ -72,6 +72,51 @@ object AnnStream {
       .write.partitionBy("cell_id").mode("append").parquet(corpusPath)
   }
 
+  /** Offline centroid refresh (round 8) — the lifecycle piece a
+    * stream-grown IVF store needs: as the distribution drifts, frozen
+    * first-batch centroids skew cell occupancy and recall. Retrains
+    * centroids from the FULL current corpus with the same deterministic
+    * sampler, reassigns every stored vector, writes a COMPLETE replacement
+    * store (centroids + cell partitions) beside the live one, then swaps
+    * directory roots — the replace-whole-key atomicity policy of
+    * [[graft.wind.WindStore]].upsert lifted to the store root, because a
+    * probe reads centroids and partitions in two steps and any in-place
+    * partial overwrite could silently mis-prune. The swap instead fails
+    * CLOSED: a probe racing the two renames errors on a missing directory
+    * and retries; it never sees mixed geometry. Ingest must be quiesced
+    * during refresh (single-maintainer offline op — the production
+    * convention this module documents for initial training too).
+    *
+    * Scale: retraining reads `vec_id`/`embedding` once (cell column
+    * recomputed, not trusted), the reassignment is the same map-only
+    * native argmax as ingest, and the rewrite is one partitioned write —
+    * no shuffle beyond the partitioning of the output files.
+    */
+  def refreshCentroids(spark: SparkSession, storePath: String,
+      nCells: Int): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val fs = new Path(storePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val corpus = spark.read.parquet(s"$storePath/corpus")
+      .select("vec_id", "embedding")
+    val cents = Similarity.centroidSample(corpus, nCells)
+    val next = s"$storePath.next"
+    fs.delete(new Path(next), true)
+    cents.toSeq.toDF("cell_id", "cell_vec")
+      .coalesce(1).write.parquet(s"$next/centroids")
+    corpus
+      .withColumn("cell_id", Similarity.assignCell(col("embedding"), cents))
+      .write.partitionBy("cell_id").parquet(s"$next/corpus")
+    val old = new Path(s"$storePath.old")
+    fs.delete(old, true)
+    require(fs.rename(new Path(storePath), old),
+      s"centroid refresh: cannot retire $storePath")
+    require(fs.rename(new Path(next), new Path(storePath)),
+      s"centroid refresh: cannot promote $next")
+    fs.delete(old, true)
+  }
+
   /** Drain the landing directory once (`AvailableNow`) into the IVF store —
     * the cron-tick form, checkpointed so replays are no-ops.
     */

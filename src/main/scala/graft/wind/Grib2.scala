@@ -775,6 +775,14 @@ object Grib2 {
                 Complex(r, e, d, nbits, order, octets, ng, refW, bitsW,
                   refL, incL, lastL, bitsL, missing)
               case 40 => Jpeg2000Packed(r, e, d, nbits)
+              case 42 => throw new IllegalArgumentException(
+                "unsupported data representation template 5.42 " +
+                  "(CCSDS/AEC Rice coding — ECMWF open-data products; no " +
+                  "pure-JVM reference decode available to pin against, so " +
+                  "refusing loudly beats a silently-unverifiable decode)")
+              case 4 => throw new IllegalArgumentException(
+                "unsupported data representation template 5.4 " +
+                  "(IEEE floating point, rare in the wild)")
               case t => throw new IllegalArgumentException(
                 s"unsupported data representation template 5.$t")
             }

@@ -68,6 +68,50 @@ class DedupSpec extends SparkSpec {
     assert(!flagged.contains(0L))
   }
 
+  test("substringSpans: maximal verbatim runs at arbitrary offsets (x41)") {
+    import spark.implicits._
+    def words(prefix: String, k: Int): String =
+      (0 until k).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("dup", 10) // a 10-token verbatim passage
+    val docs = Seq(
+      // doc 0: passage at token offset 3; doc 1: same passage at offset 5
+      (0L, words("a", 3) + " " + shared + " " + words("z", 4)),
+      (1L, words("b", 5) + " " + shared),
+      // doc 2: only an 8-token prefix of the passage, at offset 0
+      (2L, (0 until 8).map(i => s"dup$i").mkString(" ") + " " + words("c", 6)),
+      // doc 3: unrelated
+      (3L, words("q", 20))).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, n = 8, dfCap = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    // (0,1): the full 10-token run, maximal, at the planted offsets
+    // (0,2) and (1,2): only the 8-token prefix
+    assert(spans.toSeq == Seq(
+      (0L, 1L, 3, 5, 10L),
+      (0L, 2L, 3, 0, 8L),
+      (1L, 2L, 5, 0, 8L)))
+  }
+
+  test("substringSpans: gaps split spans; df cap drops hub grams (x41)") {
+    import spark.implicits._
+    val run1 = (0 until 8).map(i => s"x$i").mkString(" ")
+    val run2 = (0 until 9).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (0L, run1 + " breakA " + run2),
+      (1L, run1 + " breakB " + run2)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, n = 8, dfCap = 16)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4))).sorted
+    // two separate maximal spans, split at the differing token
+    assert(spans.toSeq == Seq((0, 0, 8L), (9, 9, 9L)))
+    // a hub gram present in > dfCap docs is dropped entirely
+    val hub = (0 until 8).map(i => s"h$i").mkString(" ")
+    val many = (0L until 6L).map(i => (i, hub)).toDF("doc_id", "text")
+    assert(Dedup.substringSpans(many, n = 8, dfCap = 5).count() == 0)
+    assert(Dedup.substringSpans(many, n = 8, dfCap = 6).count() == 15)
+  }
+
   test("duplicateClusters: transitive closure to the min reachable id") {
     import spark.implicits._
     // two components, one only connected transitively (1-2, 2-3: no 1-3 edge)

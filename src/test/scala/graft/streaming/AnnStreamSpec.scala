@@ -102,4 +102,60 @@ class AnnStreamSpec extends SparkSpec {
       .awaitTermination()
     assert(spark.read.parquet(s"$store/corpus").count() == 64)
   }
+
+  test("offline centroid refresh: new geometry, same corpus, recall holds") {
+    val base = tmpDir()
+    val landing = s"$base/landing"; val store = s"$base/ivf"
+    val all = clustered(0 until 64)
+    // seed the store from a SKEWED first batch (vectors of one cluster
+    // only) — the frozen-centroid weakness the refresh exists to repair
+    land(landing, "b1.json", all.filter(_._1 % 4 == 0))
+    AnnStream.ingestOnce(spark, landing, store, s"$base/ckpt", nCells = 8)
+      .awaitTermination()
+    land(landing, "b2.json", all.filterNot(_._1 % 4 == 0))
+    AnnStream.ingestOnce(spark, landing, store, s"$base/ckpt", nCells = 8)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$store/corpus").count() == 64)
+
+    AnnStream.refreshCentroids(spark, store, nCells = 8)
+
+    // the store root swapped cleanly: corpus intact, staging dirs gone
+    assert(spark.read.parquet(s"$store/corpus").count() == 64,
+      "refresh must preserve every stored vector")
+    assert(spark.read.parquet(s"$store/centroids").count() == 8)
+    assert(!Files.exists(Paths.get(s"$store.next")) &&
+      !Files.exists(Paths.get(s"$store.old")), "staging dirs cleaned up")
+    // every stored vector sits in the cell the NEW centroids assign —
+    // geometry is consistent, not mixed
+    val cents = spark.read.parquet(s"$store/centroids").collect()
+      .map(r => (r.getAs[Long]("cell_id"),
+        r.getAs[scala.collection.Seq[Float]]("cell_vec").toArray))
+      .sortBy(_._1)
+    val misplaced = spark.read.parquet(s"$store/corpus")
+      .withColumn("want", Similarity.assignCell(col("embedding"), cents))
+      .filter(col("cell_id") =!= col("want")).count()
+    assert(misplaced == 0, "stored cell ids must match the new geometry")
+
+    // queryability + recall vs brute force after the swap
+    val queries = df(clustered(0 until 4))
+    val got = Similarity.probeIvf(spark, store, queries, k = 5, nProbe = 3)
+      .collect()
+    got.foreach { r =>
+      val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(q % 4 == n % 4, s"cross-cluster neighbor after refresh: $q/$n")
+    }
+    val exact = Similarity.bruteForceTopK(df(all), queries, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val approx = got.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"post-refresh recall $recall")
+
+    // ingest continues against the refreshed geometry
+    land(landing, "b3.json", clustered(64 until 72))
+    AnnStream.ingestOnce(spark, landing, store, s"$base/ckpt", nCells = 8)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$store/corpus").count() == 72)
+  }
 }

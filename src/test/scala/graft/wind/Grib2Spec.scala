@@ -565,6 +565,17 @@ class Grib2Spec extends AnyFunSuite {
     assert(err.getMessage.contains("unsupported scanning mode"))
   }
 
+  test("CCSDS 5.42 / IEEE 5.4 / unknown packings refuse by name (pinned)") {
+    def err(tmpl: Int): String = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(
+        msg().copy(packing = Grib2TestWriter.RawPacking(tmpl))))
+    }.getMessage
+    val e42 = err(42)
+    assert(e42.contains("5.42") && e42.contains("CCSDS"), e42)
+    assert(err(4).contains("5.4"))
+    assert(err(1).contains("5.1")) // generic refusal names the number
+  }
+
   // --------------- projected grid templates 3.10 / 3.20 / 3.30 (round 8)
 
   private val PVals = Array.tabulate(48)(i => (i * 37 % 101).toLong)

@@ -22,6 +22,13 @@ object Grib2TestWriter {
   /** Template 5.41: the data section is a grayscale PNG of the grid. */
   case object PngPacking extends PackingSpec
 
+  /** An arbitrary (typically unsupported) data-representation template:
+    * minimal spec-shaped section 5 (the standard first 21 octets) with an
+    * empty section 7 — the refusal-pinning fixture shape (5.42 CCSDS,
+    * 5.4 IEEE, …).
+    */
+  final case class RawPacking(template: Int) extends PackingSpec
+
   /** Template 5.40 (JPEG2000) as NOAA 0p25/0p50 pgrb2 products carry it.
     * The writer has no JPEG2000 encoder; `codestream` is a pre-encoded raw
     * codestream (the committed fixtures were produced by the public jj2000
@@ -449,11 +456,23 @@ object Grib2TestWriter {
     s5 ++ sec6(msg) ++ section(7)(_.out.write(cs))
   }
 
+  private def sec567Raw(msg: Msg, tmpl: Int): Array[Byte] = {
+    val s5 = section(5) { w =>
+      w.w32(msg.m.length)
+      w.w16(tmpl)
+      w.f32(msg.r); w.s16(msg.e); w.s16(msg.d)
+      w.w8(msg.nbits)
+      w.w8(0)             // original field type: float
+    }
+    s5 ++ sec6(msg) ++ section(7)(_ => ())
+  }
+
   private def sec567(msg: Msg): Array[Byte] = msg.packing match {
     case SimplePacking        => sec567Simple(msg)
     case cx: ComplexPacking   => sec567Complex(msg, cx)
     case PngPacking           => sec567Png(msg)
     case Jpeg2000Packing(cs)  => sec567Jpeg2000(msg, cs)
+    case RawPacking(tmpl)     => sec567Raw(msg, tmpl)
   }
 
   private def envelope(head: Msg, body: Array[Byte]): Array[Byte] = {
