@@ -572,6 +572,9 @@ object Grib2 {
       var surfType = 255; var surfVal = 0.0
       var surf2Type = 255; var surf2Val = 0.0
       var genProcessType = 0
+      var prodTmpl = 0
+      var statProcess = -1 // 4.8 only (table 4.10); -1 = not statistical
+      var intervalHours = 0 // 4.8 only: statistical interval length
       var nData = 0
       var packing: Packing = null
       var bitmap: Array[Boolean] = null
@@ -706,24 +709,32 @@ object Grib2 {
             if ((scan & 0x80) != 0) lo1 -= (nx - 1) * dx
             lo2 = lo1 + (nx - 1) * dx
             }
-          case 4 => // product definition; template 4.0 only
+          case 4 => // product definition; templates 4.0 and 4.8 (octets
+            //        10-34 are layout-identical — 4.8 appends the
+            //        statistical-processing interval real GFS accumulation
+            //        fields like APCP carry)
             val tmpl = u16(payload, p + 7)
-            require(tmpl == 0, s"unsupported product template 4.$tmpl")
+            require(tmpl == 0 || tmpl == 8,
+              s"unsupported product template 4.$tmpl")
+            prodTmpl = tmpl
             cat = u8(payload, p + 9)               // category, octet 10
             num = u8(payload, p + 10)              // number, octet 11
             genProcessType = u8(payload, p + 11)   // generating process, oct 12
+            // whole-hour conversion shared by forecast time and the 4.8
+            // statistical interval: flooring would silently misstamp
+            def toWholeHours(unit: Int, v: Int, what: String): Int =
+              unit match {
+                case 0 =>
+                  require(v % 60 == 0, s"$what $v min is not a whole hour")
+                  v / 60
+                case 1 => v      // hours
+                case 2 => v * 24 // days
+                case u => throw new IllegalArgumentException(
+                  s"unsupported $what unit $u")
+              }
             val unit = u8(payload, p + 17)         // time unit, octet 18
             val ft = u32(payload, p + 18).toInt    // forecast time, 19-22
-            forecastHours = unit match {
-              case 0 => // minutes: flooring would silently misstamp — refuse
-                require(ft % 60 == 0,
-                  s"forecast time $ft min is not a whole hour")
-                ft / 60
-              case 1 => ft      // hours
-              case 2 => ft * 24 // days
-              case u => throw new IllegalArgumentException(
-                s"unsupported forecast time unit $u")
-            }
+            forecastHours = toWholeHours(unit, ft, "forecast time")
             surfType = u8(payload, p + 22)          // surface type, octet 23
             // scale factor (octet 24) and scaled value (25-28) are GRIB
             // sign-magnitude; all-ones means missing
@@ -741,6 +752,38 @@ object Grib2 {
               if (surf2Type == 255 || s2ValRaw == 0xffffffffL) 0.0
               else s32sm(payload, p + 30) /
                 math.pow(10, if (s2ScaleRaw == 0xff) 0 else s8sm(payload, p + 29))
+            if (tmpl == 8) {
+              // statistical processing over a time interval (table 4.10:
+              // 0 average, 1 accumulation, 2 max, 3 min, …), octets 35-58.
+              // Valid time of such a field is the interval END = refTime +
+              // forecastTime + interval; the end is also redundantly coded
+              // on the wire (octets 35-41) — verify the two agree rather
+              // than trust either alone.
+              val endY = u16(payload, p + 34)
+              val endMo = u8(payload, p + 36); val endD = u8(payload, p + 37)
+              val endH = u8(payload, p + 38); val endMi = u8(payload, p + 39)
+              val endS = u8(payload, p + 40)
+              require(endMi == 0 && endS == 0,
+                f"unsupported sub-hour statistical interval end $endMi%02d:$endS%02d")
+              val nRanges = u8(payload, p + 41)
+              require(nRanges == 1,
+                s"unsupported $nRanges statistical time-range specifications" +
+                  " (only 1)")
+              statProcess = u8(payload, p + 46)    // octet 47
+              val rangeUnit = u8(payload, p + 48)  // octet 49
+              val rangeLen = u32(payload, p + 49).toInt // octets 50-53
+              intervalHours =
+                toWholeHours(rangeUnit, rangeLen, "statistical interval")
+              require(refTime.nonEmpty,
+                "product section 4.8 before identification section")
+              val ref = java.time.LocalDateTime.parse(
+                refTime.stripSuffix(".000Z"))
+              val end = ref.plusHours((forecastHours + intervalHours).toLong)
+              require(end.getYear == endY && end.getMonthValue == endMo &&
+                end.getDayOfMonth == endD && end.getHour == endH,
+                s"statistical interval end $endY-$endMo-$endD ${endH}:00 " +
+                  s"does not equal refTime + forecastTime + interval ($end)")
+            }
           case 5 => // data representation; templates 5.0 / 5.2 / 5.3
             nData = u32(payload, p + 5).toInt      // octets 6-9
             val tmpl = u16(payload, p + 9)         // octets 10-11
@@ -854,7 +897,8 @@ object Grib2 {
                 gribLength = totalLen, center = center, subcenter = subcenter,
                 significanceOfRT = significanceOfRT,
                 productStatus = productStatus, productType = productType,
-                productDefinitionTemplate = 0, genProcessType = genProcessType,
+                productDefinitionTemplate = prodTmpl,
+                genProcessType = genProcessType,
                 gridDefinitionTemplate = gridTmpl,
                 // quasi-regular grids emit the EXPANDED dense layout (the
                 // netCDF-Java convention), so numberPoints == data.length
@@ -866,12 +910,14 @@ object Grib2 {
                 surface2Type = surf2Type, surface2Value = surf2Val,
                 lov = lov, lad = lad, latin1 = latin1, latin2 = latin2,
                 projCenter = projCenter, earthRadius = earthRadius,
+                statProcess = statProcess, intervalHours = intervalHours,
                 data = data)
             }
             // this field is done: clear its state so a repeated 4-7 group
             // can never inherit (or mix with) the previous field's header
             cat = -1; num = -1; surfType = 255; surfVal = 0.0
             surf2Type = 255; surf2Val = 0.0; genProcessType = 0
+            prodTmpl = 0; statProcess = -1; intervalHours = 0
             forecastHours = 0; nData = 0; packing = null; bitmap = null
           case s => throw new IllegalArgumentException(s"unknown section $s")
         }

@@ -49,6 +49,10 @@ object WindBinary {
       surface2Type: Int, surface2Value: Double,
       lov: Double, lad: Double, latin1: Double, latin2: Double,
       projCenter: Int, earthRadius: Double,
+      // product template 4.8 (statistical fields): processing code (table
+      // 4.10; -1 = instantaneous 4.0) and interval length in hours — the
+      // field's valid time is refTime + forecastTime + intervalHours
+      statProcess: Int, intervalHours: Int,
       data: Array[Double])
 
   /** Read a directory of `.grb2` blobs via the binaryFile source. */

@@ -565,6 +565,58 @@ class Grib2Spec extends AnyFunSuite {
     assert(err.getMessage.contains("unsupported scanning mode"))
   }
 
+  // ------------------- product template 4.8, statistical fields (round 8)
+
+  test("product template 4.8 decodes: stat process, interval, valid time") {
+    val decoded = Grib2.decode(Grib2TestWriter.message(msg(
+      category = 1, number = 8) // APCP: total precipitation
+      .copy(prodTemplate = 8, statProcess = 1, intervalHours = 6)))
+    val g = decoded.head
+    assert(g.productDefinitionTemplate == 8)
+    assert(g.parameterCategory == 1 && g.parameterNumber == 8)
+    assert(g.statProcess == 1, "accumulation (table 4.10)")
+    assert(g.intervalHours == 6)
+    assert(g.forecastTime == 6, "interval START offset, grib2json parity")
+    assert(g.data.length == 32)
+    // a plain 4.0 field reports the non-statistical markers
+    val plain = Grib2.decode(Grib2TestWriter.message(msg())).head
+    assert(plain.productDefinitionTemplate == 0 &&
+      plain.statProcess == -1 && plain.intervalHours == 0)
+  }
+
+  test("mixed 4.0 + 4.8 file decodes; parameter pushdown skips either") {
+    val payload = Grib2TestWriter.file(
+      msg(number = 2), // UGRD, 4.0
+      msg(category = 1, number = 8).copy(
+        prodTemplate = 8, statProcess = 1, intervalHours = 6))
+    val all = Grib2.decode(payload)
+    assert(all.map(m => (m.productDefinitionTemplate,
+      m.parameterCategory, m.parameterNumber)) ==
+      Seq((0, 2, 2), (8, 1, 8)))
+    // the reference's --fp-style filter drops the accumulation message
+    // before any bit-unpacking — a real GFS pgrb2 file mixes both
+    val uOnly = Grib2.decode(payload, k => k.number == 2)
+    assert(uOnly.map(_.parameterNumber) == Seq(2))
+    val precipOnly = Grib2.decode(payload, k => k.category == 1)
+    assert(precipOnly.map(_.statProcess) == Seq(1))
+  }
+
+  test("4.8 refusal battery: multi-range, inconsistent end, other templates") {
+    val m8 = msg().copy(prodTemplate = 8)
+    val nr = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(m8.copy(statRanges = 2)))
+    }
+    assert(nr.getMessage.contains("time-range"), nr.getMessage)
+    val sh = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(m8.copy(statEndShiftHours = 3)))
+    }
+    assert(sh.getMessage.contains("interval end"), sh.getMessage)
+    val en = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(msg().copy(prodTemplate = 1)))
+    }
+    assert(en.getMessage.contains("product template 4.1"), en.getMessage)
+  }
+
   test("CCSDS 5.42 / IEEE 5.4 / unknown packings refuse by name (pinned)") {
     def err(tmpl: Int): String = intercept[IllegalArgumentException] {
       Grib2.decode(Grib2TestWriter.message(

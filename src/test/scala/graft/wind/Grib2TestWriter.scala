@@ -74,7 +74,13 @@ object Grib2TestWriter {
       latin1Micro: Long = 0, latin2Micro: Long = 0,
       projCenterFlag: Int = 0,
       earthShape: Int = 6, radiusScale: Int = 0, radiusValue: Long = 0,
-      mercOrientation: Long = 0)
+      mercOrientation: Long = 0,
+      // product template (4.0 default; 8 writes the statistical-interval
+      // extension with `statProcess` (table 4.10) over `intervalHours`).
+      // `statRanges`/`statEndShiftHours` deform the wire for refusal tests
+      prodTemplate: Int = 0,
+      statProcess: Int = 1, intervalHours: Int = 6,
+      statRanges: Int = 1, statEndShiftHours: Int = 0)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -272,7 +278,7 @@ object Grib2TestWriter {
 
   private def sec4(msg: Msg): Array[Byte] = section(4) { w =>
     w.w16(0)            // no coordinate values
-    w.w16(0)            // template 4.0
+    w.w16(msg.prodTemplate)
     w.w8(msg.category); w.w8(msg.number)
     w.w8(2)             // generating process: forecast
     w.w8(0); w.w8(96)   // background / analysis process ids
@@ -282,6 +288,28 @@ object Grib2TestWriter {
     // first surface: height above ground, sign-magnitude scale + value
     w.w8(103); w.s8(msg.surfScale); w.s32(msg.surfValueScaled)
     w.w8(255); w.w8(0); w.w32(0)  // second surface: missing
+    if (msg.prodTemplate == 8) {
+      // statistical extension, octets 35-58: the interval end is the
+      // redundantly-coded refTime + forecastTime + interval
+      val fh = msg.timeUnit match {
+        case 0 => msg.forecastHours / 60
+        case 1 => msg.forecastHours
+        case 2 => msg.forecastHours * 24
+      }
+      val end = java.time.LocalDateTime
+        .of(msg.year, msg.month, msg.day, msg.hour, 0)
+        .plusHours((fh + msg.intervalHours + msg.statEndShiftHours).toLong)
+      w.w16(end.getYear); w.w8(end.getMonthValue); w.w8(end.getDayOfMonth)
+      w.w8(end.getHour); w.w8(0); w.w8(0)   // octets 35-41
+      w.w8(msg.statRanges)                  // octet 42
+      w.w32(0)                              // octets 43-46: missing count
+      w.w8(msg.statProcess)                 // octet 47
+      w.w8(2)                               // octet 48: increment type
+      w.w8(1)                               // octet 49: range unit, hours
+      w.w32(msg.intervalHours)              // octets 50-53
+      w.w8(255)                             // octet 54: increment unit
+      w.w32(0)                              // octets 55-58: increment 0
+    }
   }
 
   private def sec6(msg: Msg): Array[Byte] = msg.bitmap match {

@@ -35,11 +35,23 @@ object ProjFixtureGen {
     lovMicro = 0L, ladMicro = 20000000L,
     latin1Micro = 0L, latin2Micro = 0L)
 
+  /** A 4.8 statistical (APCP-style 6 h accumulation) message on the plain
+    * lat/lon grid — for the Grib2Pds cross-check (`tools/gdscheck`).
+    */
+  def apcp48: Grib2TestWriter.Msg = Grib2TestWriter.Msg(
+    discipline = 0, category = 1, number = 8,
+    year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+    nx = 8, ny = 4, la1Micro = 90000000L, lo1Micro = 0L,
+    dxMicro = 1000000L, dyMicro = 1000000L,
+    r = 0f, e = 0, d = 1, nbits = 10,
+    m = Array.tabulate(32)(i => (i * 37 % 101).toLong),
+    prodTemplate = 8, statProcess = 1, intervalHours = 6)
+
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/projfix")
     dir.mkdirs()
     for ((name, m) <- Seq("lambert" -> lambert, "stereo" -> polarStereo,
-      "mercator" -> mercator)) {
+      "mercator" -> mercator, "apcp48" -> apcp48)) {
       val f = new java.io.File(dir, s"$name.grb2")
       val out = new java.io.FileOutputStream(f)
       try out.write(Grib2TestWriter.message(m)) finally out.close()

@@ -1,0 +1,42 @@
+import java.nio.file.*;
+
+/** Cross-check: parse section 4 of a .grb2 file with netCDF's Grib2Pds
+  * (the parser the reference's grib2json rides) and print its fields. */
+public class PdsCheck {
+  public static void main(String[] args) throws Exception {
+    byte[] all = Files.readAllBytes(Paths.get(args[0]));
+    int p = 16;
+    while (p < all.length - 4) {
+      long len = ((all[p] & 0xffL) << 24) | ((all[p+1] & 0xffL) << 16)
+        | ((all[p+2] & 0xffL) << 8) | (all[p+3] & 0xffL);
+      int sec = all[p + 4] & 0xff;
+      if (sec == 4) {
+        byte[] s4 = java.util.Arrays.copyOfRange(all, p, p + (int) len);
+        int tmpl = ((s4[7] & 0xff) << 8) | (s4[8] & 0xff);
+        ucar.nc2.grib.grib2.Grib2Pds pds =
+          ucar.nc2.grib.grib2.Grib2Pds.factory(tmpl, s4);
+        System.out.println("template=" + pds.getTemplateNumber()
+          + " cat=" + pds.getParameterCategory()
+          + " num=" + pds.getParameterNumber()
+          + " forecastTime=" + pds.getForecastTime()
+          + " timeUnit=" + pds.getTimeUnit()
+          + " level1=" + pds.getLevelType1() + "/" + pds.getLevelValue1()
+          + " statProcess=" + pds.getStatisticalProcessType()
+          + " isInterval=" + pds.isTimeInterval());
+        if (pds instanceof ucar.nc2.grib.grib2.Grib2Pds.PdsInterval) {
+          ucar.nc2.grib.grib2.Grib2Pds.PdsInterval pi =
+            (ucar.nc2.grib.grib2.Grib2Pds.PdsInterval) pds;
+          ucar.nc2.grib.grib2.Grib2Pds.TimeInterval[] tis = pi.getTimeIntervals();
+          StringBuilder sb = new StringBuilder();
+          for (ucar.nc2.grib.grib2.Grib2Pds.TimeInterval ti : tis)
+            sb.append(" range{stat=" + ti.statProcessType
+              + " unit=" + ti.timeRangeUnit + " len=" + ti.timeRangeLength + "}");
+          System.out.println("  interval: nRanges=" + pi.getNumberTimeRanges()
+            + " nMissing=" + pi.getNumberMissing()
+            + sb);
+        }
+      }
+      p += (int) len;
+    }
+  }
+}

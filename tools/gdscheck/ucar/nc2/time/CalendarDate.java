@@ -1,0 +1,3 @@
+package ucar.nc2.time;
+/** Hierarchy stub (stripped cdm jar) -- loaded for linking only. */
+public class CalendarDate {}

@@ -1,0 +1,2 @@
+package ucar.nc2.time;
+public class CalendarPeriod { public static class Field {} }
