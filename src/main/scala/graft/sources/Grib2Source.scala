@@ -95,6 +95,9 @@ object Grib2Source {
     StructField("earthRadius", DoubleType, nullable = false),
     StructField("statProcess", IntegerType, nullable = false),
     StructField("intervalHours", IntegerType, nullable = false),
+    StructField("ensembleType", IntegerType, nullable = false),
+    StructField("perturbationNumber", IntegerType, nullable = false),
+    StructField("nEnsemble", IntegerType, nullable = false),
     StructField("data", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
@@ -235,6 +238,7 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
             m.la2, m.lo2, m.surface2Type, m.surface2Value,
             m.lov, m.lad, m.latin1, m.latin2, m.projCenter, m.earthRadius,
             m.statProcess, m.intervalHours,
+            m.ensembleType, m.perturbationNumber, m.nEnsemble,
             ArrayData.toArrayData(m.data))
           new GenericInternalRow(fieldIdx.map(full))
         }

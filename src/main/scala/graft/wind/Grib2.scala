@@ -575,6 +575,9 @@ object Grib2 {
       var prodTmpl = 0
       var statProcess = -1 // 4.8 only (table 4.10); -1 = not statistical
       var intervalHours = 0 // 4.8 only: statistical interval length
+      var ensembleType = -1 // 4.1 only (table 4.6); -1 = deterministic
+      var perturbationNumber = -1 // 4.1 only
+      var nEnsemble = 0 // 4.1 only: forecasts in the ensemble
       var nData = 0
       var packing: Packing = null
       var bitmap: Array[Boolean] = null
@@ -709,12 +712,13 @@ object Grib2 {
             if ((scan & 0x80) != 0) lo1 -= (nx - 1) * dx
             lo2 = lo1 + (nx - 1) * dx
             }
-          case 4 => // product definition; templates 4.0 and 4.8 (octets
-            //        10-34 are layout-identical — 4.8 appends the
-            //        statistical-processing interval real GFS accumulation
-            //        fields like APCP carry)
+          case 4 => // product definition; templates 4.0, 4.1 (ensemble)
+            //        and 4.8 (statistical) — octets 10-34 are
+            //        layout-identical across all three; 4.1 appends the
+            //        GEFS perturbation descriptor, 4.8 the statistical-
+            //        processing interval GFS accumulation fields carry
             val tmpl = u16(payload, p + 7)
-            require(tmpl == 0 || tmpl == 8,
+            require(tmpl == 0 || tmpl == 1 || tmpl == 8,
               s"unsupported product template 4.$tmpl")
             prodTmpl = tmpl
             cat = u8(payload, p + 9)               // category, octet 10
@@ -752,6 +756,13 @@ object Grib2 {
               if (surf2Type == 255 || s2ValRaw == 0xffffffffL) 0.0
               else s32sm(payload, p + 30) /
                 math.pow(10, if (s2ScaleRaw == 0xff) 0 else s8sm(payload, p + 29))
+            if (tmpl == 1) {
+              // ensemble forecast descriptor (GEFS): type of ensemble
+              // (table 4.6), perturbation number, ensemble size
+              ensembleType = u8(payload, p + 34)       // octet 35
+              perturbationNumber = u8(payload, p + 35) // octet 36
+              nEnsemble = u8(payload, p + 36)          // octet 37
+            }
             if (tmpl == 8) {
               // statistical processing over a time interval (table 4.10:
               // 0 average, 1 accumulation, 2 max, 3 min, …), octets 35-58.
@@ -911,6 +922,9 @@ object Grib2 {
                 lov = lov, lad = lad, latin1 = latin1, latin2 = latin2,
                 projCenter = projCenter, earthRadius = earthRadius,
                 statProcess = statProcess, intervalHours = intervalHours,
+                ensembleType = ensembleType,
+                perturbationNumber = perturbationNumber,
+                nEnsemble = nEnsemble,
                 data = data)
             }
             // this field is done: clear its state so a repeated 4-7 group
@@ -918,6 +932,7 @@ object Grib2 {
             cat = -1; num = -1; surfType = 255; surfVal = 0.0
             surf2Type = 255; surf2Val = 0.0; genProcessType = 0
             prodTmpl = 0; statProcess = -1; intervalHours = 0
+            ensembleType = -1; perturbationNumber = -1; nEnsemble = 0
             forecastHours = 0; nData = 0; packing = null; bitmap = null
           case s => throw new IllegalArgumentException(s"unknown section $s")
         }

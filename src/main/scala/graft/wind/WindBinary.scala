@@ -53,6 +53,9 @@ object WindBinary {
       // 4.10; -1 = instantaneous 4.0) and interval length in hours — the
       // field's valid time is refTime + forecastTime + intervalHours
       statProcess: Int, intervalHours: Int,
+      // product template 4.1 (ensemble, GEFS): perturbation descriptor;
+      // ensembleType/perturbationNumber = -1 for deterministic fields
+      ensembleType: Int, perturbationNumber: Int, nEnsemble: Int,
       data: Array[Double])
 
   /** Read a directory of `.grb2` blobs via the binaryFile source. */

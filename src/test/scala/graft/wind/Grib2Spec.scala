@@ -601,6 +601,21 @@ class Grib2Spec extends AnyFunSuite {
     assert(precipOnly.map(_.statProcess) == Seq(1))
   }
 
+  test("product template 4.1 decodes the ensemble descriptor (GEFS)") {
+    val g = Grib2.decode(Grib2TestWriter.message(msg().copy(
+      prodTemplate = 1, ensembleType = 3, perturbationNumber = 7,
+      nEnsemble = 31))).head
+    assert(g.productDefinitionTemplate == 1)
+    assert(g.ensembleType == 3 && g.perturbationNumber == 7 &&
+      g.nEnsemble == 31)
+    assert(g.statProcess == -1 && g.intervalHours == 0)
+    assert(g.data.length == 32)
+    // deterministic fields carry the -1/-1/0 markers
+    val plain = Grib2.decode(Grib2TestWriter.message(msg())).head
+    assert(plain.ensembleType == -1 && plain.perturbationNumber == -1 &&
+      plain.nEnsemble == 0)
+  }
+
   test("4.8 refusal battery: multi-range, inconsistent end, other templates") {
     val m8 = msg().copy(prodTemplate = 8)
     val nr = intercept[IllegalArgumentException] {
@@ -612,9 +627,9 @@ class Grib2Spec extends AnyFunSuite {
     }
     assert(sh.getMessage.contains("interval end"), sh.getMessage)
     val en = intercept[IllegalArgumentException] {
-      Grib2.decode(Grib2TestWriter.message(msg().copy(prodTemplate = 1)))
+      Grib2.decode(Grib2TestWriter.message(msg().copy(prodTemplate = 2)))
     }
-    assert(en.getMessage.contains("product template 4.1"), en.getMessage)
+    assert(en.getMessage.contains("product template 4.2"), en.getMessage)
   }
 
   test("CCSDS 5.42 / IEEE 5.4 / unknown packings refuse by name (pinned)") {

@@ -76,11 +76,13 @@ object Grib2TestWriter {
       earthShape: Int = 6, radiusScale: Int = 0, radiusValue: Long = 0,
       mercOrientation: Long = 0,
       // product template (4.0 default; 8 writes the statistical-interval
-      // extension with `statProcess` (table 4.10) over `intervalHours`).
+      // extension with `statProcess` (table 4.10) over `intervalHours`;
+      // 1 writes the ensemble descriptor).
       // `statRanges`/`statEndShiftHours` deform the wire for refusal tests
       prodTemplate: Int = 0,
       statProcess: Int = 1, intervalHours: Int = 6,
-      statRanges: Int = 1, statEndShiftHours: Int = 0)
+      statRanges: Int = 1, statEndShiftHours: Int = 0,
+      ensembleType: Int = 3, perturbationNumber: Int = 0, nEnsemble: Int = 31)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -288,6 +290,12 @@ object Grib2TestWriter {
     // first surface: height above ground, sign-magnitude scale + value
     w.w8(103); w.s8(msg.surfScale); w.s32(msg.surfValueScaled)
     w.w8(255); w.w8(0); w.w32(0)  // second surface: missing
+    if (msg.prodTemplate == 1) {
+      // ensemble descriptor, octets 35-37
+      w.w8(msg.ensembleType)
+      w.w8(msg.perturbationNumber)
+      w.w8(msg.nEnsemble)
+    }
     if (msg.prodTemplate == 8) {
       // statistical extension, octets 35-58: the interval end is the
       // redundantly-coded refTime + forecastTime + interval

@@ -47,11 +47,16 @@ object ProjFixtureGen {
     m = Array.tabulate(32)(i => (i * 37 % 101).toLong),
     prodTemplate = 8, statProcess = 1, intervalHours = 6)
 
+  /** A 4.1 ensemble-member message (GEFS-style) for the Grib2Pds check. */
+  def ens41: Grib2TestWriter.Msg = apcp48.copy(
+    category = 2, number = 2, prodTemplate = 1,
+    ensembleType = 3, perturbationNumber = 7, nEnsemble = 31)
+
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/projfix")
     dir.mkdirs()
     for ((name, m) <- Seq("lambert" -> lambert, "stereo" -> polarStereo,
-      "mercator" -> mercator, "apcp48" -> apcp48)) {
+      "mercator" -> mercator, "apcp48" -> apcp48, "ens41" -> ens41)) {
       val f = new java.io.File(dir, s"$name.grb2")
       val out = new java.io.FileOutputStream(f)
       try out.write(Grib2TestWriter.message(m)) finally out.close()

@@ -23,6 +23,13 @@ public class PdsCheck {
           + " level1=" + pds.getLevelType1() + "/" + pds.getLevelValue1()
           + " statProcess=" + pds.getStatisticalProcessType()
           + " isInterval=" + pds.isTimeInterval());
+        if (pds instanceof ucar.nc2.grib.grib2.Grib2Pds.PdsEnsemble) {
+          ucar.nc2.grib.grib2.Grib2Pds.PdsEnsemble pe =
+            (ucar.nc2.grib.grib2.Grib2Pds.PdsEnsemble) pds;
+          System.out.println("  ensemble: type=" + pe.getPerturbationType()
+            + " member=" + pe.getPerturbationNumber()
+            + " of=" + pe.getNumberEnsembleForecasts());
+        }
         if (pds instanceof ucar.nc2.grib.grib2.Grib2Pds.PdsInterval) {
           ucar.nc2.grib.grib2.Grib2Pds.PdsInterval pi =
             (ucar.nc2.grib.grib2.Grib2Pds.PdsInterval) pds;
