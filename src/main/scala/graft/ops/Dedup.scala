@@ -479,16 +479,23 @@ object Dedup {
       s"i -> array_to_string(list_slice($w, i + 1, i + $n), ' '))) " +
       s"ELSE [array_to_string($w, ' ')] END"
 
-  /** Shared CTE prefix: documents → word lists → shingle sets. */
-  private def sqlShingleCtes(n: Int): String =
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** Shared CTE prefix: `source`(doc_id, text) → word lists → shingle
+    * sets. `source` defaults to the documents table; x43 points it at a
+    * chunk CTE instead.
+    */
+  private def sqlShingleCtes(n: Int, source: String = "documents"): String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $source),
        |sh AS (SELECT doc_id, ${sqlShingles("w", n)} AS s FROM w)""".stripMargin
 
   /** DuckDB replica of [[nearDuplicates]]: identical hash family, banding,
-    * candidate generation and exact re-verification.
+    * candidate generation and exact re-verification. `sourceCte`, when
+    * non-empty, is prepended to the WITH list and `source` names the
+    * (doc_id, text) relation to read — the default reads `documents`
+    * directly, rendering byte-identical SQL to rounds ≤ 7.
     */
   def nearDuplicatesSql(threshold: Double, n: Int, numHashes: Int,
-                        bands: Int): String = {
+                        bands: Int, source: String = "documents",
+                        sourceCte: String = ""): String = {
     val rowsPerBand = numHashes / bands
     val mins = (0 until numHashes)
       .map(i => s"min(${Portable.sqlAffine(i, "h")}) AS m$i").mkString(",\n    ")
@@ -497,7 +504,7 @@ object Dedup {
         .map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)")
         .mkString(" || ',' || ")
     }.mkString("[", ",\n      ", "]")
-    s"""WITH ${sqlShingleCtes(n)},
+    s"""WITH $sourceCte${sqlShingleCtes(n, source)},
        |hb AS (SELECT doc_id, ${Portable.sqlHash32("tok", MinHashSalt)} AS h
        |       FROM (SELECT doc_id, unnest(s) AS tok FROM sh)),
        |sig AS (SELECT doc_id,

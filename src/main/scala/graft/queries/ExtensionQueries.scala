@@ -1553,6 +1553,72 @@ object ExtensionQueries {
        |SELECT doc_id, n_emails, n_keys, n_ips, n_phones, scrubbed
        |FROM pii ORDER BY doc_id""".stripMargin
 
+  /** x43 chunk-id packing: chunk_uid = doc_id·10⁶ + chunk_idx. Valid while
+    * docs stay under 10⁶ chunks (the 64-token/56-stride tiling needs a
+    * ~5.6e7-token document to overflow) and doc_id < 2⁶³/10⁶ ≈ 9.2e12 —
+    * both enforced nowhere because the op under test
+    * ([[Dedup.nearDuplicates]]) is id-layout-agnostic; the packing is
+    * query-level plumbing.
+    */
+  private val ChunkUidBase = 1000000L
+
+  /** Paragraph-granularity near-dup (x43): the x24 sliding-window chunking
+    * feeds the x03 MinHash-LSH machinery, so two documents sharing a NEAR
+    * (not verbatim — that is x41) 64-token passage pair up at the chunk
+    * level even when their whole-document Jaccard is far below any dedup
+    * threshold. Same-document chunk pairs are excluded (adjacent windows
+    * trivially overlap by stride). Scale: chunk volume is ~n/56 ≈ 1.14×
+    * the corpus; everything downstream is x03's banded-LSH subquadratic
+    * path.
+    */
+  def paragraphNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+          lit(ChunkStride))))
+      .select(
+        (col("doc_id") * lit(ChunkUidBase) + col("pos")).as("doc_id"),
+        concat_ws(" ",
+          slice(col("ws"), col("col") + 1, lit(ChunkTokens))).as("text"))
+    Dedup.nearDuplicates(chunks, threshold = 0.5, n = 3,
+        numHashes = 64, bands = 32)
+      .filter(expr(s"id_a DIV $ChunkUidBase") =!=
+        expr(s"id_b DIV $ChunkUidBase"))
+      .select(
+        expr(s"id_a DIV $ChunkUidBase").as("doc_a"),
+        pmod(col("id_a"), lit(ChunkUidBase)).as("chunk_a"),
+        expr(s"id_b DIV $ChunkUidBase").as("doc_b"),
+        pmod(col("id_b"), lit(ChunkUidBase)).as("chunk_b"),
+        col("jaccard"))
+      .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+  }
+
+  private val paragraphNearDupsSql = {
+    val chunkCte =
+      s"""chunkdocs AS (
+         |  SELECT doc_id * $ChunkUidBase + (st // $ChunkStride) AS doc_id,
+         |    array_to_string(ws[st + 1 : st + $ChunkTokens], ' ') AS text
+         |  FROM (SELECT doc_id, ws,
+         |      unnest(generate_series(0, greatest(n - 1, 0), $ChunkStride))
+         |        AS st
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+         |      len(string_split(text, ' ')) AS n FROM documents))),
+         |""".stripMargin
+    val pairs = Dedup.nearDuplicatesSql(threshold = 0.5, n = 3,
+      numHashes = 64, bands = 32, source = "chunkdocs",
+      sourceCte = chunkCte)
+    s"""SELECT CAST(id_a // $ChunkUidBase AS BIGINT) AS doc_a,
+       |  CAST(id_a % $ChunkUidBase AS BIGINT) AS chunk_a,
+       |  CAST(id_b // $ChunkUidBase AS BIGINT) AS doc_b,
+       |  CAST(id_b % $ChunkUidBase AS BIGINT) AS chunk_b,
+       |  jaccard
+       |FROM ($pairs) p
+       |WHERE id_a // $ChunkUidBase <> id_b // $ChunkUidBase
+       |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin
+  }
+
   /** The x37 query phrase — chosen as a frequent word trigram of the
     * synthetic corpus so the result exercises multi-hit documents.
     */
@@ -1773,5 +1839,7 @@ object ExtensionQueries {
     QueryDef("x40_bigram_lm_score", Some(bigramLmScoreSql), bigramLmScore),
     QueryDef("x41_substring_spans", Some(substringSpansSql), substringSpans),
     QueryDef("x42_pii_scrub", Some(piiScrubSql), piiScrub),
+    QueryDef("x43_paragraph_neardups", Some(paragraphNearDupsSql),
+      paragraphNearDups),
   )
 }

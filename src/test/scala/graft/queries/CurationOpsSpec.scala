@@ -29,6 +29,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(wcss2 <= wcss0, s"refined inertia $wcss2 > seed inertia $wcss0")
   }
 
+  test("paragraph near-dups pair shared passages across documents (x43)") {
+    // invariants on the real corpus: cross-document only, threshold holds
+    val rows = ExtensionQueries.paragraphNearDups(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) != r.getLong(2), "same-doc pairs excluded")
+      assert(r.getDouble(4) >= 0.5)
+    }
+    // planted: two otherwise-unrelated documents share one NEAR-identical
+    // (one token mutated) 64-token paragraph at DIFFERENT offsets — the
+    // case whole-document near-dup misses (doc-level jaccard ≈ 0.2)
+    import spark.implicits._
+    def para(tag: String, k: Int) = (0 until k).map(i => s"$tag$i")
+    val shared = para("p", 64)
+    val nearShared = shared.updated(10, "mutated")
+    val docA = (para("a", 56) ++ shared ++ para("za", 60)).mkString(" ")
+    val docB = (para("b", 112) ++ nearShared ++ para("zb", 30)).mkString(" ")
+    val docC = para("c", 150).mkString(" ")
+    val d = tmpDir()
+    Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val got = ExtensionQueries.paragraphNearDups(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "the shared paragraph must pair")
+    assert(got.forall { case (da, _, db, _) => Set(da, db) == Set(1L, 2L) },
+      s"only docs 1 and 2 share a paragraph: ${got.toSeq}")
+    // the aligned windows: docA tokens 56-119 = chunk 1, docB 112-175 = 2
+    assert(got.exists { case (_, ca, _, cb) => ca == 1 && cb == 2 },
+      s"expected the (1,2) chunk pair in ${got.toSeq}")
+  }
+
   test("chunk dedup reports copies in descending order with sane bounds") {
     val rows = ExtensionQueries.chunkDedup(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= ExtensionQueries.ChunkDupTopK)
