@@ -526,6 +526,12 @@ object Similarity {
     */
   def kmeansRefine(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val vq = corpus.select(col("vec_id"), quantizeMilli(col("embedding")).as("v"))
+      // eager: the quantized corpus is read (iters + 2) times — the seed
+      // scan, every Lloyd pass, and the final assignment. Materialize it
+      // once (dim·8 bytes/row) instead of re-scanning and re-quantizing
+      // the source per pass; value-transparent, so the bit-reproducibility
+      // contract (and the DuckDB replay) is untouched
+      .localCheckpoint()
     // seeds: the k lowest vec_ids' vectors — deterministic, engine-portable
     var cents: Seq[(Int, Seq[Long])] =
       vq.orderBy(col("vec_id")).limit(k).collect().toSeq.zipWithIndex.map {

@@ -379,6 +379,74 @@ object ExtensionQueries {
        |FROM sig ORDER BY doc_id""".stripMargin
   }
 
+  /** CCNet-style per-source quality bucketing (x44, round 8): rank each
+    * source's documents by the x10 quality score and split into
+    * head/middle/tail THIRDS — the bucket assignment CCNet feeds its
+    * per-bucket sampling with (Wenzek et al. 2020, arXiv:1911.00359 run
+    * perplexity thirds; the same mechanics apply to any monotone quality
+    * signal). Bucket boundaries are exact integer row_number arithmetic
+    * (rn·3 vs cnt) over the total order (quality DESC, doc_id) — no
+    * ntile/percentile engine-variance, deterministic under score ties.
+    *
+    * Scale: one window shuffle keyed on source (the rank and the count
+    * share it), then the tiny (source, bucket) aggregate — corpus-linear
+    * once, output |sources|·3 rows.
+    */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(
+        Tables.documents(spark, dir), col("text"))
+      .select(col("doc_id"), col("source"), col("n_words"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("cnt"), "head")
+          .when(col("rn") * 3 <= col("cnt") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_tokens"),
+        min("quality").as("min_quality"),
+        max("quality").as("max_quality"))
+      .orderBy("source", "bucket")
+  }
+
+  private val qualityBucketsSql = {
+    val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+    s"""WITH sig AS (
+       |  SELECT doc_id, source,
+       |    CAST(length(text) AS INTEGER) AS nc,
+       |    CAST(len(string_split(text,' ')) AS INTEGER) AS nw,
+       |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+       |         AS INTEGER) AS nalpha,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |         w -> list_contains([$en], w))) AS INTEGER) AS nstop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, source, nw,
+       |    least(CAST(nw AS DOUBLE)/64, 1e0)*0.4e0
+       |      + (CAST(nalpha AS DOUBLE)/nc)*0.4e0
+       |      + least((CAST(nstop AS DOUBLE)/nw)*4e0, 1e0)*0.2e0 AS quality
+       |  FROM sig),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS cnt
+       |  FROM q)
+       |SELECT source,
+       |  CASE WHEN rn*3 <= cnt THEN 'head'
+       |       WHEN rn*3 <= cnt*2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+       |  min(quality) AS min_quality,
+       |  max(quality) AS max_quality
+       |FROM r GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+  }
+
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(
@@ -1841,5 +1909,6 @@ object ExtensionQueries {
     QueryDef("x42_pii_scrub", Some(piiScrubSql), piiScrub),
     QueryDef("x43_paragraph_neardups", Some(paragraphNearDupsSql),
       paragraphNearDups),
+    QueryDef("x44_quality_buckets", Some(qualityBucketsSql), qualityBuckets),
   )
 }

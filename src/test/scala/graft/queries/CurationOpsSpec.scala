@@ -59,6 +59,32 @@ class CurationOpsSpec extends SparkSpec {
       s"expected the (1,2) chunk pair in ${got.toSeq}")
   }
 
+  test("quality buckets partition each source into ordered thirds (x44)") {
+    val rows = ExtensionQueries.qualityBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    val bySource = rows.groupBy(_._1)
+    val docCounts = graft.Tables.documents(spark, dir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, bs) =>
+      val m = bs.map(b => b._2 -> b._3).toMap
+      assert(m.keySet == Set("head", "middle", "tail"), s"$src buckets $m")
+      val n = docCounts(src)
+      assert(m.values.sum == n, "buckets partition the source")
+      // exact integer boundary arithmetic: head = floor(n/3)
+      assert(m("head") == n / 3)
+      assert(m("middle") == 2 * n / 3 - n / 3)
+      // quality ordering: head >= middle >= tail (ties may touch at the
+      // boundary, never cross)
+      def range(b: String) = bs.find(_._2 == b).get
+      assert(range("head")._4 >= range("middle")._5,
+        s"$src head min < middle max")
+      assert(range("middle")._4 >= range("tail")._5,
+        s"$src middle min < tail max")
+    }
+  }
+
   test("chunk dedup reports copies in descending order with sane bounds") {
     val rows = ExtensionQueries.chunkDedup(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= ExtensionQueries.ChunkDupTopK)
