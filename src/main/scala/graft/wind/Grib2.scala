@@ -143,6 +143,15 @@ object Grib2 {
     * in-engine by [[Jpeg2000]] — lossless 5/3 profile; lossy 9/7 and other
     * out-of-profile codestreams refuse loudly by feature name.
     */
+  /** Template 5.4: grid values stored as raw IEEE floats (no reference /
+    * scaling — the template carries only a precision code). Rare in the
+    * wild but unambiguous to support: IEEE 754 is IEEE 754, so unlike the
+    * CCSDS case there is nothing a reference decoder could disagree on.
+    */
+  private final case class IeeeFloat(precision: Int) extends Packing {
+    def r: Float = 0f; def e: Int = 0; def d: Int = 0; def nbits: Int = 0
+  }
+
   private final case class Jpeg2000Packed(r: Float, e: Int, d: Int, nbits: Int)
       extends Packing
   /** Templates 5.2 (`spatialOrder == 0`) and 5.3 (order 1 or 2).
@@ -330,6 +339,28 @@ object Grib2 {
       }
     } else throw new IllegalArgumentException(
       s"unsupported PNG-packed bit depth $nbits")
+    out
+  }
+
+  /** Raw IEEE samples of a template-5.4 data section (precision 1 =
+    * big-endian float32, widened; 2 = float64). No reference/scale —
+    * the bits ARE the values.
+    */
+  private def unpackIeee(payload: Array[Byte], off: Int, len: Int,
+                         n: Int, precision: Int): Array[Double] = {
+    val width = precision * 4
+    require(len >= n.toLong * width,
+      s"IEEE-packed section 7 holds $len bytes for $n $width-byte values")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (precision == 1)
+          java.lang.Float.intBitsToFloat(u32(payload, off + i * 4).toInt)
+            .toDouble
+        else java.lang.Double.longBitsToDouble(u64(payload, off + i * 8))
+      i += 1
+    }
     out
   }
 
@@ -795,13 +826,15 @@ object Grib2 {
                 s"statistical interval end $endY-$endMo-$endD ${endH}:00 " +
                   s"does not equal refTime + forecastTime + interval ($end)")
             }
-          case 5 => // data representation; templates 5.0 / 5.2 / 5.3
+          case 5 => // data representation; templates 5.0 / 5.2 / 5.3 …
             nData = u32(payload, p + 5).toInt      // octets 6-9
             val tmpl = u16(payload, p + 9)         // octets 10-11
-            val r = f32(payload, p + 11)           // reference, octets 12-15
-            val e = s16sm(payload, p + 15)         // binary scale, 16-17
-            val d = s16sm(payload, p + 17)         // decimal scale, 18-19
-            val nbits = u8(payload, p + 19)        // bits per value, octet 20
+            // lazy (`def`): template 5.4's section ends at octet 12 — the
+            // scaling octets below only exist for the templates that use them
+            def r = f32(payload, p + 11)           // reference, octets 12-15
+            def e = s16sm(payload, p + 15)         // binary scale, 16-17
+            def d = s16sm(payload, p + 17)         // decimal scale, 18-19
+            def nbits = u8(payload, p + 19)        // bits per value, octet 20
             packing = tmpl match {
               case 0 => Simple(r, e, d, nbits)
               case 41 => PngPacked(r, e, d, nbits)
@@ -834,9 +867,14 @@ object Grib2 {
                   "(CCSDS/AEC Rice coding — ECMWF open-data products; no " +
                   "pure-JVM reference decode available to pin against, so " +
                   "refusing loudly beats a silently-unverifiable decode)")
-              case 4 => throw new IllegalArgumentException(
-                "unsupported data representation template 5.4 " +
-                  "(IEEE floating point, rare in the wild)")
+              case 4 =>
+                // template 5.4 has its own layout: octet 12 = precision
+                // (1 = IEEE single, 2 = double, 3 = quad)
+                val precision = u8(payload, p + 11)
+                require(precision == 1 || precision == 2,
+                  s"unsupported IEEE packing precision $precision " +
+                    "(1 = 32-bit and 2 = 64-bit only)")
+                IeeeFloat(precision)
               case t => throw new IllegalArgumentException(
                 s"unsupported data representation template 5.$t")
             }
@@ -856,21 +894,32 @@ object Grib2 {
               val data: Array[Double] =
                 if (!withData) Array.emptyDoubleArray
                 else {
-                  val (raw, rawMissing) = packing match {
-                    case s: Simple =>
-                      (unpackBits(payload, p + 5, nData, s.nbits), null)
-                    case c: Complex => unpackComplex(payload, p + 5, nData, c)
-                    case g: PngPacked =>
-                      (unpackPng(payload, p + 5, secLen - 5, nData, g.nbits), null)
-                    case _: Jpeg2000Packed =>
-                      (unpackJpeg2000(payload, p + 5, secLen - 5, nData), null)
-                  }
-                  val twoPowE = math.pow(2, packing.e)
-                  val tenPowD = math.pow(10, packing.d)
-                  val vals = Array.tabulate(nData) { x =>
-                    if (rawMissing != null && rawMissing(x)) Double.NaN
-                    else (packing.r + raw(x) * twoPowE) / tenPowD
-                  }
+                  val (vals, rawMissing): (Array[Double], Array[Boolean]) =
+                    packing match {
+                      case ie: IeeeFloat => // raw samples, no scaling
+                        (unpackIeee(payload, p + 5, secLen - 5, nData,
+                          ie.precision), null)
+                      case _ =>
+                        val (raw, rm) = packing match {
+                          case s: Simple =>
+                            (unpackBits(payload, p + 5, nData, s.nbits), null)
+                          case c: Complex =>
+                            unpackComplex(payload, p + 5, nData, c)
+                          case g: PngPacked =>
+                            (unpackPng(payload, p + 5, secLen - 5, nData,
+                              g.nbits), null)
+                          case _: Jpeg2000Packed =>
+                            (unpackJpeg2000(payload, p + 5, secLen - 5,
+                              nData), null)
+                          case _: IeeeFloat => throw new IllegalStateException
+                        }
+                        val twoPowE = math.pow(2, packing.e)
+                        val tenPowD = math.pow(10, packing.d)
+                        (Array.tabulate(nData) { x =>
+                          if (rm != null && rm(x)) Double.NaN
+                          else (packing.r + raw(x) * twoPowE) / tenPowD
+                        }, rm)
+                    }
                   if (rowCounts != null) {
                     // quasi-regular: expand each thinned row to the dense
                     // nx-wide grid (scan 0 enforced at parse, so no

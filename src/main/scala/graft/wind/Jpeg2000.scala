@@ -468,8 +468,44 @@ object Jpeg2000 {
       (math.min(cbW, w - bx * cbW), math.min(cbH, h - by * cbH))
   }
 
-  /** Decode a raw lossless-profile codestream to row-major samples. */
+  /** ISO 15444-1 JP2 signature box — some producers wrap the codestream
+    * in the JP2 file format instead of emitting it raw (NOAA emits raw).
+    */
+  private val Jp2Signature = Array(
+    0x00, 0x00, 0x00, 0x0c, 0x6a, 0x50, 0x20, 0x20, 0x0d, 0x0a, 0x87, 0x0a)
+
+  /** Walk the JP2 box structure to the first `jp2c` (contiguous
+    * codestream) box and return its payload. Box = 4-byte length + 4-byte
+    * type; length 1 = 8-byte extended length follows, 0 = to end of file.
+    */
+  private def extractJp2c(cs: Array[Byte]): Array[Byte] = {
+    var p = 0
+    while (p + 8 <= cs.length) {
+      val len32 = u32(cs, p)
+      val boxType = new String(cs, p + 4, 4, "US-ASCII")
+      val (dataOff, boxLen): (Int, Long) =
+        if (len32 == 1)
+          (16, (u32(cs, p + 8) << 32) | u32(cs, p + 12))
+        else if (len32 == 0) (8, (cs.length - p).toLong)
+        else (8, len32)
+      require(boxLen >= dataOff && p + boxLen <= cs.length,
+        s"malformed JP2 box '$boxType' (length $boxLen at offset $p)")
+      if (boxType == "jp2c")
+        return java.util.Arrays.copyOfRange(cs, p + dataOff, (p + boxLen).toInt)
+      p += boxLen.toInt
+    }
+    throw new IllegalArgumentException(
+      "JP2 container without a jp2c codestream box")
+  }
+
+  /** Decode a raw lossless-profile codestream — or a JP2 box-wrapped one
+    * (round 8: the container walk unwraps to the `jp2c` payload) — to
+    * row-major samples.
+    */
   def decode(cs: Array[Byte]): Image = {
+    if (cs.length >= 12 &&
+      (0 until 12).forall(i => (cs(i) & 0xff) == Jp2Signature(i)))
+      return decode(extractJp2c(cs))
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"unsupported JPEG2000 feature: $msg (GRIB 5.40 lossless profile only)")
     require(cs.length >= 4 && u16(cs, 0) == 0xff4f,

@@ -438,6 +438,12 @@ class Grib2Spec extends AnyFunSuite {
         .copy(packing = Grib2TestWriter.Jpeg2000Packing(cs)))).head
     assert(scaled.data.toSeq ==
       expected.map(x => (50.0 + x * 2.0) / 10.0).toSeq)
+    // JP2 box-wrapped codestreams in section 7 decode identically (r8)
+    val wrapped = Grib2.decode(Grib2TestWriter.message(
+      msg(nbits = 8, m = expected)
+        .copy(packing = Grib2TestWriter.Jpeg2000Packing(
+          Jpeg2000Spec.jp2Wrap(cs))))).head
+    assert(wrapped.data.toSeq == expected.map(_.toDouble).toSeq)
   }
 
   test("lossy 9/7 JPEG2000 refuses by feature name, never silently decodes") {
@@ -632,15 +638,42 @@ class Grib2Spec extends AnyFunSuite {
     assert(en.getMessage.contains("product template 4.2"), en.getMessage)
   }
 
-  test("CCSDS 5.42 / IEEE 5.4 / unknown packings refuse by name (pinned)") {
+  test("CCSDS 5.42 and unknown packings refuse by name (pinned)") {
     def err(tmpl: Int): String = intercept[IllegalArgumentException] {
       Grib2.decode(Grib2TestWriter.message(
         msg().copy(packing = Grib2TestWriter.RawPacking(tmpl))))
     }.getMessage
     val e42 = err(42)
     assert(e42.contains("5.42") && e42.contains("CCSDS"), e42)
-    assert(err(4).contains("5.4"))
     assert(err(1).contains("5.1")) // generic refusal names the number
+  }
+
+  test("IEEE packing 5.4 decodes raw floats (both precisions); quad refuses") {
+    val vals = Array(0L, 1L, -7L, 250L, 1000L, -999L, 42L, 13L,
+      3L, 5L, 8L, 100L, -100L, 64L, 7L, 9L,
+      11L, 12L, 13L, 14L, 15L, 16L, 17L, 18L,
+      19L, 20L, 21L, 22L, 23L, 24L, 25L, 26L)
+    for (prec <- Seq(1, 2)) {
+      val g = Grib2.decode(Grib2TestWriter.message(msg(m = vals)
+        .copy(packing = Grib2TestWriter.IeeePacking(prec)))).head
+      assert(g.data.toSeq == vals.map(_.toDouble).toSeq,
+        s"precision $prec: the bits ARE the values, no scaling")
+    }
+    // bitmap composes: holes become NaN around the raw samples
+    val bm = Array.tabulate(32)(_ % 3 != 1)
+    val present = vals.zipWithIndex.collect { case (v, i) if bm(i) => v }
+    val gb = Grib2.decode(Grib2TestWriter.message(msg(m = present)
+      .copy(packing = Grib2TestWriter.IeeePacking(1),
+        bitmap = Some(bm)))).head
+    (0 until 32).foreach { i =>
+      if (bm(i)) assert(gb.data(i) == vals(i).toDouble)
+      else assert(gb.data(i).isNaN)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(msg()
+        .copy(packing = Grib2TestWriter.IeeePacking(3))))
+    }
+    assert(e.getMessage.contains("precision"), e.getMessage)
   }
 
   // --------------- projected grid templates 3.10 / 3.20 / 3.30 (round 8)

@@ -22,6 +22,11 @@ object Grib2TestWriter {
   /** Template 5.41: the data section is a grayscale PNG of the grid. */
   case object PngPacking extends PackingSpec
 
+  /** Template 5.4: raw IEEE floats (`m` carries the integer values,
+    * written as float32/float64 per `precision`).
+    */
+  final case class IeeePacking(precision: Int = 1) extends PackingSpec
+
   /** An arbitrary (typically unsupported) data-representation template:
     * minimal spec-shaped section 5 (the standard first 21 octets) with an
     * empty section 7 — the refusal-pinning fixture shape (5.42 CCSDS,
@@ -492,6 +497,20 @@ object Grib2TestWriter {
     s5 ++ sec6(msg) ++ section(7)(_.out.write(cs))
   }
 
+  private def sec567Ieee(msg: Msg, precision: Int): Array[Byte] = {
+    val s5 = section(5) { w =>
+      w.w32(msg.m.length)
+      w.w16(4)            // template 5.4
+      w.w8(precision)     // octet 12
+    }
+    val s7 = section(7) { w =>
+      if (precision == 1) msg.m.foreach(v => w.f32(v.toFloat))
+      else msg.m.foreach(v =>
+        w.w64(java.lang.Double.doubleToLongBits(v.toDouble)))
+    }
+    s5 ++ sec6(msg) ++ s7
+  }
+
   private def sec567Raw(msg: Msg, tmpl: Int): Array[Byte] = {
     val s5 = section(5) { w =>
       w.w32(msg.m.length)
@@ -508,6 +527,7 @@ object Grib2TestWriter {
     case cx: ComplexPacking   => sec567Complex(msg, cx)
     case PngPacking           => sec567Png(msg)
     case Jpeg2000Packing(cs)  => sec567Jpeg2000(msg, cs)
+    case IeeePacking(prec)    => sec567Ieee(msg, prec)
     case RawPacking(tmpl)     => sec567Raw(msg, tmpl)
   }
 
