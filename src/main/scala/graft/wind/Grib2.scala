@@ -818,8 +818,14 @@ object Grib2 {
                 toWholeHours(rangeUnit, rangeLen, "statistical interval")
               require(refTime.nonEmpty,
                 "product section 4.8 before identification section")
-              val ref = java.time.LocalDateTime.parse(
-                refTime.stripSuffix(".000Z"))
+              val ref =
+                try java.time.LocalDateTime.parse(refTime.stripSuffix(".000Z"))
+                catch {
+                  case e: java.time.format.DateTimeParseException =>
+                    throw new IllegalArgumentException(
+                      s"unparseable reference time '$refTime' while " +
+                        "verifying the 4.8 statistical interval end", e)
+                }
               val end = ref.plusHours((forecastHours + intervalHours).toLong)
               require(end.getYear == endY && end.getMonthValue == endMo &&
                 end.getDayOfMonth == endD && end.getHour == endH,

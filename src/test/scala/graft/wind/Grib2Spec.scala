@@ -118,11 +118,23 @@ class Grib2Spec extends AnyFunSuite {
   test("EVERY truncation of a valid message throws typed, never wrong data") {
     // the indicator/total-length checks fire before any section walk, so a
     // payload cut at any byte is a typed refusal — pinned across the whole
-    // range. The one legal degenerate: a zero-byte file decodes to zero
-    // messages (an empty landing file is not an error).
-    val good = Grib2TestWriter.message(msg())
+    // range and across the round-8 template additions (projected grid,
+    // statistical product, IEEE packing). The one legal degenerate: a
+    // zero-byte file decodes to zero messages (an empty landing file is
+    // not an error).
     assert(Grib2.decode(Array.emptyByteArray).isEmpty)
-    for (len <- 1 until good.length) {
+    val shapes = Seq(
+      Grib2TestWriter.message(msg()),
+      Grib2TestWriter.message(msg(m = PVals, d = 1).copy(nx = 8, ny = 6,
+        gridTemplate = 30, la1Micro = 21138123L, lo1Micro = 237280472L,
+        dxMicro = 300000000L, dyMicro = 300000000L, lovMicro = 262500000L,
+        ladMicro = 38500000L, latin1Micro = 38500000L,
+        latin2Micro = 38500000L)),
+      Grib2TestWriter.message(msg().copy(prodTemplate = 8,
+        statProcess = 1, intervalHours = 6)),
+      Grib2TestWriter.message(msg().copy(
+        packing = Grib2TestWriter.IeeePacking(1))))
+    for (good <- shapes; len <- 1 until good.length) {
       val e = intercept[IllegalArgumentException] {
         Grib2.decode(good.take(len))
       }
@@ -620,6 +632,14 @@ class Grib2Spec extends AnyFunSuite {
     val plain = Grib2.decode(Grib2TestWriter.message(msg())).head
     assert(plain.ensembleType == -1 && plain.perturbationNumber == -1 &&
       plain.nEnsemble == 0)
+  }
+
+  test("4.8 with a corrupt reference date refuses typed, not raw parse error") {
+    val good = Grib2TestWriter.message(msg().copy(prodTemplate = 8))
+    // month octet of section 1 (byte 30 of the message) → 99
+    val patched = good.clone(); patched(30) = 99.toByte
+    val e = intercept[IllegalArgumentException] { Grib2.decode(patched) }
+    assert(e.getMessage.contains("reference time"), e.getMessage)
   }
 
   test("4.8 refusal battery: multi-range, inconsistent end, other templates") {
