@@ -194,6 +194,109 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** MinHash estimator calibration (x45) — the dedup-threshold tuning
+    * curve a pipeline runs before choosing its near-dup cutoff: for every
+    * LSH candidate pair, the signature-agreement estimate (matching slots
+    * / numHashes, the unbiased MinHash Jaccard estimator) next to the
+    * EXACT shingle Jaccard, grouped by agreement count — how biased and
+    * how wide the estimator is at each level, on the real corpus, over
+    * exactly the pairs LSH would surface.
+    *
+    * Scale: signatures computed once (localCheckpoint'ed — bucket entries
+    * and both pair sides read the same materialization), candidates are
+    * the subquadratic LSH set, and the per-pair work (64 slot compares +
+    * one shingle intersect) runs only on candidates. The output is ≤
+    * numHashes+1 rows. Aggregated means go through [[graft.Exact]]'s
+    * fixed-point sum, so the curve is bitwise engine-portable.
+    */
+  def minHashCalibration(docs: DataFrame, n: Int, numHashes: Int,
+      bands: Int): DataFrame = {
+    val sig = minHashSignatures(docs, n, numHashes)
+      .localCheckpoint() // one evaluation: bucket entries + both pair sides
+    val entries = lshBucketEntries(sig, numHashes, bands)
+    val cands = entries.select(col("band"), col("band_key"),
+        col("doc_id").as("id_a"))
+      .join(entries.select(col("band").as("band_r"),
+        col("band_key").as("band_key_r"), col("doc_id").as("id_b")),
+        col("band") === col("band_r") &&
+          col("band_key") === col("band_key_r") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sigA = sig.toDF("id_a" +: (0 until numHashes).map(i => s"a$i"): _*)
+    val sigB = sig.toDF("id_b" +: (0 until numHashes).map(i => s"b$i"): _*)
+    // fixed fan-in (numHashes), not parameter-explosive: same shape as the
+    // 64 simhash vote aggregates
+    val nMatch = (0 until numHashes).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce[Column](_ + _)
+    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    cands
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("n_match", nMatch)
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .groupBy("n_match")
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.Exact.fxAvg(col("jaccard"), 6).as("mean_jaccard"),
+        min("jaccard").as("min_jaccard"),
+        max("jaccard").as("max_jaccard"))
+      .select(col("n_match"),
+        (col("n_match") / lit(numHashes.toDouble)).as("est_jaccard"),
+        col("n_pairs"), col("mean_jaccard"), col("min_jaccard"),
+        col("max_jaccard"))
+      .orderBy("n_match")
+  }
+
+  /** DuckDB replica of [[minHashCalibration]]: identical signatures,
+    * banding, candidates, slot-agreement count and exact re-verification.
+    */
+  def minHashCalibrationSql(n: Int, numHashes: Int, bands: Int): String = {
+    val rowsPerBand = numHashes / bands
+    val mins = (0 until numHashes)
+      .map(i => s"min(${Portable.sqlAffine(i, "h")}) AS m$i").mkString(",\n    ")
+    val bandKeys = (0 until bands).map { b =>
+      (0 until rowsPerBand)
+        .map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+    }.mkString("[", ",\n      ", "]")
+    val matchTerms = (0 until numHashes)
+      .map(i => s"(CASE WHEN ga.m$i = gb.m$i THEN 1 ELSE 0 END)")
+      .mkString("\n      + ")
+    s"""WITH ${sqlShingleCtes(n)},
+       |hb AS (SELECT doc_id, ${Portable.sqlHash32("tok", MinHashSalt)} AS h
+       |       FROM (SELECT doc_id, unnest(s) AS tok FROM sh)),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM hb GROUP BY doc_id),
+       |bk AS (SELECT doc_id, unnest(range($bands)) AS band,
+       |    unnest($bandKeys) AS band_key
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |    AND a.doc_id < b.doc_id),
+       |mt AS (SELECT id_a, id_b,
+       |    $matchTerms AS n_match
+       |  FROM cand JOIN sig ga ON ga.doc_id = id_a
+       |            JOIN sig gb ON gb.doc_id = id_b),
+       |ver AS (SELECT mt.n_match,
+       |    len(list_intersect(sa.s, sb.s)) AS ni,
+       |    len(sa.s) AS na, len(sb.s) AS nb
+       |  FROM mt JOIN sh sa ON sa.doc_id = mt.id_a
+       |          JOIN sh sb ON sb.doc_id = mt.id_b),
+       |j AS (SELECT n_match,
+       |    ni / CAST(na + nb - ni AS DOUBLE) AS jaccard FROM ver)
+       |SELECT CAST(n_match AS INTEGER) AS n_match,
+       |  n_match / ${numHashes}e0 AS est_jaccard,
+       |  count(*) AS n_pairs,
+       |  ${graft.Exact.sqlFxAvg("jaccard", 6)} AS mean_jaccard,
+       |  min(jaccard) AS min_jaccard,
+       |  max(jaccard) AS max_jaccard
+       |FROM j GROUP BY n_match ORDER BY n_match""".stripMargin
+  }
+
   /** Salt for the SimHash token hash (shared with the oracle SQL). */
   private val SimHashSalt = "sh"
 

@@ -83,6 +83,17 @@ object ExtensionQueries {
     Dedup.nearDuplicatesSql(threshold = 0.25, n = 3, numHashes = 64,
       bands = 32)
 
+  /** MinHash estimator calibration (x45, round 8): the agreement-count →
+    * exact-Jaccard curve over the x03 candidate set — the threshold-tuning
+    * evidence a dedup pipeline collects before fixing its cutoff.
+    */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashCalibration(Tables.documents(spark, dir),
+      n = 3, numHashes = 64, bands = 32)
+
+  private val minhashCalibrationSql =
+    Dedup.minHashCalibrationSql(n = 3, numHashes = 64, bands = 32)
+
   /** SimHash near-dup over order-sensitive shingle signatures — portable
     * md5-halves token hash, oracle-checked. Budget 7 ⇒ 8-bit chunks: the
     * scalable operating point (wider budgets shrink chunks and inflate
@@ -1910,5 +1921,7 @@ object ExtensionQueries {
     QueryDef("x43_paragraph_neardups", Some(paragraphNearDupsSql),
       paragraphNearDups),
     QueryDef("x44_quality_buckets", Some(qualityBucketsSql), qualityBuckets),
+    QueryDef("x45_minhash_calibration", Some(minhashCalibrationSql),
+      minhashCalibration),
   )
 }

@@ -112,6 +112,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringSpans(many, n = 8, dfCap = 6).count() == 15)
   }
 
+  test("minHashCalibration: agreement buckets bound the exact jaccard (x45)") {
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, base), (1L, base), // identical pair → the 64/64 bucket
+      (2L, base + " extra tokens here"), // high but imperfect jaccard
+      (3L, (0 until 40).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val rows = Dedup.minHashCalibration(docs, 3, 64, 32).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nm, est, np) = (r.getInt(0), r.getDouble(1), r.getLong(2))
+      val (mean, mn, mx) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nm >= 0 && nm <= 64 && np >= 1)
+      assert(est == nm / 64.0, "estimate is the agreement fraction")
+      // mean is the fx-quantized (1e-6 grid) portable mean — compare at
+      // that granularity
+      assert(mn <= mean + 1e-6 && mean <= mx + 1e-6 && mx <= 1.0)
+    }
+    val full = rows.find(_.getInt(0) == 64)
+    assert(full.isDefined, "identical docs must land in the 64/64 bucket")
+    assert(full.get.getDouble(5) == 1.0)
+  }
+
   test("duplicateClusters: transitive closure to the min reachable id") {
     import spark.implicits._
     // two components, one only connected transitively (1-2, 2-3: no 1-3 edge)
