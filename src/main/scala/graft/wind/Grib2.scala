@@ -596,6 +596,8 @@ object Grib2 {
       // projected-template (3.10/3.20/3.30) parameters; zero otherwise
       var lov = 0.0; var lad = 0.0; var latin1 = 0.0; var latin2 = 0.0
       var projCenter = 0; var earthRadius = 0.0
+      // rotated lat/lon (3.1): true position of the rotated south pole
+      var southPoleLat = 0.0; var southPoleLon = 0.0
       // field-scoped state, reset after every data section (sections 4-7
       // legally repeat within one message — each repetition is one field)
       var forecastHours = 0
@@ -632,8 +634,8 @@ object Grib2 {
           case 3 => // grid definition; templates 3.0 lat/lon, 3.40 gaussian,
             //        3.10 Mercator, 3.20 polar-stereographic, 3.30 Lambert
             val tmpl = u16(payload, p + 12)
-            require(tmpl == 0 || tmpl == 10 || tmpl == 20 || tmpl == 30 ||
-              tmpl == 40, s"unsupported grid template 3.$tmpl")
+            require(tmpl == 0 || tmpl == 1 || tmpl == 10 || tmpl == 20 ||
+              tmpl == 30 || tmpl == 40, s"unsupported grid template 3.$tmpl")
             gridTmpl = tmpl
             // octets 11-12: optional list of numbers — non-zero entry width
             // marks a quasi-regular (thinned/reduced) grid whose per-row
@@ -648,6 +650,7 @@ object Grib2 {
             shape = u8(payload, p + 14)            // shape of earth, octet 15
             lov = 0.0; lad = 0.0; latin1 = 0.0; latin2 = 0.0
             projCenter = 0; earthRadius = 0.0
+            southPoleLat = 0.0; southPoleLon = 0.0
             if (tmpl == 10 || tmpl == 20 || tmpl == 30) {
               val g = parseProjected(payload, p, tmpl, shape, optListOctets)
               nx = g.nx; ny = g.ny; la1 = g.la1; lo1 = g.lo1
@@ -692,6 +695,23 @@ object Grib2 {
                 "(bits 5-8: staggered/offset grids)")
             scanRaw = scan
             rowCounts = null
+            if (tmpl == 1) {
+              // rotated lat/lon (COSMO/ICON/regional ECMWF): 3.0's layout
+              // plus the TRUE position of the rotated system's south pole
+              // (octets 73-80) and a rotation angle (81-84). La1/Lo1/Dx/Dy
+              // remain the grid geometry IN ROTATED COORDINATES — corner
+              // canonicalization below applies unchanged in that frame;
+              // [[Grid.toPointsRotated]] maps cells to true lat/lon
+              southPoleLat = s32sm(payload, p + 72) / 1e6
+              southPoleLon = u32(payload, p + 76) / 1e6
+              val rotAngle = s32sm(payload, p + 80) / 1e6
+              require(rotAngle == 0.0,
+                s"unsupported rotated-grid rotation angle $rotAngle " +
+                  "(only 0: pole relocation without axial rotation)")
+            }
+            // quasi-regular row-count list offset: after the template body
+            // (octet 73 for 3.0/3.40; octet 85 for 3.1's rotation tail)
+            val listOff = if (tmpl == 1) p + 84 else p + 72
             if (optListOctets != 0) {
               // quasi-regular profile: the list gives points per parallel
               // (interpretation 1), canonical scan order, every row wide
@@ -704,11 +724,11 @@ object Grib2 {
                   " (only canonical +i,-j row-major)")
               require(optListOctets == 1 || optListOctets == 2,
                 s"unsupported $optListOctets-octet row-count list entries")
-              require(secLen >= 72 + optListOctets * ny,
+              require(secLen >= (listOff - p) + optListOctets * ny,
                 s"section 3 too short ($secLen) for a $ny-row count list")
               rowCounts = Array.tabulate(ny) { j =>
-                if (optListOctets == 1) u8(payload, p + 72 + j)
-                else u16(payload, p + 72 + 2 * j)
+                if (optListOctets == 1) u8(payload, listOff + j)
+                else u16(payload, listOff + 2 * j)
               }
               rowCounts.foreach(n => require(n >= 2,
                 s"quasi-regular row of $n points (spline needs at least 2)"))
@@ -976,6 +996,7 @@ object Grib2 {
                 surface2Type = surf2Type, surface2Value = surf2Val,
                 lov = lov, lad = lad, latin1 = latin1, latin2 = latin2,
                 projCenter = projCenter, earthRadius = earthRadius,
+                southPoleLat = southPoleLat, southPoleLon = southPoleLon,
                 statProcess = statProcess, intervalHours = intervalHours,
                 ensembleType = ensembleType,
                 perturbationNumber = perturbationNumber,

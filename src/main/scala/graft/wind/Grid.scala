@@ -216,6 +216,40 @@ object Grid {
     finishPoints(df, lat, lon)
   }
 
+  /** Exploded point view of a rotated lat/lon (template 3.1) grid: cell
+    * coordinates come from the regular la1/lo1/dx/dy addressing IN THE
+    * ROTATED FRAME, then the unit-vector triad of
+    * [[Projection.RotatedLatLon]] maps each cell to true lat/lon —
+    * column-for-column the same construction (GridSpec pins the parity),
+    * codegen'd trig, map-only.
+    */
+  def toPointsRotated(records: DataFrame): DataFrame = {
+    val df = records.filter(col("gridDefinitionTemplate") === 1)
+      .select(
+        col("refTime").as("ref_time"),
+        col("parameterNumber").as("parameter"),
+        col("nx"), col("la1"), col("lo1"), col("dx"), col("dy"),
+        col("southPoleLat").as("sp_lat"), col("southPoleLon").as("sp_lon"),
+        posexplode(col("data")).as(Seq("pos", "value")))
+    val phiP = radians(-col("sp_lat"))
+    val lamP = radians(pmod(col("sp_lon") + lit(180.0), lit(360.0)))
+    val latR = radians(col("la1") - floor(col("pos") / col("nx")) * col("dy"))
+    val lonR = radians(col("lo1") + pmod(col("pos"), col("nx")) * col("dx"))
+    val cx = cos(latR) * cos(lonR)
+    val cy = cos(latR) * sin(lonR)
+    val cz = sin(latR)
+    // triad: x̂ = rotated origin, ŷ = ẑ × x̂, ẑ = rotated pole (the
+    // Projection.RotatedLatLon construction, verbatim)
+    val vx = -sin(phiP) * cos(lamP) * cx + sin(lamP) * cy +
+      cos(phiP) * cos(lamP) * cz
+    val vy = -sin(phiP) * sin(lamP) * cx - cos(lamP) * cy +
+      cos(phiP) * sin(lamP) * cz
+    val vz = cos(phiP) * cx + sin(phiP) * cz
+    val lat = degrees(asin(greatest(lit(-1.0), least(lit(1.0), vz))))
+    val lon = pmod(degrees(atan2(vy, vx)), lit(360.0))
+    finishPoints(df, lat, lon)
+  }
+
   /** Inverse of [[toPoints]]: reassemble the flat array per record. */
   def implode(points: DataFrame): DataFrame =
     points

@@ -131,6 +131,65 @@ object Projection {
     }
   }
 
+  /** Rotated lat/lon — grid template 3.1 (the COSMO/ICON/ECMWF regional
+    * convention): the grid is regular in a coordinate system whose pole
+    * has been moved; the wire gives the TRUE position of the rotated
+    * system's SOUTH pole. Unit-vector triad construction: the rotated
+    * north pole sits at (φp, λp) = (−spLat, spLon + 180°); the rotated
+    * origin (0°, 0°) is the point 90° poleward-over-the-pole along λp.
+    * Pure rotation — an isometry of the sphere (pinned by the spec:
+    * great-circle distances are preserved), with the degenerate south
+    * pole (−90°, 0°) yielding the identity.
+    */
+  final case class RotatedLatLon(spLatDeg: Double,
+      spLonDeg: Double) extends Proj {
+    private val phiP = math.toRadians(-spLatDeg)
+    private val lamP = math.toRadians(norm360(spLonDeg + 180.0))
+    // triad: ẑ = rotated pole, x̂ = rotated (0,0), ŷ = ẑ × x̂
+    private val zx = math.cos(phiP) * math.cos(lamP)
+    private val zy = math.cos(phiP) * math.sin(lamP)
+    private val zz = math.sin(phiP)
+    private val xx = -math.sin(phiP) * math.cos(lamP)
+    private val xy = -math.sin(phiP) * math.sin(lamP)
+    private val xz = math.cos(phiP)
+    private val yx = math.sin(lamP)
+    private val yy = -math.cos(lamP)
+
+    /** Rotated (lat, lon) degrees → true (lat, lon in [0, 360)). */
+    def rotatedToTrue(latRDeg: Double, lonRDeg: Double): (Double, Double) = {
+      val pr = math.toRadians(latRDeg); val lr = math.toRadians(lonRDeg)
+      val cx = math.cos(pr) * math.cos(lr)
+      val cy = math.cos(pr) * math.sin(lr)
+      val cz = math.sin(pr)
+      val vx = xx * cx + yx * cy + zx * cz
+      val vy = xy * cx + yy * cy + zy * cz
+      val vz = xz * cx + zz * cz // ŷ has no z-component
+      (math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, vz)))),
+        norm360(math.toDegrees(math.atan2(vy, vx))))
+    }
+
+    /** True (lat, lon) degrees → rotated (lat, lon in [0, 360)). */
+    def trueToRotated(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val p = math.toRadians(latDeg); val l = math.toRadians(lonDeg)
+      val vx = math.cos(p) * math.cos(l)
+      val vy = math.cos(p) * math.sin(l)
+      val vz = math.sin(p)
+      val cx = xx * vx + xy * vy + xz * vz
+      val cy = yx * vx + yy * vy
+      val cz = zx * vx + zy * vy + zz * vz
+      (math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, cz)))),
+        norm360(math.toDegrees(math.atan2(cy, cx))))
+    }
+
+    // Proj interface: "forward" maps true→rotated plane-of-degrees and
+    // inverse back — degrees ARE the plane for this template, so the grid
+    // math (x = lon·1, y = lat·1) composes like the metric projections
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val (la, lo) = trueToRotated(latDeg, lonDeg); (lo, la)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = rotatedToTrue(y, x)
+  }
+
   /** Mercator with true scale at LaD — template 3.10. `lon0Deg` anchors
     * x = 0 (callers pass the grid's first-point longitude; only
     * differences matter). y = R·cos(LaD)·ln tan(π/4+φ/2), Snyder 7-1/7-2

@@ -49,6 +49,10 @@ object WindBinary {
       surface2Type: Int, surface2Value: Double,
       lov: Double, lad: Double, latin1: Double, latin2: Double,
       projCenter: Int, earthRadius: Double,
+      // rotated lat/lon template 3.1: TRUE position of the rotated
+      // system's south pole (la1/lo1/dx/dy are then ROTATED-frame);
+      // (0, 0) for every other template
+      southPoleLat: Double, southPoleLon: Double,
       // product template 4.8 (statistical fields): processing code (table
       // 4.10; -1 = instantaneous 4.0) and interval length in hours — the
       // field's valid time is refTime + forecastTime + intervalHours

@@ -761,6 +761,44 @@ class Grib2Spec extends AnyFunSuite {
     assert(gPosJ.data.toSeq == want.data.toSeq, "+j data normalizes")
   }
 
+  test("rotated lat/lon 3.1 round-trip: pole carried, rotated-frame corners") {
+    // COSMO-style: south pole (-40, 10), rotated grid starting (2N, 350E)
+    // rotated-frame, 1° cells
+    val g = Grib2.decode(Grib2TestWriter.message(
+      msg(m = PVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 1,
+        la1Micro = 2000000L, lo1Micro = 350000000L,
+        dxMicro = 1000000L, dyMicro = 1000000L,
+        southPoleLatMicro = -40000000L, southPoleLonMicro = 10000000L))).head
+    assert(g.gridDefinitionTemplate == 1)
+    assert(g.southPoleLat == -40.0 && g.southPoleLon == 10.0)
+    // la1/lo1/dx/dy stay ROTATED-frame; corners canonicalize in that frame
+    assert(g.la1 == 2.0 && g.lo1 == 350.0 && g.dx == 1.0 && g.dy == 1.0)
+    assert(g.la2 == 2.0 - 5.0 && g.lo2 == 350.0 + 7.0)
+    assert(g.data.toSeq == PVals.map(_ / 10.0).toSeq)
+    // a non-zero rotation angle refuses by name
+    val e = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(
+        msg(m = PVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 1,
+          southPoleLatMicro = -40000000L, southPoleLonMicro = 10000000L,
+          rotationAngleMicro = 5000000L)))
+    }
+    assert(e.getMessage.contains("rotation angle"), e.getMessage)
+  }
+
+  test("quasi-regular rows on a rotated 3.1 grid read past the pole tail") {
+    // the per-row count list starts at octet 85 for 3.1 (after the
+    // rotation tail), not 73 — full-width rows must still pass through
+    val decoded = Grib2.decode(Grib2TestWriter.message(
+      msg(m = QVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 1,
+        rowCounts = Some(QRows),
+        southPoleLatMicro = -40000000L, southPoleLonMicro = 10000000L))).head
+    assert(decoded.gridDefinitionTemplate == 1)
+    assert(decoded.southPoleLat == -40.0)
+    assert(decoded.nx == 8 && decoded.ny == 6 && decoded.numberPoints == 48)
+    assert(decoded.data.slice(16, 32).toSeq ==
+      QVals.slice(7, 23).map(_ / 10.0).toSeq)
+  }
+
   test("polar-stereographic 3.20 round-trip") {
     val g = Grib2.decode(Grib2TestWriter.message(
       msg(m = PVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 20,

@@ -80,6 +80,10 @@ object Grib2TestWriter {
       projCenterFlag: Int = 0,
       earthShape: Int = 6, radiusScale: Int = 0, radiusValue: Long = 0,
       mercOrientation: Long = 0,
+      // rotated lat/lon (grid template 3.1): true south pole of rotation
+      // + rotation angle, appended after the 3.0 body
+      southPoleLatMicro: Long = 0, southPoleLonMicro: Long = 0,
+      rotationAngleMicro: Long = 0,
       // product template (4.0 default; 8 writes the statistical-interval
       // extension with `statProcess` (table 4.10) over `intervalHours`;
       // 1 writes the ensemble descriptor).
@@ -279,6 +283,11 @@ object Grib2TestWriter {
     // 3.0: Dj in micro-degrees. 3.40: N, parallels pole↔equator (= Nj/2)
     w.w32(if (msg.gridTemplate == 40) msg.ny / 2 else msg.dyMicro)
     w.w8(msg.scanMode)              // scanning mode flags (table 3.4)
+    if (msg.gridTemplate == 1) {    // rotated lat/lon tail, octets 73-84
+      w.s32(msg.southPoleLatMicro)
+      w.w32(msg.southPoleLonMicro)
+      w.s32(msg.rotationAngleMicro)
+    }
     // quasi-regular: the per-row point-count list follows the template
     msg.rowCounts.foreach(_.foreach(w.w16))
   }

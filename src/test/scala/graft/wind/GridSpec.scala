@@ -189,6 +189,32 @@ class GridSpec extends SparkSpec {
     }
   }
 
+  test("toPointsRotated matches the triad rotation cell-for-cell") {
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = 2000000L, lo1Micro = 350000000L,
+      dxMicro = 1000000L, dyMicro = 1000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 1,
+      southPoleLatMicro = -40000000L, southPoleLonMicro = 10000000L))
+    val pts = Grid.toPointsRotated(df)
+    assert(!pts.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rot = Projection.RotatedLatLon(-40.0, 10.0)
+    val rows = pts.collect()
+    assert(rows.length == 48)
+    rows.foreach { r =>
+      val pos = r.getAs[Int]("pos")
+      val latR = 2.0 - (pos / 8) * 1.0
+      val lonR = 350.0 + (pos % 8) * 1.0
+      val (lat, lon) = rot.rotatedToTrue(latR, lonR)
+      assert(math.abs(r.getAs[Double]("lat") - lat) < 1e-9, s"pos $pos lat")
+      val dLon = ((r.getAs[Double]("lon") - lon) % 360 + 540) % 360 - 180
+      assert(math.abs(dLon) < 1e-9, s"pos $pos lon")
+      assert(r.getAs[Double]("value") == projVals(pos) / 10.0)
+    }
+  }
+
   test("projected addressing filters to its own template") {
     // a lat/lon 3.0 record must not leak through the Lambert view
     val latlon = decodedDf(Grib2TestWriter.Msg(

@@ -52,11 +52,19 @@ object ProjFixtureGen {
     category = 2, number = 2, prodTemplate = 1,
     ensembleType = 3, perturbationNumber = 7, nEnsemble = 31)
 
+  /** A 3.1 rotated lat/lon message (COSMO-style pole) for Grib2Gds. */
+  def rotated31: Grib2TestWriter.Msg = lambert.copy(
+    gridTemplate = 1, la1Micro = 2000000L, lo1Micro = 350000000L,
+    dxMicro = 1000000L, dyMicro = 1000000L,
+    lovMicro = 0L, ladMicro = 0L, latin1Micro = 0L, latin2Micro = 0L,
+    southPoleLatMicro = -40000000L, southPoleLonMicro = 10000000L)
+
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/projfix")
     dir.mkdirs()
     for ((name, m) <- Seq("lambert" -> lambert, "stereo" -> polarStereo,
-      "mercator" -> mercator, "apcp48" -> apcp48, "ens41" -> ens41)) {
+      "mercator" -> mercator, "apcp48" -> apcp48, "ens41" -> ens41,
+      "rotated31" -> rotated31)) {
       val f = new java.io.File(dir, s"$name.grb2")
       val out = new java.io.FileOutputStream(f)
       try out.write(Grib2TestWriter.message(m)) finally out.close()

@@ -89,6 +89,49 @@ class ProjectionSpec extends AnyFunSuite {
     assert(math.abs(secant.n - swapped.n) < 1e-12)
   }
 
+  test("rotated lat/lon: COSMO pin, identity pole, round-trip, isometry") {
+    // the COSMO-EU configuration: south pole at (-40, 10) puts the rotated
+    // origin at true (50N, 10E) — a definitional, externally-known fact
+    val cosmo = Projection.RotatedLatLon(-40.0, 10.0)
+    val (la0, lo0) = cosmo.rotatedToTrue(0.0, 0.0)
+    assert(math.abs(la0 - 50.0) < 1e-9 && math.abs(lo0 - 10.0) < 1e-9)
+    // the rotated north pole sits at (40, 190)
+    val (lap, lop) = cosmo.rotatedToTrue(90.0, 0.0)
+    assert(math.abs(lap - 40.0) < 1e-9 && math.abs(lop - 190.0) < 1e-9)
+    // south pole (-90, 0): the unrotated degenerate — identity transform
+    val ident = Projection.RotatedLatLon(-90.0, 0.0)
+    for (la <- Seq(-60.0, 0.0, 47.5); lo <- Seq(0.0, 123.4, 359.0)) {
+      val (a, o) = ident.rotatedToTrue(la, lo)
+      val dLon = ((o - lo) % 360 + 540) % 360 - 180 // compare mod 360
+      assert(math.abs(a - la) < 1e-9 && math.abs(dLon) < 1e-9, s"($la,$lo)")
+    }
+    // round-trip + isometry: a pure rotation preserves great-circle
+    // distances — the property that separates a correct rigid transform
+    // from any plausible-but-wrong trig
+    def gc(a: (Double, Double), b: (Double, Double)): Double = {
+      val (p1, l1) = (math.toRadians(a._1), math.toRadians(a._2))
+      val (p2, l2) = (math.toRadians(b._1), math.toRadians(b._2))
+      math.acos(math.max(-1, math.min(1,
+        math.sin(p1) * math.sin(p2) +
+          math.cos(p1) * math.cos(p2) * math.cos(l1 - l2))))
+    }
+    val pts = for (la <- Seq(-35.0, 5.0, 62.0); lo <- Seq(15.0, 200.0, 340.0))
+      yield (la, lo)
+    for (p <- pts) {
+      val t = cosmo.rotatedToTrue(p._1, p._2)
+      val back = cosmo.trueToRotated(t._1, t._2)
+      assert(math.abs(back._1 - p._1) < 1e-9 &&
+        math.abs(((back._2 - p._2) % 360 + 540) % 360 - 180) < 1e-9,
+        s"round-trip $p -> $t -> $back")
+    }
+    for (a <- pts; b <- pts if a != b) {
+      val d0 = gc(a, b)
+      val d1 = gc(cosmo.rotatedToTrue(a._1, a._2),
+        cosmo.rotatedToTrue(b._1, b._2))
+      assert(math.abs(d0 - d1) < 1e-9, s"rotation must be an isometry: $a $b")
+    }
+  }
+
   test("earth radius codes: 0 and 6 fixed spheres, 1 scaled custom, else refuse") {
     assert(Projection.earthRadius(0, 0, 0) == 6367470.0)
     assert(Projection.earthRadius(6, 0, 0) == 6371229.0)

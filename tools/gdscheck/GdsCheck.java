@@ -35,6 +35,14 @@ public class GdsCheck {
             + " lov=" + ps.lov + " lad=" + ps.lad + " dX=" + ps.dX
             + " dY=" + ps.dY + " projCenterFlag=" + ps.projCenterFlag);
         }
+        if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.RotatedLatLon) {
+          ucar.nc2.grib.grib2.Grib2Gds.RotatedLatLon rl =
+            (ucar.nc2.grib.grib2.Grib2Gds.RotatedLatLon) gds;
+          System.out.println("RL la1=" + rl.la1 + " lo1=" + rl.lo1
+            + " dLon=" + rl.deltaLon + " dLat=" + rl.deltaLat
+            + " spLat=" + rl.latSouthPole
+            + " spLon=" + rl.lonSouthPole + " angle=" + rl.angleRotation);
+        }
         if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.Mercator) {
           ucar.nc2.grib.grib2.Grib2Gds.Mercator mc =
             (ucar.nc2.grib.grib2.Grib2Gds.Mercator) gds;

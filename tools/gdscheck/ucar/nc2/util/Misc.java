@@ -1,0 +1,13 @@
+package ucar.nc2.util;
+/** Functional stand-in for the stripped cdm class: tolerant float
+  * comparison, the one method the LatLon GDS constructor calls. */
+public class Misc {
+  public static boolean closeEnough(float a, float b) {
+    return Math.abs(a - b) <=
+      1.0e-5f * Math.max(1.0f, Math.max(Math.abs(a), Math.abs(b)));
+  }
+  public static boolean closeEnough(double a, double b) {
+    return Math.abs(a - b) <=
+      1.0e-8 * Math.max(1.0, Math.max(Math.abs(a), Math.abs(b)));
+  }
+}

@@ -1,0 +1,2 @@
+package ucar.unidata.geoloc.projection;
+public class RotatedLatLon extends ucar.unidata.geoloc.ProjectionImpl {}
