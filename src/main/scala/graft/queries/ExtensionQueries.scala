@@ -390,33 +390,100 @@ object ExtensionQueries {
        |FROM sig ORDER BY doc_id""".stripMargin
   }
 
-  /** CCNet-style per-source quality bucketing (x44, round 8): rank each
-    * source's documents by the x10 quality score and split into
-    * head/middle/tail THIRDS — the bucket assignment CCNet feeds its
-    * per-bucket sampling with (Wenzek et al. 2020, arXiv:1911.00359 run
-    * perplexity thirds; the same mechanics apply to any monotone quality
-    * signal). Bucket boundaries are exact integer row_number arithmetic
-    * (rn·3 vs cnt) over the total order (quality DESC, doc_id) — no
-    * ntile/percentile engine-variance, deterministic under score ties.
+  /** CCNet-style per-source quality bucketing (x44, round 8; reshaped
+    * round 9): rank each source's documents by the x10 quality score and
+    * split into head/middle/tail THIRDS — the bucket assignment CCNet
+    * feeds its per-bucket sampling with (Wenzek et al. 2020,
+    * arXiv:1911.00359 run perplexity thirds; the same mechanics apply to
+    * any monotone quality signal). Bucket boundaries are exact integer
+    * rank arithmetic (rank ≤ ⌊cnt/3⌋ ⟺ rank·3 ≤ cnt) over the total
+    * order (quality DESC, doc_id) — no ntile/percentile engine-variance,
+    * deterministic under score ties.
     *
-    * Scale: one window shuffle keyed on source (the rank and the count
-    * share it), then the tiny (source, bucket) aggregate — corpus-linear
-    * once, output |sources|·3 rows.
+    * Scale (round-9 reshape): NO per-source total-order window — at
+    * 100 TB sources are few and large, so `row_number over
+    * partitionBy(source)` would sort each source's whole corpus slice in
+    * one task. Instead:
+    *   1. aggregate a per-(source, quality) count HISTOGRAM — quality is
+    *      a pure double function of four integer counts, so equal inputs
+    *      collide exactly and the histogram compresses to |distinct
+    *      values| rows (distributed hash aggregate);
+    *   2. cumulative counts over each source's SMALL histogram (window
+    *      over histogram rows, never corpus rows) locate the two exact
+    *      boundary ranks h=⌊cnt/3⌋, m=⌊2cnt/3⌋: the quality value whose
+    *      cumulative range contains the boundary plus the in-group
+    *      offset;
+    *   3. broadcast the per-source boundary pairs; doc_id tie-break is
+    *      ranked ONLY within the (tiny) boundary value groups
+    *      (Window.partitionBy(source, quality) over the filtered
+    *      boundary docs);
+    *   4. bucket assignment is then a map-only CASE against the
+    *      broadcast boundaries — identical output to the rank form for
+    *      every row.
     */
   def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = TextAnalysis.qualityScore(
         Tables.documents(spark, dir), col("text"))
       .select(col("doc_id"), col("source"), col("n_words"), col("quality"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
-    val cw = org.apache.spark.sql.expressions.Window.partitionBy("source")
-    scored
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(cw))
+
+    // 1. distributed histogram: |distinct (source, quality)| rows.
+    val hist = scored.groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("c"))
+    // 2. cumulative counts over the per-source histogram (small: bounded
+    //    by distinct quality values, not docs).
+    val hw = Window.partitionBy("source").orderBy(col("quality").desc)
+    val cum = hist
+      .withColumn("cum_before",
+        coalesce(sum(col("c")).over(
+          hw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cnt", sum(col("c")).over(
+        hw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("h", expr("cnt DIV 3"))
+      .withColumn("m", expr("(cnt * 2) DIV 3"))
+    // Boundary group = the histogram row whose rank range (cum_before,
+    // cum_before+c] contains the boundary; offset = slots of that group
+    // on the upper side of the boundary. h=0 (cnt<3) → no head: the
+    // +Infinity sentinel makes `quality > qh` and `quality = qh` both
+    // false for every real score.
+    val inf = lit(Double.PositiveInfinity)
+    val boundaries = cum.groupBy(col("source")).agg(
+      coalesce(max(when(col("cum_before") < col("h") &&
+        col("h") <= col("cum_before") + col("c"), col("quality"))), inf)
+        .as("qh"),
+      coalesce(max(when(col("cum_before") < col("h") &&
+        col("h") <= col("cum_before") + col("c"),
+        col("h") - col("cum_before"))), lit(0L)).as("qh_off"),
+      coalesce(max(when(col("cum_before") < col("m") &&
+        col("m") <= col("cum_before") + col("c"), col("quality"))), inf)
+        .as("qm"),
+      coalesce(max(when(col("cum_before") < col("m") &&
+        col("m") <= col("cum_before") + col("c"),
+        col("m") - col("cum_before"))), lit(0L)).as("qm_off"))
+
+    // 3. doc_id tie-break ranked only within the boundary value groups
+    //    (tiny: the tie sets at the two cut points).
+    val withB = scored.join(broadcast(boundaries), "source")
+    val tieW = Window.partitionBy(col("source"), col("quality"))
+      .orderBy(col("doc_id"))
+    val tieRank = withB
+      .filter(col("quality") === col("qh") || col("quality") === col("qm"))
+      .withColumn("wg", row_number().over(tieW))
+      .select(col("source"), col("doc_id"), col("wg"))
+
+    // 4. map-only assignment: strictly-better quality decides; boundary
+    //    groups split on the in-group doc_id rank vs the offset.
+    val assigned = withB
+      .join(tieRank, Seq("source", "doc_id"), "left")
       .withColumn("bucket",
-        when(col("rn") * 3 <= col("cnt"), "head")
-          .when(col("rn") * 3 <= col("cnt") * 2, "middle")
-          .otherwise("tail"))
+        when(col("quality") > col("qh") ||
+          (col("quality") === col("qh") && col("wg") <= col("qh_off")),
+          "head")
+        .when(col("quality") > col("qm") ||
+          (col("quality") === col("qm") && col("wg") <= col("qm_off")),
+          "middle")
+        .otherwise("tail"))
+    assigned
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words").cast("long")).as("n_tokens"),
@@ -923,9 +990,20 @@ object ExtensionQueries {
 
   /** Vocabulary building with corpus coverage — the tokenizer-training
     * question "how much of the corpus do the top-K terms cover": one
-    * word-count aggregation, a df floor, and a cumulative-coverage window
-    * over the (vocabulary-sized, corpus-sublinear) term table. Coverage is
+    * word-count aggregation, a df floor, a distributed top-K take, and a
+    * cumulative-coverage window over the ≤ VocabTopK prefix. Coverage is
     * quantized at 1e-6 before the hash compare (scale-0 round — portable).
+    *
+    * Scale (round-9 reshape): the rank/cumulative window used to run
+    * unpartitioned over the WHOLE vocabulary (O(10⁸⁺) terms at 100 TB in
+    * one task). The top-K prefix is taken FIRST via orderBy+limit —
+    * Spark's TakeOrderedAndProject does a per-partition top-K then a
+    * bounded merge, never a global sort — and rank / running-cf of a
+    * prefix row depend only on rows ordered before it, so the window over
+    * the ≤ VocabTopK prefix is exactly the global result for every kept
+    * row. The prefix is bounded by the compile-time constant, so the
+    * single window partition (keyed on a constant to say so explicitly)
+    * is parameter-sized by construction.
     */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -935,14 +1013,15 @@ object ExtensionQueries {
     val vocab = tok.groupBy(col("term"))
       .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= VocabMinDf)
-    // the global window runs over the aggregated vocab, never corpus rows
-    val w = Window.orderBy(col("cf").desc, col("term"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    vocab.crossJoin(broadcast(total))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cf").desc, col("term"))))
+    // distributed top-K (TakeOrderedAndProject) BEFORE any window
+    val topK = vocab.orderBy(col("cf").desc, col("term")).limit(VocabTopK)
+    // windows over the bounded prefix only; constant partition key keeps
+    // the single-partition execution explicit (input ≤ VocabTopK rows)
+    val ord = Window.partitionBy(lit(1)).orderBy(col("cf").desc, col("term"))
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    topK.crossJoin(broadcast(total))
+      .withColumn("rk", row_number().over(ord))
       .withColumn("cum", sum(col("cf")).over(w))
-      .filter(col("rk") <= VocabTopK)
       .select(col("rk"), col("term"), col("cf"), col("df"),
         (round(col("cum").cast("double") / col("total") * 1e6) / 1e6)
           .as("coverage"))
