@@ -154,6 +154,14 @@ object Grib2 {
 
   private final case class Jpeg2000Packed(r: Float, e: Int, d: Int, nbits: Int)
       extends Packing
+  /** Template 5.42: the data section is a CCSDS 121.0-B-2 (Rice/AEC)
+    * compressed stream of the X integers — the representation ECMWF
+    * open-data GRIB2 ships. Decoded in-engine by [[Ccsds]]; signed-sample
+    * and restricted-option streams refuse loudly by feature name.
+    */
+  private final case class CcsdsPacked(r: Float, e: Int, d: Int, nbits: Int,
+                                       flags: Int, blockSize: Int, rsi: Int)
+      extends Packing
   /** Templates 5.2 (`spatialOrder == 0`) and 5.3 (order 1 or 2).
     * `missingMode` 0 = none, 1 = primary, 2 = primary+secondary in-group
     * missing markers (octet 23) — both decode to NaN like bitmap holes.
@@ -888,11 +896,15 @@ object Grib2 {
                 Complex(r, e, d, nbits, order, octets, ng, refW, bitsW,
                   refL, incL, lastL, bitsL, missing)
               case 40 => Jpeg2000Packed(r, e, d, nbits)
-              case 42 => throw new IllegalArgumentException(
-                "unsupported data representation template 5.42 " +
-                  "(CCSDS/AEC Rice coding — ECMWF open-data products; no " +
-                  "pure-JVM reference decode available to pin against, so " +
-                  "refusing loudly beats a silently-unverifiable decode)")
+              case 42 =>
+                // template 5.42 appends three CCSDS fields after the
+                // standard packing octets: options mask (octet 22), block
+                // size (octet 23), reference sample interval (octets 24-25)
+                require(secLen >= 25,
+                  s"data representation section 5.42 is $secLen octets, " +
+                    "needs 25")
+                CcsdsPacked(r, e, d, nbits, u8(payload, p + 21),
+                  u8(payload, p + 22), u16(payload, p + 23))
               case 4 =>
                 // template 5.4 has its own layout: octet 12 = precision
                 // (1 = IEEE single, 2 = double, 3 = quad)
@@ -937,6 +949,13 @@ object Grib2 {
                           case _: Jpeg2000Packed =>
                             (unpackJpeg2000(payload, p + 5, secLen - 5,
                               nData), null)
+                          case c: CcsdsPacked =>
+                            // nbits = 0 is the constant-field form (every
+                            // X = 0), mirroring simple packing
+                            (if (c.nbits == 0) new Array[Long](nData)
+                             else Ccsds.decode(payload, p + 5, secLen - 5,
+                               nData, c.nbits, c.flags, c.blockSize, c.rsi),
+                              null)
                           case _: IeeeFloat => throw new IllegalStateException
                         }
                         val twoPowE = math.pow(2, packing.e)

@@ -1,0 +1,182 @@
+package graft.wind
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CCSDS 121.0-B-2 decoder tests. No third-party AEC implementation exists
+  * in this container (the reference's `grib-4.3.19.jar` predates DRS 5.42),
+  * so the format is pinned three independent ways: hand-assembled bit-level
+  * golden streams (decoded on paper below), encoder/decoder round-trips
+  * over every coding option, and typed-refusal/truncation coverage.
+  */
+class CcsdsSpec extends AnyFunSuite {
+
+  import CcsdsTestEncoder.{Auto, ZeroRun, SecondExt, Split, Uncomp}
+
+  private def enc(values: Array[Long], nbits: Int, flags: Int,
+                  blockSize: Int, rsi: Int,
+                  opt: Int => CcsdsTestEncoder.Opt = _ => Auto) =
+    CcsdsTestEncoder.encode(values, nbits, flags, blockSize, rsi, opt)
+
+  private def dec(b: Array[Byte], n: Int, nbits: Int, flags: Int,
+                  blockSize: Int, rsi: Int) =
+    Ccsds.decode(b, 0, b.length, n, nbits, flags, blockSize, rsi)
+
+  private def roundTrip(values: Array[Long], nbits: Int, flags: Int,
+                        blockSize: Int, rsi: Int,
+                        opt: Int => CcsdsTestEncoder.Opt = _ => Auto):
+      Unit = {
+    val b = enc(values, nbits, flags, blockSize, rsi, opt)
+    val got = dec(b, values.length, nbits, flags, blockSize, rsi)
+    assert(got.toSeq == values.toSeq,
+      s"nbits=$nbits flags=$flags J=$blockSize rsi=$rsi")
+  }
+
+  // ------------------------------------------------- hand-built goldens
+
+  test("golden: split k=0 (fundamental sequence), no preprocessing") {
+    // nbits=8 → 3-bit ID; one block of 8, ID=001, then each value unary:
+    //   001 | 0001 1 01 001 1 1 01 00000001   →  23 4E 80 80
+    val b = Array(0x23, 0x4E, 0x80, 0x80).map(_.toByte)
+    assert(dec(b, 8, 8, 0, 8, 1).toSeq == Seq(3L, 0L, 1L, 2L, 0L, 0L, 1L, 7L))
+  }
+
+  test("golden: split k=5 with preprocessing (reference + θ-fold unmap)") {
+    // nbits=8, one reference block. ID=110 (k=5), raw reference 100,
+    // unary MSBs of residuals [2,3,0,6,3,250,0]>>5 = [0,0,0,0,0,7,0],
+    // then 5-bit LSBs [2,3,0,6,3,26,0]:
+    //   110 | 01100100 | 1 1 1 1 1 00000001 1 |
+    //   00010 00011 00000 00110 00011 11010 00000 → CC 9F 01 88 60 30 F4 00
+    // Unmapped on paper: 100, +1, −2, 0, +3, −2, θ-fold 150 (θ=100), 0.
+    val b = Array(0xCC, 0x9F, 0x01, 0x88, 0x60, 0x30, 0xF4, 0x00)
+      .map(_.toByte)
+    assert(dec(b, 8, 8, Ccsds.Preprocess, 8, 1).toSeq ==
+      Seq(100L, 101L, 99L, 99L, 102L, 100L, 250L, 250L))
+  }
+
+  test("golden: second extension, no preprocessing") {
+    // pairs (1,0)(0,2)(1,1)(0,0) → m = γ(γ+1)/2 + d1 = 1, 5, 4, 0:
+    //   000 1 | 01 000001 00001 1  →  14 10 C0
+    val b = Array(0x14, 0x10, 0xC0).map(_.toByte)
+    assert(dec(b, 8, 8, 0, 8, 1).toSeq == Seq(1L, 0L, 0L, 2L, 1L, 1L, 0L, 0L))
+  }
+
+  // ---------------------------------------------------- round-trip sweep
+
+  private def waveField(n: Int, xmax: Long, seed: Int): Array[Long] = {
+    val rnd = new scala.util.Random(seed)
+    var v = xmax / 2
+    Array.fill(n) {
+      v = (v + rnd.nextInt(33) - 16).max(0L).min(xmax)
+      if (rnd.nextInt(40) == 0) v = rnd.nextLong(xmax + 1).max(0L) // jumps
+      v
+    }
+  }
+
+  test("round-trip: auto option choice across ranges, block sizes, RSIs") {
+    for {
+      nbits <- Seq(2, 8, 12, 16, 20, 31) // 3-, 4-, and 5-bit ID regimes
+      flags <- Seq(0, Ccsds.Preprocess,
+        Ccsds.Preprocess | Ccsds.DataMsb | Ccsds.PadRsi)
+      (bs, rsi) <- Seq((8, 1), (8, 4), (16, 2), (32, 128), (64, 3))
+    } {
+      val xmax = (1L << nbits) - 1
+      // multi-RSI with a partial final RSI and a partial final block
+      val n = bs * rsi * 2 + bs + 3
+      roundTrip(waveField(n, xmax, nbits * 31 + bs), nbits, flags, bs, rsi)
+    }
+  }
+
+  test("round-trip: constant and near-constant fields take the zero path") {
+    // all-equal values → all residuals 0 under preprocessing → pure
+    // zero-block runs (incl. ROS inside a 128-block interval)
+    roundTrip(Array.fill(32 * 128 + 17)(923L), 10, Ccsds.Preprocess, 32, 128)
+    roundTrip(Array.fill(200)(0L), 8, 0, 8, 4)
+    // plateaus interleaved with activity: zero runs end mid-segment
+    val v = Array.tabulate(8 * 70)(i => if (i / 8 % 7 < 5) 50L else 50L + i % 5)
+    roundTrip(v, 8, Ccsds.Preprocess, 8, 70)
+  }
+
+  test("round-trip: every forced coding option decodes") {
+    val xmax = (1L << 8) - 1
+    // gentle ramps: residual pairs stay within the SE table (m <= 90)
+    val gentle = Array.tabulate(64)(i => 8L + i % 5)
+    for (opt <- Seq[CcsdsTestEncoder.Opt](SecondExt, Split(0), Split(2),
+      Split(5), Uncomp)) roundTrip(gentle, 8, Ccsds.Preprocess, 8, 8,
+      _ => opt)
+    val tiny = Array.tabulate(64)(i => (i % 3).toLong)
+    for (opt <- Seq[CcsdsTestEncoder.Opt](SecondExt, Split(0), Split(3),
+      Uncomp)) roundTrip(tiny, 8, 0, 8, 4, _ => opt)
+    // mixed per-block options in one stream, with constant plateaus so the
+    // Auto blocks take the zero-run path between forced ones
+    val mixed: Int => CcsdsTestEncoder.Opt = {
+      case 0 => Uncomp
+      case 1 => SecondExt
+      case 2 => Split(1)
+      case 9 => Split(4)
+      case _ => Auto
+    }
+    val plateaued = Array.tabulate(8 * 12) { i =>
+      if (i / 8 >= 4 && i / 8 <= 8) 77L else 70L + i % 4
+    }
+    assert(plateaued.forall(_ <= xmax))
+    roundTrip(plateaued, 8, Ccsds.Preprocess, 8, 12, mixed)
+  }
+
+  test("round-trip: zero-block runs crossing the 64-block segment (ROS)") {
+    // 70 zero blocks after one active block, rsi=128: the encoder must
+    // split the run at the segment boundary and emit rest-of-segment
+    val v = Array.tabulate(8 * 72)(i => if (i < 8) (i + 1).toLong else 9L)
+    roundTrip(v, 8, Ccsds.Preprocess, 8, 128)
+    // and without preprocessing: literal zeros
+    roundTrip(Array.fill(8 * 72)(0L).updated(3, 5L), 8, 0, 8, 128)
+  }
+
+  test("32-bit dynamic range round-trips (Long-safe arithmetic)") {
+    val v = Array(0L, 0xffffffffL, 1L, 0xfffffffeL, 7L, 0x80000000L,
+      0x7fffffffL, 42L)
+    roundTrip(v, 32, Ccsds.Preprocess, 8, 1)
+    roundTrip(v, 32, 0, 8, 1, _ => Uncomp)
+  }
+
+  // ------------------------------------------------------------ refusals
+
+  test("unsupported flags and parameters refuse by name") {
+    val b = enc(Array.fill(8)(1L), 8, 0, 8, 1)
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(dec(b, 8, 8, Ccsds.DataSigned, 8, 1)).contains("signed"))
+    assert(msg(dec(b, 8, 8, Ccsds.Restricted, 8, 1)).contains("restricted"))
+    assert(msg(dec(b, 8, 8, 0, 12, 1)).contains("block size"))
+    assert(msg(dec(b, 8, 8, 0, 8, 0)).contains("interval"))
+    assert(msg(dec(b, 8, 0, 0, 8, 1)).contains("dynamic range"))
+    assert(msg(dec(b, 8, 33, 0, 8, 1)).contains("dynamic range"))
+  }
+
+  test("corrupt streams refuse: truncation, SE overflow, zero-run overflow") {
+    val good = enc(waveField(64, 255, 3), 8, Ccsds.Preprocess, 8, 8)
+    for (len <- 0 until good.length - 1) {
+      val e = intercept[IllegalArgumentException] {
+        dec(good.take(len), 64, 8, Ccsds.Preprocess, 8, 8)
+      }
+      assert(e.getMessage.contains("CCSDS"), s"untyped at $len")
+    }
+    // second-extension m = 91: ID 000 + ext 1, then 91 zeros and a 1
+    // (zeros: bits 4-94; the terminating 1 lands on bit 95 = byte 11 LSB)
+    val se = new Array[Byte](12)
+    se(0) = 0x10
+    se(11) = 0x01
+    val e = intercept[IllegalArgumentException] {
+      dec(se, 8, 8, 0, 8, 1)
+    }
+    assert(e.getMessage.contains("second-extension") ||
+      e.getMessage.contains("truncated"), e.getMessage)
+    // zero-block run past the interval: rsi=2 but run of 6 (fs 6)
+    //   000 0 0000001 → one byte 0000 0000, then 0b00 1...
+    val zr = Array(0x00, 0x20).map(_.toByte) // 000 0 000000 1 ...
+    val e2 = intercept[IllegalArgumentException] {
+      dec(zr, 16, 8, 0, 8, 2)
+    }
+    assert(e2.getMessage.contains("zero-block") ||
+      e2.getMessage.contains("truncated"), e2.getMessage)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.wind
+
+/** Test-side CCSDS 121.0-B-2 (Rice/AEC) *encoder* — the round-trip partner
+  * of [[Ccsds]], written from the same public Blue Book layout (no sample
+  * blob exists to pin against: the reference's 2013 `grib-4.3.19.jar`
+  * predates DRS 5.42 and the container carries no libaec). Coding options
+  * can be forced per block so every decoder path is exercised, or left to
+  * a libaec-style minimum-cost assessment for realistic streams.
+  */
+object CcsdsTestEncoder {
+
+  sealed trait Opt
+  /** Pick the cheapest option (zero-block when all residuals are zero). */
+  case object Auto extends Opt
+  /** Force a zero-block run (block's residuals must all be zero). */
+  case object ZeroRun extends Opt
+  /** Force the second-extension (pairwise γ) option; residual pairs must
+    * map to m ≤ 90.
+    */
+  case object SecondExt extends Opt
+  /** Force split-sample with `k` LSBs (k = 0 = pure fundamental seq). */
+  final case class Split(k: Int) extends Opt
+  /** Force the uncompressed option. */
+  case object Uncomp extends Opt
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream
+    private var cur = 0
+    private var nb = 0
+    def putBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nb += 1
+      if (nb == 8) { out.write(cur); cur = 0; nb = 0 }
+    }
+    def put(v: Long, nbits: Int): Unit = {
+      var k = nbits - 1
+      while (k >= 0) { putBit(((v >> k) & 1L).toInt); k -= 1 }
+    }
+    def fs(v: Long): Unit = {
+      var k = 0L
+      while (k < v) { putBit(0); k += 1 }
+      putBit(1)
+    }
+    def align(): Unit = while (nb != 0) putBit(0)
+    def bytes: Array[Byte] = { align(); out.toByteArray }
+  }
+
+  /** Encode `values` (each within the `nbits` dynamic range) as one AEC
+    * stream. `opt` picks the coding option by global block index.
+    */
+  def encode(values: Array[Long], nbits: Int, flags: Int, blockSize: Int,
+             rsi: Int, opt: Int => Opt = _ => Auto): Array[Byte] = {
+    val pp = (flags & Ccsds.Preprocess) != 0
+    val xmax = if (nbits == 32) 0xffffffffL else (1L << nbits) - 1
+    require(values.forall(v => v >= 0 && v <= xmax),
+      s"values must fit $nbits bits")
+    val idLen = if (nbits > 16) 5 else if (nbits > 8) 4 else 3
+    val uncompId = (1 << idLen) - 1
+    val w = new BitWriter
+    val rsiSamples = rsi * blockSize
+    var start = 0
+    var globalBlock = 0
+
+    while (start < values.length) {
+      if ((flags & Ccsds.PadRsi) != 0) w.align()
+      val n = math.min(rsiSamples, values.length - start)
+      val nBlocks = (n + blockSize - 1) / blockSize
+      // residual-map the interval; the tail block pads with residual 0
+      // (repeat-last under preprocessing, literal zero without), which the
+      // decoder discards past the declared point count
+      val res = new Array[Long](nBlocks * blockSize)
+      if (pp) {
+        res(0) = values(start)
+        var pred = values(start)
+        var t = 1
+        while (t < n) {
+          val x = values(start + t)
+          val d = x - pred
+          val theta = math.min(pred, xmax - pred)
+          res(t) =
+            if (d >= 0 && d <= theta) 2 * d
+            else if (d < 0 && -d <= theta) -2 * d - 1
+            else theta + math.abs(d)
+          pred = x
+          t += 1
+        }
+      } else {
+        System.arraycopy(values, start, res, 0, n)
+      }
+
+      var bi = 0
+      while (bi < nBlocks) {
+        val ref = pp && bi == 0
+        val lo = bi * blockSize
+        val from = lo + (if (ref) 1 else 0)
+        val hi = lo + blockSize
+        def blockZero(b0: Int): Boolean = {
+          val f = b0 * blockSize + (if (pp && b0 == 0) 1 else 0)
+          var z = true
+          var t = f
+          while (z && t < (b0 + 1) * blockSize) { z = res(t) == 0L; t += 1 }
+          z
+        }
+        def seValues: Option[Array[Long]] = {
+          // pairs per the decoder's walk: in a reference block the first
+          // pair's leading half is the (void) reference slot, coded as 0
+          val s = new Array[Long](blockSize)
+          if (ref) { s(0) = 0L; System.arraycopy(res, lo + 1, s, 1, blockSize - 1) }
+          else System.arraycopy(res, lo, s, 0, blockSize)
+          // m ≤ 90 ⟺ γ = a + b ≤ 12; checking γ first also keeps the
+          // triangular product from overflowing Long near the 32-bit range
+          val ok = (0 until blockSize / 2).forall { t =>
+            s(2 * t) + s(2 * t + 1) <= 12
+          }
+          if (!ok) None
+          else Some(Array.tabulate(blockSize / 2) { t =>
+            val a = s(2 * t); val b = s(2 * t + 1)
+            (a + b) * (a + b + 1) / 2 + b
+          })
+        }
+        def splitCost(k: Int): Long = {
+          var c = idLen.toLong + (if (ref) nbits else 0)
+          var t = from
+          while (t < hi) { c += (res(t) >> k) + 1 + k; t += 1 }
+          c
+        }
+        val forced = opt(globalBlock)
+        val choice: Opt = forced match {
+          case Auto =>
+            if (blockZero(bi)) ZeroRun
+            else {
+              var best: Opt = Uncomp
+              var bestCost = idLen.toLong + blockSize.toLong * nbits
+              var k = 0
+              while (k <= uncompId - 2) {
+                val c = splitCost(k)
+                if (c < bestCost) { bestCost = c; best = Split(k) }
+                k += 1
+              }
+              seValues.foreach { ms =>
+                val c = idLen.toLong + 1 + (if (ref) nbits else 0) +
+                  ms.map(_ + 1).sum
+                if (c < bestCost) { bestCost = c; best = SecondExt }
+              }
+              best
+            }
+          case o => o
+        }
+        choice match {
+          case ZeroRun =>
+            // group the run of zero blocks up to the segment / interval end
+            var run = 0
+            while (bi + run < nBlocks && blockZero(bi + run) &&
+              (run == 0 || opt(globalBlock + run) == Auto ||
+                opt(globalBlock + run) == ZeroRun) &&
+              (bi + run) / 64 == bi / 64) run += 1
+            require(run > 0, s"block $globalBlock forced zero but non-zero")
+            val segEnd = math.min(math.min((bi / 64 + 1) * 64, rsi), nBlocks)
+            w.put(0L, idLen + 1) // ID 0 + extension bit 0
+            if (ref) w.put(res(lo), nbits)
+            if (bi + run == segEnd) w.fs(4) // ROS: rest of segment
+            else if (run < 5) w.fs(run - 1L)
+            else w.fs(run.toLong)
+            bi += run
+            globalBlock += run
+          case SecondExt =>
+            val ms = seValues.getOrElse(throw new IllegalArgumentException(
+              s"block $globalBlock forced second-extension but m > 90"))
+            w.put(1L, idLen + 1) // ID 0 + extension bit 1
+            if (ref) w.put(res(lo), nbits)
+            ms.foreach(w.fs)
+            bi += 1
+            globalBlock += 1
+          case Split(k) =>
+            require(k >= 0 && k <= uncompId - 2, s"split k=$k out of range")
+            w.put(k + 1L, idLen)
+            if (ref) w.put(res(lo), nbits)
+            var t = from
+            while (t < hi) { w.fs(res(t) >> k); t += 1 }
+            if (k > 0) { t = from; while (t < hi) { w.put(res(t), k); t += 1 } }
+            bi += 1
+            globalBlock += 1
+          case Uncomp =>
+            w.put(uncompId.toLong, idLen)
+            var t = lo
+            while (t < hi) { w.put(res(t), nbits); t += 1 }
+            bi += 1
+            globalBlock += 1
+          case Auto => throw new IllegalStateException("resolved above")
+        }
+      }
+      start += n
+    }
+    w.bytes
+  }
+}

@@ -133,7 +133,9 @@ class Grib2Spec extends AnyFunSuite {
       Grib2TestWriter.message(msg().copy(prodTemplate = 8,
         statProcess = 1, intervalHours = 6)),
       Grib2TestWriter.message(msg().copy(
-        packing = Grib2TestWriter.IeeePacking(1))))
+        packing = Grib2TestWriter.IeeePacking(1))),
+      Grib2TestWriter.message(msg().copy(
+        packing = Grib2TestWriter.CcsdsPacking(blockSize = 8, rsi = 2))))
     for (good <- shapes; len <- 1 until good.length) {
       val e = intercept[IllegalArgumentException] {
         Grib2.decode(good.take(len))
@@ -658,14 +660,43 @@ class Grib2Spec extends AnyFunSuite {
     assert(en.getMessage.contains("product template 4.2"), en.getMessage)
   }
 
-  test("CCSDS 5.42 and unknown packings refuse by name (pinned)") {
+  test("unknown packings refuse by name; short 5.42 sections refuse (pinned)") {
     def err(tmpl: Int): String = intercept[IllegalArgumentException] {
       Grib2.decode(Grib2TestWriter.message(
         msg().copy(packing = Grib2TestWriter.RawPacking(tmpl))))
     }.getMessage
+    // RawPacking writes the 21-octet generic section 5: template 42 needs
+    // the three CCSDS fields (mask/block size/RSI) and must refuse, not
+    // read the neighbouring section's bytes as parameters
     val e42 = err(42)
-    assert(e42.contains("5.42") && e42.contains("CCSDS"), e42)
+    assert(e42.contains("5.42") && e42.contains("25"), e42)
     assert(err(1).contains("5.1")) // generic refusal names the number
+  }
+
+  test("CCSDS 5.42 decodes end-to-end: scaling, bitmap, flag refusals") {
+    val vals = Array.tabulate(32)(i => (200 + 31 * math.sin(i / 2.0)).toLong)
+    val cc = Grib2TestWriter.CcsdsPacking(blockSize = 8, rsi = 2)
+    val g = Grib2.decode(Grib2TestWriter.message(
+      msg(r = 4f, e = -1, d = 1, m = vals).copy(packing = cc))).head
+    assert(g.data.toSeq == vals.map(x => (4 + x * 0.5) / 10).toSeq)
+    // bitmap composes: holes become NaN around the CCSDS-decoded samples
+    val bm = Array.tabulate(32)(_ % 5 != 2)
+    val present = vals.zipWithIndex.collect { case (v, i) if bm(i) => v }
+    val gb = Grib2.decode(Grib2TestWriter.message(
+      msg(m = present).copy(packing = cc, bitmap = Some(bm)))).head
+    (0 until 32).foreach { i =>
+      if (bm(i)) assert(gb.data(i) == vals(i).toDouble)
+      else assert(gb.data(i).isNaN)
+    }
+    // signed-sample and restricted-option streams refuse by feature name
+    for ((flag, word) <- Seq(Ccsds.DataSigned -> "signed",
+      Ccsds.Restricted -> "restricted")) {
+      val e = intercept[IllegalArgumentException] {
+        Grib2.decode(Grib2TestWriter.message(msg(m = vals).copy(packing =
+          cc.copy(flags = cc.flags | flag))))
+      }
+      assert(e.getMessage.contains(word), e.getMessage)
+    }
   }
 
   test("IEEE packing 5.4 decodes raw floats (both precisions); quad refuses") {

@@ -27,6 +27,17 @@ object Grib2TestWriter {
     */
   final case class IeeePacking(precision: Int = 1) extends PackingSpec
 
+  /** Template 5.42: CCSDS 121.0-B-2 (Rice/AEC) compression — the ECMWF
+    * open-data representation. `opt` forces the coding option per block
+    * (see [[CcsdsTestEncoder]]); flags default to the preprocess +
+    * big-endian mask ecCodes writes.
+    */
+  final case class CcsdsPacking(
+      flags: Int = Ccsds.Preprocess | Ccsds.DataMsb,
+      blockSize: Int = 32, rsi: Int = 128,
+      opt: Int => CcsdsTestEncoder.Opt = _ => CcsdsTestEncoder.Auto)
+      extends PackingSpec
+
   /** An arbitrary (typically unsupported) data-representation template:
     * minimal spec-shaped section 5 (the standard first 21 octets) with an
     * empty section 7 — the refusal-pinning fixture shape (5.42 CCSDS,
@@ -520,6 +531,21 @@ object Grib2TestWriter {
     s5 ++ sec6(msg) ++ s7
   }
 
+  private def sec567Ccsds(msg: Msg, cc: CcsdsPacking): Array[Byte] = {
+    val s5 = section(5) { w =>
+      w.w32(msg.m.length)
+      w.w16(42)           // template 5.42: CCSDS lossless compression
+      w.f32(msg.r); w.s16(msg.e); w.s16(msg.d)
+      w.w8(msg.nbits)
+      w.w8(0)             // original field type: float
+      w.w8(cc.flags)      // CCSDS compression options mask
+      w.w8(cc.blockSize)
+      w.w16(cc.rsi)
+    }
+    s5 ++ sec6(msg) ++ section(7)(_.out.write(CcsdsTestEncoder.encode(
+      msg.m, msg.nbits, cc.flags, cc.blockSize, cc.rsi, cc.opt)))
+  }
+
   private def sec567Raw(msg: Msg, tmpl: Int): Array[Byte] = {
     val s5 = section(5) { w =>
       w.w32(msg.m.length)
@@ -537,6 +563,7 @@ object Grib2TestWriter {
     case PngPacking           => sec567Png(msg)
     case Jpeg2000Packing(cs)  => sec567Jpeg2000(msg, cs)
     case IeeePacking(prec)    => sec567Ieee(msg, prec)
+    case cc: CcsdsPacking     => sec567Ccsds(msg, cc)
     case RawPacking(tmpl)     => sec567Raw(msg, tmpl)
   }
 
