@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Throughput benchmark: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},
-  * "runs":{...},"failures":[...],"sf":...}`.
+  * `{"metric":"total","value":N,"unit":"sec","runs":{...},...,
+  * "queries":{...},"failures":[...],"sf":...}` (the per-query seconds
+  * map is last among the big maps — see the tail-truncation note at the
+  * print site), plus a `bench_full.json` file copy.
   *
   * Protocol: one untimed warmup pass (JVM/JIT, codegen cache, parquet footer
   * + file listing) then best-of-2 timed passes per query to a `noop` sink —
@@ -105,9 +107,24 @@ object Bench {
     val warmExpr = queries.map { case (name, fn) =>
       name -> (try exprNodes(fn(spark, sfDir)) catch { case _: Throwable => -1L })
     }.toMap
+    // Cumulative-state flush (round-10 adjudication: construction-
+    // materializing queries — x19/x34/x36/x41/x45 — leave localCheckpoint
+    // RDDs and broadcasts behind; three warmup passes over 82 queries
+    // inflated a suite-context x02 to ~36 s vs 4.9 s fresh-JVM). Every
+    // timed run starts from the same clean slate: drop every persistent
+    // RDD and cached relation, then nudge the ContextCleaner (broadcast
+    // cleanup is weak-ref driven) so earlier queries can't charge their
+    // memory pressure to later ones.
+    def flushState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     // best-of-2 timed runs: damps GC/compilation noise on a shared machine
     val results = queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
+        flushState()
         val t0 = System.nanoTime()
         val ok = try { run(fn); true } catch { case _: Throwable => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
@@ -117,7 +134,9 @@ object Bench {
         warmRows(name))
     }
     val failures = results.collect { case (n, ts, _, _) if ts.forall(_ < 0) => n }
-    val qs = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
+    // ms precision: keeps the whole 82-query seconds map near the 2 KiB
+    // tail budget (full-precision doubles alone would overflow it)
+    val qs = results.map { case (k, _, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val runs = results
       .map { case (k, ts, _, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
@@ -132,12 +151,24 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._3).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // Key order is deliberate: the driver keeps only the last ~2 KiB of
+    // output, so the per-query SECONDS map ("queries") is printed LAST
+    // among the big maps — the instrument maps (runs/rows/scan/expr) are
+    // the ones sacrificed to truncation, never the seconds (rounds 8-10
+    // preserved expr_nodes instead, which reads like nonsense timings).
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""runs":$runs,"rows":$rows,"scan_bytes":$bytes,"scan_cols":$cols,""" +
         s""""expr_nodes":$exprs,""" +
-        s""""failures":$fs,""" +
-        s""""penalty_sec_per_failure":$FailurePenaltySec,"sf":"$sfDir"}""")
+        s""""queries":$qs,"failures":$fs,""" +
+        s""""penalty_sec_per_failure":$FailurePenaltySec,"sf":"$sfDir"}"""
+    println(json)
+    // Truncation-proof copy: the stdout tail window is ~2 KiB, so the full
+    // artifact (all instrument maps intact) also lands on disk where the
+    // end-of-round snapshot commit picks it up.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), json + "\n")
+    catch { case _: Throwable => () }
     // The driver captures only the last ~2 KiB of output; round 3's hardened
     // JSON outgrew that window and lost its leading "total" field. This
     // short trailing line always survives tail truncation.

@@ -492,6 +492,47 @@ object Dedup {
       .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
   }
 
+  /** Substring-span REMOVAL (x46) — the second half of the Lee et al.
+    * 2022 substring pipeline: [[substringSpans]] *reports* maximal
+    * verbatim shared runs; this operator *cuts* them, keeping the first
+    * occurrence. Policy: for every reported pair (id_a < id_b) the id_a
+    * copy survives and the id_b token range [start_b, start_b +
+    * span_tokens) is spliced out. Chained duplicates (A~B, B~C) may drop
+    * every later copy — the deterministic pairwise form of "keep first".
+    *
+    * Shape: spans → per-doc cut-interval list (one agg keyed on doc_id —
+    * span-bounded, corpus-sublinear) → ONE shuffle join back to the
+    * corpus → map-only splice: `filter(tokens, (t, i) -> NOT exists(ivs,
+    * iv -> s <= i < e))` + rejoin. Overlapping intervals need no merge
+    * pass — membership in ANY interval is the removal predicate, so the
+    * exists() disjunction is already the merged semantics. At 100 TB the
+    * only corpus-sized movement is the doc_id join; the splice is
+    * embarrassingly parallel.
+    *
+    * Output: (doc_id, n_tokens, n_removed, text_clean) for EVERY corpus
+    * document (untouched docs pass through with n_removed = 0).
+    */
+  def removeSubstringSpans(docs: DataFrame, n: Int, dfCap: Int): DataFrame = {
+    val spans = substringSpans(docs, n, dfCap)
+    val cuts = spans
+      .select(col("id_b").as("doc_id"),
+        struct(col("start_b").cast("long").as("s"),
+          (col("start_b") + col("span_tokens")).cast("long").as("e"))
+          .as("iv"))
+      .groupBy("doc_id").agg(collect_list(col("iv")).as("ivs"))
+    val w = tokens(col("text"))
+    val kept = when(col("ivs").isNotNull,
+        filter(w, (_, i) => !exists(col("ivs"), iv =>
+          i.cast("long") >= iv.getField("s") &&
+            i.cast("long") < iv.getField("e"))))
+      .otherwise(w)
+    docs.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        (size(w) - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ", kept).as("text_clean"))
+  }
+
   /** Connected components over a near-duplicate pair graph — the
     * canonicalization step of a dedup pipeline: every document appearing in
     * at least one near-dup pair gets the smallest doc_id reachable through

@@ -63,6 +63,11 @@ object TextAnalysis {
   /** Quality signals: length, token stats, punctuation/alpha ratios,
     * stopword density — the usual cheap heuristics for corpus filtering.
     * All ratios are single divisions of integer counts (engine-exact).
+    * The per-character ratios are ANSI-guarded: empty text (nChars = 0)
+    * yields NULL ratios instead of a DIVIDE_BY_ZERO error, so degenerate
+    * docs flow through scoring (the consumers clamp NULL quality).
+    * nWords ≥ 1 always (split of "" is [""]), so the per-word ratios
+    * need no guard.
     */
   def qualitySignals(df: DataFrame, text: Column): DataFrame = {
     val w = words(text)
@@ -72,12 +77,14 @@ object TextAnalysis {
     val nAlpha = nChars - length(regexp_replace(text, "[a-zA-Z]", ""))
     val enHits = size(filter(w,
       t => array_contains(array(stopwords.head._2.map(lit): _*), t)))
+    def perChar(n: Column) =
+      when(nChars > 0, n.cast("double") / nChars)
     df.withColumn("n_chars_m", nChars)
       .withColumn("n_words", nWords)
       .withColumn("mean_word_len",
         (nChars - (nWords - lit(1))).cast("double") / nWords)
-      .withColumn("punct_ratio", nPunct.cast("double") / nChars)
-      .withColumn("alpha_ratio", nAlpha.cast("double") / nChars)
+      .withColumn("punct_ratio", perChar(nPunct))
+      .withColumn("alpha_ratio", perChar(nAlpha))
       .withColumn("stopword_ratio", enHits.cast("double") / nWords)
   }
 
@@ -238,7 +245,15 @@ object TextAnalysis {
     ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     ("keys", "\\b(?:AKIA[0-9A-Z]{16}|[A-Fa-f0-9]{32,})\\b", "[KEY]"),
     ("ips", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"),
-    ("phones", "\\+?\\d[\\d\\- ]{6,}\\d", "[PHONE]"))
+    // Phone shape = optional +cc, then EXACTLY three digit groups ending
+    // in a 4-digit group (9-12 digits total), \b-anchored on both sides.
+    // The pre-round-11 catch-all `\+?\d[\d\- ]{6,}\d` redacted ISO dates
+    // (2020-08-12), year ranges (1914-1918) and thousand-grouped numbers
+    // (1 234 567) — corpus corruption at scale. This shape can't match a
+    // date: 4-2-2 / 2-2-4 groupings fail the {3,4}+{4} tail, and \b
+    // keeps it out of longer digit runs (card/ID numbers).
+    ("phones", "(?:\\+\\d{1,2}[- ]?)?\\b\\d{2,4}[- ]?\\d{3,4}[- ]?\\d{4}\\b",
+      "[PHONE]"))
 
   /** Regex-based PII redaction — a first-class stage of every real
     * training-data pipeline: per-document hit counts per class plus the

@@ -400,39 +400,57 @@ object ExtensionQueries {
     * order (quality DESC, doc_id) — no ntile/percentile engine-variance,
     * deterministic under score ties.
     *
-    * Scale (round-9 reshape): NO per-source total-order window — at
-    * 100 TB sources are few and large, so `row_number over
-    * partitionBy(source)` would sort each source's whole corpus slice in
-    * one task. Instead:
-    *   1. aggregate a per-(source, quality) count HISTOGRAM — quality is
-    *      a pure double function of four integer counts, so equal inputs
-    *      collide exactly and the histogram compresses to |distinct
-    *      values| rows (distributed hash aggregate);
-    *   2. cumulative counts over each source's SMALL histogram (window
-    *      over histogram rows, never corpus rows) locate the two exact
-    *      boundary ranks h=⌊cnt/3⌋, m=⌊2cnt/3⌋: the quality value whose
-    *      cumulative range contains the boundary plus the in-group
-    *      offset;
-    *   3. broadcast the per-source boundary pairs; doc_id tie-break is
-    *      ranked ONLY within the (tiny) boundary value groups
-    *      (Window.partitionBy(source, quality) over the filtered
+    * Scale (round-9 reshape; round-11 quantization): NO per-source
+    * total-order window — at 100 TB sources are few and large, so
+    * `row_number over partitionBy(source)` would sort each source's
+    * whole corpus slice in one task. Instead:
+    *   1. clamp quality — NULL (empty or null text: the ANSI-guarded
+    *      per-char ratios return NULL at nChars = 0) and NaN
+    *      (defense-in-depth via nanvl) both become −1.0, so degenerate
+    *      docs sort below every real score instead of exploiting
+    *      Spark's NaN-greatest ordering — then QUANTIZE to a 1e-6
+    *      grid: qkey =
+    *      ⌊quality·10⁶⌋ as a long. The histogram key is qkey, so the
+    *      per-source histogram is PROVABLY ≤ 10⁶+2 rows per source
+    *      (quality ∈ [−1, 1] ⇒ qkey ∈ [−10⁶, 10⁶]) even for a
+    *      continuous score where distinct raw doubles ≈ distinct docs;
+    *   2. aggregate the per-(source, qkey) count histogram
+    *      (distributed hash aggregate, bounded output);
+    *   3. cumulative counts over each source's BOUNDED histogram
+    *      (window over ≤10⁶ histogram rows, never corpus rows) locate
+    *      the two exact boundary ranks h=⌊cnt/3⌋, m=⌊2cnt/3⌋: the qkey
+    *      whose cumulative range contains the boundary plus the
+    *      in-group offset. The no-boundary sentinel is Long.MaxValue
+    *      (> any real qkey; longs have no NaN pathology);
+    *   4. broadcast the per-source boundary pairs; doc_id tie-break is
+    *      ranked ONLY within the (tiny) boundary qkey bins
+    *      (Window.partitionBy(source, qkey) over the filtered
     *      boundary docs);
-    *   4. bucket assignment is then a map-only CASE against the
-    *      broadcast boundaries — identical output to the rank form for
-    *      every row.
+    *   5. bucket assignment is then a map-only CASE against the
+    *      broadcast boundaries — identical output to the rank form
+    *      over the total order (qkey DESC, doc_id) for every row.
+    * Docs whose raw qualities differ by < 1e-6 are rank-tied (split by
+    * doc_id); the DuckDB twin ranks by the same quantized key, so the
+    * two engines agree exactly. All quality arithmetic is
+    * IEEE-exact (+,·,/ on doubles, no libm), so ⌊quality·10⁶⌋ is
+    * bit-deterministic across engines.
     */
   def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // 1. clamp (NaN from empty text, NULL from null text → −1.0) and
+    //    quantize: the 1e-6-grid long key bounds the histogram.
     val scored = TextAnalysis.qualityScore(
         Tables.documents(spark, dir), col("text"))
-      .select(col("doc_id"), col("source"), col("n_words"), col("quality"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        coalesce(nanvl(col("quality"), lit(-1d)), lit(-1d)).as("quality"))
+      .withColumn("qkey", floor(col("quality") * lit(1e6)).cast("long"))
 
-    // 1. distributed histogram: |distinct (source, quality)| rows.
-    val hist = scored.groupBy(col("source"), col("quality"))
+    // 2. distributed histogram: ≤ 10⁶+2 rows per source by construction.
+    val hist = scored.groupBy(col("source"), col("qkey"))
       .agg(count(lit(1)).as("c"))
-    // 2. cumulative counts over the per-source histogram (small: bounded
-    //    by distinct quality values, not docs).
-    val hw = Window.partitionBy("source").orderBy(col("quality").desc)
+    // 3. cumulative counts over the per-source histogram (bounded by the
+    //    quantization grid, not docs).
+    val hw = Window.partitionBy("source").orderBy(col("qkey").desc)
     val cum = hist
       .withColumn("cum_before",
         coalesce(sum(col("c")).over(
@@ -441,46 +459,46 @@ object ExtensionQueries {
         hw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("h", expr("cnt DIV 3"))
       .withColumn("m", expr("(cnt * 2) DIV 3"))
-    // Boundary group = the histogram row whose rank range (cum_before,
-    // cum_before+c] contains the boundary; offset = slots of that group
+    // Boundary bin = the histogram row whose rank range (cum_before,
+    // cum_before+c] contains the boundary; offset = slots of that bin
     // on the upper side of the boundary. h=0 (cnt<3) → no head: the
-    // +Infinity sentinel makes `quality > qh` and `quality = qh` both
-    // false for every real score.
-    val inf = lit(Double.PositiveInfinity)
+    // Long.MaxValue sentinel makes `qkey > qh` and `qkey = qh` both
+    // false for every real key (real qkey ≤ 10⁶).
+    val sentinel = lit(Long.MaxValue)
     val boundaries = cum.groupBy(col("source")).agg(
       coalesce(max(when(col("cum_before") < col("h") &&
-        col("h") <= col("cum_before") + col("c"), col("quality"))), inf)
+        col("h") <= col("cum_before") + col("c"), col("qkey"))), sentinel)
         .as("qh"),
       coalesce(max(when(col("cum_before") < col("h") &&
         col("h") <= col("cum_before") + col("c"),
         col("h") - col("cum_before"))), lit(0L)).as("qh_off"),
       coalesce(max(when(col("cum_before") < col("m") &&
-        col("m") <= col("cum_before") + col("c"), col("quality"))), inf)
+        col("m") <= col("cum_before") + col("c"), col("qkey"))), sentinel)
         .as("qm"),
       coalesce(max(when(col("cum_before") < col("m") &&
         col("m") <= col("cum_before") + col("c"),
         col("m") - col("cum_before"))), lit(0L)).as("qm_off"))
 
-    // 3. doc_id tie-break ranked only within the boundary value groups
+    // 4. doc_id tie-break ranked only within the boundary qkey bins
     //    (tiny: the tie sets at the two cut points).
     val withB = scored.join(broadcast(boundaries), "source")
-    val tieW = Window.partitionBy(col("source"), col("quality"))
+    val tieW = Window.partitionBy(col("source"), col("qkey"))
       .orderBy(col("doc_id"))
     val tieRank = withB
-      .filter(col("quality") === col("qh") || col("quality") === col("qm"))
+      .filter(col("qkey") === col("qh") || col("qkey") === col("qm"))
       .withColumn("wg", row_number().over(tieW))
       .select(col("source"), col("doc_id"), col("wg"))
 
-    // 4. map-only assignment: strictly-better quality decides; boundary
-    //    groups split on the in-group doc_id rank vs the offset.
+    // 5. map-only assignment: strictly-better qkey decides; boundary
+    //    bins split on the in-bin doc_id rank vs the offset.
     val assigned = withB
       .join(tieRank, Seq("source", "doc_id"), "left")
       .withColumn("bucket",
-        when(col("quality") > col("qh") ||
-          (col("quality") === col("qh") && col("wg") <= col("qh_off")),
+        when(col("qkey") > col("qh") ||
+          (col("qkey") === col("qh") && col("wg") <= col("qh_off")),
           "head")
-        .when(col("quality") > col("qm") ||
-          (col("quality") === col("qm") && col("wg") <= col("qm_off")),
+        .when(col("qkey") > col("qm") ||
+          (col("qkey") === col("qm") && col("wg") <= col("qm_off")),
           "middle")
         .otherwise("tail"))
     assigned
@@ -505,16 +523,20 @@ object ExtensionQueries {
        |  FROM documents),
        |q AS (
        |  SELECT doc_id, source, nw,
-       |    least(CAST(nw AS DOUBLE)/64, 1e0)*0.4e0
-       |      + (CAST(nalpha AS DOUBLE)/nc)*0.4e0
-       |      + least((CAST(nstop AS DOUBLE)/nw)*4e0, 1e0)*0.2e0 AS quality
+       |    coalesce(CASE WHEN nc = 0 THEN -1e0 ELSE
+       |      least(CAST(nw AS DOUBLE)/64, 1e0)*0.4e0
+       |        + (CAST(nalpha AS DOUBLE)/nc)*0.4e0
+       |        + least((CAST(nstop AS DOUBLE)/nw)*4e0, 1e0)*0.2e0 END,
+       |      -1e0) AS quality
        |  FROM sig),
+       |qq AS (
+       |  SELECT *, CAST(floor(quality * 1e6) AS BIGINT) AS qkey FROM q),
        |r AS (
        |  SELECT *,
        |    row_number() OVER (PARTITION BY source
-       |      ORDER BY quality DESC, doc_id) AS rn,
+       |      ORDER BY qkey DESC, doc_id) AS rn,
        |    count(*) OVER (PARTITION BY source) AS cnt
-       |  FROM q)
+       |  FROM qq)
        |SELECT source,
        |  CASE WHEN rn*3 <= cnt THEN 'head'
        |       WHEN rn*3 <= cnt*2 THEN 'middle' ELSE 'tail' END AS bucket,
@@ -1676,6 +1698,46 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin
   }
 
+  /** Substring-span removal (x46, round 11): [[Dedup.removeSubstringSpans]]
+    * completes x41 — the reported maximal verbatim runs are CUT from the
+    * corpus, first (lowest-doc_id) occurrence kept, and every document
+    * comes back with its spliced text and removal counts. The oracle
+    * replays x41's span pipeline verbatim, then anti-joins token
+    * positions against the cut intervals and re-aggregates the text.
+    */
+  def substringRemoval(spark: SparkSession, dir: String): DataFrame =
+    Dedup.removeSubstringSpans(Tables.documents(spark, dir),
+        SubstringN, SubstringDfCap)
+      .orderBy("doc_id")
+
+  private val substringRemovalSql = {
+    // reuse x41's span CTEs up to `segs`, then splice
+    val spanCtes = substringSpansSql
+      .stripSuffix("ORDER BY id_a, id_b, start_a, start_b")
+    val lastSelect = spanCtes.lastIndexOf("SELECT id_a, id_b")
+    val (ctes, spanSelect) = spanCtes.splitAt(lastSelect)
+    s"""${ctes.trim},
+       |spans AS (
+       |  ${spanSelect.trim}),
+       |cuts AS (
+       |  SELECT id_b AS doc_id, start_b AS s, start_b + span_tokens AS e
+       |  FROM spans),
+       |pos AS (
+       |  SELECT doc_id, generate_subscripts(w, 1) AS p, unnest(w) AS tok
+       |  FROM toks),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.tok FROM pos t
+       |  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+       |    WHERE c.doc_id = t.doc_id AND t.p - 1 >= c.s AND t.p - 1 < c.e))
+       |SELECT t.doc_id,
+       |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.w) - count(k.p) AS BIGINT) AS n_removed,
+       |  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_clean
+       |FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+       |GROUP BY t.doc_id, len(t.w)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** PII scrubbing sweep (x42): the corpus text is first DECORATED with
     * deterministic synthetic PII derived from `doc_id` (an email, a hex
     * key, a dotted-quad IP, a phone number) so the scrubber demonstrably
@@ -2002,5 +2064,7 @@ object ExtensionQueries {
     QueryDef("x44_quality_buckets", Some(qualityBucketsSql), qualityBuckets),
     QueryDef("x45_minhash_calibration", Some(minhashCalibrationSql),
       minhashCalibration),
+    QueryDef("x46_substring_removal", Some(substringRemovalSql),
+      substringRemoval),
   )
 }

@@ -43,6 +43,15 @@ object AnnStream {
     if (batch.isEmpty) return
     val fs = new Path(storePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // ENFORCED quiesce contract (round 11; documented-only before): a
+    // refresh in flight owns the store root — an ingest racing the swap
+    // could recreate a retired root or append under the OLD geometry
+    // after the new centroids promote. Fail loudly instead.
+    val sentinel = refreshSentinel(storePath)
+    require(!fs.exists(sentinel),
+      s"ANN store $storePath is quiesced: refresh sentinel $sentinel " +
+        "present. Wait for refreshCentroids to finish; if a refresh " +
+        "crashed, inspect the store roots and delete the sentinel.")
     val centPath = new Path(s"$storePath/centroids")
     val cents: Array[(Long, Array[Float])] =
       if (fs.exists(centPath)) {
@@ -83,9 +92,12 @@ object AnnStream {
     * probe reads centroids and partitions in two steps and any in-place
     * partial overwrite could silently mis-prune. The swap instead fails
     * CLOSED: a probe racing the two renames errors on a missing directory
-    * and retries; it never sees mixed geometry. Ingest must be quiesced
-    * during refresh (single-maintainer offline op — the production
-    * convention this module documents for initial training too).
+    * and retries; it never sees mixed geometry. Ingest quiesce is
+    * ENFORCED (round 11): refresh drops a `<store>.refreshing` sentinel
+    * before touching anything and removes it only after a successful
+    * swap; [[upsertVectors]] refuses while the sentinel exists. A crashed
+    * refresh leaves the sentinel behind deliberately — fail-closed until
+    * an operator inspects which root survived.
     *
     * Scale: retraining reads `vec_id`/`embedding` once (cell column
     * recomputed, not trusted), the reassignment is the same map-only
@@ -98,6 +110,14 @@ object AnnStream {
     import spark.implicits._
     val fs = new Path(storePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // take the quiesce lock: atomic create fails if a refresh already
+    // holds it (two concurrent refreshes would race the same .next root)
+    val sentinel = refreshSentinel(storePath)
+    try fs.create(sentinel, /* overwrite = */ false).close()
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"ANN store $storePath: another refresh holds $sentinel", e)
+    }
     val corpus = spark.read.parquet(s"$storePath/corpus")
       .select("vec_id", "embedding")
     val cents = Similarity.centroidSample(corpus, nCells)
@@ -115,7 +135,16 @@ object AnnStream {
     require(fs.rename(new Path(next), new Path(storePath)),
       s"centroid refresh: cannot promote $next")
     fs.delete(old, true)
+    // success: release the quiesce lock (kept on ANY failure above —
+    // fail-closed until an operator inspects the roots)
+    fs.delete(sentinel, false)
   }
+
+  /** Quiesce-lock path for a store root: a SIBLING of the root (never
+    * inside it — the root itself is renamed during the swap).
+    */
+  def refreshSentinel(storePath: String): Path =
+    new Path(s"$storePath.refreshing")
 
   /** Drain the landing directory once (`AvailableNow`) into the IVF store —
     * the cron-tick form, checkpointed so replays are no-ops.

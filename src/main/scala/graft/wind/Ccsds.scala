@@ -209,6 +209,18 @@ object Ccsds {
           buf(t) = data
           t += 1
         }
+      } else {
+        // Without the preprocessor there is no unmapping pass to
+        // range-check samples: enforce the nbits dynamic range directly —
+        // split-sample (fs<<k | lsb) and second-extension values on a
+        // bit-corrupted (non-truncated) stream could otherwise exceed
+        // xmax and be silently scaled into output floats.
+        var t = 0
+        while (t < i) {
+          require(buf(t) <= xmax,
+            s"CCSDS sample ${buf(t)} exceeds the $nbits-bit range")
+          t += 1
+        }
       }
 
       val take = math.min(i, nOut - produced)

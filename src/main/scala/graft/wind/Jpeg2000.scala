@@ -483,12 +483,20 @@ object Jpeg2000 {
     while (p + 8 <= cs.length) {
       val len32 = u32(cs, p)
       val boxType = new String(cs, p + 4, 4, "US-ASCII")
+      // extended length: the 8 extra header bytes must exist BEFORE they
+      // are read — a box truncated inside its length field must produce
+      // the typed refusal, not a raw ArrayIndexOutOfBoundsException
+      require(len32 != 1 || p + 16 <= cs.length,
+        s"malformed JP2 box '$boxType': truncated extended length at offset $p")
       val (dataOff, boxLen): (Int, Long) =
         if (len32 == 1)
           (16, (u32(cs, p + 8) << 32) | u32(cs, p + 12))
         else if (len32 == 0) (8, (cs.length - p).toLong)
         else (8, len32)
-      require(boxLen >= dataOff && p + boxLen <= cs.length,
+      // `boxLen <= cs.length - p` (not `p + boxLen <= cs.length`): a
+      // hostile 64-bit length near Long.MaxValue would overflow the sum
+      // to a negative that passes the comparison, then corrupt `p`
+      require(boxLen >= dataOff && boxLen <= (cs.length - p).toLong,
         s"malformed JP2 box '$boxType' (length $boxLen at offset $p)")
       if (boxType == "jp2c")
         return java.util.Arrays.copyOfRange(cs, p + dataOff, (p + boxLen).toInt)

@@ -112,6 +112,52 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringSpans(many, n = 8, dfCap = 6).count() == 15)
   }
 
+  test("removeSubstringSpans splices spans: start/end/adjacent/overlap (x46)") {
+    import spark.implicits._
+    def words(prefix: String, k: Int): String =
+      (0 until k).map(i => s"$prefix$i").mkString(" ")
+    val sharedA = words("dup", 8)  // run shared with doc 0
+    val sharedB = words("rep", 8)  // run shared with doc 1
+    val docs = Seq(
+      (0L, sharedA + " " + words("a", 4)),             // keeper of sharedA
+      (1L, words("b", 4) + " " + sharedB),             // keeper of sharedB
+      // span at START of doc 2: sharedA occupies tokens [0, 8)
+      (2L, sharedA + " " + words("c", 4)),
+      // span at END of doc 3: sharedB occupies tokens [4, 12)
+      (3L, words("d", 4) + " " + sharedB),
+      // ADJACENT spans in doc 4: sharedA at [0,8), sharedB at [8,16) —
+      // both removed, the tail survives
+      (4L, sharedA + " " + sharedB + " " + words("e", 3)),
+      (5L, words("u", 10))                             // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSubstringSpans(docs, n = 8, dfCap = 16)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // first occurrences (lowest doc_id) keep their text verbatim
+    assert(out(0L) == ((12L, 0L, sharedA + " " + words("a", 4))))
+    assert(out(1L) == ((12L, 0L, words("b", 4) + " " + sharedB)))
+    assert(out(2L) == ((12L, 8L, words("c", 4))), "span at start cut")
+    assert(out(3L) == ((12L, 8L, words("d", 4))), "span at end cut")
+    assert(out(4L) == ((19L, 16L, words("e", 3))), "adjacent spans both cut")
+    assert(out(5L) == ((10L, 0L, words("u", 10))), "untouched doc intact")
+
+    // OVERLAPPING cut intervals (two pairs reporting intersecting ranges
+    // in the same victim) remove the union, not double-count: doc 12
+    // shares [0,9) with doc 10 and [5,14) with doc 11
+    val over = Seq(
+      (10L, words("v", 9) + " " + words("x", 6)),
+      (11L, (5 until 9).map(i => s"v$i").mkString(" ") + " " +
+        words("w", 5) + " " + words("y", 6)),
+      (12L, words("v", 9) + " " + words("w", 5) + " " + words("z", 3))
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeSubstringSpans(over, n = 8, dfCap = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(12L) == ((17L, 14L, words("z", 3))),
+      s"union of overlapping cuts: ${got(12L)}")
+  }
+
   test("minHashCalibration: agreement buckets bound the exact jaccard (x45)") {
     import spark.implicits._
     val base = (0 until 40).map(i => s"w$i").mkString(" ")

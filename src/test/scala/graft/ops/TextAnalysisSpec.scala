@@ -109,6 +109,30 @@ class TextAnalysisSpec extends SparkSpec {
       "a perfectly clean sentence with words only")))
   }
 
+  test("piiScrub: dates and grouped numbers survive, real phones redact") {
+    import spark.implicits._
+    // the round-10 defect: `\+?\d[\d\- ]{6,}\d` redacted ISO dates and
+    // space-grouped numbers — non-PII corpus text must survive scrubbing
+    val docs = Seq(
+      (1L, "dated 2020-08-12 and 2020-08-12T06:00:00.000Z stamps"),
+      (2L, "about 1 234 567 people between 1914-1918 saw it"),
+      (3L, "ISBN 978-0-306-40615-7 page 1000-2000 rev 12-31-1999"),
+      (4L, "card 1234567890123456 pi 3.14159265358979"),
+      (5L, "call 555-123-4567 or +44 20 7946 0958 or 5551234567")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getString(5)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 0L,
+      "dated 2020-08-12 and 2020-08-12T06:00:00.000Z stamps")))
+    assert(out(1) == ((2L, 0L,
+      "about 1 234 567 people between 1914-1918 saw it")))
+    assert(out(2) == ((3L, 0L,
+      "ISBN 978-0-306-40615-7 page 1000-2000 rev 12-31-1999")))
+    assert(out(3) == ((4L, 0L, "card 1234567890123456 pi 3.14159265358979")))
+    assert(out(4) == ((5L, 3L, "call [PHONE] or [PHONE] or [PHONE]")))
+  }
+
   test("piiScrub: stage order prevents cross-class double counting") {
     import spark.implicits._
     // the hex key contains an 8+ digit run; the IP is a digit-dot quad —

@@ -75,14 +75,44 @@ class CurationOpsSpec extends SparkSpec {
       // exact integer boundary arithmetic: head = floor(n/3)
       assert(m("head") == n / 3)
       assert(m("middle") == 2 * n / 3 - n / 3)
-      // quality ordering: head >= middle >= tail (ties may touch at the
-      // boundary, never cross)
+      // quality ordering: head >= middle >= tail up to the 1e-6
+      // quantization grid (docs within one bin are rank-tied and split
+      // by doc_id, so raw qualities may cross by < 1e-6 at a boundary)
       def range(b: String) = bs.find(_._2 == b).get
-      assert(range("head")._4 >= range("middle")._5,
+      assert(range("head")._4 >= range("middle")._5 - 1e-6,
         s"$src head min < middle max")
-      assert(range("middle")._4 >= range("tail")._5,
+      assert(range("middle")._4 >= range("tail")._5 - 1e-6,
         s"$src middle min < tail max")
     }
+  }
+
+  test("quality buckets clamp NaN (empty text) and null text to -1 (x44)") {
+    import spark.implicits._
+    // 6 real docs with distinct quality + one empty-text doc (per-char
+    // ratios NULL under the ANSI guard) + one null-text doc (quality
+    // NULL). Both degenerate docs must land in tail — NOT in head via
+    // Spark's NaN-greatest ordering or a dropped-null boundary.
+    val real = (1 to 6).map { i =>
+      (i.toLong, "web", Option(("the quick brown fox " * i).trim))
+    }
+    val degenerate = Seq(
+      (7L, "web", Option("")), (8L, "web", None: Option[String]))
+    val d = tmpDir()
+    (real ++ degenerate).toDF("doc_id", "source", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val rows = ExtensionQueries.qualityBuckets(spark, d).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(4),
+        r.getDouble(5)))
+    val m = rows.map(r => r._1 -> r._2).toMap
+    // n=8: head ⌊8/3⌋=2, middle ⌊16/3⌋−2=3, tail 3
+    assert(m == Map("head" -> 2L, "middle" -> 3L, "tail" -> 3L), s"$m")
+    val tail = rows.find(_._1 == "tail").get
+    assert(tail._3 == -1.0, "degenerate docs clamp to -1 and sink to tail")
+    rows.foreach { r =>
+      assert(!r._3.isNaN && !r._4.isNaN, s"NaN must never surface: $r")
+    }
+    val head = rows.find(_._1 == "head").get
+    assert(head._3 > 0.0, "head holds real scores only")
   }
 
   test("chunk dedup reports copies in descending order with sane bounds") {

@@ -157,5 +157,37 @@ class AnnStreamSpec extends SparkSpec {
     AnnStream.ingestOnce(spark, landing, store, s"$base/ckpt", nCells = 8)
       .awaitTermination()
     assert(spark.read.parquet(s"$store/corpus").count() == 72)
+    // the quiesce sentinel is gone after a successful refresh
+    assert(!Files.exists(Paths.get(s"$store.refreshing")),
+      "refresh must release its sentinel on success")
+  }
+
+  test("ingest during refresh fails loudly on the quiesce sentinel") {
+    val base = tmpDir()
+    val store = s"$base/ivf"
+    val seed = clustered(0 until 16)
+    AnnStream.upsertVectors(df(seed), store, nCells = 4)
+    assert(spark.read.parquet(s"$store/corpus").count() == 16)
+
+    // simulate a refresh in flight: the sentinel a crashed or running
+    // refreshCentroids holds
+    Files.createFile(Paths.get(s"$store.refreshing"))
+    val e = intercept[IllegalArgumentException] {
+      AnnStream.upsertVectors(df(clustered(16 until 24)), store, nCells = 4)
+    }
+    assert(e.getMessage.contains("quiesced"), e.getMessage)
+    assert(spark.read.parquet(s"$store/corpus").count() == 16,
+      "a refused ingest must not touch the store")
+
+    // a second concurrent refresh cannot take the same lock
+    val dup = intercept[IllegalStateException] {
+      AnnStream.refreshCentroids(spark, store, nCells = 4)
+    }
+    assert(dup.getMessage.contains("another refresh"), dup.getMessage)
+
+    // operator clears the sentinel -> ingest resumes
+    Files.delete(Paths.get(s"$store.refreshing"))
+    AnnStream.upsertVectors(df(clustered(16 until 24)), store, nCells = 4)
+    assert(spark.read.parquet(s"$store/corpus").count() == 24)
   }
 }

@@ -179,4 +179,21 @@ class CcsdsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("zero-block") ||
       e2.getMessage.contains("truncated"), e2.getMessage)
   }
+
+  test("non-preprocessed samples above the dynamic range refuse (corrupt)") {
+    // split k=0, no preprocessing, nbits=8 (xmax=255): sample 0 encoded as
+    // unary 300 — a bit-corrupted but well-formed stream. ID 001, then 300
+    // zeros, the terminating 1 (bit 303), then seven unary-0 samples (1s).
+    val b = new Array[Byte](39)
+    b(0) = 0x20         // 001 00000
+    b(37) = 0x01        // bit 303: terminator of the 300-zero run
+    b(38) = 0xFE.toByte // samples 1..7, each the single bit '1' (value 0)
+    val e = intercept[IllegalArgumentException] { dec(b, 8, 8, 0, 8, 1) }
+    assert(e.getMessage.contains("exceeds the 8-bit range"), e.getMessage)
+    // second extension: the golden stream carries a value 2 — decoding it
+    // with nbits=1 (xmax=1) must refuse rather than emit 2
+    val se = Array(0x14, 0x10, 0xC0).map(_.toByte)
+    val e2 = intercept[IllegalArgumentException] { dec(se, 8, 1, 0, 8, 1) }
+    assert(e2.getMessage.contains("exceeds the 1-bit range"), e2.getMessage)
+  }
 }
