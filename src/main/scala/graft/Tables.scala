@@ -31,15 +31,26 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We opt into the
-    * nanos-as-long escape hatch and truncate to microseconds — the same
-    * truncation DuckDB applies when it reads the file, so oracle comparisons
-    * agree to the microsecond.
+  /** `events.parquet` has carried `ts` as parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]) — in some
+    * generator versions and plain TIMESTAMP(MICROS) in others. We opt into
+    * the nanos-as-long escape hatch and branch on the schema actually read:
+    * a long column is nanos and gets truncated to microseconds (the same
+    * truncation DuckDB applies, so oracle comparisons agree to the
+    * microsecond); a timestamp column is already micros and passes through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // TIMESTAMP_NTZ wall clock → session-UTC instant: the same values
+        // the nanos path produced, and the TimestampType every consumer
+        // (window(), watermarks, Row.getTimestamp) was written against
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }

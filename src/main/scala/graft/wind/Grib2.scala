@@ -487,9 +487,12 @@ object Grib2 {
   /** Decode a projected section-3 template. Octet layouts per the WMO
     * tables (the netCDF-Java decoder grib2json bundles reads the same
     * offsets for HRRR/NAM/RAP-class products). Unsupported parameter
-    * combinations — oblate earth shapes, south-polar or bi-polar centre
-    * flags, rotated Mercator, a Lambert LaD off both standard parallels —
-    * refuse loudly by name rather than mis-georeference.
+    * combinations — oblate earth shapes, bi-polar centre flags, rotated
+    * Mercator, a Lambert LaD off both standard parallels, a 0x80 south
+    * centre flag inconsistent with the LaD/parallel hemisphere — refuse
+    * loudly by name rather than mis-georeference. South-polar
+    * stereographic and southern Lambert cones (centre flag 0x80 with
+    * negative LaD/parallels) decode via the mirrored projections.
     */
   private def parseProjected(payload: Array[Byte], p: Int, tmpl: Int,
       shape: Int, optListOctets: Int): ProjGrid = {
@@ -519,10 +522,9 @@ object Grib2 {
       dx = u32(payload, p + 55) / 1e3             // Dx, octets 56-59
       dy = u32(payload, p + 59) / 1e3             // Dy, octets 60-63
       projCenter = u8(payload, p + 63)            // octet 64
-      require((projCenter & 0x80) == 0,
-        f"unsupported south-polar projection (centre flag 0x$projCenter%02x)")
       require((projCenter & 0x40) == 0,
         f"unsupported bi-polar projection (centre flag 0x$projCenter%02x)")
+      val south = (projCenter & 0x80) != 0
       scan = u8(payload, p + 64)                  // octet 65
       if (tmpl == 30) {
         latin1 = s32sm(payload, p + 65) / 1e6     // Latin1, octets 66-69
@@ -531,6 +533,15 @@ object Grib2 {
           s"unsupported Lambert grid: LaD $lad differs from both standard " +
             s"parallels ($latin1, $latin2) — Dx/Dy would not be true on " +
             "the cone")
+        require(south == (latin1 < 0 && latin2 < 0),
+          f"inconsistent Lambert grid: centre flag 0x$projCenter%02x " +
+            s"vs standard parallels ($latin1, $latin2) — the 0x80 south " +
+            "bit must match the parallels' hemisphere")
+      } else {
+        require(south == (lad < 0),
+          f"inconsistent polar-stereographic grid: centre flag " +
+            f"0x$projCenter%02x vs LaD $lad — the 0x80 south bit must " +
+            "match LaD's hemisphere")
       }
     }
     require((scan & 0x0f) == 0,
@@ -538,7 +549,8 @@ object Grib2 {
         "grids)")
     val proj: Projection.Proj = tmpl match {
       case 10 => Projection.Mercator(radius, lad, lo1)
-      case 20 => Projection.PolarStereo(radius, lov, lad)
+      case 20 => Projection.PolarStereo(radius, lov, lad,
+        south = (projCenter & 0x80) != 0)
       case 30 => Projection.LambertConformal(radius, lov, latin1, latin2)
     }
     // Canonical corners in PLANE space: the wire (La1, Lo1) is the first

@@ -143,10 +143,13 @@ object Grid {
   private val QuarterPi = lit(math.Pi / 4)
 
   /** Longitude difference wrapped to (-180, 180], column form of
-    * `Projection.dLon`.
+    * `Projection.dLon`. `180 − pmod(180 − d, 360)` lands exactly-±180°
+    * inputs on +180, matching the scalar form's convention (the naive
+    * `pmod(d+180, 360) − 180` yields [-180, 180) and flips θ's sign on
+    * the antimeridian — GridSpec pins the parity).
     */
-  private def dLonCol(lon: Column, lon0: Column): Column =
-    pmod(lon - lon0 + lit(180.0), lit(360.0)) - lit(180.0)
+  private[wind] def dLonCol(lon: Column, lon0: Column): Column =
+    lit(180.0) - pmod(lit(180.0) - (lon - lon0), lit(360.0))
 
   private def explodeFlat(records: DataFrame, tmpl: Int): DataFrame =
     records.filter(col("gridDefinitionTemplate") === tmpl)
@@ -165,38 +168,45 @@ object Grid {
   /** Exploded point view of a Lambert-conformal (template 3.30) grid:
     * Snyder's spherical conic inverse per cell. Cone constant and F are
     * per-row column constants — a handful of trig ops against the explode's
-    * per-point work.
+    * per-point work. Southern cone (negative parallels, centre flag 0x80):
+    * the φ → −φ, y → −y mirror of [[Projection.LambertConformal]], carried
+    * by the `sgn` column so one codegen'd plan serves both hemispheres.
     */
   def toPointsLambert(records: DataFrame): DataFrame = {
     val df = explodeFlat(records, 30)
-    val phi1 = radians(col("latin1"))
-    val phi2 = radians(col("latin2"))
+    val sgn = when(col("latin1") < 0, lit(-1.0)).otherwise(lit(1.0))
+    val phi1 = radians(col("latin1") * sgn)
+    val phi2 = radians(col("latin2") * sgn)
     val n = when(col("latin1") === col("latin2"), sin(phi1))
       .otherwise(log(cos(phi1) / cos(phi2)) /
         log(tan(QuarterPi + phi2 / 2) / tan(QuarterPi + phi1 / 2)))
     val rf = col("r") * cos(phi1) * pow(tan(QuarterPi + phi1 / 2), n) / n
-    val rho1 = rf / pow(tan(QuarterPi + radians(col("la1")) / 2), n)
+    val rho1 = rf / pow(tan(QuarterPi + radians(col("la1") * sgn) / 2), n)
     val th1 = n * radians(dLonCol(col("lo1"), col("lov")))
     val x = rho1 * sin(th1) + pmod(col("pos"), col("nx")) * col("dx")
-    val y = -rho1 * cos(th1) - floor(col("pos") / col("nx")) * col("dy")
+    val y = -sgn * rho1 * cos(th1) - floor(col("pos") / col("nx")) * col("dy")
     val rho = sqrt(x * x + y * y)
-    val lat = degrees(lit(2.0) * atan(pow(rf / rho, lit(1.0) / n)) - HalfPi)
-    val lon = pmod(col("lov") + degrees(atan2(x, -y) / n), lit(360.0))
+    val lat =
+      sgn * degrees(lit(2.0) * atan(pow(rf / rho, lit(1.0) / n)) - HalfPi)
+    val lon = pmod(col("lov") + degrees(atan2(x, -sgn * y) / n), lit(360.0))
     finishPoints(df, lat, lon)
   }
 
-  /** Exploded point view of a north-polar-stereographic (template 3.20)
-    * grid: ρ = R(1+sin LaD)·tan(π/4−φ/2) inverse per cell.
+  /** Exploded point view of a polar-stereographic (template 3.20) grid,
+    * either pole: ρ = R(1+sin|LaD|)·tan(π/4∓φ/2) inverse per cell. The
+    * south projection (LaD < 0, centre flag 0x80) is the φ → −φ, y → −y
+    * mirror, carried by the `sgn` column.
     */
   def toPointsPolarStereo(records: DataFrame): DataFrame = {
     val df = explodeFlat(records, 20)
-    val c = col("r") * (lit(1.0) + sin(radians(col("lad"))))
-    val rho1 = c * tan(QuarterPi - radians(col("la1")) / 2)
+    val sgn = when(col("lad") < 0, lit(-1.0)).otherwise(lit(1.0))
+    val c = col("r") * (lit(1.0) + sin(radians(col("lad") * sgn)))
+    val rho1 = c * tan(QuarterPi - radians(col("la1") * sgn) / 2)
     val th1 = radians(dLonCol(col("lo1"), col("lov")))
     val x = rho1 * sin(th1) + pmod(col("pos"), col("nx")) * col("dx")
-    val y = -rho1 * cos(th1) - floor(col("pos") / col("nx")) * col("dy")
-    val lat = degrees(HalfPi - lit(2.0) * atan(sqrt(x * x + y * y) / c))
-    val lon = pmod(col("lov") + degrees(atan2(x, -y)), lit(360.0))
+    val y = -sgn * rho1 * cos(th1) - floor(col("pos") / col("nx")) * col("dy")
+    val lat = sgn * degrees(HalfPi - lit(2.0) * atan(sqrt(x * x + y * y) / c))
+    val lon = pmod(col("lov") + degrees(atan2(x, -sgn * y)), lit(360.0))
     finishPoints(df, lat, lon)
   }
 

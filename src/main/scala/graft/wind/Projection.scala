@@ -10,10 +10,13 @@ package graft.wind
   * Working Manual", USGS PP 1395: Mercator I, polar stereographic, Lambert
   * conformal conic). Angles are degrees at the API (GRIB wire convention,
   * longitudes east-positive), x/y are meters on the projection plane with
-  * +x along +i of a canonically-scanned grid and +y toward the projection
-  * pole / north. The plane origin is projection-specific (the pole for the
-  * conic/azimuthal cases) — only *differences* of coordinates are ever
-  * meaningful to a grid, which anchors at its first point.
+  * +x along +i of a canonically-scanned grid and +y the direction of
+  * increasing latitude along the LoV/anchor meridian (the GRIB2 LoV
+  * definition — toward the pole for the northern conic/azimuthal cases,
+  * away from it for the southern). The plane origin is
+  * projection-specific (the pole for the conic/azimuthal cases) — only
+  * *differences* of coordinates are ever meaningful to a grid, which
+  * anchors at its first point.
   *
   * Scale contract: grid increments Dx/Dy are true at the latitude the
   * template names (LaD; the standard parallels for Lambert) — the
@@ -45,8 +48,11 @@ object Projection {
           "(spherical shapes 0/1/6 only; oblate projection math not implemented)")
     }
 
-  /** Wrap a longitude difference into (-180, 180]. */
-  private def dLon(lonDeg: Double, lon0Deg: Double): Double = {
+  /** Wrap a longitude difference into (-180, 180]. Package-visible so
+    * GridSpec can pin `Grid.dLonCol` to the identical convention (the two
+    * only diverge observably at exactly ±180°).
+    */
+  private[wind] def dLon(lonDeg: Double, lon0Deg: Double): Double = {
     var d = (lonDeg - lon0Deg) % 360.0
     if (d <= -180.0) d += 360.0 else if (d > 180.0) d -= 360.0
     d
@@ -65,18 +71,29 @@ object Projection {
     def inverse(x: Double, y: Double): (Double, Double)
   }
 
-  /** Lambert conformal conic, northern hemisphere, secant (latin1 ≠
-    * latin2) or tangent (equal) — template 3.30. The pole is the plane
-    * origin; +y points from the grid toward the pole along the LoV
-    * meridian. Cone constant `n`, auxiliary `F` per Snyder 15-3/15-2.
+  /** Lambert conformal conic, secant (latin1 ≠ latin2) or tangent (equal) —
+    * template 3.30. Both standard parallels in one hemisphere: positive
+    * parallels give the northern cone, negative the southern (the
+    * centre-flag-0x80 products); mixed signs have no single conformal cone
+    * and refuse. The pole the cone wraps is the plane origin; +y is the
+    * direction of INCREASING latitude along the LoV meridian (the GRIB2
+    * LoV definition) — toward the pole for the northern cone, away from it
+    * for the southern. Cone constant `n`, auxiliary `F` per Snyder
+    * 15-3/15-2, computed on the mirrored (|φ|) cone for the southern case
+    * and reflected back (φ → −φ, y → −y is a conformal involution, so all
+    * scale/conformality invariants carry over).
     */
   final case class LambertConformal(r: Double, lovDeg: Double,
       latin1Deg: Double, latin2Deg: Double) extends Proj {
-    require(latin1Deg > 0 && latin1Deg < 90 && latin2Deg > 0 && latin2Deg < 90,
+    require(latin1Deg != 0 && math.abs(latin1Deg) < 90 &&
+        latin2Deg != 0 && math.abs(latin2Deg) < 90 &&
+        latin1Deg.sign == latin2Deg.sign,
       s"unsupported Lambert standard parallels ($latin1Deg, $latin2Deg): " +
-        "northern-hemisphere cone only (0 < latin < 90)")
-    private val p1 = math.toRadians(latin1Deg)
-    private val p2 = math.toRadians(latin2Deg)
+        "need 0 < |latin| < 90 with both parallels in the same hemisphere")
+    /** −1 for the southern cone: latitudes and plane-y mirror through it. */
+    private val sgn = latin1Deg.sign
+    private val p1 = math.toRadians(latin1Deg * sgn)
+    private val p2 = math.toRadians(latin2Deg * sgn)
     /** Cone constant: sin(latin1) when tangent (Snyder 15-4 limit). */
     val n: Double =
       if (latin1Deg == latin2Deg) math.sin(p1)
@@ -88,45 +105,52 @@ object Projection {
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
       val rho = r * bigF /
-        math.pow(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2), n)
+        math.pow(math.tan(math.Pi / 4 + math.toRadians(latDeg * sgn) / 2), n)
       val th = n * math.toRadians(dLon(lonDeg, lovDeg))
-      (rho * math.sin(th), -rho * math.cos(th))
+      (rho * math.sin(th), -sgn * rho * math.cos(th))
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
       val rho = math.hypot(x, y)
       val lat =
-        if (rho == 0) 90.0
-        else math.toDegrees(
+        if (rho == 0) 90.0 * sgn
+        else sgn * math.toDegrees(
           2 * math.atan(math.pow(r * bigF / rho, 1.0 / n)) - math.Pi / 2)
-      (lat, norm360(lovDeg + math.toDegrees(math.atan2(x, -y) / n)))
+      (lat, norm360(lovDeg + math.toDegrees(math.atan2(x, -sgn * y) / n)))
     }
   }
 
-  /** Polar stereographic from the north pole — template 3.20. Scale true
-    * at LaD (60°N for every NCEP product): ρ = R(1+sin LaD)·tan(π/4−φ/2),
-    * the k₀=(1+sin φd)/2 specialization of Snyder 21-1. +y points from the
-    * grid toward the pole along the LoV meridian.
+  /** Polar stereographic — template 3.20, either pole. Scale true at LaD
+    * (60°N for the NCEP products; negative LaD with `south = true` for the
+    * Antarctic families, centre flag 0x80): ρ = R(1+sin|LaD|)·tan(π/4∓φ/2),
+    * the k₀=(1+sin φd)/2 specialization of Snyder 21-1. +y is the direction
+    * of INCREASING latitude along the LoV meridian (the GRIB2 LoV
+    * definition): toward the pole for the north projection, away from it
+    * for the south — the south case is the φ → −φ, y → −y mirror of the
+    * north, a conformal involution, so scale/conformality carry over.
     */
   final case class PolarStereo(r: Double, lovDeg: Double,
-      ladDeg: Double) extends Proj {
-    require(ladDeg > 0 && ladDeg <= 90,
-      s"unsupported polar-stereographic LaD $ladDeg: north-pole projection " +
-        "needs 0 < LaD <= 90")
-    private val c = r * (1 + math.sin(math.toRadians(ladDeg)))
+      ladDeg: Double, south: Boolean = false) extends Proj {
+    require(if (south) ladDeg < 0 && ladDeg >= -90 else ladDeg > 0 && ladDeg <= 90,
+      s"unsupported polar-stereographic LaD $ladDeg: " +
+        (if (south) "south-pole projection needs -90 <= LaD < 0"
+         else "north-pole projection needs 0 < LaD <= 90"))
+    /** −1 for the south projection: latitudes and plane-y mirror. */
+    private val sgn = if (south) -1.0 else 1.0
+    private val c = r * (1 + math.sin(math.toRadians(ladDeg * sgn)))
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
-      val rho = c * math.tan(math.Pi / 4 - math.toRadians(latDeg) / 2)
+      val rho = c * math.tan(math.Pi / 4 - math.toRadians(latDeg * sgn) / 2)
       val th = math.toRadians(dLon(lonDeg, lovDeg))
-      (rho * math.sin(th), -rho * math.cos(th))
+      (rho * math.sin(th), -sgn * rho * math.cos(th))
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
       val rho = math.hypot(x, y)
-      val lat = math.toDegrees(math.Pi / 2 - 2 * math.atan(rho / c))
+      val lat = sgn * math.toDegrees(math.Pi / 2 - 2 * math.atan(rho / c))
       val lon =
         if (rho == 0) norm360(lovDeg)
-        else norm360(lovDeg + math.toDegrees(math.atan2(x, -y)))
+        else norm360(lovDeg + math.toDegrees(math.atan2(x, -sgn * y)))
       (lat, lon)
     }
   }

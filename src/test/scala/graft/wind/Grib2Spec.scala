@@ -847,6 +847,46 @@ class Grib2Spec extends AnyFunSuite {
     assert(g.data.toSeq == PVals.map(_ / 10.0).toSeq)
   }
 
+  test("south-polar stereographic 3.20 round-trip (centre flag 0x80)") {
+    // Antarctic-style: LaD -60, grid anchored at 30S over the 100E meridian
+    val g = Grib2.decode(Grib2TestWriter.message(
+      msg(m = PVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 20,
+        la1Micro = -30000000L, lo1Micro = 100000000L,
+        dxMicro = 381000000L, dyMicro = 381000000L,
+        lovMicro = 100000000L, ladMicro = -60000000L,
+        projCenterFlag = 0x80))).head
+    assert(g.gridDefinitionTemplate == 20)
+    assert(g.lad == -60.0 && g.lov == 100.0 && (g.projCenter & 0x80) != 0)
+    assert(math.abs(g.la1 - (-30.0)) < 1e-12 &&
+      math.abs(g.lo1 - 100.0) < 1e-12)
+    val ps = Projection.PolarStereo(6371229.0, 100.0, -60.0, south = true)
+    val (x1, y1) = ps.forward(-30.0, 100.0)
+    val (la2, lo2) = ps.inverse(x1 + 7 * 381000.0, y1 - 5 * 381000.0)
+    assert(math.abs(g.la2 - la2) < 1e-9 && math.abs(g.lo2 - lo2) < 1e-9)
+    // canonical rows still run north to south (+y = increasing latitude)
+    assert(g.la2 < g.la1)
+    assert(g.data.toSeq == PVals.map(_ / 10.0).toSeq)
+  }
+
+  test("southern Lambert 3.30 round-trip (negative parallels, flag 0x80)") {
+    // Australian-BoM-style tangent cone at 33.3S over 147E
+    val g = Grib2.decode(Grib2TestWriter.message(
+      msg(m = PVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 30,
+        la1Micro = -45000000L, lo1Micro = 130000000L,
+        dxMicro = 300000000L, dyMicro = 300000000L,
+        lovMicro = 147000000L, ladMicro = -33300000L,
+        latin1Micro = -33300000L, latin2Micro = -33300000L,
+        projCenterFlag = 0x80))).head
+    assert(g.gridDefinitionTemplate == 30)
+    assert(g.latin1 == -33.3 && g.latin2 == -33.3 && g.lad == -33.3)
+    val lc = Projection.LambertConformal(6371229.0, 147.0, -33.3, -33.3)
+    val (x1, y1) = lc.forward(-45.0, 130.0)
+    val (la2, lo2) = lc.inverse(x1 + 7 * 300000.0, y1 - 5 * 300000.0)
+    assert(math.abs(g.la2 - la2) < 1e-9 && math.abs(g.lo2 - lo2) < 1e-9)
+    assert(g.la2 < g.la1)
+    assert(g.data.toSeq == PVals.map(_ / 10.0).toSeq)
+  }
+
   test("Mercator 3.10 round-trip") {
     val g = Grib2.decode(Grib2TestWriter.message(
       msg(m = PVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 10,
@@ -880,9 +920,16 @@ class Grib2Spec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         Grib2.decode(Grib2TestWriter.message(m))
       }.getMessage
+    // the 0x80 south bit and LaD/parallel hemispheres must agree, both ways
     assert(decodeErr(msg().copy(gridTemplate = 20, nx = 8, ny = 4,
       ladMicro = 60000000L, projCenterFlag = 0x80))
-      .contains("south-polar"))
+      .contains("inconsistent"))
+    assert(decodeErr(msg().copy(gridTemplate = 20, nx = 8, ny = 4,
+      ladMicro = -60000000L, projCenterFlag = 0))
+      .contains("inconsistent"))
+    assert(decodeErr(lambertMsg().copy(ladMicro = -38500000L,
+      latin1Micro = -38500000L, latin2Micro = -38500000L))
+      .contains("inconsistent"))
     assert(decodeErr(msg().copy(gridTemplate = 20, nx = 8, ny = 4,
       ladMicro = 60000000L, projCenterFlag = 0x40))
       .contains("bi-polar"))

@@ -171,6 +171,57 @@ class GridSpec extends SparkSpec {
       30.0, 225.0, 381000.0, 381000.0, 8, 48)
   }
 
+  test("toPointsPolarStereo south pole (centre flag 0x80) matches the inverse") {
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = -30000000L, lo1Micro = 100000000L,
+      dxMicro = 381000000L, dyMicro = 381000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 20, lovMicro = 100000000L, ladMicro = -60000000L,
+      projCenterFlag = 0x80))
+    val pts = Grid.toPointsPolarStereo(df)
+    assert(!pts.queryExecution.executedPlan.toString.contains("Exchange"))
+    checkAgainstInverse(pts.collect(),
+      Projection.PolarStereo(6371229.0, 100.0, -60.0, south = true),
+      -30.0, 100.0, 381000.0, 381000.0, 8, 48)
+  }
+
+  test("toPointsLambert southern cone matches the inverse cell-for-cell") {
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = -45000000L, lo1Micro = 130000000L,
+      dxMicro = 300000000L, dyMicro = 300000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 30, lovMicro = 140000000L, ladMicro = -30000000L,
+      latin1Micro = -30000000L, latin2Micro = -60000000L,
+      projCenterFlag = 0x80))
+    checkAgainstInverse(Grid.toPointsLambert(df).collect(),
+      Projection.LambertConformal(6371229.0, 140.0, -30.0, -60.0),
+      -45.0, 130.0, 300000.0, 300000.0, 8, 48)
+  }
+
+  test("dLonCol matches Projection.dLon everywhere, including exactly ±180°") {
+    // the two implementations must share one wrap convention — (-180, 180]
+    // — or a point exactly on the antimeridian gets θ of opposite sign
+    // between the scalar (driver/corner) and column (point-addressing) paths
+    val diffs = Seq(-540.0, -360.0, -180.0, -179.999999, -0.5, 0.0,
+      0.5, 179.999999, 180.0, 360.0, 540.0)
+    val df = spark.createDataFrame(
+      java.util.List.of(diffs.map(d => Row(d)): _*),
+      StructType(Seq(StructField("d", DoubleType))))
+    val got = df.select(col("d"),
+        Grid.dLonCol(col("d"), lit(0.0)).as("w")).collect()
+      .map(r => r.getAs[Double]("d") -> r.getAs[Double]("w")).toMap
+    for (d <- diffs) {
+      val want = Projection.dLon(d, 0.0)
+      assert(got(d) == want, s"dLonCol($d) = ${got(d)}, scalar dLon = $want")
+      assert(want > -180.0 && want <= 180.0)
+    }
+    assert(got(180.0) == 180.0 && got(-180.0) == 180.0 && got(-540.0) == 180.0)
+  }
+
   test("toPointsMercator matches the projection inverse cell-for-cell") {
     val df = decodedDf(Grib2TestWriter.Msg(
       discipline = 0, category = 2, number = 2,

@@ -27,6 +27,17 @@ class ProjectionSpec extends AnyFunSuite {
     Case("polar stereographic LaD 60 (NCEP-style)",
       Projection.PolarStereo(R, 255.0, 60.0),
       trueLats = Seq(60.0), testLats = Seq(20.0, 45.0, 60.0, 80.0, 89.0)),
+    Case("south-polar stereographic LaD -60 (Antarctic-style)",
+      Projection.PolarStereo(R, 100.0, -60.0, south = true),
+      trueLats = Seq(-60.0),
+      testLats = Seq(-89.0, -80.0, -60.0, -45.0, -20.0)),
+    Case("southern Lambert tangent -33.3 (centre flag 0x80)",
+      Projection.LambertConformal(R, 147.0, -33.3, -33.3),
+      trueLats = Seq(-33.3), testLats = Seq(-75.0, -55.0, -33.3, -21.1, -5.0)),
+    Case("southern Lambert secant -30/-60",
+      Projection.LambertConformal(R, 140.0, -30.0, -60.0),
+      trueLats = Seq(-30.0, -60.0),
+      testLats = Seq(-80.0, -60.0, -47.5, -30.0, -12.0)),
     Case("Mercator LaD 20",
       Projection.Mercator(R, 20.0, 230.0),
       trueLats = Seq(20.0, -20.0), testLats = Seq(-45.0, -20.0, 0.0, 20.0, 66.0)))
@@ -75,6 +86,29 @@ class ProjectionSpec extends AnyFunSuite {
       val (xb, yb) = proj.forward(60.0, lov)
       assert(math.abs(xa) < 1e-6 && math.abs(xb) < 1e-6)
       assert(yb > ya, "+y must point toward the pole along LoV")
+    }
+  }
+
+  test("southern Lambert/stereo: LoV on x = 0, +y = increasing latitude " +
+      "(away from the south pole)") {
+    for ((proj, lov) <- Seq(
+      (Projection.LambertConformal(R, 147.0, -33.3, -33.3), 147.0),
+      (Projection.PolarStereo(R, 100.0, -60.0, south = true), 100.0))) {
+      val (xa, ya) = proj.forward(-60.0, lov)
+      val (xb, yb) = proj.forward(-30.0, lov)
+      assert(math.abs(xa) < 1e-6 && math.abs(xb) < 1e-6)
+      assert(yb > ya, "+y must point toward increasing latitude along LoV")
+    }
+    // mirror identity: the south projection of (φ, λ) is the north
+    // projection of (−φ, λ) with y negated — the involution the
+    // implementation claims, checked point-for-point
+    val n = Projection.PolarStereo(R, 100.0, 60.0)
+    val s = Projection.PolarStereo(R, 100.0, -60.0, south = true)
+    for (lat <- Seq(-85.0, -60.0, -31.0); lon <- testLons) {
+      val (xs, ys) = s.forward(lat, lon)
+      val (xn, yn) = n.forward(-lat, lon)
+      assert(math.abs(xs - xn) < 1e-9 && math.abs(ys + yn) < 1e-9,
+        s"south($lat,$lon)=($xs,$ys) vs mirrored north=($xn,${-yn})")
     }
   }
 
@@ -142,10 +176,15 @@ class ProjectionSpec extends AnyFunSuite {
     assert(z.getMessage.contains("radius"), z.getMessage)
   }
 
-  test("constructor refusals: southern cone, polar LaD, Mercator LaD bounds") {
+  test("constructor refusals: mixed-hemisphere cone, LaD/pole mismatch, " +
+      "Mercator LaD bounds") {
     intercept[IllegalArgumentException](
-      Projection.LambertConformal(R, 265.0, -30.0, -60.0))
+      Projection.LambertConformal(R, 265.0, 30.0, -60.0))
+    intercept[IllegalArgumentException](
+      Projection.LambertConformal(R, 265.0, 0.0, 0.0))
     intercept[IllegalArgumentException](Projection.PolarStereo(R, 255.0, -60.0))
+    intercept[IllegalArgumentException](
+      Projection.PolarStereo(R, 255.0, 60.0, south = true))
     intercept[IllegalArgumentException](Projection.Mercator(R, 90.0, 230.0))
   }
 }
