@@ -13,6 +13,20 @@ import org.apache.spark.sql.SparkSession
   * + file listing) then best-of-2 timed passes per query to a `noop` sink —
   * full materialization of every row, no driver collect, no disk write skew.
   *
+  * Execution model (round 12): the full no-arg run forks the query list in
+  * chunks of [[ChunkSize]] into PRISTINE CHILD JVMs, run sequentially.
+  * Rationale (round-11 adjudication): per-query times measured inside one
+  * 83-query JVM carry cumulative code-cache/GC/metaspace pressure that a
+  * same-JVM cache flush cannot undo — the nine heaviest queries measured
+  * 55.2 s in-suite vs 32.8 s fresh-JVM with identical plans. The number
+  * this harness records is supposed to BE the fresh-JVM per-query truth, so
+  * each chunk now gets a fresh JVM + SparkSession; JVM/session startup is
+  * untimed (it happens before the chunk's first warmup). Chunks inherit the
+  * parent's classpath and JVM flags, so a child measures exactly what
+  * `runMain graft.Bench <names>` would. A crashed or hung child is retried
+  * once, then its queries land in `failures` at [[FailurePenaltySec]] each —
+  * a dead child can only ever grow the total, never improve it.
+  *
   * Honesty guarantees (a loaded machine once let noise read as a 2.4×
   * regression, and a crashing query *shrank* the total):
   *  - `runs` carries every raw per-run time — widely split runs of the same
@@ -21,14 +35,162 @@ import org.apache.spark.sql.SparkSession
   *  - a query with no successful run lands in `failures` and is counted
   *    into the total at [[FailurePenaltySec]] — a crash can only ever grow
   *    the number, never improve it.
+  *
+  * Modes: no args → forked parent (the driver's full run). Name-prefix args
+  * (e.g. `Bench x0 q01`) → in-process subset, for local iteration.
+  * `--child <out.json> <name>...` → child protocol (internal).
+  * `SPARK_GRAFT_BENCH_FORK=0` forces the old single-JVM full run.
   */
 object Bench {
 
   /** Charged to the total per query with zero successful runs. */
   val FailurePenaltySec = 600.0
 
+  /** Queries per child JVM. Small enough that intra-chunk context pressure
+    * is negligible (round-11 adjudication: even 9 heavy queries in one
+    * fresh JVM measured at their individual fresh-JVM levels); large enough
+    * that the ~10 s JVM+session startup amortizes to ~1 s/query of untimed
+    * wall-clock overhead.
+    */
+  val ChunkSize = 8
+
+  /** Hard per-child wall-clock cap; a hung child must not hang the bench. */
+  val ChildTimeoutMinutes = 20L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.headOption match {
+      case Some("--child") =>
+        require(args.length >= 3, "usage: --child <out.json> <query>...")
+        childMain(sfDir, args(1), args.drop(2))
+      case _ if args.nonEmpty =>
+        // local-iteration subset: in-process, prints the same JSON shape
+        val json = runInProcess(sfDir, args)
+        emit(json)
+      case _ if sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0") =>
+        emit(runInProcess(sfDir, Array.empty))
+      case _ =>
+        parentMain(sfDir)
+    }
+  }
+
+  // ---------------------------------------------------------------- parent
+
+  private def parentMain(sfDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    // SPARK_GRAFT_BENCH_ONLY=x0,q (comma-separated prefixes): forked run
+    // over a subset — for iterating on the fork machinery itself
+    val prefixes = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => prefixes.forall(_.exists(n.startsWith)))
+    require(names.nonEmpty, "no queries match SPARK_GRAFT_BENCH_ONLY")
+    val chunks = names.grouped(ChunkSize).toSeq
+    val outDir = java.nio.file.Paths.get("target", "bench-children")
+    java.nio.file.Files.createDirectories(outDir)
+
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    // the parent was forked by sbt with the project classpath and the
+    // JDK-17 --add-opens / -D / -Xmx flags; children inherit both, minus
+    // any attached agents (debuggers, profilers) that must not re-attach
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val classpath = System.getProperty("java.class.path")
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val chunkJsons = chunks.zipWithIndex.map { case (chunk, i) =>
+      val out = outDir.resolve(s"chunk$i.json")
+      val log = outDir.resolve(s"chunk$i.log").toFile
+      java.nio.file.Files.deleteIfExists(out)
+      def attempt(): Option[com.fasterxml.jackson.databind.JsonNode] = {
+        val cmd = (Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", classpath, "graft.Bench", "--child", out.toString) ++
+          chunk).asJava
+        val p = new ProcessBuilder(cmd)
+          .redirectErrorStream(true)
+          .redirectOutput(ProcessBuilder.Redirect.to(log))
+          .start()
+        val done = p.waitFor(ChildTimeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { p.destroyForcibly(); p.waitFor() }
+        if (done && p.exitValue == 0 && java.nio.file.Files.exists(out))
+          try Some(mapper.readTree(java.nio.file.Files.readString(out)))
+          catch { case _: Throwable => None }
+        else None
+      }
+      val node = attempt().orElse(attempt()) // one retry: transient OOM/port races
+      System.err.println(s"[bench] chunk $i/${chunks.size} " +
+        s"(${chunk.head}..${chunk.last}): " +
+        node.fold("FAILED twice — counting penalties")(n =>
+          f"${n.get("value").asDouble()}%.1f s"))
+      (chunk, node)
+    }
+
+    // merge child artifacts; a failed chunk contributes penalty rows so the
+    // total can only grow on failure
+    def mergedMap(field: String, missing: String): String =
+      chunkJsons.flatMap { case (chunk, node) =>
+        node match {
+          case Some(n) =>
+            val m = n.get(field)
+            chunk.map(q => "\"" + q + "\":" + Option(m.get(q)).fold(missing)(_.toString))
+          case None => chunk.map(q => "\"" + q + "\":" + missing)
+        }
+      }.mkString("{", ",", "}")
+
+    val failures = chunkJsons.flatMap {
+      case (_, Some(n)) =>
+        n.get("failures").elements.asScala.map(_.asText()).toSeq
+      case (chunk, None) => chunk
+    }
+    val total = chunkJsons.map {
+      case (_, Some(n)) => n.get("value").asDouble()
+      case (chunk, None) => chunk.size * FailurePenaltySec
+    }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","forked":true,""" +
+        s""""runs":${mergedMap("runs", "[-1.0,-1.0]")},""" +
+        s""""rows":${mergedMap("rows", "-1")},""" +
+        s""""scan_bytes":${mergedMap("scan_bytes", "-1")},""" +
+        s""""scan_cols":${mergedMap("scan_cols", "-1")},""" +
+        s""""expr_nodes":${mergedMap("expr_nodes", "-1")},""" +
+        s""""queries":${mergedMap("queries", FailurePenaltySec.toString)},""" +
+        s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""penalty_sec_per_failure":$FailurePenaltySec,"sf":"$sfDir"}"""
+    emit(json)
+  }
+
+  private def emit(json: String): Unit = {
+    println(json)
+    // Truncation-proof copy: the stdout tail window is ~2 KiB, so the full
+    // artifact (all instrument maps intact) also lands on disk where the
+    // end-of-round snapshot commit picks it up.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), json + "\n")
+    catch { case _: Throwable => () }
+    // The driver captures only the last ~2 KiB of output; round 3's hardened
+    // JSON outgrew that window and lost its leading "total" field. This
+    // short trailing line always survives tail truncation.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(json)
+    println(s"""{"metric":"total","value":${n.get("value").asDouble()},""" +
+      s""""failures":${n.get("failures").size()}}""")
+  }
+
+  // ----------------------------------------------------------------- child
+
+  private def childMain(sfDir: String, outPath: String, names: Array[String]): Unit = {
+    val json = runInProcess(sfDir, names, exactNames = true)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    println(json)
+  }
+
+  // ------------------------------------------------------- measuring core
+
+  /** Runs the selected queries in THIS JVM and returns the bench JSON. */
+  private def runInProcess(
+      sfDir: String, args: Array[String], exactNames: Boolean = false): String = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", 32)
       .config("spark.ui.enabled", "false")
@@ -91,13 +253,15 @@ object Bench {
       obs.get("rows").asInstanceOf[Long]
     }
 
-    // optional args: name prefixes to run a subset (e.g. `Bench x0 q01`)
     val queries = {
       val all = SparkEntry.queries.toSeq.sortBy(_._1)
       if (args.isEmpty) all
-      else all.filter { case (n, _) => args.exists(n.startsWith) }
+      else if (exactNames) {
+        val want = args.toSet
+        all.filter { case (n, _) => want(n) }
+      } else all.filter { case (n, _) => args.exists(n.startsWith) }
     }
-    require(queries.nonEmpty, s"no queries match prefixes ${args.mkString(",")}")
+    require(queries.nonEmpty, s"no queries match ${args.mkString(",")}")
     val warmRows = queries.map { case (name, fn) =>
       name -> (try observedRun(fn) catch { case _: Throwable => -1L })
     }.toMap
@@ -109,12 +273,10 @@ object Bench {
     }.toMap
     // Cumulative-state flush (round-10 adjudication: construction-
     // materializing queries — x19/x34/x36/x41/x45 — leave localCheckpoint
-    // RDDs and broadcasts behind; three warmup passes over 82 queries
-    // inflated a suite-context x02 to ~36 s vs 4.9 s fresh-JVM). Every
-    // timed run starts from the same clean slate: drop every persistent
-    // RDD and cached relation, then nudge the ContextCleaner (broadcast
-    // cleanup is weak-ref driven) so earlier queries can't charge their
-    // memory pressure to later ones.
+    // RDDs and broadcasts behind). Every timed run starts from the same
+    // clean slate: drop every persistent RDD and cached relation, then
+    // nudge the ContextCleaner (broadcast cleanup is weak-ref driven) so
+    // earlier queries can't charge their memory pressure to later ones.
     def flushState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
@@ -134,8 +296,8 @@ object Bench {
         warmRows(name))
     }
     val failures = results.collect { case (n, ts, _, _) if ts.forall(_ < 0) => n }
-    // ms precision: keeps the whole 82-query seconds map near the 2 KiB
-    // tail budget (full-precision doubles alone would overflow it)
+    // ms precision: keeps the whole seconds map near the 2 KiB tail budget
+    // (full-precision doubles alone would overflow it)
     val qs = results.map { case (k, _, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val runs = results
@@ -162,17 +324,7 @@ object Bench {
         s""""expr_nodes":$exprs,""" +
         s""""queries":$qs,"failures":$fs,""" +
         s""""penalty_sec_per_failure":$FailurePenaltySec,"sf":"$sfDir"}"""
-    println(json)
-    // Truncation-proof copy: the stdout tail window is ~2 KiB, so the full
-    // artifact (all instrument maps intact) also lands on disk where the
-    // end-of-round snapshot commit picks it up.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), json + "\n")
-    catch { case _: Throwable => () }
-    // The driver captures only the last ~2 KiB of output; round 3's hardened
-    // JSON outgrew that window and lost its leading "total" field. This
-    // short trailing line always survives tail truncation.
-    println(s"""{"metric":"total","value":$total,"failures":${failures.length}}""")
     spark.stop()
+    json
   }
 }
