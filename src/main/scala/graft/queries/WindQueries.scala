@@ -233,6 +233,53 @@ object WindQueries {
       |  CAST(pos * 37 % 101 AS DOUBLE) / 10 AS value
       |FROM xy ORDER BY pos""".stripMargin
 
+  /** South-polar stereographic addressing (round 12): the binary decoder
+    * reads the committed 3.20 fixture with centre flag 0x80 (LaD −60°S —
+    * the Antarctic convention) and [[Grid.toPointsPolarStereo]] addresses
+    * every cell through the mirrored (φ → −φ, y → −y) projection. The
+    * oracle replays the whole path generatively in DuckDB trig — an
+    * independent second implementation of the SOUTH inverse, agreeing to
+    * the 1e-5-degree quantization. Exercises
+    * `Projection.PolarStereo(south = true)` end-to-end through the wire
+    * format (flag octet, sign-magnitude negative LaD/La1).
+    */
+  def southPolarPoints(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/graft/wind/stereo320s.grb2")
+    require(in != null, "missing stereo320s.grb2 resource")
+    val bytes = try in.readAllBytes() finally in.close()
+    Grid.toPointsPolarStereo(
+        spark.createDataFrame(graft.wind.Grib2.decode(bytes)))
+      .select(col("pos").cast("long").as("pos"),
+        (round(col("lat") * 1e5) / 1e5).as("lat"),
+        (round(col("lon") * 1e5) / 1e5).as("lon"),
+        col("value"))
+      .orderBy("pos")
+  }
+
+  // fixture constants: LaD −60 (true scale), LoV 255, first point
+  // (−35, 230), 8×6 cells of 381 km, shape-6 sphere; for the south
+  // projection (sgn = −1): ρ = c·tan(π/4 − |φ|/2) with
+  // c = R(1+sin 60°), y₁ = +ρ₁cos θ₁, λ = LoV + atan2(x, y),
+  // φ = −(90° − 2·atan(ρ/c))
+  private val southPolarPointsSql =
+    """WITH a AS (
+      |  SELECT 6371229.0 * (1 + sin(radians(60))) AS c),
+      |anchor AS (
+      |  SELECT c,
+      |    c * tan(pi()/4 - radians(35)/2) AS rho1,
+      |    radians(230 - 255) AS th1
+      |  FROM a),
+      |xy AS (
+      |  SELECT pos, c,
+      |    rho1 * sin(th1) + (pos % 8) * 381000.0 AS x,
+      |    rho1 * cos(th1) - (pos // 8) * 381000.0 AS y
+      |  FROM anchor, (SELECT unnest(range(48)) AS pos))
+      |SELECT CAST(pos AS BIGINT) AS pos,
+      |  round(degrees(2*atan(sqrt(x*x + y*y)/c) - pi()/2) * 1e5)/1e5 AS lat,
+      |  round(((255 + degrees(atan2(x, y))) % 360) * 1e5)/1e5 AS lon,
+      |  CAST(pos * 37 % 101 AS DOUBLE) / 10 AS value
+      |FROM xy ORDER BY pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_decoded_records", Some(decodedRecordsSql), decodedRecords),
     QueryDef("w02_uv_filter", Some(uvFilterSql), uvFilter),
@@ -241,5 +288,6 @@ object WindQueries {
     QueryDef("w05_backtrack_candidates", Some(backtrackCandidatesSql), backtrackCandidates),
     QueryDef("w06_upsert_latest", Some(upsertLatestSql), upsertLatest),
     QueryDef("w07_lambert_points", Some(lambertPointsSql), lambertPoints),
+    QueryDef("w08_southpolar_points", Some(southPolarPointsSql), southPolarPoints),
   )
 }

@@ -93,6 +93,7 @@ object Grib2Source {
     StructField("latin2", DoubleType, nullable = false),
     StructField("projCenter", IntegerType, nullable = false),
     StructField("earthRadius", DoubleType, nullable = false),
+    StructField("earthEcc", DoubleType, nullable = false),
     StructField("southPoleLat", DoubleType, nullable = false),
     StructField("southPoleLon", DoubleType, nullable = false),
     StructField("statProcess", IntegerType, nullable = false),
@@ -239,6 +240,7 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
             m.basicAngle, m.resolution, m.scanMode,
             m.la2, m.lo2, m.surface2Type, m.surface2Value,
             m.lov, m.lad, m.latin1, m.latin2, m.projCenter, m.earthRadius,
+            m.earthEcc,
             m.southPoleLat, m.southPoleLon,
             m.statProcess, m.intervalHours,
             m.ensembleType, m.perturbationNumber, m.nEnsemble,

@@ -482,12 +482,14 @@ object Grib2 {
       la1: Double, lo1: Double, la2: Double, lo2: Double,
       dx: Double, dy: Double, resolution: Int,
       lov: Double, lad: Double, latin1: Double, latin2: Double,
-      projCenter: Int, earthRadius: Double, scan: Int)
+      projCenter: Int, earth: Projection.Earth, scan: Int)
 
   /** Decode a projected section-3 template. Octet layouts per the WMO
     * tables (the netCDF-Java decoder grib2json bundles reads the same
-    * offsets for HRRR/NAM/RAP-class products). Unsupported parameter
-    * combinations — oblate earth shapes, bi-polar centre flags, rotated
+    * offsets for HRRR/NAM/RAP-class products). Earth figures cover the
+    * full table-3.2 range 0-8 — the oblate codes (2/3/4/5/7) ride the
+    * ellipsoidal (conformal-latitude) projection forms, round 12.
+    * Unsupported parameter combinations — bi-polar centre flags, rotated
     * Mercator, a Lambert LaD off both standard parallels, a 0x80 south
     * centre flag inconsistent with the LaD/parallel hemisphere — refuse
     * loudly by name rather than mis-georeference. South-polar
@@ -498,8 +500,11 @@ object Grib2 {
       shape: Int, optListOctets: Int): ProjGrid = {
     require(optListOctets == 0,
       s"unsupported quasi-regular point list on projected grid template 3.$tmpl")
-    val radius = Projection.earthRadius(shape,
-      u8(payload, p + 15), u32(payload, p + 16))  // octets 16, 17-20
+    val earth = Projection.earthModel(shape,
+      u8(payload, p + 15), u32(payload, p + 16),  // radius: octets 16, 17-20
+      u8(payload, p + 20), u32(payload, p + 21),  // major axis: 21, 22-25
+      u8(payload, p + 25), u32(payload, p + 26))  // minor axis: 26, 27-30
+    val radius = earth.a
     val nx = u32(payload, p + 30).toInt           // Nx/Ni, octets 31-34
     val ny = u32(payload, p + 34).toInt           // Ny/Nj, octets 35-38
     require(nx >= 1 && ny >= 1, s"projected grid ${nx}x$ny")
@@ -548,10 +553,11 @@ object Grib2 {
       f"unsupported scanning mode 0x$scan%02x (bits 5-8: staggered/offset " +
         "grids)")
     val proj: Projection.Proj = tmpl match {
-      case 10 => Projection.Mercator(radius, lad, lo1)
+      case 10 => Projection.Mercator(radius, lad, lo1, e = earth.e)
       case 20 => Projection.PolarStereo(radius, lov, lad,
-        south = (projCenter & 0x80) != 0)
-      case 30 => Projection.LambertConformal(radius, lov, latin1, latin2)
+        south = (projCenter & 0x80) != 0, e = earth.e)
+      case 30 => Projection.LambertConformal(radius, lov, latin1, latin2,
+        e = earth.e)
     }
     // Canonical corners in PLANE space: the wire (La1, Lo1) is the first
     // SCANNED point; shift to the canonical (+i, -j) start corner, then
@@ -565,7 +571,7 @@ object Grib2 {
     val (cla1, clo1) = proj.inverse(x1, y1)
     val (cla2, clo2) = proj.inverse(x1 + (nx - 1) * dx, y1 - (ny - 1) * dy)
     ProjGrid(nx, ny, cla1, clo1, cla2, clo2, dx, dy, resolution,
-      lov, lad, latin1, latin2, projCenter, radius, scan)
+      lov, lad, latin1, latin2, projCenter, earth, scan)
   }
 
   // ---------------------------------------------------------------- decode
@@ -615,7 +621,7 @@ object Grib2 {
       var rowCounts: Array[Int] = null // non-null ⇔ quasi-regular grid
       // projected-template (3.10/3.20/3.30) parameters; zero otherwise
       var lov = 0.0; var lad = 0.0; var latin1 = 0.0; var latin2 = 0.0
-      var projCenter = 0; var earthRadius = 0.0
+      var projCenter = 0; var earthRadius = 0.0; var earthEcc = 0.0
       // rotated lat/lon (3.1): true position of the rotated south pole
       var southPoleLat = 0.0; var southPoleLon = 0.0
       // field-scoped state, reset after every data section (sections 4-7
@@ -669,7 +675,7 @@ object Grib2 {
             numberPoints = u32(payload, p + 6).toInt // octets 7-10
             shape = u8(payload, p + 14)            // shape of earth, octet 15
             lov = 0.0; lad = 0.0; latin1 = 0.0; latin2 = 0.0
-            projCenter = 0; earthRadius = 0.0
+            projCenter = 0; earthRadius = 0.0; earthEcc = 0.0
             southPoleLat = 0.0; southPoleLon = 0.0
             if (tmpl == 10 || tmpl == 20 || tmpl == 30) {
               val g = parseProjected(payload, p, tmpl, shape, optListOctets)
@@ -677,7 +683,8 @@ object Grib2 {
               la2 = g.la2; lo2 = g.lo2; dx = g.dx; dy = g.dy
               resolution = g.resolution; lov = g.lov; lad = g.lad
               latin1 = g.latin1; latin2 = g.latin2; projCenter = g.projCenter
-              earthRadius = g.earthRadius; scanRaw = g.scan
+              earthRadius = g.earth.a; earthEcc = g.earth.e
+              scanRaw = g.scan
               basicAngle = 0; rowCounts = null
             } else {
             nx = u32(payload, p + 30).toInt        // Ni, octets 31-34
@@ -1027,6 +1034,7 @@ object Grib2 {
                 surface2Type = surf2Type, surface2Value = surf2Val,
                 lov = lov, lad = lad, latin1 = latin1, latin2 = latin2,
                 projCenter = projCenter, earthRadius = earthRadius,
+                earthEcc = earthEcc,
                 southPoleLat = southPoleLat, southPoleLon = southPoleLon,
                 statProcess = statProcess, intervalHours = intervalHours,
                 ensembleType = ensembleType,

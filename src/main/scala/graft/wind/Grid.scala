@@ -158,8 +158,47 @@ object Grid {
         col("parameterNumber").as("parameter"),
         col("nx"), col("la1"), col("lo1"), col("dx"), col("dy"),
         col("lov"), col("lad"), col("latin1"), col("latin2"),
-        col("earthRadius").as("r"),
+        col("earthRadius").as("r"), col("earthEcc").as("ecc"),
         posexplode(col("data")).as(Seq("pos", "value")))
+
+  // Ellipsoidal correction factors (round 12), column-for-column the
+  // helpers of [[Projection]] — Snyder 15-9's t (and its reciprocal), 14-15's
+  // m, and the conformal-latitude inverse series 3-5. With `ecc` = 0 every
+  // factor is EXACTLY 1.0 (and every series coefficient exactly 0.0) in
+  // IEEE arithmetic, so spherical frames ride bit-identical plans to the
+  // pre-round-12 spherical-only forms; GridSpec pins the scalar/column
+  // parity on oblate frames too.
+
+  /** [(1−e·sinφ)/(1+e·sinφ)]^(e/2): the conformal correction; 1 at e=0. */
+  private def eCorrCol(phi: Column): Column = {
+    val s = col("ecc") * sin(phi)
+    pow((lit(1.0) - s) / (lit(1.0) + s), col("ecc") / 2)
+  }
+
+  /** 1/t of Snyder 15-9: tan(π/4+φ/2)·eCorr(φ) (Lambert/Mercator form). */
+  private def tcBigCol(phi: Column): Column =
+    tan(QuarterPi + phi / 2) * eCorrCol(phi)
+
+  /** t of Snyder 15-9: tan(π/4−φ/2)/eCorr(φ) (polar-stereographic form). */
+  private def tSmallCol(phi: Column): Column =
+    tan(QuarterPi - phi / 2) / eCorrCol(phi)
+
+  /** m of Snyder 14-15: cosφ/√(1−e²sin²φ). */
+  private def mFacCol(phi: Column): Column =
+    cos(phi) / sqrt(lit(1.0) - col("ecc") * col("ecc") * sin(phi) * sin(phi))
+
+  /** Conformal latitude χ → geodetic φ (radians), Snyder series 3-5. */
+  private def chiToPhiCol(chi: Column): Column = {
+    val e2 = col("ecc") * col("ecc")
+    val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e4 * e4
+    chi +
+      (e2 / 2 + e4 * lit(5.0 / 24) + e6 / 12 + e8 * lit(13.0 / 360)) *
+        sin(chi * 2) +
+      (e4 * lit(7.0 / 48) + e6 * lit(29.0 / 240) + e8 * lit(811.0 / 11520)) *
+        sin(chi * 4) +
+      (e6 * lit(7.0 / 120) + e8 * lit(81.0 / 1120)) * sin(chi * 6) +
+      e8 * lit(4279.0 / 161280) * sin(chi * 8)
+  }
 
   private def finishPoints(df: DataFrame, lat: Column, lon: Column): DataFrame =
     df.withColumn("lat", lat).withColumn("lon", lon)
@@ -178,16 +217,16 @@ object Grid {
     val phi1 = radians(col("latin1") * sgn)
     val phi2 = radians(col("latin2") * sgn)
     val n = when(col("latin1") === col("latin2"), sin(phi1))
-      .otherwise(log(cos(phi1) / cos(phi2)) /
-        log(tan(QuarterPi + phi2 / 2) / tan(QuarterPi + phi1 / 2)))
-    val rf = col("r") * cos(phi1) * pow(tan(QuarterPi + phi1 / 2), n) / n
-    val rho1 = rf / pow(tan(QuarterPi + radians(col("la1") * sgn) / 2), n)
+      .otherwise(log(mFacCol(phi1) / mFacCol(phi2)) /
+        log(tcBigCol(phi2) / tcBigCol(phi1)))
+    val rf = col("r") * mFacCol(phi1) * pow(tcBigCol(phi1), n) / n
+    val rho1 = rf / pow(tcBigCol(radians(col("la1") * sgn)), n)
     val th1 = n * radians(dLonCol(col("lo1"), col("lov")))
     val x = rho1 * sin(th1) + pmod(col("pos"), col("nx")) * col("dx")
     val y = -sgn * rho1 * cos(th1) - floor(col("pos") / col("nx")) * col("dy")
     val rho = sqrt(x * x + y * y)
-    val lat =
-      sgn * degrees(lit(2.0) * atan(pow(rf / rho, lit(1.0) / n)) - HalfPi)
+    val lat = sgn * degrees(chiToPhiCol(
+      lit(2.0) * atan(pow(rf / rho, lit(1.0) / n)) - HalfPi))
     val lon = pmod(col("lov") + degrees(atan2(x, -sgn * y) / n), lit(360.0))
     finishPoints(df, lat, lon)
   }
@@ -200,12 +239,17 @@ object Grid {
   def toPointsPolarStereo(records: DataFrame): DataFrame = {
     val df = explodeFlat(records, 20)
     val sgn = when(col("lad") < 0, lit(-1.0)).otherwise(lit(1.0))
-    val c = col("r") * (lit(1.0) + sin(radians(col("lad") * sgn)))
-    val rho1 = c * tan(QuarterPi - radians(col("la1") * sgn) / 2)
+    val phiD = radians(col("lad") * sgn)
+    // the sphere keeps its own closed form (bit-identity with the
+    // pre-round-12 plan); the ellipsoid rides a·m(LaD)/t(LaD)
+    val c = when(col("ecc") === 0, col("r") * (lit(1.0) + sin(phiD)))
+      .otherwise(col("r") * mFacCol(phiD) / tSmallCol(phiD))
+    val rho1 = c * tSmallCol(radians(col("la1") * sgn))
     val th1 = radians(dLonCol(col("lo1"), col("lov")))
     val x = rho1 * sin(th1) + pmod(col("pos"), col("nx")) * col("dx")
     val y = -sgn * rho1 * cos(th1) - floor(col("pos") / col("nx")) * col("dy")
-    val lat = sgn * degrees(HalfPi - lit(2.0) * atan(sqrt(x * x + y * y) / c))
+    val lat = sgn * degrees(chiToPhiCol(
+      HalfPi - lit(2.0) * atan(sqrt(x * x + y * y) / c)))
     val lon = pmod(col("lov") + degrees(atan2(x, -sgn * y)), lit(360.0))
     finishPoints(df, lat, lon)
   }
@@ -217,11 +261,11 @@ object Grid {
     */
   def toPointsMercator(records: DataFrame): DataFrame = {
     val df = explodeFlat(records, 10)
-    val c = col("r") * cos(radians(col("lad")))
-    val y1 = c * log(tan(QuarterPi + radians(col("la1")) / 2))
+    val c = col("r") * mFacCol(radians(col("lad")))
+    val y1 = c * log(tcBigCol(radians(col("la1"))))
     val x = pmod(col("pos"), col("nx")) * col("dx")
     val y = y1 - floor(col("pos") / col("nx")) * col("dy")
-    val lat = degrees(lit(2.0) * atan(exp(y / c)) - HalfPi)
+    val lat = degrees(chiToPhiCol(lit(2.0) * atan(exp(y / c)) - HalfPi))
     val lon = pmod(col("lo1") + degrees(x / c), lit(360.0))
     finishPoints(df, lat, lon)
   }

@@ -1,14 +1,22 @@
 package graft.wind
 
-/** Spherical map projections for the GRIB2 projected grid templates —
-  * 3.10 Mercator, 3.20 polar stereographic, 3.30 Lambert conformal (the
-  * NOAA HRRR/NAM/RAP families; the reference's bundled grib2json rides
-  * netCDF-Java, whose contract covers "any NCEP products",
-  * `grib2json/target/grib2json-0.8.0-SNAPSHOT/README.md:26`).
+/** Map projections for the GRIB2 projected grid templates — 3.10 Mercator,
+  * 3.20 polar stereographic, 3.30 Lambert conformal (the NOAA HRRR/NAM/RAP
+  * families; the reference's bundled grib2json rides netCDF-Java, whose
+  * contract covers "any NCEP products",
+  * `grib2json/target/grib2json-0.8.0-SNAPSHOT/README.md:26`), on spherical
+  * AND oblate-spheroid earth figures (table 3.2 shapes 0-8).
   *
-  * Formulas are the standard spherical forms (Snyder, "Map Projections — A
-  * Working Manual", USGS PP 1395: Mercator I, polar stereographic, Lambert
-  * conformal conic). Angles are degrees at the API (GRIB wire convention,
+  * Formulas are the standard forms (Snyder, "Map Projections — A
+  * Working Manual", USGS PP 1395: Mercator I/II, polar stereographic ch.
+  * 21, Lambert conformal conic ch. 15). The ellipsoidal variants use the
+  * conformal-latitude machinery: t (Snyder 15-9), m (14-15), and the
+  * χ → φ inverse series (3-5). With eccentricity 0 every ellipsoidal
+  * correction factor collapses to EXACTLY 1.0 (and every series
+  * coefficient to exactly 0.0) in IEEE arithmetic, so the spherical path
+  * is bit-identical to the pre-round-12 spherical-only implementation —
+  * ProjectionSpec pins the flattening → 0 limit. Angles are degrees at
+  * the API (GRIB wire convention,
   * longitudes east-positive), x/y are meters on the projection plane with
   * +x along +i of a canonically-scanned grid and +y the direction of
   * increasing latitude along the LoV/anchor meridian (the GRIB2 LoV
@@ -30,23 +38,103 @@ package graft.wind
   */
 object Projection {
 
-  /** Sphere radius in meters for a GRIB2 "shape of earth" code (table 3.2)
-    * given the custom-radius descriptors (octets 16-20 of the projected
-    * templates). Oblate shapes refuse loudly: the spherical formulas below
-    * would silently mis-place every point by up to ~20 km.
+  /** Earth figure: semi-major axis `a` in meters and first eccentricity
+    * `e` (0 for spheres — the flag the projections key their ellipsoidal
+    * corrections on).
     */
-  def earthRadius(shape: Int, radiusScale: Int, radiusValue: Long): Double =
-    shape match {
-      case 0 => 6367470.0
-      case 1 =>
-        require(radiusValue > 0,
-          s"earth shape 1 (custom sphere) with radius $radiusValue")
-        radiusValue * math.pow(10, -radiusScale)
-      case 6 => 6371229.0
-      case s => throw new IllegalArgumentException(
-        s"unsupported earth shape $s for a projected grid " +
-          "(spherical shapes 0/1/6 only; oblate projection math not implemented)")
-    }
+  final case class Earth(a: Double, e: Double) {
+    require(a > 0 && e >= 0 && e < 1, s"bad earth figure a=$a e=$e")
+  }
+
+  private def oblate(a: Double, b: Double): Earth = {
+    require(a >= b && b > 0, s"bad spheroid axes a=$a b=$b")
+    Earth(a, math.sqrt((a - b) * (a + b)) / a)
+  }
+
+  /** Earth figure for a GRIB2 "shape of earth" code (table 3.2) given the
+    * radius / major-axis / minor-axis descriptors (octets 16-30 of the
+    * projected templates). Spheres come back with eccentricity 0; the
+    * oblate codes (2 IAU-1965, 3 custom-km, 4 GRS80, 5 WGS84, 7 custom-m)
+    * carry the published or wire-coded axes. Unknown codes refuse loudly
+    * rather than mis-place every point.
+    */
+  def earthModel(shape: Int, radiusScale: Int, radiusValue: Long,
+      majorScale: Int = 0, majorValue: Long = 0,
+      minorScale: Int = 0, minorValue: Long = 0): Earth = shape match {
+    case 0 => Earth(6367470.0, 0.0)
+    case 1 =>
+      require(radiusValue > 0,
+        s"earth shape 1 (custom sphere) with radius $radiusValue")
+      Earth(radiusValue * math.pow(10, -radiusScale), 0.0)
+    case 2 => oblate(6378160.0, 6356775.0)       // IAU in 1965
+    case 3 | 7 =>                                 // custom oblate: km / m
+      val unit = if (shape == 3) 1000.0 else 1.0
+      require(majorValue > 0 && minorValue > 0,
+        s"earth shape $shape (custom oblate) with axes " +
+          s"$majorValue/$minorValue")
+      oblate(majorValue * math.pow(10, -majorScale) * unit,
+        minorValue * math.pow(10, -minorScale) * unit)
+    case 4 => oblate(6378137.0, 6356752.314)      // IAG-GRS80
+    case 5 => oblate(6378137.0, 6356752.3142)     // WGS 84
+    case 6 => Earth(6371229.0, 0.0)
+    case 8 => Earth(6371200.0, 0.0)
+    case s => throw new IllegalArgumentException(
+      s"unsupported earth shape $s for a projected grid (table 3.2 codes " +
+        "0-8 only)")
+  }
+
+  /** Sphere radius in meters for the spherical shape codes — the
+    * eccentricity-0 subset of [[earthModel]], kept for callers that can
+    * only ride a sphere (the test writer's La2/Lo2 math).
+    */
+  def earthRadius(shape: Int, radiusScale: Int, radiusValue: Long): Double = {
+    val earth = earthModel(shape, radiusScale, radiusValue)
+    require(earth.e == 0, s"earth shape $shape is oblate, not spherical")
+    earth.a
+  }
+
+  // ------------------------------------------- ellipsoidal helper factors
+  //
+  // Each is EXACTLY its spherical value when e = 0 (the `1 - 0.0*s` /
+  // `pow(x, 0.0)` identities are exact in IEEE arithmetic), which is what
+  // keeps the e = 0 paths bit-identical to the spherical-only forms.
+
+  /** [(1−e·sinφ)/(1+e·sinφ)]^(e/2) — the conformal correction; 1 at e=0. */
+  private def eCorr(e: Double, phi: Double): Double = {
+    val s = e * math.sin(phi)
+    math.pow((1 - s) / (1 + s), e / 2)
+  }
+
+  /** 1/t of Snyder 15-9: tan(π/4+φ/2)·eCorr(φ) — the form the Lambert /
+    * Mercator expressions ride (their spherical forms use tan(π/4+φ/2)).
+    */
+  private def tcBig(e: Double, phi: Double): Double =
+    math.tan(math.Pi / 4 + phi / 2) * eCorr(e, phi)
+
+  /** t of Snyder 15-9: tan(π/4−φ/2)/eCorr(φ) — the polar-stereographic
+    * form (its spherical form uses tan(π/4−φ/2)).
+    */
+  private def tSmall(e: Double, phi: Double): Double =
+    math.tan(math.Pi / 4 - phi / 2) / eCorr(e, phi)
+
+  /** m of Snyder 14-15: cosφ/√(1−e²sin²φ). */
+  private def mFac(e: Double, phi: Double): Double = {
+    val s = math.sin(phi)
+    math.cos(phi) / math.sqrt(1 - e * e * s * s)
+  }
+
+  /** Conformal latitude χ → geodetic φ (radians): the trigonometric series
+    * Snyder 3-5 (error O(e¹⁰) ≈ 10⁻¹² rad for WGS84 — far below the 1e-5°
+    * wire quantization). Identity when e = 0.
+    */
+  private[wind] def conformalToGeodetic(e: Double, chi: Double): Double = {
+    val e2 = e * e; val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e4 * e4
+    chi +
+      (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * math.sin(2 * chi) +
+      (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * math.sin(4 * chi) +
+      (7 * e6 / 120 + 81 * e8 / 1120) * math.sin(6 * chi) +
+      (4279 * e8 / 161280) * math.sin(8 * chi)
+  }
 
   /** Wrap a longitude difference into (-180, 180]. Package-visible so
     * GridSpec can pin `Grid.dLonCol` to the identical convention (the two
@@ -84,7 +172,7 @@ object Projection {
     * scale/conformality invariants carry over).
     */
   final case class LambertConformal(r: Double, lovDeg: Double,
-      latin1Deg: Double, latin2Deg: Double) extends Proj {
+      latin1Deg: Double, latin2Deg: Double, e: Double = 0.0) extends Proj {
     require(latin1Deg != 0 && math.abs(latin1Deg) < 90 &&
         latin2Deg != 0 && math.abs(latin2Deg) < 90 &&
         latin1Deg.sign == latin2Deg.sign,
@@ -94,18 +182,18 @@ object Projection {
     private val sgn = latin1Deg.sign
     private val p1 = math.toRadians(latin1Deg * sgn)
     private val p2 = math.toRadians(latin2Deg * sgn)
-    /** Cone constant: sin(latin1) when tangent (Snyder 15-4 limit). */
+    /** Cone constant: sin(latin1) when tangent (Snyder 15-4 limit); the
+      * ellipsoidal secant form is Snyder 15-8 on ln m / ln t.
+      */
     val n: Double =
       if (latin1Deg == latin2Deg) math.sin(p1)
-      else math.log(math.cos(p1) / math.cos(p2)) /
-        math.log(math.tan(math.Pi / 4 + p2 / 2) /
-          math.tan(math.Pi / 4 + p1 / 2))
-    private val bigF =
-      math.cos(p1) * math.pow(math.tan(math.Pi / 4 + p1 / 2), n) / n
+      else math.log(mFac(e, p1) / mFac(e, p2)) /
+        math.log(tcBig(e, p2) / tcBig(e, p1))
+    private val bigF = mFac(e, p1) * math.pow(tcBig(e, p1), n) / n
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
       val rho = r * bigF /
-        math.pow(math.tan(math.Pi / 4 + math.toRadians(latDeg * sgn) / 2), n)
+        math.pow(tcBig(e, math.toRadians(latDeg * sgn)), n)
       val th = n * math.toRadians(dLon(lonDeg, lovDeg))
       (rho * math.sin(th), -sgn * rho * math.cos(th))
     }
@@ -114,8 +202,8 @@ object Projection {
       val rho = math.hypot(x, y)
       val lat =
         if (rho == 0) 90.0 * sgn
-        else sgn * math.toDegrees(
-          2 * math.atan(math.pow(r * bigF / rho, 1.0 / n)) - math.Pi / 2)
+        else sgn * math.toDegrees(conformalToGeodetic(e,
+          2 * math.atan(math.pow(r * bigF / rho, 1.0 / n)) - math.Pi / 2))
       (lat, norm360(lovDeg + math.toDegrees(math.atan2(x, -sgn * y) / n)))
     }
   }
@@ -130,24 +218,33 @@ object Projection {
     * north, a conformal involution, so scale/conformality carry over.
     */
   final case class PolarStereo(r: Double, lovDeg: Double,
-      ladDeg: Double, south: Boolean = false) extends Proj {
+      ladDeg: Double, south: Boolean = false, e: Double = 0.0) extends Proj {
     require(if (south) ladDeg < 0 && ladDeg >= -90 else ladDeg > 0 && ladDeg <= 90,
       s"unsupported polar-stereographic LaD $ladDeg: " +
         (if (south) "south-pole projection needs -90 <= LaD < 0"
          else "north-pole projection needs 0 < LaD <= 90"))
     /** −1 for the south projection: latitudes and plane-y mirror. */
     private val sgn = if (south) -1.0 else 1.0
-    private val c = r * (1 + math.sin(math.toRadians(ladDeg * sgn)))
+    private val phiD = math.toRadians(ladDeg * sgn)
+    /** ρ = c·t(φ): spherical c = R(1+sin LaD) (the k₀ specialization of
+      * Snyder 21-1); ellipsoidal c = a·m(LaD)/t(LaD) (Snyder 21-34 with
+      * scale true at LaD). The sphere keeps its own closed form so the
+      * e = 0 path stays bit-identical.
+      */
+    private val c =
+      if (e == 0) r * (1 + math.sin(phiD))
+      else r * mFac(e, phiD) / tSmall(e, phiD)
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
-      val rho = c * math.tan(math.Pi / 4 - math.toRadians(latDeg * sgn) / 2)
+      val rho = c * tSmall(e, math.toRadians(latDeg * sgn))
       val th = math.toRadians(dLon(lonDeg, lovDeg))
       (rho * math.sin(th), -sgn * rho * math.cos(th))
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
       val rho = math.hypot(x, y)
-      val lat = sgn * math.toDegrees(math.Pi / 2 - 2 * math.atan(rho / c))
+      val lat = sgn * math.toDegrees(conformalToGeodetic(e,
+        math.Pi / 2 - 2 * math.atan(rho / c)))
       val lon =
         if (rho == 0) norm360(lovDeg)
         else norm360(lovDeg + math.toDegrees(math.atan2(x, -sgn * y)))
@@ -220,17 +317,18 @@ object Projection {
     * scaled by cos LaD.
     */
   final case class Mercator(r: Double, ladDeg: Double,
-      lon0Deg: Double) extends Proj {
+      lon0Deg: Double, e: Double = 0.0) extends Proj {
     require(math.abs(ladDeg) < 90,
       s"unsupported Mercator LaD $ladDeg (needs |LaD| < 90)")
-    private val c = r * math.cos(math.toRadians(ladDeg))
+    private val c = r * mFac(e, math.toRadians(ladDeg))
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) =
       (c * math.toRadians(dLon(lonDeg, lon0Deg)),
-        c * math.log(math.tan(math.Pi / 4 + math.toRadians(latDeg) / 2)))
+        c * math.log(tcBig(e, math.toRadians(latDeg))))
 
     def inverse(x: Double, y: Double): (Double, Double) =
-      (math.toDegrees(2 * math.atan(math.exp(y / c)) - math.Pi / 2),
+      (math.toDegrees(conformalToGeodetic(e,
+        2 * math.atan(math.exp(y / c)) - math.Pi / 2)),
         norm360(lon0Deg + math.toDegrees(x / c)))
   }
 }

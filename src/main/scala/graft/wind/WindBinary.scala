@@ -49,6 +49,11 @@ object WindBinary {
       surface2Type: Int, surface2Value: Double,
       lov: Double, lad: Double, latin1: Double, latin2: Double,
       projCenter: Int, earthRadius: Double,
+      // first eccentricity of the earth figure (table 3.2 oblate shapes
+      // 2/3/4/5/7; 0 for spheres) — `earthRadius` then carries the
+      // SEMI-MAJOR axis and [[Grid]]'s addressing rides the ellipsoidal
+      // (conformal-latitude) projection forms
+      earthEcc: Double,
       // rotated lat/lon template 3.1: TRUE position of the rotated
       // system's south pole (la1/lo1/dx/dy are then ROTATED-frame);
       // (0, 0) for every other template

@@ -933,7 +933,10 @@ class Grib2Spec extends AnyFunSuite {
     assert(decodeErr(msg().copy(gridTemplate = 20, nx = 8, ny = 4,
       ladMicro = 60000000L, projCenterFlag = 0x40))
       .contains("bi-polar"))
-    assert(decodeErr(lambertMsg().copy(earthShape = 4))
+    // shapes 0-8 all decode since round 12 (oblate via the ellipsoidal
+    // forms); the refusal is now only for codes off the table (9 = OSGB
+    // Airy, 10+ reserved)
+    assert(decodeErr(lambertMsg().copy(earthShape = 9))
       .contains("earth shape"))
     assert(decodeErr(lambertMsg().copy(ladMicro = 30000000L))
       .contains("LaD"))

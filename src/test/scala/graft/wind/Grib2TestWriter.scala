@@ -90,6 +90,8 @@ object Grib2TestWriter {
       latin1Micro: Long = 0, latin2Micro: Long = 0,
       projCenterFlag: Int = 0,
       earthShape: Int = 6, radiusScale: Int = 0, radiusValue: Long = 0,
+      majorScale: Int = 0, majorValue: Long = 0,
+      minorScale: Int = 0, minorValue: Long = 0,
       mercOrientation: Long = 0,
       // rotated lat/lon (grid template 3.1): true south pole of rotation
       // + rotation angle, appended after the 3.0 body
@@ -203,8 +205,8 @@ object Grib2TestWriter {
     w.w16(msg.gridTemplate)
     w.w8(msg.earthShape)
     w.w8(msg.radiusScale); w.w32(msg.radiusValue)
-    w.w8(0); w.w32(0)               // major axis
-    w.w8(0); w.w32(0)               // minor axis
+    w.w8(msg.majorScale); w.w32(msg.majorValue)  // major axis
+    w.w8(msg.minorScale); w.w32(msg.minorValue)  // minor axis
     w.w32(msg.nx); w.w32(msg.ny)
     w.s32(msg.la1Micro); w.w32(msg.lo1Micro) // first point of scan
     w.w8(8)                         // resolution/component flags
@@ -212,9 +214,11 @@ object Grib2TestWriter {
     if (msg.gridTemplate == 10) {
       // last-scanned-point La2/Lo2 through the projection plane,
       // boustrophedon-aware exactly like the lat/lon writer
-      val r = Projection.earthRadius(msg.earthShape, msg.radiusScale,
-        msg.radiusValue)
-      val proj = Projection.Mercator(r, msg.ladMicro / 1e6, msg.lo1Micro / 1e6)
+      val earth = Projection.earthModel(msg.earthShape, msg.radiusScale,
+        msg.radiusValue, msg.majorScale, msg.majorValue,
+        msg.minorScale, msg.minorValue)
+      val proj = Projection.Mercator(earth.a, msg.ladMicro / 1e6,
+        msg.lo1Micro / 1e6, e = earth.e)
       val (x1, y1) = proj.forward(msg.la1Micro / 1e6, msg.lo1Micro / 1e6)
       val jCons = (msg.scanMode & 0x20) != 0
       val alt = (msg.scanMode & 0x10) != 0

@@ -29,6 +29,13 @@ object ProjFixtureGen {
     lovMicro = 255000000L, ladMicro = 60000000L,
     latin1Micro = 0L, latin2Micro = 0L)
 
+  /** 3.20 with centre flag 0x80 — the Antarctic variant (LaD −60°S): the
+    * committed `stereo320s.grb2` resource backing `w08_southpolar_points`.
+    */
+  def polarStereoSouth: Grib2TestWriter.Msg = polarStereo.copy(
+    la1Micro = -35000000L, lo1Micro = 230000000L,
+    ladMicro = -60000000L, projCenterFlag = 0x80)
+
   def mercator: Grib2TestWriter.Msg = lambert.copy(
     gridTemplate = 10, la1Micro = 25000000L, lo1Micro = 230000000L,
     dxMicro = 200000000L, dyMicro = 200000000L,
@@ -63,6 +70,7 @@ object ProjFixtureGen {
     val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/projfix")
     dir.mkdirs()
     for ((name, m) <- Seq("lambert" -> lambert, "stereo" -> polarStereo,
+      "stereo_south" -> polarStereoSouth,
       "mercator" -> mercator, "apcp48" -> apcp48, "ens41" -> ens41,
       "rotated31" -> rotated31)) {
       val f = new java.io.File(dir, s"$name.grb2")

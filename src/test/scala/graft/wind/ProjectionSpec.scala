@@ -187,4 +187,166 @@ class ProjectionSpec extends AnyFunSuite {
       Projection.PolarStereo(R, 255.0, 60.0, south = true))
     intercept[IllegalArgumentException](Projection.Mercator(R, 90.0, 230.0))
   }
+
+  // ------------------------------------------------ oblate spheroid (r12)
+
+  /** WGS84 (table 3.2 shape 5). */
+  private val wgs = Projection.earthModel(5, 0, 0)
+
+  private def ellipCases(e: Double) = Seq(
+    "Lambert tangent" ->
+      Projection.LambertConformal(wgs.a, 262.5, 38.5, 38.5, e = e),
+    "Lambert secant" ->
+      Projection.LambertConformal(wgs.a, 265.0, 30.0, 60.0, e = e),
+    "southern Lambert secant" ->
+      Projection.LambertConformal(wgs.a, 140.0, -30.0, -60.0, e = e),
+    "polar stereo" -> Projection.PolarStereo(wgs.a, 255.0, 60.0, e = e),
+    "south-polar stereo" ->
+      Projection.PolarStereo(wgs.a, 100.0, -60.0, south = true, e = e),
+    "Mercator" -> Projection.Mercator(wgs.a, 20.0, 230.0, e = e))
+
+  private def ellipLats(name: String): Seq[Double] = {
+    val base =
+      if (name.startsWith("south")) Seq(-80.0, -60.0, -33.0, -12.0)
+      else if (name == "Mercator") Seq(-45.0, 0.0, 20.0, 66.0)
+      else Seq(12.0, 38.5, 60.0, 80.0)
+    base
+  }
+
+  test("ellipsoidal forms (WGS84): forward/inverse round-trip to 1e-9 deg") {
+    for ((name, proj) <- ellipCases(wgs.e); lat <- ellipLats(name);
+         lon <- testLons) {
+      val (x, y) = proj.forward(lat, lon)
+      val (lat2, lon2) = proj.inverse(x, y)
+      assert(math.abs(lat2 - lat) < 1e-9, s"$name lat $lat -> $lat2")
+      assert(math.abs(lon2 - lon) < 1e-9, s"$name lon $lon -> $lon2")
+    }
+  }
+
+  test("ellipsoidal forms (WGS84): scale true on the named parallels " +
+      "against ELLIPSOID ground metric, both directions") {
+    // external check: plane distances vs ellipsoidal ground distances —
+    // N(φ)cosφ·Δλ along a parallel (N = a/√(1−e²sin²φ), the prime-vertical
+    // radius), M(φ)·Δφ along a meridian (M = a(1−e²)/(1−e²sin²φ)^{3/2}).
+    // A spherical-formula impostor fed the WGS84 semi-major axis is off by
+    // ~0.3% here (e²·sin²φ-level) and fails at the 1e-5 gate; the
+    // conformality (equal-scale-both-directions) gate separates the
+    // correct conformal forms from equal-area impostors.
+    val ee = wgs.e * wgs.e
+    def nRad(phi: Double) = wgs.a / math.sqrt(1 - ee * math.pow(math.sin(phi), 2))
+    def mRad(phi: Double) =
+      wgs.a * (1 - ee) / math.pow(1 - ee * math.pow(math.sin(phi), 2), 1.5)
+    val trueParallels = Map(
+      "Lambert tangent" -> Seq(38.5), "Lambert secant" -> Seq(30.0, 60.0),
+      "southern Lambert secant" -> Seq(-30.0, -60.0),
+      "polar stereo" -> Seq(60.0), "south-polar stereo" -> Seq(-60.0),
+      "Mercator" -> Seq(20.0, -20.0))
+    val d = 0.01
+    for ((name, proj) <- ellipCases(wgs.e); latD <- trueParallels(name)) {
+      val phi = math.toRadians(latD)
+      val (x1, y1) = proj.forward(latD, 240.0)
+      val (x2, y2) = proj.forward(latD, 240.0 + d)
+      val alongPar = math.hypot(x2 - x1, y2 - y1)
+      val groundPar = nRad(phi) * math.cos(phi) * math.toRadians(d)
+      assert(math.abs(alongPar / groundPar - 1.0) < 1e-5,
+        s"$name parallel scale ${alongPar / groundPar} at $latD")
+      val (x3, y3) = proj.forward(latD + d / 2, 240.0)
+      val (x4, y4) = proj.forward(latD - d / 2, 240.0)
+      val alongMer = math.hypot(x3 - x4, y3 - y4)
+      val groundMer = mRad(phi) * math.toRadians(d)
+      assert(math.abs(alongMer / groundMer - 1.0) < 1e-5,
+        s"$name meridian scale ${alongMer / groundMer} at $latD")
+    }
+  }
+
+  test("flattening -> 0 limit: ellipsoidal forms converge to the spherical " +
+      "forms as O(e^2), and e = 0 is bit-identical") {
+    // e² halves per factor-2 flattening cut; compare max plane deviation
+    // at f, f/10, f/100 — each step must shrink ~10× (the O(e²) = O(2f)
+    // signature), and e = 0 must reproduce the spherical doubles EXACTLY
+    // (the bit-identity the implementation claims)
+    val pts = for (lat <- Seq(15.0, 38.5, 62.0); lon <- testLons)
+      yield (lat, lon)
+    def maxDev(e: Double): Double = {
+      val sph = ellipCases(0.0); val ell = ellipCases(e)
+      (for (((_, ps), (name, pe)) <- sph.zip(ell);
+            (lat, lon) <- if (name.startsWith("south")) Nil else pts) yield {
+        val (xs, ys) = ps.forward(lat, lon)
+        val (xe, ye) = pe.forward(lat, lon)
+        math.hypot(xe - xs, ye - ys)
+      }).max
+    }
+    def eccOf(f: Double) = math.sqrt(f * (2 - f))
+    val d3 = maxDev(eccOf(1e-3))
+    val d5 = maxDev(eccOf(1e-5))
+    val d7 = maxDev(eccOf(1e-7))
+    assert(d3 > 0 && d5 > 0 && d7 > 0)
+    assert(d5 < d3 / 50, s"O(e^2) convergence: $d3 -> $d5")
+    assert(d7 < d5 / 50, s"O(e^2) convergence: $d5 -> $d7")
+    // bit-identity at e = 0: the ellipsoidal code path with e = 0 IS the
+    // spherical computation (exact 1.0/0.0 collapse of every correction)
+    for ((name, pe) <- ellipCases(0.0)) {
+      val ps: Projection.Proj = name match {
+        case "Lambert tangent" => Projection.LambertConformal(wgs.a, 262.5, 38.5, 38.5)
+        case "Lambert secant" => Projection.LambertConformal(wgs.a, 265.0, 30.0, 60.0)
+        case "southern Lambert secant" =>
+          Projection.LambertConformal(wgs.a, 140.0, -30.0, -60.0)
+        case "polar stereo" => Projection.PolarStereo(wgs.a, 255.0, 60.0)
+        case "south-polar stereo" =>
+          Projection.PolarStereo(wgs.a, 100.0, -60.0, south = true)
+        case "Mercator" => Projection.Mercator(wgs.a, 20.0, 230.0)
+      }
+      for ((lat, lon) <- pts) {
+        val latT = if (name.startsWith("south")) -lat else lat
+        assert(pe.forward(latT, lon) == ps.forward(latT, lon),
+          s"$name e=0 must be bit-identical at ($latT, $lon)")
+      }
+    }
+  }
+
+  test("conformal-latitude series agrees with the iterative t-inverse " +
+      "to 5e-12 rad (WGS84)") {
+    // independent second implementation of χ → φ: fixed-point iteration of
+    // Snyder 7-9/15-3 (φ = π/2 − 2·atan(t·[(1−e sinφ)/(1+e sinφ)]^{e/2}))
+    // from φ₀ = χ, vs the closed series 3-5 the engine ships
+    val e = wgs.e
+    for (latDeg <- Seq(-88.0, -60.0, -33.3, -1.0, 0.0, 17.5, 45.0, 71.0, 89.5)) {
+      val phi = math.toRadians(latDeg)
+      val s = e * math.sin(phi)
+      val t = math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - s) / (1 + s), e / 2)
+      val chi = math.Pi / 2 - 2 * math.atan(t)
+      var it = chi
+      for (_ <- 0 until 50) {
+        val si = e * math.sin(it)
+        it = math.Pi / 2 -
+          2 * math.atan(t * math.pow((1 - si) / (1 + si), e / 2))
+      }
+      val series = Projection.conformalToGeodetic(e, chi)
+      // 5e-12 rad: the first omitted series term is O(e^10) ~ 1.4e-12 for
+      // WGS84 — this gate sits just above truncation, ~3e-10 DEGREES,
+      // 5 orders below the 1e-5-degree wire quantization
+      assert(math.abs(series - it) < 5e-12,
+        s"series $series vs iterated $it at $latDeg")
+      assert(math.abs(series - phi) < 5e-12,
+        s"series must invert t(φ): $series vs $phi")
+    }
+  }
+
+  test("earthModel: published oblate axes, custom km/m axes, refusals") {
+    // eccentricities of the published figures (e² = f(2−f))
+    assert(math.abs(Projection.earthModel(5, 0, 0).e - 0.0818191908) < 1e-9)
+    assert(math.abs(Projection.earthModel(4, 0, 0).e - 0.0818191910) < 1e-9)
+    assert(Projection.earthModel(2, 0, 0).a == 6378160.0)
+    assert(Projection.earthModel(8, 0, 0) == Projection.Earth(6371200.0, 0.0))
+    // shape 3: axes in scaled km; shape 7: scaled m — same figure both ways
+    val k = Projection.earthModel(3, 0, 0, 3, 6378137L, 6, 6356752314L)
+    val m = Projection.earthModel(7, 0, 0, 0, 6378137L, 3, 6356752314L)
+    assert(math.abs(k.a - 6378137.0) < 1e-6 && math.abs(k.e - m.e) < 1e-9)
+    intercept[IllegalArgumentException](Projection.earthModel(9, 0, 0))
+    intercept[IllegalArgumentException](Projection.earthModel(7, 0, 0))
+    // minor > major is geometrically not an oblate spheroid
+    intercept[IllegalArgumentException](
+      Projection.earthModel(7, 0, 0, 0, 6356752L, 0, 6378137L))
+  }
 }
