@@ -41,6 +41,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ branch's wall-clock → instant cast reads the SESSION time
+    // zone: a session without the GraftSession UTC pin would silently
+    // shift every instant by the local offset and diverge from the
+    // (tz-independent) nanos branch — pin it here, beside the other conf
+    // side effect this reader already owns (ADVICE r11)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -96,6 +96,7 @@ object Grib2Source {
     StructField("earthEcc", DoubleType, nullable = false),
     StructField("southPoleLat", DoubleType, nullable = false),
     StructField("southPoleLon", DoubleType, nullable = false),
+    StructField("rotationAngle", DoubleType, nullable = false),
     StructField("statProcess", IntegerType, nullable = false),
     StructField("intervalHours", IntegerType, nullable = false),
     StructField("ensembleType", IntegerType, nullable = false),
@@ -241,7 +242,7 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
             m.la2, m.lo2, m.surface2Type, m.surface2Value,
             m.lov, m.lad, m.latin1, m.latin2, m.projCenter, m.earthRadius,
             m.earthEcc,
-            m.southPoleLat, m.southPoleLon,
+            m.southPoleLat, m.southPoleLon, m.rotationAngle,
             m.statProcess, m.intervalHours,
             m.ensembleType, m.perturbationNumber, m.nEnsemble,
             ArrayData.toArrayData(m.data))

@@ -47,6 +47,18 @@ object AnnStream {
     // refresh in flight owns the store root — an ingest racing the swap
     // could recreate a retired root or append under the OLD geometry
     // after the new centroids promote. Fail loudly instead.
+    //
+    // CONTRACT NOTE (round 12): this check is deliberately check-then-act,
+    // not a lock — an upsert that passes it can still interleave with a
+    // refresh that takes the sentinel immediately after. The refresh side
+    // IS atomic (`create(overwrite = false)`), so two refreshes can never
+    // double-take; the upsert side's contract is fail-LOUDLY, not mutual
+    // exclusion: the operator owns upsert/refresh scheduling (a streaming
+    // sink and a maintenance job), and the check converts an
+    // operator-scheduling mistake into an error instead of silent
+    // corruption in the common case. True mutual exclusion would need
+    // upserts to hold a shared lease for their whole write — a
+    // coordination cost per micro-batch this store does not need.
     val sentinel = refreshSentinel(storePath)
     require(!fs.exists(sentinel),
       s"ANN store $storePath is quiesced: refresh sentinel $sentinel " +

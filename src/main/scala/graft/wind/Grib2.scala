@@ -624,6 +624,7 @@ object Grib2 {
       var projCenter = 0; var earthRadius = 0.0; var earthEcc = 0.0
       // rotated lat/lon (3.1): true position of the rotated south pole
       var southPoleLat = 0.0; var southPoleLon = 0.0
+      var rotationAngle = 0.0
       // field-scoped state, reset after every data section (sections 4-7
       // legally repeat within one message — each repetition is one field)
       var forecastHours = 0
@@ -676,7 +677,7 @@ object Grib2 {
             shape = u8(payload, p + 14)            // shape of earth, octet 15
             lov = 0.0; lad = 0.0; latin1 = 0.0; latin2 = 0.0
             projCenter = 0; earthRadius = 0.0; earthEcc = 0.0
-            southPoleLat = 0.0; southPoleLon = 0.0
+            southPoleLat = 0.0; southPoleLon = 0.0; rotationAngle = 0.0
             if (tmpl == 10 || tmpl == 20 || tmpl == 30) {
               val g = parseProjected(payload, p, tmpl, shape, optListOctets)
               nx = g.nx; ny = g.ny; la1 = g.la1; lo1 = g.lo1
@@ -725,16 +726,16 @@ object Grib2 {
             if (tmpl == 1) {
               // rotated lat/lon (COSMO/ICON/regional ECMWF): 3.0's layout
               // plus the TRUE position of the rotated system's south pole
-              // (octets 73-80) and a rotation angle (81-84). La1/Lo1/Dx/Dy
-              // remain the grid geometry IN ROTATED COORDINATES — corner
-              // canonicalization below applies unchanged in that frame;
-              // [[Grid.toPointsRotated]] maps cells to true lat/lon
+              // (octets 73-80) and the angle of rotation of projection
+              // (81-84; round 12 — the axial spin about the relocated
+              // pole, [[Projection.RotatedLatLon]]'s angleDeg).
+              // La1/Lo1/Dx/Dy remain the grid geometry IN ROTATED
+              // COORDINATES — corner canonicalization below applies
+              // unchanged in that frame; [[Grid.toPointsRotated]] maps
+              // cells to true lat/lon
               southPoleLat = s32sm(payload, p + 72) / 1e6
               southPoleLon = u32(payload, p + 76) / 1e6
-              val rotAngle = s32sm(payload, p + 80) / 1e6
-              require(rotAngle == 0.0,
-                s"unsupported rotated-grid rotation angle $rotAngle " +
-                  "(only 0: pole relocation without axial rotation)")
+              rotationAngle = s32sm(payload, p + 80) / 1e6
             }
             // quasi-regular row-count list offset: after the template body
             // (octet 73 for 3.0/3.40; octet 85 for 3.1's rotation tail)
@@ -1036,6 +1037,7 @@ object Grib2 {
                 projCenter = projCenter, earthRadius = earthRadius,
                 earthEcc = earthEcc,
                 southPoleLat = southPoleLat, southPoleLon = southPoleLon,
+                rotationAngle = rotationAngle,
                 statProcess = statProcess, intervalHours = intervalHours,
                 ensembleType = ensembleType,
                 perturbationNumber = perturbationNumber,

@@ -225,8 +225,20 @@ object Grid {
     val x = rho1 * sin(th1) + pmod(col("pos"), col("nx")) * col("dx")
     val y = -sgn * rho1 * cos(th1) - floor(col("pos") / col("nx")) * col("dy")
     val rho = sqrt(x * x + y * y)
-    val lat = sgn * degrees(chiToPhiCol(
+    // hemisphere guard (ADVICE r11): frames from Grib2.decode are
+    // consistent by construction, but this is a public DataFrame-in
+    // function — mixed-sign parallels have no single conformal cone, and
+    // sgn (keyed on latin1 alone) would silently georeference on the
+    // wrong hemisphere. Folded into the consumed lat column (a detached
+    // assert_true column would be pruned away); codegen'd branch, no
+    // per-row cost beyond one comparison.
+    val latRaw = sgn * degrees(chiToPhiCol(
       lit(2.0) * atan(pow(rf / rho, lit(1.0) / n)) - HalfPi))
+    val lat = when(signum(col("latin1")) === signum(col("latin2")), latRaw)
+      .otherwise(raise_error(format_string(
+        "mixed-hemisphere Lambert standard parallels (%s, %s): no single " +
+          "conformal cone — inputs must satisfy the decoder's invariant",
+        col("latin1"), col("latin2"))))
     val lon = pmod(col("lov") + degrees(atan2(x, -sgn * y) / n), lit(360.0))
     finishPoints(df, lat, lon)
   }
@@ -284,11 +296,15 @@ object Grid {
         col("parameterNumber").as("parameter"),
         col("nx"), col("la1"), col("lo1"), col("dx"), col("dy"),
         col("southPoleLat").as("sp_lat"), col("southPoleLon").as("sp_lon"),
+        col("rotationAngle").as("rot_angle"),
         posexplode(col("data")).as(Seq("pos", "value")))
     val phiP = radians(-col("sp_lat"))
     val lamP = radians(pmod(col("sp_lon") + lit(180.0), lit(360.0)))
     val latR = radians(col("la1") - floor(col("pos") / col("nx")) * col("dy"))
-    val lonR = radians(col("lo1") + pmod(col("pos"), col("nx")) * col("dx"))
+    // the axial rotation angle shifts rotated longitudes before the pole
+    // relocation (Projection.RotatedLatLon's angleDeg, verbatim)
+    val lonR = radians(col("lo1") + col("rot_angle") +
+      pmod(col("pos"), col("nx")) * col("dx"))
     val cx = cos(latR) * cos(lonR)
     val cy = cos(latR) * sin(lonR)
     val cz = sin(latR)

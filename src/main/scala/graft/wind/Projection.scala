@@ -261,9 +261,18 @@ object Projection {
     * Pure rotation — an isometry of the sphere (pinned by the spec:
     * great-circle distances are preserved), with the degenerate south
     * pole (−90°, 0°) yielding the identity.
+    *
+    * `angleDeg` (round 12) is the template's "angle of rotation of
+    * projection" γ: a final axial rotation about the rotated pole,
+    * composed as Rz(λp+π)·Ry·Rz(γ) — the rotated-frame vector is spun by
+    * γ about the new polar axis BEFORE the pole relocation, so rotated
+    * longitude λR addresses the same point the base (γ = 0) system calls
+    * λR + γ. On the degenerate identity pole this reduces to a plain
+    * longitude shift by γ, and the true pole stays fixed for every γ —
+    * both pinned by ProjectionSpec.
     */
   final case class RotatedLatLon(spLatDeg: Double,
-      spLonDeg: Double) extends Proj {
+      spLonDeg: Double, angleDeg: Double = 0.0) extends Proj {
     private val phiP = math.toRadians(-spLatDeg)
     private val lamP = math.toRadians(norm360(spLonDeg + 180.0))
     // triad: ẑ = rotated pole, x̂ = rotated (0,0), ŷ = ẑ × x̂
@@ -278,7 +287,8 @@ object Projection {
 
     /** Rotated (lat, lon) degrees → true (lat, lon in [0, 360)). */
     def rotatedToTrue(latRDeg: Double, lonRDeg: Double): (Double, Double) = {
-      val pr = math.toRadians(latRDeg); val lr = math.toRadians(lonRDeg)
+      val pr = math.toRadians(latRDeg)
+      val lr = math.toRadians(lonRDeg + angleDeg)
       val cx = math.cos(pr) * math.cos(lr)
       val cy = math.cos(pr) * math.sin(lr)
       val cz = math.sin(pr)
@@ -299,7 +309,7 @@ object Projection {
       val cy = yx * vx + yy * vy
       val cz = zx * vx + zy * vy + zz * vz
       (math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, cz)))),
-        norm360(math.toDegrees(math.atan2(cy, cx))))
+        norm360(math.toDegrees(math.atan2(cy, cx)) - angleDeg))
     }
 
     // Proj interface: "forward" maps true→rotated plane-of-degrees and

@@ -55,9 +55,10 @@ object WindBinary {
       // (conformal-latitude) projection forms
       earthEcc: Double,
       // rotated lat/lon template 3.1: TRUE position of the rotated
-      // system's south pole (la1/lo1/dx/dy are then ROTATED-frame);
-      // (0, 0) for every other template
-      southPoleLat: Double, southPoleLon: Double,
+      // system's south pole (la1/lo1/dx/dy are then ROTATED-frame) plus
+      // the angle of rotation of projection (axial spin about the
+      // relocated pole); (0, 0, 0) for every other template
+      southPoleLat: Double, southPoleLon: Double, rotationAngle: Double,
       // product template 4.8 (statistical fields): processing code (table
       // 4.10; -1 = instantaneous 4.0) and interval length in hours — the
       // field's valid time is refTime + forecastTime + intervalHours

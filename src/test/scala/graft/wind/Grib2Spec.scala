@@ -806,14 +806,14 @@ class Grib2Spec extends AnyFunSuite {
     assert(g.la1 == 2.0 && g.lo1 == 350.0 && g.dx == 1.0 && g.dy == 1.0)
     assert(g.la2 == 2.0 - 5.0 && g.lo2 == 350.0 + 7.0)
     assert(g.data.toSeq == PVals.map(_ / 10.0).toSeq)
-    // a non-zero rotation angle refuses by name
-    val e = intercept[IllegalArgumentException] {
-      Grib2.decode(Grib2TestWriter.message(
-        msg(m = PVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 1,
-          southPoleLatMicro = -40000000L, southPoleLonMicro = 10000000L,
-          rotationAngleMicro = 5000000L)))
-    }
-    assert(e.getMessage.contains("rotation angle"), e.getMessage)
+    // a non-zero rotation angle (octets 81-84) decodes and is carried on
+    // the frame (round 12 — previously a named refusal)
+    val gA = Grib2.decode(Grib2TestWriter.message(
+      msg(m = PVals, d = 1).copy(nx = 8, ny = 6, gridTemplate = 1,
+        southPoleLatMicro = -40000000L, southPoleLonMicro = 10000000L,
+        rotationAngleMicro = 5000000L))).head
+    assert(gA.rotationAngle == 5.0)
+    assert(g.rotationAngle == 0.0)
   }
 
   test("quasi-regular rows on a rotated 3.1 grid read past the pole tail") {

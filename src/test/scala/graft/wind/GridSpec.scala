@@ -202,6 +202,64 @@ class GridSpec extends SparkSpec {
       -45.0, 130.0, 300000.0, 300000.0, 8, 48)
   }
 
+  test("oblate earth (shape 5, WGS84): 3.30 decodes end-to-end and " +
+      "toPointsLambert matches the ellipsoidal inverse cell-for-cell") {
+    val wgs = Projection.earthModel(5, 0, 0)
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = 21138123L, lo1Micro = 237280472L,
+      dxMicro = 300000000L, dyMicro = 300000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 30, lovMicro = 262500000L, ladMicro = 38500000L,
+      latin1Micro = 38500000L, latin2Micro = 38500000L, earthShape = 5))
+    // the frame carries the ellipsoid: semi-major axis + eccentricity
+    val head = df.select("earthRadius", "earthEcc").head()
+    assert(head.getDouble(0) == wgs.a && head.getDouble(1) == wgs.e)
+    val pts = Grid.toPointsLambert(df)
+    assert(!pts.queryExecution.executedPlan.toString.contains("Exchange"))
+    checkAgainstInverse(pts.collect(),
+      Projection.LambertConformal(wgs.a, 262.5, 38.5, 38.5, e = wgs.e),
+      21.138123, 237.280472, 300000.0, 300000.0, 8, 48)
+    // external sanity: the WGS84 and spherical georeferences genuinely
+    // differ (km-scale at mid-latitudes) — the ellipsoid path is not a
+    // silent no-op
+    val sph = Grid.toPointsLambert(decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = 21138123L, lo1Micro = 237280472L,
+      dxMicro = 300000000L, dyMicro = 300000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 30, lovMicro = 262500000L, ladMicro = 38500000L,
+      latin1Micro = 38500000L, latin2Micro = 38500000L)))
+      .select("pos", "lat").collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .toMap
+    val maxDelta = pts.select("pos", "lat").collect()
+      .map(r => math.abs(r.getDouble(1) - sph(r.getInt(0)))).max
+    assert(maxDelta > 0.01, // > ~1 km of latitude
+      s"WGS84 vs sphere must diverge measurably, saw $maxDelta deg")
+  }
+
+  test("oblate earth (shape 7, custom axes): 3.20 south decodes and " +
+      "toPointsPolarStereo matches the ellipsoidal inverse") {
+    // custom metre axes: GRS80-like figure on the wire
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = -30000000L, lo1Micro = 100000000L,
+      dxMicro = 381000000L, dyMicro = 381000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 20, lovMicro = 100000000L, ladMicro = -60000000L,
+      projCenterFlag = 0x80, earthShape = 7,
+      // minor axis at decimetre scale: the wire field is 4 octets, so a
+      // millimetre-scaled minor axis (6 356 752 314) would not fit
+      majorValue = 6378137L, minorScale = 1, minorValue = 63567523L))
+    val earth = Projection.earthModel(7, 0, 0, 0, 6378137L, 1, 63567523L)
+    checkAgainstInverse(Grid.toPointsPolarStereo(df).collect(),
+      Projection.PolarStereo(earth.a, 100.0, -60.0, south = true, e = earth.e),
+      -30.0, 100.0, 381000.0, 381000.0, 8, 48)
+  }
+
   test("dLonCol matches Projection.dLon everywhere, including exactly ±180°") {
     // the two implementations must share one wrap convention — (-180, 180]
     // — or a point exactly on the antimeridian gets θ of opposite sign
@@ -264,6 +322,49 @@ class GridSpec extends SparkSpec {
       assert(math.abs(dLon) < 1e-9, s"pos $pos lon")
       assert(r.getAs[Double]("value") == projVals(pos) / 10.0)
     }
+  }
+
+  test("toPointsRotated with a non-zero rotation angle matches the " +
+      "axially-spun triad cell-for-cell") {
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = 2000000L, lo1Micro = 350000000L,
+      dxMicro = 1000000L, dyMicro = 1000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 1,
+      southPoleLatMicro = -40000000L, southPoleLonMicro = 10000000L,
+      rotationAngleMicro = 15000000L))
+    val rot = Projection.RotatedLatLon(-40.0, 10.0, angleDeg = 15.0)
+    val rows = Grid.toPointsRotated(df).collect()
+    assert(rows.length == 48)
+    rows.foreach { r =>
+      val pos = r.getAs[Int]("pos")
+      val (lat, lon) = rot.rotatedToTrue(2.0 - (pos / 8) * 1.0,
+        350.0 + (pos % 8) * 1.0)
+      assert(math.abs(r.getAs[Double]("lat") - lat) < 1e-9, s"pos $pos lat")
+      val dLon = ((r.getAs[Double]("lon") - lon) % 360 + 540) % 360 - 180
+      assert(math.abs(dLon) < 1e-9, s"pos $pos lon")
+    }
+  }
+
+  test("toPointsLambert refuses mixed-hemisphere parallels instead of " +
+      "silently georeferencing on latin1's hemisphere") {
+    // hand-built frame violating the decoder invariant (Grib2.decode can
+    // never produce this; the guard is for direct DataFrame callers)
+    val good = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = 21138123L, lo1Micro = 237280472L,
+      dxMicro = 300000000L, dyMicro = 300000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 30, lovMicro = 262500000L, ladMicro = 38500000L,
+      latin1Micro = 38500000L, latin2Micro = 38500000L))
+    val mixed = good.withColumn("latin2", lit(-60.0))
+    val e = intercept[Exception] {
+      Grid.toPointsLambert(mixed).collect()
+    }
+    assert(e.getMessage.contains("mixed-hemisphere"), e.getMessage)
   }
 
   test("projected addressing filters to its own template") {

@@ -166,6 +166,58 @@ class ProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("rotated lat/lon rotation angle: pole fixed, identity-pole reduces " +
+      "to a longitude shift, round-trip + isometry survive the spin") {
+    // the axial spin must keep the relocated pole itself fixed for any γ
+    val base = Projection.RotatedLatLon(-40.0, 10.0)
+    for (gamma <- Seq(-30.0, 15.0, 123.4)) {
+      val spun = Projection.RotatedLatLon(-40.0, 10.0, angleDeg = gamma)
+      val p0 = base.rotatedToTrue(90.0, 0.0)
+      val p1 = spun.rotatedToTrue(90.0, 0.0)
+      assert(math.abs(p0._1 - p1._1) < 1e-9, s"pole lat moved under γ=$gamma")
+      // γ spins ABOUT the pole: rotated (φ, λ) lands where the base system
+      // puts (φ, λ+γ) — the definitional composition Rz(λp+π)·Ry·Rz(γ)
+      for (la <- Seq(-35.0, 5.0, 62.0); lo <- Seq(15.0, 200.0, 340.0)) {
+        val a = spun.rotatedToTrue(la, lo)
+        val b = base.rotatedToTrue(la, lo + gamma)
+        val dl = ((a._2 - b._2) % 360 + 540) % 360 - 180
+        assert(math.abs(a._1 - b._1) < 1e-9 && math.abs(dl) < 1e-9,
+          s"γ=$gamma ($la,$lo): $a vs $b")
+        // round-trip through the spun system
+        val back = spun.trueToRotated(a._1, a._2)
+        val dl2 = ((back._2 - lo) % 360 + 540) % 360 - 180
+        assert(math.abs(back._1 - la) < 1e-9 && math.abs(dl2) < 1e-9,
+          s"γ=$gamma round-trip ($la,$lo) -> $back")
+      }
+    }
+    // identity pole + spin = plain longitude shift (external definitional
+    // fact: rotating the standard frame about its own axis by γ relabels
+    // longitudes by −γ in the rotated system)
+    val shift = Projection.RotatedLatLon(-90.0, 0.0, angleDeg = 25.0)
+    for (la <- Seq(-60.0, 0.0, 47.5); lo <- Seq(0.0, 123.4, 300.0)) {
+      val (a, o) = shift.rotatedToTrue(la, lo)
+      val dl = ((o - (lo + 25.0)) % 360 + 540) % 360 - 180
+      assert(math.abs(a - la) < 1e-9 && math.abs(dl) < 1e-9, s"($la,$lo)")
+    }
+    // isometry is preserved under the spin (still a pure rotation)
+    def gc(a: (Double, Double), b: (Double, Double)): Double = {
+      val (p1, l1) = (math.toRadians(a._1), math.toRadians(a._2))
+      val (p2, l2) = (math.toRadians(b._1), math.toRadians(b._2))
+      math.acos(math.max(-1, math.min(1,
+        math.sin(p1) * math.sin(p2) +
+          math.cos(p1) * math.cos(p2) * math.cos(l1 - l2))))
+    }
+    val spun = Projection.RotatedLatLon(-40.0, 10.0, angleDeg = 77.0)
+    val pts = for (la <- Seq(-35.0, 5.0, 62.0); lo <- Seq(15.0, 200.0, 340.0))
+      yield (la, lo)
+    for (a <- pts; b <- pts if a != b) {
+      val d0 = gc(a, b)
+      val d1 = gc(spun.rotatedToTrue(a._1, a._2),
+        spun.rotatedToTrue(b._1, b._2))
+      assert(math.abs(d0 - d1) < 1e-9, s"spun rotation must stay isometric")
+    }
+  }
+
   test("earth radius codes: 0 and 6 fixed spheres, 1 scaled custom, else refuse") {
     assert(Projection.earthRadius(0, 0, 0) == 6367470.0)
     assert(Projection.earthRadius(6, 0, 0) == 6371229.0)
