@@ -140,8 +140,9 @@ object Grib2 {
       extends Packing
   /** Template 5.40: the data section is a raw JPEG2000 codestream of the
     * grid (the encoding NOAA 0p25/0p50 pgrb2 products use). Decoded
-    * in-engine by [[Jpeg2000]] — lossless 5/3 profile; lossy 9/7 and other
-    * out-of-profile codestreams refuse loudly by feature name.
+    * in-engine by [[Jpeg2000]] — lossless 5/3 and (round 12) lossy 9/7
+    * profiles; other out-of-profile codestreams refuse loudly by feature
+    * name.
     */
   /** Template 5.4: grid values stored as raw IEEE floats (no reference /
     * scaling — the template carries only a precision code). Rare in the

@@ -13,7 +13,9 @@ import scala.collection.mutable.ArrayBuffer
   * Supported profile (what the NCEP/jasper + jj2000 lossless toolchains
   * emit): raw codestream (no JP2 wrapper), single component, no
   * subsampling, canvas origin 0, ONE tile in ONE tile-part, reversible 5/3
-  * wavelet (any decomposition depth), no quantization (style 0), default
+  * wavelet (style-0 no-quantization) AND — round 12 — irreversible 9/7
+  * (lossy) with scalar-derived or scalar-expounded quantization, any
+  * decomposition depth, default
   * code-block style (no bypass/termall/reset/causal/segmentation), maximal
   * precincts, any layer count under LRCP/RLCP (all orders coincide at one
   * component + one precinct when layers = 1). Everything outside the
@@ -224,9 +226,18 @@ object Jpeg2000 {
     }
   }
 
-  /** Decode one code-block (single codeword segment, default style). */
+  /** Decode one code-block (single codeword segment, default style).
+    * `lastPlane` (optional, 9/7 path): filled per sample with the bitplane
+    * of the LAST pass that processed it after significance — the
+    * uncertainty-interval exponent the lossy reconstruction's midpoint
+    * offset (+2^(lastPlane−1)) rides, mirroring the jj2000 decoder's
+    * Tier-1 half-bit convention (its fixed-point data carries the half of
+    * the current plane; the reversible path's right-shift discards it,
+    * the float dequantizer keeps it — decompiled `StdDequantizer`).
+    */
   private def decodeBlock(buf: Array[Byte], chunks: Seq[(Int, Int)], w: Int,
-      h: Int, numPasses: Int, numbps: Int, orient: Int): Array[Int] = {
+      h: Int, numPasses: Int, numbps: Int, orient: Int,
+      lastPlane: Array[Int] = null): Array[Int] = {
     val n = w * h
     val out = new Array[Int](n)
     if (numPasses == 0 || numbps <= 0 || n == 0) return out
@@ -300,6 +311,7 @@ object Jpeg2000 {
                   sig(i) = true
                   out(i) = 1 << p
                   neg(i) = decodeSign(x, y)
+                  if (lastPlane != null) lastPlane(i) = p
                 }
               }
             }
@@ -331,6 +343,7 @@ object Jpeg2000 {
               out(i) |= mq.decode(cx) << p
               refined(i) = true
               visited(i) = true
+              if (lastPlane != null) lastPlane(i) = p
             }
             dy += 1
           }
@@ -370,6 +383,7 @@ object Jpeg2000 {
                 sig(i) = true
                 out(i) = 1 << p
                 neg(i) = decodeSign(x, y)
+                if (lastPlane != null) lastPlane(i) = p
                 startDy = r + 1
               }
             }
@@ -384,6 +398,7 @@ object Jpeg2000 {
                 sig(i) = true
                 out(i) = 1 << p
                 neg(i) = decodeSign(x, y)
+                if (lastPlane != null) lastPlane(i) = p
               }
             }
             dy += 1
@@ -408,6 +423,51 @@ object Jpeg2000 {
     var i = 0
     while (i < n) { if (neg(i)) out(i) = -out(i); i += 1 }
     out
+  }
+
+  // ---------------------------------------------------- inverse 9/7 DWT
+
+  // Daubechies 9/7 lifting constants (ISO 15444-1 F.4.8.2 / Table F.4) in
+  // the jj2000 normalization: synthesis scales the low band by 1/K and the
+  // high band by K before undoing the four lifting updates in reverse.
+  private val A97 = -1.586134342059924
+  private val B97 = -0.052980118572961
+  private val G97 = 0.882911075530934
+  private val D97 = 0.443506852043971
+  private val K97 = 1.230174104914001
+
+  /** 1-D irreversible (9/7) synthesis of an even-start interleaved signal:
+    * even indices = low band, odd = high; symmetric (mirror) extension.
+    * Double-precision lifting — the reference decoder (jj2000) runs the
+    * same structure in Float; Jpeg2000Spec pins agreement on its output to
+    * within one integer step after rounding.
+    */
+  private def synth1d97(y: Array[Double], n: Int, stride: Int, off: Int): Unit = {
+    if (n <= 1) return // single low sample: identity (no paired lift)
+    @inline def g(i: Int): Double = y(off + i * stride)
+    @inline def s(i: Int, v: Double): Unit = y(off + i * stride) = v
+    val x = new Array[Double](n)
+    // undo normalization: low × K, high × 1/K (the forward analysis scaled
+    // low by 1/K and high by K — pinned against the reference decoder's
+    // synthesis, which divides by its KL = 1/K and KH = K constants)
+    var i = 0
+    while (i < n) {
+      x(i) = if ((i & 1) == 0) g(i) * K97 else g(i) / K97
+      i += 1
+    }
+    @inline def at(arr: Array[Double], i: Int): Double =
+      if (i < 0) arr(-i) else if (i >= n) arr(2 * n - 2 - i) else arr(i)
+    // four lifting updates, reverse order of the forward analysis
+    i = 0
+    while (i < n) { x(i) -= D97 * (at(x, i - 1) + at(x, i + 1)); i += 2 }
+    i = 1
+    while (i < n) { x(i) -= G97 * (at(x, i - 1) + at(x, i + 1)); i += 2 }
+    i = 0
+    while (i < n) { x(i) -= B97 * (at(x, i - 1) + at(x, i + 1)); i += 2 }
+    i = 1
+    while (i < n) { x(i) -= A97 * (at(x, i - 1) + at(x, i + 1)); i += 2 }
+    i = 0
+    while (i < n) { s(i, x(i)); i += 1 }
   }
 
   // ---------------------------------------------------- inverse 5/3 DWT
@@ -452,7 +512,9 @@ object Jpeg2000 {
       ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
 
   private final class Band(val orient: Int, val w: Int, val h: Int,
-      val mb: Int, cbW: Int, cbH: Int) {
+      val mb: Int, val delta: Double, cbW: Int, cbH: Int) {
+    /** Dequantized plane, 9/7 path only (allocated at Tier-1 fill). */
+    var coeffsD: Array[Double] = null
     val nbx: Int = if (w == 0) 0 else (w + cbW - 1) / cbW
     val nby: Int = if (h == 0) 0 else (h + cbH - 1) / cbH
     val coeffs = new Array[Int](w * h)
@@ -506,16 +568,16 @@ object Jpeg2000 {
       "JP2 container without a jp2c codestream box")
   }
 
-  /** Decode a raw lossless-profile codestream — or a JP2 box-wrapped one
-    * (round 8: the container walk unwraps to the `jp2c` payload) — to
-    * row-major samples.
+  /** Decode a raw codestream (5/3 lossless or 9/7 lossy profile) — or a
+    * JP2 box-wrapped one (round 8: the container walk unwraps to the
+    * `jp2c` payload) — to row-major samples.
     */
   def decode(cs: Array[Byte]): Image = {
     if (cs.length >= 12 &&
       (0 until 12).forall(i => (cs(i) & 0xff) == Jp2Signature(i)))
       return decode(extractJp2c(cs))
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
-      s"unsupported JPEG2000 feature: $msg (GRIB 5.40 lossless profile only)")
+      s"unsupported JPEG2000 feature: $msg (GRIB 5.40 profile)")
     require(cs.length >= 4 && u16(cs, 0) == 0xff4f,
       "not a JPEG2000 codestream (missing SOC)")
     var p = 2
@@ -528,6 +590,9 @@ object Jpeg2000 {
     var sopUsed, ephUsed = false
     var guardBits = 0
     var exps: Array[Int] = null
+    var irreversible = false
+    var qStyle = -1
+    var qEnts: Array[Int] = null // 16-bit (ε << 11 | μ) entries, styles 1/2
     var sotPos = -1
     while (sotPos < 0) {
       val marker = u16(cs, p)
@@ -565,16 +630,25 @@ object Jpeg2000 {
             s"code-block size ${cbW}x$cbH")
           val cbStyle = u8(cs, p + 12)
           if (cbStyle != 0) fail(f"code-block style 0x$cbStyle%02x")
+          // transform: 1 = reversible 5/3, 0 = irreversible 9/7 (round 12
+          // — previously a named refusal)
           val transform = u8(cs, p + 13)
-          if (transform != 1) fail("9/7 irreversible wavelet (lossy)")
+          require(transform == 0 || transform == 1, s"wavelet transform $transform")
+          irreversible = transform == 0
           if (nLayers > 1 && progOrder > 1)
             fail(s"progression order $progOrder with $nLayers layers")
           require(progOrder <= 4, s"progression order $progOrder")
         case 0xff5c => // QCD
           val sqcd = u8(cs, p + 4)
           guardBits = sqcd >> 5
-          if ((sqcd & 0x1f) != 0) fail("quantization (lossy)")
-          exps = Array.tabulate(len - 3)(i => u8(cs, p + 5 + i) >> 3)
+          qStyle = sqcd & 0x1f
+          qStyle match {
+            case 0 => // no quantization (reversible): 8-bit ε entries
+              exps = Array.tabulate(len - 3)(i => u8(cs, p + 5 + i) >> 3)
+            case 1 | 2 => // scalar derived / expounded: 16-bit (ε, μ)
+              qEnts = Array.tabulate((len - 3) / 2)(i => u16(cs, p + 5 + 2 * i))
+            case s => fail(s"quantization style $s")
+          }
         case 0xff90 => // SOT
           sotPos = p
         case 0xff53 | 0xff5d => fail("per-component COC/QCC overrides")
@@ -585,9 +659,24 @@ object Jpeg2000 {
       }
       if (sotPos < 0) p += 2 + len
     }
-    require(exps != null && depth > 0, "missing SIZ/QCD")
-    require(exps.length == 3 * nDecomp + 1,
-      s"${exps.length} subband exponents for $nDecomp levels")
+    require(depth > 0, "missing SIZ")
+    // transform ↔ quantization pairing (A.6.4): reversible 5/3 carries
+    // style 0 (exponents only); irreversible 9/7 carries scalar derived
+    // (one entry) or expounded (one entry per subband)
+    if (irreversible) {
+      if (qStyle != 1 && qStyle != 2)
+        fail(s"9/7 transform with quantization style $qStyle")
+      require(qEnts != null &&
+        (if (qStyle == 1) qEnts.length == 1
+         else qEnts.length == 3 * nDecomp + 1),
+        s"${if (qEnts == null) 0 else qEnts.length} quantization entries " +
+          s"for $nDecomp levels (style $qStyle)")
+    } else {
+      if (qStyle != 0) fail(s"5/3 transform with quantization style $qStyle")
+      require(exps != null && exps.length == 3 * nDecomp + 1,
+        s"${if (exps == null) 0 else exps.length} subband exponents for " +
+          s"$nDecomp levels")
+    }
 
     // --- tile-part
     val psot = u32(cs, sotPos + 6).toInt
@@ -610,18 +699,45 @@ object Jpeg2000 {
     for (k <- 1 to nDecomp) {
       wl(k) = (wl(k - 1) + 1) / 2; hl(k) = (hl(k - 1) + 1) / 2
     }
-    // Mb = guard + ε − 1 (E.1; reversible, no quantization)
-    def mb(expIdx: Int): Int = guardBits + exps(expIdx) - 1
+    // Per-subband quantization exponent εb (and mantissa μb for 9/7):
+    // style 0 reads the 8-bit table; expounded (2) reads the matching
+    // 16-bit entry; derived (1) derives every band from entry 0 as
+    // εb = ε0 − NL + nb (E.1.1), μb = μ0, where nb is the band's
+    // decomposition level (NL for the LL band). `lev` = the band's level.
+    def qExp(expIdx: Int, lev: Int): Int = qStyle match {
+      case 0 => exps(expIdx)
+      case 2 => qEnts(expIdx) >> 11
+      case 1 => (qEnts(0) >> 11) - nDecomp + lev
+    }
+    def qMant(expIdx: Int): Int =
+      if (qStyle == 0) 0
+      else qEnts(if (qStyle == 1) 0 else expIdx) & 0x7ff
+    // Mb = guard + εb − 1 (E.1, both transforms)
+    def mb(expIdx: Int, lev: Int): Int = guardBits + qExp(expIdx, lev) - 1
+    // Dequantization step Δb = 2^(Rb − εb)·(1 + μb/2^11) with
+    // Rb = depth + log2 subband gain (0 LL, 1 HL/LH, 2 HH) — the jj2000
+    // decoder applies the identical q·Δ reconstruction (no midpoint
+    // offset), which is what the fixture goldens pin. 1.0 sentinel for
+    // the reversible path (coefficients pass through as integers).
+    def qDelta(expIdx: Int, lev: Int, gain: Int): Double =
+      if (!irreversible) 1.0
+      else math.pow(2.0, depth + gain - qExp(expIdx, lev)) *
+        (1.0 + qMant(expIdx) / 2048.0)
     // resolution r → bands; res 0 = LL_N; res r≥1 = HL/LH/HH of level N−r+1
     val resBands: Array[Array[Band]] = Array.tabulate(nDecomp + 1) { r =>
-      if (r == 0) Array(new Band(0, wl(nDecomp), hl(nDecomp), mb(0), cbW, cbH))
+      if (r == 0)
+        Array(new Band(0, wl(nDecomp), hl(nDecomp), mb(0, nDecomp),
+          qDelta(0, nDecomp, 0), cbW, cbH))
       else {
         val lev = nDecomp - r + 1
         val hw = wl(lev - 1) - wl(lev); val hh = hl(lev - 1) - hl(lev)
         val e = 1 + 3 * (r - 1)
-        Array(new Band(1, hw, hl(lev), mb(e), cbW, cbH),
-          new Band(2, wl(lev), hh, mb(e + 1), cbW, cbH),
-          new Band(3, hw, hh, mb(e + 2), cbW, cbH))
+        Array(
+          new Band(1, hw, hl(lev), mb(e, lev), qDelta(e, lev, 1), cbW, cbH),
+          new Band(2, wl(lev), hh, mb(e + 1, lev), qDelta(e + 1, lev, 1),
+            cbW, cbH),
+          new Band(3, hw, hh, mb(e + 2, lev), qDelta(e + 2, lev, 2),
+            cbW, cbH))
       }
     }
 
@@ -720,14 +836,30 @@ object Jpeg2000 {
             if (band.included(bi) && band.passes(bi) > 0) {
               val (bw, bh) = band.blockDims(bx, by)
               val numbps = band.mb - band.zeroBps(bi)
+              val lp = if (irreversible) new Array[Int](bw * bh) else null
               val dec = decodeBlock(cs, band.chunks(bi).toSeq, bw, bh,
-                band.passes(bi), numbps, band.orient)
+                band.passes(bi), numbps, band.orient, lp)
+              if (irreversible && band.coeffsD == null)
+                band.coeffsD = new Array[Double](band.w * band.h)
               var yy = 0
               while (yy < bh) {
                 var xx = 0
                 while (xx < bw) {
-                  band.coeffs((by * cbH + yy) * band.w + bx * cbW + xx) =
-                    dec(yy * bw + xx)
+                  val src = yy * bw + xx
+                  val dst = (by * cbH + yy) * band.w + bx * cbW + xx
+                  if (irreversible) {
+                    // midpoint reconstruction: q·Δ + Δ·2^(lastPlane)/2 —
+                    // the centre of the final uncertainty interval, the
+                    // reference (jj2000) decoder's convention
+                    val v = dec(src)
+                    band.coeffsD(dst) =
+                      if (v == 0) 0.0
+                      else {
+                        val mid = 0.5 * (1 << lp(src))
+                        val m = (math.abs(v) + mid) * band.delta
+                        if (v < 0) -m else m
+                      }
+                  } else band.coeffs(dst) = dec(src)
                   xx += 1
                 }
                 yy += 1
@@ -738,6 +870,57 @@ object Jpeg2000 {
           by += 1
         }
       }
+    }
+
+    if (irreversible) {
+      // --- 9/7 path: dequantize each band to doubles (q·Δb), float-domain
+      // inverse DWT, round + DC-shift + clamp to the component range (the
+      // same pipeline shape as the reference's jj2000 decode)
+      def dequant(b: Band): Array[Double] =
+        if (b.coeffsD != null) b.coeffsD else new Array[Double](b.w * b.h)
+      var ll = dequant(resBands(0)(0))
+      var lev = nDecomp
+      while (lev >= 1) {
+        val r = nDecomp - lev + 1
+        val Array(hlB, lhB, hhB) = resBands(r)
+        val hlC = dequant(hlB); val lhC = dequant(lhB); val hhC = dequant(hhB)
+        val ow = wl(lev - 1); val oh = hl(lev - 1)
+        val lw = wl(lev)
+        val a = new Array[Double](ow * oh)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val v =
+              if ((y & 1) == 0) {
+                if ((x & 1) == 0) ll((y >> 1) * lw + (x >> 1))
+                else hlC((y >> 1) * hlB.w + (x >> 1))
+              } else {
+                if ((x & 1) == 0) lhC((y >> 1) * lhB.w + (x >> 1))
+                else hhC((y >> 1) * hhB.w + (x >> 1))
+              }
+            a(y * ow + x) = v
+            x += 1
+          }
+          y += 1
+        }
+        y = 0
+        while (y < oh) { synth1d97(a, ow, 1, y * ow); y += 1 }
+        var x = 0
+        while (x < ow) { synth1d97(a, oh, ow, x); x += 1 }
+        ll = a
+        lev -= 1
+      }
+      val shift = if (signed) 0 else 1 << (depth - 1)
+      val lo = if (signed) -(1 << (depth - 1)) else 0
+      val hi = if (signed) (1 << (depth - 1)) - 1 else (1 << depth) - 1
+      val out = new Array[Int](ll.length)
+      var i = 0
+      while (i < out.length) {
+        out(i) = math.max(lo, math.min(hi, math.round(ll(i)).toInt + shift))
+        i += 1
+      }
+      return Image(width, height, depth, signed, out)
     }
 
     // --- inverse DWT: interleave LL with HL/LH/HH per level, lift up

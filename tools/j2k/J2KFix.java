@@ -1,0 +1,45 @@
+import java.nio.file.Files;
+import java.nio.file.Paths;
+import ucar.jpeg.jj2000.j2k.encoder.Encoder;
+import ucar.jpeg.jj2000.j2k.decoder.Grib2JpegDecoder;
+import ucar.jpeg.jj2000.j2k.util.ParameterList;
+
+/**
+ * Fixture generator / golden dumper for the graft JPEG2000 tests, driving
+ * the PUBLIC jj2000 codec bundled in netCDF-Java's grib module (the exact
+ * library the reference's grib2json uses for GRIB2 template 5.40).
+ * jj2000's Encoder has no main(); decode rides Grib2JpegDecoder with the
+ * argv netCDF's own Grib2DataReader passes (decompiled call site:
+ * {"-rate", nBits, "-verbose", "off", "-debug", "on"}).
+ *
+ * Usage:
+ *   java J2KFix encode <in.pgx> <out.j2k> <key=value>...
+ *   java J2KFix decode <in.j2k> <nbits>          # prints one sample per line
+ */
+public final class J2KFix {
+  public static void main(String[] args) throws Exception {
+    if (args[0].equals("encode")) {
+      ParameterList def = new ParameterList();
+      for (String[] p : Encoder.getAllParameters())
+        if (p[3] != null) def.put(p[0], p[3]);
+      ParameterList pl = new ParameterList(def);
+      pl.put("i", args[1]);
+      pl.put("o", args[2]);
+      for (int i = 3; i < args.length; i++) {
+        int eq = args[i].indexOf('=');
+        pl.put(args[i].substring(0, eq), args[i].substring(eq + 1));
+      }
+      Encoder e = new Encoder(pl);
+      e.run();
+      System.exit(e.getExitCode());
+    } else {
+      byte[] cs = Files.readAllBytes(Paths.get(args[1]));
+      Grib2JpegDecoder d = new Grib2JpegDecoder(new String[] {
+        "-rate", args[2], "-verbose", "off", "-debug", "on" });
+      d.decode(cs);
+      StringBuilder sb = new StringBuilder();
+      for (int v : d.getGdata()) sb.append(v).append('\n');
+      System.out.print(sb);
+    }
+  }
+}
