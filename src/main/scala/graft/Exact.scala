@@ -27,10 +27,39 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Exact {
   private def pow10(k: Int): Double = math.pow(10, k) // exact for 0 <= k <= 22
 
+  /** Exact integer sum via 13-bit limb decomposition (round 12 — a pure
+    * Spark-side rewrite of the previous `sum(DECIMAL(38,0))`, producing the
+    * SAME integer and therefore bit-identical final doubles; the DuckDB
+    * oracle twins keep their decimal sums).
+    *
+    * Why: Spark's decimal aggregation with result precision > 18 keeps a
+    * 16-byte buffer slot and converts through JavaBigDecimal on every row
+    * (~4 µs/row — q01 measured 3.1 s vs 0.8 s for long sums at sf0.1).
+    * Instead the integer-valued double splits into four limbs —
+    * `l0..l2` = 13-bit unsigned slices, `l3` = the arithmetically-shifted
+    * signed top (two's-complement identity v = ((l3·2^13 + l2)·2^13 +
+    * l1)·2^13 + l0 holds for negatives) — each summed as a plain codegen'd
+    * LONG, then recombined in decimal once per OUTPUT group.
+    *
+    * Overflow margins, documented not hoped: |v| ≤ 2^52 (the fx contract
+    * already requires the product to stay under 2^53), so every limb is
+    * < 2^13 in magnitude and a long limb-sum is exact for up to
+    * n = 2^63 / 2^13 = 2^50 ≈ 1.1e15 rows PER GROUP — ~140 TB of lineitem
+    * in one global aggregate — where the old decimal path was unbounded
+    * but 4× slower. The recombination (≤ 2^102) sits comfortably inside
+    * DECIMAL(38,0)'s 10^38 range.
+    */
+  private def limbSum(v: Column): Column = {
+    val L = v.cast(org.apache.spark.sql.types.LongType)
+    def s(i: Int): Column = sum(
+      if (i < 3) shiftright(L, 13 * i).bitwiseAND(lit(0x1fffL))
+      else shiftright(L, 39)).cast(DecimalType(38, 0))
+    ((s(3) * lit(8192) + s(2)) * lit(8192) + s(1)) * lit(8192) + s(0)
+  }
+
   /** Exact-sum of `c` quantized at `10^-k`. */
   def fxSum(c: Column, k: Int): Column =
-    sum(round(c * lit(pow10(k))).cast(DecimalType(38, 0))).cast(DoubleType) /
-      lit(pow10(k))
+    limbSum(round(c * lit(pow10(k)))).cast(DoubleType) / lit(pow10(k))
 
   /** Exact-sum of a product: each factor quantized independently at `10^-k_i`,
     * multiplied while still exactly-representable integers (keep the product
@@ -38,8 +67,7 @@ object Exact {
     */
   def fxProdSum(factors: (Column, Int)*): Column = {
     val prod = factors.map { case (c, k) => round(c * lit(pow10(k))) }.reduce(_ * _)
-    sum(prod.cast(DecimalType(38, 0))).cast(DoubleType) /
-      lit(pow10(factors.map(_._2).sum))
+    limbSum(prod).cast(DoubleType) / lit(pow10(factors.map(_._2).sum))
   }
 
   /** Exact average (null-skipping count, matching SQL AVG semantics). */

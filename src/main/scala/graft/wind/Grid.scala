@@ -168,6 +168,14 @@ object Grid {
   // IEEE arithmetic, so spherical frames ride bit-identical plans to the
   // pre-round-12 spherical-only forms; GridSpec pins the scalar/column
   // parity on oblate frames too.
+  //
+  // EXPRESSION-SIZE DISCIPLINE: every shared scalar (sgn, the cone
+  // constant, anchors, χ) is STAGED as a projected column before the next
+  // expression references it — inlining them at each use-site multiplied
+  // the tree to ~25k nodes (w07's expr_nodes instrument caught it: 2.3 s
+  // of codegen per fresh JVM). Catalyst's CollapseProject keeps non-cheap
+  // multi-use projections staged, so each named column is computed once
+  // per row and the codegen'd method stays small.
 
   /** [(1−e·sinφ)/(1+e·sinφ)]^(e/2): the conformal correction; 1 at e=0. */
   private def eCorrCol(phi: Column): Column = {
@@ -212,19 +220,26 @@ object Grid {
     * by the `sgn` column so one codegen'd plan serves both hemispheres.
     */
   def toPointsLambert(records: DataFrame): DataFrame = {
-    val df = explodeFlat(records, 30)
-    val sgn = when(col("latin1") < 0, lit(-1.0)).otherwise(lit(1.0))
-    val phi1 = radians(col("latin1") * sgn)
-    val phi2 = radians(col("latin2") * sgn)
-    val n = when(col("latin1") === col("latin2"), sin(phi1))
-      .otherwise(log(mFacCol(phi1) / mFacCol(phi2)) /
-        log(tcBigCol(phi2) / tcBigCol(phi1)))
-    val rf = col("r") * mFacCol(phi1) * pow(tcBigCol(phi1), n) / n
-    val rho1 = rf / pow(tcBigCol(radians(col("la1") * sgn)), n)
-    val th1 = n * radians(dLonCol(col("lo1"), col("lov")))
-    val x = rho1 * sin(th1) + pmod(col("pos"), col("nx")) * col("dx")
-    val y = -sgn * rho1 * cos(th1) - floor(col("pos") / col("nx")) * col("dy")
-    val rho = sqrt(x * x + y * y)
+    val staged = explodeFlat(records, 30)
+      .withColumn("sgn", when(col("latin1") < 0, lit(-1.0)).otherwise(lit(1.0)))
+      .withColumn("phi1", radians(col("latin1") * col("sgn")))
+      .withColumn("phi2", radians(col("latin2") * col("sgn")))
+      .withColumn("n", when(col("latin1") === col("latin2"), sin(col("phi1")))
+        .otherwise(log(mFacCol(col("phi1")) / mFacCol(col("phi2"))) /
+          log(tcBigCol(col("phi2")) / tcBigCol(col("phi1")))))
+      .withColumn("rf",
+        col("r") * mFacCol(col("phi1")) * pow(tcBigCol(col("phi1")), col("n"))
+          / col("n"))
+      .withColumn("rho1",
+        col("rf") / pow(tcBigCol(radians(col("la1") * col("sgn"))), col("n")))
+      .withColumn("th1", col("n") * radians(dLonCol(col("lo1"), col("lov"))))
+      .withColumn("x",
+        col("rho1") * sin(col("th1")) + pmod(col("pos"), col("nx")) * col("dx"))
+      .withColumn("y", -col("sgn") * col("rho1") * cos(col("th1")) -
+        floor(col("pos") / col("nx")) * col("dy"))
+      .withColumn("chi", lit(2.0) *
+        atan(pow(col("rf") / sqrt(col("x") * col("x") + col("y") * col("y")),
+          lit(1.0) / col("n"))) - HalfPi)
     // hemisphere guard (ADVICE r11): frames from Grib2.decode are
     // consistent by construction, but this is a public DataFrame-in
     // function — mixed-sign parallels have no single conformal cone, and
@@ -232,15 +247,16 @@ object Grid {
     // wrong hemisphere. Folded into the consumed lat column (a detached
     // assert_true column would be pruned away); codegen'd branch, no
     // per-row cost beyond one comparison.
-    val latRaw = sgn * degrees(chiToPhiCol(
-      lit(2.0) * atan(pow(rf / rho, lit(1.0) / n)) - HalfPi))
+    val latRaw = col("sgn") * degrees(chiToPhiCol(col("chi")))
     val lat = when(signum(col("latin1")) === signum(col("latin2")), latRaw)
       .otherwise(raise_error(format_string(
         "mixed-hemisphere Lambert standard parallels (%s, %s): no single " +
           "conformal cone — inputs must satisfy the decoder's invariant",
         col("latin1"), col("latin2"))))
-    val lon = pmod(col("lov") + degrees(atan2(x, -sgn * y) / n), lit(360.0))
-    finishPoints(df, lat, lon)
+    val lon = pmod(
+      col("lov") + degrees(atan2(col("x"), -col("sgn") * col("y")) / col("n")),
+      lit(360.0))
+    finishPoints(staged, lat, lon)
   }
 
   /** Exploded point view of a polar-stereographic (template 3.20) grid,
@@ -249,21 +265,26 @@ object Grid {
     * mirror, carried by the `sgn` column.
     */
   def toPointsPolarStereo(records: DataFrame): DataFrame = {
-    val df = explodeFlat(records, 20)
-    val sgn = when(col("lad") < 0, lit(-1.0)).otherwise(lit(1.0))
-    val phiD = radians(col("lad") * sgn)
-    // the sphere keeps its own closed form (bit-identity with the
-    // pre-round-12 plan); the ellipsoid rides a·m(LaD)/t(LaD)
-    val c = when(col("ecc") === 0, col("r") * (lit(1.0) + sin(phiD)))
-      .otherwise(col("r") * mFacCol(phiD) / tSmallCol(phiD))
-    val rho1 = c * tSmallCol(radians(col("la1") * sgn))
-    val th1 = radians(dLonCol(col("lo1"), col("lov")))
-    val x = rho1 * sin(th1) + pmod(col("pos"), col("nx")) * col("dx")
-    val y = -sgn * rho1 * cos(th1) - floor(col("pos") / col("nx")) * col("dy")
-    val lat = sgn * degrees(chiToPhiCol(
-      HalfPi - lit(2.0) * atan(sqrt(x * x + y * y) / c)))
-    val lon = pmod(col("lov") + degrees(atan2(x, -sgn * y)), lit(360.0))
-    finishPoints(df, lat, lon)
+    val staged = explodeFlat(records, 20)
+      .withColumn("sgn", when(col("lad") < 0, lit(-1.0)).otherwise(lit(1.0)))
+      .withColumn("phiD", radians(col("lad") * col("sgn")))
+      // the sphere keeps its own closed form (bit-identity with the
+      // pre-round-12 plan); the ellipsoid rides a·m(LaD)/t(LaD)
+      .withColumn("c", when(col("ecc") === 0,
+          col("r") * (lit(1.0) + sin(col("phiD"))))
+        .otherwise(col("r") * mFacCol(col("phiD")) / tSmallCol(col("phiD"))))
+      .withColumn("rho1", col("c") * tSmallCol(radians(col("la1") * col("sgn"))))
+      .withColumn("th1", radians(dLonCol(col("lo1"), col("lov"))))
+      .withColumn("x",
+        col("rho1") * sin(col("th1")) + pmod(col("pos"), col("nx")) * col("dx"))
+      .withColumn("y", -col("sgn") * col("rho1") * cos(col("th1")) -
+        floor(col("pos") / col("nx")) * col("dy"))
+    val lat = col("sgn") * degrees(chiToPhiCol(HalfPi - lit(2.0) *
+      atan(sqrt(col("x") * col("x") + col("y") * col("y")) / col("c"))))
+    val lon = pmod(
+      col("lov") + degrees(atan2(col("x"), -col("sgn") * col("y"))),
+      lit(360.0))
+    finishPoints(staged, lat, lon)
   }
 
   /** Exploded point view of a Mercator (template 3.10) grid: rows are
@@ -272,14 +293,15 @@ object Grid {
     * construction — [[Projection.Mercator]] takes lo1 as its λ₀).
     */
   def toPointsMercator(records: DataFrame): DataFrame = {
-    val df = explodeFlat(records, 10)
-    val c = col("r") * mFacCol(radians(col("lad")))
-    val y1 = c * log(tcBigCol(radians(col("la1"))))
-    val x = pmod(col("pos"), col("nx")) * col("dx")
-    val y = y1 - floor(col("pos") / col("nx")) * col("dy")
-    val lat = degrees(chiToPhiCol(lit(2.0) * atan(exp(y / c)) - HalfPi))
-    val lon = pmod(col("lo1") + degrees(x / c), lit(360.0))
-    finishPoints(df, lat, lon)
+    val staged = explodeFlat(records, 10)
+      .withColumn("c", col("r") * mFacCol(radians(col("lad"))))
+      .withColumn("y1", col("c") * log(tcBigCol(radians(col("la1")))))
+      .withColumn("x", pmod(col("pos"), col("nx")) * col("dx"))
+      .withColumn("y", col("y1") - floor(col("pos") / col("nx")) * col("dy"))
+    val lat = degrees(chiToPhiCol(
+      lit(2.0) * atan(exp(col("y") / col("c"))) - HalfPi))
+    val lon = pmod(col("lo1") + degrees(col("x") / col("c")), lit(360.0))
+    finishPoints(staged, lat, lon)
   }
 
   /** Exploded point view of a rotated lat/lon (template 3.1) grid: cell

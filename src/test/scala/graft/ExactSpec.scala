@@ -42,4 +42,44 @@ class ExactSpec extends SparkSpec {
     val exact = df.agg(Exact.fxSum(col("v"), 6)).collect()(0).getDouble(0)
     assert(exact == 10000.0)
   }
+
+  test("limb decomposition is bit-identical to the decimal formulation " +
+      "(round-12 rewrite) on adversarial values incl. negatives") {
+    // the pre-round-12 implementation, verbatim: the limb-based fxSum must
+    // produce the SAME double on every input — same integer before the
+    // final cast — or the DuckDB oracle (which still sums decimals) drifts
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def decSum(c: Column, k: Int): Column =
+      sum(round(c * lit(math.pow(10, k))).cast(DecimalType(38, 0)))
+        .cast(DoubleType) / lit(math.pow(10, k))
+    // deterministic pseudo-random doubles spanning signs, magnitudes near
+    // the 13-bit limb boundaries (±8192-adjacent), halves that stress
+    // round()'s tie behavior, and large magnitudes near the 2^52/10^k
+    // contract ceiling
+    val df = spark.range(20000).select(
+      (col("id") % 7).as("k"),
+      (when(col("id") % 2 === 0, lit(1)).otherwise(lit(-1)) *
+        (pmod(col("id") * 2917 + 13, lit(1 << 26)).cast("double") +
+          when(col("id") % 3 === 0, lit(0.005)).otherwise(lit(0.0)) +
+          when(col("id") % 5 === 0, lit(81.92)).otherwise(lit(0.0))))
+        .as("v"))
+    val both = df.groupBy("k").agg(
+      Exact.fxSum(col("v"), 2).as("limb"), decSum(col("v"), 2).as("dec"))
+      .collect()
+    assert(both.length == 7)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+        s"k=${r.getLong(0)}: limb ${r.getDouble(1)} != dec ${r.getDouble(2)}")
+    }
+    // and the product form
+    val prod = df.agg(
+      Exact.fxProdSum((col("v"), 2), (col("v") / 1000, 3)).as("limb"),
+      (sum((round(col("v") * 100) * round(col("v") / 1000 * 1000))
+        .cast(DecimalType(38, 0))).cast(DoubleType) / lit(1e5)).as("dec"))
+      .collect()(0)
+    assert(java.lang.Double.doubleToRawLongBits(prod.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(prod.getDouble(1)))
+  }
 }
