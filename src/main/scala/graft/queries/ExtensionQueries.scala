@@ -935,6 +935,9 @@ object ExtensionQueries {
   /** Salt of the reproducible-sampling hash (shared with oracle SQL). */
   private val SampleSalt = "sample"
 
+  /** Salt of x47's Efraimidis–Spirakis sampling keys. */
+  private val ResampleSalt = "resample"
+
   /** Reproducible stratified sampling audit: per-source mixture rates
     * (25-60%, derived from the source id), the portable-hash keep rule, and
     * the resulting per-source doc/token budget. The oracle replays the
@@ -2007,6 +2010,97 @@ object ExtensionQueries {
        |  CAST(sum_logp_micro AS DOUBLE) / 1e6 / n_pairs AS avg_logp
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Importance-resampled corpus head (x47, round 12) — the DSIR recipe
+    * (Xie et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling") in engine form: score every document by how much more
+    * likely a TARGET-domain unigram LM finds it than the general-corpus
+    * LM, then draw a deterministic weighted sample via the
+    * Efraimidis–Spirakis exponential-key trick (top-k by ln(u)/w — one
+    * ORDER BY + LIMIT, no sequential reservoir).
+    *
+    * Target slice: sources with numeric suffix ≡ 0 (mod 4) — five of the
+    * twenty synthetic sources, standing in for "the domain you want more
+    * of". Both LMs are add-one-smoothed over the JOINT vocabulary and come
+    * from ONE token-grouped aggregation (the corpus count and the
+    * conditional target count share the shuffle); log-probs quantize to
+    * micro-units as longs so per-doc sums are exact integers. The sampling
+    * key quantizes the same way: u from the portable md5 hash ([[Portable]]
+    * — both engines hash identical bytes), w = exp(avg log-ratio), key =
+    * ln(u)·exp(−r) rounded to micro — cross-engine ln/exp agree far below
+    * the rounding grain (the x26 precedent).
+    *
+    * Scale: token aggregation shuffles vocabulary-bounded rows; totals
+    * broadcast; the per-doc score is one corpus-proportional join on term
+    * sharing x26's shape; top-k is TakeOrderedAndProject (k rows per
+    * partition, never a global sort). 100 TB posture: identical to x26
+    * plus an O(k) head.
+    */
+  def importanceResample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.words(col("text"))).as("term"))
+    val isTarget =
+      pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) === 0
+    val cf = tok.groupBy(col("term")).agg(
+      count(lit(1)).as("cf_c"),
+      sum(when(isTarget, 1L).otherwise(0L)).as("cf_t"))
+    val totals = cf.agg(sum(col("cf_c")).as("tot_c"),
+      sum(col("cf_t")).as("tot_t"), count(lit(1)).as("v"))
+    val lm = cf.crossJoin(broadcast(totals)).select(col("term"),
+      round(log((col("cf_t") + lit(1.0)) / (col("tot_t") + col("v"))) * 1e6)
+        .cast("long").as("lpt_micro"),
+      round(log((col("cf_c") + lit(1.0)) / (col("tot_c") + col("v"))) * 1e6)
+        .cast("long").as("lpc_micro"))
+    tok.join(lm, "term")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("lpt_micro") - col("lpc_micro")).as("ratio_micro"))
+      .withColumn("key_micro", round(
+        log((graft.Portable.hash32(col("doc_id").cast("string"),
+            ResampleSalt) +
+          lit(1.0)) / lit(4294967297.0)) *
+          exp(-(col("ratio_micro").cast("double") / 1e6 / col("n_tok"))) *
+          1e6).cast("long"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("ratio_micro"), col("key_micro"))
+  }
+
+  private val importanceResampleSql = {
+    val h = graft.Portable.sqlHash32("CAST(doc_id AS VARCHAR)", ResampleSalt)
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |cf AS (
+       |  SELECT term, count(*) AS cf_c,
+       |    sum(CASE WHEN CAST(substr(source, 4) AS INTEGER) % 4 = 0
+       |        THEN 1 ELSE 0 END) AS cf_t
+       |  FROM tok GROUP BY term),
+       |tot AS (SELECT sum(cf_c) AS tot_c, sum(cf_t) AS tot_t,
+       |    count(*) AS v FROM cf),
+       |lm AS (
+       |  SELECT term,
+       |    CAST(round(ln((cf_t + 1.0)/(tot_t + v)) * 1e6) AS BIGINT)
+       |      AS lpt_micro,
+       |    CAST(round(ln((cf_c + 1.0)/(tot_c + v)) * 1e6) AS BIGINT)
+       |      AS lpc_micro
+       |  FROM cf CROSS JOIN tot),
+       |d AS (
+       |  SELECT doc_id, source, count(*) AS n_tok,
+       |    sum(lpt_micro - lpc_micro) AS ratio_micro
+       |  FROM tok JOIN lm USING (term) GROUP BY doc_id, source)
+       |SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       |  CAST(ratio_micro AS BIGINT) AS ratio_micro,
+       |  CAST(round(ln(($h + 1.0)/4294967297.0)
+       |    * exp(-(CAST(ratio_micro AS DOUBLE)/1e6/n_tok)) * 1e6) AS BIGINT)
+       |    AS key_micro
+       |FROM d
+       |ORDER BY key_micro DESC, doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -2066,5 +2160,8 @@ object ExtensionQueries {
       minhashCalibration),
     QueryDef("x46_substring_removal", Some(substringRemovalSql),
       substringRemoval),
+    QueryDef("x47_importance_resample", Some(importanceResampleSql),
+      importanceResample),
   )
+
 }
