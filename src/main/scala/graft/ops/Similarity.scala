@@ -277,10 +277,19 @@ object Similarity {
       typedlit(cents.map(_._1).toSeq), typedlit(cents.map(_._2.toSeq).toSeq))
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4,
+              candidateFilter: Column = lit(true)): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // The centroid sample (the INDEX) always comes from the full corpus:
+    // a metadata `candidateFilter` (round 12 — hybrid "filtered ANN")
+    // restricts only the candidate side, the vector-DB pre-filter-on-scan
+    // semantics. Filtering the index too would silently re-shape every
+    // cell whenever the predicate changes; a stable index + filtered
+    // candidates keeps assignments (and the partition-pruned store
+    // layout) reusable across predicates. The default `lit(true)` is
+    // pruned by Catalyst, leaving the unfiltered plan unchanged.
     val cents = centroidSample(corpus, nCells)
-    val c = spread(corpus)
+    val c = spread(corpus.filter(candidateFilter))
       .select(col("vec_id").as("neighbor_id"),
         col("embedding").as("c_vec"))
       .withColumn("cell_id", assignCell(col("c_vec"), cents))

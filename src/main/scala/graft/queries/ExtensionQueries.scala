@@ -2010,6 +2010,61 @@ object ExtensionQueries {
        |  CAST(sum_logp_micro AS DOUBLE) / 1e6 / n_pairs AS avg_logp
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Filtered (hybrid) ANN (x48, round 12): IVF top-k where candidates
+    * must ALSO satisfy a metadata predicate — the vector-DB "pre-filter
+    * on scan" shape (label ≡ 0 mod 2 here, standing in for any attribute
+    * constraint). The index — centroid sample and cell assignment — stays
+    * that of the FULL corpus, so results are what a stable production
+    * index returns under a per-query filter, not a re-built one; only the
+    * candidate lists thin. Composes with the cell-partitioned store: the
+    * predicate lands in the pruned cells' parquet scan. Oracle replays
+    * the identical sample/assignment/probe pipeline with the filter in
+    * the candidate CTE.
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(em, em.filter(col("vec_id") < 8), 5,
+        candidateFilter = pmod(col("label"), lit(2)) === 0)
+      .orderBy("query_id", "rank")
+  }
+
+  private val annFilteredSql: String = {
+    val dim = 64; val nCells = 16; val nProbe = 4; val k = 5
+    val idHash = graft.Portable.sqlHash32(
+      "CAST(vec_id AS VARCHAR)", Similarity.IvfSalt)
+    s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cell_id, v AS cell_vec FROM e
+       |  ORDER BY $idHash, vec_id LIMIT $nCells),
+       |ce AS (SELECT * FROM e WHERE label % 2 = 0),
+       |ascore AS (
+       |  SELECT ce.vec_id AS neighbor_id, ce.v AS c_vec, c.cell_id,
+       |    ${Similarity.sqlVecDot("ce.v", "c.cell_vec", dim)} AS s
+       |  FROM ce CROSS JOIN cent c),
+       |assign AS (SELECT neighbor_id, c_vec, cell_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY s DESC, cell_id DESC) AS rk
+       |    FROM ascore) WHERE rk = 1),
+       |qscore AS (
+       |  SELECT e.vec_id AS query_id, e.v AS q_vec, c.cell_id,
+       |    ${Similarity.sqlVecDot("e.v", "c.cell_vec", dim)} AS cell_score
+       |  FROM e CROSS JOIN cent c WHERE e.vec_id < 8),
+       |probe AS (SELECT query_id, q_vec, cell_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cell_score DESC, cell_id) AS rk
+       |    FROM qscore) WHERE rk <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.neighbor_id,
+       |    ${Similarity.sqlVecDot("p.q_vec", "a.c_vec", dim)} AS score
+       |  FROM probe p JOIN assign a ON p.cell_id = a.cell_id
+       |    AND p.query_id <> a.neighbor_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Importance-resampled corpus head (x47, round 12) — the DSIR recipe
     * (Xie et al. 2023, "Data Selection for Language Models via Importance
     * Resampling") in engine form: score every document by how much more
@@ -2162,6 +2217,7 @@ object ExtensionQueries {
       substringRemoval),
     QueryDef("x47_importance_resample", Some(importanceResampleSql),
       importanceResample),
+    QueryDef("x48_ann_filtered", Some(annFilteredSql), annFiltered),
   )
 
 }
