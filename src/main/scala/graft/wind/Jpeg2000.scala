@@ -24,8 +24,9 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Scale note: decode is per-message CPU work inside a `mapPartitions`
   * codec (the same boundary as the PNG/complex unpackers) — no Spark
-  * machinery here, just a tight integer kernel: MQ arithmetic decoder +
-  * EBCOT Tier-1 bitplane passes + packet parsing + inverse 5/3 lifting.
+  * machinery here, just a tight kernel: MQ arithmetic decoder + EBCOT
+  * Tier-1 bitplane passes + packet parsing + inverse 5/3 (integer) or
+  * 9/7 (double) lifting.
   */
 object Jpeg2000 {
 

@@ -88,6 +88,33 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${hits}/${exact.size}")
   }
 
+  test("ivfTopK candidateFilter: neighbors satisfy the predicate, index " +
+      "stays full-corpus, filter genuinely bites") {
+    val data = clustered(10)
+    val queries = data.filter(col("vec_id") < 8)
+    val filtered = Similarity.ivfTopK(data, queries, 3, nCells = 8,
+        nProbe = 3, candidateFilter = col("label") % 2 === 0)
+      .collect()
+    assert(filtered.nonEmpty)
+    // every neighbor is from the allowed label set (labels 0/2 ≡ the
+    // vec_id % 4 parity classes 0 and 2 → even neighbor ids of those
+    // clusters)
+    val allowed = data.filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    filtered.foreach(r =>
+      assert(allowed(r.getAs[Long]("neighbor_id")),
+        s"neighbor ${r.getAs[Long]("neighbor_id")} violates the filter"))
+    // the filter changes results vs the unfiltered run for the odd-label
+    // queries (whose natural neighbors are excluded)
+    val unfiltered = Similarity.ivfTopK(data, queries, 3, nCells = 8,
+        nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id")).toMap
+    val fMap = filtered.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Int]("rank")) -> r.getAs[Long]("neighbor_id")).toMap
+    assert(fMap != unfiltered, "predicate must actually restrict candidates")
+  }
+
   test("recall@5 curves rise with probe effort (LSH radius, IVF nProbe)") {
     val data = clustered(10)
     val queries = data.filter(col("vec_id") < 8)
