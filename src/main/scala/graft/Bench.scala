@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * print site), plus a `bench_full.json` file copy.
   *
   * Protocol: one untimed warmup pass (JVM/JIT, codegen cache, parquet footer
-  * + file listing) then best-of-2 timed passes per query to a `noop` sink —
+  * + file listing) then best-of-[[TimedRuns]] timed passes per query to a `noop` sink —
   * full materialization of every row, no driver collect, no disk write skew.
   *
   * Execution model (round 12): the full no-arg run forks the query list in

@@ -50,7 +50,19 @@ object Exact {
     * DECIMAL(38,0)'s 10^38 range.
     */
   private def limbSum(v: Column): Column = {
-    val L = v.cast(org.apache.spark.sql.types.LongType)
+    // contract gate (round-12 review): the old cast-to-DECIMAL silently
+    // nulled (skipped) non-finite inputs, but cast-to-LONG would clamp
+    // ±Infinity to ±Long.MaxValue and poison every limb sum. Out-of-
+    // contract inputs (NaN/±Inf/|v| ≥ 2^53) now fail LOUDLY instead of
+    // either silent behavior — the codebase posture. The guard is one
+    // codegen'd comparison per row; raise_error only evaluates on the
+    // violating branch.
+    val L = when(v.isNull, lit(null).cast(org.apache.spark.sql.types.LongType))
+      .when(abs(v) < lit(9.007199254740992e15),
+        v.cast(org.apache.spark.sql.types.LongType))
+      .otherwise(raise_error(format_string(
+        "fx aggregate input %s is outside the 2^53 exactness contract " +
+          "(NaN/Infinity or too large) — clamp or rescale upstream", v)))
     def s(i: Int): Column = sum(
       if (i < 3) shiftright(L, 13 * i).bitwiseAND(lit(0x1fffL))
       else shiftright(L, 39)).cast(DecimalType(38, 0))

@@ -269,9 +269,16 @@ object Grid {
       .withColumn("sgn", when(col("lad") < 0, lit(-1.0)).otherwise(lit(1.0)))
       .withColumn("phiD", radians(col("lad") * col("sgn")))
       // the sphere keeps its own closed form (bit-identity with the
-      // pre-round-12 plan); the ellipsoid rides a·m(LaD)/t(LaD)
+      // pre-round-12 plan); the ellipsoid rides a·m(LaD)/t(LaD), except
+      // at LaD = ±90 where that quotient is 0/0 and the Snyder 21-33
+      // pole limit 2a/sqrt((1+e)^(1+e)·(1-e)^(1-e)) applies (the scalar
+      // Projection.PolarStereo takes the identical branch)
       .withColumn("c", when(col("ecc") === 0,
           col("r") * (lit(1.0) + sin(col("phiD"))))
+        .when(abs(col("lad")) === 90.0,
+          lit(2.0) * col("r") / sqrt(
+            pow(lit(1.0) + col("ecc"), lit(1.0) + col("ecc")) *
+              pow(lit(1.0) - col("ecc"), lit(1.0) - col("ecc"))))
         .otherwise(col("r") * mFacCol(col("phiD")) / tSmallCol(col("phiD"))))
       .withColumn("rho1", col("c") * tSmallCol(radians(col("la1") * col("sgn"))))
       .withColumn("th1", radians(dLonCol(col("lo1"), col("lov"))))

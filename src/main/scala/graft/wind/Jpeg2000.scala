@@ -716,10 +716,14 @@ object Jpeg2000 {
     // Mb = guard + εb − 1 (E.1, both transforms)
     def mb(expIdx: Int, lev: Int): Int = guardBits + qExp(expIdx, lev) - 1
     // Dequantization step Δb = 2^(Rb − εb)·(1 + μb/2^11) with
-    // Rb = depth + log2 subband gain (0 LL, 1 HL/LH, 2 HH) — the jj2000
-    // decoder applies the identical q·Δ reconstruction (no midpoint
-    // offset), which is what the fixture goldens pin. 1.0 sentinel for
-    // the reversible path (coefficients pass through as integers).
+    // Rb = depth + log2 subband gain (0 LL, 1 HL/LH, 2 HH). The jj2000
+    // DEQUANTIZER multiplies by Δ with no offset of its own — the
+    // midpoint (+Δ·2^(lastPlane−1)) comes from the TIER-1 side (its
+    // fixed-point magnitudes carry the half-bit of the last processed
+    // plane), which is where this decoder applies it too (the `lastPlane`
+    // machinery in decodeBlock / the fill loop — goldens pin the
+    // combination). 1.0 sentinel for the reversible path (coefficients
+    // pass through as integers).
     def qDelta(expIdx: Int, lev: Int, gain: Int): Double =
       if (!irreversible) 1.0
       else math.pow(2.0, depth + gain - qExp(expIdx, lev)) *

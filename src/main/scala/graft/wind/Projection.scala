@@ -228,11 +228,18 @@ object Projection {
     private val phiD = math.toRadians(ladDeg * sgn)
     /** ρ = c·t(φ): spherical c = R(1+sin LaD) (the k₀ specialization of
       * Snyder 21-1); ellipsoidal c = a·m(LaD)/t(LaD) (Snyder 21-34 with
-      * scale true at LaD). The sphere keeps its own closed form so the
-      * e = 0 path stays bit-identical.
+      * scale true at LaD) — except at LaD = ±90, where m and t both → 0
+      * and the quotient is the POLE limit, Snyder 21-33:
+      * c = 2a/√((1+e)^(1+e)·(1−e)^(1−e)) (reduces to 2a at e = 0, the
+      * spherical value). Without the closed form the quotient evaluates
+      * to ∞ and every point decodes NaN — silent mis-georeferencing, the
+      * exact thing this module refuses to do. The sphere keeps its own
+      * closed form so the e = 0 path stays bit-identical.
       */
     private val c =
       if (e == 0) r * (1 + math.sin(phiD))
+      else if (ladDeg * sgn == 90.0)
+        2 * r / math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
       else r * mFac(e, phiD) / tSmall(e, phiD)
 
     def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {

@@ -43,6 +43,28 @@ class ExactSpec extends SparkSpec {
     assert(exact == 10000.0)
   }
 
+  test("out-of-contract inputs (NaN/Infinity/>=2^53) fail loudly, never " +
+      "poison or silently skip") {
+    // the old decimal cast silently nulled Infinity; the long cast would
+    // clamp it to Long.MaxValue — the round-12 guard makes it an error
+    for (bad <- Seq(Double.PositiveInfinity, Double.NegativeInfinity,
+        Double.NaN, 1e18)) {
+      val df = Seq(1.0, bad).toDF("v")
+      val e = intercept[Exception] {
+        df.agg(Exact.fxSum(col("v"), 2)).collect()
+      }
+      assert(e.getMessage != null &&
+        (e.getMessage.contains("exactness contract") ||
+          e.getCause != null &&
+            e.getCause.getMessage.contains("exactness contract")),
+        s"$bad: ${e.getMessage}")
+    }
+    // in-contract values keep working right up to the gate
+    val ok = Seq(4.0e13, -4.0e13, 1.25).toDF("v")
+      .agg(Exact.fxSum(col("v"), 2)).collect()(0).getDouble(0)
+    assert(ok == 1.25)
+  }
+
   test("limb decomposition is bit-identical to the decimal formulation " +
       "(round-12 rewrite) on adversarial values incl. negatives") {
     // the pre-round-12 implementation, verbatim: the limb-based fxSum must
@@ -73,10 +95,11 @@ class ExactSpec extends SparkSpec {
         java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
         s"k=${r.getLong(0)}: limb ${r.getDouble(1)} != dec ${r.getDouble(2)}")
     }
-    // and the product form
+    // and the product form (factors scaled so the product honors the
+    // 2^53 contract — the round-12 guard now ENFORCES it)
     val prod = df.agg(
-      Exact.fxProdSum((col("v"), 2), (col("v") / 1000, 3)).as("limb"),
-      (sum((round(col("v") * 100) * round(col("v") / 1000 * 1000))
+      Exact.fxProdSum((col("v") / 1e4, 2), (col("v") / 1e6, 3)).as("limb"),
+      (sum((round(col("v") / 1e4 * 100) * round(col("v") / 1e6 * 1000))
         .cast(DecimalType(38, 0))).cast(DoubleType) / lit(1e5)).as("dec"))
       .collect()(0)
     assert(java.lang.Double.doubleToRawLongBits(prod.getDouble(0)) ==

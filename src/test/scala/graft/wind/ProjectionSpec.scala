@@ -356,6 +356,40 @@ class ProjectionSpec extends AnyFunSuite {
     }
   }
 
+  test("ellipsoidal polar stereo at LaD = +-90: Snyder 21-33 pole limit, " +
+      "not the 0/0 quotient") {
+    // the generic c = a*m(LaD)/t(LaD) is 0/0 at the pole; the closed form
+    // must kick in, reduce to 2a at e = 0, and keep scale -> 1 toward the
+    // pole (true scale AT the pole)
+    for ((lad, south) <- Seq((90.0, false), (-90.0, true))) {
+      val p = Projection.PolarStereo(wgs.a, 255.0, lad, south, e = wgs.e)
+      for (lat <- Seq(60.0, 80.0, 89.5).map(l => if (south) -l else l);
+           lon <- Seq(200.0, 255.0, 310.0)) {
+        val (x, y) = p.forward(lat, lon)
+        assert(!x.isNaN && !y.isNaN && !x.isInfinite && !y.isInfinite,
+          s"finite plane at ($lat,$lon)")
+        val (la2, lo2) = p.inverse(x, y)
+        assert(math.abs(la2 - lat) < 1e-9 && math.abs(lo2 - lon) < 1e-9)
+      }
+      // scale at the pole: k(phi) = rho/(a*m(phi)) -> 1 as phi -> LaD
+      val phi = math.toRadians(89.999) * (if (south) -1 else 1)
+      val (x, y) = p.forward(math.toDegrees(phi), 255.0)
+      val rho = math.hypot(x, y)
+      val s = math.sin(phi)
+      val m = math.cos(phi) / math.sqrt(1 - wgs.e * wgs.e * s * s)
+      assert(math.abs(rho / (wgs.a * m) - 1.0) < 1e-6,
+        s"pole-true scale ${rho / (wgs.a * m)}")
+    }
+    // e -> 0: the closed form reduces to the spherical 2R
+    val tiny = Projection.PolarStereo(wgs.a, 255.0, 90.0, e = 1e-8)
+    val sph = Projection.PolarStereo(wgs.a, 255.0, 90.0)
+    for (lat <- Seq(45.0, 80.0)) {
+      val (xe, ye) = tiny.forward(lat, 255.0)
+      val (xs, ys) = sph.forward(lat, 255.0)
+      assert(math.hypot(xe - xs, ye - ys) < 1.0, "e->0 limit at the pole")
+    }
+  }
+
   test("conformal-latitude series agrees with the iterative t-inverse " +
       "to 5e-12 rad (WGS84)") {
     // independent second implementation of χ → φ: fixed-point iteration of
