@@ -348,6 +348,45 @@ class GridSpec extends SparkSpec {
     }
   }
 
+  test("oblate earth (shape 5) Mercator 3.10 decodes end-to-end and " +
+      "toPointsMercator matches the ellipsoidal inverse") {
+    val wgs = Projection.earthModel(5, 0, 0)
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = 25000000L, lo1Micro = 230000000L,
+      dxMicro = 200000000L, dyMicro = 200000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 10, ladMicro = 20000000L, earthShape = 5))
+    checkAgainstInverse(Grid.toPointsMercator(df).collect(),
+      Projection.Mercator(wgs.a, 20.0, 230.0, e = wgs.e),
+      25.0, 230.0, 200000.0, 200000.0, 8, 48)
+  }
+
+  test("ellipsoidal polar stereo with LaD = 90 (scale true AT the pole) " +
+      "decodes finite points through the wire path") {
+    // the round-12 review's reachability case: shape 5 + LaD 90 passes
+    // every refusal, so the pole-limit closed form must produce finite,
+    // scalar-parity georeferencing (the 0/0 quotient gave NaN)
+    val wgs = Projection.earthModel(5, 0, 0)
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 6, la1Micro = 60000000L, lo1Micro = 225000000L,
+      dxMicro = 381000000L, dyMicro = 381000000L,
+      r = 0f, e = 0, d = 1, nbits = 10, m = projVals,
+      gridTemplate = 20, lovMicro = 255000000L, ladMicro = 90000000L,
+      earthShape = 5))
+    val pts = Grid.toPointsPolarStereo(df).collect()
+    pts.foreach { r =>
+      assert(!r.getAs[Double]("lat").isNaN && !r.getAs[Double]("lon").isNaN,
+        s"pos ${r.getAs[Int]("pos")} must georeference finitely")
+    }
+    checkAgainstInverse(pts,
+      Projection.PolarStereo(wgs.a, 255.0, 90.0, e = wgs.e),
+      60.0, 225.0, 381000.0, 381000.0, 8, 48)
+  }
+
   test("toPointsLambert refuses mixed-hemisphere parallels instead of " +
       "silently georeferencing on latin1's hemisphere") {
     // hand-built frame violating the decoder invariant (Grib2.decode can
