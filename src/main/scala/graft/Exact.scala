@@ -41,12 +41,12 @@ object Exact {
     * l1)·2^13 + l0 holds for negatives) — each summed as a plain codegen'd
     * LONG, then recombined in decimal once per OUTPUT group.
     *
-    * Overflow margins, documented not hoped: |v| ≤ 2^52 (the fx contract
-    * already requires the product to stay under 2^53), so every limb is
-    * < 2^13 in magnitude and a long limb-sum is exact for up to
-    * n = 2^63 / 2^13 = 2^50 ≈ 1.1e15 rows PER GROUP — ~140 TB of lineitem
-    * in one global aggregate — where the old decimal path was unbounded
-    * but 4× slower. The recombination (≤ 2^102) sits comfortably inside
+    * Overflow margins, documented not hoped: the gate below admits
+    * |v| < 2^53 (the fx contract), so limbs l0..l2 are < 2^13 and the
+    * signed top limb |l3| ≤ 2^14 — a long limb-sum is exact for up to
+    * n = 2^63 / 2^14 = 2^49 ≈ 5.6e14 rows PER GROUP (~70 TB of lineitem
+    * in one global aggregate) — where the old decimal path was unbounded
+    * but 4× slower. The recombination (≤ 2^103) sits comfortably inside
     * DECIMAL(38,0)'s 10^38 range.
     */
   private def limbSum(v: Column): Column = {
@@ -86,7 +86,13 @@ object Exact {
   def fxAvg(c: Column, k: Int): Column = fxSum(c, k) / count(c)
 
   /** DuckDB oracle-side SQL for the same three helpers, kept adjacent so the
-    * two dialects cannot drift.
+    * two dialects cannot drift on IN-CONTRACT inputs. Deliberate asymmetry
+    * on out-of-contract ones (round 12): the Spark side raise_errors at
+    * |v| ≥ 2^53 while these decimal sums silently tolerate them — the
+    * oracle is a checking tool, and the asymmetry is fail-safe: if a query
+    * ever feeds out-of-contract values, the ENGINE side errors and the
+    * driver flags the query; it can never silently hash-match a value the
+    * engine refused to compute.
     */
   def sqlFxSum(expr: String, k: Int): String = {
     val p = BigDecimal(pow10(k)).toBigInt

@@ -91,6 +91,17 @@ object Portable {
   def hash32(s: Column, salt: String, slot: Int = 0): Column =
     conv(substring(saltedMd5(s, salt), 1 + 8 * slot, 8), 16, 10).cast("long")
 
+  /** Driver-side (plain JVM) twin of [[hash32]]: lets specs recompute
+    * expression-side hashes INDEPENDENTLY of Catalyst (java MessageDigest
+    * vs Spark's md5 — agreement pins the whole salted-hex contract).
+    */
+  def hash32JVM(s: String, salt: String, slot: Int = 0): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((salt + ":" + s).getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(8 * slot, 8 * slot + 8), 16)
+  }
+
   /** Same, DuckDB side. `expr` must be a VARCHAR SQL expression. */
   def sqlHash32(expr: String, salt: String, slot: Int = 0): String =
     s"CAST('0x' || substr(md5('$salt:' || ($expr)), ${1 + 8 * slot}, 8) AS BIGINT)"

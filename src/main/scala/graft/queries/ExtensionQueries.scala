@@ -252,19 +252,24 @@ object ExtensionQueries {
   /** Generated from the same constants as [[annIvf]] (nCells=16, nProbe=4,
     * k=5, dim=64). Assignment tie-breaks DESC on cell_id (Spark's
     * `array_max` over (score, cell_id) structs is lexicographic); probe
-    * ranks ASC on cell_id (explicit window order).
+    * ranks ASC on cell_id (explicit window order). `candWhere` (x48)
+    * restricts the CANDIDATE side only — mirroring ivfTopK's
+    * candidateFilter — so the two oracle variants cannot drift.
     */
-  private val annIvfSql: String = {
+  private def ivfOracleSql(candWhere: Option[String]): String = {
     val dim = 64; val nCells = 16; val nProbe = 4; val k = 5
     val idHash = graft.Portable.sqlHash32(
       "CAST(vec_id AS VARCHAR)", Similarity.IvfSalt)
-    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    val ceCte = candWhere
+      .map(w => s"\nce AS (SELECT * FROM e WHERE $w),").getOrElse("")
+    val candSrc = candWhere.map(_ => "ce").getOrElse("e")
+    s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
        |cent AS (SELECT vec_id AS cell_id, v AS cell_vec FROM e
-       |  ORDER BY $idHash, vec_id LIMIT $nCells),
+       |  ORDER BY $idHash, vec_id LIMIT $nCells),$ceCte
        |ascore AS (
-       |  SELECT e.vec_id AS neighbor_id, e.v AS c_vec, c.cell_id,
-       |    ${Similarity.sqlVecDot("e.v", "c.cell_vec", dim)} AS s
-       |  FROM e CROSS JOIN cent c),
+       |  SELECT $candSrc.vec_id AS neighbor_id, $candSrc.v AS c_vec, c.cell_id,
+       |    ${Similarity.sqlVecDot(s"$candSrc.v", "c.cell_vec", dim)} AS s
+       |  FROM $candSrc CROSS JOIN cent c),
        |assign AS (SELECT neighbor_id, c_vec, cell_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
        |      ORDER BY s DESC, cell_id DESC) AS rk
@@ -289,6 +294,8 @@ object ExtensionQueries {
        |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  private val annIvfSql: String = ivfOracleSql(None)
 
   // ------------------------------------------------------ text analysis
 
@@ -2028,42 +2035,7 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
-  private val annFilteredSql: String = {
-    val dim = 64; val nCells = 16; val nProbe = 4; val k = 5
-    val idHash = graft.Portable.sqlHash32(
-      "CAST(vec_id AS VARCHAR)", Similarity.IvfSalt)
-    s"""WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS cell_id, v AS cell_vec FROM e
-       |  ORDER BY $idHash, vec_id LIMIT $nCells),
-       |ce AS (SELECT * FROM e WHERE label % 2 = 0),
-       |ascore AS (
-       |  SELECT ce.vec_id AS neighbor_id, ce.v AS c_vec, c.cell_id,
-       |    ${Similarity.sqlVecDot("ce.v", "c.cell_vec", dim)} AS s
-       |  FROM ce CROSS JOIN cent c),
-       |assign AS (SELECT neighbor_id, c_vec, cell_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
-       |      ORDER BY s DESC, cell_id DESC) AS rk
-       |    FROM ascore) WHERE rk = 1),
-       |qscore AS (
-       |  SELECT e.vec_id AS query_id, e.v AS q_vec, c.cell_id,
-       |    ${Similarity.sqlVecDot("e.v", "c.cell_vec", dim)} AS cell_score
-       |  FROM e CROSS JOIN cent c WHERE e.vec_id < 8),
-       |probe AS (SELECT query_id, q_vec, cell_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cell_score DESC, cell_id) AS rk
-       |    FROM qscore) WHERE rk <= $nProbe),
-       |cand AS (
-       |  SELECT DISTINCT p.query_id, a.neighbor_id,
-       |    ${Similarity.sqlVecDot("p.q_vec", "a.c_vec", dim)} AS score
-       |  FROM probe p JOIN assign a ON p.cell_id = a.cell_id
-       |    AND p.query_id <> a.neighbor_id),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY score DESC, neighbor_id) AS rank
-       |  FROM cand)
-       |SELECT query_id, neighbor_id, score, CAST(rank AS INTEGER) AS rank
-       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
+  private val annFilteredSql: String = ivfOracleSql(Some("label % 2 = 0"))
 
   /** Importance-resampled corpus head (x47, round 12) — the DSIR recipe
     * (Xie et al. 2023, "Data Selection for Language Models via Importance
@@ -2090,8 +2062,19 @@ object ExtensionQueries {
     * partition, never a global sort). 100 TB posture: identical to x26
     * plus an O(k) head.
     */
-  def importanceResample(spark: SparkSession, dir: String): DataFrame = {
-    val k = 20
+  def importanceResample(spark: SparkSession, dir: String): DataFrame =
+    importanceResampleAll(spark, dir)
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        col("ratio_micro"), col("key_micro"))
+
+  /** The pre-head scored frame — every doc with its ratio and sampling
+    * key (CurationOpsSpec pins the selection DIRECTION against it, which
+    * the mirrored oracle cannot).
+    */
+  private[queries] def importanceResampleAll(
+      spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         explode(TextAnalysis.words(col("text"))).as("term"))
@@ -2117,10 +2100,6 @@ object ExtensionQueries {
           lit(1.0)) / lit(4294967297.0)) *
           exp(-(col("ratio_micro").cast("double") / 1e6 / col("n_tok"))) *
           1e6).cast("long"))
-      .orderBy(col("key_micro").desc, col("doc_id"))
-      .limit(k)
-      .select(col("doc_id"), col("source"), col("n_tok"),
-        col("ratio_micro"), col("key_micro"))
   }
 
   private val importanceResampleSql = {

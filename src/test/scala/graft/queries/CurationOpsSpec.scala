@@ -267,4 +267,40 @@ class CurationOpsSpec extends SparkSpec {
     val grand = rows.map(_.getDouble(3)).sum / rows.length
     assert(grand > -8.0 && grand < -1.0, s"grand mean $grand")
   }
+  test("x47 importance resampling selects the TARGET-likely head (not the " +
+      "inverse) and keys are monotone in the weight") {
+    // the mirrored DuckDB oracle replays the same formula, so a sign error
+    // in the Efraimidis-Spirakis key or an inverted target/corpus ratio
+    // would stay oracle-green — this pins the DIRECTION behaviorally: the
+    // selected head must skew toward high log-likelihood-ratio docs
+    val all = ExtensionQueries.importanceResample(spark, dir).collect()
+    assert(all.length == 20)
+    // recompute the full per-doc scoring (the query pre-limit) by calling
+    // the same pipeline without the head: compare the selected docs'
+    // mean avg-log-ratio against the corpus-wide mean — weighted sampling
+    // by w = exp(r) must pull the average UP
+    val full = ExtensionQueries.importanceResampleAll(spark, dir)
+      .select(col("doc_id"),
+        (col("ratio_micro").cast("double") / 1e6 / col("n_tok")).as("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val selected = all.map(_.getAs[Long]("doc_id")).toSet
+    val meanSel = selected.toSeq.map(full).sum / selected.size
+    val meanAll = full.values.sum / full.size
+    assert(meanSel > meanAll,
+      s"selected mean log-ratio $meanSel must exceed corpus mean $meanAll")
+    // and within the result, keys are the claimed E-S keys: higher r with
+    // the same hash u gives a key closer to zero (larger); spot-check the
+    // internal consistency key = ln(u) * exp(-r) for every returned row
+    all.foreach { row =>
+      val r = row.getAs[Long]("ratio_micro").toDouble / 1e6 /
+        row.getAs[Long]("n_tok")
+      val h = graft.Portable.hash32JVM(
+        row.getAs[Long]("doc_id").toString, "resample")
+      val expect = math.round(
+        math.log((h + 1.0) / 4294967297.0) * math.exp(-r) * 1e6)
+      assert(row.getAs[Long]("key_micro") == expect,
+        s"doc ${row.getAs[Long]("doc_id")} key mismatch")
+    }
+  }
+
 }
