@@ -51,29 +51,65 @@ object Projection {
     Earth(a, math.sqrt((a - b) * (a + b)) / a)
   }
 
+  /** All-ones missing-value sentinels (GRIB2 regulation 92.1.5): a coded
+    * descriptor the producer did not set. A shape that NEEDS the field must
+    * refuse it, not decode 0xFF.. as a number.
+    */
+  private val MissingU8 = 0xff
+  private val MissingU32 = 0xffffffffL
+
+  /** GRIB sign-and-magnitude decode of a 1-octet scale factor (top bit =
+    * sign, NOT a 2^7 weight): a legal negative scale like 0x81 means ×10¹,
+    * not 10⁻¹²⁹. Missing (0xFF) refuses — the caller's shape needs the
+    * value.
+    */
+  private def scaleSm(raw: Int, what: String): Int = {
+    require(raw != MissingU8, s"$what scale factor is coded missing (0xFF)")
+    require((raw & ~0xff) == 0, s"$what scale factor $raw is not one octet")
+    if ((raw & 0x80) != 0) -(raw & 0x7f) else raw
+  }
+
+  /** An earth axis/radius in meters from its wire scale + scaled value,
+    * with the missing sentinel refused and a plausibility gate: every
+    * published terrestrial figure sits in (10⁶, 10⁸) m, so anything
+    * outside is a mis-decoded or corrupt wire — refuse loudly rather than
+    * mis-place every point (the module's stated posture).
+    */
+  private def axisMeters(scaleRaw: Int, value: Long, unit: Double,
+      what: String): Double = {
+    require(value != MissingU32, s"$what is coded missing (0xFFFFFFFF)")
+    require(value > 0, s"$what scaled value $value must be positive")
+    val a = value * math.pow(10, -scaleSm(scaleRaw, what)) * unit
+    require(a > 1e6 && a < 1e8,
+      f"implausible $what $a%.1f m (terrestrial figures are 10^6..10^8 m)")
+    a
+  }
+
   /** Earth figure for a GRIB2 "shape of earth" code (table 3.2) given the
-    * radius / major-axis / minor-axis descriptors (octets 16-30 of the
-    * projected templates). Spheres come back with eccentricity 0; the
-    * oblate codes (2 IAU-1965, 3 custom-km, 4 GRS80, 5 WGS84, 7 custom-m)
-    * carry the published or wire-coded axes. Unknown codes refuse loudly
-    * rather than mis-place every point.
+    * WIRE-RAW radius / major-axis / minor-axis descriptors (octets 16-30 of
+    * the projected templates: 1-octet sign-magnitude scale factors, 4-octet
+    * unsigned scaled values — decoded HERE, including the all-ones missing
+    * sentinels and a 10⁶..10⁸ m plausibility gate). Spheres come back with
+    * eccentricity 0; the oblate codes (2 IAU-1965, 3 custom-km, 4 GRS80,
+    * 5 WGS84, 7 custom-m) carry the published or wire-coded axes. Unknown
+    * codes and malformed descriptors refuse loudly rather than mis-place
+    * every point.
     */
   def earthModel(shape: Int, radiusScale: Int, radiusValue: Long,
       majorScale: Int = 0, majorValue: Long = 0,
       minorScale: Int = 0, minorValue: Long = 0): Earth = shape match {
     case 0 => Earth(6367470.0, 0.0)
     case 1 =>
-      require(radiusValue > 0,
-        s"earth shape 1 (custom sphere) with radius $radiusValue")
-      Earth(radiusValue * math.pow(10, -radiusScale), 0.0)
+      Earth(axisMeters(radiusScale, radiusValue, 1.0,
+        "earth shape 1 (custom sphere) radius"), 0.0)
     case 2 => oblate(6378160.0, 6356775.0)       // IAU in 1965
     case 3 | 7 =>                                 // custom oblate: km / m
       val unit = if (shape == 3) 1000.0 else 1.0
-      require(majorValue > 0 && minorValue > 0,
-        s"earth shape $shape (custom oblate) with axes " +
-          s"$majorValue/$minorValue")
-      oblate(majorValue * math.pow(10, -majorScale) * unit,
-        minorValue * math.pow(10, -minorScale) * unit)
+      oblate(
+        axisMeters(majorScale, majorValue, unit,
+          s"earth shape $shape major axis"),
+        axisMeters(minorScale, minorValue, unit,
+          s"earth shape $shape minor axis"))
     case 4 => oblate(6378137.0, 6356752.314)      // IAG-GRS80
     case 5 => oblate(6378137.0, 6356752.3142)     // WGS 84
     case 6 => Earth(6371229.0, 0.0)
@@ -277,6 +313,19 @@ object Projection {
     * λR + γ. On the degenerate identity pole this reduces to a plain
     * longitude shift by γ, and the true pole stays fixed for every γ —
     * both pinned by ProjectionSpec.
+    *
+    * INTERPRETATION RISK (documented, not resolved): the γ ≠ 0 sign
+    * convention is pinned only by self-consistency (pole fixed,
+    * identity-pole shift, isometry) — no independent oracle exists in this
+    * environment (the reference's netCDF-Java parses the angle octets but
+    * never applies γ in its RotatedPole projection, and ecCodes/proj are
+    * unavailable offline). The composition here matches proj's
+    * `+proj=ob_tran +o_lon_p=γ` as published (the inner Rz applied in the
+    * rotated frame), but a producer using the opposite sign (no COSMO/ICON
+    * product with γ ≠ 0 is known to circulate) would mis-georeference by
+    * 2γ in rotated longitude. γ = 0 — every real product observed — is
+    * unaffected. Cross-check against ecCodes/proj before trusting γ ≠ 0
+    * output operationally.
     */
   final case class RotatedLatLon(spLatDeg: Double,
       spLonDeg: Double, angleDeg: Double = 0.0) extends Proj {

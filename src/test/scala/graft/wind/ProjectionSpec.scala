@@ -435,4 +435,31 @@ class ProjectionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Projection.earthModel(7, 0, 0, 0, 6356752L, 0, 6378137L))
   }
+
+  test("earthModel wire hardening: sign-magnitude scales, missing " +
+      "sentinels, plausibility gate") {
+    // scale factors are GRIB sign-and-magnitude: 0x81 = −1 means ×10¹,
+    // NOT 10⁻¹²⁹ — a legal negative scale must not produce an absurd axis
+    val neg = Projection.earthModel(7, 0, 0, 0x81, 637813L, 0x81, 635675L)
+    assert(math.abs(neg.a - 6378130.0) < 1e-6, s"0x81 scale gave ${neg.a}")
+    assert(Projection.earthRadius(1, 0x81, 637123L) == 6371230.0)
+    // all-ones missing sentinels refuse by name, not decode as numbers
+    val ms = intercept[IllegalArgumentException](
+      Projection.earthModel(7, 0, 0, 0xff, 6378137L, 0, 6356752L))
+    assert(ms.getMessage.contains("missing"), ms.getMessage)
+    val mv = intercept[IllegalArgumentException](
+      Projection.earthModel(7, 0, 0, 0, 0xffffffffL, 0, 6356752L))
+    assert(mv.getMessage.contains("missing"), mv.getMessage)
+    val mr = intercept[IllegalArgumentException](
+      Projection.earthRadius(1, 0, 0xffffffffL))
+    assert(mr.getMessage.contains("missing"), mr.getMessage)
+    // terrestrial plausibility gate (10⁶..10⁸ m): a mis-scaled wire
+    // refuses loudly instead of silently mis-placing every point
+    val tiny = intercept[IllegalArgumentException](
+      Projection.earthRadius(1, 6, 6371229L)) // 6.37 m
+    assert(tiny.getMessage.contains("implausible"), tiny.getMessage)
+    val huge = intercept[IllegalArgumentException](
+      Projection.earthModel(3, 0, 0, 0, 6378137L, 0, 6356752L)) // km-coded ×10³
+    assert(huge.getMessage.contains("implausible"), huge.getMessage)
+  }
 }
