@@ -27,6 +27,12 @@ import org.apache.spark.sql.SparkSession
   * once, then its queries land in `failures` at [[FailurePenaltySec]] each —
   * a dead child can only ever grow the total, never improve it.
   *
+  * Run-to-run spread (round-12 calibration): three full forked runs of
+  * identical code measured 70.8 / 76.1 / 79.0 s — ~±5% machine-load
+  * variance on the total. Read a < ±5 s move as noise; per-query, the
+  * 3-run raw array distinguishes contention (split runs) from a real
+  * regression (all runs move together).
+  *
   * Honesty guarantees (a loaded machine once let noise read as a 2.4×
   * regression, and a crashing query *shrank* the total):
   *  - `runs` carries every raw per-run time — widely split runs of the same

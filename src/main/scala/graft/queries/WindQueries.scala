@@ -280,6 +280,112 @@ object WindQueries {
       |  CAST(pos * 37 % 101 AS DOUBLE) / 10 AS value
       |FROM xy ORDER BY pos""".stripMargin
 
+  /** Rotated lat/lon addressing with a NON-ZERO rotation angle (round 13):
+    * the binary decoder reads the committed 3.1 fixture (COSMO-style pole
+    * at south-pole (−40°, 10°), γ = 15° — octet layout cross-checked
+    * against netCDF-Java's own `Grib2Gds`, which reads back angle=15.0;
+    * `tools/gdscheck`) and [[Grid.toPointsRotated]] addresses every cell
+    * through the unit-vector triad + axial-γ composition. The oracle
+    * replays the whole path generatively in DuckDB trig — an independent
+    * second implementation of the rotation, agreeing to the 1e-5-degree
+    * quantization. Closes the one point-addressing path that had no
+    * CORRECTNESS row (VERDICT r12 §missing #2); the γ-sign interpretation
+    * risk itself stays documented at [[graft.wind.Projection.RotatedLatLon]].
+    */
+  def rotatedPoints(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/graft/wind/rotated31a.grb2")
+    require(in != null, "missing rotated31a.grb2 resource")
+    val bytes = try in.readAllBytes() finally in.close()
+    Grid.toPointsRotated(spark.createDataFrame(graft.wind.Grib2.decode(bytes)))
+      .select(col("pos").cast("long").as("pos"),
+        (round(col("lat") * 1e5) / 1e5).as("lat"),
+        (round(col("lon") * 1e5) / 1e5).as("lon"),
+        col("value"))
+      .orderBy("pos")
+  }
+
+  // fixture constants: rotated south pole (−40, 10) → rotated NORTH pole
+  // at φp = 40, λp = 190; γ = 15; first rotated point (2, 350), 8×6 cells
+  // of 1°. Triad: x̂ = rotated origin, ŷ = ẑ × x̂, ẑ = pole; the γ spin is
+  // a rotated-longitude shift BEFORE the pole relocation
+  private val rotatedPointsSql =
+    """WITH pts AS (
+      |  SELECT pos, radians(40.0) AS phip, radians(190.0) AS lamp,
+      |    radians(2.0 - (pos // 8) * 1.0) AS latr,
+      |    radians(350.0 + 15.0 + (pos % 8) * 1.0) AS lonr
+      |  FROM (SELECT unnest(range(48)) AS pos)),
+      |c AS (
+      |  SELECT pos, phip, lamp,
+      |    cos(latr)*cos(lonr) AS cx, cos(latr)*sin(lonr) AS cy,
+      |    sin(latr) AS cz
+      |  FROM pts),
+      |v AS (
+      |  SELECT pos,
+      |    -sin(phip)*cos(lamp)*cx + sin(lamp)*cy + cos(phip)*cos(lamp)*cz
+      |      AS vx,
+      |    -sin(phip)*sin(lamp)*cx - cos(lamp)*cy + cos(phip)*sin(lamp)*cz
+      |      AS vy,
+      |    cos(phip)*cx + sin(phip)*cz AS vz
+      |  FROM c)
+      |SELECT CAST(pos AS BIGINT) AS pos,
+      |  round(degrees(asin(vz)) * 1e5)/1e5 AS lat,
+      |  round((((degrees(atan2(vy, vx)) % 360) + 360) % 360) * 1e5)/1e5
+      |    AS lon,
+      |  CAST(pos * 37 % 101 AS DOUBLE) / 10 AS value
+      |FROM v ORDER BY pos""".stripMargin
+
+  /** Derived-ensemble + probability product decode (round 13): the binary
+    * decoder reads the committed fixture carrying a 4.2 (GEFS gespr-style
+    * ensemble std deviation) and a 4.9 (APCP P(accum > 1.0 mm / 6 h))
+    * message — the two most-fetched NCEP product families the decoder
+    * previously refused. Octet layouts cross-checked against netCDF-Java's
+    * own `Grib2Pds2`/`Grib2Pds9` (`tools/gdscheck` round-13 run). The
+    * oracle replays the expected product descriptors and the exact
+    * fixed-point data checksum generatively. One-sided 4.9 bounds decode
+    * NaN; projected here as SQL NULL (the engine-portable spelling).
+    */
+  def ensembleProducts(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/graft/wind/ensemble42_49.grb2")
+    require(in != null, "missing ensemble42_49.grb2 resource")
+    val bytes = try in.readAllBytes() finally in.close()
+    spark.createDataFrame(graft.wind.Grib2.decode(bytes))
+      .select(
+        col("parameterNumber").cast("long").as("parameter"),
+        col("productDefinitionTemplate").cast("long").as("template"),
+        col("derivedForecastType").cast("long").as("derived_type"),
+        col("nEnsemble").cast("long").as("n_ensemble"),
+        col("probabilityType").cast("long").as("prob_type"),
+        when(isnan(col("probLowerLimit")), lit(null))
+          .otherwise(col("probLowerLimit")).as("prob_lower"),
+        when(isnan(col("probUpperLimit")), lit(null))
+          .otherwise(col("probUpperLimit")).as("prob_upper"),
+        col("statProcess").cast("long").as("stat_process"),
+        col("intervalHours").cast("long").as("interval_hours"),
+        (aggregate(
+          transform(col("data"), x => round(x * lit(1e6))),
+          lit(0.0), (a, x) => a + x) / lit(1e6)).as("data_sum"))
+      .orderBy("parameter")
+  }
+
+  // fixture constants: both messages carry the 8×4 formula grid
+  // v(i) = (i·37 mod 101)/10 — ProjFixtureGen.der42/prob49
+  private val ensembleProductsSql =
+    """WITH s AS (
+      |  SELECT sum(round(CAST(i * 37 % 101 AS DOUBLE)/10 * 1e6))/1e6
+      |    AS data_sum
+      |  FROM (SELECT unnest(range(32)) AS i))
+      |SELECT * FROM (
+      |  SELECT CAST(2 AS BIGINT) AS parameter, CAST(2 AS BIGINT) AS template,
+      |    CAST(2 AS BIGINT) AS derived_type, CAST(31 AS BIGINT) AS n_ensemble,
+      |    CAST(-1 AS BIGINT) AS prob_type, CAST(NULL AS DOUBLE) AS prob_lower,
+      |    CAST(NULL AS DOUBLE) AS prob_upper,
+      |    CAST(-1 AS BIGINT) AS stat_process,
+      |    CAST(0 AS BIGINT) AS interval_hours,
+      |    (SELECT data_sum FROM s) AS data_sum
+      |  UNION ALL
+      |  SELECT 8, 9, -1, 0, 1, NULL, 1.0, 1, 6, (SELECT data_sum FROM s))
+      |ORDER BY parameter""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_decoded_records", Some(decodedRecordsSql), decodedRecords),
     QueryDef("w02_uv_filter", Some(uvFilterSql), uvFilter),
@@ -289,5 +395,7 @@ object WindQueries {
     QueryDef("w06_upsert_latest", Some(upsertLatestSql), upsertLatest),
     QueryDef("w07_lambert_points", Some(lambertPointsSql), lambertPoints),
     QueryDef("w08_southpolar_points", Some(southPolarPointsSql), southPolarPoints),
+    QueryDef("w09_rotated_points", Some(rotatedPointsSql), rotatedPoints),
+    QueryDef("w10_ensemble_products", Some(ensembleProductsSql), ensembleProducts),
   )
 }

@@ -102,6 +102,10 @@ object Grib2Source {
     StructField("ensembleType", IntegerType, nullable = false),
     StructField("perturbationNumber", IntegerType, nullable = false),
     StructField("nEnsemble", IntegerType, nullable = false),
+    StructField("derivedForecastType", IntegerType, nullable = false),
+    StructField("probabilityType", IntegerType, nullable = false),
+    StructField("probLowerLimit", DoubleType, nullable = false),
+    StructField("probUpperLimit", DoubleType, nullable = false),
     StructField("data", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
@@ -245,6 +249,8 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
             m.southPoleLat, m.southPoleLon, m.rotationAngle,
             m.statProcess, m.intervalHours,
             m.ensembleType, m.perturbationNumber, m.nEnsemble,
+            m.derivedForecastType,
+            m.probabilityType, m.probLowerLimit, m.probUpperLimit,
             ArrayData.toArrayData(m.data))
           new GenericInternalRow(fieldIdx.map(full))
         }

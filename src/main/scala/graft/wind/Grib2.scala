@@ -638,7 +638,11 @@ object Grib2 {
       var intervalHours = 0 // 4.8 only: statistical interval length
       var ensembleType = -1 // 4.1 only (table 4.6); -1 = deterministic
       var perturbationNumber = -1 // 4.1 only
-      var nEnsemble = 0 // 4.1 only: forecasts in the ensemble
+      var nEnsemble = 0 // 4.1/4.2 only: forecasts in the ensemble
+      var derivedForecastType = -1 // 4.2 only (table 4.7); -1 = not derived
+      var probabilityType = -1 // 4.9 only (table 4.9); -1 = not probability
+      var probLowerLimit = Double.NaN // 4.9 only; NaN = bound coded missing
+      var probUpperLimit = Double.NaN // 4.9 only
       var nData = 0
       var packing: Packing = null
       var bitmap: Array[Boolean] = null
@@ -792,14 +796,18 @@ object Grib2 {
             if ((scan & 0x80) != 0) lo1 -= (nx - 1) * dx
             lo2 = lo1 + (nx - 1) * dx
             }
-          case 4 => // product definition; templates 4.0, 4.1 (ensemble)
-            //        and 4.8 (statistical) — octets 10-34 are
-            //        layout-identical across all three; 4.1 appends the
-            //        GEFS perturbation descriptor, 4.8 the statistical-
-            //        processing interval GFS accumulation fields carry
+          case 4 => // product definition; templates 4.0, 4.1 (ensemble),
+            //        4.2 (derived ensemble: the GEFS mean/spread products
+            //        geavg/gespr), 4.8 (statistical) and 4.9 (probability
+            //        over an interval) — octets 10-34 are layout-identical
+            //        across all five; 4.1 appends the GEFS perturbation
+            //        descriptor, 4.2 the derived-forecast descriptor, 4.8
+            //        the statistical-processing interval GFS accumulation
+            //        fields carry, 4.9 the 4.5 probability block followed
+            //        by the 4.8 interval block shifted 13 octets
             val tmpl = u16(payload, p + 7)
-            require(tmpl == 0 || tmpl == 1 || tmpl == 8,
-              s"unsupported product template 4.$tmpl")
+            require(tmpl == 0 || tmpl == 1 || tmpl == 2 || tmpl == 8 ||
+              tmpl == 9, s"unsupported product template 4.$tmpl")
             prodTmpl = tmpl
             cat = u8(payload, p + 9)               // category, octet 10
             num = u8(payload, p + 10)              // number, octet 11
@@ -843,43 +851,90 @@ object Grib2 {
               perturbationNumber = u8(payload, p + 35) // octet 36
               nEnsemble = u8(payload, p + 36)          // octet 37
             }
-            if (tmpl == 8) {
-              // statistical processing over a time interval (table 4.10:
-              // 0 average, 1 accumulation, 2 max, 3 min, …), octets 35-58.
-              // Valid time of such a field is the interval END = refTime +
-              // forecastTime + interval; the end is also redundantly coded
-              // on the wire (octets 35-41) — verify the two agree rather
-              // than trust either alone.
-              val endY = u16(payload, p + 34)
-              val endMo = u8(payload, p + 36); val endD = u8(payload, p + 37)
-              val endH = u8(payload, p + 38); val endMi = u8(payload, p + 39)
-              val endS = u8(payload, p + 40)
+            if (tmpl == 2) {
+              // derived forecast based on all ensemble members (the GEFS
+              // geavg/gespr products): derived type (table 4.7: 0
+              // unweighted mean, 2/4 std deviation, 3 spread, …) and
+              // ensemble size — a 2-octet extension of the 4.0 layout
+              derivedForecastType = u8(payload, p + 34) // octet 35
+              nEnsemble = u8(payload, p + 35)           // octet 36
+            }
+            // statistical processing over a time interval (table 4.10:
+            // 0 average, 1 accumulation, 2 max, 3 min, …) — octets 35-58
+            // of 4.8, and the SAME block at octets 48-71 of 4.9 (shifted
+            // past the probability descriptor). Valid time of such a field
+            // is the interval END = refTime + forecastTime + interval; the
+            // end is also redundantly coded on the wire — verify the two
+            // agree rather than trust either alone. `b` = offset of the
+            // block's first octet.
+            def parseStatInterval(b: Int): Unit = {
+              val endY = u16(payload, b)
+              val endMo = u8(payload, b + 2); val endD = u8(payload, b + 3)
+              val endH = u8(payload, b + 4); val endMi = u8(payload, b + 5)
+              val endS = u8(payload, b + 6)
               require(endMi == 0 && endS == 0,
                 f"unsupported sub-hour statistical interval end $endMi%02d:$endS%02d")
-              val nRanges = u8(payload, p + 41)
+              val nRanges = u8(payload, b + 7)
               require(nRanges == 1,
                 s"unsupported $nRanges statistical time-range specifications" +
                   " (only 1)")
-              statProcess = u8(payload, p + 46)    // octet 47
-              val rangeUnit = u8(payload, p + 48)  // octet 49
-              val rangeLen = u32(payload, p + 49).toInt // octets 50-53
+              statProcess = u8(payload, b + 12)
+              val rangeUnit = u8(payload, b + 14)
+              val rangeLen = u32(payload, b + 15).toInt
               intervalHours =
                 toWholeHours(rangeUnit, rangeLen, "statistical interval")
               require(refTime.nonEmpty,
-                "product section 4.8 before identification section")
+                s"product section 4.$tmpl before identification section")
               val ref =
                 try java.time.LocalDateTime.parse(refTime.stripSuffix(".000Z"))
                 catch {
                   case e: java.time.format.DateTimeParseException =>
                     throw new IllegalArgumentException(
                       s"unparseable reference time '$refTime' while " +
-                        "verifying the 4.8 statistical interval end", e)
+                        s"verifying the 4.$tmpl statistical interval end", e)
                 }
               val end = ref.plusHours((forecastHours + intervalHours).toLong)
               require(end.getYear == endY && end.getMonthValue == endMo &&
                 end.getDayOfMonth == endD && end.getHour == endH,
                 s"statistical interval end $endY-$endMo-$endD ${endH}:00 " +
                   s"does not equal refTime + forecastTime + interval ($end)")
+            }
+            if (tmpl == 8) parseStatInterval(p + 34)
+            if (tmpl == 9) {
+              // probability forecast over an interval (GEFS pgrb2ap5
+              // probability products): the 4.5 probability descriptor
+              // (octets 35-47) followed by the 4.8 interval block (48-71).
+              // Limits are sign-magnitude scale + scaled value like the
+              // fixed surfaces; an all-ones value is a missing bound (the
+              // one-sided probability types code the unused side missing)
+              probabilityType = u8(payload, p + 36)     // octet 37
+              val loScaleRaw = u8(payload, p + 37)      // octet 38
+              val loValRaw = u32(payload, p + 38)       // octets 39-42
+              probLowerLimit =
+                if (loValRaw == 0xffffffffL) Double.NaN
+                else s32sm(payload, p + 38) /
+                  math.pow(10,
+                    if (loScaleRaw == 0xff) 0 else s8sm(payload, p + 37))
+              val upScaleRaw = u8(payload, p + 42)      // octet 43
+              val upValRaw = u32(payload, p + 43)       // octets 44-47
+              probUpperLimit =
+                if (upValRaw == 0xffffffffL) Double.NaN
+                else s32sm(payload, p + 43) /
+                  math.pow(10,
+                    if (upScaleRaw == 0xff) 0 else s8sm(payload, p + 42))
+              // a type whose bound is needed must not be missing: table
+              // 4.9 — 0 below LOWER, 1 above UPPER, 2 between (both),
+              // 3 above LOWER, 4 below UPPER — refuse a wire that codes
+              // the needed side out
+              val needLower = probabilityType == 0 || probabilityType == 2 ||
+                probabilityType == 3
+              val needUpper = probabilityType == 1 || probabilityType == 2 ||
+                probabilityType == 4
+              require(!needLower || !probLowerLimit.isNaN,
+                s"probability type $probabilityType with missing lower limit")
+              require(!needUpper || !probUpperLimit.isNaN,
+                s"probability type $probabilityType with missing upper limit")
+              parseStatInterval(p + 47)
             }
           case 5 => // data representation; templates 5.0 / 5.2 / 5.3 …
             nData = u32(payload, p + 5).toInt      // octets 6-9
@@ -1043,6 +1098,10 @@ object Grib2 {
                 ensembleType = ensembleType,
                 perturbationNumber = perturbationNumber,
                 nEnsemble = nEnsemble,
+                derivedForecastType = derivedForecastType,
+                probabilityType = probabilityType,
+                probLowerLimit = probLowerLimit,
+                probUpperLimit = probUpperLimit,
                 data = data)
             }
             // this field is done: clear its state so a repeated 4-7 group
@@ -1051,6 +1110,8 @@ object Grib2 {
             surf2Type = 255; surf2Val = 0.0; genProcessType = 0
             prodTmpl = 0; statProcess = -1; intervalHours = 0
             ensembleType = -1; perturbationNumber = -1; nEnsemble = 0
+            derivedForecastType = -1; probabilityType = -1
+            probLowerLimit = Double.NaN; probUpperLimit = Double.NaN
             forecastHours = 0; nData = 0; packing = null; bitmap = null
           case s => throw new IllegalArgumentException(s"unknown section $s")
         }

@@ -64,8 +64,18 @@ object WindBinary {
       // field's valid time is refTime + forecastTime + intervalHours
       statProcess: Int, intervalHours: Int,
       // product template 4.1 (ensemble, GEFS): perturbation descriptor;
-      // ensembleType/perturbationNumber = -1 for deterministic fields
+      // ensembleType/perturbationNumber = -1 for deterministic fields.
+      // nEnsemble is shared with 4.2 (derived-ensemble size)
       ensembleType: Int, perturbationNumber: Int, nEnsemble: Int,
+      // product template 4.2 (derived ensemble — GEFS geavg/gespr):
+      // derived forecast type (table 4.7); -1 for non-derived fields
+      derivedForecastType: Int,
+      // product template 4.9 (probability over an interval — GEFS
+      // probability products): probability type (table 4.9; -1 otherwise)
+      // and the decoded lower/upper event limits (NaN where the wire codes
+      // the unused one-sided bound missing); statProcess/intervalHours
+      // carry 4.9's interval block exactly as they do 4.8's
+      probabilityType: Int, probLowerLimit: Double, probUpperLimit: Double,
       data: Array[Double])
 
   /** Read a directory of `.grb2` blobs via the binaryFile source. */

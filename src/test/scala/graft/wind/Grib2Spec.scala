@@ -665,9 +665,96 @@ class Grib2Spec extends AnyFunSuite {
     }
     assert(sh.getMessage.contains("interval end"), sh.getMessage)
     val en = intercept[IllegalArgumentException] {
-      Grib2.decode(Grib2TestWriter.message(msg().copy(prodTemplate = 2)))
+      Grib2.decode(Grib2TestWriter.message(msg().copy(prodTemplate = 5)))
     }
-    assert(en.getMessage.contains("product template 4.2"), en.getMessage)
+    assert(en.getMessage.contains("product template 4.5"), en.getMessage)
+  }
+
+  // ---------- product templates 4.2 / 4.9, derived ensemble + probability
+  // (round 13) — octet layouts cross-checked against netCDF-Java's own
+  // Grib2Pds2/Grib2Pds9 (tools/gdscheck PdsCheck)
+
+  test("product template 4.2 decodes the derived-ensemble descriptor " +
+      "(GEFS geavg/gespr)") {
+    val g = Grib2.decode(Grib2TestWriter.message(msg().copy(
+      prodTemplate = 2, derivedForecastType = 2, nEnsemble = 31))).head
+    assert(g.productDefinitionTemplate == 2)
+    assert(g.derivedForecastType == 2, "std deviation (table 4.7)")
+    assert(g.nEnsemble == 31)
+    // a derived product is the whole-ensemble statistic, not a member
+    assert(g.ensembleType == -1 && g.perturbationNumber == -1)
+    assert(g.statProcess == -1 && g.intervalHours == 0)
+    assert(g.data.length == 32)
+    // non-derived fields carry the -1 marker
+    val plain = Grib2.decode(Grib2TestWriter.message(msg())).head
+    assert(plain.derivedForecastType == -1)
+  }
+
+  test("product template 4.9 decodes: probability block + shifted " +
+      "interval block") {
+    // type 1 (above upper limit): lower coded missing, upper = 1.0 mm
+    // (scale 1, value 10); APCP 6 h probability — the GEFS pgrb2ap5 shape
+    val g = Grib2.decode(Grib2TestWriter.message(msg(
+      category = 1, number = 8).copy(
+      prodTemplate = 9, statProcess = 1, intervalHours = 6,
+      probabilityType = 1,
+      probLowerScaleRaw = 0xff, probLowerValueRaw = 0xffffffffL,
+      probUpperScaleRaw = 1, probUpperValueRaw = 10))).head
+    assert(g.productDefinitionTemplate == 9)
+    assert(g.probabilityType == 1)
+    assert(g.probLowerLimit.isNaN, "one-sided: lower bound coded missing")
+    assert(g.probUpperLimit == 1.0)
+    // the interval block parses at its SHIFTED (octet-48) position
+    assert(g.statProcess == 1 && g.intervalHours == 6)
+    assert(g.forecastTime == 6, "interval START offset, grib2json parity")
+    assert(g.data.length == 32)
+    // non-probability fields carry the markers
+    val plain = Grib2.decode(Grib2TestWriter.message(msg())).head
+    assert(plain.probabilityType == -1 &&
+      plain.probLowerLimit.isNaN && plain.probUpperLimit.isNaN)
+  }
+
+  test("4.9 limits: negative sign-magnitude scale/value; between-type " +
+      "needs both bounds") {
+    // type 2 (between): lower −0.5 (scale 1, value −5), upper 20 (scale
+    // −1 = 0x81, value 2) — sign-magnitude on BOTH fields
+    val g = Grib2.decode(Grib2TestWriter.message(msg().copy(
+      prodTemplate = 9, probabilityType = 2,
+      probLowerScaleRaw = 1, probLowerValueRaw = 0x80000005L,
+      probUpperScaleRaw = 0x81, probUpperValueRaw = 2))).head
+    assert(g.probLowerLimit == -0.5, s"got ${g.probLowerLimit}")
+    assert(g.probUpperLimit == 20.0, s"got ${g.probUpperLimit}")
+    // a type that NEEDS a bound refuses a wire that codes it missing
+    val e = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(msg().copy(
+        prodTemplate = 9, probabilityType = 2,
+        probLowerScaleRaw = 0xff, probLowerValueRaw = 0xffffffffL)))
+    }
+    assert(e.getMessage.contains("missing lower limit"), e.getMessage)
+    // 4.9 rides the same interval verification as 4.8
+    val sh = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(msg().copy(
+        prodTemplate = 9, probabilityType = 1, statEndShiftHours = 3)))
+    }
+    assert(sh.getMessage.contains("interval end"), sh.getMessage)
+  }
+
+  test("mixed 4.0 + 4.2 + 4.9 multi-field message: field state never " +
+      "leaks across repeated 4-7 groups") {
+    val payload = Grib2TestWriter.multiFieldMessage(
+      msg(number = 2),
+      msg(number = 3).copy(prodTemplate = 2, derivedForecastType = 0,
+        nEnsemble = 21),
+      msg(category = 1, number = 8).copy(
+        prodTemplate = 9, statProcess = 1, intervalHours = 6,
+        probabilityType = 1, probUpperScaleRaw = 1, probUpperValueRaw = 10))
+    val all = Grib2.decode(payload)
+    assert(all.map(_.productDefinitionTemplate) == Seq(0, 2, 9))
+    assert(all.map(_.derivedForecastType) == Seq(-1, 0, -1))
+    assert(all.map(_.probabilityType) == Seq(-1, -1, 1))
+    assert(all.map(_.statProcess) == Seq(-1, -1, 1))
+    assert(all(0).probUpperLimit.isNaN && all(1).probUpperLimit.isNaN &&
+      all(2).probUpperLimit == 1.0)
   }
 
   test("unknown packings refuse by name; short 5.42 sections refuse (pinned)") {

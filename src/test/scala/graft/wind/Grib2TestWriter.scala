@@ -99,12 +99,21 @@ object Grib2TestWriter {
       rotationAngleMicro: Long = 0,
       // product template (4.0 default; 8 writes the statistical-interval
       // extension with `statProcess` (table 4.10) over `intervalHours`;
-      // 1 writes the ensemble descriptor).
+      // 1 writes the ensemble descriptor; 2 the derived-ensemble
+      // descriptor; 9 the probability block + the shifted interval block).
       // `statRanges`/`statEndShiftHours` deform the wire for refusal tests
       prodTemplate: Int = 0,
       statProcess: Int = 1, intervalHours: Int = 6,
       statRanges: Int = 1, statEndShiftHours: Int = 0,
-      ensembleType: Int = 3, perturbationNumber: Int = 0, nEnsemble: Int = 31)
+      ensembleType: Int = 3, perturbationNumber: Int = 0, nEnsemble: Int = 31,
+      // 4.2: derived forecast type (table 4.7)
+      derivedForecastType: Int = 0,
+      // 4.9: probability descriptor — RAW wire octets for the limits
+      // (1-octet sign-magnitude scale, 4-octet sign-magnitude value;
+      // 0xFF / 0xFFFFFFFF = missing) so malformed wires are writable
+      probabilityType: Int = 1,
+      probLowerScaleRaw: Int = 0xff, probLowerValueRaw: Long = 0xffffffffL,
+      probUpperScaleRaw: Int = 0, probUpperValueRaw: Long = 10)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -325,9 +334,23 @@ object Grib2TestWriter {
       w.w8(msg.perturbationNumber)
       w.w8(msg.nEnsemble)
     }
-    if (msg.prodTemplate == 8) {
-      // statistical extension, octets 35-58: the interval end is the
-      // redundantly-coded refTime + forecastTime + interval
+    if (msg.prodTemplate == 2) {
+      // derived-ensemble descriptor, octets 35-36
+      w.w8(msg.derivedForecastType)
+      w.w8(msg.nEnsemble)
+    }
+    if (msg.prodTemplate == 9) {
+      // probability descriptor, octets 35-47 (the 4.5 block)
+      w.w8(0)                               // octet 35: probability number
+      w.w8(1)                               // octet 36: total probabilities
+      w.w8(msg.probabilityType)             // octet 37
+      w.w8(msg.probLowerScaleRaw); w.w32(msg.probLowerValueRaw) // 38-42
+      w.w8(msg.probUpperScaleRaw); w.w32(msg.probUpperValueRaw) // 43-47
+    }
+    if (msg.prodTemplate == 8 || msg.prodTemplate == 9) {
+      // statistical extension (octets 35-58 of 4.8; 48-71 of 4.9): the
+      // interval end is the redundantly-coded refTime + forecastTime +
+      // interval
       val fh = msg.timeUnit match {
         case 0 => msg.forecastHours / 60
         case 1 => msg.forecastHours
@@ -337,15 +360,15 @@ object Grib2TestWriter {
         .of(msg.year, msg.month, msg.day, msg.hour, 0)
         .plusHours((fh + msg.intervalHours + msg.statEndShiftHours).toLong)
       w.w16(end.getYear); w.w8(end.getMonthValue); w.w8(end.getDayOfMonth)
-      w.w8(end.getHour); w.w8(0); w.w8(0)   // octets 35-41
-      w.w8(msg.statRanges)                  // octet 42
-      w.w32(0)                              // octets 43-46: missing count
-      w.w8(msg.statProcess)                 // octet 47
-      w.w8(2)                               // octet 48: increment type
-      w.w8(1)                               // octet 49: range unit, hours
-      w.w32(msg.intervalHours)              // octets 50-53
-      w.w8(255)                             // octet 54: increment unit
-      w.w32(0)                              // octets 55-58: increment 0
+      w.w8(end.getHour); w.w8(0); w.w8(0)   // block octets 1-7
+      w.w8(msg.statRanges)                  // block octet 8
+      w.w32(0)                              // block octets 9-12: missing count
+      w.w8(msg.statProcess)                 // block octet 13
+      w.w8(2)                               // block octet 14: increment type
+      w.w8(1)                               // block octet 15: range unit, hours
+      w.w32(msg.intervalHours)              // block octets 16-19
+      w.w8(255)                             // block octet 20: increment unit
+      w.w32(0)                              // block octets 21-24: increment 0
     }
   }
 

@@ -66,17 +66,47 @@ object ProjFixtureGen {
     lovMicro = 0L, ladMicro = 0L, latin1Micro = 0L, latin2Micro = 0L,
     southPoleLatMicro = -40000000L, southPoleLonMicro = 10000000L)
 
+  /** `rotated31` with a NON-ZERO angle of rotation (γ = 15°): the
+    * committed `rotated31a.grb2` resource backing `w09_rotated_points` —
+    * the first oracle query through the template-3.1 binary leg,
+    * exercising the round-12 rotation-angle path end-to-end.
+    */
+  def rotated31a: Grib2TestWriter.Msg = rotated31.copy(
+    rotationAngleMicro = 15000000L)
+
+  /** A 4.2 derived-ensemble message (GEFS gespr-style std deviation) for
+    * the Grib2Pds cross-check (round 13).
+    */
+  def der42: Grib2TestWriter.Msg = apcp48.copy(
+    category = 2, number = 2, prodTemplate = 2,
+    derivedForecastType = 2, nEnsemble = 31)
+
+  /** A 4.9 probability-over-interval message (GEFS pgrb2ap5-style APCP
+    * probability: P(accum > 1.0 mm over 6 h)) for the Grib2Pds check.
+    */
+  def prob49: Grib2TestWriter.Msg = apcp48.copy(
+    prodTemplate = 9, statProcess = 1, intervalHours = 6,
+    probabilityType = 1,
+    probLowerScaleRaw = 0xff, probLowerValueRaw = 0xffffffffL,
+    probUpperScaleRaw = 1, probUpperValueRaw = 10)
+
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/projfix")
     dir.mkdirs()
     for ((name, m) <- Seq("lambert" -> lambert, "stereo" -> polarStereo,
       "stereo_south" -> polarStereoSouth,
       "mercator" -> mercator, "apcp48" -> apcp48, "ens41" -> ens41,
-      "rotated31" -> rotated31)) {
+      "rotated31" -> rotated31, "rotated31a" -> rotated31a,
+      "der42" -> der42, "prob49" -> prob49)) {
       val f = new java.io.File(dir, s"$name.grb2")
       val out = new java.io.FileOutputStream(f)
       try out.write(Grib2TestWriter.message(m)) finally out.close()
       println(s"wrote $f")
     }
+    // the committed w10_ensemble_products fixture: 4.2 + 4.9 in ONE file
+    val ens = new java.io.File(dir, "ensemble42_49.grb2")
+    val out = new java.io.FileOutputStream(ens)
+    try out.write(Grib2TestWriter.file(der42, prob49)) finally out.close()
+    println(s"wrote $ens")
   }
 }

@@ -30,6 +30,25 @@ public class PdsCheck {
             + " member=" + pe.getPerturbationNumber()
             + " of=" + pe.getNumberEnsembleForecasts());
         }
+        if (pds instanceof ucar.nc2.grib.grib2.Grib2Pds.PdsEnsembleDerived) {
+          ucar.nc2.grib.grib2.Grib2Pds.PdsEnsembleDerived pd =
+            (ucar.nc2.grib.grib2.Grib2Pds.PdsEnsembleDerived) pds;
+          // Grib2Pds2's real octet-36 reader is getNumberForecastsInEnsemble
+          // (package-private class, so reflection); the interface's
+          // getNumberEnsembleForecasts returns the -9999 missing marker
+          java.lang.reflect.Method m =
+            pds.getClass().getMethod("getNumberForecastsInEnsemble");
+          m.setAccessible(true);
+          System.out.println("  derived: type=" + pd.getDerivedForecastType()
+            + " of=" + m.invoke(pds));
+        }
+        if (pds instanceof ucar.nc2.grib.grib2.Grib2Pds.PdsProbability) {
+          ucar.nc2.grib.grib2.Grib2Pds.PdsProbability pp =
+            (ucar.nc2.grib.grib2.Grib2Pds.PdsProbability) pds;
+          System.out.println("  probability: type=" + pp.getProbabilityType()
+            + " lower=" + pp.getProbabilityLowerLimit()
+            + " upper=" + pp.getProbabilityUpperLimit());
+        }
         if (pds instanceof ucar.nc2.grib.grib2.Grib2Pds.PdsInterval) {
           ucar.nc2.grib.grib2.Grib2Pds.PdsInterval pi =
             (ucar.nc2.grib.grib2.Grib2Pds.PdsInterval) pds;
