@@ -334,15 +334,17 @@ object WindQueries {
       |  CAST(pos * 37 % 101 AS DOUBLE) / 10 AS value
       |FROM v ORDER BY pos""".stripMargin
 
-  /** Derived-ensemble + probability product decode (round 13): the binary
-    * decoder reads the committed fixture carrying a 4.2 (GEFS gespr-style
-    * ensemble std deviation) and a 4.9 (APCP P(accum > 1.0 mm / 6 h))
-    * message — the two most-fetched NCEP product families the decoder
-    * previously refused. Octet layouts cross-checked against netCDF-Java's
-    * own `Grib2Pds2`/`Grib2Pds9` (`tools/gdscheck` round-13 run). The
-    * oracle replays the expected product descriptors and the exact
-    * fixed-point data checksum generatively. One-sided 4.9 bounds decode
-    * NaN; projected here as SQL NULL (the engine-portable spelling).
+  /** Ensemble-product-family decode (round 13): the binary decoder reads
+    * the committed fixture carrying one message of EACH ensemble product
+    * template — 4.2 (GEFS gespr-style ensemble std deviation), 4.9 (APCP
+    * P(accum > 1.0 mm / 6 h)), 4.11 (APCP ensemble-member accumulation)
+    * and 4.12 (APCP ensemble-mean accumulation) — the NCEP product
+    * families the decoder previously refused. Octet layouts cross-checked
+    * against netCDF-Java's own `Grib2Pds2`/`Grib2Pds9`/`Grib2Pds11`/
+    * `Grib2Pds12` (`tools/gdscheck` round-13 runs). The oracle replays the
+    * expected product descriptors and the exact fixed-point data checksum
+    * generatively. One-sided 4.9 bounds decode NaN; projected here as SQL
+    * NULL (the engine-portable spelling).
     */
   def ensembleProducts(spark: SparkSession, dir: String): DataFrame = {
     val in = getClass.getResourceAsStream("/graft/wind/ensemble42_49.grb2")
@@ -352,6 +354,8 @@ object WindQueries {
       .select(
         col("parameterNumber").cast("long").as("parameter"),
         col("productDefinitionTemplate").cast("long").as("template"),
+        col("ensembleType").cast("long").as("ens_type"),
+        col("perturbationNumber").cast("long").as("pert_num"),
         col("derivedForecastType").cast("long").as("derived_type"),
         col("nEnsemble").cast("long").as("n_ensemble"),
         col("probabilityType").cast("long").as("prob_type"),
@@ -364,11 +368,12 @@ object WindQueries {
         (aggregate(
           transform(col("data"), x => round(x * lit(1e6))),
           lit(0.0), (a, x) => a + x) / lit(1e6)).as("data_sum"))
-      .orderBy("parameter")
+      .orderBy("parameter", "template")
   }
 
-  // fixture constants: both messages carry the 8×4 formula grid
-  // v(i) = (i·37 mod 101)/10 — ProjFixtureGen.der42/prob49
+  // fixture constants: all four messages carry the 8×4 formula grid
+  // v(i) = (i·37 mod 101)/10 — ProjFixtureGen (der42, prob49, and the
+  // 4.11/4.12 interval-ensemble variants of apcp48)
   private val ensembleProductsSql =
     """WITH s AS (
       |  SELECT sum(round(CAST(i * 37 % 101 AS DOUBLE)/10 * 1e6))/1e6
@@ -376,6 +381,7 @@ object WindQueries {
       |  FROM (SELECT unnest(range(32)) AS i))
       |SELECT * FROM (
       |  SELECT CAST(2 AS BIGINT) AS parameter, CAST(2 AS BIGINT) AS template,
+      |    CAST(-1 AS BIGINT) AS ens_type, CAST(-1 AS BIGINT) AS pert_num,
       |    CAST(2 AS BIGINT) AS derived_type, CAST(31 AS BIGINT) AS n_ensemble,
       |    CAST(-1 AS BIGINT) AS prob_type, CAST(NULL AS DOUBLE) AS prob_lower,
       |    CAST(NULL AS DOUBLE) AS prob_upper,
@@ -383,8 +389,15 @@ object WindQueries {
       |    CAST(0 AS BIGINT) AS interval_hours,
       |    (SELECT data_sum FROM s) AS data_sum
       |  UNION ALL
-      |  SELECT 8, 9, -1, 0, 1, NULL, 1.0, 1, 6, (SELECT data_sum FROM s))
-      |ORDER BY parameter""".stripMargin
+      |  SELECT 8, 9, -1, -1, -1, 0, 1, NULL, 1.0, 1, 6,
+      |    (SELECT data_sum FROM s)
+      |  UNION ALL
+      |  SELECT 8, 11, 3, 7, -1, 31, -1, NULL, NULL, 1, 6,
+      |    (SELECT data_sum FROM s)
+      |  UNION ALL
+      |  SELECT 8, 12, -1, -1, 0, 21, -1, NULL, NULL, 1, 6,
+      |    (SELECT data_sum FROM s))
+      |ORDER BY parameter, template""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_decoded_records", Some(decodedRecordsSql), decodedRecords),

@@ -798,16 +798,22 @@ object Grib2 {
             }
           case 4 => // product definition; templates 4.0, 4.1 (ensemble),
             //        4.2 (derived ensemble: the GEFS mean/spread products
-            //        geavg/gespr), 4.8 (statistical) and 4.9 (probability
-            //        over an interval) — octets 10-34 are layout-identical
-            //        across all five; 4.1 appends the GEFS perturbation
-            //        descriptor, 4.2 the derived-forecast descriptor, 4.8
-            //        the statistical-processing interval GFS accumulation
-            //        fields carry, 4.9 the 4.5 probability block followed
-            //        by the 4.8 interval block shifted 13 octets
+            //        geavg/gespr), 4.5/4.9 (probability at a point in
+            //        time / over an interval), 4.8 (statistical), and the
+            //        interval forms of the ensemble pair — 4.11
+            //        (individual member over an interval: GEFS APCP
+            //        members) and 4.12 (derived ensemble over an
+            //        interval: GEFS mean/spread accumulations). Octets
+            //        10-34 are layout-identical across all eight; each
+            //        non-4.0 form appends its descriptor block, and the
+            //        interval forms append the 4.8 interval block
+            //        immediately after it (octet 38 for 4.11, 37 for
+            //        4.12, 48 for 4.9 — netCDF Grib2Pds-bytecode-verified
+            //        offsets)
             val tmpl = u16(payload, p + 7)
-            require(tmpl == 0 || tmpl == 1 || tmpl == 2 || tmpl == 8 ||
-              tmpl == 9, s"unsupported product template 4.$tmpl")
+            require(tmpl == 0 || tmpl == 1 || tmpl == 2 || tmpl == 5 ||
+              tmpl == 8 || tmpl == 9 || tmpl == 11 || tmpl == 12,
+              s"unsupported product template 4.$tmpl")
             prodTmpl = tmpl
             cat = u8(payload, p + 9)               // category, octet 10
             num = u8(payload, p + 10)              // number, octet 11
@@ -844,14 +850,14 @@ object Grib2 {
               if (surf2Type == 255 || s2ValRaw == 0xffffffffL) 0.0
               else s32sm(payload, p + 30) /
                 math.pow(10, if (s2ScaleRaw == 0xff) 0 else s8sm(payload, p + 29))
-            if (tmpl == 1) {
+            if (tmpl == 1 || tmpl == 11) {
               // ensemble forecast descriptor (GEFS): type of ensemble
               // (table 4.6), perturbation number, ensemble size
               ensembleType = u8(payload, p + 34)       // octet 35
               perturbationNumber = u8(payload, p + 35) // octet 36
               nEnsemble = u8(payload, p + 36)          // octet 37
             }
-            if (tmpl == 2) {
+            if (tmpl == 2 || tmpl == 12) {
               // derived forecast based on all ensemble members (the GEFS
               // geavg/gespr products): derived type (table 4.7: 0
               // unweighted mean, 2/4 std deviation, 3 spread, …) and
@@ -900,13 +906,17 @@ object Grib2 {
                   s"does not equal refTime + forecastTime + interval ($end)")
             }
             if (tmpl == 8) parseStatInterval(p + 34)
-            if (tmpl == 9) {
-              // probability forecast over an interval (GEFS pgrb2ap5
-              // probability products): the 4.5 probability descriptor
-              // (octets 35-47) followed by the 4.8 interval block (48-71).
-              // Limits are sign-magnitude scale + scaled value like the
-              // fixed surfaces; an all-ones value is a missing bound (the
-              // one-sided probability types code the unused side missing)
+            if (tmpl == 11) parseStatInterval(p + 37) // after the 4.1 block
+            if (tmpl == 12) parseStatInterval(p + 36) // after the 4.2 block
+            if (tmpl == 5 || tmpl == 9) {
+              // probability forecasts: 4.5 at a point in time (the bare
+              // probability descriptor, octets 35-47); 4.9 over an
+              // interval (the same descriptor followed by the 4.8
+              // interval block at octets 48-71 — the GEFS pgrb2ap5
+              // shape). Limits are sign-magnitude scale + scaled value
+              // like the fixed surfaces; an all-ones value is a missing
+              // bound (the one-sided probability types code the unused
+              // side missing)
               probabilityType = u8(payload, p + 36)     // octet 37
               val loScaleRaw = u8(payload, p + 37)      // octet 38
               val loValRaw = u32(payload, p + 38)       // octets 39-42
@@ -934,7 +944,7 @@ object Grib2 {
                 s"probability type $probabilityType with missing lower limit")
               require(!needUpper || !probUpperLimit.isNaN,
                 s"probability type $probabilityType with missing upper limit")
-              parseStatInterval(p + 47)
+              if (tmpl == 9) parseStatInterval(p + 47)
             }
           case 5 => // data representation; templates 5.0 / 5.2 / 5.3 …
             nData = u32(payload, p + 5).toInt      // octets 6-9

@@ -74,11 +74,23 @@ object Grib2Names {
     2 -> "Analysis and forecast products",
     3 -> "Control forecast products")
 
-  /** Code table 4.0 — product definition template. */
+  /** Code table 4.0 — product definition template. Strings are VERBATIM
+    * `ucar.grib.grib2.Grib2Tables.codeTable4_0` (the table grib2json's
+    * `--names` prints; bytecode-dumped round 13) — including its
+    * shortened phrasings — so a binary-leg row is indistinguishable from
+    * the reference's JSON output for every template the engine decodes.
+    */
   val productDefinitionTemplate: Map[Int, String] = Map(
     0 -> "Analysis/forecast at horizontal level/layer at a point in time",
     1 -> "Individual ensemble forecast at a point in time",
-    8 -> "Average, accumulation, extreme values or other statistically processed values at a horizontal level or in a horizontal layer in a continuous or non-continuous time interval")
+    2 -> "Derived forecast on all ensemble members at a point in time",
+    5 -> "Probability forecasts at a horizontal level at a point in time",
+    8 -> ("Average, accumulation, extreme values or other statistically " +
+      "processed value at a horizontal level in a time interval"),
+    9 -> ("Probability forecasts at a horizontal level or in a " +
+      "horizontal layer in a time interval"),
+    11 -> "Individual ensemble forecast in a time interval",
+    12 -> "Derived forecast on all ensemble members in a time interval")
 
   /** Code table 4.3 — type of generating process. */
   val genProcessType: Map[Int, String] = Map(

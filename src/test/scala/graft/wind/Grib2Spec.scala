@@ -665,9 +665,9 @@ class Grib2Spec extends AnyFunSuite {
     }
     assert(sh.getMessage.contains("interval end"), sh.getMessage)
     val en = intercept[IllegalArgumentException] {
-      Grib2.decode(Grib2TestWriter.message(msg().copy(prodTemplate = 5)))
+      Grib2.decode(Grib2TestWriter.message(msg().copy(prodTemplate = 6)))
     }
-    assert(en.getMessage.contains("product template 4.5"), en.getMessage)
+    assert(en.getMessage.contains("product template 4.6"), en.getMessage)
   }
 
   // ---------- product templates 4.2 / 4.9, derived ensemble + probability
@@ -735,6 +735,51 @@ class Grib2Spec extends AnyFunSuite {
     val sh = intercept[IllegalArgumentException] {
       Grib2.decode(Grib2TestWriter.message(msg().copy(
         prodTemplate = 9, probabilityType = 1, statEndShiftHours = 3)))
+    }
+    assert(sh.getMessage.contains("interval end"), sh.getMessage)
+  }
+
+  test("product template 4.5 decodes: the bare probability descriptor, " +
+      "no interval block") {
+    val g = Grib2.decode(Grib2TestWriter.message(msg().copy(
+      prodTemplate = 5, probabilityType = 2,
+      probLowerScaleRaw = 0, probLowerValueRaw = 0,
+      probUpperScaleRaw = 0, probUpperValueRaw = 15))).head
+    assert(g.productDefinitionTemplate == 5)
+    assert(g.probabilityType == 2)
+    assert(g.probLowerLimit == 0.0 && g.probUpperLimit == 15.0)
+    // a point-in-time probability is NOT statistical
+    assert(g.statProcess == -1 && g.intervalHours == 0)
+    assert(g.data.length == 32)
+  }
+
+  test("product templates 4.11/4.12 decode: ensemble descriptors + the " +
+      "descriptor-shifted interval block") {
+    // 4.11 (GEFS APCP ensemble member accumulation): the 4.1 descriptor
+    // then the interval block at octet 38
+    val m11 = Grib2.decode(Grib2TestWriter.message(msg(
+      category = 1, number = 8).copy(
+      prodTemplate = 11, ensembleType = 3, perturbationNumber = 7,
+      nEnsemble = 31, statProcess = 1, intervalHours = 6))).head
+    assert(m11.productDefinitionTemplate == 11)
+    assert(m11.ensembleType == 3 && m11.perturbationNumber == 7 &&
+      m11.nEnsemble == 31)
+    assert(m11.statProcess == 1 && m11.intervalHours == 6)
+    assert(m11.derivedForecastType == -1 && m11.probabilityType == -1)
+    // 4.12 (GEFS mean/spread accumulation): the 4.2 descriptor then the
+    // interval block at octet 37
+    val m12 = Grib2.decode(Grib2TestWriter.message(msg(
+      category = 1, number = 8).copy(
+      prodTemplate = 12, derivedForecastType = 0, nEnsemble = 21,
+      statProcess = 1, intervalHours = 6))).head
+    assert(m12.productDefinitionTemplate == 12)
+    assert(m12.derivedForecastType == 0 && m12.nEnsemble == 21)
+    assert(m12.statProcess == 1 && m12.intervalHours == 6)
+    assert(m12.ensembleType == -1 && m12.perturbationNumber == -1)
+    // both ride the same end-date verification as 4.8
+    val sh = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(msg().copy(
+        prodTemplate = 11, statEndShiftHours = 2)))
     }
     assert(sh.getMessage.contains("interval end"), sh.getMessage)
   }

@@ -328,18 +328,18 @@ object Grib2TestWriter {
     // first surface: height above ground, sign-magnitude scale + value
     w.w8(103); w.s8(msg.surfScale); w.s32(msg.surfValueScaled)
     w.w8(255); w.w8(0); w.w32(0)  // second surface: missing
-    if (msg.prodTemplate == 1) {
+    if (msg.prodTemplate == 1 || msg.prodTemplate == 11) {
       // ensemble descriptor, octets 35-37
       w.w8(msg.ensembleType)
       w.w8(msg.perturbationNumber)
       w.w8(msg.nEnsemble)
     }
-    if (msg.prodTemplate == 2) {
+    if (msg.prodTemplate == 2 || msg.prodTemplate == 12) {
       // derived-ensemble descriptor, octets 35-36
       w.w8(msg.derivedForecastType)
       w.w8(msg.nEnsemble)
     }
-    if (msg.prodTemplate == 9) {
+    if (msg.prodTemplate == 5 || msg.prodTemplate == 9) {
       // probability descriptor, octets 35-47 (the 4.5 block)
       w.w8(0)                               // octet 35: probability number
       w.w8(1)                               // octet 36: total probabilities
@@ -347,10 +347,12 @@ object Grib2TestWriter {
       w.w8(msg.probLowerScaleRaw); w.w32(msg.probLowerValueRaw) // 38-42
       w.w8(msg.probUpperScaleRaw); w.w32(msg.probUpperValueRaw) // 43-47
     }
-    if (msg.prodTemplate == 8 || msg.prodTemplate == 9) {
-      // statistical extension (octets 35-58 of 4.8; 48-71 of 4.9): the
-      // interval end is the redundantly-coded refTime + forecastTime +
-      // interval
+    if (msg.prodTemplate == 8 || msg.prodTemplate == 9 ||
+        msg.prodTemplate == 11 || msg.prodTemplate == 12) {
+      // statistical extension (octets 35-58 of 4.8; 48-71 of 4.9; 38-61
+      // of 4.11; 37-60 of 4.12 — always right after the descriptor
+      // block): the interval end is the redundantly-coded refTime +
+      // forecastTime + interval
       val fh = msg.timeUnit match {
         case 0 => msg.forecastHours / 60
         case 1 => msg.forecastHours

@@ -90,6 +90,11 @@ object ProjFixtureGen {
     probLowerScaleRaw = 0xff, probLowerValueRaw = 0xffffffffL,
     probUpperScaleRaw = 1, probUpperValueRaw = 10)
 
+  /** A 4.5 point-in-time probability message (bare probability
+    * descriptor, no interval block) for the Grib2Pds check.
+    */
+  def prob45: Grib2TestWriter.Msg = prob49.copy(prodTemplate = 5)
+
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/projfix")
     dir.mkdirs()
@@ -97,16 +102,23 @@ object ProjFixtureGen {
       "stereo_south" -> polarStereoSouth,
       "mercator" -> mercator, "apcp48" -> apcp48, "ens41" -> ens41,
       "rotated31" -> rotated31, "rotated31a" -> rotated31a,
-      "der42" -> der42, "prob49" -> prob49)) {
+      "der42" -> der42, "prob49" -> prob49, "prob45" -> prob45)) {
       val f = new java.io.File(dir, s"$name.grb2")
       val out = new java.io.FileOutputStream(f)
       try out.write(Grib2TestWriter.message(m)) finally out.close()
       println(s"wrote $f")
     }
-    // the committed w10_ensemble_products fixture: 4.2 + 4.9 in ONE file
+    // the committed w10_ensemble_products fixture: the full ensemble
+    // product family in ONE file — 4.2 derived, 4.9 probability-interval,
+    // 4.11 member-interval, 4.12 derived-interval (round 13)
     val ens = new java.io.File(dir, "ensemble42_49.grb2")
     val out = new java.io.FileOutputStream(ens)
-    try out.write(Grib2TestWriter.file(der42, prob49)) finally out.close()
+    try out.write(Grib2TestWriter.file(der42, prob49,
+      apcp48.copy(prodTemplate = 11, ensembleType = 3,
+        perturbationNumber = 7, nEnsemble = 31),
+      apcp48.copy(prodTemplate = 12, derivedForecastType = 0,
+        nEnsemble = 21)))
+    finally out.close()
     println(s"wrote $ens")
   }
 }

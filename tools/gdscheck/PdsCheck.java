@@ -7,6 +7,16 @@ public class PdsCheck {
     byte[] all = Files.readAllBytes(Paths.get(args[0]));
     int p = 16;
     while (p < all.length - 4) {
+      // multi-message files: skip the "7777" end marker and the next
+      // message's 16-octet "GRIB" envelope
+      if (all[p] == '7' && all[p+1] == '7' && all[p+2] == '7' && all[p+3] == '7') {
+        p += 4;
+        continue;
+      }
+      if (all[p] == 'G' && all[p+1] == 'R' && all[p+2] == 'I' && all[p+3] == 'B') {
+        p += 16;
+        continue;
+      }
       long len = ((all[p] & 0xffL) << 24) | ((all[p+1] & 0xffL) << 16)
         | ((all[p+2] & 0xffL) << 8) | (all[p+3] & 0xffL);
       int sec = all[p + 4] & 0xff;

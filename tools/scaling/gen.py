@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Scaling-corpus generator (round 13, VERDICT r12 task #3).
+
+Reproduces the driver's documents.parquet generative process — measured
+from /root/testdata/sf0.1:
+  - 30-word uniform vocabulary (word salad, 10..100 words/doc uniform);
+  - 5% of docs are planted near-duplicates: an exact copy of a random
+    earlier doc with the rare marker token " dup" appended (243 of the
+    250 sf0.1 marker docs match an earlier doc verbatim modulo the
+    marker; 'dup' df = 250 vs ~9000 for every vocab word);
+  - lang ~ {en: 41%, zh/es/fr: 15%, de: 14%}; source = src{i mod 20}.
+
+Emitting the SAME process at three sizes makes runtime-vs-n slopes
+meaningful: per-doc dup density, df distribution, and doc-length
+distribution are size-invariant, so a measured slope is the ALGORITHM's
+complexity, not a workload shift.
+
+Usage: python3 tools/scaling/gen.py <out_dir> <n_docs> [seed]
+Writes <out_dir>/documents.parquet (doc_id, text, lang, source, n_chars).
+"""
+import random
+import sys
+
+import duckdb
+
+VOCAB = ("spark window merge table column vector stream value data small "
+         "join filter big group hash customer sort order slow line part "
+         "fast row the agg key query a scan batch").split()
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_W = [41, 15, 15, 15, 14]
+DUP_FRACTION = 0.05
+
+
+def gen(n, seed):
+    rnd = random.Random(seed)
+    docs = []
+    for i in range(n):
+        if i > 0 and rnd.random() < DUP_FRACTION:
+            text = docs[rnd.randrange(len(docs))][1] + " dup"
+        else:
+            text = " ".join(
+                rnd.choices(VOCAB, k=rnd.randint(10, 100)))
+        docs.append((i, text, rnd.choices(LANGS, LANG_W)[0],
+                     f"src{i % 20}", len(text)))
+    return docs
+
+
+def main():
+    out, n = sys.argv[1], int(sys.argv[2])
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    docs = gen(n, seed)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+                " source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", docs)
+    import os
+    os.makedirs(out, exist_ok=True)
+    con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    print(f"wrote {out}/documents.parquet ({n} docs, seed {seed})")
+
+
+if __name__ == "__main__":
+    main()
