@@ -89,6 +89,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rank")
   }
 
+  /** Semantic decontamination scan (round 13): for every corpus vector,
+    * the exact fixed-point dot against EVERY benchmark vector, reduced to
+    * the best-matching benchmark and a `contaminated` flag at `tau` — the
+    * embedding-space complement of the n-gram decontamination (x22), per
+    * the contamination taxonomy of "Benchmark Data Contamination of Large
+    * Language Models" surveys: paraphrased benchmark leakage that exact
+    * n-gram membership cannot see.
+    *
+    * Shape: `bench` is broadcast (benchmark suites are thousands of rows);
+    * the corpus side streams map-only through the codegen'd [[dot]], then
+    * ONE partial-aggregable `groupBy(vec_id).max(struct(score, -bench_id))`
+    * — map-side combine collapses the |bench| rows per corpus vector
+    * before any shuffle, so the single exchange carries one row per
+    * corpus vector. No window sort, no driver collect; ties on score pick
+    * the smallest bench id (the struct's second field is the negated id).
+    */
+  def contaminationScan(corpus: DataFrame, bench: DataFrame,
+                        tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = spread(corpus).select(col("vec_id"),
+      asDouble(col("embedding")).as("c_vec"))
+    val b = bench.select(col("vec_id").cast("long").as("bench_id"),
+      asDouble(col("embedding")).as("b_vec"))
+    c.join(broadcast(b))
+      .withColumn("score", dot(col("b_vec"), col("c_vec")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("score"), (-col("bench_id")).as("nb"))).as("m"),
+        sum(when(col("score") >= tau, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("vec_id"),
+        col("m.score").as("best_score"),
+        (-col("m.nb")).as("best_bench"),
+        col("n_hits").cast("long").as("n_hits"),
+        (col("m.score") >= tau).as("contaminated"))
+  }
+
   /** Components of hyperplane `p` as a literal ±1 vector (driver-side
     * [[graft.Portable.sign]] — the same constants are embedded in the
     * generated oracle SQL, so bucket ids agree across engines).

@@ -2135,6 +2135,140 @@ object ExtensionQueries {
        |LIMIT 20""".stripMargin
   }
 
+  /** Boilerplate "line" width in tokens (the corpus has no newlines, so
+    * fixed non-overlapping 10-token windows stand in for lines).
+    */
+  val LineTokens = 10
+
+  /** A line is boilerplate when it occurs verbatim in at least this many
+    * DISTINCT documents (C4's "discard any line seen 3+ times" rule,
+    * lowered to 2 — the planted-duplicate density of the synthetic corpus).
+    */
+  val BoilerplateMinDocs = 2
+
+  /** Corpus-level boilerplate-line removal (x49, round 13) — the C4
+    * cleaning rule (Raffel et al. 2020, "Exploring the Limits of Transfer
+    * Learning…" §2.2: lines occurring repeatedly across the corpus are
+    * navigation/boilerplate and are excised): split each document into
+    * non-overlapping [[LineTokens]]-token lines, count DISTINCT documents
+    * per verbatim line, drop every line seen in ≥ [[BoilerplateMinDocs]]
+    * docs, and reassemble the cleaned document. This is the REMOVAL
+    * complement of x30 (which only reports the repeated chunks) and
+    * differs from x46 (substring-span removal needs pair-level maximal
+    * runs; this is corpus-frequency line excision).
+    *
+    * Shape: one map-only line explode → hash aggregation on the line text
+    * (partial map-side combine; cardinality ≤ corpus tokens /
+    * [[LineTokens]]) → one equi-join of lines against the (corpus-
+    * sublinear) boilerplate set — AQE's skew-split covers a
+    * pathologically hot line key — → per-document reassembly via
+    * `sort_array(collect_list(struct))` (doc_id partitioning, no skew).
+    * No all-pairs stage; work is linear in corpus tokens.
+    */
+  def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(col("n") / lit(LineTokens.toDouble)).cast("int") - 1),
+          i => concat_ws(" ",
+            slice(col("ws"), i * LineTokens + 1, lit(LineTokens))))))
+      .select(col("doc_id"), col("pos").as("li"), col("col").as("lt"))
+    val bp = lines.groupBy(col("lt"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= BoilerplateMinDocs)
+      .select(col("lt"), lit(true).as("is_bp"))
+    lines.join(bp, Seq("lt"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("is_bp")).as("n_removed"),
+        sum(when(col("is_bp").isNull, size(TextAnalysis.words(col("lt"))))
+          .otherwise(0)).as("clean_words"),
+        // kept lines, original order: struct sorts by its first field;
+        // concat_ws skips the nulled-out boilerplate slots
+        md5(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("li"),
+            when(col("is_bp").isNull, col("lt")).as("lt")))),
+          s => s.getField("lt")))).as("clean_hash"))
+      .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
+        col("n_removed").cast("long").as("n_removed"),
+        col("clean_words").cast("long").as("clean_words"), col("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val boilerplateRemovalSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |    len(string_split(text, ' ')) AS n FROM documents),
+       |s AS (SELECT doc_id, ws, unnest(generate_series(0,
+       |    CAST(ceil(n / ${LineTokens.toDouble}) AS INT) - 1)) AS li FROM t),
+       |l AS (SELECT doc_id, li,
+       |    array_to_string(
+       |      ws[li * $LineTokens + 1 : (li + 1) * $LineTokens], ' ') AS lt
+       |  FROM s),
+       |bp AS (SELECT lt FROM l GROUP BY lt
+       |  HAVING count(DISTINCT doc_id) >= $BoilerplateMinDocs),
+       |k AS (SELECT l.doc_id, l.li, l.lt,
+       |    bp.lt IS NOT NULL AS isbp FROM l LEFT JOIN bp ON l.lt = bp.lt)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN isbp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(coalesce(sum(CASE WHEN NOT isbp
+       |    THEN len(string_split(lt, ' ')) END), 0) AS BIGINT) AS clean_words,
+       |  md5(coalesce(string_agg(CASE WHEN NOT isbp THEN lt END, ' '
+       |    ORDER BY li), '')) AS clean_hash
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Benchmark vectors for x50: the embedding-space held-out set. */
+  val SemanticBenchN = 16
+
+  /** Contamination flag threshold (exact fixed-point dot ≥ tau). */
+  val SemanticDecontTau = 0.3
+
+  /** Semantic decontamination (x50, round 13): flag corpus embeddings
+    * whose exact cosine against ANY benchmark embedding reaches
+    * [[SemanticDecontTau]] — the embedding-space complement of x22's
+    * n-gram membership decontamination (catches paraphrased benchmark
+    * leakage that exact n-gram overlap cannot). Engine shape in
+    * [[graft.ops.Similarity.contaminationScan]]: benchmark broadcast,
+    * map-only codegen'd dots, one partial-aggregable max-struct groupBy.
+    * Oracle replays the scan with the window form (identical tie-breaks:
+    * score DESC, bench id ASC).
+    */
+  def semanticDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    Similarity.contaminationScan(
+        em.filter(col("vec_id") >= SemanticBenchN),
+        em.filter(col("vec_id") < SemanticBenchN), SemanticDecontTau)
+      .orderBy("vec_id")
+  }
+
+  private val semanticDecontaminationSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id AS bench_id, v FROM e
+       |  WHERE vec_id < $SemanticBenchN),
+       |c AS (SELECT vec_id, v FROM e WHERE vec_id >= $SemanticBenchN),
+       |s AS (
+       |  SELECT c.vec_id, b.bench_id,
+       |    list_sum(list_transform(range(len(b.v)),
+       |      k -> round(b.v[k+1]*c.v[k+1]*1e12)))/1e12 AS score
+       |  FROM c JOIN b ON true),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY score DESC, bench_id) AS rk
+       |  FROM s),
+       |h AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN score >= $SemanticDecontTau THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM s GROUP BY vec_id)
+       |SELECT r.vec_id, r.score AS best_score, r.bench_id AS best_bench,
+       |  h.n_hits,
+       |  r.score >= $SemanticDecontTau AS contaminated
+       |FROM r JOIN h ON r.vec_id = h.vec_id WHERE r.rk = 1
+       |ORDER BY r.vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -2197,6 +2331,10 @@ object ExtensionQueries {
     QueryDef("x47_importance_resample", Some(importanceResampleSql),
       importanceResample),
     QueryDef("x48_ann_filtered", Some(annFilteredSql), annFiltered),
+    QueryDef("x49_boilerplate_removal", Some(boilerplateRemovalSql),
+      boilerplateRemoval),
+    QueryDef("x50_semantic_decontamination",
+      Some(semanticDecontaminationSql), semanticDecontamination),
   )
 
 }

@@ -303,4 +303,66 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("x49 boilerplate removal: planted copies lose exactly their " +
+      "shared full lines; unique docs are untouched") {
+    import spark.implicits._
+    val rows = ExtensionQueries.boilerplateRemoval(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val texts = docs.values.toSeq
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ws = docs(id).split(" ")
+      val nLines = math.ceil(ws.length / 10.0).toInt
+      assert(r.getAs[Long]("n_lines") == nLines, s"doc $id line count")
+      // recompute the boilerplate verdict per line independently
+      val lines = (0 until nLines)
+        .map(i => ws.slice(i * 10, i * 10 + 10).mkString(" "))
+      val removed = lines.count(l =>
+        texts.count(t => (0 until math.ceil(t.split(" ").length / 10.0).toInt)
+          .exists(j =>
+            t.split(" ").slice(j * 10, j * 10 + 10).mkString(" ") == l)) >= 2)
+      assert(r.getAs[Long]("n_removed") == removed,
+        s"doc $id removed ${r.getAs[Long]("n_removed")} != $removed")
+    }
+    // signal: the corpus HAS planted dups, so some lines must be removed
+    assert(rows.map(_.getAs[Long]("n_removed")).sum > 0)
+    // conservation: clean_words + removed-line words == original words
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val total = docs(id).split(" ").length
+      assert(r.getAs[Long]("clean_words") <= total)
+      if (r.getAs[Long]("n_removed") == 0)
+        assert(r.getAs[Long]("clean_words") == total, s"doc $id conserved")
+    }
+  }
+
+  test("x50 semantic decontamination: best_bench IS the argmax and the " +
+      "flag matches the threshold") {
+    val rows = ExtensionQueries.semanticDecontamination(spark, dir).collect()
+    val em = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def fxDot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => math.round(x * y * 1e12) }.sum / 1e12
+    val bench = em.filter(_._1 < ExtensionQueries.SemanticBenchN)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val scores = bench.toSeq.map { case (bid, bv) =>
+        (bid, fxDot(bv, em(id))) }
+      val best = scores.minBy { case (bid, s) => (-s, bid) }
+      assert(r.getAs[Long]("best_bench") == best._1, s"vec $id argmax")
+      assert(r.getAs[Double]("best_score") == best._2, s"vec $id score")
+      assert(r.getAs[Boolean]("contaminated") ==
+        (best._2 >= ExtensionQueries.SemanticDecontTau), s"vec $id flag")
+      assert(r.getAs[Long]("n_hits") ==
+        scores.count(_._2 >= ExtensionQueries.SemanticDecontTau).toLong,
+        s"vec $id hits")
+    }
+    // the threshold is calibrated to flag SOME but not all at every sf
+    val flags = rows.count(_.getAs[Boolean]("contaminated"))
+    assert(flags > 0 && flags < rows.length, s"degenerate flag count $flags")
+  }
+
 }

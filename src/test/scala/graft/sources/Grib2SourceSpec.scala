@@ -46,6 +46,38 @@ class Grib2SourceSpec extends SparkSpec {
     assert(viaSource.size == 5)
   }
 
+  test("ensemble/probability product columns read identically through " +
+      "the connector (round 13)") {
+    // the committed 4.2+4.9+4.11+4.12 fixture carries NON-DEFAULT values
+    // in every round-13 descriptor column, so a swapped or dropped field
+    // in the DSv2 row construction cannot cancel out
+    val dir = tmpDir()
+    Files.createDirectories(Paths.get(dir))
+    val in = getClass.getResourceAsStream("/graft/wind/ensemble42_49.grb2")
+    require(in != null, "missing ensemble42_49.grb2 resource")
+    Files.write(Paths.get(s"$dir/ens.grb2"),
+      try in.readAllBytes() finally in.close())
+    val cols = Seq("productDefinitionTemplate", "ensembleType",
+      "perturbationNumber", "nEnsemble", "derivedForecastType",
+      "probabilityType", "probLowerLimit", "probUpperLimit",
+      "statProcess", "intervalHours")
+    val viaSource = spark.read.format("grib2").load(dir)
+      .orderBy("productDefinitionTemplate")
+      .select(cols.map(col): _*).collect().map(_.toString).toSeq
+    val viaMapPartitions =
+      WindBinary.decode(WindBinary.readBlobs(spark, dir))
+        .orderBy("productDefinitionTemplate")
+        .select(cols.map(col): _*).collect().map(_.toString).toSeq
+    assert(viaSource == viaMapPartitions)
+    assert(viaSource.size == 4)
+    // spot-pin the wire truth (cross-checked vs netCDF Grib2Pds*)
+    assert(viaSource(0).startsWith("[2,-1,-1,31,2,-1,NaN,NaN,-1,0]"),
+      viaSource(0))
+    assert(viaSource(1) == "[9,-1,-1,0,-1,1,NaN,1.0,1,6]", viaSource(1))
+    assert(viaSource(2) == "[11,3,7,31,-1,-1,NaN,NaN,1,6]", viaSource(2))
+    assert(viaSource(3) == "[12,-1,-1,21,0,-1,NaN,NaN,1,6]", viaSource(3))
+  }
+
   test("key filters push below the scan and are consumed, not re-evaluated") {
     val dir = tmpDir()
     land(dir)
