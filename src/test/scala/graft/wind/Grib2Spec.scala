@@ -135,7 +135,22 @@ class Grib2Spec extends AnyFunSuite {
       Grib2TestWriter.message(msg().copy(
         packing = Grib2TestWriter.IeeePacking(1))),
       Grib2TestWriter.message(msg().copy(
-        packing = Grib2TestWriter.CcsdsPacking(blockSize = 8, rsi = 2))))
+        packing = Grib2TestWriter.CcsdsPacking(blockSize = 8, rsi = 2))),
+      // round-13 product templates: derived ensemble, probability (point
+      // and interval), member/derived-over-interval
+      Grib2TestWriter.message(msg().copy(prodTemplate = 2,
+        derivedForecastType = 2, nEnsemble = 31)),
+      Grib2TestWriter.message(msg().copy(prodTemplate = 5,
+        probabilityType = 1, probUpperScaleRaw = 1, probUpperValueRaw = 10)),
+      Grib2TestWriter.message(msg().copy(prodTemplate = 9, statProcess = 1,
+        intervalHours = 6, probabilityType = 1,
+        probUpperScaleRaw = 1, probUpperValueRaw = 10)),
+      Grib2TestWriter.message(msg().copy(prodTemplate = 11,
+        ensembleType = 3, perturbationNumber = 7, nEnsemble = 31,
+        statProcess = 1, intervalHours = 6)),
+      Grib2TestWriter.message(msg().copy(prodTemplate = 12,
+        derivedForecastType = 0, nEnsemble = 21,
+        statProcess = 1, intervalHours = 6)))
     for (good <- shapes; len <- 1 until good.length) {
       val e = intercept[IllegalArgumentException] {
         Grib2.decode(good.take(len))

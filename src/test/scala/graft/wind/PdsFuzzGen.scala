@@ -1,0 +1,99 @@
+package graft.wind
+
+/** Randomized product-section cross-check harness (round 13): writes a
+  * multi-message file of seeded-random product templates
+  * (4.0/4.1/4.2/4.5/4.8/4.9/4.11/4.12) plus THIS ENGINE's decode of every
+  * message printed in `tools/gdscheck/PdsCheck.java`'s exact output
+  * format, so the reference cross-check is one `diff`:
+  *
+  *   sbt "Test/runMain graft.wind.PdsFuzzGen /tmp/pdsfuzz"
+  *   cd tools/gdscheck
+  *   java -cp .:$LIB/grib-4.3.19.jar:$LIB/slf4j-api-1.7.5.jar \
+  *     PdsCheck /tmp/pdsfuzz/pdsfuzz.grb2 > /tmp/pdsfuzz/netcdf.out
+  *   diff /tmp/pdsfuzz/expected.out /tmp/pdsfuzz/netcdf.out
+  *
+  * The randomization stays inside the cross-checkable envelope: time unit
+  * = hours (both sides then print the raw value), non-negative limit/level
+  * scale factors 0..2 (netCDF's signed-scale handling is not part of this
+  * pin — the sign-magnitude edge is pinned by Grib2Spec against the WMO
+  * spec), single time range, zero missing count. 60 messages, seed 1234.
+  */
+object PdsFuzzGen {
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/pdsfuzz")
+    dir.mkdirs()
+    val rnd = new scala.util.Random(1234)
+    val out = new StringBuilder
+    val msgs = (0 until 60).map { _ =>
+      val tmpl = Seq(0, 1, 2, 5, 8, 9, 11, 12)(rnd.nextInt(8))
+      val cat = rnd.nextInt(4); val num = rnd.nextInt(20)
+      val fh = rnd.nextInt(121)
+      val sScale = rnd.nextInt(3)
+      val sVal = 1 + rnd.nextInt(1000)
+      val ensType = rnd.nextInt(5); val pert = rnd.nextInt(32)
+      val nEns = 1 + rnd.nextInt(40)
+      val derType = rnd.nextInt(5)
+      val probType = rnd.nextInt(5)
+      val loScale = rnd.nextInt(3); val loVal = rnd.nextInt(500)
+      val upScale = rnd.nextInt(3)
+      // upper strictly above lower on the same decimal scale so type-2
+      // "between" wires stay semantically sane
+      val upVal = loVal * math.pow(10, upScale - loScale).toInt.max(1) + 1 +
+        rnd.nextInt(500)
+      val statProc = rnd.nextInt(7)
+      val ivl = 1 + rnd.nextInt(48)
+      val m = Grib2TestWriter.Msg(
+        discipline = 0, category = cat, number = num,
+        year = 2020, month = 8, day = 12, hour = 6, forecastHours = fh,
+        nx = 4, ny = 2, la1Micro = 90000000L, lo1Micro = 0L,
+        dxMicro = 1000000L, dyMicro = 1000000L,
+        r = 0f, e = 0, d = 1, nbits = 8,
+        m = Array.tabulate(8)(i => (i * 7 % 50).toLong),
+        surfScale = sScale, surfValueScaled = sVal,
+        prodTemplate = tmpl,
+        statProcess = statProc, intervalHours = ivl,
+        ensembleType = ensType, perturbationNumber = pert, nEnsemble = nEns,
+        derivedForecastType = derType,
+        probabilityType = probType,
+        probLowerScaleRaw = loScale, probLowerValueRaw = loVal.toLong,
+        probUpperScaleRaw = upScale, probUpperValueRaw = upVal.toLong)
+      m
+    }
+    val payload = Grib2TestWriter.file(msgs: _*)
+    val f = new java.io.File(dir, "pdsfuzz.grb2")
+    val fos = new java.io.FileOutputStream(f)
+    try fos.write(payload) finally fos.close()
+
+    // this engine's decode, in PdsCheck's print format
+    val decoded = Grib2.decode(payload)
+    require(decoded.size == msgs.size, s"decoded ${decoded.size} of ${msgs.size}")
+    decoded.zip(msgs).foreach { case (g, m) =>
+      val isInterval = g.statProcess >= 0
+      out.append("template=" + g.productDefinitionTemplate +
+        " cat=" + g.parameterCategory + " num=" + g.parameterNumber +
+        " forecastTime=" + g.forecastTime + " timeUnit=1" +
+        " level1=" + g.surface1Type + "/" + g.surface1Value +
+        " statProcess=" + g.statProcess +
+        " isInterval=" + isInterval + "\n")
+      if (g.productDefinitionTemplate == 1 || g.productDefinitionTemplate == 11)
+        out.append("  ensemble: type=" + g.ensembleType +
+          " member=" + g.perturbationNumber + " of=" + g.nEnsemble + "\n")
+      if (g.productDefinitionTemplate == 2 || g.productDefinitionTemplate == 12)
+        out.append("  derived: type=" + g.derivedForecastType +
+          " of=" + g.nEnsemble + "\n")
+      if (g.probabilityType >= 0)
+        out.append("  probability: type=" + g.probabilityType +
+          " lower=" + (if (g.probLowerLimit.isNaN) "-9.999E130"
+                       else g.probLowerLimit.toString) +
+          " upper=" + (if (g.probUpperLimit.isNaN) "-9.999E130"
+                       else g.probUpperLimit.toString) + "\n")
+      if (isInterval)
+        out.append("  interval: nRanges=1 nMissing=0 range{stat=" +
+          g.statProcess + " unit=1 len=" + g.intervalHours + "}\n")
+    }
+    val ef = new java.io.File(dir, "expected.out")
+    java.nio.file.Files.writeString(ef.toPath, out.toString)
+    println(s"wrote $f and $ef (${msgs.size} messages)")
+  }
+}

@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Numeric-aware diff for the PdsFuzzGen cross-check.
+
+The engine and netCDF decode scaled wire values differently at the last
+ulp: netCDF multiplies by the INEXACT reciprocal (47 * 10^-2 =
+0.47000000000000003) while the engine divides by the exact power
+(47 / 100 = 0.47, the correctly-rounded decimal). The octet-layout pin
+must not be obscured by that formatting noise, so this compares
+token-by-token: numbers within rel 1e-12, everything else exact.
+
+Usage: python3 fuzzdiff.py expected.out netcdf.out
+"""
+import re
+import sys
+
+NUM = re.compile(r'^-?\d+(\.\d+(E-?\d+)?)?$')
+
+
+def tokens(line):
+    return re.split(r'([=/{} ])', line.rstrip("\n"))
+
+
+def main():
+    a = open(sys.argv[1]).readlines()
+    b = open(sys.argv[2]).readlines()
+    if len(a) != len(b):
+        print(f"line count differs: {len(a)} vs {len(b)}")
+        sys.exit(1)
+    bad = ulp = 0
+    for i, (la, lb) in enumerate(zip(a, b)):
+        ta, tb = tokens(la), tokens(lb)
+        if len(ta) != len(tb):
+            print(f"line {i+1}: token count differs\n< {la}> {lb}")
+            bad += 1
+            continue
+        for x, y in zip(ta, tb):
+            if x == y:
+                continue
+            if NUM.match(x) and NUM.match(y):
+                fx, fy = float(x), float(y)
+                if fx == fy or abs(fx - fy) <= 1e-12 * max(abs(fx), abs(fy)):
+                    ulp += 1
+                    continue
+            print(f"line {i+1}: '{x}' != '{y}'\n< {la}> {lb}")
+            bad += 1
+    print(f"{len(a)} lines compared, {bad} real differences, "
+          f"{ulp} last-ulp float spellings")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
