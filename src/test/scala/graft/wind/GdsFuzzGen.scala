@@ -1,0 +1,168 @@
+package graft.wind
+
+/** Randomized grid-section cross-check harness (round 13, the section-3
+  * sibling of [[PdsFuzzGen]]): writes a multi-message file of
+  * seeded-random grid templates (3.0 lat/lon, 3.1 rotated, 3.10 Mercator,
+  * 3.20 polar stereographic both poles, 3.30 Lambert both hemispheres)
+  * plus THIS ENGINE's decode printed in `tools/gdscheck/GdsCheck.java`'s
+  * exact output format:
+  *
+  *   sbt "Test/runMain graft.wind.GdsFuzzGen /tmp/gdsfuzz"
+  *   cd tools/gdscheck
+  *   java -cp .:$LIB/grib-4.3.19.jar:$LIB/slf4j-api-1.7.5.jar \
+  *     GdsCheck /tmp/gdsfuzz/gdsfuzz.grb2 > /tmp/gdsfuzz/netcdf.out
+  *   python3 fuzzdiff.py expected.out netcdf.out --tol 2e-6
+  *
+  * Envelope notes: scan mode 0 only (the engine canonicalizes corners, so
+  * wire la1 == decoded la1 exactly at scan 0 while netCDF echoes the
+  * wire), shape-6 sphere (netCDF's earthRadius field carries the RAW wire
+  * octets, not the resolved radius), Lambert LaD pinned to a standard
+  * parallel and centre flag consistent with the hemisphere (the engine
+  * refuses anything else by design). netCDF stores every geographic field
+  * as FLOAT — the expected dump casts through Float so the comparison is
+  * a float-spelling match; `--tol 2e-6` absorbs double→float vs
+  * int→float rounding races at ulp boundaries.
+  */
+object GdsFuzzGen {
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/gdsfuzz")
+    dir.mkdirs()
+    val rnd = new scala.util.Random(4321)
+    def micro(v: Double): Long = math.round(v * 1e6)
+
+    val msgs = (0 until 50).map { _ =>
+      val tmpl = Seq(0, 1, 10, 20, 30)(rnd.nextInt(5))
+      val nx = 2 + rnd.nextInt(7); val ny = 2 + rnd.nextInt(5)
+      val base = Grib2TestWriter.Msg(
+        discipline = 0, category = 2, number = 2,
+        year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+        nx = nx, ny = ny, la1Micro = 0, lo1Micro = 0,
+        dxMicro = 0, dyMicro = 0,
+        r = 0f, e = 0, d = 1, nbits = 8,
+        m = Array.tabulate(nx * ny)(i => (i * 7 % 50).toLong),
+        gridTemplate = tmpl)
+      tmpl match {
+        case 0 =>
+          // first corner chosen so the south edge stays on the sphere
+          val dy = 0.25 + rnd.nextInt(8) * 0.25
+          val dx = 0.25 + rnd.nextInt(8) * 0.25
+          val floor = -80 + (ny - 1) * dy
+          val la1 = floor + rnd.nextInt((80 - floor).toInt.max(1))
+          base.copy(la1Micro = micro(la1), lo1Micro = micro(rnd.nextInt(300)),
+            dxMicro = micro(dx), dyMicro = micro(dy))
+        case 1 =>
+          val dy = 0.5 + rnd.nextInt(4) * 0.25
+          val dx = 0.5 + rnd.nextInt(4) * 0.25
+          val la1 = -30 + rnd.nextInt(61)
+          base.copy(la1Micro = micro(la1), lo1Micro = micro(rnd.nextInt(360)),
+            dxMicro = micro(dx), dyMicro = micro(dy),
+            southPoleLatMicro = micro(-90 + rnd.nextInt(91)),
+            southPoleLonMicro = micro(rnd.nextInt(360)),
+            rotationAngleMicro = micro(rnd.nextInt(61) - 30))
+        case 10 =>
+          base.copy(la1Micro = micro(-50 + rnd.nextInt(101)),
+            lo1Micro = micro(rnd.nextInt(360)),
+            dxMicro = (50000 + rnd.nextInt(400000)).toLong * 1000,
+            dyMicro = (50000 + rnd.nextInt(400000)).toLong * 1000,
+            ladMicro = micro(-60 + rnd.nextInt(121)))
+        case 20 =>
+          val south = rnd.nextBoolean()
+          val lad = (30 + rnd.nextInt(60)) * (if (south) -1 else 1)
+          val la1 = (20 + rnd.nextInt(60)) * (if (south) -1 else 1)
+          base.copy(la1Micro = micro(la1), lo1Micro = micro(rnd.nextInt(360)),
+            dxMicro = (100000 + rnd.nextInt(500000)).toLong * 1000,
+            dyMicro = (100000 + rnd.nextInt(500000)).toLong * 1000,
+            lovMicro = micro(rnd.nextInt(360)), ladMicro = micro(lad),
+            projCenterFlag = if (south) 0x80 else 0)
+        case 30 =>
+          val south = rnd.nextBoolean()
+          val sgn = if (south) -1 else 1
+          val l1 = (20 + rnd.nextInt(50)) * sgn
+          // tangent cone or secant with LaD on latin1 (the decode contract)
+          val l2 = if (rnd.nextBoolean()) l1
+                   else (math.abs(l1) + 5 + rnd.nextInt(20)) * sgn
+          val la1 = (10 + rnd.nextInt(50)) * sgn
+          base.copy(la1Micro = micro(la1), lo1Micro = micro(rnd.nextInt(360)),
+            dxMicro = (100000 + rnd.nextInt(400000)).toLong * 1000,
+            dyMicro = (100000 + rnd.nextInt(400000)).toLong * 1000,
+            lovMicro = micro(rnd.nextInt(360)), ladMicro = micro(l1),
+            latin1Micro = micro(l1), latin2Micro = micro(l2),
+            projCenterFlag = if (south) 0x80 else 0)
+      }
+    }
+    val payload = Grib2TestWriter.file(msgs: _*)
+    val f = new java.io.File(dir, "gdsfuzz.grb2")
+    val fos = new java.io.FileOutputStream(f)
+    try fos.write(payload) finally fos.close()
+
+    // this engine's decode, printed through a faithful emulation of
+    // netCDF's FLOAT field pipeline (bytecode-verified, Grib2Gds$LatLon):
+    // every geographic field is wireMicroInt.toFloat * 1e-6f (the
+    // int→float cast loses precision past 2^24 — e.g. 285250000 →
+    // 285249984 → 285.24997), and LatLon.finish() REPLACES the wire
+    // deltaLon/deltaLat with the corner-derived (lo2−lo1)/(nx−1) when the
+    // two disagree beyond Misc.closeEnough — so the expected output must
+    // run the same replacement to compare. At scan mode 0 the engine's
+    // decoded doubles reconstruct the wire micro ints exactly
+    // (math.round), which is what anchors the comparison to the OCTETS.
+    val out = new StringBuilder
+    def nf(micro: Long): Float = micro.toFloat * 1e-6f
+    def nd(deg: Double): Float = nf(math.round(deg * 1e6))
+    def nkm(meters: Double): Float = nf(math.round(meters * 1e3))
+    def closeEnough(a: Float, b: Float): Boolean =
+      math.abs(a - b) <=
+        1e-5f * math.max(1f, math.max(math.abs(a), math.abs(b)))
+    val decoded = Grib2.decode(payload)
+    require(decoded.size == msgs.size, s"decoded ${decoded.size} of ${msgs.size}")
+    decoded.foreach { g =>
+      out.append("template=" + g.gridDefinitionTemplate +
+        " nx=" + g.nx + " ny=" + g.ny +
+        " earthShape=" + g.shape + " earthRadius=0.0" +
+        " scanMode=" + g.scanMode + "\n")
+      val la1f = nd(g.la1); val lo1f = nd(g.lo1)
+      val la2f = nd(g.la2); val lo2f = nd(g.lo2)
+      def deltas(): (Float, Float) = {
+        var dLon = nd(g.dx)
+        val dLonDer = (lo2f - lo1f) / (g.nx - 1).toFloat
+        if (!closeEnough(dLon, dLonDer)) dLon = dLonDer
+        var dLat = nd(g.dy)
+        if (la2f < la1f) dLat = -dLat
+        val dLatDer = (la2f - la1f) / (g.ny - 1).toFloat
+        if (!closeEnough(dLat, dLatDer)) dLat = dLatDer
+        (dLon, dLat)
+      }
+      g.gridDefinitionTemplate match {
+        case 0 =>
+          val (dLon, dLat) = deltas()
+          out.append("LL la1=" + la1f + " lo1=" + lo1f +
+            " la2=" + la2f + " lo2=" + lo2f +
+            " dLon=" + dLon + " dLat=" + dLat + "\n")
+        case 1 =>
+          val (dLon, dLat) = deltas()
+          out.append("RL la1=" + la1f + " lo1=" + lo1f +
+            " dLon=" + dLon + " dLat=" + dLat +
+            " spLat=" + nd(g.southPoleLat) + " spLon=" + nd(g.southPoleLon) +
+            " angle=" + nd(g.rotationAngle) + "\n")
+        case 10 =>
+          out.append("MC la1=" + la1f + " lo1=" + lo1f +
+            " la2=" + la2f + " lo2=" + lo2f + " lad=" + nd(g.lad) +
+            " dX=" + nkm(g.dx) + " dY=" + nkm(g.dy) + "\n")
+        case 20 =>
+          out.append("PS la1=" + la1f + " lo1=" + lo1f +
+            " lov=" + nd(g.lov) + " lad=" + nd(g.lad) +
+            " dX=" + nkm(g.dx) + " dY=" + nkm(g.dy) +
+            " projCenterFlag=" + g.projCenter + "\n")
+        case 30 =>
+          out.append("LC la1=" + la1f + " lo1=" + lo1f +
+            " lov=" + nd(g.lov) + " lad=" + nd(g.lad) +
+            " dX=" + nkm(g.dx) + " dY=" + nkm(g.dy) +
+            " latin1=" + nd(g.latin1) + " latin2=" + nd(g.latin2) +
+            " projCenterFlag=" + g.projCenter + "\n")
+      }
+    }
+    val ef = new java.io.File(dir, "expected.out")
+    java.nio.file.Files.writeString(ef.toPath, out.toString)
+    println(s"wrote $f and $ef (${msgs.size} messages)")
+  }
+}

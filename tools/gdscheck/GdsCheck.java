@@ -7,6 +7,16 @@ public class GdsCheck {
     byte[] all = Files.readAllBytes(Paths.get(args[0]));
     int p = 16; // past GRIB indicator
     while (p < all.length - 4) {
+      // multi-message files: skip the "7777" end marker and the next
+      // message's 16-octet "GRIB" envelope (round 13, like PdsCheck)
+      if (all[p] == '7' && all[p+1] == '7' && all[p+2] == '7' && all[p+3] == '7') {
+        p += 4;
+        continue;
+      }
+      if (all[p] == 'G' && all[p+1] == 'R' && all[p+2] == 'I' && all[p+3] == 'B') {
+        p += 16;
+        continue;
+      }
       long len = ((all[p] & 0xffL) << 24) | ((all[p+1] & 0xffL) << 16)
         | ((all[p+2] & 0xffL) << 8) | (all[p+3] & 0xffL);
       int sec = all[p + 4] & 0xff;
@@ -15,11 +25,26 @@ public class GdsCheck {
         int tmpl = ((s3[12] & 0xff) << 8) | (s3[13] & 0xff);
         ucar.nc2.grib.grib2.Grib2Gds gds =
           ucar.nc2.grib.grib2.Grib2Gds.factory(tmpl, s3);
-        System.out.println("template=" + gds.template
+        // print the WIRE template: netCDF's LambertConformal instance
+        // reports template=20 in its own field (internal quirk); the
+        // factory dispatch on the wire value is what's being checked
+        System.out.println("template=" + tmpl
           + " nx=" + gds.getNx() + " ny=" + gds.getNy()
           + " earthShape=" + gds.earthShape
           + " earthRadius=" + gds.earthRadius
           + " scanMode=" + gds.scanMode);
+        // RotatedLatLon and GaussLatLon extend LatLon in netCDF: print the
+        // plain-LL line only for exact template-3.0 grids (the gaussian
+        // subclass overloads deltaLat's octets with N)
+        if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.LatLon
+            && !(gds instanceof ucar.nc2.grib.grib2.Grib2Gds.RotatedLatLon)
+            && !(gds instanceof ucar.nc2.grib.grib2.Grib2Gds.GaussLatLon)) {
+          ucar.nc2.grib.grib2.Grib2Gds.LatLon ll =
+            (ucar.nc2.grib.grib2.Grib2Gds.LatLon) gds;
+          System.out.println("LL la1=" + ll.la1 + " lo1=" + ll.lo1
+            + " la2=" + ll.la2 + " lo2=" + ll.lo2
+            + " dLon=" + ll.deltaLon + " dLat=" + ll.deltaLat);
+        }
         if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.LambertConformal) {
           ucar.nc2.grib.grib2.Grib2Gds.LambertConformal lc =
             (ucar.nc2.grib.grib2.Grib2Gds.LambertConformal) gds;

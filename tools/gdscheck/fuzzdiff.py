@@ -8,7 +8,11 @@ ulp: netCDF multiplies by the INEXACT reciprocal (47 * 10^-2 =
 must not be obscured by that formatting noise, so this compares
 token-by-token: numbers within rel 1e-12, everything else exact.
 
-Usage: python3 fuzzdiff.py expected.out netcdf.out
+Usage: python3 fuzzdiff.py expected.out netcdf.out [--tol REL]
+
+The GDS fuzz passes --tol 2e-6: netCDF stores geographic fields as
+FLOAT, so a double→float vs wire-int→float rounding race at an ulp
+boundary can put the two spellings one float-ulp apart.
 """
 import re
 import sys
@@ -21,8 +25,14 @@ def tokens(line):
 
 
 def main():
-    a = open(sys.argv[1]).readlines()
-    b = open(sys.argv[2]).readlines()
+    tol = 1e-12
+    argv = list(sys.argv[1:])
+    if '--tol' in argv:
+        i = argv.index('--tol')
+        tol = float(argv[i + 1])
+        del argv[i:i + 2]
+    a = open(argv[0]).readlines()
+    b = open(argv[1]).readlines()
     if len(a) != len(b):
         print(f"line count differs: {len(a)} vs {len(b)}")
         sys.exit(1)
@@ -38,7 +48,7 @@ def main():
                 continue
             if NUM.match(x) and NUM.match(y):
                 fx, fy = float(x), float(y)
-                if fx == fy or abs(fx - fy) <= 1e-12 * max(abs(fx), abs(fy)):
+                if fx == fy or abs(fx - fy) <= tol * max(abs(fx), abs(fy)):
                     ulp += 1
                     continue
             print(f"line {i+1}: '{x}' != '{y}'\n< {la}> {lb}")
