@@ -1,0 +1,43 @@
+package graft.wind
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Durable regression pin for the round-13 randomized cross-checks: the
+  * committed `src/test/resources/gdscheck` expected-dumps were verified
+  * against netCDF-Java's own Grib2Pds/Grib2Gds parsers at generation time
+  * (tools/gdscheck README: PdsFuzz 0 real differences over 60 messages;
+  * GdsFuzz byte-identical over 50 grids). Re-generating the same seeded
+  * corpora and comparing against those dumps re-asserts the
+  * netCDF-equivalent decode WITHOUT needing the reference jar on the test
+  * classpath — any octet-layout regression in `Grib2`, the writer, or the
+  * netCDF-float emulation shows as a line diff here first.
+  */
+class FuzzGoldenSpec extends AnyFunSuite {
+
+  private def golden(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/gdscheck/$name")
+    require(in != null, s"missing golden $name")
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  private def firstDiff(a: String, b: String): String = {
+    val (la, lb) = (a.linesIterator.toSeq, b.linesIterator.toSeq)
+    la.zip(lb).zipWithIndex.collectFirst {
+      case ((x, y), i) if x != y => s"line ${i + 1}:\n  got $x\n  want $y"
+    }.getOrElse(s"line counts ${la.size} vs ${lb.size}")
+  }
+
+  test("product-section fuzz dump matches the netCDF-verified golden " +
+      "(60 messages, 8 templates)") {
+    val (_, dump) = PdsFuzzGen.generate()
+    val want = golden("pdsfuzz.expected")
+    assert(dump == want, firstDiff(dump, want))
+  }
+
+  test("grid-section fuzz dump matches the netCDF-verified golden " +
+      "(50 grids, 5 templates)") {
+    val (_, dump) = GdsFuzzGen.generate()
+    val want = golden("gdsfuzz.expected")
+    assert(dump == want, firstDiff(dump, want))
+  }
+}

@@ -25,10 +25,14 @@ package graft.wind
   */
 object GdsFuzzGen {
 
-  def main(args: Array[String]): Unit = {
-    val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/gdsfuzz")
-    dir.mkdirs()
-    val rnd = new scala.util.Random(4321)
+  /** The seeded fuzz corpus and this engine's netCDF-float-emulated dump.
+    * The dump for seed 4321 is committed as
+    * `src/test/resources/gdscheck/gdsfuzz.expected` AFTER being verified
+    * byte-identical against netCDF's Grib2Gds (round-13 run) —
+    * FuzzGoldenSpec pins future decodes to it.
+    */
+  def generate(seed: Long = 4321): (Array[Byte], String) = {
+    val rnd = new scala.util.Random(seed)
     def micro(v: Double): Long = math.round(v * 1e6)
 
     val msgs = (0 until 50).map { _ =>
@@ -92,9 +96,6 @@ object GdsFuzzGen {
       }
     }
     val payload = Grib2TestWriter.file(msgs: _*)
-    val f = new java.io.File(dir, "gdsfuzz.grb2")
-    val fos = new java.io.FileOutputStream(f)
-    try fos.write(payload) finally fos.close()
 
     // this engine's decode, printed through a faithful emulation of
     // netCDF's FLOAT field pipeline (bytecode-verified, Grib2Gds$LatLon):
@@ -161,8 +162,18 @@ object GdsFuzzGen {
             " projCenterFlag=" + g.projCenter + "\n")
       }
     }
+    (payload, out.toString)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/gdsfuzz")
+    dir.mkdirs()
+    val (payload, expected) = generate()
+    val f = new java.io.File(dir, "gdsfuzz.grb2")
+    val fos = new java.io.FileOutputStream(f)
+    try fos.write(payload) finally fos.close()
     val ef = new java.io.File(dir, "expected.out")
-    java.nio.file.Files.writeString(ef.toPath, out.toString)
-    println(s"wrote $f and $ef (${msgs.size} messages)")
+    java.nio.file.Files.writeString(ef.toPath, expected)
+    println(s"wrote $f and $ef")
   }
 }

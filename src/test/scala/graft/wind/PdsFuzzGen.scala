@@ -20,10 +20,13 @@ package graft.wind
   */
 object PdsFuzzGen {
 
-  def main(args: Array[String]): Unit = {
-    val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/pdsfuzz")
-    dir.mkdirs()
-    val rnd = new scala.util.Random(1234)
+  /** The seeded fuzz corpus and this engine's decode dump. The dump for
+    * seed 1234 is committed as `src/test/resources/gdscheck/pdsfuzz
+    * .expected` AFTER being verified against netCDF's Grib2Pds (round-13
+    * run, 0 real differences) — FuzzGoldenSpec pins future decodes to it.
+    */
+  def generate(seed: Long = 1234): (Array[Byte], String) = {
+    val rnd = new scala.util.Random(seed)
     val out = new StringBuilder
     val msgs = (0 until 60).map { _ =>
       val tmpl = Seq(0, 1, 2, 5, 8, 9, 11, 12)(rnd.nextInt(8))
@@ -61,9 +64,6 @@ object PdsFuzzGen {
       m
     }
     val payload = Grib2TestWriter.file(msgs: _*)
-    val f = new java.io.File(dir, "pdsfuzz.grb2")
-    val fos = new java.io.FileOutputStream(f)
-    try fos.write(payload) finally fos.close()
 
     // this engine's decode, in PdsCheck's print format
     val decoded = Grib2.decode(payload)
@@ -92,8 +92,18 @@ object PdsFuzzGen {
         out.append("  interval: nRanges=1 nMissing=0 range{stat=" +
           g.statProcess + " unit=1 len=" + g.intervalHours + "}\n")
     }
+    (payload, out.toString)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/pdsfuzz")
+    dir.mkdirs()
+    val (payload, expected) = generate()
+    val f = new java.io.File(dir, "pdsfuzz.grb2")
+    val fos = new java.io.FileOutputStream(f)
+    try fos.write(payload) finally fos.close()
     val ef = new java.io.File(dir, "expected.out")
-    java.nio.file.Files.writeString(ef.toPath, out.toString)
-    println(s"wrote $f and $ef (${msgs.size} messages)")
+    java.nio.file.Files.writeString(ef.toPath, expected)
+    println(s"wrote $f and $ef")
   }
 }
