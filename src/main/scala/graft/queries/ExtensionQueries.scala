@@ -2220,6 +2220,90 @@ object ExtensionQueries {
        |    ORDER BY li), '')) AS clean_hash
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Dedup survivor selection (x51, round 13) — the keep-best-
+    * representative step production fuzzy-dedup pipelines run after
+    * clustering (Dolma/FineWeb style): every near-dup cluster (x19's
+    * connected components over the x03 MinHash pair graph, identical
+    * constants) keeps exactly ONE document — the highest quality score
+    * (x10's formula), ties to the smallest doc_id — and every
+    * out-of-cluster document trivially survives as its own singleton.
+    * Quality is quantized to exact micro integers before ranking so the
+    * argmax is engine-portable by construction (the underlying doubles
+    * are already bitwise-equal — x10 is hash-green — but an integer
+    * comparison can never be a ulp coin-flip).
+    *
+    * Shape: the x19 cluster machinery (audited) + a map-only quality
+    * projection + one groupBy(cluster) max-struct argmax (partial-
+    * aggregable) + one cluster-key join back. No new shuffle class.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.duplicateClusters(
+      Dedup.nearDuplicates(docs, threshold = 0.25,
+        n = 3, numHashes = 64, bands = 32))
+    val quality = TextAnalysis.qualityScore(docs, col("text"))
+      .select(col("doc_id"),
+        round(col("quality") * 1e6).cast("long").as("q_micro"))
+    val membered = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(quality, "doc_id")
+    val winners = membered.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("q_micro"), (-col("doc_id")).as("nd"))).as("w"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("w.nd")).as("win_id"))
+    membered.join(winners, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        col("q_micro"),
+        (col("doc_id") === col("win_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSurvivorsSql = {
+    val clustersSql = neardupClustersSql
+    val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+    // the x19 recursive-CTE closure verbatim (strip its ORDER BY), plus
+    // the x10 quality expression quantized to micro integers
+    val cl = clustersSql.stripSuffix(" ORDER BY cluster_id, doc_id")
+    s"""WITH cl AS ($cl),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS INTEGER) AS nc,
+       |    CAST(len(string_split(text,' ')) AS INTEGER) AS nw,
+       |    CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+       |         AS INTEGER) AS nalpha,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |         w -> list_contains([$en], w))) AS INTEGER) AS nstop
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, CAST(round((
+       |    least(CAST(nw AS DOUBLE)/64, 1e0)*0.4e0
+       |      + (CAST(nalpha AS DOUBLE)/nc)*0.4e0
+       |      + least((CAST(nstop AS DOUBLE)/nw)*4e0, 1e0)*0.2e0) * 1e6)
+       |    AS BIGINT) AS q_micro
+       |  FROM sig),
+       |m AS (
+       |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       |    q.q_micro
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |  JOIN q ON d.doc_id = q.doc_id),
+       |w AS (SELECT cluster_id, count(*) AS cluster_size,
+       |    max(q_micro) AS mq
+       |  FROM m GROUP BY cluster_id),
+       |win AS (SELECT m.cluster_id, min(m.doc_id) AS win_id
+       |  FROM m JOIN w ON m.cluster_id = w.cluster_id
+       |    AND m.q_micro = w.mq
+       |  GROUP BY m.cluster_id)
+       |SELECT m.doc_id, m.cluster_id,
+       |  CAST(w.cluster_size AS BIGINT) AS cluster_size, m.q_micro,
+       |  m.doc_id = win.win_id AS kept
+       |FROM m JOIN w ON m.cluster_id = w.cluster_id
+       |JOIN win ON m.cluster_id = win.cluster_id
+       |ORDER BY m.doc_id""".stripMargin
+  }
+
   /** Benchmark vectors for x50: the embedding-space held-out set. */
   val SemanticBenchN = 16
 
@@ -2335,6 +2419,7 @@ object ExtensionQueries {
       boilerplateRemoval),
     QueryDef("x50_semantic_decontamination",
       Some(semanticDecontaminationSql), semanticDecontamination),
+    QueryDef("x51_dedup_survivors", Some(dedupSurvivorsSql), dedupSurvivors),
   )
 
 }

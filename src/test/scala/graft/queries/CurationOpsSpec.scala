@@ -337,6 +337,30 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("x51 dedup survivors: exactly one kept per cluster, and it is the " +
+      "quality argmax with doc_id tie-break") {
+    val rows = ExtensionQueries.dedupSurvivors(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir).count()
+    assert(rows.length == docs, "one row per document")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val kept = members.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length == 1, s"cluster $cid keeps ${kept.length}")
+      val best = members.maxBy(r =>
+        (r.getAs[Long]("q_micro"), -r.getAs[Long]("doc_id")))
+      assert(kept.head.getAs[Long]("doc_id") == best.getAs[Long]("doc_id"),
+        s"cluster $cid kept the wrong member")
+      members.foreach(r => assert(
+        r.getAs[Long]("cluster_size") == members.length, s"size of $cid"))
+    }
+    // the corpus HAS planted dups: some cluster must drop members
+    assert(rows.count(!_.getAs[Boolean]("kept")) > 0)
+    // singletons keep themselves
+    byCluster.filter(_._2.length == 1).foreach { case (cid, Array(r)) =>
+      assert(r.getAs[Boolean]("kept") && r.getAs[Long]("doc_id") == cid)
+    }
+  }
+
   test("x50 semantic decontamination: best_bench IS the argmax and the " +
       "flag matches the threshold") {
     val rows = ExtensionQueries.semanticDecontamination(spark, dir).collect()
