@@ -2164,6 +2164,12 @@ object ExtensionQueries {
     * pathologically hot line key — → per-document reassembly via
     * `sort_array(collect_list(struct))` (doc_id partitioning, no skew).
     * No all-pairs stage; work is linear in corpus tokens.
+    *
+    * Precondition: non-empty `text` (every documents fixture guarantees
+    * it). An empty doc would hit the one spot where the engines' range
+    * primitives disagree — Spark `sequence(0, -1)` descends while DuckDB
+    * `generate_series(0, -1)` is empty — so a corpus that can carry empty
+    * docs must filter them before this operator.
     */
   def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
     val lines = Tables.documents(spark, dir)
