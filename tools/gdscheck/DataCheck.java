@@ -1,0 +1,25 @@
+import ucar.unidata.io.RandomAccessFile;
+import ucar.nc2.grib.grib2.Grib2Record;
+import ucar.nc2.grib.grib2.Grib2RecordScanner;
+
+/** Cross-check: decode every record's DATA section of a .grb2 file with
+  * netCDF's own Grib2DataReader (via Grib2Record.readData -- the decoder
+  * the reference's grib2json rides) and print the values, one line per
+  * record: "<n> <v0> <v1> ...". The ucar.unidata.io classes are
+  * FUNCTIONAL stand-ins (see their headers) for the stripped cdm jar. */
+public class DataCheck {
+  public static void main(String[] args) throws Exception {
+    RandomAccessFile raf = new RandomAccessFile(args[0], "r");
+    Grib2RecordScanner s = new Grib2RecordScanner(raf);
+    StringBuilder sb = new StringBuilder();
+    while (s.hasNext()) {
+      Grib2Record r = s.next();
+      float[] d = r.readData(raf);
+      sb.setLength(0);
+      sb.append(d.length);
+      for (float v : d) sb.append(' ').append(v);
+      System.out.println(sb);
+    }
+    raf.close();
+  }
+}

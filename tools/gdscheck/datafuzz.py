@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Data-section fuzz cross-check driver (round 13).
+
+Runs netCDF-Java's own data decoder (Grib2Record.readData via the
+DataCheck tool -- the grib2json CLI itself needs the stripped cdm jar,
+so DataCheck drives the same grib-4.3.19 decode classes directly over
+functional ucar.unidata.io / ucar.nc2.iosp stand-ins) over every
+DataFuzzGen fixture and compares the record data against this engine's
+decoded values (expected.out). Tolerance rel 1e-6: netCDF
+unpacks (r + m*2^e)/10^d in FLOAT, the engine in double — the
+documented jsonb-fidelity divergence. Masked/missing points: netCDF
+emits null/NaN spellings, the engine NaN — both normalize to None.
+
+Usage: python3 tools/gdscheck/datafuzz.py /tmp/datafuzz
+"""
+import math
+import os
+import subprocess
+import sys
+
+LIB = "/root/reference/grib2json/target/grib2json-0.8.0-SNAPSHOT/lib"
+
+
+def norm(v):
+    if v is None:
+        return None
+    f = float(v)
+    return None if math.isnan(f) else f
+
+
+def main():
+    d = sys.argv[1] if len(sys.argv) > 1 else "/tmp/datafuzz"
+    expected = {}
+    for line in open(f"{d}/expected.out"):
+        parts = line.split()
+        name, n = parts[0], int(parts[1])
+        vals = [norm(x) for x in parts[2:]]
+        assert len(vals) == n
+        expected[name] = vals
+    bad = files = 0
+    for name in sorted(expected):
+        out = f"{d}/{name}.json"
+        tooldir = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run(
+            ["java", "-cp",
+             f"{tooldir}:{LIB}/grib-4.3.19.jar:{LIB}/slf4j-api-1.7.5.jar",
+             "DataCheck", f"{d}/{name}"],
+            capture_output=True, text=True)
+        lines = [l for l in r.stdout.splitlines() if l and l[0].isdigit()]
+        if r.returncode != 0 or not lines:
+            print(f"[FAIL] {name}: DataCheck rc={r.returncode}\n{r.stderr[-400:]}")
+            bad += 1
+            continue
+        parts = lines[0].split()
+        assert int(parts[0]) == len(parts) - 1
+        ref = [norm(x) for x in parts[1:]]
+        mine = expected[name]
+        files += 1
+        if len(ref) != len(mine):
+            print(f"[FAIL] {name}: {len(mine)} values vs reference {len(ref)}")
+            bad += 1
+            continue
+        for i, (a, b) in enumerate(zip(mine, ref)):
+            if (a is None) != (b is None):
+                print(f"[FAIL] {name}[{i}]: {a} vs reference {b}")
+                bad += 1
+                break
+            if a is None:
+                continue
+            if abs(a - b) > 1e-6 * max(1.0, abs(a), abs(b)):
+                print(f"[FAIL] {name}[{i}]: {a} vs reference {b}")
+                bad += 1
+                break
+    print(f"{files} files compared against grib2json, {bad} failures")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

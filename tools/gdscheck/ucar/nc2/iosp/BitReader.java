@@ -1,0 +1,44 @@
+package ucar.nc2.iosp;
+
+import java.io.IOException;
+import ucar.unidata.io.RandomAccessFile;
+
+/** FUNCTIONAL stand-in for the stripped cdm class: MSB-first bit reader
+  * over a RandomAccessFile, the exact method surface Grib2DataReader
+  * calls (bits2UInt / incrByte). Semantics per the public cdm source:
+  * bits are consumed most-significant-first within each byte; incrByte
+  * discards any remaining bits of the current byte. */
+public class BitReader {
+  private final RandomAccessFile raf;
+  private int current;  // current byte value
+  private int bitsLeft; // unconsumed bits in `current`
+
+  public BitReader(RandomAccessFile raf, long startPos) throws IOException {
+    this.raf = raf;
+    raf.seek(startPos);
+    this.bitsLeft = 0;
+  }
+
+  public long bits2UInt(int nbits) throws IOException {
+    long result = 0;
+    int needed = nbits;
+    while (needed > 0) {
+      if (bitsLeft == 0) {
+        current = raf.read();
+        if (current < 0) throw new IOException("EOF in BitReader");
+        bitsLeft = 8;
+      }
+      int take = Math.min(needed, bitsLeft);
+      int shift = bitsLeft - take;
+      int mask = ((1 << take) - 1);
+      result = (result << take) | ((current >> shift) & mask);
+      bitsLeft -= take;
+      needed -= take;
+    }
+    return result;
+  }
+
+  public void incrByte() {
+    bitsLeft = 0;
+  }
+}

@@ -1,0 +1,11 @@
+package ucar.unidata.io;
+
+/** FUNCTIONAL stand-in for the stripped cdm class (the reference checkout
+  * drops the cdm jar, .MISSING_LARGE_BLOBS): holds the search pattern the
+  * Grib2RecordScanner passes to RandomAccessFile.searchForward -- the
+  * actual searching lives in the RandomAccessFile stand-in. */
+public class KMPMatch {
+  final byte[] match;
+  public KMPMatch(byte[] match) { this.match = match; }
+  public int getMatchLength() { return match.length; }
+}

@@ -1,0 +1,78 @@
+package ucar.unidata.io;
+
+import java.io.IOException;
+
+/** FUNCTIONAL stand-in for the stripped cdm class, implementing exactly
+  * the method surface the grib-4.3.19 grib2 package calls (verified by
+  * bytecode scan -- see tools/gdscheck/README.md): big-endian primitive
+  * reads over a plain java.io.RandomAccessFile, position/length queries,
+  * and the forward pattern search the record scanner uses to find "GRIB".
+  * GRIB2 is big-endian throughout, so order() is accepted and ignored. */
+public class RandomAccessFile implements AutoCloseable {
+  public static final int BIG_ENDIAN = 0;
+  public static final int LITTLE_ENDIAN = 1;
+
+  private final java.io.RandomAccessFile raf;
+  private final String location;
+
+  public RandomAccessFile(String location, String mode) throws IOException {
+    this.raf = new java.io.RandomAccessFile(location, mode);
+    this.location = location;
+  }
+
+  public String getLocation() { return location; }
+  public long length() throws IOException { return raf.length(); }
+  public long getFilePointer() throws IOException { return raf.getFilePointer(); }
+  public void seek(long pos) throws IOException { raf.seek(pos); }
+  public boolean isAtEndOfFile() throws IOException {
+    return raf.getFilePointer() >= raf.length();
+  }
+  public void order(int order) { /* GRIB2 is big-endian; ignored */ }
+
+  public int read() throws IOException { return raf.read(); }
+  public int read(byte[] b) throws IOException { return raf.read(b); }
+  public void readFully(byte[] b) throws IOException { raf.readFully(b); }
+  public int readInt() throws IOException { return raf.readInt(); }
+  public long readLong() throws IOException { return raf.readLong(); }
+  public float readFloat() throws IOException { return raf.readFloat(); }
+  // cdm semantics: a RELATIVE seek -- negative n rewinds (java.io's
+  // skipBytes clamps negatives to zero, which breaks the LocalUse
+  // section's 5-byte peek-and-rewind)
+  public int skipBytes(int n) throws IOException {
+    raf.seek(raf.getFilePointer() + n);
+    return n;
+  }
+  public long skipBytes(long n) throws IOException {
+    raf.seek(raf.getFilePointer() + n);
+    return n;
+  }
+
+  public void write(byte[] b) throws IOException { raf.write(b); }
+  public void writeInt(int v) throws IOException { raf.writeInt(v); }
+  public void writeLong(long v) throws IOException { raf.writeLong(v); }
+
+  /** cdm contract: search forward from the current position for the
+    * pattern; on success leave the position AT the match start and return
+    * true; maxBytes < 0 means unbounded. */
+  public boolean searchForward(KMPMatch match, int maxBytes) throws IOException {
+    long start = raf.getFilePointer();
+    long limit = maxBytes < 0 ? raf.length()
+      : Math.min(raf.length(), start + maxBytes + match.match.length);
+    byte[] pat = match.match;
+    long window = limit - start;
+    if (window < pat.length) { raf.seek(limit); return false; }
+    byte[] buf = new byte[(int) window];
+    raf.readFully(buf);
+    outer:
+    for (int i = 0; i + pat.length <= buf.length; i++) {
+      for (int j = 0; j < pat.length; j++)
+        if (buf[i + j] != pat[j]) continue outer;
+      raf.seek(start + i);
+      return true;
+    }
+    raf.seek(limit);
+    return false;
+  }
+
+  @Override public void close() throws IOException { raf.close(); }
+}
