@@ -36,8 +36,9 @@ object GdsFuzzGen {
     def micro(v: Double): Long = math.round(v * 1e6)
 
     val msgs = (0 until 50).map { _ =>
-      val tmpl = Seq(0, 1, 10, 20, 30)(rnd.nextInt(5))
-      val nx = 2 + rnd.nextInt(7); val ny = 2 + rnd.nextInt(5)
+      val tmpl = Seq(0, 1, 10, 20, 30, 40)(rnd.nextInt(6))
+      var nx = 2 + rnd.nextInt(7); var ny = 2 + rnd.nextInt(5)
+      if (tmpl == 40) ny = 2 * (2 + rnd.nextInt(3)) // Nj = 2N enforced
       val base = Grib2TestWriter.Msg(
         discipline = 0, category = 2, number = 2,
         year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
@@ -79,6 +80,13 @@ object GdsFuzzGen {
             dyMicro = (100000 + rnd.nextInt(500000)).toLong * 1000,
             lovMicro = micro(rnd.nextInt(360)), ladMicro = micro(lad),
             projCenterFlag = if (south) 0x80 else 0)
+        case 40 =>
+          // gaussian: Dj's octets carry N (= Nj/2, the writer derives it);
+          // la2 is the equator mirror of la1. The la1 value needn't be a
+          // true Legendre root for the OCTET cross-check
+          base.copy(la1Micro = micro(60 + rnd.nextInt(21)),
+            lo1Micro = micro(rnd.nextInt(300)),
+            dxMicro = micro(0.5 + rnd.nextInt(4) * 0.5), dyMicro = 0)
         case 30 =>
           val south = rnd.nextBoolean()
           val sgn = if (south) -1 else 1
@@ -139,6 +147,22 @@ object GdsFuzzGen {
           out.append("LL la1=" + la1f + " lo1=" + lo1f +
             " la2=" + la2f + " lo2=" + lo2f +
             " dLon=" + dLon + " dLat=" + dLat + "\n")
+        case 40 =>
+          // netCDF GaussLatLon: LatLon's finish() reads octet 68 (= N
+          // here) as the wire deltaLat, mirrors its sign from the corner
+          // direction, fails closeEnough against the corner-derived
+          // spacing and REPLACES it — so dLat is always the derived value
+          var dLon = nd(g.dx)
+          val dLonDer = (lo2f - lo1f) / (g.nx - 1).toFloat
+          if (!closeEnough(dLon, dLonDer)) dLon = dLonDer
+          var dLat = g.dy.toLong.toFloat * 1e-6f // raw N in the Dj octets
+          if (la2f < la1f) dLat = -dLat
+          val dLatDer = (la2f - la1f) / (g.ny - 1).toFloat
+          if (!closeEnough(dLat, dLatDer)) dLat = dLatDer
+          out.append("GG la1=" + la1f + " lo1=" + lo1f +
+            " la2=" + la2f + " lo2=" + lo2f +
+            " dLon=" + dLon + " dLat=" + dLat +
+            " N=" + g.dy.toInt + "\n")
         case 1 =>
           val (dLon, dLat) = deltas()
           out.append("RL la1=" + la1f + " lo1=" + lo1f +

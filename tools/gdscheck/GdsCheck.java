@@ -45,6 +45,14 @@ public class GdsCheck {
             + " la2=" + ll.la2 + " lo2=" + ll.lo2
             + " dLon=" + ll.deltaLon + " dLat=" + ll.deltaLat);
         }
+        if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.GaussLatLon) {
+          ucar.nc2.grib.grib2.Grib2Gds.GaussLatLon gg =
+            (ucar.nc2.grib.grib2.Grib2Gds.GaussLatLon) gds;
+          System.out.println("GG la1=" + gg.la1 + " lo1=" + gg.lo1
+            + " la2=" + gg.la2 + " lo2=" + gg.lo2
+            + " dLon=" + gg.deltaLon + " dLat=" + gg.deltaLat
+            + " N=" + gg.Nparellels);
+        }
         if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.LambertConformal) {
           ucar.nc2.grib.grib2.Grib2Gds.LambertConformal lc =
             (ucar.nc2.grib.grib2.Grib2Gds.LambertConformal) gds;
