@@ -100,7 +100,9 @@ object Grib2TestWriter {
       // product template (4.0 default; 8 writes the statistical-interval
       // extension with `statProcess` (table 4.10) over `intervalHours`;
       // 1 writes the ensemble descriptor; 2 the derived-ensemble
-      // descriptor; 9 the probability block + the shifted interval block).
+      // descriptor; 5 the probability block alone; 9 the probability
+      // block + the shifted interval block; 11/12 the ensemble/derived
+      // descriptor + the shifted interval block).
       // `statRanges`/`statEndShiftHours` deform the wire for refusal tests
       prodTemplate: Int = 0,
       statProcess: Int = 1, intervalHours: Int = 6,
