@@ -89,7 +89,7 @@ object DataFuzzGen {
     */
   def dump(): String = {
     val out = new StringBuilder
-    generate().foreach { case (name, msg) =>
+    (generate() ++ j2kCases()).foreach { case (name, msg) =>
       val g = Grib2.decode(Grib2TestWriter.message(msg)).head
       out.append(name).append(' ').append(g.data.length)
       g.data.foreach(v => out.append(' ').append(v))
@@ -98,15 +98,51 @@ object DataFuzzGen {
     out.toString
   }
 
+  /** JPEG2000 (5.40) message-level cases: the committed jj2000 lossless
+    * codestreams spliced into full GRIB messages under varied
+    * reference/binary-scale/decimal-scale parameters — netCDF's
+    * `getData40` applies the same scaling around its Grib2JpegDecoder,
+    * so this cross-checks the MESSAGE assembly (scaling + section
+    * splicing) end-to-end, complementing the per-sample codestream
+    * goldens of Jpeg2000Spec. (w, h, depth) must match the fixture.
+    */
+  def j2kCases(seed: Long = 778): Seq[(String, Grib2TestWriter.Msg)] = {
+    val rnd = new scala.util.Random(seed)
+    def cs(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/jpeg2000/$name")
+      require(in != null, s"missing codestream $name")
+      try in.readAllBytes() finally in.close()
+    }
+    def grid(w: Int, h: Int, depth: Int): Array[Long] =
+      Array.tabulate(w * h)(i => (i * 2917L + 13L) % (1L << depth))
+    // no tiny grids: netCDF drives its decoder at `-rate nBits`, and a
+    // codestream whose header overhead exceeds nbits·npoints/8 bytes is
+    // refused by the REFERENCE side ("Requested bitrate is too small")
+    Seq(("g100x50d16.j2k", 100, 50, 16), ("g33x17d12.j2k", 33, 17, 12),
+      ("g50x20d11.j2k", 50, 20, 11), ("g64x64d8.j2k", 64, 64, 8))
+      .zipWithIndex.map { case ((name, w, h, depth), i) =>
+        (f"j2k$i%02d.grb2", Grib2TestWriter.Msg(
+          discipline = 0, category = 2, number = 2,
+          year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+          nx = w, ny = h,
+          la1Micro = 80000000L, lo1Micro = 10000000L,
+          dxMicro = 1000000L, dyMicro = 1000000L,
+          r = (rnd.nextInt(801) - 400) / 4f,
+          e = rnd.nextInt(5) - 2, d = rnd.nextInt(3) - 1, nbits = depth,
+          m = grid(w, h, depth),
+          packing = Grib2TestWriter.Jpeg2000Packing(cs(name))))
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/datafuzz")
     dir.mkdirs()
-    generate().foreach { case (name, msg) =>
+    (generate() ++ j2kCases()).foreach { case (name, msg) =>
       val fos = new java.io.FileOutputStream(new java.io.File(dir, name))
       try fos.write(Grib2TestWriter.message(msg)) finally fos.close()
     }
     java.nio.file.Files.writeString(
       new java.io.File(dir, "expected.out").toPath, dump())
-    println(s"wrote ${dir}/fuzz*.grb2 and expected.out")
+    println(s"wrote ${dir}/fuzz*.grb2 + j2k cases and expected.out")
   }
 }
