@@ -35,7 +35,10 @@ object GraftFunctions {
       vecDotFxBuilder),
     (new FunctionIdentifier("vec_dot_long"),
       new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
-      vecDotLongBuilder))
+      vecDotLongBuilder),
+    (new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      wordShinglesBuilder))
 
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
@@ -69,6 +72,13 @@ object GraftFunctions {
     require(children.size == 2,
       s"vec_dot_long takes exactly 2 arguments, got ${children.size}")
     VecDotLong(children(0), children(1))
+  }
+
+  private[functions] def wordShinglesBuilder(
+      children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"word_shingles takes exactly 2 arguments, got ${children.size}")
+    WordShingles(children(0), children(1))
   }
 
   def register(spark: SparkSession): Unit =
@@ -110,6 +120,14 @@ object GraftFunctions {
     */
   def vec_dot_long(a: Column, b: Column): Column =
     call_function("vec_dot_long", a, b)
+
+  /** Column-API form of the native word-shingling expression: distinct word
+    * n-gram shingles in first-occurrence order, byte-identical to the
+    * composable `array_distinct(transform(...concat_ws/slice...))` idiom
+    * (and to the oracle's SQL twin).
+    */
+  def word_shingles(text: Column, n: Column): Column =
+    call_function("word_shingles", text, n)
 }
 
 /** `spark.sql.extensions` hook: native functions + optimizer rules. */
@@ -136,6 +154,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("vec_dot_long"),
         new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
         GraftFunctions.vecDotLongBuilder _))
+    ext.injectFunction(
+      (new FunctionIdentifier("word_shingles"),
+        new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+        GraftFunctions.wordShinglesBuilder _))
     ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
   }
 }

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: distinct word n-gram shingles of a
+  * space-delimited text, `word_shingles(text, n) → array<string>`.
+  *
+  * Semantics are EXACTLY the composable idiom the dedup family originally
+  * used (and the DuckDB oracle SQL still does):
+  *
+  * {{{
+  *   w = split(text, " ")                      -- empties kept, Java split -1
+  *   array_distinct(
+  *     if (size(w) >= n)
+  *       transform(sequence(0, size(w)-n), i -> concat_ws(" ", slice(w, i+1, n)))
+  *     else array(concat_ws(" ", w)))          -- first-occurrence order
+  * }}}
+  *
+  * Why a custom expression (the option-(b) tier of SURVEY §7): the
+  * higher-order chain is evaluated *interpreted* — per shingle it allocates
+  * a sliced array, joins it, then `array_distinct` re-hashes the result.
+  * Stage profile at sf0.1: the shingle explode alone cost ~1.5 s of every
+  * dedup-family query (x02/x03/x19/x43/x45/x51 each re-pay it 1-2×). This
+  * expression does one byte scan instead, exploiting an exactness the
+  * generic operators cannot see: split on a SINGLE space means adjacent
+  * tokens are separated by exactly one space in the source bytes, so the
+  * n-token shingle `concat_ws(" ", slice(w, i+1, n))` IS the contiguous
+  * source byte span from token `i`'s first byte to token `i+n-1`'s last
+  * byte (0x20 never occurs inside a multi-byte UTF-8 sequence). Each
+  * shingle is therefore a zero-copy `UTF8String` view of the input, and
+  * distinctness is one hash-set pass in first-occurrence order.
+  *
+  * Null semantics: null text → null; `n` must be a positive int (enforced
+  * at eval; the dedup API always passes a literal).
+  */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires (string, int), got ($l, $r)")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    WordShingles.compute(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.WordShingles.compute($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordShingles {
+
+  /** One-pass shingling over the UTF-8 bytes; see class doc for the
+    * byte-span equivalence argument. Called from generated code.
+    */
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    require(n > 0, s"word_shingles: n must be positive, got $n")
+    val bytes = text.getBytes // copy only when the string is offset-packed
+    val len = bytes.length
+    // token start offsets: token i spans [starts(i), starts(i+1) - 1)
+    // (the -1 drops the separating space); the last token ends at len.
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) nTokens += 1; i += 1 }
+    if (nTokens < n) {
+      // concat_ws(" ", w) of ALL tokens is the whole text verbatim
+      return new GenericArrayData(Array[Any](text))
+    }
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1 // virtual: end of token k is starts(k+1) - 1
+    val nShingles = nTokens - n + 1
+    val seen = new java.util.HashSet[UTF8String](nShingles * 2)
+    val out = new java.util.ArrayList[Any](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      val from = starts(s)
+      val until = starts(s + n) - 1
+      val sh = UTF8String.fromBytes(bytes, from, until - from)
+      if (seen.add(sh)) out.add(sh)
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

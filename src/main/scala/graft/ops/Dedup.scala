@@ -26,8 +26,20 @@ object Dedup {
   /** Word tokens (the corpus is whitespace-delimited). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles of `text`. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Distinct word n-gram shingles of `text` — the native
+    * [[graft.functions.WordShingles]] expression (one codegen'd byte scan;
+    * the interpreted higher-order chain in [[shinglesComposable]] cost
+    * ~1.5 s of every dedup query at sf0.1). Byte-identical output; the
+    * oracle SQL twin ([[sqlShingles]]) is unchanged.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.word_shingles(text, lit(n))
+
+  /** The original composable form of [[shingles]] — kept as the semantic
+    * reference the native expression is spec-pinned against (DedupSpec
+    * asserts bitwise equality over the corpus and adversarial edges).
+    */
+  private[graft] def shinglesComposable(text: Column, n: Int): Column = {
     val w = tokens(text)
     array_distinct(
       when(size(w) >= n,
@@ -637,9 +649,15 @@ object Dedup {
     * (doc_id, text) relation to read — the default reads `documents`
     * directly, rendering byte-identical SQL to rounds ≤ 7.
     */
-  def nearDuplicatesSql(threshold: Double, n: Int, numHashes: Int,
-                        bands: Int, source: String = "documents",
-                        sourceCte: String = ""): String = {
+  /** The shared WITH-list prefix ending in the LSH candidate CTE `cand`
+    * (and the shingle CTE `sh`): everything of [[nearDuplicatesSql]] up to
+    * but excluding the verification step, factored so other verifiers over
+    * the same candidate set (x53's edit-distance verify) render the
+    * IDENTICAL signature/banding SQL and cannot drift.
+    */
+  def minHashCandidateCtes(n: Int, numHashes: Int, bands: Int,
+                           source: String = "documents",
+                           sourceCte: String = ""): String = {
     val rowsPerBand = numHashes / bands
     val mins = (0 until numHashes)
       .map(i => s"min(${Portable.sqlAffine(i, "h")}) AS m$i").mkString(",\n    ")
@@ -648,7 +666,7 @@ object Dedup {
         .map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)")
         .mkString(" || ',' || ")
     }.mkString("[", ",\n      ", "]")
-    s"""WITH $sourceCte${sqlShingleCtes(n, source)},
+    s"""$sourceCte${sqlShingleCtes(n, source)},
        |hb AS (SELECT doc_id, ${Portable.sqlHash32("tok", MinHashSalt)} AS h
        |       FROM (SELECT doc_id, unnest(s) AS tok FROM sh)),
        |sig AS (SELECT doc_id,
@@ -660,7 +678,13 @@ object Dedup {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bk a JOIN bk b
        |    ON a.band = b.band AND a.band_key = b.band_key
-       |    AND a.doc_id < b.doc_id),
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  def nearDuplicatesSql(threshold: Double, n: Int, numHashes: Int,
+                        bands: Int, source: String = "documents",
+                        sourceCte: String = ""): String = {
+    s"""WITH ${minHashCandidateCtes(n, numHashes, bands, source, sourceCte)},
        |ver AS (SELECT id_a, id_b,
        |    len(list_intersect(sa.s, sb.s)) AS ni,
        |    len(sa.s) AS na, len(sb.s) AS nb

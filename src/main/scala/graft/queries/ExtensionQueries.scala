@@ -2359,6 +2359,215 @@ object ExtensionQueries {
        |FROM r JOIN h ON r.vec_id = h.vec_id WHERE r.rk = 1
        |ORDER BY r.vec_id""".stripMargin
 
+  /** Perplexity band filter (x52) — the CCNet selection step: rank every
+    * document by its x40 interpolated-bigram LM score WITHIN its source,
+    * cut into terciles (head = most LM-like, tail = least), keep
+    * head+middle. `avg_logp` is monotone-decreasing in perplexity, so
+    * ORDER BY avg_logp DESC ≡ ascending perplexity; doc_id breaks ties so
+    * the ntile cut is total-order deterministic on both engines (ntile is
+    * SQL-standard: equal buckets, remainder to the leading ones).
+    *
+    * Scale: rides x40's posture (vocabulary-bounded broadcast LM, one
+    * corpus shuffle for the per-doc sum); the banding adds one
+    * source-partitioned window — sources are the partition key a corpus
+    * this size shards by anyway, and the per-source sort is the same
+    * shuffle shape as any per-source top-k.
+    */
+  def perplexityBands(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lm = bigramLmScore(spark, dir)
+      .select(col("doc_id"), col("avg_logp"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("avg_logp").desc, col("doc_id"))
+    lm.join(src, "doc_id")
+      .withColumn("band", ntile(3).over(w))
+      .withColumn("kept", col("band") <= 2)
+      .select("doc_id", "source", "avg_logp", "band", "kept")
+      .orderBy("doc_id")
+  }
+
+  private val perplexityBandsSql =
+    s"""WITH lm AS ($bigramLmScoreSql),
+       |b AS (
+       |  SELECT lm.doc_id, d.source, lm.avg_logp,
+       |    CAST(ntile(3) OVER (PARTITION BY d.source
+       |      ORDER BY lm.avg_logp DESC, lm.doc_id) AS INTEGER) AS band
+       |  FROM lm JOIN documents d ON lm.doc_id = d.doc_id)
+       |SELECT doc_id, source, avg_logp, band, band <= 2 AS kept
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Edit-distance similarity floor for an [[editDistNearDups]] pair. */
+  val EditSimThreshold = 0.4
+
+  /** Edit-distance near-dup verify (x53): the x03 LSH candidate set
+    * re-verified with EXACT normalized Levenshtein similarity
+    * `1 − lev/max(|a|,|b|)` instead of shingle Jaccard — the fuzzy-dedup
+    * variant that catches heavy in-place token edits (which depress
+    * 3-gram Jaccard quadratically but edit distance only linearly).
+    *
+    * Scale: Levenshtein is O(|a|·|b|) PER PAIR — affordable exactly
+    * because it runs only on the subquadratic LSH candidate set, never
+    * corpus × corpus (same budget argument as x03's exact re-verify).
+    * Both engines compute classic unit-cost codepoint Levenshtein.
+    */
+  def editDistNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cands = Dedup.minHashCandidates(docs, n = 3, numHashes = 64,
+      bands = 32)
+    val t = docs.select(col("doc_id"), col("text"))
+    cands
+      .join(t.select(col("doc_id").as("id_a"), col("text").as("text_a")),
+        "id_a")
+      .join(t.select(col("doc_id").as("id_b"), col("text").as("text_b")),
+        "id_b")
+      .withColumn("lev", levenshtein(col("text_a"), col("text_b")))
+      .withColumn("edit_sim", lit(1.0) - col("lev") /
+        greatest(length(col("text_a")), length(col("text_b")))
+          .cast("double"))
+      .filter(col("edit_sim") >= EditSimThreshold)
+      .select(col("id_a"), col("id_b"), col("lev"), col("edit_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val editDistNearDupsSql =
+    s"""WITH ${Dedup.minHashCandidateCtes(n = 3, numHashes = 64, bands = 32)},
+       |v AS (
+       |  SELECT id_a, id_b,
+       |    CAST(levenshtein(a.text, b.text) AS INTEGER) AS lev,
+       |    1e0 - levenshtein(a.text, b.text) /
+       |      CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)
+       |      AS edit_sim
+       |  FROM cand
+       |  JOIN documents a ON a.doc_id = id_a
+       |  JOIN documents b ON b.doc_id = id_b)
+       |SELECT id_a, id_b, lev, edit_sim FROM v
+       |WHERE edit_sim >= ${graft.Exact.sqlDouble(EditSimThreshold)}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Query set and per-query negative count for [[hardNegatives]]. */
+  val HardNegQueries = 8
+  val HardNegK = 5
+
+  /** Hard-negative mining (x54) — the contrastive-training data op: for
+    * each anchor embedding, the top-k most similar vectors with a
+    * DIFFERENT label (the "hard" negatives a retrieval/embedding trainer
+    * wants in the batch; easy negatives are plentiful and uninformative).
+    * Exact fixed-point dots (engine-portable), rank ties broken by
+    * candidate id.
+    *
+    * Scale: anchors are a bounded query set (broadcast), so the corpus
+    * side streams map-only through the scored join — the same posture as
+    * x06's brute-force ANN; an unbounded anchor set would ride the IVF
+    * index path instead (x48 shows the filtered-candidate form).
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val em = Tables.embeddings(spark, dir)
+    val asD = (c: Column) => transform(c, _.cast("double"))
+    val q = em.filter(col("vec_id") < HardNegQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        asD(col("embedding")).as("q_vec"))
+    val c = em.select(col("vec_id").as("cand_id"),
+      col("label").as("cand_label"), asD(col("embedding")).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cand_id"))
+    c.join(broadcast(q), col("cand_label") =!= col("q_label"))
+      .withColumn("score", Similarity.dot(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        col("cand_label"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val hardNegativesSql =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+       |  FROM e WHERE vec_id < $HardNegQueries),
+       |s AS (
+       |  SELECT query_id, e.vec_id AS cand_id, e.label AS cand_label,
+       |    list_sum(list_transform(range(len(qv)),
+       |      k -> round(qv[k+1]*e.v[k+1]*1e12)))/1e12 AS score
+       |  FROM q JOIN e ON e.label <> q.q_label),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, cand_id) AS rank FROM s)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id, cand_label,
+       |  score
+       |FROM r WHERE rank <= $HardNegK ORDER BY query_id, rank""".stripMargin
+
+  /** Zipf-law fit (x55) — the corpus-statistics health check: per source,
+    * least-squares slope/intercept of ln(frequency) on ln(rank) over the
+    * source's full word-frequency table (natural text tracks slope ≈ −1;
+    * a synthetic or template-heavy source bends away from it — a cheap
+    * generator/contamination tripwire next to x39's type-token ratios).
+    *
+    * Exactness: ln values are micro-quantized and summed with
+    * [[graft.Exact]]'s integer-limb machinery (Σx, Σy, Σx², Σxy all exact
+    * integers at the 1e-6 grid; magnitudes ≤ round(16·1e6)² ≈ 2.6e14 <
+    * 2^53, inside the fx contract), so the closed-form slope arithmetic
+    * sees bitwise-identical inputs on both engines.
+    *
+    * Scale: the only corpus-sized stage is the (source, word) count —
+    * vocabulary-bounded after partial aggregation; the rank window sorts
+    * each source's vocabulary, not its tokens.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextAnalysis.words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("w"))))
+    val x = log(col("rnk").cast("double"))
+    val y = log(col("cnt").cast("double"))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        graft.Exact.fxSum(x, 6).as("sx"),
+        graft.Exact.fxSum(y, 6).as("sy"),
+        graft.Exact.fxProdSum(x -> 6, x -> 6).as("sxx"),
+        graft.Exact.fxProdSum(x -> 6, y -> 6).as("sxy"))
+      .select(col("source"), col("n_types"),
+        ((col("n_types") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_types") * col("sxx") - col("sx") * col("sx")))
+          .as("zipf_slope"),
+        ((col("sy") - ((col("n_types") * col("sxy") -
+            col("sx") * col("sy")) /
+          (col("n_types") * col("sxx") - col("sx") * col("sx"))) *
+          col("sx")) / col("n_types")).as("zipf_intercept"))
+      .orderBy("source")
+  }
+
+  private val zipfFitSql = {
+    val slope = "(n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)"
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |counts AS (SELECT source, w, count(*) AS cnt
+       |  FROM toks GROUP BY source, w),
+       |ranked AS (SELECT source, cnt,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY cnt DESC, w) AS rnk
+       |  FROM counts),
+       |agg AS (
+       |  SELECT source, count(*) AS n_types,
+       |    ${graft.Exact.sqlFxSum("ln(CAST(rnk AS DOUBLE))", 6)} AS sx,
+       |    ${graft.Exact.sqlFxSum("ln(CAST(cnt AS DOUBLE))", 6)} AS sy,
+       |    ${graft.Exact.sqlFxProdSum(
+             "ln(CAST(rnk AS DOUBLE))" -> 6,
+             "ln(CAST(rnk AS DOUBLE))" -> 6)} AS sxx,
+       |    ${graft.Exact.sqlFxProdSum(
+             "ln(CAST(rnk AS DOUBLE))" -> 6,
+             "ln(CAST(cnt AS DOUBLE))" -> 6)} AS sxy
+       |  FROM ranked GROUP BY source)
+       |SELECT source, n_types,
+       |  $slope AS zipf_slope,
+       |  (sy - ($slope) * sx) / n_types AS zipf_intercept
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -2426,6 +2635,12 @@ object ExtensionQueries {
     QueryDef("x50_semantic_decontamination",
       Some(semanticDecontaminationSql), semanticDecontamination),
     QueryDef("x51_dedup_survivors", Some(dedupSurvivorsSql), dedupSurvivors),
+    QueryDef("x52_perplexity_bands", Some(perplexityBandsSql),
+      perplexityBands),
+    QueryDef("x53_editdist_neardups", Some(editDistNearDupsSql),
+      editDistNearDups),
+    QueryDef("x54_hard_negatives", Some(hardNegativesSql), hardNegatives),
+    QueryDef("x55_zipf_fit", Some(zipfFitSql), zipfFit),
   )
 
 }

@@ -30,6 +30,27 @@ class DedupSpec extends SparkSpec {
     assert(sh(2L) == Set("a b"))
   }
 
+  test("native word_shingles is bitwise-identical to the composable idiom") {
+    import spark.implicits._
+    // the native expression's semantic contract is the HOF chain it
+    // replaced (split -1 / slice / concat_ws / array_distinct); pin
+    // equality — element VALUES AND ORDER — over the corpus plus the
+    // adversarial edges (empties, repeated/leading/trailing spaces,
+    // duplicates, multi-byte UTF-8, n larger than the token count)
+    val edges = Seq(
+      1L -> "", 2L -> " ", 3L -> "  ", 4L -> "a", 5L -> "a b",
+      6L -> "a b c", 7L -> "a  b   c d", 8L -> " lead", 9L -> "trail ",
+      10L -> "a b c a b c a b c", 11L -> "é ü 漢字 ☃ x y",
+      12L -> "a b c d e f g h").toDF("doc_id", "text")
+    for (df <- Seq(docs, edges); n <- Seq(1, 2, 3, 8)) {
+      val bad = df.select(
+          Dedup.shingles(col("text"), n).as("nat"),
+          Dedup.shinglesComposable(col("text"), n).as("ref"))
+        .filter(not(col("nat") <=> col("ref"))).count()
+      assert(bad == 0L, s"word_shingles diverges from composable at n=$n")
+    }
+  }
+
   test("minhash LSH finds every pair with jaccard >= 0.6 (recall vs exact)") {
     val exact = Dedup.jaccardPairs(
         docs.withColumn("blk", lit(1)), 3, "blk")

@@ -389,4 +389,115 @@ class CurationOpsSpec extends SparkSpec {
     assert(flags > 0 && flags < rows.length, s"degenerate flag count $flags")
   }
 
+  test("x52 perplexity bands: per-source terciles ordered by LM score, " +
+      "head+middle kept") {
+    val rows = ExtensionQueries.perplexityBands(spark, dir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      // tercile sizes differ by at most one (ntile contract)
+      val sizes = rs.groupBy(_.getAs[Int]("band")).view.mapValues(_.length)
+      assert(sizes.keySet == Set(1, 2, 3), s"$src bands")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src tercile sizes")
+      // band boundaries respect the score order: every head doc scores
+      // >= every tail doc (ties broken by doc_id inside ntile's total order)
+      val head = rs.filter(_.getAs[Int]("band") == 1)
+        .map(_.getAs[Double]("avg_logp"))
+      val tail = rs.filter(_.getAs[Int]("band") == 3)
+        .map(_.getAs[Double]("avg_logp"))
+      assert(head.min >= tail.max, s"$src band order")
+    }
+    rows.foreach(r => assert(
+      r.getAs[Boolean]("kept") == (r.getAs[Int]("band") <= 2)))
+  }
+
+  test("x53 edit-distance near-dups: lev matches a JVM recomputation and " +
+      "the similarity floor holds") {
+    val rows = ExtensionQueries.editDistNearDups(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture contains planted near-dups")
+    val texts = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cost = if (a(i - 1) == b(j - 1)) diag else diag + 1
+          diag = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1), cost)
+        }
+      }
+      prev(b.length)
+    }
+    rows.foreach { r =>
+      val (a, b) = (texts(r.getAs[Long]("id_a")), texts(r.getAs[Long]("id_b")))
+      val expect = lev(a, b)
+      assert(r.getAs[Int]("lev") == expect,
+        s"pair ${r.getLong(0)}-${r.getLong(1)} lev")
+      val sim = 1.0 - expect.toDouble / math.max(a.length, b.length)
+      assert(r.getAs[Double]("edit_sim") == sim)
+      assert(sim >= ExtensionQueries.EditSimThreshold)
+    }
+  }
+
+  test("x54 hard negatives: never the anchor's label, and rank-1 IS the " +
+      "best cross-label match") {
+    val rows = ExtensionQueries.hardNegatives(spark, dir).collect()
+    val em = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").longValue(),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val labels = em.map(e => e._1 -> e._2).toMap
+    def fxDot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => math.round(x * y * 1e12) }.sum / 1e12
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == ExtensionQueries.HardNegQueries)
+    byQuery.foreach { case (qid, rs) =>
+      assert(rs.length == ExtensionQueries.HardNegK, s"query $qid k")
+      rs.foreach(r => assert(
+        r.getAs[Number]("cand_label").longValue() != labels(qid),
+        s"query $qid negative shares the anchor label"))
+      // scores non-increasing in rank
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      // rank-1 is the true argmax over the cross-label corpus
+      val qv = em.find(_._1 == qid).get._3
+      val best = em.filter(_._2 != labels(qid))
+        .map(e => (e._1, fxDot(qv, e._3)))
+        .minBy { case (cid, s) => (-s, cid) }
+      val r1 = rs.minBy(_.getAs[Int]("rank"))
+      assert(r1.getAs[Long]("cand_id") == best._1, s"query $qid argmax")
+      assert(r1.getAs[Double]("score") == best._2, s"query $qid best score")
+    }
+  }
+
+  test("x55 zipf fit: slope recomputed exactly from word counts, and " +
+      "every source is zipf-decreasing") {
+    val rows = ExtensionQueries.zipfFit(spark, dir).collect()
+    assert(rows.length > 1)
+    rows.foreach(r => assert(r.getAs[Double]("zipf_slope") < 0,
+      s"${r.getString(0)} slope"))
+    // independent recomputation for one source: plain JVM arithmetic over
+    // the same micro-quantized lns (the fx limb sums must agree exactly)
+    val src = rows.head.getString(0)
+    val counts = graft.Tables.documents(spark, dir)
+      .filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (w, c) => (-c, w) }
+    val n = counts.length.toDouble
+    def q6(v: Double): Long = math.round(v * 1e6)
+    val xs = counts.indices.map(i => q6(math.log((i + 1).toDouble)))
+    val ys = counts.indices.map(i => q6(math.log(counts(i)._2.toDouble)))
+    val sx = xs.sum.toDouble / 1e6
+    val sy = ys.sum.toDouble / 1e6
+    val sxx = xs.map(x => x * x).sum.toDouble / 1e12
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble / 1e12
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val got = rows.head.getAs[Double]("zipf_slope")
+    assert(math.abs(got - slope) < 1e-9,
+      s"$src slope $got vs recomputed $slope")
+  }
+
 }
