@@ -79,6 +79,25 @@ object Portable {
   /** JVM twin of [[affine]]. */
   def jvmAffine(i: Int, h: Long): Long = (affineA(i) * (h % P) + affineB(i)) % P
 
+  /** JVM twin of [[hash60]] over raw UTF-8 input bytes: the first 15 hex
+    * chars of md5(salt ":" bytes) are the digest's top 60 bits — the
+    * unsigned first 8 bytes shifted right 4. Byte-array form so native
+    * expressions can hash zero-copy text spans without building a String.
+    */
+  def jvmHash60(saltColon: Array[Byte], bytes: Array[Byte], from: Int,
+                until: Int): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    md.update(saltColon)
+    md.update(bytes, from, until - from)
+    val d = md.digest()
+    val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top >>> 4
+  }
+
   // ------------------------------------------------------------ base hash
 
   private def saltedMd5(s: Column, salt: String): Column =

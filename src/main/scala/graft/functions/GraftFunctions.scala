@@ -38,7 +38,11 @@ object GraftFunctions {
       vecDotLongBuilder),
     (new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      wordShinglesBuilder))
+      wordShinglesBuilder),
+    (new FunctionIdentifier("word_shingle_hash60"),
+      new ExpressionInfo(classOf[WordShingleHash60].getName,
+        "word_shingle_hash60"),
+      wordShingleHash60Builder))
 
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
@@ -79,6 +83,13 @@ object GraftFunctions {
     require(children.size == 2,
       s"word_shingles takes exactly 2 arguments, got ${children.size}")
     WordShingles(children(0), children(1))
+  }
+
+  private[functions] def wordShingleHash60Builder(
+      children: Seq[Expression]): Expression = {
+    require(children.size == 3,
+      s"word_shingle_hash60 takes exactly 3 arguments, got ${children.size}")
+    WordShingleHash60(children(0), children(1), children(2))
   }
 
   def register(spark: SparkSession): Unit =
@@ -128,6 +139,14 @@ object GraftFunctions {
     */
   def word_shingles(text: Column, n: Column): Column =
     call_function("word_shingles", text, n)
+
+  /** Column-API form of the fused shingle-hash expression: per-position
+    * portable 60-bit hashes of the word n-grams (multiplicity and order
+    * kept), identical to `transform(..., i -> Portable.hash60(gram, salt))`
+    * on texts with at least n tokens.
+    */
+  def word_shingle_hash60(text: Column, n: Column, salt: Column): Column =
+    call_function("word_shingle_hash60", text, n, salt)
 }
 
 /** `spark.sql.extensions` hook: native functions + optimizer rules. */
@@ -158,6 +177,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("word_shingles"),
         new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
         GraftFunctions.wordShinglesBuilder _))
+    ext.injectFunction(
+      (new FunctionIdentifier("word_shingle_hash60"),
+        new ExpressionInfo(classOf[WordShingleHash60].getName,
+          "word_shingle_hash60"),
+        GraftFunctions.wordShingleHash60Builder _))
     ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
   }
 }

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: per-position 60-bit portable hashes of the
+  * word n-grams of a space-delimited text,
+  * `word_shingle_hash60(text, n, salt) → array<bigint>`.
+  *
+  * Semantics are EXACTLY the composable idiom the substring-dedup family
+  * (x41/x46) used — position order, multiplicity kept, no distinct:
+  *
+  * {{{
+  *   w = split(text, " ")          -- requires size(w) >= n (callers filter)
+  *   transform(sequence(0, size(w)-n),
+  *             i -> hash60(concat_ws(" ", slice(w, i+1, n)), salt))
+  * }}}
+  *
+  * where `hash60` is [[graft.Portable.hash60]]: the first 15 hex chars of
+  * `md5(salt ":" gram)` as a long (= the digest's top 60 bits). The same
+  * byte-span equivalence as [[WordShingles]] applies (split on a single
+  * space ⇒ the n-token gram IS a contiguous source span), so each hash is
+  * one MessageDigest update over salt prefix + zero-copy span — no shingle
+  * strings, no hex round-trip, no interpreted lambdas.
+  *
+  * Contract: `n > 0`; texts with fewer than n tokens return an EMPTY array
+  * (the composable form's `sequence(0, negative)` would descend — callers
+  * pre-filter `size(w) >= n`, and the spec pins equivalence on that
+  * domain). Null text → null.
+  */
+case class WordShingleHash60(first: Expression, second: Expression,
+                             third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, StringType) =>
+        if (third.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "word_shingle_hash60 salt must be a literal")
+      case (t, n, s) => TypeCheckResult.TypeCheckFailure(
+        s"word_shingle_hash60 requires (string, int, string), got ($t, $n, $s)")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "word_shingle_hash60"
+
+  @transient private lazy val saltColon: Array[Byte] =
+    (third.eval(null).asInstanceOf[UTF8String].toString + ":")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def nullSafeEval(t: Any, n: Any, s: Any): Any =
+    WordShingleHash60.compute(t.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int], saltColon)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("saltColon", saltColon, "byte[]")
+    nullSafeCodeGen(ctx, ev, (t, n, _) =>
+      s"${ev.value} = graft.functions.WordShingleHash60.compute($t, $n, $saltRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): WordShingleHash60 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object WordShingleHash60 {
+
+  /** One md5 per position over salt prefix + zero-copy source span; see
+    * class doc. Called from generated code.
+    */
+  def compute(text: UTF8String, n: Int,
+              saltColon: Array[Byte]): GenericArrayData = {
+    require(n > 0, s"word_shingle_hash60: n must be positive, got $n")
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nTokens = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == 0x20) nTokens += 1; i += 1 }
+    if (nTokens < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nTokens + 1)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTokens) = len + 1
+    val out = new Array[Long](nTokens - n + 1)
+    var s = 0
+    while (s < out.length) {
+      out(s) = graft.Portable.jvmHash60(saltColon, bytes,
+        starts(s), starts(s + n) - 1)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -467,15 +467,29 @@ object Dedup {
     * Output: (id_a, id_b, start_a, start_b, span_tokens ≥ n), id_a < id_b,
     * start positions 0-based token offsets.
     */
+  /** Salt of the x41/x46 per-position gram hashes (shared with the oracle
+    * SQL and the [[gramHashesComposable]] reference form).
+    */
+  val SubstringSalt = "x41"
+
+  /** The original composable form of the per-position gram hashes — the
+    * semantic reference the fused native expression is spec-pinned against
+    * (DedupSpec asserts bitwise equality on the `size(w) >= n` domain).
+    */
+  private[graft] def gramHashesComposable(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    transform(sequence(lit(0), size(w) - n),
+      i => Portable.hash60(
+        concat_ws(" ", slice(w, i + lit(1), lit(n))), SubstringSalt))
+  }
+
   def substringSpans(docs: DataFrame, n: Int, dfCap: Int): DataFrame = {
     val w = tokens(col("text"))
     val grams = docs
       .filter(size(w) >= n)
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0), size(w) - n),
-          i => Portable.hash60(
-            concat_ws(" ", slice(w, i + lit(1), lit(n))), "x41")))
+        posexplode(graft.functions.GraftFunctions.word_shingle_hash60(
+          col("text"), lit(n), lit(SubstringSalt)))
           .as(Seq("pos", "gh")))
     val capped = grams
       .withColumn("df", count(lit(1)).over(

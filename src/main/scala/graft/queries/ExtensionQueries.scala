@@ -2398,23 +2398,35 @@ object ExtensionQueries {
        |FROM b ORDER BY doc_id""".stripMargin
 
   /** Edit-distance similarity floor for an [[editDistNearDups]] pair. */
-  val EditSimThreshold = 0.4
+  val EditSimThreshold = 0.8
 
-  /** Edit-distance near-dup verify (x53): the x03 LSH candidate set
+  /** LSH bands for x53's candidate generation: 16 bands of 4 rows — the
+    * s-curve midpoint sits near jaccard 0.5, the right gate for an
+    * edit-similarity ≥ [[EditSimThreshold]] verifier (a pair at 80%+ edit
+    * similarity shares most of its 3-shingles). Measured on the sf0.1
+    * corpus: the tighter banding surfaces 256/256 of the pairs the
+    * 32-band (jaccard ≈ 0.18 gate) generator verifies at sim ≥ 0.8, at
+    * 1/16 the candidate volume (4119 → 256 Levenshtein DPs).
+    */
+  val EditBands = 16
+
+  /** Edit-distance near-dup verify (x53): the x03-style LSH candidate set
     * re-verified with EXACT normalized Levenshtein similarity
     * `1 − lev/max(|a|,|b|)` instead of shingle Jaccard — the fuzzy-dedup
-    * variant that catches heavy in-place token edits (which depress
-    * 3-gram Jaccard quadratically but edit distance only linearly).
+    * variant that catches in-place token edits (which depress 3-gram
+    * Jaccard quadratically but edit distance only linearly).
     *
     * Scale: Levenshtein is O(|a|·|b|) PER PAIR — affordable exactly
     * because it runs only on the subquadratic LSH candidate set, never
-    * corpus × corpus (same budget argument as x03's exact re-verify).
-    * Both engines compute classic unit-cost codepoint Levenshtein.
+    * corpus × corpus (same budget argument as x03's exact re-verify), and
+    * the [[EditBands]] banding keeps that set proportional to the TRUE
+    * near-dup density at this similarity floor. Both engines compute
+    * classic unit-cost codepoint Levenshtein.
     */
   def editDistNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cands = Dedup.minHashCandidates(docs, n = 3, numHashes = 64,
-      bands = 32)
+      bands = EditBands)
     val t = docs.select(col("doc_id"), col("text"))
     cands
       .join(t.select(col("doc_id").as("id_a"), col("text").as("text_a")),
@@ -2431,7 +2443,8 @@ object ExtensionQueries {
   }
 
   private val editDistNearDupsSql =
-    s"""WITH ${Dedup.minHashCandidateCtes(n = 3, numHashes = 64, bands = 32)},
+    s"""WITH ${Dedup.minHashCandidateCtes(n = 3, numHashes = 64,
+           bands = EditBands)},
        |v AS (
        |  SELECT id_a, id_b,
        |    CAST(levenshtein(a.text, b.text) AS INTEGER) AS lev,

@@ -51,6 +51,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native word_shingle_hash60 matches the composable hash60 idiom " +
+      "on the size(w) >= n domain") {
+    import spark.implicits._
+    val edges = Seq(
+      1L -> "a b c d e f g h i j", 2L -> "a  b   c d e f g h",
+      3L -> " lead pad x y z q r s", 4L -> "t u v w x y z trail ",
+      5L -> "é ü 漢字 ☃ x y z w", 6L -> "a a a a a a a a")
+      .toDF("doc_id", "text")
+    for (df <- Seq(docs, edges); n <- Seq(2, 8)) {
+      val base = df.filter(size(split(col("text"), " ")) >= n)
+      val bad = base.select(
+          graft.functions.GraftFunctions
+            .word_shingle_hash60(col("text"), lit(n), lit("x41")).as("nat"),
+          Dedup.gramHashesComposable(col("text"), n).as("ref"))
+        .filter(not(col("nat") <=> col("ref"))).count()
+      assert(bad == 0L, s"word_shingle_hash60 diverges at n=$n")
+    }
+    // and fewer-than-n-token texts yield an EMPTY array (the documented
+    // divergence from sequence(0, negative) — callers pre-filter)
+    val short = Seq(7L -> "a b").toDF("doc_id", "text")
+      .select(graft.functions.GraftFunctions
+        .word_shingle_hash60(col("text"), lit(8), lit("x41")).as("h"))
+      .collect().head.getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("minhash LSH finds every pair with jaccard >= 0.6 (recall vs exact)") {
     val exact = Dedup.jaccardPairs(
         docs.withColumn("blk", lit(1)), 3, "blk")
