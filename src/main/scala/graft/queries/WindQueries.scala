@@ -365,15 +365,16 @@ object WindQueries {
           .otherwise(col("probUpperLimit")).as("prob_upper"),
         col("statProcess").cast("long").as("stat_process"),
         col("intervalHours").cast("long").as("interval_hours"),
+        col("percentileValue").cast("long").as("percentile"),
         (aggregate(
           transform(col("data"), x => round(x * lit(1e6))),
           lit(0.0), (a, x) => a + x) / lit(1e6)).as("data_sum"))
       .orderBy("parameter", "template")
   }
 
-  // fixture constants: all four messages carry the 8×4 formula grid
-  // v(i) = (i·37 mod 101)/10 — ProjFixtureGen (der42, prob49, and the
-  // 4.11/4.12 interval-ensemble variants of apcp48)
+  // fixture constants: all six messages carry the 8×4 formula grid
+  // v(i) = (i·37 mod 101)/10 — ProjFixtureGen (der42, pctl6, prob49,
+  // pctl10, and the 4.11/4.12 interval-ensemble variants of apcp48)
   private val ensembleProductsSql =
     """WITH s AS (
       |  SELECT sum(round(CAST(i * 37 % 101 AS DOUBLE)/10 * 1e6))/1e6
@@ -387,15 +388,22 @@ object WindQueries {
       |    CAST(NULL AS DOUBLE) AS prob_upper,
       |    CAST(-1 AS BIGINT) AS stat_process,
       |    CAST(0 AS BIGINT) AS interval_hours,
+      |    CAST(-1 AS BIGINT) AS percentile,
       |    (SELECT data_sum FROM s) AS data_sum
       |  UNION ALL
-      |  SELECT 8, 9, -1, -1, -1, 0, 1, NULL, 1.0, 1, 6,
+      |  SELECT 8, 6, -1, -1, -1, 0, -1, NULL, NULL, -1, 0, 90,
       |    (SELECT data_sum FROM s)
       |  UNION ALL
-      |  SELECT 8, 11, 3, 7, -1, 31, -1, NULL, NULL, 1, 6,
+      |  SELECT 8, 9, -1, -1, -1, 0, 1, NULL, 1.0, 1, 6, -1,
       |    (SELECT data_sum FROM s)
       |  UNION ALL
-      |  SELECT 8, 12, -1, -1, 0, 21, -1, NULL, NULL, 1, 6,
+      |  SELECT 8, 10, -1, -1, -1, 0, -1, NULL, NULL, 1, 6, 90,
+      |    (SELECT data_sum FROM s)
+      |  UNION ALL
+      |  SELECT 8, 11, 3, 7, -1, 31, -1, NULL, NULL, 1, 6, -1,
+      |    (SELECT data_sum FROM s)
+      |  UNION ALL
+      |  SELECT 8, 12, -1, -1, 0, 21, -1, NULL, NULL, 1, 6, -1,
       |    (SELECT data_sum FROM s))
       |ORDER BY parameter, template""".stripMargin
 

@@ -106,6 +106,7 @@ object Grib2Source {
     StructField("probabilityType", IntegerType, nullable = false),
     StructField("probLowerLimit", DoubleType, nullable = false),
     StructField("probUpperLimit", DoubleType, nullable = false),
+    StructField("percentileValue", IntegerType, nullable = false),
     StructField("data", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
@@ -251,6 +252,7 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
             m.ensembleType, m.perturbationNumber, m.nEnsemble,
             m.derivedForecastType,
             m.probabilityType, m.probLowerLimit, m.probUpperLimit,
+            m.percentileValue,
             ArrayData.toArrayData(m.data))
           new GenericInternalRow(fieldIdx.map(full))
         }

@@ -643,6 +643,7 @@ object Grib2 {
       var probabilityType = -1 // 4.9 only (table 4.9); -1 = not probability
       var probLowerLimit = Double.NaN // 4.9 only; NaN = bound coded missing
       var probUpperLimit = Double.NaN // 4.9 only
+      var percentileValue = -1 // 4.6/4.10 only; -1 = not a percentile
       var nData = 0
       var packing: Packing = null
       var bitmap: Array[Boolean] = null
@@ -799,7 +800,9 @@ object Grib2 {
           case 4 => // product definition; templates 4.0, 4.1 (ensemble),
             //        4.2 (derived ensemble: the GEFS mean/spread products
             //        geavg/gespr), 4.5/4.9 (probability at a point in
-            //        time / over an interval), 4.8 (statistical), and the
+            //        time / over an interval), 4.6/4.10 (percentile at a
+            //        point in time / over an interval: the NCEP pctl
+            //        products), 4.8 (statistical), and the
             //        interval forms of the ensemble pair — 4.11
             //        (individual member over an interval: GEFS APCP
             //        members) and 4.12 (derived ensemble over an
@@ -812,7 +815,8 @@ object Grib2 {
             //        offsets)
             val tmpl = u16(payload, p + 7)
             require(tmpl == 0 || tmpl == 1 || tmpl == 2 || tmpl == 5 ||
-              tmpl == 8 || tmpl == 9 || tmpl == 11 || tmpl == 12,
+              tmpl == 6 || tmpl == 8 || tmpl == 9 || tmpl == 10 ||
+              tmpl == 11 || tmpl == 12,
               s"unsupported product template 4.$tmpl")
             prodTmpl = tmpl
             cat = u8(payload, p + 9)               // category, octet 10
@@ -905,7 +909,17 @@ object Grib2 {
                 s"statistical interval end $endY-$endMo-$endD ${endH}:00 " +
                   s"does not equal refTime + forecastTime + interval ($end)")
             }
+            if (tmpl == 6 || tmpl == 10) {
+              // percentile forecast (the NCEP pctl products): forecast
+              // percentile, octet 35 — a 1-octet extension of the 4.0
+              // layout (netCDF Grib2Pds6 getPercentileValue: octet 35).
+              // WMO codes it 0..100; refuse an out-of-range wire loudly
+              percentileValue = u8(payload, p + 34)
+              require(percentileValue <= 100,
+                s"percentile value $percentileValue outside 0..100")
+            }
             if (tmpl == 8) parseStatInterval(p + 34)
+            if (tmpl == 10) parseStatInterval(p + 35) // after the percentile
             if (tmpl == 11) parseStatInterval(p + 37) // after the 4.1 block
             if (tmpl == 12) parseStatInterval(p + 36) // after the 4.2 block
             if (tmpl == 5 || tmpl == 9) {
@@ -1112,6 +1126,7 @@ object Grib2 {
                 probabilityType = probabilityType,
                 probLowerLimit = probLowerLimit,
                 probUpperLimit = probUpperLimit,
+                percentileValue = percentileValue,
                 data = data)
             }
             // this field is done: clear its state so a repeated 4-7 group
@@ -1122,6 +1137,7 @@ object Grib2 {
             ensembleType = -1; perturbationNumber = -1; nEnsemble = 0
             derivedForecastType = -1; probabilityType = -1
             probLowerLimit = Double.NaN; probUpperLimit = Double.NaN
+            percentileValue = -1
             forecastHours = 0; nData = 0; packing = null; bitmap = null
           case s => throw new IllegalArgumentException(s"unknown section $s")
         }

@@ -76,6 +76,11 @@ object WindBinary {
       // the unused one-sided bound missing); statProcess/intervalHours
       // carry 4.9's interval block exactly as they do 4.8's
       probabilityType: Int, probLowerLimit: Double, probUpperLimit: Double,
+      // product templates 4.6/4.10 (percentile forecasts — the NCEP
+      // pctl products): forecast percentile 0..100; -1 for
+      // non-percentile fields. 4.10's interval block rides
+      // statProcess/intervalHours like 4.8's
+      percentileValue: Int,
       data: Array[Double])
 
   /** Read a directory of `.grb2` blobs via the binaryFile source. */

@@ -680,9 +680,9 @@ class Grib2Spec extends AnyFunSuite {
     }
     assert(sh.getMessage.contains("interval end"), sh.getMessage)
     val en = intercept[IllegalArgumentException] {
-      Grib2.decode(Grib2TestWriter.message(msg().copy(prodTemplate = 6)))
+      Grib2.decode(Grib2TestWriter.message(msg().copy(prodTemplate = 7)))
     }
-    assert(en.getMessage.contains("product template 4.6"), en.getMessage)
+    assert(en.getMessage.contains("product template 4.7"), en.getMessage)
   }
 
   // ---------- product templates 4.2 / 4.9, derived ensemble + probability
@@ -799,6 +799,48 @@ class Grib2Spec extends AnyFunSuite {
     assert(sh.getMessage.contains("interval end"), sh.getMessage)
   }
 
+  test("product template 4.6 decodes the percentile octet (NCEP pctl); " +
+      "out-of-range refuses") {
+    val g = Grib2.decode(Grib2TestWriter.message(msg().copy(
+      prodTemplate = 6, percentileValue = 90))).head
+    assert(g.productDefinitionTemplate == 6)
+    assert(g.percentileValue == 90)
+    // a point-in-time percentile is NOT statistical, NOT ensemble
+    assert(g.statProcess == -1 && g.intervalHours == 0)
+    assert(g.ensembleType == -1 && g.derivedForecastType == -1)
+    assert(g.data.length == 32)
+    // non-percentile fields carry the -1 marker
+    val plain = Grib2.decode(Grib2TestWriter.message(msg())).head
+    assert(plain.percentileValue == -1)
+    // WMO codes 0..100; a 255 wire refuses loudly by value
+    val e = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(msg().copy(
+        prodTemplate = 6, percentileValue = 255)))
+    }
+    assert(e.getMessage.contains("percentile"), e.getMessage)
+  }
+
+  test("product template 4.10 decodes: percentile octet + shifted " +
+      "interval block") {
+    // 90th-percentile 6 h accumulation — the percentile analogue of 4.9
+    val g = Grib2.decode(Grib2TestWriter.message(msg(
+      category = 1, number = 8).copy(
+      prodTemplate = 10, percentileValue = 75,
+      statProcess = 1, intervalHours = 6))).head
+    assert(g.productDefinitionTemplate == 10)
+    assert(g.percentileValue == 75)
+    // the interval block parses at its SHIFTED (octet-36) position
+    assert(g.statProcess == 1 && g.intervalHours == 6)
+    assert(g.forecastTime == 6, "interval START offset, grib2json parity")
+    assert(g.probabilityType == -1 && g.derivedForecastType == -1)
+    // 4.10 rides the same end-date verification as 4.8
+    val sh = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(msg().copy(
+        prodTemplate = 10, statEndShiftHours = 4)))
+    }
+    assert(sh.getMessage.contains("interval end"), sh.getMessage)
+  }
+
   test("mixed 4.0 + 4.2 + 4.9 multi-field message: field state never " +
       "leaks across repeated 4-7 groups") {
     val payload = Grib2TestWriter.multiFieldMessage(
@@ -807,14 +849,16 @@ class Grib2Spec extends AnyFunSuite {
         nEnsemble = 21),
       msg(category = 1, number = 8).copy(
         prodTemplate = 9, statProcess = 1, intervalHours = 6,
-        probabilityType = 1, probUpperScaleRaw = 1, probUpperValueRaw = 10))
+        probabilityType = 1, probUpperScaleRaw = 1, probUpperValueRaw = 10),
+      msg(number = 4).copy(prodTemplate = 6, percentileValue = 50))
     val all = Grib2.decode(payload)
-    assert(all.map(_.productDefinitionTemplate) == Seq(0, 2, 9))
-    assert(all.map(_.derivedForecastType) == Seq(-1, 0, -1))
-    assert(all.map(_.probabilityType) == Seq(-1, -1, 1))
-    assert(all.map(_.statProcess) == Seq(-1, -1, 1))
+    assert(all.map(_.productDefinitionTemplate) == Seq(0, 2, 9, 6))
+    assert(all.map(_.derivedForecastType) == Seq(-1, 0, -1, -1))
+    assert(all.map(_.probabilityType) == Seq(-1, -1, 1, -1))
+    assert(all.map(_.statProcess) == Seq(-1, -1, 1, -1))
+    assert(all.map(_.percentileValue) == Seq(-1, -1, -1, 50))
     assert(all(0).probUpperLimit.isNaN && all(1).probUpperLimit.isNaN &&
-      all(2).probUpperLimit == 1.0)
+      all(2).probUpperLimit == 1.0 && all(3).probUpperLimit.isNaN)
   }
 
   test("unknown packings refuse by name; short 5.42 sections refuse (pinned)") {

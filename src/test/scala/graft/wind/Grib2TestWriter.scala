@@ -103,7 +103,9 @@ object Grib2TestWriter {
       // descriptor; 5 the probability block alone; 9 the probability
       // block + the shifted interval block; 11/12 the ensemble/derived
       // descriptor + the shifted interval block).
-      // `statRanges`/`statEndShiftHours` deform the wire for refusal tests
+      // `statRanges`/`statEndShiftHours` deform the wire for refusal tests;
+      // 6 writes the percentile octet; 10 the percentile octet + the
+      // shifted interval block
       prodTemplate: Int = 0,
       statProcess: Int = 1, intervalHours: Int = 6,
       statRanges: Int = 1, statEndShiftHours: Int = 0,
@@ -115,7 +117,10 @@ object Grib2TestWriter {
       // 0xFF / 0xFFFFFFFF = missing) so malformed wires are writable
       probabilityType: Int = 1,
       probLowerScaleRaw: Int = 0xff, probLowerValueRaw: Long = 0xffffffffL,
-      probUpperScaleRaw: Int = 0, probUpperValueRaw: Long = 10)
+      probUpperScaleRaw: Int = 0, probUpperValueRaw: Long = 10,
+      // 4.6/4.10: forecast percentile (raw octet so out-of-range wires
+      // are writable for refusal tests)
+      percentileValue: Int = 90)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -341,6 +346,10 @@ object Grib2TestWriter {
       w.w8(msg.derivedForecastType)
       w.w8(msg.nEnsemble)
     }
+    if (msg.prodTemplate == 6 || msg.prodTemplate == 10) {
+      // percentile octet 35 (the 4.6 block; 4.10 appends the interval)
+      w.w8(msg.percentileValue)
+    }
     if (msg.prodTemplate == 5 || msg.prodTemplate == 9) {
       // probability descriptor, octets 35-47 (the 4.5 block)
       w.w8(0)                               // octet 35: probability number
@@ -350,6 +359,7 @@ object Grib2TestWriter {
       w.w8(msg.probUpperScaleRaw); w.w32(msg.probUpperValueRaw) // 43-47
     }
     if (msg.prodTemplate == 8 || msg.prodTemplate == 9 ||
+        msg.prodTemplate == 10 ||
         msg.prodTemplate == 11 || msg.prodTemplate == 12) {
       // statistical extension (octets 35-58 of 4.8; 48-71 of 4.9; 38-61
       // of 4.11; 37-60 of 4.12 — always right after the descriptor

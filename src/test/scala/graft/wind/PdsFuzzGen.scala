@@ -2,7 +2,7 @@ package graft.wind
 
 /** Randomized product-section cross-check harness (round 13): writes a
   * multi-message file of seeded-random product templates
-  * (4.0/4.1/4.2/4.5/4.8/4.9/4.11/4.12) plus THIS ENGINE's decode of every
+  * (4.0/4.1/4.2/4.5/4.6/4.8/4.9/4.10/4.11/4.12) plus THIS ENGINE's decode of every
   * message printed in `tools/gdscheck/PdsCheck.java`'s exact output
   * format, so the reference cross-check is one `diff`:
   *
@@ -16,7 +16,7 @@ package graft.wind
   * = hours (both sides then print the raw value), non-negative limit/level
   * scale factors 0..2 (netCDF's signed-scale handling is not part of this
   * pin — the sign-magnitude edge is pinned by Grib2Spec against the WMO
-  * spec), single time range, zero missing count. 60 messages, seed 1234.
+  * spec), single time range, zero missing count. 70 messages, seed 1234.
   */
 object PdsFuzzGen {
 
@@ -28,8 +28,8 @@ object PdsFuzzGen {
   def generate(seed: Long = 1234): (Array[Byte], String) = {
     val rnd = new scala.util.Random(seed)
     val out = new StringBuilder
-    val msgs = (0 until 60).map { _ =>
-      val tmpl = Seq(0, 1, 2, 5, 8, 9, 11, 12)(rnd.nextInt(8))
+    val msgs = (0 until 70).map { _ =>
+      val tmpl = Seq(0, 1, 2, 5, 6, 8, 9, 10, 11, 12)(rnd.nextInt(10))
       val cat = rnd.nextInt(4); val num = rnd.nextInt(20)
       val fh = rnd.nextInt(121)
       val sScale = rnd.nextInt(3)
@@ -60,7 +60,8 @@ object PdsFuzzGen {
         derivedForecastType = derType,
         probabilityType = probType,
         probLowerScaleRaw = loScale, probLowerValueRaw = loVal.toLong,
-        probUpperScaleRaw = upScale, probUpperValueRaw = upVal.toLong)
+        probUpperScaleRaw = upScale, probUpperValueRaw = upVal.toLong,
+        percentileValue = rnd.nextInt(101))
       m
     }
     val payload = Grib2TestWriter.file(msgs: _*)
@@ -82,6 +83,8 @@ object PdsFuzzGen {
       if (g.productDefinitionTemplate == 2 || g.productDefinitionTemplate == 12)
         out.append("  derived: type=" + g.derivedForecastType +
           " of=" + g.nEnsemble + "\n")
+      if (g.percentileValue >= 0)
+        out.append("  percentile: value=" + g.percentileValue + "\n")
       if (g.probabilityType >= 0)
         out.append("  probability: type=" + g.probabilityType +
           " lower=" + (if (g.probLowerLimit.isNaN) "-9.999E130"

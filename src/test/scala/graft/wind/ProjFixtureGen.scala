@@ -95,6 +95,17 @@ object ProjFixtureGen {
     */
   def prob45: Grib2TestWriter.Msg = prob49.copy(prodTemplate = 5)
 
+  /** A 4.10 percentile-over-interval message (NCEP pctl-style: 90th
+    * percentile of 6 h APCP) and its point-in-time 4.6 form, for the
+    * Grib2Pds6/Grib2Pds10 cross-check (round 13).
+    */
+  def pctl10: Grib2TestWriter.Msg = apcp48.copy(
+    prodTemplate = 10, percentileValue = 90,
+    statProcess = 1, intervalHours = 6)
+
+  def pctl6: Grib2TestWriter.Msg = apcp48.copy(
+    prodTemplate = 6, percentileValue = 90)
+
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/projfix")
     dir.mkdirs()
@@ -102,18 +113,20 @@ object ProjFixtureGen {
       "stereo_south" -> polarStereoSouth,
       "mercator" -> mercator, "apcp48" -> apcp48, "ens41" -> ens41,
       "rotated31" -> rotated31, "rotated31a" -> rotated31a,
-      "der42" -> der42, "prob49" -> prob49, "prob45" -> prob45)) {
+      "der42" -> der42, "prob49" -> prob49, "prob45" -> prob45,
+      "pctl6" -> pctl6, "pctl10" -> pctl10)) {
       val f = new java.io.File(dir, s"$name.grb2")
       val out = new java.io.FileOutputStream(f)
       try out.write(Grib2TestWriter.message(m)) finally out.close()
       println(s"wrote $f")
     }
-    // the committed w10_ensemble_products fixture: the full ensemble
-    // product family in ONE file — 4.2 derived, 4.9 probability-interval,
-    // 4.11 member-interval, 4.12 derived-interval (round 13)
+    // the committed w10_ensemble_products fixture: the full ensemble +
+    // percentile product family in ONE file — 4.2 derived, 4.6 percentile,
+    // 4.9 probability-interval, 4.10 percentile-interval, 4.11
+    // member-interval, 4.12 derived-interval (round 13)
     val ens = new java.io.File(dir, "ensemble42_49.grb2")
     val out = new java.io.FileOutputStream(ens)
-    try out.write(Grib2TestWriter.file(der42, prob49,
+    try out.write(Grib2TestWriter.file(der42, pctl6, prob49, pctl10,
       apcp48.copy(prodTemplate = 11, ensembleType = 3,
         perturbationNumber = 7, nEnsemble = 31),
       apcp48.copy(prodTemplate = 12, derivedForecastType = 0,

@@ -59,6 +59,11 @@ public class PdsCheck {
             + " lower=" + pp.getProbabilityLowerLimit()
             + " upper=" + pp.getProbabilityUpperLimit());
         }
+        if (pds instanceof ucar.nc2.grib.grib2.Grib2Pds.PdsPercentile) {
+          ucar.nc2.grib.grib2.Grib2Pds.PdsPercentile pc =
+            (ucar.nc2.grib.grib2.Grib2Pds.PdsPercentile) pds;
+          System.out.println("  percentile: value=" + pc.getPercentileValue());
+        }
         if (pds instanceof ucar.nc2.grib.grib2.Grib2Pds.PdsInterval) {
           ucar.nc2.grib.grib2.Grib2Pds.PdsInterval pi =
             (ucar.nc2.grib.grib2.Grib2Pds.PdsInterval) pds;
