@@ -14,7 +14,10 @@ package graft.wind
   * (gaussian lat/lon** — the native GFS spectral-output grid; N rides the
   * Dj octets per the wire format and [[Grid.gaussianLatitudes]] supplies
   * the row latitudes**)**, product definition
-  * template 4.0 (analysis/forecast at a point in time), data representation
+  * templates 4.0/4.1/4.2/4.5/4.6/4.8/4.9/4.10/4.11/4.12 (analysis/forecast,
+  * ensemble members and derived means/spreads, probability and percentile
+  * forecasts, statistical intervals — the NCEP GFS/GEFS product family;
+  * see the section-4 case below), data representation
   * templates 5.0 (simple packing), **5.2/5.3 (complex packing, with
   * spatial differencing of order 1 or 2)** — the packing real NOAA GFS pgrb2
   * products predominantly use — **5.41 (PNG packing**, the MRMS
