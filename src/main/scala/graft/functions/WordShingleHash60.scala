@@ -38,9 +38,14 @@ case class WordShingleHash60(first: Expression, second: Expression,
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (StringType, IntegerType, StringType) =>
-        if (third.foldable) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
+        if (!third.foldable) TypeCheckResult.TypeCheckFailure(
           "word_shingle_hash60 salt must be a literal")
+        // a null foldable salt would NPE at codegen when saltColon is
+        // forced (while interpreted eval would quietly return null rows)
+        // — reject it at analysis instead of diverging by execution mode
+        else if (third.eval(null) == null) TypeCheckResult.TypeCheckFailure(
+          "word_shingle_hash60 salt must not be null")
+        else TypeCheckResult.TypeCheckSuccess
       case (t, n, s) => TypeCheckResult.TypeCheckFailure(
         s"word_shingle_hash60 requires (string, int, string), got ($t, $n, $s)")
     }
@@ -78,19 +83,9 @@ object WordShingleHash60 {
               saltColon: Array[Byte]): GenericArrayData = {
     require(n > 0, s"word_shingle_hash60: n must be positive, got $n")
     val bytes = text.getBytes
-    val len = bytes.length
-    var nTokens = 1
-    var i = 0
-    while (i < len) { if (bytes(i) == 0x20) nTokens += 1; i += 1 }
+    val starts = WordShingles.tokenStarts(bytes) // the one shared scan
+    val nTokens = starts.length - 1
     if (nTokens < n) return new GenericArrayData(Array.emptyLongArray)
-    val starts = new Array[Int](nTokens + 1)
-    var t = 1
-    i = 0
-    while (i < len) {
-      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTokens) = len + 1
     val out = new Array[Long](nTokens - n + 1)
     var s = 0
     while (s < out.length) {

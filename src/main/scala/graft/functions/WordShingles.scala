@@ -66,22 +66,19 @@ case class WordShingles(left: Expression, right: Expression)
 
 object WordShingles {
 
-  /** One-pass shingling over the UTF-8 bytes; see class doc for the
-    * byte-span equivalence argument. Called from generated code.
+  /** Token start offsets of a space-split byte string: token i spans
+    * `[starts(i), starts(i+1) - 1)` (the -1 drops the separating space);
+    * the final virtual entry is `len + 1` so the rule also closes the
+    * last token at `len`. `starts.length - 1` is the token count. The
+    * single boundary-scan convention shared by [[WordShingles]] and
+    * [[WordShingleHash60]] — one copy, so the two expressions' notion of
+    * a token can never drift (review pass).
     */
-  def compute(text: UTF8String, n: Int): GenericArrayData = {
-    require(n > 0, s"word_shingles: n must be positive, got $n")
-    val bytes = text.getBytes // copy only when the string is offset-packed
+  private[functions] def tokenStarts(bytes: Array[Byte]): Array[Int] = {
     val len = bytes.length
-    // token start offsets: token i spans [starts(i), starts(i+1) - 1)
-    // (the -1 drops the separating space); the last token ends at len.
     var nTokens = 1
     var i = 0
     while (i < len) { if (bytes(i) == 0x20) nTokens += 1; i += 1 }
-    if (nTokens < n) {
-      // concat_ws(" ", w) of ALL tokens is the whole text verbatim
-      return new GenericArrayData(Array[Any](text))
-    }
     val starts = new Array[Int](nTokens + 1)
     var t = 1
     i = 0
@@ -89,7 +86,22 @@ object WordShingles {
       if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
       i += 1
     }
-    starts(nTokens) = len + 1 // virtual: end of token k is starts(k+1) - 1
+    starts(nTokens) = len + 1
+    starts
+  }
+
+  /** One-pass shingling over the UTF-8 bytes; see class doc for the
+    * byte-span equivalence argument. Called from generated code.
+    */
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    require(n > 0, s"word_shingles: n must be positive, got $n")
+    val bytes = text.getBytes // copy only when the string is offset-packed
+    val starts = tokenStarts(bytes)
+    val nTokens = starts.length - 1
+    if (nTokens < n) {
+      // concat_ws(" ", w) of ALL tokens is the whole text verbatim
+      return new GenericArrayData(Array[Any](text))
+    }
     val nShingles = nTokens - n + 1
     val seen = new java.util.HashSet[UTF8String](nShingles * 2)
     val out = new java.util.ArrayList[Any](nShingles)

@@ -438,6 +438,22 @@ object Dedup {
       .agg(countDistinct(col("tok")).as("n_hits"))
   }
 
+  /** Salt of the x41/x46 per-position gram hashes (shared with the oracle
+    * SQL and the [[gramHashesComposable]] reference form).
+    */
+  val SubstringSalt = "x41"
+
+  /** The original composable form of the per-position gram hashes — the
+    * semantic reference the fused native expression is spec-pinned against
+    * (DedupSpec asserts bitwise equality on the `size(w) >= n` domain).
+    */
+  private[graft] def gramHashesComposable(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    transform(sequence(lit(0), size(w) - n),
+      i => Portable.hash60(
+        concat_ws(" ", slice(w, i + lit(1), lit(n))), SubstringSalt))
+  }
+
   /** Maximal verbatim shared token spans (the Lee et al. 2022
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499, substring-level primitive): every pair of documents
@@ -467,22 +483,6 @@ object Dedup {
     * Output: (id_a, id_b, start_a, start_b, span_tokens ≥ n), id_a < id_b,
     * start positions 0-based token offsets.
     */
-  /** Salt of the x41/x46 per-position gram hashes (shared with the oracle
-    * SQL and the [[gramHashesComposable]] reference form).
-    */
-  val SubstringSalt = "x41"
-
-  /** The original composable form of the per-position gram hashes — the
-    * semantic reference the fused native expression is spec-pinned against
-    * (DedupSpec asserts bitwise equality on the `size(w) >= n` domain).
-    */
-  private[graft] def gramHashesComposable(text: Column, n: Int): Column = {
-    val w = tokens(text)
-    transform(sequence(lit(0), size(w) - n),
-      i => Portable.hash60(
-        concat_ws(" ", slice(w, i + lit(1), lit(n))), SubstringSalt))
-  }
-
   def substringSpans(docs: DataFrame, n: Int, dfCap: Int): DataFrame = {
     val w = tokens(col("text"))
     val grams = docs

@@ -2416,26 +2416,38 @@ object ExtensionQueries {
     * variant that catches in-place token edits (which depress 3-gram
     * Jaccard quadratically but edit distance only linearly).
     *
+    * Unit: BYTE-level Levenshtein over the UTF-8 encoding, normalized by
+    * the byte length — the engine-portable unit (DuckDB's `levenshtein`
+    * is byte-based; Spark's is codepoint-based, so the Spark side runs
+    * the DP over the latin1-decoded byte string — each UTF-8 byte maps
+    * to one U+00hh char, making codepoint DP ≡ byte DP). On ASCII text
+    * bytes and codepoints coincide; on multi-byte text a k-byte
+    * character edit costs k units on BOTH engines — proportional, and
+    * bitwise oracle-portable on ANY corpus (a review pass caught the
+    * earlier codepoint form silently diverging from the byte-based
+    * oracle on non-ASCII pairs).
+    *
     * Scale: Levenshtein is O(|a|·|b|) PER PAIR — affordable exactly
     * because it runs only on the subquadratic LSH candidate set, never
     * corpus × corpus (same budget argument as x03's exact re-verify), and
     * the [[EditBands]] banding keeps that set proportional to the TRUE
-    * near-dup density at this similarity floor. Both engines compute
-    * classic unit-cost codepoint Levenshtein.
+    * near-dup density at this similarity floor.
     */
   def editDistNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cands = Dedup.minHashCandidates(docs, n = 3, numHashes = 64,
       bands = EditBands)
     val t = docs.select(col("doc_id"), col("text"))
+    def bytes(c: Column): Column = decode(encode(c, "UTF-8"), "ISO-8859-1")
     cands
       .join(t.select(col("doc_id").as("id_a"), col("text").as("text_a")),
         "id_a")
       .join(t.select(col("doc_id").as("id_b"), col("text").as("text_b")),
         "id_b")
-      .withColumn("lev", levenshtein(col("text_a"), col("text_b")))
+      .withColumn("lev",
+        levenshtein(bytes(col("text_a")), bytes(col("text_b"))))
       .withColumn("edit_sim", lit(1.0) - col("lev") /
-        greatest(length(col("text_a")), length(col("text_b")))
+        greatest(octet_length(col("text_a")), octet_length(col("text_b")))
           .cast("double"))
       .filter(col("edit_sim") >= EditSimThreshold)
       .select(col("id_a"), col("id_b"), col("lev"), col("edit_sim"))
@@ -2449,7 +2461,7 @@ object ExtensionQueries {
        |  SELECT id_a, id_b,
        |    CAST(levenshtein(a.text, b.text) AS INTEGER) AS lev,
        |    1e0 - levenshtein(a.text, b.text) /
-       |      CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)
+       |      CAST(greatest(strlen(a.text), strlen(b.text)) AS DOUBLE)
        |      AS edit_sim
        |  FROM cand
        |  JOIN documents a ON a.doc_id = id_a
@@ -2537,20 +2549,25 @@ object ExtensionQueries {
         .orderBy(col("cnt").desc, col("w"))))
     val x = log(col("rnk").cast("double"))
     val y = log(col("cnt").cast("double"))
+    // a single-type source degenerates the regression (denominator 0:
+    // one point has sxx = sx²); Spark's non-ANSI 0/0 is NaN while
+    // DuckDB's is NULL, so nullify explicitly — both engines then emit
+    // NULL for the fit on the degenerate-but-legal corpus (review pass)
     ranked.groupBy(col("source"))
       .agg(count(lit(1)).as("n_types"),
         graft.Exact.fxSum(x, 6).as("sx"),
         graft.Exact.fxSum(y, 6).as("sy"),
         graft.Exact.fxProdSum(x -> 6, x -> 6).as("sxx"),
         graft.Exact.fxProdSum(x -> 6, y -> 6).as("sxy"))
-      .select(col("source"), col("n_types"),
-        ((col("n_types") * col("sxy") - col("sx") * col("sy")) /
-          (col("n_types") * col("sxx") - col("sx") * col("sx")))
-          .as("zipf_slope"),
-        ((col("sy") - ((col("n_types") * col("sxy") -
-            col("sx") * col("sy")) /
-          (col("n_types") * col("sxx") - col("sx") * col("sx"))) *
-          col("sx")) / col("n_types")).as("zipf_intercept"))
+      .withColumn("denom",
+        col("n_types") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("zipf_slope", when(col("denom") =!= 0.0,
+        (col("n_types") * col("sxy") - col("sx") * col("sy")) /
+          col("denom")))
+      .select(col("source"), col("n_types"), col("zipf_slope"),
+        when(col("denom") =!= 0.0,
+          (col("sy") - col("zipf_slope") * col("sx")) / col("n_types"))
+          .as("zipf_intercept"))
       .orderBy("source")
   }
 

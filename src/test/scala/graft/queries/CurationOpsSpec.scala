@@ -410,27 +410,31 @@ class CurationOpsSpec extends SparkSpec {
       r.getAs[Boolean]("kept") == (r.getAs[Int]("band") <= 2)))
   }
 
-  test("x53 edit-distance near-dups: lev matches a JVM recomputation and " +
-      "the similarity floor holds") {
+  test("x53 edit-distance near-dups: lev matches a JVM BYTE-level " +
+      "recomputation and the similarity floor holds") {
     val rows = ExtensionQueries.editDistNearDups(spark, dir).collect()
     assert(rows.nonEmpty, "fixture contains planted near-dups")
     val texts = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    def lev(a: String, b: String): Int = {
-      val prev = Array.tabulate(b.length + 1)(identity)
-      for (i <- 1 to a.length) {
+    // the operator's unit is BYTE-level Levenshtein over UTF-8 (the
+    // DuckDB-portable unit; the Spark side runs the DP on the
+    // latin1-decoded byte string) — recompute over getBytes
+    def lev(as: Array[Byte], bs: Array[Byte]): Int = {
+      val prev = Array.tabulate(bs.length + 1)(identity)
+      for (i <- 1 to as.length) {
         var diag = prev(0); prev(0) = i
-        for (j <- 1 to b.length) {
-          val cost = if (a(i - 1) == b(j - 1)) diag else diag + 1
+        for (j <- 1 to bs.length) {
+          val cost = if (as(i - 1) == bs(j - 1)) diag else diag + 1
           diag = prev(j)
           prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1), cost)
         }
       }
-      prev(b.length)
+      prev(bs.length)
     }
     rows.foreach { r =>
-      val (a, b) = (texts(r.getAs[Long]("id_a")), texts(r.getAs[Long]("id_b")))
+      val a = texts(r.getAs[Long]("id_a")).getBytes("UTF-8")
+      val b = texts(r.getAs[Long]("id_b")).getBytes("UTF-8")
       val expect = lev(a, b)
       assert(r.getAs[Int]("lev") == expect,
         s"pair ${r.getLong(0)}-${r.getLong(1)} lev")
@@ -438,6 +442,25 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("edit_sim") == sim)
       assert(sim >= ExtensionQueries.EditSimThreshold)
     }
+    // non-ASCII pin: the engine's lev on a multi-byte pair equals the
+    // byte DP (a one-char é→e edit = 2 byte edits), the unit DuckDB's
+    // byte-based levenshtein uses — the review-caught divergence case
+    import spark.implicits._
+    val uni = Seq(
+      (1L, "café au lait x y z a b c d e f"),
+      (2L, "cafe au lait x y z a b c d e f")).toDF("doc_id", "text")
+    val t = uni.select(col("doc_id"), col("text"))
+    val pair = t.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      .crossJoin(t.select(col("doc_id").as("id_b"), col("text").as("text_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(
+        decode(encode(col("text_a"), "UTF-8"), "ISO-8859-1"),
+        decode(encode(col("text_b"), "UTF-8"), "ISO-8859-1")))
+      .collect().head
+    val e = lev("café au lait x y z a b c d e f".getBytes("UTF-8"),
+      "cafe au lait x y z a b c d e f".getBytes("UTF-8"))
+    assert(pair.getAs[Int]("lev") == e && e == 2,
+      s"byte-level unit: got ${pair.getAs[Int]("lev")}, expected $e")
   }
 
   test("x54 hard negatives: never the anchor's label, and rank-1 IS the " +
@@ -498,6 +521,23 @@ class CurationOpsSpec extends SparkSpec {
     val got = rows.head.getAs[Double]("zipf_slope")
     assert(math.abs(got - slope) < 1e-9,
       s"$src slope $got vs recomputed $slope")
+  }
+
+  test("x55 zipf fit: a single-type source yields NULL fit on both " +
+      "engines, not a NaN/NULL divergence") {
+    // denominator n*sxx - sx² is exactly 0 for one regression point;
+    // Spark's 0/0 is NaN while DuckDB's is NULL — the engine nullifies
+    // explicitly (review pass), so the degenerate-but-legal corpus stays
+    // oracle-portable
+    import spark.implicits._
+    val tmp = tmpDir()
+    Seq((1L, "word word word", "zz", "degenerate", 14))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = ExtensionQueries.zipfFit(spark, tmp).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("n_types") == 1L)
+    assert(r.head.isNullAt(r.head.fieldIndex("zipf_slope")))
+    assert(r.head.isNullAt(r.head.fieldIndex("zipf_intercept")))
   }
 
 }
