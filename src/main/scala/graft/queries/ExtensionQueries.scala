@@ -2598,6 +2598,54 @@ object ExtensionQueries {
        |FROM agg ORDER BY source""".stripMargin
   }
 
+  /** Shard count for [[corpusShuffleShard]]. */
+  val ShuffleShards = 8
+
+  /** Deterministic corpus shuffle + shard (x56) — the write-side step
+    * every pretraining pipeline runs before emitting training files:
+    * order documents by a seeded portable hash (so the "random" order is
+    * reproducible across engines and re-runs) and assign each to one of
+    * [[ShuffleShards]] output shards with its position within the shard.
+    * Interleaving by hash breaks source/temporal locality — consecutive
+    * training examples come from unrelated documents.
+    *
+    * Scale: the hash and shard id are map-only; the per-shard position is
+    * a window ordered within each shard — exactly the per-output-partition
+    * sort a sharded writer performs anyway (shards are the write
+    * partitions, so the window's exchange IS the write exchange). No
+    * global sort: the driver-side ORDER BY here exists only for the
+    * oracle dump; a real writer emits shard files independently.
+    */
+  def corpusShuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = graft.Portable.hash32(col("doc_id").cast("string"), "x56")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("shuffle_key", key)
+      .withColumn("shard",
+        pmod(col("shuffle_key"), lit(ShuffleShards)).cast("int"))
+      .withColumn("pos_in_shard", row_number().over(w))
+      .select("doc_id", "source", "shuffle_key", "shard", "pos_in_shard")
+      .orderBy("shard", "pos_in_shard")
+  }
+
+  private val corpusShuffleShardSql =
+    s"""WITH k AS (
+       |  SELECT doc_id, source,
+       |    ${graft.Portable.sqlHash32("CAST(doc_id AS VARCHAR)", "x56")}
+       |      AS shuffle_key
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, shuffle_key,
+       |    CAST(shuffle_key % $ShuffleShards AS INTEGER) AS shard
+       |  FROM k)
+       |SELECT doc_id, source, shuffle_key, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos_in_shard
+       |FROM s ORDER BY shard, pos_in_shard""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -2671,6 +2719,8 @@ object ExtensionQueries {
       editDistNearDups),
     QueryDef("x54_hard_negatives", Some(hardNegativesSql), hardNegatives),
     QueryDef("x55_zipf_fit", Some(zipfFitSql), zipfFit),
+    QueryDef("x56_corpus_shuffle_shard", Some(corpusShuffleShardSql),
+      corpusShuffleShard),
   )
 
 }

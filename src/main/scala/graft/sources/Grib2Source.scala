@@ -107,6 +107,8 @@ object Grib2Source {
     StructField("probLowerLimit", DoubleType, nullable = false),
     StructField("probUpperLimit", DoubleType, nullable = false),
     StructField("percentileValue", IntegerType, nullable = false),
+    StructField("spatialProcessType", IntegerType, nullable = false),
+    StructField("nSpatialPoints", IntegerType, nullable = false),
     StructField("data", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
@@ -252,7 +254,7 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
             m.ensembleType, m.perturbationNumber, m.nEnsemble,
             m.derivedForecastType,
             m.probabilityType, m.probLowerLimit, m.probUpperLimit,
-            m.percentileValue,
+            m.percentileValue, m.spatialProcessType, m.nSpatialPoints,
             ArrayData.toArrayData(m.data))
           new GenericInternalRow(fieldIdx.map(full))
         }

@@ -647,6 +647,8 @@ object Grib2 {
       var probLowerLimit = Double.NaN // 4.9 only; NaN = bound coded missing
       var probUpperLimit = Double.NaN // 4.9 only
       var percentileValue = -1 // 4.6/4.10 only; -1 = not a percentile
+      var spatialProcessType = -1 // 4.15 only (table 4.15); -1 otherwise
+      var nSpatialPoints = 0 // 4.15 only: points used in the spatial stat
       var nData = 0
       var packing: Packing = null
       var bitmap: Array[Boolean] = null
@@ -805,7 +807,8 @@ object Grib2 {
             //        geavg/gespr), 4.5/4.9 (probability at a point in
             //        time / over an interval), 4.6/4.10 (percentile at a
             //        point in time / over an interval: the NCEP pctl
-            //        products), 4.8 (statistical), and the
+            //        products), 4.8 (statistical), 4.15 (spatial
+            //        statistical processing), and the
             //        interval forms of the ensemble pair — 4.11
             //        (individual member over an interval: GEFS APCP
             //        members) and 4.12 (derived ensemble over an
@@ -819,7 +822,7 @@ object Grib2 {
             val tmpl = u16(payload, p + 7)
             require(tmpl == 0 || tmpl == 1 || tmpl == 2 || tmpl == 5 ||
               tmpl == 6 || tmpl == 8 || tmpl == 9 || tmpl == 10 ||
-              tmpl == 11 || tmpl == 12,
+              tmpl == 11 || tmpl == 12 || tmpl == 15,
               s"unsupported product template 4.$tmpl")
             prodTmpl = tmpl
             cat = u8(payload, p + 9)               // category, octet 10
@@ -920,6 +923,19 @@ object Grib2 {
               percentileValue = u8(payload, p + 34)
               require(percentileValue <= 100,
                 s"percentile value $percentileValue outside 0..100")
+            }
+            if (tmpl == 15) {
+              // spatial statistical processing (ECMWF "average over a
+              // spatial area at a horizontal level" family): statistical
+              // process (table 4.10) at octet 35, spatial process type
+              // (table 4.15) at 36, number of data points used at 37 —
+              // netCDF Grib2Pds15 getStatisticalProcessType /
+              // getSpatialProcessType / getNSpatialDataPoints, bytecode-
+              // verified. No time interval: intervalHours stays 0 and the
+              // field is instantaneous in time
+              statProcess = u8(payload, p + 34)
+              spatialProcessType = u8(payload, p + 35)
+              nSpatialPoints = u8(payload, p + 36)
             }
             if (tmpl == 8) parseStatInterval(p + 34)
             if (tmpl == 10) parseStatInterval(p + 35) // after the percentile
@@ -1130,6 +1146,8 @@ object Grib2 {
                 probLowerLimit = probLowerLimit,
                 probUpperLimit = probUpperLimit,
                 percentileValue = percentileValue,
+                spatialProcessType = spatialProcessType,
+                nSpatialPoints = nSpatialPoints,
                 data = data)
             }
             // this field is done: clear its state so a repeated 4-7 group
@@ -1140,7 +1158,7 @@ object Grib2 {
             ensembleType = -1; perturbationNumber = -1; nEnsemble = 0
             derivedForecastType = -1; probabilityType = -1
             probLowerLimit = Double.NaN; probUpperLimit = Double.NaN
-            percentileValue = -1
+            percentileValue = -1; spatialProcessType = -1; nSpatialPoints = 0
             forecastHours = 0; nData = 0; packing = null; bitmap = null
           case s => throw new IllegalArgumentException(s"unknown section $s")
         }

@@ -81,6 +81,11 @@ object WindBinary {
       // non-percentile fields. 4.10's interval block rides
       // statProcess/intervalHours like 4.8's
       percentileValue: Int,
+      // product template 4.15 (spatial statistical processing): spatial
+      // process type (table 4.15; -1 otherwise) and the number of data
+      // points used; statProcess then carries the table-4.10 code with
+      // intervalHours = 0 (no time interval)
+      spatialProcessType: Int, nSpatialPoints: Int,
       data: Array[Double])
 
   /** Read a directory of `.grb2` blobs via the binaryFile source. */

@@ -523,6 +523,32 @@ class CurationOpsSpec extends SparkSpec {
       s"$src slope $got vs recomputed $slope")
   }
 
+  test("x56 corpus shuffle+shard: a deterministic partition with " +
+      "contiguous positions and source interleaving") {
+    val rows = ExtensionQueries.corpusShuffleShard(spark, dir).collect()
+    val n = graft.Tables.documents(spark, dir).count()
+    assert(rows.length == n, "every document lands in exactly one shard")
+    // positions are contiguous 1..|shard| within each shard
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (sh, rs) =>
+      val pos = rs.map(_.getAs[Int]("pos_in_shard")).sorted
+      assert(pos.toSeq == (1 to rs.length), s"shard $sh positions")
+    }
+    // deterministic: a second run is identical row-for-row
+    val again = ExtensionQueries.corpusShuffleShard(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // the hash interleaves sources: no shard is dominated by one source
+    // (the corpus has 20 sources; a source-clustered order would put
+    // long same-source runs in each shard)
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (sh, rs) =>
+      val top = rs.groupBy(_.getAs[String]("source")).values
+        .map(_.length).max
+      assert(top < rs.length / 2, s"shard $sh dominated by one source")
+    }
+    // and the shard id IS the documented function of the key
+    rows.foreach(r => assert(r.getAs[Int]("shard") ==
+      (r.getAs[Long]("shuffle_key") % ExtensionQueries.ShuffleShards)))
+  }
+
   test("x55 zipf fit: a single-type source yields NULL fit on both " +
       "engines, not a NaN/NULL divergence") {
     // denominator n*sxx - sx² is exactly 0 for one regression point;

@@ -28,7 +28,7 @@ class FuzzGoldenSpec extends AnyFunSuite {
   }
 
   test("product-section fuzz dump matches the netCDF-verified golden " +
-      "(70 messages, 10 templates)") {
+      "(77 messages, 11 templates)") {
     val (_, dump) = PdsFuzzGen.generate()
     val want = golden("pdsfuzz.expected")
     assert(dump == want, firstDiff(dump, want))

@@ -841,6 +841,26 @@ class Grib2Spec extends AnyFunSuite {
     assert(sh.getMessage.contains("interval end"), sh.getMessage)
   }
 
+  test("product template 4.15 decodes the spatial-statistics block") {
+    // "average over a 25-point spatial area" (table 4.10 code 0, table
+    // 4.15 type 2) — the ECMWF spatial-processing family
+    val g = Grib2.decode(Grib2TestWriter.message(msg().copy(
+      prodTemplate = 15, statProcess = 0, spatialProcessType = 2,
+      nSpatialPoints = 25))).head
+    assert(g.productDefinitionTemplate == 15)
+    assert(g.statProcess == 0, "table-4.10 code rides statProcess")
+    assert(g.spatialProcessType == 2)
+    assert(g.nSpatialPoints == 25)
+    // spatial, not temporal: no interval, and no other descriptor leaks
+    assert(g.intervalHours == 0)
+    assert(g.ensembleType == -1 && g.probabilityType == -1 &&
+      g.percentileValue == -1)
+    assert(g.data.length == 32)
+    // non-4.15 fields carry the markers
+    val plain = Grib2.decode(Grib2TestWriter.message(msg())).head
+    assert(plain.spatialProcessType == -1 && plain.nSpatialPoints == 0)
+  }
+
   test("mixed 4.0 + 4.2 + 4.9 multi-field message: field state never " +
       "leaks across repeated 4-7 groups") {
     val payload = Grib2TestWriter.multiFieldMessage(

@@ -120,7 +120,9 @@ object Grib2TestWriter {
       probUpperScaleRaw: Int = 0, probUpperValueRaw: Long = 10,
       // 4.6/4.10: forecast percentile (raw octet so out-of-range wires
       // are writable for refusal tests)
-      percentileValue: Int = 90)
+      percentileValue: Int = 90,
+      // 4.15: spatial process type (table 4.15) + points used
+      spatialProcessType: Int = 2, nSpatialPoints: Int = 25)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -345,6 +347,12 @@ object Grib2TestWriter {
       // derived-ensemble descriptor, octets 35-36
       w.w8(msg.derivedForecastType)
       w.w8(msg.nEnsemble)
+    }
+    if (msg.prodTemplate == 15) {
+      // spatial statistical block, octets 35-37
+      w.w8(msg.statProcess)
+      w.w8(msg.spatialProcessType)
+      w.w8(msg.nSpatialPoints)
     }
     if (msg.prodTemplate == 6 || msg.prodTemplate == 10) {
       // percentile octet 35 (the 4.6 block; 4.10 appends the interval)

@@ -2,7 +2,7 @@ package graft.wind
 
 /** Randomized product-section cross-check harness (round 13): writes a
   * multi-message file of seeded-random product templates
-  * (4.0/4.1/4.2/4.5/4.6/4.8/4.9/4.10/4.11/4.12) plus THIS ENGINE's decode of every
+  * (4.0/4.1/4.2/4.5/4.6/4.8/4.9/4.10/4.11/4.12/4.15) plus THIS ENGINE's decode of every
   * message printed in `tools/gdscheck/PdsCheck.java`'s exact output
   * format, so the reference cross-check is one `diff`:
   *
@@ -16,7 +16,7 @@ package graft.wind
   * = hours (both sides then print the raw value), non-negative limit/level
   * scale factors 0..2 (netCDF's signed-scale handling is not part of this
   * pin — the sign-magnitude edge is pinned by Grib2Spec against the WMO
-  * spec), single time range, zero missing count. 70 messages, seed 1234.
+  * spec), single time range, zero missing count. 77 messages, seed 1234.
   */
 object PdsFuzzGen {
 
@@ -28,8 +28,8 @@ object PdsFuzzGen {
   def generate(seed: Long = 1234): (Array[Byte], String) = {
     val rnd = new scala.util.Random(seed)
     val out = new StringBuilder
-    val msgs = (0 until 70).map { _ =>
-      val tmpl = Seq(0, 1, 2, 5, 6, 8, 9, 10, 11, 12)(rnd.nextInt(10))
+    val msgs = (0 until 77).map { _ =>
+      val tmpl = Seq(0, 1, 2, 5, 6, 8, 9, 10, 11, 12, 15)(rnd.nextInt(11))
       val cat = rnd.nextInt(4); val num = rnd.nextInt(20)
       val fh = rnd.nextInt(121)
       val sScale = rnd.nextInt(3)
@@ -61,7 +61,9 @@ object PdsFuzzGen {
         probabilityType = probType,
         probLowerScaleRaw = loScale, probLowerValueRaw = loVal.toLong,
         probUpperScaleRaw = upScale, probUpperValueRaw = upVal.toLong,
-        percentileValue = rnd.nextInt(101))
+        percentileValue = rnd.nextInt(101),
+        spatialProcessType = rnd.nextInt(4),
+        nSpatialPoints = 1 + rnd.nextInt(200))
       m
     }
     val payload = Grib2TestWriter.file(msgs: _*)
@@ -70,7 +72,11 @@ object PdsFuzzGen {
     val decoded = Grib2.decode(payload)
     require(decoded.size == msgs.size, s"decoded ${decoded.size} of ${msgs.size}")
     decoded.zip(msgs).foreach { case (g, m) =>
-      val isInterval = g.statProcess >= 0
+      // 4.15 carries a statProcess (spatial statistic) but NO time
+      // interval — netCDF's isTimeInterval is the PdsInterval marker,
+      // i.e. membership in the interval-template family
+      val isInterval =
+        Set(8, 9, 10, 11, 12)(g.productDefinitionTemplate)
       out.append("template=" + g.productDefinitionTemplate +
         " cat=" + g.parameterCategory + " num=" + g.parameterNumber +
         " forecastTime=" + g.forecastTime + " timeUnit=1" +
@@ -83,6 +89,9 @@ object PdsFuzzGen {
       if (g.productDefinitionTemplate == 2 || g.productDefinitionTemplate == 12)
         out.append("  derived: type=" + g.derivedForecastType +
           " of=" + g.nEnsemble + "\n")
+      if (g.spatialProcessType >= 0)
+        out.append("  spatial: type=" + g.spatialProcessType +
+          " nPoints=" + g.nSpatialPoints + "\n")
       if (g.percentileValue >= 0)
         out.append("  percentile: value=" + g.percentileValue + "\n")
       if (g.probabilityType >= 0)

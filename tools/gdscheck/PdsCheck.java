@@ -59,6 +59,18 @@ public class PdsCheck {
             + " lower=" + pp.getProbabilityLowerLimit()
             + " upper=" + pp.getProbabilityUpperLimit());
         }
+        if (pds.getClass().getSimpleName().equals("Grib2Pds15")) {
+          // 4.15 spatial statistics: Grib2Pds15 is package-private and
+          // implements no public interface for these -- reflection like
+          // the Pds2 ensemble-size reader above
+          java.lang.reflect.Method sp =
+            pds.getClass().getMethod("getSpatialProcessType");
+          java.lang.reflect.Method np =
+            pds.getClass().getMethod("getNSpatialDataPoints");
+          sp.setAccessible(true); np.setAccessible(true);
+          System.out.println("  spatial: type=" + sp.invoke(pds)
+            + " nPoints=" + np.invoke(pds));
+        }
         if (pds instanceof ucar.nc2.grib.grib2.Grib2Pds.PdsPercentile) {
           ucar.nc2.grib.grib2.Grib2Pds.PdsPercentile pc =
             (ucar.nc2.grib.grib2.Grib2Pds.PdsPercentile) pds;
