@@ -131,4 +131,36 @@ class PlanSpec extends SparkSpec {
     assert(nodes < 100,
       s"optimized-plan expression tree has $nodes nodes at nCells=300")
   }
+
+  // exchanges are inserted by EnsureRequirements, which runs AFTER
+  // `sparkPlan` — exchange-shape assertions read the executed plan
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("x54 hard negatives: the anchor side broadcasts, the corpus side " +
+      "never exchanges before scoring") {
+    graft.functions.GraftFunctions.register(spark)
+    val plan = executed(
+      graft.queries.ExtensionQueries.hardNegatives(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"anchors not broadcast:\n$plan")
+    // the scored theta-join must not shuffle the corpus: the only hash
+    // exchange is the per-anchor rank window's (on query_id)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1,
+      s"corpus shuffled before scoring ($hashEx hash exchanges):\n$plan")
+    assert(plan.contains("hashpartitioning(query_id"), plan)
+  }
+
+  test("x56 shuffle+shard: one hash exchange on shard — the sharded " +
+      "write exchange — and map-only hashing") {
+    val plan = executed(
+      graft.queries.ExtensionQueries.corpusShuffleShard(spark, dir))
+    // exactly one hash exchange below the final dump sort: the window's
+    // partitioning on shard (the final orderBy adds a rangepartitioning,
+    // which a real sharded writer drops)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"), plan)
+  }
 }

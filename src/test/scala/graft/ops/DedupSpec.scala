@@ -77,6 +77,35 @@ class DedupSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("native shingle expressions match the composable idioms on 300 " +
+      "seeded-random strings (spaces, unicode, empties)") {
+    import spark.implicits._
+    // randomized pin beyond the corpus + curated edges: strings drawn
+    // from an alphabet that stresses the byte-span argument — multi-byte
+    // UTF-8, runs of spaces, empty and 1-char tokens
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "ab é漢 ☃  c ".toCharArray
+    val docs300 = (1 to 300).map { i =>
+      val len = rnd.nextInt(60)
+      (i.toLong, String.valueOf(Array.fill(len)(
+        alphabet(rnd.nextInt(alphabet.length)))))
+    }.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val badSh = docs300.select(
+          Dedup.shingles(col("text"), n).as("nat"),
+          Dedup.shinglesComposable(col("text"), n).as("ref"))
+        .filter(not(col("nat") <=> col("ref"))).count()
+      assert(badSh == 0L, s"word_shingles random divergence at n=$n")
+      val base = docs300.filter(size(split(col("text"), " ")) >= n)
+      val badGh = base.select(
+          graft.functions.GraftFunctions.word_shingle_hash60(
+            col("text"), lit(n), lit("x41")).as("nat"),
+          Dedup.gramHashesComposable(col("text"), n).as("ref"))
+        .filter(not(col("nat") <=> col("ref"))).count()
+      assert(badGh == 0L, s"word_shingle_hash60 random divergence at n=$n")
+    }
+  }
+
   test("minhash LSH finds every pair with jaccard >= 0.6 (recall vs exact)") {
     val exact = Dedup.jaccardPairs(
         docs.withColumn("blk", lit(1)), 3, "blk")
