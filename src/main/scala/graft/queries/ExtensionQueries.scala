@@ -635,7 +635,10 @@ object ExtensionQueries {
     * is a weighted count of high hex nibbles the oracle replays from
     * `hex(encode(text))`. All 16 normalized buckets are emitted; the float32
     * division is bitwise-reproducible in DuckDB (`FLOAT / FLOAT` is IEEE
-    * single, exact for counts < 2^24).
+    * single, exact for counts < 2^24). A ZERO-byte document (empty text)
+    * still fabricates a real container — the generators zero-fill — so the
+    * oracle models it as one virtual position of weight `total` in bucket
+    * 0 (adversarial-corpus gate, round 13).
     */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
     val buckets = (0 until 16).map(i =>
@@ -674,10 +677,13 @@ object ExtensionQueries {
        |    unnest(generate_series(0, nf - 1, 8)) AS frame_idx
        |  FROM g),
        |pos AS (SELECT doc_id, frame_idx, total,
-       |    (total // len) + (CASE WHEN (j - (31 * frame_idx) % len + len) % len
-       |        < total % len THEN 1 ELSE 0 END) AS w,
-       |    strpos('0123456789ABCDEF', substr(hx, 2 * j + 1, 1)) - 1 AS bucket
-       |  FROM fr, LATERAL (SELECT unnest(generate_series(0, len - 1)) AS j) p)
+       |    CASE WHEN len = 0 THEN total ELSE
+       |      (total // len) + (CASE WHEN (j - (31 * frame_idx) % len + len) % len
+       |          < total % len THEN 1 ELSE 0 END) END AS w,
+       |    CASE WHEN len = 0 THEN 0 ELSE
+       |      strpos('0123456789ABCDEF', substr(hx, 2 * j + 1, 1)) - 1 END AS bucket
+       |  FROM fr, LATERAL (SELECT
+       |    unnest(generate_series(0, greatest(len, 1) - 1)) AS j) p)
        |SELECT doc_id AS asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
        |  CAST(16 AS INTEGER) AS feature_dim,
        |$bucketCols
@@ -2247,9 +2253,16 @@ object ExtensionQueries {
     val clusters = Dedup.duplicateClusters(
       Dedup.nearDuplicates(docs, threshold = 0.25,
         n = 3, numHashes = 64, bands = 32))
+    // x44's clamp, applied BEFORE quantizing: empty text yields NULL
+    // quality (the ANSI-guarded per-char ratios), and an unclamped NULL
+    // diverges by engine — Spark's struct-argmax keeps the row while
+    // DuckDB's mq equality join drops it (adversarial-corpus gate,
+    // round 13). Degenerate docs rank at -1 (q_micro -1000000), below
+    // every real score, exactly like x44's buckets
     val quality = TextAnalysis.qualityScore(docs, col("text"))
       .select(col("doc_id"),
-        round(col("quality") * 1e6).cast("long").as("q_micro"))
+        round(coalesce(nanvl(col("quality"), lit(-1.0)), lit(-1.0)) * 1e6)
+          .cast("long").as("q_micro"))
     val membered = docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -2284,11 +2297,11 @@ object ExtensionQueries {
        |         w -> list_contains([$en], w))) AS INTEGER) AS nstop
        |  FROM documents),
        |q AS (
-       |  SELECT doc_id, CAST(round((
+       |  SELECT doc_id, COALESCE(CAST(round((
        |    least(CAST(nw AS DOUBLE)/64, 1e0)*0.4e0
        |      + (CAST(nalpha AS DOUBLE)/nc)*0.4e0
        |      + least((CAST(nstop AS DOUBLE)/nw)*4e0, 1e0)*0.2e0) * 1e6)
-       |    AS BIGINT) AS q_micro
+       |    AS BIGINT), -1000000) AS q_micro
        |  FROM sig),
        |m AS (
        |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id,

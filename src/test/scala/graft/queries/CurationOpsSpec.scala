@@ -523,6 +523,32 @@ class CurationOpsSpec extends SparkSpec {
       s"$src slope $got vs recomputed $slope")
   }
 
+  test("x51 clamps NULL quality (empty text) to -1e6 and keeps the doc " +
+      "(adversarial-gate regression)") {
+    // an empty-text doc has NULL per-char ratios; unclamped, Spark's
+    // struct-argmax kept the row while DuckDB's equality join dropped it
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val tmp = tmpDir()
+    Seq(
+      (0L, "", "en", "src0", 0L),
+      (1L, "a b c d e f g h", "en", "src1", 15L),
+      (2L, "a b c d e f g h", "en", "src2", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = ExtensionQueries.dedupSurvivors(spark, tmp).collect()
+    assert(rows.length == 3, "the degenerate doc is not dropped")
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getAs[Long]("q_micro") == -1000000L)
+    assert(r0.getAs[Boolean]("kept"), "a singleton cluster self-survives")
+    // the exact-duplicate pair clusters together; the lower id wins the
+    // quality tie
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r1.getAs[Long]("cluster_id") == r2.getAs[Long]("cluster_id"))
+    assert(r1.getAs[Boolean]("kept") && !r2.getAs[Boolean]("kept"))
+  }
+
   test("x56 corpus shuffle+shard: a deterministic partition with " +
       "contiguous positions and source interleaving") {
     val rows = ExtensionQueries.corpusShuffleShard(spark, dir).collect()

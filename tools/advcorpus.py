@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Adversarial-corpus differential gate (round 13).
+
+Builds a documents/embeddings pair SHAPED like the driver's sf0.001
+tables (same schema, same source/lang conventions, same planted-dup
+process) but SEEDED with the text and vector edge cases the synthetic
+corpus never produces — then the standard Verify + tools/check.py gate
+re-runs every oracled x-query against DuckDB on it. Anything the two
+engines disagree on over THESE inputs is a genuine portability bug the
+clean corpus masks (the round-13 review found exactly one such bug —
+x53's codepoint-vs-byte Levenshtein — by hand; this gate makes the
+class mechanical).
+
+Adversarial document classes (each also flows through the multimodal
+fabricators, PII scrubber, boilerplate remover, chunkers):
+  - empty text; single word; single space; runs of spaces (empty
+    tokens); leading/trailing spaces;
+  - multi-byte UTF-8 word salad (CJK, accents, emoji) — shingle
+    byte-span and levenshtein-unit edges;
+  - one word repeated many times (degenerate vocabulary, Zipf
+    single-type denominators, repetition signals);
+  - PII-bearing text (emails, phone-ish digit runs) mixed into salad;
+  - shared verbatim lines across documents (boilerplate df >= 2);
+  - an exact duplicate pair and a one-token-edit near-dup pair of a
+    LONG document (LSH + verify paths);
+  - a 2000-token document (length outliers).
+
+Embedding classes: unit-normalized (the ANN contract) but including an
+exact duplicate vector, a near-duplicate (1e-3 perturbation,
+re-normalized), an antipodal pair, and axis-aligned one-hot vectors
+(quantization grid edges).
+
+Usage: python3 tools/advcorpus.py <out_dir> [seed]
+Then:  sbt "runMain graft.Verify <out_dir> /tmp/adv_out x"
+       python3 tools/check.py <out_dir> /tmp/adv_out x
+"""
+import math
+import random
+import sys
+
+import duckdb
+
+VOCAB = ("spark window merge table column vector stream value data small "
+         "join filter big group hash customer sort order slow line part "
+         "fast row the agg key query a scan batch").split()
+UNI = "café naïve 漢字 données año straße ☃ 😀 Ωμέγα кот".split()
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_W = [41, 15, 15, 15, 14]
+
+
+def salad(rnd, k, vocab=VOCAB):
+    return " ".join(rnd.choices(vocab, k=k))
+
+
+def gen_docs(rnd, n=500):
+    docs = []
+    boiler = "this content is licensed under the creative commons attribution license"
+
+    def add(text):
+        i = len(docs)
+        docs.append((i, text, rnd.choices(LANGS, LANG_W)[0],
+                     f"src{i % 20}", len(text)))
+
+    # --- adversarial head (ids 0..~40) ---
+    add("")                               # empty text
+    add(" ")                              # one space = two empty tokens
+    add("word")                           # single token
+    add("a  b   c")                       # runs of spaces (empty tokens)
+    add(" leading and trailing ")         # boundary empties
+    add(salad(rnd, 40, UNI))              # multi-byte UTF-8 salad
+    add(salad(rnd, 40, UNI))
+    add(("dup " * 50).strip())            # one word repeated (plus marker!)
+    add("the " * 199 + "the")             # single-type 200-token doc
+    add(salad(rnd, 30) + " contact bob@example.com or call 555 867 5309 now "
+        + salad(rnd, 30))                 # PII-bearing
+    add(salad(rnd, 30) + " alice@test.org " + salad(rnd, 30))
+    # shared verbatim line (boilerplate df = 3)
+    for _ in range(3):
+        add(salad(rnd, 20) + " " + boiler + " " + salad(rnd, 20))
+    long_doc = salad(rnd, 400)
+    add(long_doc)                         # long doc
+    add(long_doc)                         # exact duplicate of it
+    toks = long_doc.split(" ")
+    toks[200] = "EDITED"
+    add(" ".join(toks))                   # one-token-edit near-dup
+    add(salad(rnd, 2000))                 # length outlier
+    add(salad(rnd, 40, UNI) + " " + salad(rnd, 40, UNI) + " dup")  # unicode dup-marker
+    uni_long = salad(rnd, 120, UNI)
+    add(uni_long)
+    add(uni_long + " dup")                # planted near-dup with unicode body
+    # --- bulk tail: the driver's own process so every op has signal ---
+    while len(docs) < n:
+        i = len(docs)
+        if rnd.random() < 0.05 and i > 0:
+            text = docs[rnd.randrange(i)][1] + " dup"
+        else:
+            text = salad(rnd, rnd.randint(10, 100))
+        add(text)
+    return docs
+
+
+def gen_vecs(rnd, n=500, dim=64):
+    def unit(v):
+        s = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / s for x in v]
+
+    vecs = []
+    for i in range(n):
+        vecs.append(unit([rnd.gauss(0, 1) for _ in range(dim)]))
+    # adversarial overrides (past the vec_id<8 anchor set and the
+    # vec_id<16 x50 benchmark slice, so the probe geometry keeps signal)
+    vecs[20] = vecs[21][:]                       # exact duplicate pair
+    vecs[22] = unit([x + 1e-3 for x in vecs[21]])  # near-duplicate
+    vecs[23] = [-x for x in vecs[21]]            # antipodal
+    for j in range(8):                           # one-hot axis vectors
+        v = [0.0] * dim
+        v[j] = 1.0
+        vecs[24 + j] = v
+    return [(i, [float(f"{x:.6g}") for x in v], i % 10)
+            for i, v in enumerate(vecs)]
+
+
+def main():
+    out = sys.argv[1]
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
+    rnd = random.Random(seed)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+                " source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", gen_docs(rnd))
+    con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    con.executemany("INSERT INTO e VALUES (?,?,?)", gen_vecs(rnd))
+    import os
+    os.makedirs(out, exist_ok=True)
+    con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY e TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    print(f"wrote {out}/documents.parquet + embeddings.parquet")
+
+
+if __name__ == "__main__":
+    main()
