@@ -120,7 +120,10 @@ object EventQueries {
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** T4: JSON property extraction (`get_json_object` over the jsonb-ish
-    * `props` column) + aggregation by extracted key.
+    * `props` column) + aggregation by extracted key. A valid-JSON event
+    * WITHOUT the key groups under NULL; the oracle pins `NULLS FIRST` to
+    * Spark's ascending default (DuckDB defaults NULLS LAST — the
+    * adversarial events gate caught the shifted ordering, round 13).
     */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -133,7 +136,7 @@ object EventQueries {
     s"""SELECT CAST(props->>'$$.k' AS INTEGER) AS k, count(*) AS n,
        | ${sqlFxSum("value", 2)} AS value_sum
        |FROM events
-       |GROUP BY k ORDER BY k""".stripMargin
+       |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin
 
   /** T3: union of filtered slices (the U+V merge shape) with provenance tag. */
   def slicedUnion(spark: SparkSession, dir: String): DataFrame = {

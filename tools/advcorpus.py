@@ -120,6 +120,65 @@ def gen_vecs(rnd, n=500, dim=64):
             for i, v in enumerate(vecs)]
 
 
+def gen_events(rnd, n=1000):
+    """Adversarial event stream (e01-e10 surface): timestamp ties on one
+    user (latest-per-user and sessionize tie-breaks on event_id), gaps of
+    EXACTLY the 1800 s session threshold (strict-> contract), events on
+    exact 6 h tumbling-window boundaries, an event exactly at the 7-day
+    retention cutoff, a one-event user, a 200-events-in-one-second burst,
+    in-contract JSON props variants ({"k":N}, missing k, extra keys,
+    large k), an unseen + empty event_type (the fixed pivot list must
+    ignore them identically), and values at exact-binary .5 rounding
+    points (0.125*100 = 12.5 exactly — half-up vs half-even would split
+    engines). All values finite and |v| small (the fx contract).
+    """
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 1, 1)
+    types = ["click", "error", "purchase", "signup", "view"]
+    rows = []
+
+    def add(ts, user, etype, value, props):
+        rows.append((len(rows), ts, user, etype, value, props))
+
+    # ties: same user, same microsecond, three events
+    for _ in range(3):
+        add(t0 + timedelta(hours=1), 1, "click", 1.0, '{"k": 1}')
+    # exact session-gap chain: 0, +1800s (same session), +1801s (new)
+    add(t0, 2, "view", 2.0, '{"k": 2}')
+    add(t0 + timedelta(seconds=1800), 2, "view", 2.0, '{"k": 2}')
+    add(t0 + timedelta(seconds=3601), 2, "view", 2.0, '{"k": 2}')
+    # exact tumbling boundaries (00:00, 06:00, 12:00)
+    for h in (0, 6, 12):
+        add(t0 + timedelta(hours=h), 3, "purchase", 0.125, '{"k": 3}')
+    # exact-binary negative half case
+    add(t0 + timedelta(hours=2), 3, "purchase", -0.125, '{"k": 3}')
+    # one-event user
+    add(t0 + timedelta(days=2), 4, "signup", 5.0, '{"k": 4}')
+    # burst: 200 events inside one second (one session, heavy tie window)
+    for i in range(200):
+        add(t0 + timedelta(days=3, microseconds=i * 5000), 5, "click",
+            0.01, '{"k": 5}')
+    # unseen + empty event types (outside the fixed pivot list)
+    add(t0 + timedelta(days=4), 6, "weird", 1.0, '{"k": 6}')
+    add(t0 + timedelta(days=4, hours=1), 6, "", 1.0, '{"k": 6}')
+    # props variants, all valid JSON
+    add(t0 + timedelta(days=5), 7, "view", 1.0, '{"x": 9}')       # no k
+    add(t0 + timedelta(days=5, hours=1), 7, "view", 1.0,
+        '{"k": 12, "extra": [1,2]}')
+    add(t0 + timedelta(days=5, hours=2), 7, "view", 1.0,
+        '{"k": 2000000}')                                          # large k
+    # bulk tail over 30 days (the retention cutoff lands inside it), with
+    # one event EXACTLY at max_ts - 7 days
+    end = t0 + timedelta(days=30)
+    while len(rows) < n - 1:
+        add(t0 + timedelta(seconds=rnd.randrange(0, 30 * 86400)),
+            rnd.randrange(8, 60), rnd.choice(types),
+            round(rnd.uniform(0, 300), 2), f'{{"k": {rnd.randrange(100)}}}')
+    add(end - timedelta(days=7), 8, "click", 1.0, '{"k": 8}')
+    add(end, 9, "view", 1.0, '{"k": 9}')
+    return rows
+
+
 def main():
     out = sys.argv[1]
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
@@ -130,11 +189,18 @@ def main():
     con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", gen_docs(rnd))
     con.execute("CREATE TABLE e (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
     con.executemany("INSERT INTO e VALUES (?,?,?)", gen_vecs(rnd))
+    con.execute("CREATE TABLE ev (event_id BIGINT, ts TIMESTAMP,"
+                " user_id BIGINT, event_type VARCHAR, value DOUBLE,"
+                " props VARCHAR)")
+    con.executemany("INSERT INTO ev VALUES (?,?,?,?,?,?)",
+                    gen_events(random.Random(seed + 1)))
     import os
     os.makedirs(out, exist_ok=True)
     con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
     con.execute(f"COPY e TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
-    print(f"wrote {out}/documents.parquet + embeddings.parquet")
+    con.execute(f"COPY ev TO '{out}/events.parquet' (FORMAT PARQUET)")
+    print(f"wrote {out}/documents.parquet + embeddings.parquet"
+          f" + events.parquet")
 
 
 if __name__ == "__main__":
