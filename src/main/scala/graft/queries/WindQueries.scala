@@ -366,15 +366,18 @@ object WindQueries {
         col("statProcess").cast("long").as("stat_process"),
         col("intervalHours").cast("long").as("interval_hours"),
         col("percentileValue").cast("long").as("percentile"),
+        col("spatialProcessType").cast("long").as("spatial_type"),
+        col("nSpatialPoints").cast("long").as("n_spatial"),
         (aggregate(
           transform(col("data"), x => round(x * lit(1e6))),
           lit(0.0), (a, x) => a + x) / lit(1e6)).as("data_sum"))
       .orderBy("parameter", "template")
   }
 
-  // fixture constants: all six messages carry the 8×4 formula grid
-  // v(i) = (i·37 mod 101)/10 — ProjFixtureGen (der42, pctl6, prob49,
-  // pctl10, and the 4.11/4.12 interval-ensemble variants of apcp48)
+  // fixture constants: all seven messages carry the 8×4 formula grid
+  // v(i) = (i·37 mod 101)/10 — ProjFixtureGen (der42, spat15, pctl6,
+  // prob49, pctl10, and the 4.11/4.12 interval-ensemble variants of
+  // apcp48)
   private val ensembleProductsSql =
     """WITH s AS (
       |  SELECT sum(round(CAST(i * 37 % 101 AS DOUBLE)/10 * 1e6))/1e6
@@ -389,21 +392,26 @@ object WindQueries {
       |    CAST(-1 AS BIGINT) AS stat_process,
       |    CAST(0 AS BIGINT) AS interval_hours,
       |    CAST(-1 AS BIGINT) AS percentile,
+      |    CAST(-1 AS BIGINT) AS spatial_type,
+      |    CAST(0 AS BIGINT) AS n_spatial,
       |    (SELECT data_sum FROM s) AS data_sum
       |  UNION ALL
-      |  SELECT 8, 6, -1, -1, -1, 0, -1, NULL, NULL, -1, 0, 90,
+      |  SELECT 2, 15, -1, -1, -1, 0, -1, NULL, NULL, 0, 0, -1, 2, 25,
       |    (SELECT data_sum FROM s)
       |  UNION ALL
-      |  SELECT 8, 9, -1, -1, -1, 0, 1, NULL, 1.0, 1, 6, -1,
+      |  SELECT 8, 6, -1, -1, -1, 0, -1, NULL, NULL, -1, 0, 90, -1, 0,
       |    (SELECT data_sum FROM s)
       |  UNION ALL
-      |  SELECT 8, 10, -1, -1, -1, 0, -1, NULL, NULL, 1, 6, 90,
+      |  SELECT 8, 9, -1, -1, -1, 0, 1, NULL, 1.0, 1, 6, -1, -1, 0,
       |    (SELECT data_sum FROM s)
       |  UNION ALL
-      |  SELECT 8, 11, 3, 7, -1, 31, -1, NULL, NULL, 1, 6, -1,
+      |  SELECT 8, 10, -1, -1, -1, 0, -1, NULL, NULL, 1, 6, 90, -1, 0,
       |    (SELECT data_sum FROM s)
       |  UNION ALL
-      |  SELECT 8, 12, -1, -1, 0, 21, -1, NULL, NULL, 1, 6, -1,
+      |  SELECT 8, 11, 3, 7, -1, 31, -1, NULL, NULL, 1, 6, -1, -1, 0,
+      |    (SELECT data_sum FROM s)
+      |  UNION ALL
+      |  SELECT 8, 12, -1, -1, 0, 21, -1, NULL, NULL, 1, 6, -1, -1, 0,
       |    (SELECT data_sum FROM s))
       |ORDER BY parameter, template""".stripMargin
 

@@ -48,9 +48,9 @@ class Grib2SourceSpec extends SparkSpec {
 
   test("ensemble/probability product columns read identically through " +
       "the connector (round 13)") {
-    // the committed 4.2+4.6+4.9+4.10+4.11+4.12 fixture carries NON-DEFAULT
-    // values in every round-13 descriptor column, so a swapped or dropped
-    // field in the DSv2 row construction cannot cancel out
+    // the committed 4.2+4.15+4.6+4.9+4.10+4.11+4.12 fixture carries
+    // NON-DEFAULT values in every round-13 descriptor column, so a swapped
+    // or dropped field in the DSv2 row construction cannot cancel out
     val dir = tmpDir()
     Files.createDirectories(Paths.get(dir))
     val in = getClass.getResourceAsStream("/graft/wind/ensemble42_49.grb2")
@@ -60,7 +60,8 @@ class Grib2SourceSpec extends SparkSpec {
     val cols = Seq("productDefinitionTemplate", "ensembleType",
       "perturbationNumber", "nEnsemble", "derivedForecastType",
       "probabilityType", "probLowerLimit", "probUpperLimit",
-      "statProcess", "intervalHours", "percentileValue")
+      "statProcess", "intervalHours", "percentileValue",
+      "spatialProcessType", "nSpatialPoints")
     val viaSource = spark.read.format("grib2").load(dir)
       .orderBy("productDefinitionTemplate")
       .select(cols.map(col): _*).collect().map(_.toString).toSeq
@@ -69,15 +70,22 @@ class Grib2SourceSpec extends SparkSpec {
         .orderBy("productDefinitionTemplate")
         .select(cols.map(col): _*).collect().map(_.toString).toSeq
     assert(viaSource == viaMapPartitions)
-    assert(viaSource.size == 6)
+    assert(viaSource.size == 7)
     // spot-pin the wire truth (cross-checked vs netCDF Grib2Pds*)
-    assert(viaSource(0).startsWith("[2,-1,-1,31,2,-1,NaN,NaN,-1,0,-1]"),
+    assert(viaSource(0).startsWith("[2,-1,-1,31,2,-1,NaN,NaN,-1,0,-1,-1,0]"),
       viaSource(0))
-    assert(viaSource(1) == "[6,-1,-1,0,-1,-1,NaN,NaN,-1,0,90]", viaSource(1))
-    assert(viaSource(2) == "[9,-1,-1,0,-1,1,NaN,1.0,1,6,-1]", viaSource(2))
-    assert(viaSource(3) == "[10,-1,-1,0,-1,-1,NaN,NaN,1,6,90]", viaSource(3))
-    assert(viaSource(4) == "[11,3,7,31,-1,-1,NaN,NaN,1,6,-1]", viaSource(4))
-    assert(viaSource(5) == "[12,-1,-1,21,0,-1,NaN,NaN,1,6,-1]", viaSource(5))
+    assert(viaSource(1) == "[6,-1,-1,0,-1,-1,NaN,NaN,-1,0,90,-1,0]",
+      viaSource(1))
+    assert(viaSource(2) == "[9,-1,-1,0,-1,1,NaN,1.0,1,6,-1,-1,0]",
+      viaSource(2))
+    assert(viaSource(3) == "[10,-1,-1,0,-1,-1,NaN,NaN,1,6,90,-1,0]",
+      viaSource(3))
+    assert(viaSource(4) == "[11,3,7,31,-1,-1,NaN,NaN,1,6,-1,-1,0]",
+      viaSource(4))
+    assert(viaSource(5) == "[12,-1,-1,21,0,-1,NaN,NaN,1,6,-1,-1,0]",
+      viaSource(5))
+    assert(viaSource(6) == "[15,-1,-1,0,-1,-1,NaN,NaN,0,0,-1,2,25]",
+      viaSource(6))
   }
 
   test("key filters push below the scan and are consumed, not re-evaluated") {
