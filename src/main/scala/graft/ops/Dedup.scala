@@ -206,6 +206,113 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental (delta-vs-index) near-duplicate detection — the
+    * production shape of [[nearDuplicates]]: a NEW batch of documents is
+    * deduplicated against an EXISTING corpus without re-pairing the
+    * existing corpus with itself. `isNew` is a deterministic predicate
+    * over the doc columns that tags the incoming batch; everything else
+    * (shingle n, hash family, banding, exact re-verification threshold)
+    * is the [[nearDuplicates]] machinery verbatim, so an incremental run
+    * surfaces exactly the cross-set subset of the full run's pairs.
+    *
+    * Scale / persisted-index posture: the only state the old side
+    * contributes is its `(band, band_key, doc_id)` bucket entries — the
+    * LSH index a production pipeline PERSISTS (one
+    * `.write.partitionBy("band")` away) and re-reads per batch, so each
+    * delta costs O(|delta| signatures) + one bucket-key join against the
+    * index, never a corpus re-scan. Locally both sides come from one
+    * shared token scan (a single groupBy computes every signature);
+    * candidates are restricted to new×old at the bucket join (new×new
+    * and old×old pairs never form), and only candidates are joined back
+    * to their shingle sets.
+    */
+  def incrementalNearDuplicates(docs: DataFrame, isNew: Column,
+      threshold: Double, n: Int = 3, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val tagged = docs.select(col("doc_id"), col("text"), isNew.as("is_new"))
+    val ex = tagged
+      .select(col("doc_id"), col("is_new"),
+        explode(shingles(col("text"), n)).as("s"))
+      .select(col("doc_id"), col("is_new"),
+        Portable.hash32(col("s"), MinHashSalt).as("h"))
+    val mins = (0 until numHashes).map(i =>
+      min(Portable.affine(i, col("h"))).as(s"m$i"))
+    val sig = ex.groupBy(col("doc_id"), col("is_new"))
+      .agg(mins.head, mins.tail: _*)
+    val keys = (0 until bands).map { b =>
+      concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    val entries = sig.select(col("doc_id"), col("is_new"),
+      posexplode(array(keys: _*)).as(Seq("band", "band_key")))
+    val newE = entries.filter(col("is_new"))
+      .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
+    val oldE = entries.filter(!col("is_new"))
+      .select(col("band").as("band_o"), col("band_key").as("band_key_o"),
+        col("doc_id").as("old_id"))
+    val cand = newE.join(oldE,
+        col("band") === col("band_o") &&
+        col("band_key") === col("band_key_o"))
+      .select("new_id", "old_id").distinct()
+    val sh = tagged.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
+        "new_id")
+      .join(sh.select(col("doc_id").as("old_id"), col("sh").as("sh_b")),
+        "old_id")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+  }
+
+  /** DuckDB replica of [[incrementalNearDuplicates]]: `isNewSql` is the
+    * SQL twin of the tagging predicate (an expression over `documents`
+    * columns). Signature/banding constants render through the same
+    * helpers as [[nearDuplicatesSql]] so the two forms cannot drift.
+    */
+  def incrementalNearDuplicatesSql(isNewSql: String, threshold: Double,
+      n: Int, numHashes: Int, bands: Int): String = {
+    val rowsPerBand = numHashes / bands
+    val mins = (0 until numHashes)
+      .map(i => s"min(${Portable.sqlAffine(i, "h")}) AS m$i").mkString(",\n    ")
+    val bandKeys = (0 until bands).map { b =>
+      (0 until rowsPerBand)
+        .map(r => s"CAST(m${b * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH t AS (SELECT doc_id, text, ($isNewSql) AS is_new FROM documents),
+       |w AS (SELECT doc_id, is_new, string_split(text, ' ') AS w FROM t),
+       |sh AS (SELECT doc_id, is_new, ${sqlShingles("w", n)} AS s FROM w),
+       |hb AS (SELECT doc_id, is_new,
+       |    ${Portable.sqlHash32("tok", MinHashSalt)} AS h
+       |  FROM (SELECT doc_id, is_new, unnest(s) AS tok FROM sh)),
+       |sig AS (SELECT doc_id, is_new,
+       |    $mins
+       |  FROM hb GROUP BY doc_id, is_new),
+       |bk AS (SELECT doc_id, is_new, unnest(range($bands)) AS band,
+       |    unnest($bandKeys) AS band_key
+       |  FROM sig),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM bk n JOIN bk o
+       |    ON n.band = o.band AND n.band_key = o.band_key
+       |    AND n.is_new AND NOT o.is_new),
+       |ver AS (SELECT new_id, old_id,
+       |    len(list_intersect(sa.s, sb.s)) AS ni,
+       |    len(sa.s) AS na, len(sb.s) AS nb
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = new_id
+       |  JOIN sh sb ON sb.doc_id = old_id)
+       |SELECT new_id, old_id,
+       |  ni / CAST(na + nb - ni AS DOUBLE) AS jaccard
+       |FROM ver
+       |WHERE ni / CAST(na + nb - ni AS DOUBLE) >= ${sqlDouble(threshold)}
+       |ORDER BY new_id, old_id""".stripMargin
+  }
+
   /** MinHash estimator calibration (x45) — the dedup-threshold tuning
     * curve a pipeline runs before choosing its near-dup cutoff: for every
     * LSH candidate pair, the signature-agreement estimate (matching slots

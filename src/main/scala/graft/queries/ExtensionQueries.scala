@@ -2659,6 +2659,229 @@ object ExtensionQueries {
        |    ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos_in_shard
        |FROM s ORDER BY shard, pos_in_shard""".stripMargin
 
+  /** Gopher word-count bounds (Rae et al. 2021, arXiv:2112.11446 Table A1). */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+
+  /** Gopher rule battery (x57) — the document-level quality FILTER layer
+    * (Rae et al. 2021 §A.1.1): per document, the five word-level Gopher
+    * rules evaluated as explicit booleans plus the conjunction `keep`:
+    * word count in [[GopherMinWords]]..[[GopherMaxWords]], mean word
+    * length in [3,10], symbol-to-word ratio ('#' chars + '...' runs)
+    * ≤ 0.1, ≥ 80% of words containing an alphabetic character, and ≥ 2
+    * distinct stopword types (the x10 "en" profile). x10 scores quality
+    * on a continuous scale; this is the REJECT/ACCEPT battery a cleaning
+    * pipeline composes before it (the rule booleans, not just the
+    * verdict, are the audit artifact — per-rule rejection rates drive
+    * threshold reviews). The line-level Gopher rules (bullet/ellipsis
+    * line ratios) need a line-structured corpus; this corpus is
+    * single-line (x49 manufactures lines as fixed token windows), so the
+    * battery carries the word-level rules only.
+    *
+    * Portability: every ratio is a division of two exact integers
+    * (counts from replace-length arithmetic and membership filters), so
+    * doubles are bit-identical across engines; mean word length uses
+    * x10's nc−(nw−1) identity, which holds for empty tokens too (each
+    * ' ' is a separator). Scale: map-only per document — no shuffle but
+    * the output sort.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val en = TextAnalysis.stopwords.head._2
+    val ws = TextAnalysis.words(col("text"))
+    val nw = size(ws)
+    val nc = length(col("text"))
+    val meanLen = (nc - (nw - 1)).cast("double") / nw
+    val nHash = nc - length(replace(col("text"), lit("#"), lit("")))
+    val nEll3 = nc - length(replace(col("text"), lit("..."), lit("")))
+    val symbolRatio =
+      (nHash.cast("double") + nEll3.cast("double") / lit(3.0)) / nw
+    val nAlpha = size(filter(ws, w => w.rlike("[a-zA-Z]")))
+    val alphaRatio = nAlpha.cast("double") / nw
+    val nStop = size(filter(array(en.map(lit): _*),
+      s => array_contains(ws, s)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nw.cast("int").as("n_words"),
+        meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_word_ratio"),
+        alphaRatio.as("alpha_word_ratio"),
+        nStop.cast("int").as("n_stop_types"))
+      .withColumn("r_word_count",
+        col("n_words").between(GopherMinWords, GopherMaxWords))
+      .withColumn("r_mean_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("r_symbol", col("symbol_word_ratio") <= 0.1)
+      .withColumn("r_alpha", col("alpha_word_ratio") >= 0.8)
+      .withColumn("r_stopwords", col("n_stop_types") >= 2)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
+          col("r_alpha") && col("r_stopwords"))
+      .orderBy("doc_id")
+  }
+
+  private val gopherRulesSql = {
+    val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS INTEGER) AS nc,
+       |    CAST(len(string_split(text, ' ')) AS INTEGER) AS nw,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |         AS INTEGER) AS nhash,
+       |    CAST(length(text) - length(replace(text, '...', ''))
+       |         AS INTEGER) AS nell3,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |         w -> regexp_matches(w, '[a-zA-Z]'))) AS INTEGER) AS nalpha,
+       |    CAST(len(list_filter([$en],
+       |         s -> list_contains(string_split(text, ' '), s)))
+       |         AS INTEGER) AS nstop
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, nw AS n_words,
+       |    CAST(nc - (nw - 1) AS DOUBLE) / nw AS mean_word_len,
+       |    (CAST(nhash AS DOUBLE) + CAST(nell3 AS DOUBLE) / 3e0) / nw
+       |      AS symbol_word_ratio,
+       |    CAST(nalpha AS DOUBLE) / nw AS alpha_word_ratio,
+       |    nstop AS n_stop_types
+       |  FROM sig)
+       |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       |  alpha_word_ratio, n_stop_types,
+       |  n_words BETWEEN $GopherMinWords AND $GopherMaxWords AS r_word_count,
+       |  mean_word_len BETWEEN 3e0 AND 10e0 AS r_mean_len,
+       |  symbol_word_ratio <= 0.1e0 AS r_symbol,
+       |  alpha_word_ratio >= 0.8e0 AS r_alpha,
+       |  n_stop_types >= 2 AS r_stopwords,
+       |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+       |    AND (mean_word_len BETWEEN 3e0 AND 10e0)
+       |    AND symbol_word_ratio <= 0.1e0
+       |    AND alpha_word_ratio >= 0.8e0
+       |    AND n_stop_types >= 2 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Incremental-dedup batch tag: ~20% of the corpus plays the incoming
+    * delta; the rest is the standing corpus whose LSH index a production
+    * run would read from storage.
+    */
+  private def x58IsNew: Column =
+    pmod(graft.Portable.hash32(col("doc_id").cast("string"), "x58split"),
+      lit(5)) === 0
+
+  /** Incremental near-dup detection (x58) — the delta-vs-corpus
+    * production shape of x03: tag a deterministic ~20% of documents as
+    * the incoming batch, dedup it against the remaining 80% through
+    * [[graft.ops.Dedup.incrementalNearDuplicates]] (same shingle/hash/
+    * banding constants as x03/x19, candidates restricted to new×old at
+    * the bucket join). At 100 TB this is the shape that matters: every
+    * arriving crawl snapshot joins the PERSISTED band index instead of
+    * re-pairing the corpus with itself.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.incrementalNearDuplicates(Tables.documents(spark, dir), x58IsNew,
+        threshold = 0.25, n = 3, numHashes = 64, bands = 32)
+      .orderBy("new_id", "old_id")
+
+  private val incrementalDedupSql = Dedup.incrementalNearDuplicatesSql(
+    isNewSql = graft.Portable.sqlHash32("CAST(doc_id AS VARCHAR)",
+      "x58split") + " % 5 = 0",
+    threshold = 0.25, n = 3, numHashes = 64, bands = 32)
+
+  /** Feature-hash bucket count for the x59 linear classifier. */
+  val ClassifierBuckets = 4096
+
+  /** Hashed linear quality classifier (x59) — the fastText-style scoring
+    * layer (Joulin et al. 2016; the CCNet/RedPajama "model-based quality
+    * signal" slot): hashing-trick bag-of-words (word → one of
+    * [[ClassifierBuckets]] buckets), a fixed deterministic weight per
+    * bucket (derived from the portable hash — a stand-in for trained
+    * weights, which would arrive as a broadcast table keyed the same
+    * way), score = Σ weight over word occurrences. The logit is emitted
+    * as the exact rational score_raw/(1000·n_words); no sigmoid — exp()
+    * is the one primitive whose last ulp differs across engines, and a
+    * monotone transform changes no decision.
+    *
+    * Scale: codegen'd hash per word occurrence, partial-aggregable
+    * per-doc sum (the shuffle carries one row per document); weights
+    * need no lookup table at all — any real weight vector drops in as a
+    * broadcast join on the bucket id.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.Portable.hash32(col("w"), "x59f"),
+      lit(ClassifierBuckets))
+    val weight = pmod(graft.Portable.hash32(bucket.cast("string"), "x59w"),
+      lit(2001)) - lit(1000)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.words(col("text"))).as("w"))
+      .select(col("doc_id"), weight.as("wt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_words"),
+        sum(col("wt")).as("score_raw"))
+      .withColumn("quality_logit",
+        col("score_raw").cast("double") /
+          (lit(1000.0) * col("n_words").cast("double")))
+      .withColumn("keep", col("quality_logit") > 0.0)
+      .orderBy("doc_id")
+  }
+
+  private val qualityClassifierSql = {
+    val bucket =
+      s"(${graft.Portable.sqlHash32("w", "x59f")} % $ClassifierBuckets)"
+    val weight =
+      s"(${graft.Portable.sqlHash32(s"CAST($bucket AS VARCHAR)", "x59w")}" +
+        " % 2001) - 1000"
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |s AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+       |    sum($weight) AS score_raw
+       |  FROM w GROUP BY doc_id)
+       |SELECT doc_id, n_words, CAST(score_raw AS BIGINT) AS score_raw,
+       |  CAST(score_raw AS DOUBLE) / (1000e0 * CAST(n_words AS DOUBLE))
+       |    AS quality_logit,
+       |  CAST(score_raw AS DOUBLE) / (1000e0 * CAST(n_words AS DOUBLE))
+       |    > 0e0 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Leakage-safe train/eval split (x60) — the dedup-aware corpus
+    * splitter: assign each near-dup CLUSTER (x19's connected components
+    * over the x03 pair graph, singletons = their own cluster) wholly to
+    * train or eval by hashing the cluster id (80/20). Splitting by
+    * doc_id leaks — two near-duplicates straddling the split put an
+    * eval document's paraphrase in training; splitting by cluster id
+    * makes that impossible by construction (CurationOpsSpec asserts the
+    * property over every x03 pair).
+    *
+    * Scale: rides x19's pointer-jumping components (labels-only loop
+    * state); the split itself is one hash over the cluster label —
+    * map-only on top of the component output.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.duplicateClusters(
+      Dedup.nearDuplicates(Tables.documents(spark, dir), threshold = 0.25,
+        n = 3, numHashes = 64, bands = 32))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(graft.Portable.hash32(col("cluster_id").cast("string"),
+          "x60split"), lit(10)) < 8, "train").otherwise("eval"))
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id")
+  }
+
+  private val leakageSafeSplitSql = {
+    val cl = neardupClustersSql.stripSuffix(" ORDER BY cluster_id, doc_id")
+    s"""WITH cl AS ($cl),
+       |m AS (SELECT d.doc_id,
+       |    coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ${graft.Portable.sqlHash32(
+            "CAST(cluster_id AS VARCHAR)", "x60split")} % 10 < 8
+       |    THEN 'train' ELSE 'eval' END AS split
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -2734,6 +2957,13 @@ object ExtensionQueries {
     QueryDef("x55_zipf_fit", Some(zipfFitSql), zipfFit),
     QueryDef("x56_corpus_shuffle_shard", Some(corpusShuffleShardSql),
       corpusShuffleShard),
+    QueryDef("x57_gopher_rules", Some(gopherRulesSql), gopherRules),
+    QueryDef("x58_incremental_dedup", Some(incrementalDedupSql),
+      incrementalDedup),
+    QueryDef("x59_quality_classifier", Some(qualityClassifierSql),
+      qualityClassifier),
+    QueryDef("x60_leakage_safe_split", Some(leakageSafeSplitSql),
+      leakageSafeSplit),
   )
 
 }

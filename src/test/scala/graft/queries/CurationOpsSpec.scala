@@ -592,4 +592,105 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.head.isNullAt(r.head.fieldIndex("zipf_intercept")))
   }
 
+  private def corpusTexts: Map[Long, String] =
+    graft.Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("x57 gopher rules: battery recomputed in plain scala; keep is the " +
+      "conjunction and both verdicts occur") {
+    val texts = corpusTexts
+    val en = TextAnalysis.stopwords.head._2
+    val rows = ExtensionQueries.gopherRules(spark, dir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      val ws = t.split(" ", -1)
+      val nw = ws.length
+      assert(r.getInt(1) == nw, s"n_words doc ${r.getLong(0)}")
+      assert(r.getDouble(2) == (t.length - (nw - 1)).toDouble / nw)
+      val nHash = t.count(_ == '#')
+      // chars removed are an exact multiple of 3, so the engine's
+      // (removed/3.0) equals the occurrence count bitwise
+      val nEll = (t.length - t.replace("...", "").length) / 3
+      assert(r.getDouble(3) == (nHash.toDouble + nEll.toDouble) / nw)
+      val alpha = ws.count(_.exists(c =>
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+      assert(r.getDouble(4) == alpha.toDouble / nw)
+      assert(r.getInt(5) == en.count(ws.contains))
+      val wantKeep = r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8) &&
+        r.getBoolean(9) && r.getBoolean(10)
+      assert(r.getBoolean(11) == wantKeep)
+      assert(r.getBoolean(6) == (nw >= ExtensionQueries.GopherMinWords &&
+        nw <= ExtensionQueries.GopherMaxWords))
+    }
+    assert(rows.map(_.getBoolean(11)).toSet.size == 2,
+      "the corpus must exercise both keep verdicts")
+  }
+
+  test("x58 incremental dedup IS the cross-set slice of the full " +
+      "near-dup run (same pairs, same jaccard)") {
+    val docs = graft.Tables.documents(spark, dir)
+    val full = graft.ops.Dedup
+      .nearDuplicates(docs, threshold = 0.25, n = 3, numHashes = 64,
+        bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def isNew(id: Long): Boolean =
+      graft.Portable.hash32JVM(id.toString, "x58split") % 5 == 0
+    val expected = full.flatMap { case (a, b, j) =>
+      (isNew(a), isNew(b)) match {
+        case (true, false) => Some((a, b, j))
+        case (false, true) => Some((b, a, j))
+        case _             => None
+      }
+    }.toSet
+    val got = ExtensionQueries.incrementalDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"incremental run diverged: got ${got.size}, want ${expected.size}")
+  }
+
+  test("x59 classifier: per-doc score recomputed via the JVM hash twin; " +
+      "logit is the exact rational") {
+    val texts = corpusTexts
+    val rows = ExtensionQueries.qualityClassifier(spark, dir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val ws = texts(r.getLong(0)).split(" ", -1)
+      assert(r.getInt(1) == ws.length)
+      val raw = ws.map { w =>
+        val b = graft.Portable.hash32JVM(w, "x59f") %
+          ExtensionQueries.ClassifierBuckets
+        (graft.Portable.hash32JVM(b.toString, "x59w") % 2001) - 1000
+      }.sum
+      assert(r.getLong(2) == raw, s"score_raw doc ${r.getLong(0)}")
+      assert(r.getDouble(3) == raw.toDouble / (1000.0 * ws.length))
+      assert(r.getBoolean(4) == (r.getDouble(3) > 0.0))
+    }
+    assert(rows.map(_.getBoolean(4)).toSet.size == 2,
+      "the hashed weights must produce both classes on the corpus")
+  }
+
+  test("x60 leakage-safe split: near-dup pairs NEVER straddle the split; " +
+      "split recomputed from the cluster id") {
+    val split = ExtensionQueries.leakageSafeSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = split.map(t => t._1 -> t._3).toMap
+    val pairs = graft.ops.Dedup
+      .nearDuplicates(graft.Tables.documents(spark, dir), threshold = 0.25,
+        n = 3, numHashes = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "the corpus plants near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) straddles the split")
+    }
+    split.foreach { case (_, cid, s) =>
+      val want =
+        if (graft.Portable.hash32JVM(cid.toString, "x60split") % 10 < 8)
+          "train" else "eval"
+      assert(s == want)
+    }
+    assert(split.map(_._3).distinct.length == 2,
+      "both splits are populated at this corpus size")
+  }
+
 }
