@@ -339,12 +339,15 @@ object WindQueries {
     * template — 4.2 (GEFS gespr-style ensemble std deviation), 4.9 (APCP
     * P(accum > 1.0 mm / 6 h)), 4.11 (APCP ensemble-member accumulation)
     * and 4.12 (APCP ensemble-mean accumulation) — the NCEP product
-    * families the decoder previously refused. Octet layouts cross-checked
-    * against netCDF-Java's own `Grib2Pds2`/`Grib2Pds9`/`Grib2Pds11`/
-    * `Grib2Pds12` (`tools/gdscheck` round-13 runs). The oracle replays the
-    * expected product descriptors and the exact fixed-point data checksum
-    * generatively. One-sided 4.9 bounds decode NaN; projected here as SQL
-    * NULL (the engine-portable spelling).
+    * families the decoder previously refused — plus 4.30 (simulated-GOES
+    * satellite imagery: band series/number/instrument and the scaled
+    * central wave number). Octet layouts cross-checked against
+    * netCDF-Java's own `Grib2Pds2`/`Grib2Pds9`/`Grib2Pds11`/
+    * `Grib2Pds12`/`Grib2Pds30` (`tools/gdscheck` round-13 runs). The
+    * oracle replays the expected product descriptors and the exact
+    * fixed-point data checksum generatively. One-sided 4.9 bounds (and
+    * non-satellite wave numbers) decode NaN; projected here as SQL NULL
+    * (the engine-portable spelling).
     */
   def ensembleProducts(spark: SparkSession, dir: String): DataFrame = {
     val in = getClass.getResourceAsStream("/graft/wind/ensemble42_49.grb2")
@@ -368,16 +371,22 @@ object WindQueries {
         col("percentileValue").cast("long").as("percentile"),
         col("spatialProcessType").cast("long").as("spatial_type"),
         col("nSpatialPoints").cast("long").as("n_spatial"),
+        col("satelliteSeries").cast("long").as("sat_series"),
+        col("satelliteNumber").cast("long").as("sat_number"),
+        col("satelliteInstrument").cast("long").as("sat_instrument"),
+        when(isnan(col("satelliteWavenumber")), lit(null))
+          .otherwise(col("satelliteWavenumber")).as("sat_wavenumber"),
         (aggregate(
           transform(col("data"), x => round(x * lit(1e6))),
           lit(0.0), (a, x) => a + x) / lit(1e6)).as("data_sum"))
       .orderBy("parameter", "template")
   }
 
-  // fixture constants: all seven messages carry the 8×4 formula grid
+  // fixture constants: all eight messages carry the 8×4 formula grid
   // v(i) = (i·37 mod 101)/10 — ProjFixtureGen (der42, spat15, pctl6,
-  // prob49, pctl10, and the 4.11/4.12 interval-ensemble variants of
-  // apcp48)
+  // prob49, pctl10, the 4.11/4.12 interval-ensemble variants of apcp48,
+  // and sat30 — whose 95275 × 10⁻² m⁻¹ wave number is the exactly-
+  // representable 952.75)
   private val ensembleProductsSql =
     """WITH s AS (
       |  SELECT sum(round(CAST(i * 37 % 101 AS DOUBLE)/10 * 1e6))/1e6
@@ -394,25 +403,32 @@ object WindQueries {
       |    CAST(-1 AS BIGINT) AS percentile,
       |    CAST(-1 AS BIGINT) AS spatial_type,
       |    CAST(0 AS BIGINT) AS n_spatial,
+      |    CAST(-1 AS BIGINT) AS sat_series,
+      |    CAST(-1 AS BIGINT) AS sat_number,
+      |    CAST(-1 AS BIGINT) AS sat_instrument,
+      |    CAST(NULL AS DOUBLE) AS sat_wavenumber,
       |    (SELECT data_sum FROM s) AS data_sum
       |  UNION ALL
       |  SELECT 2, 15, -1, -1, -1, 0, -1, NULL, NULL, 0, 0, -1, 2, 25,
-      |    (SELECT data_sum FROM s)
+      |    -1, -1, -1, NULL, (SELECT data_sum FROM s)
+      |  UNION ALL
+      |  SELECT 4, 30, -1, -1, -1, 0, -1, NULL, NULL, -1, 0, -1, -1, 0,
+      |    16, 15, 50, 952.75, (SELECT data_sum FROM s)
       |  UNION ALL
       |  SELECT 8, 6, -1, -1, -1, 0, -1, NULL, NULL, -1, 0, 90, -1, 0,
-      |    (SELECT data_sum FROM s)
+      |    -1, -1, -1, NULL, (SELECT data_sum FROM s)
       |  UNION ALL
       |  SELECT 8, 9, -1, -1, -1, 0, 1, NULL, 1.0, 1, 6, -1, -1, 0,
-      |    (SELECT data_sum FROM s)
+      |    -1, -1, -1, NULL, (SELECT data_sum FROM s)
       |  UNION ALL
       |  SELECT 8, 10, -1, -1, -1, 0, -1, NULL, NULL, 1, 6, 90, -1, 0,
-      |    (SELECT data_sum FROM s)
+      |    -1, -1, -1, NULL, (SELECT data_sum FROM s)
       |  UNION ALL
       |  SELECT 8, 11, 3, 7, -1, 31, -1, NULL, NULL, 1, 6, -1, -1, 0,
-      |    (SELECT data_sum FROM s)
+      |    -1, -1, -1, NULL, (SELECT data_sum FROM s)
       |  UNION ALL
       |  SELECT 8, 12, -1, -1, 0, 21, -1, NULL, NULL, 1, 6, -1, -1, 0,
-      |    (SELECT data_sum FROM s))
+      |    -1, -1, -1, NULL, (SELECT data_sum FROM s))
       |ORDER BY parameter, template""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

@@ -109,6 +109,10 @@ object Grib2Source {
     StructField("percentileValue", IntegerType, nullable = false),
     StructField("spatialProcessType", IntegerType, nullable = false),
     StructField("nSpatialPoints", IntegerType, nullable = false),
+    StructField("satelliteSeries", IntegerType, nullable = false),
+    StructField("satelliteNumber", IntegerType, nullable = false),
+    StructField("satelliteInstrument", IntegerType, nullable = false),
+    StructField("satelliteWavenumber", DoubleType, nullable = false),
     StructField("data", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
@@ -255,6 +259,8 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
             m.derivedForecastType,
             m.probabilityType, m.probLowerLimit, m.probUpperLimit,
             m.percentileValue, m.spatialProcessType, m.nSpatialPoints,
+            m.satelliteSeries, m.satelliteNumber, m.satelliteInstrument,
+            m.satelliteWavenumber,
             ArrayData.toArrayData(m.data))
           new GenericInternalRow(fieldIdx.map(full))
         }

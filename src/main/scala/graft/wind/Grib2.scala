@@ -649,6 +649,10 @@ object Grib2 {
       var percentileValue = -1 // 4.6/4.10 only; -1 = not a percentile
       var spatialProcessType = -1 // 4.15 only (table 4.15); -1 otherwise
       var nSpatialPoints = 0 // 4.15 only: points used in the spatial stat
+      var satelliteSeries = -1 // 4.30 only (BUFR 002020); -1 otherwise
+      var satelliteNumber = -1 // 4.30 only (BUFR 002001)
+      var satelliteInstrument = -1 // 4.30 only
+      var satelliteWavenumber = Double.NaN // 4.30 only: m⁻¹ after scaling
       var nData = 0
       var packing: Packing = null
       var bitmap: Array[Boolean] = null
@@ -822,12 +826,44 @@ object Grib2 {
             val tmpl = u16(payload, p + 7)
             require(tmpl == 0 || tmpl == 1 || tmpl == 2 || tmpl == 5 ||
               tmpl == 6 || tmpl == 8 || tmpl == 9 || tmpl == 10 ||
-              tmpl == 11 || tmpl == 12 || tmpl == 15,
+              tmpl == 11 || tmpl == 12 || tmpl == 15 || tmpl == 30,
               s"unsupported product template 4.$tmpl")
             prodTmpl = tmpl
             cat = u8(payload, p + 9)               // category, octet 10
             num = u8(payload, p + 10)              // number, octet 11
             genProcessType = u8(payload, p + 11)   // generating process, oct 12
+            if (tmpl == 30) {
+              // satellite product (the NCEP simulated GOES imagery
+              // products): octet 13 = observation generating process id,
+              // octet 14 = number of contiguous spectral bands NB, then
+              // one 10-octet band descriptor per band. 4.30 carries NO
+              // forecast time and NO fixed surfaces — forecastHours
+              // stays 0 and the surfaces stay missing, exactly netCDF
+              // Grib2Pds30's contract (getForecastTime()==0,
+              // getTimeUnit()==0; bands at octets 15+10b, bytecode-
+              // verified — note netCDF labels the FIRST 2-octet field
+              // `number` and the second `series`, the reverse of WMO
+              // table 4.30's order; the wire octets are what's pinned).
+              // NCEP codes one band per field; a multi-band wire would
+              // need an array-typed schema, so refuse it by name.
+              val nb = u8(payload, p + 13)
+              require(nb == 1,
+                s"unsupported $nb-band satellite product (single-band only)")
+              satelliteSeries = u16(payload, p + 14)     // octets 15-16
+              satelliteNumber = u16(payload, p + 16)     // octets 17-18
+              satelliteInstrument = u8(payload, p + 18)  // octet 19
+              // central wave number: 1-octet sign-magnitude decimal
+              // scale + 4-octet sign-magnitude scaled value (m⁻¹);
+              // all-ones = missing — a band IS its wave number, so a
+              // wire that codes it out is refused loudly
+              val wScaleRaw = u8(payload, p + 19)        // octet 20
+              val wValRaw = u32(payload, p + 20)         // octets 21-24
+              require(wValRaw != 0xffffffffL,
+                "satellite band with missing central wave number")
+              satelliteWavenumber = s32sm(payload, p + 20) /
+                math.pow(10,
+                  if (wScaleRaw == 0xff) 0 else s8sm(payload, p + 19))
+            } else {
             // whole-hour conversion shared by forecast time and the 4.8
             // statistical interval: flooring would silently misstamp
             def toWholeHours(unit: Int, v: Int, what: String): Int =
@@ -979,6 +1015,7 @@ object Grib2 {
                 s"probability type $probabilityType with missing upper limit")
               if (tmpl == 9) parseStatInterval(p + 47)
             }
+            } // end non-4.30 (shared 4.0-family prefix) branch
           case 5 => // data representation; templates 5.0 / 5.2 / 5.3 …
             nData = u32(payload, p + 5).toInt      // octets 6-9
             val tmpl = u16(payload, p + 9)         // octets 10-11
@@ -1148,6 +1185,10 @@ object Grib2 {
                 percentileValue = percentileValue,
                 spatialProcessType = spatialProcessType,
                 nSpatialPoints = nSpatialPoints,
+                satelliteSeries = satelliteSeries,
+                satelliteNumber = satelliteNumber,
+                satelliteInstrument = satelliteInstrument,
+                satelliteWavenumber = satelliteWavenumber,
                 data = data)
             }
             // this field is done: clear its state so a repeated 4-7 group
@@ -1159,6 +1200,8 @@ object Grib2 {
             derivedForecastType = -1; probabilityType = -1
             probLowerLimit = Double.NaN; probUpperLimit = Double.NaN
             percentileValue = -1; spatialProcessType = -1; nSpatialPoints = 0
+            satelliteSeries = -1; satelliteNumber = -1
+            satelliteInstrument = -1; satelliteWavenumber = Double.NaN
             forecastHours = 0; nData = 0; packing = null; bitmap = null
           case s => throw new IllegalArgumentException(s"unknown section $s")
         }

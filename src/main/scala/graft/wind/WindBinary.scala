@@ -86,6 +86,16 @@ object WindBinary {
       // points used; statProcess then carries the table-4.10 code with
       // intervalHours = 0 (no time interval)
       spatialProcessType: Int, nSpatialPoints: Int,
+      // product template 4.30 (satellite product — the NCEP simulated
+      // GOES imagery shape): single-band descriptor (satellite series /
+      // number per BUFR 002020/002001, instrument type, central wave
+      // number in m⁻¹ after decimal scaling); -1/-1/-1/NaN for
+      // non-satellite fields. 4.30 codes NO forecast time and NO fixed
+      // surfaces: forecastTime = 0 and the surfaces stay missing (255),
+      // matching netCDF Grib2Pds30's getForecastTime() == 0 contract
+      satelliteSeries: Int = -1, satelliteNumber: Int = -1,
+      satelliteInstrument: Int = -1,
+      satelliteWavenumber: Double = Double.NaN,
       data: Array[Double])
 
   /** Read a directory of `.grb2` blobs via the binaryFile source. */

@@ -61,7 +61,9 @@ class Grib2SourceSpec extends SparkSpec {
       "perturbationNumber", "nEnsemble", "derivedForecastType",
       "probabilityType", "probLowerLimit", "probUpperLimit",
       "statProcess", "intervalHours", "percentileValue",
-      "spatialProcessType", "nSpatialPoints")
+      "spatialProcessType", "nSpatialPoints",
+      "satelliteSeries", "satelliteNumber", "satelliteInstrument",
+      "satelliteWavenumber")
     val viaSource = spark.read.format("grib2").load(dir)
       .orderBy("productDefinitionTemplate")
       .select(cols.map(col): _*).collect().map(_.toString).toSeq
@@ -70,22 +72,26 @@ class Grib2SourceSpec extends SparkSpec {
         .orderBy("productDefinitionTemplate")
         .select(cols.map(col): _*).collect().map(_.toString).toSeq
     assert(viaSource == viaMapPartitions)
-    assert(viaSource.size == 7)
+    assert(viaSource.size == 8)
     // spot-pin the wire truth (cross-checked vs netCDF Grib2Pds*)
-    assert(viaSource(0).startsWith("[2,-1,-1,31,2,-1,NaN,NaN,-1,0,-1,-1,0]"),
+    assert(viaSource(0).startsWith(
+      "[2,-1,-1,31,2,-1,NaN,NaN,-1,0,-1,-1,0,-1,-1,-1,NaN]"),
       viaSource(0))
-    assert(viaSource(1) == "[6,-1,-1,0,-1,-1,NaN,NaN,-1,0,90,-1,0]",
+    assert(viaSource(1) == "[6,-1,-1,0,-1,-1,NaN,NaN,-1,0,90,-1,0,-1,-1,-1,NaN]",
       viaSource(1))
-    assert(viaSource(2) == "[9,-1,-1,0,-1,1,NaN,1.0,1,6,-1,-1,0]",
+    assert(viaSource(2) == "[9,-1,-1,0,-1,1,NaN,1.0,1,6,-1,-1,0,-1,-1,-1,NaN]",
       viaSource(2))
-    assert(viaSource(3) == "[10,-1,-1,0,-1,-1,NaN,NaN,1,6,90,-1,0]",
+    assert(viaSource(3) == "[10,-1,-1,0,-1,-1,NaN,NaN,1,6,90,-1,0,-1,-1,-1,NaN]",
       viaSource(3))
-    assert(viaSource(4) == "[11,3,7,31,-1,-1,NaN,NaN,1,6,-1,-1,0]",
+    assert(viaSource(4) == "[11,3,7,31,-1,-1,NaN,NaN,1,6,-1,-1,0,-1,-1,-1,NaN]",
       viaSource(4))
-    assert(viaSource(5) == "[12,-1,-1,21,0,-1,NaN,NaN,1,6,-1,-1,0]",
+    assert(viaSource(5) == "[12,-1,-1,21,0,-1,NaN,NaN,1,6,-1,-1,0,-1,-1,-1,NaN]",
       viaSource(5))
-    assert(viaSource(6) == "[15,-1,-1,0,-1,-1,NaN,NaN,0,0,-1,2,25]",
+    assert(viaSource(6) == "[15,-1,-1,0,-1,-1,NaN,NaN,0,0,-1,2,25,-1,-1,-1,NaN]",
       viaSource(6))
+    assert(viaSource(7) ==
+      "[30,-1,-1,0,-1,-1,NaN,NaN,-1,0,-1,-1,0,16,15,50,952.75]",
+      viaSource(7))
   }
 
   test("key filters push below the scan and are consumed, not re-evaluated") {

@@ -28,7 +28,7 @@ class FuzzGoldenSpec extends AnyFunSuite {
   }
 
   test("product-section fuzz dump matches the netCDF-verified golden " +
-      "(77 messages, 11 templates)") {
+      "(84 messages, 12 templates)") {
     val (_, dump) = PdsFuzzGen.generate()
     val want = golden("pdsfuzz.expected")
     assert(dump == want, firstDiff(dump, want))

@@ -150,7 +150,12 @@ class Grib2Spec extends AnyFunSuite {
         statProcess = 1, intervalHours = 6)),
       Grib2TestWriter.message(msg().copy(prodTemplate = 12,
         derivedForecastType = 0, nEnsemble = 21,
-        statProcess = 1, intervalHours = 6)))
+        statProcess = 1, intervalHours = 6)),
+      // round-13 second half: satellite product (short section 4 — the
+      // band block replaces the whole forecast/surface prefix)
+      Grib2TestWriter.message(msg().copy(prodTemplate = 30,
+        satSeries = 16, satNumber = 15, satInstrument = 50,
+        satScaleRaw = 2, satValueRaw = 95275L)))
     for (good <- shapes; len <- 1 until good.length) {
       val e = intercept[IllegalArgumentException] {
         Grib2.decode(good.take(len))
@@ -818,6 +823,46 @@ class Grib2Spec extends AnyFunSuite {
         prodTemplate = 6, percentileValue = 255)))
     }
     assert(e.getMessage.contains("percentile"), e.getMessage)
+  }
+
+  test("product template 4.30 decodes the satellite band; multi-band and " +
+      "missing wave number refuse by name") {
+    // simulated GOES-15 imager brightness temperature: series 16
+    // (GOES), number 15, instrument 50, central wave number
+    // 95275 × 10⁻² = 952.75 m⁻¹
+    val g = Grib2.decode(Grib2TestWriter.message(msg().copy(
+      prodTemplate = 30, satSeries = 16, satNumber = 15,
+      satInstrument = 50, satScaleRaw = 2, satValueRaw = 95275L))).head
+    assert(g.productDefinitionTemplate == 30)
+    assert(g.satelliteSeries == 16 && g.satelliteNumber == 15)
+    assert(g.satelliteInstrument == 50)
+    assert(g.satelliteWavenumber == 952.75)
+    // 4.30 codes NO forecast time and NO fixed surfaces (netCDF
+    // Grib2Pds30: getForecastTime()==0, base-class level markers)
+    assert(g.forecastTime == 0)
+    assert(g.surface1Type == 255 && g.surface1Value == 0.0)
+    assert(g.surface2Type == 255 && g.statProcess == -1)
+    assert(g.ensembleType == -1 && g.probabilityType == -1)
+    assert(g.data.length == 32)
+    // scale 0xff means unscaled, like the surface/limit decoders
+    val raw = Grib2.decode(Grib2TestWriter.message(msg().copy(
+      prodTemplate = 30, satScaleRaw = 0xff, satValueRaw = 52L))).head
+    assert(raw.satelliteWavenumber == 52.0)
+    // non-satellite fields carry the markers
+    val plain = Grib2.decode(Grib2TestWriter.message(msg())).head
+    assert(plain.satelliteSeries == -1 && plain.satelliteNumber == -1)
+    assert(plain.satelliteInstrument == -1)
+    assert(plain.satelliteWavenumber.isNaN)
+    val multi = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(msg().copy(
+        prodTemplate = 30, nBands = 2)))
+    }
+    assert(multi.getMessage.contains("band"), multi.getMessage)
+    val miss = intercept[IllegalArgumentException] {
+      Grib2.decode(Grib2TestWriter.message(msg().copy(
+        prodTemplate = 30, satValueRaw = 0xffffffffL)))
+    }
+    assert(miss.getMessage.contains("wave number"), miss.getMessage)
   }
 
   test("product template 4.10 decodes: percentile octet + shifted " +

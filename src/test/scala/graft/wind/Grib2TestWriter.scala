@@ -122,7 +122,13 @@ object Grib2TestWriter {
       // are writable for refusal tests)
       percentileValue: Int = 90,
       // 4.15: spatial process type (table 4.15) + points used
-      spatialProcessType: Int = 2, nSpatialPoints: Int = 25)
+      spatialProcessType: Int = 2, nSpatialPoints: Int = 25,
+      // 4.30: satellite product — band count + one band descriptor
+      // (RAW scale/value octets so missing/malformed wires are writable;
+      // nBands > 1 repeats the same descriptor for refusal tests)
+      nBands: Int = 1, satSeries: Int = 16, satNumber: Int = 15,
+      satInstrument: Int = 50, satScaleRaw: Int = 2,
+      satValueRaw: Long = 95275L)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -330,6 +336,24 @@ object Grib2TestWriter {
     w.w16(msg.prodTemplate)
     w.w8(msg.category); w.w8(msg.number)
     w.w8(2)             // generating process: forecast
+    if (msg.prodTemplate == 30) {
+      // satellite product: octet 13 = observation generating process id,
+      // octet 14 = NB, then 10-octet band descriptors — NO forecast
+      // time, NO fixed surfaces; section 4 ends after the band list
+      w.w8(0)
+      w.w8(msg.nBands)
+      (0 until msg.nBands).foreach { _ =>
+        w.w16(msg.satSeries)        // octets 15-16: satellite series
+        w.w16(msg.satNumber)        // octets 17-18: satellite number
+        w.w8(msg.satInstrument)     // octet 19: instrument type
+        w.w8(msg.satScaleRaw)       // octet 20: wave-number scale (raw)
+        w.w32(msg.satValueRaw)      // octets 21-24: scaled value (raw)
+      }
+    } else
+    sec4Common(msg, w)
+  }
+
+  private def sec4Common(msg: Msg, w: W): Unit = {
     w.w8(0); w.w8(96)   // background / analysis process ids
     w.w16(0); w.w8(0)   // observational cutoff
     w.w8(msg.timeUnit)  // time unit (octet 18)

@@ -2,7 +2,7 @@ package graft.wind
 
 /** Randomized product-section cross-check harness (round 13): writes a
   * multi-message file of seeded-random product templates
-  * (4.0/4.1/4.2/4.5/4.6/4.8/4.9/4.10/4.11/4.12/4.15) plus THIS ENGINE's decode of every
+  * (4.0/4.1/4.2/4.5/4.6/4.8/4.9/4.10/4.11/4.12/4.15/4.30) plus THIS ENGINE's decode of every
   * message printed in `tools/gdscheck/PdsCheck.java`'s exact output
   * format, so the reference cross-check is one `diff`:
   *
@@ -16,7 +16,7 @@ package graft.wind
   * = hours (both sides then print the raw value), non-negative limit/level
   * scale factors 0..2 (netCDF's signed-scale handling is not part of this
   * pin — the sign-magnitude edge is pinned by Grib2Spec against the WMO
-  * spec), single time range, zero missing count. 77 messages, seed 1234.
+  * spec), single time range, zero missing count. 84 messages, seed 1234.
   */
 object PdsFuzzGen {
 
@@ -28,8 +28,8 @@ object PdsFuzzGen {
   def generate(seed: Long = 1234): (Array[Byte], String) = {
     val rnd = new scala.util.Random(seed)
     val out = new StringBuilder
-    val msgs = (0 until 77).map { _ =>
-      val tmpl = Seq(0, 1, 2, 5, 6, 8, 9, 10, 11, 12, 15)(rnd.nextInt(11))
+    val msgs = (0 until 84).map { _ =>
+      val tmpl = Seq(0, 1, 2, 5, 6, 8, 9, 10, 11, 12, 15, 30)(rnd.nextInt(12))
       val cat = rnd.nextInt(4); val num = rnd.nextInt(20)
       val fh = rnd.nextInt(121)
       val sScale = rnd.nextInt(3)
@@ -63,7 +63,12 @@ object PdsFuzzGen {
         probUpperScaleRaw = upScale, probUpperValueRaw = upVal.toLong,
         percentileValue = rnd.nextInt(101),
         spatialProcessType = rnd.nextInt(4),
-        nSpatialPoints = 1 + rnd.nextInt(200))
+        nSpatialPoints = 1 + rnd.nextInt(200),
+        // 4.30 satellite band (non-negative scale 0..2 inside the
+        // cross-checkable envelope, like the limit scales above)
+        satSeries = rnd.nextInt(1000), satNumber = rnd.nextInt(1000),
+        satInstrument = rnd.nextInt(256), satScaleRaw = rnd.nextInt(3),
+        satValueRaw = (1 + rnd.nextInt(1000000)).toLong)
       m
     }
     val payload = Grib2TestWriter.file(msgs: _*)
@@ -77,12 +82,30 @@ object PdsFuzzGen {
       // i.e. membership in the interval-template family
       val isInterval =
         Set(8, 9, 10, 11, 12)(g.productDefinitionTemplate)
+      if (g.productDefinitionTemplate == 30) {
+        // Grib2Pds30 extends the BASE class: the common accessors return
+        // the base defaults (timeUnit 0, level -9999 markers) and the
+        // satellite block prints netCDF's field names — whose
+        // number/series labels are SWAPPED vs WMO table 4.30's wire
+        // order (PdsCheck.java notes the same), so our `series` (octets
+        // 15-16) prints as netCDF's `number` and vice versa
+        out.append("template=30 cat=" + g.parameterCategory +
+          " num=" + g.parameterNumber +
+          " forecastTime=0 timeUnit=0 level1=-9999/-9999.0" +
+          " statProcess=-1 isInterval=false\n")
+        out.append("  satellite: nb=1\n")
+        out.append("    band: number=" + g.satelliteSeries +
+          " series=" + g.satelliteNumber +
+          " instrument=" + g.satelliteInstrument +
+          " value=" + g.satelliteWavenumber + "\n")
+      } else {
       out.append("template=" + g.productDefinitionTemplate +
         " cat=" + g.parameterCategory + " num=" + g.parameterNumber +
         " forecastTime=" + g.forecastTime + " timeUnit=1" +
         " level1=" + g.surface1Type + "/" + g.surface1Value +
         " statProcess=" + g.statProcess +
         " isInterval=" + isInterval + "\n")
+      }
       if (g.productDefinitionTemplate == 1 || g.productDefinitionTemplate == 11)
         out.append("  ensemble: type=" + g.ensembleType +
           " member=" + g.perturbationNumber + " of=" + g.nEnsemble + "\n")

@@ -115,6 +115,16 @@ object ProjFixtureGen {
     prodTemplate = 15, statProcess = 0, spatialProcessType = 2,
     nSpatialPoints = 25)
 
+  /** A 4.30 satellite message (NCEP simulated GOES-15 imager
+    * brightness-temperature shape: series 16, number 15, instrument 50,
+    * central wave number 95275 × 10⁻² m⁻¹) for the Grib2Pds30
+    * cross-check (round 13, second half).
+    */
+  def sat30: Grib2TestWriter.Msg = apcp48.copy(
+    category = 4, number = 4,
+    prodTemplate = 30, satSeries = 16, satNumber = 15,
+    satInstrument = 50, satScaleRaw = 2, satValueRaw = 95275L)
+
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/projfix")
     dir.mkdirs()
@@ -123,24 +133,26 @@ object ProjFixtureGen {
       "mercator" -> mercator, "apcp48" -> apcp48, "ens41" -> ens41,
       "rotated31" -> rotated31, "rotated31a" -> rotated31a,
       "der42" -> der42, "prob49" -> prob49, "prob45" -> prob45,
-      "pctl6" -> pctl6, "pctl10" -> pctl10, "spat15" -> spat15)) {
+      "pctl6" -> pctl6, "pctl10" -> pctl10, "spat15" -> spat15,
+      "sat30" -> sat30)) {
       val f = new java.io.File(dir, s"$name.grb2")
       val out = new java.io.FileOutputStream(f)
       try out.write(Grib2TestWriter.message(m)) finally out.close()
       println(s"wrote $f")
     }
     // the committed w10_ensemble_products fixture: the full ensemble +
-    // percentile + spatial product family in ONE file — 4.2 derived,
-    // 4.15 spatial, 4.6 percentile, 4.9 probability-interval, 4.10
-    // percentile-interval, 4.11 member-interval, 4.12 derived-interval
-    // (round 13)
+    // percentile + spatial + satellite product family in ONE file — 4.2
+    // derived, 4.15 spatial, 4.6 percentile, 4.9 probability-interval,
+    // 4.10 percentile-interval, 4.11 member-interval, 4.12
+    // derived-interval, 4.30 satellite (round 13)
     val ens = new java.io.File(dir, "ensemble42_49.grb2")
     val out = new java.io.FileOutputStream(ens)
     try out.write(Grib2TestWriter.file(der42, spat15, pctl6, prob49, pctl10,
       apcp48.copy(prodTemplate = 11, ensembleType = 3,
         perturbationNumber = 7, nEnsemble = 31),
       apcp48.copy(prodTemplate = 12, derivedForecastType = 0,
-        nEnsemble = 21)))
+        nEnsemble = 21),
+      sat30))
     finally out.close()
     println(s"wrote $ens")
   }

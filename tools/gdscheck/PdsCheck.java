@@ -71,6 +71,26 @@ public class PdsCheck {
           System.out.println("  spatial: type=" + sp.invoke(pds)
             + " nPoints=" + np.invoke(pds));
         }
+        if (pds.getClass().getSimpleName().equals("Grib2Pds30")) {
+          // 4.30 satellite: package-private class, public methods --
+          // reflection like the Pds15 readers. NOTE netCDF's SatelliteBand
+          // labels the FIRST wire 2-octet field `number` and the SECOND
+          // `series` (the reverse of WMO table 4.30's series-then-number)
+          java.lang.reflect.Method nb =
+            pds.getClass().getMethod("getNumSatelliteBands");
+          java.lang.reflect.Method gb =
+            pds.getClass().getMethod("getSatelliteBands");
+          nb.setAccessible(true); gb.setAccessible(true);
+          System.out.println("  satellite: nb=" + nb.invoke(pds));
+          for (Object o : (Object[]) gb.invoke(pds)) {
+            ucar.nc2.grib.grib2.Grib2Pds.SatelliteBand sb =
+              (ucar.nc2.grib.grib2.Grib2Pds.SatelliteBand) o;
+            System.out.println("    band: number=" + sb.number
+              + " series=" + sb.series
+              + " instrument=" + sb.instrumentType
+              + " value=" + sb.value);
+          }
+        }
         if (pds instanceof ucar.nc2.grib.grib2.Grib2Pds.PdsPercentile) {
           ucar.nc2.grib.grib2.Grib2Pds.PdsPercentile pc =
             (ucar.nc2.grib.grib2.Grib2Pds.PdsPercentile) pds;
