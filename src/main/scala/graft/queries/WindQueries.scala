@@ -431,6 +431,60 @@ object WindQueries {
       |    -1, -1, -1, NULL, (SELECT data_sum FROM s))
       |ORDER BY parameter, template""".stripMargin
 
+  /** Space-view addressing (round 13): the binary decoder reads the
+    * committed 3.90 fixture (a GOES-West-style geostationary sector —
+    * Lop 262°, Nr 6.61 equatorial radii, 20-pixel apparent disc, 9×7
+    * sector at origin (2, 1), sub-satellite full-frame pixel (4, 3)) and
+    * [[graft.wind.Grid.toPointsSpaceView]] addresses every pixel through
+    * the normalized-geostationary ray intersection. The oracle replays
+    * the whole construction generatively in DuckDB trig — an independent
+    * second implementation of the CGMS inverse, agreeing to the
+    * 1e-5-degree quantization (the w07/w08 pattern). Wire octets are
+    * netCDF-cross-checked (GdsFuzz: `Grib2Gds$SpaceViewPerspective`).
+    */
+  def spaceViewPoints(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/graft/wind/spaceview390.grb2")
+    require(in != null, "missing spaceview390.grb2 resource")
+    val bytes = try in.readAllBytes() finally in.close()
+    Grid.toPointsSpaceView(
+        spark.createDataFrame(graft.wind.Grib2.decode(bytes)))
+      .select(col("pos").cast("long").as("pos"),
+        (round(col("lat") * 1e5) / 1e5).as("lat"),
+        (round(col("lon") * 1e5) / 1e5).as("lon"),
+        col("value"))
+      .orderBy("pos")
+  }
+
+  // fixture constants: sphere (q = 1), H = 6.61 radii, angular step
+  // 2·asin(1/H)/20 per pixel; cell (i, j) sits at full-frame
+  // (2 + i, 1 + j) with the sub-satellite point at (4, 3) — scan angles
+  // x = (i − 2)·step, y = (2 − j)·step. Near-root ray intersection, then
+  // geocentric → longitude/latitude (geodetic ≡ geocentric on a sphere)
+  private val spaceViewPointsSql =
+    """WITH c AS (
+      |  SELECT pos,
+      |    ((pos % 9) - 2.0) * (2*asin(1.0/6.61)/20.0) AS x,
+      |    (2.0 - (pos // 9)) * (2*asin(1.0/6.61)/20.0) AS y
+      |  FROM (SELECT unnest(range(63)) AS pos)),
+      |g AS (
+      |  SELECT pos, x, y, 6.61*cos(x)*cos(y) AS hc FROM c),
+      |s AS (
+      |  SELECT pos, x, y,
+      |    hc - sqrt(hc*hc - (6.61*6.61 - 1.0)) AS sn
+      |  FROM g),
+      |v AS (
+      |  SELECT pos,
+      |    6.61 - sn*cos(x)*cos(y) AS s1,
+      |    sn*sin(x)*cos(y) AS s2,
+      |    sn*sin(y) AS s3
+      |  FROM s)
+      |SELECT CAST(pos AS BIGINT) AS pos,
+      |  round(degrees(atan(s3 / sqrt(s1*s1 + s2*s2))) * 1e5)/1e5 AS lat,
+      |  round((((262.0 + degrees(atan2(s2, s1))) % 360) + 360) % 360
+      |    * 1e5)/1e5 AS lon,
+      |  CAST(pos * 37 % 101 AS DOUBLE) / 10 AS value
+      |FROM v ORDER BY pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_decoded_records", Some(decodedRecordsSql), decodedRecords),
     QueryDef("w02_uv_filter", Some(uvFilterSql), uvFilter),
@@ -442,5 +496,6 @@ object WindQueries {
     QueryDef("w08_southpolar_points", Some(southPolarPointsSql), southPolarPoints),
     QueryDef("w09_rotated_points", Some(rotatedPointsSql), rotatedPoints),
     QueryDef("w10_ensemble_products", Some(ensembleProductsSql), ensembleProducts),
+    QueryDef("w11_spaceview_points", Some(spaceViewPointsSql), spaceViewPoints),
   )
 }

@@ -113,6 +113,11 @@ object Grib2Source {
     StructField("satelliteNumber", IntegerType, nullable = false),
     StructField("satelliteInstrument", IntegerType, nullable = false),
     StructField("satelliteWavenumber", DoubleType, nullable = false),
+    StructField("spaceXp", DoubleType, nullable = false),
+    StructField("spaceYp", DoubleType, nullable = false),
+    StructField("spaceXo", DoubleType, nullable = false),
+    StructField("spaceYo", DoubleType, nullable = false),
+    StructField("spaceNr", DoubleType, nullable = false),
     StructField("data", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
@@ -261,6 +266,7 @@ class Grib2ReaderFactory(pushed: Array[Filter], required: StructType,
             m.percentileValue, m.spatialProcessType, m.nSpatialPoints,
             m.satelliteSeries, m.satelliteNumber, m.satelliteInstrument,
             m.satelliteWavenumber,
+            m.spaceXp, m.spaceYp, m.spaceXo, m.spaceYo, m.spaceNr,
             ArrayData.toArrayData(m.data))
           new GenericInternalRow(fieldIdx.map(full))
         }

@@ -476,6 +476,80 @@ object Grib2 {
     out
   }
 
+  /** Parsed section-3 body of a space-view (template 3.90) grid: the
+    * geostationary pixel raster — see [[Projection.SpaceView]] for the
+    * geometry. `dxApp`/`dyApp` are the apparent diameters of the earth in
+    * grid lengths (the wire's Dx/Dy octets), `xp`/`yp` the sub-satellite
+    * point's fractional full-frame pixel (wire 10⁻³ grid lengths),
+    * `xo`/`yo` the sector origin.
+    */
+  private final case class SpaceGrid(nx: Int, ny: Int, lop: Double,
+      dxApp: Double, dyApp: Double, xp: Double, yp: Double,
+      xo: Double, yo: Double, nr: Double, resolution: Int,
+      earth: Projection.Earth, scan: Int)
+
+  /** Decode a space-view (template 3.90) section 3. Octet offsets are
+    * netCDF-Java-verified (`Grib2Gds$SpaceViewPerspective` bytecode: LaP
+    * at octet 39, LoP 43, flags 47, dX 48, dY 52, Xp 56 ×10⁻³, Yp 60
+    * ×10⁻³, scan 64, orientation 65, Nr 69 ×10⁻⁶, Xo 73, Yo 77).
+    * Parameter combinations with no published decode convention refuse
+    * loudly by name: a non-zero sub-satellite latitude (not
+    * geostationary), a rotated camera (orientation ≠ 0), a missing Nr
+    * (the spec's "infinite distance" orthographic marker), and non-
+    * canonical scan modes (Xp/Xo are FULL-FRAME pixel coordinates, whose
+    * interaction with reversed scan axes no external pin disambiguates).
+    */
+  private def parseSpaceView(payload: Array[Byte], p: Int, shape: Int,
+      optListOctets: Int): SpaceGrid = {
+    require(optListOctets == 0,
+      "unsupported quasi-regular point list on space-view grid template 3.90")
+    val earth = Projection.earthModel(shape,
+      u8(payload, p + 15), u32(payload, p + 16),  // radius: octets 16, 17-20
+      u8(payload, p + 20), u32(payload, p + 21),  // major axis: 21, 22-25
+      u8(payload, p + 25), u32(payload, p + 26))  // minor axis: 26, 27-30
+    val nx = u32(payload, p + 30).toInt           // Nx, octets 31-34
+    val ny = u32(payload, p + 34).toInt           // Ny, octets 35-38
+    require(nx >= 1 && ny >= 1, s"space-view grid ${nx}x$ny")
+    val lap = s32sm(payload, p + 38) / 1e6        // Lap, octets 39-42
+    require(lap == 0.0,
+      s"unsupported space-view sub-satellite latitude $lap " +
+        "(geostationary Lap = 0 only)")
+    val lopRaw = s32sm(payload, p + 42) / 1e6     // Lop, octets 43-46
+    val lop = {
+      val m = lopRaw % 360.0
+      if (m < 0) m + 360.0 else m
+    }
+    val resolution = u8(payload, p + 46)          // octet 47
+    val dxApp = u32(payload, p + 47)              // dx, octets 48-51
+    val dyApp = u32(payload, p + 51)              // dy, octets 52-55
+    require(dxApp > 0 && dxApp != 0xffffffffL &&
+      dyApp > 0 && dyApp != 0xffffffffL,
+      s"space-view apparent diameters must be coded ($dxApp, $dyApp)")
+    val xp = u32(payload, p + 55) / 1e3           // Xp, octets 56-59
+    val yp = u32(payload, p + 59) / 1e3           // Yp, octets 60-63
+    val scan = u8(payload, p + 63)                // octet 64
+    require(scan == 0,
+      f"unsupported scanning mode 0x$scan%02x on a space-view grid " +
+        "(canonical +i,-j only: Xp/Xo are full-frame pixel coordinates " +
+        "with no published reversed-axis convention)")
+    val orient = s32sm(payload, p + 64) / 1e6     // octets 65-68
+    require(orient == 0.0,
+      s"unsupported space-view grid orientation $orient " +
+        "(unrotated camera only)")
+    val nrRaw = u32(payload, p + 68)              // Nr, octets 69-72
+    require(nrRaw != 0xffffffffL,
+      "unsupported space-view grid with missing Nr (the infinite-distance " +
+        "orthographic marker)")
+    val nr = nrRaw / 1e6
+    require(nr > 1.0,
+      s"implausible space-view camera altitude Nr=$nr earth radii " +
+        "(the camera must sit above the surface)")
+    val xo = u32(payload, p + 72).toDouble        // Xo, octets 73-76
+    val yo = u32(payload, p + 76).toDouble        // Yo, octets 77-80
+    SpaceGrid(nx, ny, lop, dxApp.toDouble, dyApp.toDouble, xp, yp, xo, yo,
+      nr, resolution, earth, scan)
+  }
+
   /** Parsed section-3 body of a projected template (3.10 Mercator, 3.20
     * polar stereographic, 3.30 Lambert conformal): corners already
     * canonicalized to scan mode 0 in projection-plane space. `dx`/`dy` are
@@ -629,6 +703,10 @@ object Grib2 {
       // rotated lat/lon (3.1): true position of the rotated south pole
       var southPoleLat = 0.0; var southPoleLon = 0.0
       var rotationAngle = 0.0
+      // space view (3.90): sub-satellite pixel / sector origin / altitude
+      var spaceXp = Double.NaN; var spaceYp = Double.NaN
+      var spaceXo = Double.NaN; var spaceYo = Double.NaN
+      var spaceNr = Double.NaN
       // field-scoped state, reset after every data section (sections 4-7
       // legally repeat within one message — each repetition is one field)
       var forecastHours = 0
@@ -677,7 +755,8 @@ object Grib2 {
             //        3.10 Mercator, 3.20 polar-stereographic, 3.30 Lambert
             val tmpl = u16(payload, p + 12)
             require(tmpl == 0 || tmpl == 1 || tmpl == 10 || tmpl == 20 ||
-              tmpl == 30 || tmpl == 40, s"unsupported grid template 3.$tmpl")
+              tmpl == 30 || tmpl == 40 || tmpl == 90,
+              s"unsupported grid template 3.$tmpl")
             gridTmpl = tmpl
             // octets 11-12: optional list of numbers — non-zero entry width
             // marks a quasi-regular (thinned/reduced) grid whose per-row
@@ -693,7 +772,23 @@ object Grib2 {
             lov = 0.0; lad = 0.0; latin1 = 0.0; latin2 = 0.0
             projCenter = 0; earthRadius = 0.0; earthEcc = 0.0
             southPoleLat = 0.0; southPoleLon = 0.0; rotationAngle = 0.0
-            if (tmpl == 10 || tmpl == 20 || tmpl == 30) {
+            spaceXp = Double.NaN; spaceYp = Double.NaN
+            spaceXo = Double.NaN; spaceYo = Double.NaN; spaceNr = Double.NaN
+            if (tmpl == 90) {
+              // space view (geostationary pixel raster): la1/lo1 carry
+              // Lap/Lop, dx/dy the apparent diameters in grid lengths,
+              // and the raster has no geographic corners (la2/lo2 NaN)
+              val g = parseSpaceView(payload, p, shape, optListOctets)
+              nx = g.nx; ny = g.ny
+              la1 = 0.0; lo1 = g.lop; la2 = Double.NaN; lo2 = Double.NaN
+              dx = g.dxApp; dy = g.dyApp
+              resolution = g.resolution
+              earthRadius = g.earth.a; earthEcc = g.earth.e
+              spaceXp = g.xp; spaceYp = g.yp; spaceXo = g.xo; spaceYo = g.yo
+              spaceNr = g.nr
+              scanRaw = g.scan // 0 — enforced at parse
+              basicAngle = 0; rowCounts = null
+            } else if (tmpl == 10 || tmpl == 20 || tmpl == 30) {
               val g = parseProjected(payload, p, tmpl, shape, optListOctets)
               nx = g.nx; ny = g.ny; la1 = g.la1; lo1 = g.lo1
               la2 = g.la2; lo2 = g.lo2; dx = g.dx; dy = g.dy
@@ -1189,6 +1284,8 @@ object Grib2 {
                 satelliteNumber = satelliteNumber,
                 satelliteInstrument = satelliteInstrument,
                 satelliteWavenumber = satelliteWavenumber,
+                spaceXp = spaceXp, spaceYp = spaceYp,
+                spaceXo = spaceXo, spaceYo = spaceYo, spaceNr = spaceNr,
                 data = data)
             }
             // this field is done: clear its state so a repeated 4-7 group

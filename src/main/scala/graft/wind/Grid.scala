@@ -349,6 +349,52 @@ object Grid {
     finishPoints(df, lat, lon)
   }
 
+  /** Exploded point view of a space-view (template 3.90) grid: each pixel
+    * of the geostationary raster intersects its view ray with the earth
+    * figure — column-for-column the normalized-geostationary construction
+    * of [[Projection.SpaceView]] (GridSpec pins the parity), codegen'd
+    * trig, map-only. Off-disc pixels (negative discriminant) surface as
+    * lat = lon = NaN: `sqrt` of a negative is NaN in both engines and it
+    * propagates through the remaining arithmetic, so no branch is needed.
+    * Shared per-record scalars (the angular steps, c3, the discriminant
+    * chain) are STAGED as columns — the w07 expression-size discipline.
+    */
+  def toPointsSpaceView(records: DataFrame): DataFrame = {
+    val df = records.filter(col("gridDefinitionTemplate") === 90)
+      .select(
+        col("refTime").as("ref_time"),
+        col("parameterNumber").as("parameter"),
+        col("nx"), col("lo1").as("lop"), col("dx"), col("dy"),
+        col("spaceXp"), col("spaceYp"), col("spaceXo"), col("spaceYo"),
+        col("spaceNr").as("h"), col("earthEcc").as("ecc"),
+        posexplode(col("data")).as(Seq("pos", "value")))
+      // b/a of the figure and a²/b²; the apparent radius is equatorial in
+      // x, polar in y (Projection.SpaceView's convention, verbatim)
+      .withColumn("boa",
+        sqrt((lit(1.0) - col("ecc")) * (lit(1.0) + col("ecc"))))
+      .withColumn("c3", lit(1.0) / (col("boa") * col("boa")))
+      .withColumn("x",
+        (col("spaceXo") + pmod(col("pos"), col("nx")) - col("spaceXp")) *
+          (lit(2.0) * asin(lit(1.0) / col("h")) / col("dx")))
+      .withColumn("y",
+        (col("spaceYp") - col("spaceYo") - floor(col("pos") / col("nx"))) *
+          (lit(2.0) * asin(col("boa") / col("h")) / col("dy")))
+      .withColumn("q", cos(col("y")) * cos(col("y")) +
+        col("c3") * sin(col("y")) * sin(col("y")))
+      .withColumn("hc", col("h") * cos(col("x")) * cos(col("y")))
+      .withColumn("disc", col("hc") * col("hc") -
+        col("q") * (col("h") * col("h") - lit(1.0)))
+      .withColumn("sn", (col("hc") - sqrt(col("disc"))) / col("q"))
+      .withColumn("s1", col("h") - col("sn") * cos(col("x")) * cos(col("y")))
+      .withColumn("s2", col("sn") * sin(col("x")) * cos(col("y")))
+      .withColumn("s3", col("sn") * sin(col("y")))
+    val lat = degrees(atan(col("c3") * col("s3") /
+      sqrt(col("s1") * col("s1") + col("s2") * col("s2"))))
+    val lon = pmod(col("lop") + degrees(atan2(col("s2"), col("s1"))),
+      lit(360.0))
+    finishPoints(df, lat, lon)
+  }
+
   /** Inverse of [[toPoints]]: reassemble the flat array per record. */
   def implode(points: DataFrame): DataFrame =
     points

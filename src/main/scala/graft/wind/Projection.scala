@@ -377,6 +377,102 @@ object Projection {
     def inverse(x: Double, y: Double): (Double, Double) = rotatedToTrue(y, x)
   }
 
+  /** Space view perspective or orthographic — grid template 3.90 (the
+    * geostationary-satellite imagery convention; netCDF-Java models it as
+    * `Grib2Gds$SpaceViewPerspective`, so the wire octets are
+    * cross-checkable against the reference's own parser even though its
+    * grib2json CLI never emits the projection). The grid is the
+    * satellite's pixel raster: a camera at `nr` equatorial radii from the
+    * earth's centre above the sub-satellite point (latitude 0 —
+    * geostationary only; a non-zero Lap refuses at decode), scanning
+    * uniform ANGULAR steps. `dxApp`/`dyApp` are the template's "apparent
+    * diameter of earth in grid lengths": the equatorial disc subtends
+    * 2·asin(1/nr), so one pixel steps 2·asin(1/nr)/dxApp radians in x —
+    * and, on an oblate figure, 2·asin((b/a)/nr)/dyApp in y (the polar
+    * apparent radius; for the spherical fixtures the two coincide, and no
+    * oblate 3.90 product is known to circulate — documented
+    * interpretation risk like the rotated-grid γ). `xp`/`yp` are the
+    * sub-satellite point's FRACTIONAL pixel coordinates in the full-frame
+    * raster (wire 10⁻³ grid lengths) and `xo`/`yo` the sector origin —
+    * cell (i, j) of a sector sits at full-frame (xo + i, yo + j).
+    *
+    * The pixel→lat/lon inverse is the normalized geostationary
+    * construction of the public CGMS LRIT/HRIT spec (§4.4.3.2; the same
+    * math the GOES-R PUG publishes): intersect the view ray with the
+    * (possibly oblate) figure, take the NEAR root, convert geocentric →
+    * geodetic. Pixels whose ray misses the earth (negative discriminant)
+    * are off-disc: (NaN, NaN) — the limb sits exactly where the
+    * discriminant vanishes, pinned by ProjectionSpec together with the
+    * law-of-sines great-circle relation β = asin(nr·sin ξ) − ξ on the
+    * equatorial scan line and the forward∘inverse round-trip.
+    */
+  final case class SpaceView(earth: Earth, lopDeg: Double, nr: Double,
+      dxApp: Double, dyApp: Double, xp: Double, yp: Double,
+      xo: Double = 0.0, yo: Double = 0.0) {
+    require(nr > 1.0,
+      s"implausible space-view camera altitude $nr earth radii " +
+        "(the camera must sit above the surface)")
+    require(dxApp > 0 && dyApp > 0,
+      s"space-view apparent diameters must be positive ($dxApp, $dyApp)")
+    /** b/a of the earth figure (1 for spheres). */
+    private val boa = math.sqrt((1 - earth.e) * (1 + earth.e))
+    /** a²/b² — the geocentric↔geodetic latitude factor. */
+    private val c3 = 1.0 / (boa * boa)
+    /** Angular scan step per pixel, x: the equatorial apparent radius
+      * asin(1/nr) spans dxApp/2 pixels.
+      */
+    val stepX: Double = 2 * math.asin(1.0 / nr) / dxApp
+    /** Angular scan step per pixel, y: the POLAR apparent radius. */
+    val stepY: Double = 2 * math.asin(boa / nr) / dyApp
+
+    /** Sector cell (i, j) — canonical row-major, j south-positive — to
+      * (lat, lon in [0, 360)); (NaN, NaN) for off-disc pixels. Fractional
+      * cells are legal (the sub-satellite point itself is usually one).
+      */
+    def cellToLatLon(i: Double, j: Double): (Double, Double) = {
+      val x = (xo + i - xp) * stepX
+      val y = (yp - (yo + j)) * stepY
+      val cosx = math.cos(x); val sinx = math.sin(x)
+      val cosy = math.cos(y); val siny = math.sin(y)
+      // view ray from the camera at (nr, 0, 0): direction
+      // (−cosx·cosy, sinx·cosy, siny); intersect with
+      // X² + Y² + c3·Z² = 1 (units of a), near root
+      val q = cosy * cosy + c3 * siny * siny
+      val hc = nr * cosx * cosy
+      val disc = hc * hc - q * (nr * nr - 1.0)
+      if (disc < 0) (Double.NaN, Double.NaN)
+      else {
+        val sn = (hc - math.sqrt(disc)) / q
+        val s1 = nr - sn * cosx * cosy
+        val s2 = sn * sinx * cosy
+        val s3 = sn * siny
+        val sxy = math.sqrt(s1 * s1 + s2 * s2)
+        (math.toDegrees(math.atan(c3 * s3 / sxy)),
+          norm360(lopDeg + math.toDegrees(math.atan2(s2, s1))))
+      }
+    }
+
+    /** (lat, lon) degrees → fractional sector cell (i, j). Defined for
+      * any surface point; callers wanting visibility must check the
+      * round-trip (an over-the-limb point maps to a cell whose ray's NEAR
+      * intersection is a different point).
+      */
+    def latLonToCell(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val psi = math.atan(math.tan(math.toRadians(latDeg)) / c3) // geocentric
+      val cp = math.cos(psi); val sp = math.sin(psi)
+      val rho = 1.0 / math.sqrt(cp * cp + sp * sp * c3) // geocentric radius/a
+      val lam = math.toRadians(dLon(lonDeg, lopDeg))
+      val px = rho * cp * math.cos(lam)
+      val py = rho * cp * math.sin(lam)
+      val pz = rho * sp
+      val vx = px - nr // ray camera→point
+      val sn = math.sqrt(vx * vx + py * py + pz * pz)
+      val x = math.atan2(py, -vx)
+      val y = math.asin(pz / sn)
+      (x / stepX + xp - xo, yp - yo - y / stepY)
+    }
+  }
+
   /** Mercator with true scale at LaD — template 3.10. `lon0Deg` anchors
     * x = 0 (callers pass the grid's first-point longitude; only
     * differences matter). y = R·cos(LaD)·ln tan(π/4+φ/2), Snyder 7-1/7-2

@@ -96,6 +96,17 @@ object WindBinary {
       satelliteSeries: Int = -1, satelliteNumber: Int = -1,
       satelliteInstrument: Int = -1,
       satelliteWavenumber: Double = Double.NaN,
+      // grid template 3.90 (space view perspective — the geostationary
+      // imagery raster): sub-satellite point's fractional full-frame
+      // pixel (Xp, Yp; wire 10⁻³ grid lengths), sector origin (Xo, Yo;
+      // grid lengths), and camera altitude Nr in units of the equatorial
+      // radius. For 3.90 frames la1/lo1 carry Lap/Lop (Lap = 0 enforced:
+      // geostationary only), dx/dy the apparent diameters of the earth in
+      // grid lengths, and la2/lo2 are NaN (a pixel raster has no
+      // geographic corners). NaN for every other template
+      spaceXp: Double = Double.NaN, spaceYp: Double = Double.NaN,
+      spaceXo: Double = Double.NaN, spaceYo: Double = Double.NaN,
+      spaceNr: Double = Double.NaN,
       data: Array[Double])
 
   /** Read a directory of `.grb2` blobs via the binaryFile source. */

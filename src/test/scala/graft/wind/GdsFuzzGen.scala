@@ -36,7 +36,7 @@ object GdsFuzzGen {
     def micro(v: Double): Long = math.round(v * 1e6)
 
     val msgs = (0 until 50).map { _ =>
-      val tmpl = Seq(0, 1, 10, 20, 30, 40)(rnd.nextInt(6))
+      val tmpl = Seq(0, 1, 10, 20, 30, 40, 90)(rnd.nextInt(7))
       var nx = 2 + rnd.nextInt(7); var ny = 2 + rnd.nextInt(5)
       if (tmpl == 40) ny = 2 * (2 + rnd.nextInt(3)) // Nj = 2N enforced
       val base = Grib2TestWriter.Msg(
@@ -87,6 +87,20 @@ object GdsFuzzGen {
           base.copy(la1Micro = micro(60 + rnd.nextInt(21)),
             lo1Micro = micro(rnd.nextInt(300)),
             dxMicro = micro(0.5 + rnd.nextInt(4) * 0.5), dyMicro = 0)
+        case 90 =>
+          // space view (round 13): geostationary envelope — Lap 0 and
+          // orientation 0 (the decoder refuses anything else by name),
+          // random Lop / apparent diameters / sub-satellite pixel /
+          // sector origin / altitude. Nr stays in the GEO band (5.6-6.7
+          // radii) so the raster is physically plausible; the octet
+          // cross-check doesn't ray-trace, so off-disc sectors are fine
+          base.copy(la1Micro = 0L, lo1Micro = micro(rnd.nextInt(360)),
+            dxMicro = 100 + rnd.nextInt(5000),
+            dyMicro = 100 + rnd.nextInt(5000),
+            spaceXpMilli = rnd.nextInt(10000000),
+            spaceYpMilli = rnd.nextInt(10000000),
+            spaceNrMicroRaw = 5600000L + rnd.nextInt(1100000),
+            spaceXoRaw = rnd.nextInt(5000), spaceYoRaw = rnd.nextInt(5000))
         case 30 =>
           val south = rnd.nextBoolean()
           val sgn = if (south) -1 else 1
@@ -184,6 +198,22 @@ object GdsFuzzGen {
             " dX=" + nkm(g.dx) + " dY=" + nkm(g.dy) +
             " latin1=" + nd(g.latin1) + " latin2=" + nd(g.latin2) +
             " projCenterFlag=" + g.projCenter + "\n")
+        case 90 =>
+          // netCDF SpaceViewPerspective (bytecode-verified): LaP/LoP
+          // ×1e-6f, dX/dY plain i2f of the raw grid lengths, Xp/Yp
+          // ×1e-3f, orient/Nr ×1e-6f, and Xo/Yo ×1e-6f — netCDF's own
+          // quirk (WMO codes them as plain grid lengths; the engine
+          // stores the WMO reading, so the emulation re-applies the
+          // 1e-6f here); flags = the resolution octet
+          out.append("SV lap=" + 0.0f + " lop=" + nd(g.lo1) +
+            " dX=" + g.dx.toFloat + " dY=" + g.dy.toFloat +
+            " xp=" + (math.round(g.spaceXp * 1e3).toFloat * 1e-3f) +
+            " yp=" + (math.round(g.spaceYp * 1e3).toFloat * 1e-3f) +
+            " orient=" + 0.0f +
+            " nr=" + nf(math.round(g.spaceNr * 1e6)) +
+            " xo=" + nf(math.round(g.spaceXo)) +
+            " yo=" + nf(math.round(g.spaceYo)) +
+            " flags=" + g.resolution + "\n")
       }
     }
     (payload, out.toString)

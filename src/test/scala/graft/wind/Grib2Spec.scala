@@ -1213,8 +1213,65 @@ class Grib2Spec extends AnyFunSuite {
       .contains("quasi-regular point list"))
     assert(decodeErr(lambertMsg(scan = 0x08))
       .contains("scanning mode"))
-    // unknown projected-family template refuses by number
-    assert(decodeErr(msg().copy(gridTemplate = 90))
-      .contains("3.90"))
+    // unknown grid template refuses by number (3.90 decodes since round
+    // 13 — spaceViewMsg below; 3.50 spherical harmonics does not)
+    assert(decodeErr(msg().copy(gridTemplate = 50))
+      .contains("3.50"))
+  }
+
+  // --------------------------------------------------- space view (3.90)
+
+  /** A geostationary sector: GOES-West-style Lop 262°, Nr 6.61 radii,
+    * 9×7 cells of a 20-pixel-diameter disc, sub-satellite full-frame
+    * pixel (4, 3), sector origin (2, 1) — every cell on-disc.
+    */
+  private def spaceViewMsg(
+      m: Array[Long] = Array.tabulate(63)(i => (i * 37 % 101).toLong)) =
+    Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 9, ny = 7, la1Micro = 0L, lo1Micro = 262000000L,
+      dxMicro = 20, dyMicro = 20,
+      r = 0f, e = 0, d = 1, nbits = 10, m = m,
+      gridTemplate = 90,
+      spaceXpMilli = 4000L, spaceYpMilli = 3000L,
+      spaceNrMicroRaw = 6610000L, spaceXoRaw = 2L, spaceYoRaw = 1L)
+
+  test("grid template 3.90 decodes the space-view raster; unpinnable " +
+      "parameter combinations refuse by name") {
+    def decodeErr(m: Grib2TestWriter.Msg): String =
+      intercept[IllegalArgumentException] {
+        Grib2.decode(Grib2TestWriter.message(m))
+      }.getMessage
+    val g = Grib2.decode(Grib2TestWriter.message(spaceViewMsg())).head
+    assert(g.gridDefinitionTemplate == 90)
+    assert(g.nx == 9 && g.ny == 7 && g.numberPoints == 63)
+    assert(g.la1 == 0.0 && g.lo1 == 262.0) // Lap / Lop
+    assert(g.dx == 20.0 && g.dy == 20.0)   // apparent diameters
+    assert(g.la2.isNaN && g.lo2.isNaN)     // a raster has no corners
+    assert(g.spaceXp == 4.0 && g.spaceYp == 3.0)
+    assert(g.spaceXo == 2.0 && g.spaceYo == 1.0)
+    assert(g.spaceNr == 6.61)
+    assert(g.earthRadius == 6371229.0 && g.earthEcc == 0.0)
+    assert(g.scanMode == 0)
+    assert(g.data.length == 63)
+    assert(g.data(0) == 0.0 && g.data(1) == 3.7)
+    // non-space-view frames carry the NaN markers
+    val plain = Grib2.decode(Grib2TestWriter.message(msg())).head
+    assert(plain.spaceXp.isNaN && plain.spaceYp.isNaN && plain.spaceNr.isNaN)
+    // named refusals: non-geostationary Lap, rotated camera, missing or
+    // surface-level Nr, non-canonical scan, quasi-regular marker
+    assert(decodeErr(spaceViewMsg().copy(la1Micro = 1000000L))
+      .contains("sub-satellite latitude"))
+    assert(decodeErr(spaceViewMsg().copy(spaceOrientMicro = 45000000L))
+      .contains("orientation"))
+    assert(decodeErr(spaceViewMsg().copy(spaceNrMicroRaw = 0xffffffffL))
+      .contains("orthographic"))
+    assert(decodeErr(spaceViewMsg().copy(spaceNrMicroRaw = 900000L))
+      .contains("altitude"))
+    assert(decodeErr(spaceViewMsg().copy(scanMode = 0x40))
+      .contains("scanning mode"))
+    assert(decodeErr(spaceViewMsg().copy(thinnedListOctets = 1))
+      .contains("quasi-regular point list"))
   }
 }

@@ -128,7 +128,16 @@ object Grib2TestWriter {
       // nBands > 1 repeats the same descriptor for refusal tests)
       nBands: Int = 1, satSeries: Int = 16, satNumber: Int = 15,
       satInstrument: Int = 50, satScaleRaw: Int = 2,
-      satValueRaw: Long = 95275L)
+      satValueRaw: Long = 95275L,
+      // grid template 3.90 (space view): for it, `la1Micro`/`lo1Micro`
+      // carry Lap/Lop (micro-degrees) and `dxMicro`/`dyMicro` the RAW
+      // apparent diameters in grid lengths; the rest of the raster sits
+      // in its own octets — sub-satellite pixel (10⁻³ grid lengths),
+      // camera orientation (micro-degrees), altitude Nr (10⁻⁶ equatorial
+      // radii; raw so the missing sentinel is writable), sector origin
+      spaceXpMilli: Long = 0, spaceYpMilli: Long = 0,
+      spaceOrientMicro: Long = 0, spaceNrMicroRaw: Long = 6610000L,
+      spaceXoRaw: Long = 0, spaceYoRaw: Long = 0)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -271,6 +280,35 @@ object Grib2TestWriter {
         w.s32(-90000000L); w.w32(0) // southern pole of projection (unused)
       }
     }
+  }
+
+  /** Section 3 for template 3.90 (space view perspective), WMO octet
+    * layout — offsets cross-checked against netCDF's
+    * `Grib2Gds$SpaceViewPerspective` bytecode (GdsCheck / GdsFuzz).
+    */
+  private def sec3SpaceView(msg: Msg): Array[Byte] = section(3) { w =>
+    w.w8(0)                         // source of grid definition
+    w.w32(msg.nx.toLong * msg.ny)   // number of data points
+    w.w8(msg.thinnedListOctets)     // octets 11-12: optional list marker
+    w.w8(if (msg.thinnedListOctets != 0) 1 else 0)
+    w.w16(msg.gridTemplate)         // 90
+    w.w8(msg.earthShape)
+    w.w8(msg.radiusScale); w.w32(msg.radiusValue)
+    w.w8(msg.majorScale); w.w32(msg.majorValue)
+    w.w8(msg.minorScale); w.w32(msg.minorValue)
+    w.w32(msg.nx); w.w32(msg.ny)    // octets 31-38
+    w.s32(msg.la1Micro)             // Lap, octets 39-42
+    w.s32(msg.lo1Micro)             // Lop, octets 43-46 (signed on the wire)
+    w.w8(8)                         // resolution/component flags, octet 47
+    w.w32(msg.dxMicro)              // dx apparent diameter, octets 48-51
+    w.w32(msg.dyMicro)              // dy apparent diameter, octets 52-55
+    w.w32(msg.spaceXpMilli)         // Xp, octets 56-59 (10^-3 grid lengths)
+    w.w32(msg.spaceYpMilli)         // Yp, octets 60-63
+    w.w8(msg.scanMode)              // octet 64
+    w.s32(msg.spaceOrientMicro)     // orientation, octets 65-68
+    w.w32(msg.spaceNrMicroRaw)      // Nr, octets 69-72 (10^-6 radii, raw)
+    w.w32(msg.spaceXoRaw)           // Xo, octets 73-76
+    w.w32(msg.spaceYoRaw)           // Yo, octets 77-80
   }
 
   private def sec3(msg: Msg): Array[Byte] = section(3) { w =>
@@ -653,7 +691,8 @@ object Grib2TestWriter {
   }
 
   private def sec3Dispatch(msg: Msg): Array[Byte] =
-    if (msg.gridTemplate == 10 || msg.gridTemplate == 20 ||
+    if (msg.gridTemplate == 90) sec3SpaceView(msg)
+    else if (msg.gridTemplate == 10 || msg.gridTemplate == 20 ||
       msg.gridTemplate == 30) sec3Projected(msg)
     else sec3(msg)
 

@@ -418,6 +418,64 @@ class GridSpec extends SparkSpec {
     assert(Grid.toPointsLambert(latlon).count() == 0)
   }
 
+  test("toPointsSpaceView matches the geostationary inverse cell-for-cell " +
+      "and stays map-only") {
+    val vals = Array.tabulate(63)(i => (i * 37 % 101).toLong)
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 9, ny = 7, la1Micro = 0L, lo1Micro = 262000000L,
+      dxMicro = 20, dyMicro = 20,
+      r = 0f, e = 0, d = 1, nbits = 10, m = vals,
+      gridTemplate = 90,
+      spaceXpMilli = 4000L, spaceYpMilli = 3000L,
+      spaceNrMicroRaw = 6610000L, spaceXoRaw = 2L, spaceYoRaw = 1L))
+    val pts = Grid.toPointsSpaceView(df)
+    assert(!pts.queryExecution.executedPlan.toString.contains("Exchange"))
+    val sv = Projection.SpaceView(Projection.Earth(6371229.0, 0.0),
+      lopDeg = 262.0, nr = 6.61, dxApp = 20.0, dyApp = 20.0,
+      xp = 4.0, yp = 3.0, xo = 2.0, yo = 1.0)
+    val rows = pts.collect()
+    assert(rows.length == 63)
+    rows.foreach { r =>
+      val pos = r.getAs[Int]("pos")
+      val (lat, lon) = sv.cellToLatLon((pos % 9).toDouble, (pos / 9).toDouble)
+      assert(math.abs(r.getAs[Double]("lat") - lat) < 1e-9, s"pos $pos lat")
+      val dLon = ((r.getAs[Double]("lon") - lon) % 360 + 540) % 360 - 180
+      assert(math.abs(dLon) < 1e-9, s"pos $pos lon")
+      assert(r.getAs[Double]("value") == vals(pos) / 10.0)
+    }
+  }
+
+  test("toPointsSpaceView surfaces off-disc pixels as NaN, on-disc " +
+      "pixels decode") {
+    // a wide 40-cell sector of a 20-pixel disc: columns past the limb
+    // (|full-frame x - xp| > 10) view space
+    val vals = Array.tabulate(40)(i => (i * 37 % 101).toLong)
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 40, ny = 1, la1Micro = 0L, lo1Micro = 0L,
+      dxMicro = 20, dyMicro = 20,
+      r = 0f, e = 0, d = 1, nbits = 10, m = vals,
+      gridTemplate = 90,
+      // the sub-satellite point sits at a HALF-pixel so the limb falls
+      // strictly between columns (an exact-limb pixel's discriminant is
+      // a floating-point coin flip)
+      spaceXpMilli = 20500L, spaceYpMilli = 0L,
+      spaceNrMicroRaw = 6610000L))
+    val rows = Grid.toPointsSpaceView(df).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val pos = r.getAs[Int]("pos")
+      val offDisc = math.abs(pos - 20.5) > 10.0
+      assert(r.getAs[Double]("lat").isNaN == offDisc, s"pos $pos lat")
+      assert(r.getAs[Double]("lon").isNaN == offDisc, s"pos $pos lon")
+      // values survive regardless — the pixel is data either way
+      assert(r.getAs[Double]("value") == vals(pos) / 10.0)
+    }
+  }
+
   test("implode is the inverse of toPoints") {
     val back = Grid.implode(Grid.toPoints(mini(2, uVals))).collect()
     assert(back.length == 1)

@@ -125,6 +125,23 @@ object ProjFixtureGen {
     prodTemplate = 30, satSeries = 16, satNumber = 15,
     satInstrument = 50, satScaleRaw = 2, satValueRaw = 95275L)
 
+  /** Grid template 3.90 (space view): a GOES-West-style geostationary
+    * sector — Lop 262°, Nr 6.61 equatorial radii, a 20-pixel apparent
+    * disc, 9×7 sector at origin (2, 1) with the sub-satellite point at
+    * full-frame pixel (4, 3) — every cell on-disc. The committed
+    * `spaceview390.grb2` resource backing `w11_spaceview_points`.
+    */
+  def spaceview390: Grib2TestWriter.Msg = Grib2TestWriter.Msg(
+    discipline = 0, category = 2, number = 2,
+    year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+    nx = 9, ny = 7, la1Micro = 0L, lo1Micro = 262000000L,
+    dxMicro = 20, dyMicro = 20,
+    r = 0f, e = 0, d = 1, nbits = 10,
+    m = Array.tabulate(63)(i => (i * 37 % 101).toLong),
+    gridTemplate = 90,
+    spaceXpMilli = 4000L, spaceYpMilli = 3000L,
+    spaceNrMicroRaw = 6610000L, spaceXoRaw = 2L, spaceYoRaw = 1L)
+
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/projfix")
     dir.mkdirs()
@@ -134,7 +151,7 @@ object ProjFixtureGen {
       "rotated31" -> rotated31, "rotated31a" -> rotated31a,
       "der42" -> der42, "prob49" -> prob49, "prob45" -> prob45,
       "pctl6" -> pctl6, "pctl10" -> pctl10, "spat15" -> spat15,
-      "sat30" -> sat30)) {
+      "sat30" -> sat30, "spaceview390" -> spaceview390)) {
       val f = new java.io.File(dir, s"$name.grb2")
       val out = new java.io.FileOutputStream(f)
       try out.write(Grib2TestWriter.message(m)) finally out.close()

@@ -462,4 +462,128 @@ class ProjectionSpec extends AnyFunSuite {
       Projection.earthModel(3, 0, 0, 0, 6378137L, 0, 6356752L)) // km-coded ×10³
     assert(huge.getMessage.contains("implausible"), huge.getMessage)
   }
+
+  // ------------------------------------------------- space view (3.90)
+
+  private val geoSphere = Projection.SpaceView(
+    Projection.Earth(R, 0.0), lopDeg = 262.0, nr = 6.61,
+    dxApp = 20.0, dyApp = 20.0, xp = 4.0, yp = 3.0, xo = 2.0, yo = 1.0)
+
+  test("space view: sub-satellite pixel maps to (0, Lop) and back") {
+    // the sub-satellite point sits at full-frame (xp, yp) = sector cell
+    // (xp - xo, yp - yo)
+    val (lat, lon) = geoSphere.cellToLatLon(2.0, 2.0)
+    assert(math.abs(lat) < 1e-12, s"lat $lat")
+    assert(math.abs(lon - 262.0) < 1e-12, s"lon $lon")
+    val (i, j) = geoSphere.latLonToCell(0.0, 262.0)
+    assert(math.abs(i - 2.0) < 1e-12 && math.abs(j - 2.0) < 1e-12, (i, j))
+  }
+
+  test("space view: cell -> lat/lon -> cell round-trip over the sector") {
+    for (i <- 0 to 8; j <- 0 to 6) {
+      val (lat, lon) = geoSphere.cellToLatLon(i.toDouble, j.toDouble)
+      assert(!lat.isNaN, s"cell ($i, $j) unexpectedly off-disc")
+      val (i2, j2) = geoSphere.latLonToCell(lat, lon)
+      assert(math.abs(i2 - i) < 1e-9, s"cell ($i, $j) -> i $i2")
+      assert(math.abs(j2 - j) < 1e-9, s"cell ($i, $j) -> j $j2")
+    }
+  }
+
+  test("space view: equatorial scan line obeys the law-of-sines relation " +
+      "and rows/columns bend the right way") {
+    // on the y = 0 scan line of a sphere the earth-centre angle β of the
+    // viewed point satisfies β = asin(nr·sin ξ) − ξ (triangle
+    // centre—camera—surface point) — an independent closed form the full
+    // ray-intersection must reproduce
+    for (i <- 0 to 8 if i != 2) {
+      val (lat, lon) = geoSphere.cellToLatLon(i.toDouble, 2.0)
+      assert(math.abs(lat) < 1e-12, s"equatorial row bent to lat $lat")
+      val xi = (2.0 + i - 4.0) * geoSphere.stepX
+      val beta = math.asin(6.61 * math.sin(math.abs(xi))) - math.abs(xi)
+      val dLon = ((lon - 262.0) % 360 + 540) % 360 - 180
+      assert(math.abs(math.abs(math.toRadians(dLon)) - beta) < 1e-12,
+        s"cell $i: |Δλ| ${math.toRadians(dLon)} vs law-of-sines $beta")
+      assert(dLon.sign == xi.sign, s"cell $i: +x must step east")
+    }
+    // +y steps north
+    val (latN, _) = geoSphere.cellToLatLon(2.0, 1.0)
+    val (latS, _) = geoSphere.cellToLatLon(2.0, 3.0)
+    assert(latN > 0 && latS < 0, s"north/south: $latN / $latS")
+  }
+
+  test("space view: the limb sits exactly at the apparent radius — " +
+      "inside decodes, outside is NaN") {
+    // the disc spans dxApp pixels: its edge is dxApp/2 = 10 pixels from
+    // the sub-satellite pixel; full-frame x = xp ± 10
+    val justIn = geoSphere.cellToLatLon(4.0 + 10.0 - 2.0 - 1e-9, 2.0)
+    assert(!justIn._1.isNaN, "just-inside limb pixel must decode")
+    val justOut = geoSphere.cellToLatLon(4.0 + 10.0 - 2.0 + 1e-9, 2.0)
+    assert(justOut._1.isNaN && justOut._2.isNaN,
+      "just-outside limb pixel must be (NaN, NaN)")
+    // at the limb itself the viewed point grazes the horizon: the ray is
+    // tangent, so the earth-centre angle is acos(1/nr)
+    val (lat, lon) = geoSphere.cellToLatLon(12.0, 2.0) // exactly xp + 10
+    assert(math.abs(lat) < 1e-6)
+    val dLon = ((lon - 262.0) % 360 + 540) % 360 - 180
+    assert(math.abs(math.toRadians(dLon) - math.acos(1 / 6.61)) < 1e-6,
+      s"limb longitude $dLon vs horizon ${math.toDegrees(math.acos(1 / 6.61))}")
+  }
+
+  test("space view on an oblate figure: geodetic latitudes, polar " +
+      "apparent radius in y, sphere limit bit-identical") {
+    val wgs = Projection.earthModel(5, 0, 0)
+    val sv = Projection.SpaceView(wgs, lopDeg = 0.0, nr = 6.61,
+      dxApp = 20.0, dyApp = 20.0, xp = 10.0, yp = 10.0)
+    // y-step uses the POLAR apparent radius: smaller than x-step by b/a
+    val boa = math.sqrt((1 - wgs.e) * (1 + wgs.e))
+    assert(sv.stepY < sv.stepX)
+    assert(math.abs(sv.stepY / sv.stepX -
+      math.asin(boa / 6.61) / math.asin(1 / 6.61)) < 1e-12)
+    // a point on the y axis: its GEOCENTRIC latitude ψ from the raw
+    // intersection must satisfy tan(geodetic) = (a²/b²)·tan ψ — checked
+    // via the round-trip (latLonToCell re-derives ψ independently)
+    // in-disc cells (the 10-pixel disc: radial offset from (10, 10) < 10)
+    for ((i, j) <- Seq((3.0, 6.0), (10.0, 2.0), (16.0, 14.0), (6.0, 17.0),
+        (14.5, 4.5), (10.0, 18.5))) {
+      val (lat, lon) = sv.cellToLatLon(i, j)
+      assert(!lat.isNaN, s"($i, $j) off-disc")
+      val (i2, j2) = sv.latLonToCell(lat, lon)
+      assert(math.abs(i2 - i) < 1e-9 && math.abs(j2 - j) < 1e-9,
+        s"oblate round-trip ($i, $j) -> ($i2, $j2)")
+    }
+    // e = 0 collapses every oblate factor exactly: equal steps (boa = 1
+    // exactly), and the general law-of-sines pin holds at EVERY cell —
+    // the ray's off-nadir angle θ has cos θ = cos x · cos y, and on a
+    // sphere the viewed point must sit the earth-centre angle
+    // β = asin(nr·sin θ) − θ away from the sub-satellite point along a
+    // great circle (the 1-D relation of the equatorial test, rotated
+    // about the axially-symmetric view axis)
+    val sph = Projection.SpaceView(Projection.Earth(R, 0.0), 0.0, 6.61,
+      20.0, 20.0, 10.0, 10.0)
+    assert(sph.stepX == sph.stepY)
+    for (i <- Seq(4.0, 10.0, 13.0, 17.0); j <- Seq(3.0, 8.0, 10.0, 16.0)) {
+      val (lat, lon) = sph.cellToLatLon(i, j)
+      assert(!lat.isNaN, s"($i, $j) off-disc")
+      val x = (i - 10.0) * sph.stepX; val y = (10.0 - j) * sph.stepY
+      val theta = math.acos(math.cos(x) * math.cos(y))
+      val beta = math.asin(6.61 * math.sin(theta)) - theta
+      val gc = math.acos(math.cos(math.toRadians(lat)) *
+        math.cos(math.toRadians(lon - 0.0) match {
+          case d => if (d > math.Pi) d - 2 * math.Pi else d
+        }))
+      assert(math.abs(gc - beta) < 1e-9,
+        s"($i, $j): great-circle $gc vs law-of-sines $beta")
+    }
+  }
+
+  test("space view constructor refusals: surface-level camera, " +
+      "non-positive apparent diameters") {
+    val e = Projection.Earth(R, 0.0)
+    assert(intercept[IllegalArgumentException](
+      Projection.SpaceView(e, 0.0, 1.0, 20.0, 20.0, 0.0, 0.0))
+      .getMessage.contains("altitude"))
+    assert(intercept[IllegalArgumentException](
+      Projection.SpaceView(e, 0.0, 6.61, 0.0, 20.0, 0.0, 0.0))
+      .getMessage.contains("apparent"))
+  }
 }

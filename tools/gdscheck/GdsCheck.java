@@ -83,6 +83,19 @@ public class GdsCheck {
             + " la2=" + mc.la2 + " lo2=" + mc.lo2 + " lad=" + mc.lad
             + " dX=" + mc.dX + " dY=" + mc.dY);
         }
+        if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.SpaceViewPerspective) {
+          // 3.90 space view (round 13): netCDF reads LaP/LoP x1e-6,
+          // dX/dY as raw grid lengths, Xp/Yp x1e-3, orient/Nr x1e-6 and
+          // -- its own quirk -- Xo/Yo x1e-6 (WMO codes them as plain
+          // grid lengths); `flags` is the resolution octet 47
+          ucar.nc2.grib.grib2.Grib2Gds.SpaceViewPerspective sv =
+            (ucar.nc2.grib.grib2.Grib2Gds.SpaceViewPerspective) gds;
+          System.out.println("SV lap=" + sv.LaP + " lop=" + sv.LoP
+            + " dX=" + sv.dX + " dY=" + sv.dY
+            + " xp=" + sv.Xp + " yp=" + sv.Yp
+            + " orient=" + sv.orient + " nr=" + sv.Nr
+            + " xo=" + sv.Xo + " yo=" + sv.Yo + " flags=" + sv.flags);
+        }
       }
       p += (int) len;
       if (sec == 7) { /* next message would need envelope walk; single msg fine */ }

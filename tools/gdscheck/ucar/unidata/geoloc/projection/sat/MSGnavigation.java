@@ -1,0 +1,9 @@
+package ucar.unidata.geoloc.projection.sat;
+/** LINKING STUB (see README): never executed — SpaceViewPerspective's
+  * makeHorizCoordSys references it, and the JVM verifier resolves the
+  * class when loading Grib2Gds$SpaceViewPerspective. GdsCheck never
+  * calls makeHorizCoordSys, so the constructor body is unreachable. */
+public class MSGnavigation extends ucar.unidata.geoloc.ProjectionImpl {
+  public MSGnavigation(double a, double b, double c, double d,
+      double e, double f, double g) {}
+}
