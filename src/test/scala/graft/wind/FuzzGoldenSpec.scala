@@ -35,7 +35,7 @@ class FuzzGoldenSpec extends AnyFunSuite {
   }
 
   test("grid-section fuzz dump matches the netCDF-verified golden " +
-      "(50 grids, 5 templates)") {
+      "(50 grids, 7 templates incl. 3.90 space view)") {
     val (_, dump) = GdsFuzzGen.generate()
     val want = golden("gdsfuzz.expected")
     assert(dump == want, firstDiff(dump, want))

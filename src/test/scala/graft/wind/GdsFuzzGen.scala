@@ -3,9 +3,9 @@ package graft.wind
 /** Randomized grid-section cross-check harness (round 13, the section-3
   * sibling of [[PdsFuzzGen]]): writes a multi-message file of
   * seeded-random grid templates (3.0 lat/lon, 3.1 rotated, 3.10 Mercator,
-  * 3.20 polar stereographic both poles, 3.30 Lambert both hemispheres)
-  * plus THIS ENGINE's decode printed in `tools/gdscheck/GdsCheck.java`'s
-  * exact output format:
+  * 3.20 polar stereographic both poles, 3.30 Lambert both hemispheres,
+  * 3.40 gaussian, 3.90 space view) plus THIS ENGINE's decode printed in
+  * `tools/gdscheck/GdsCheck.java`'s exact output format:
   *
   *   sbt "Test/runMain graft.wind.GdsFuzzGen /tmp/gdsfuzz"
   *   cd tools/gdscheck
