@@ -2882,6 +2882,174 @@ object ExtensionQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- URL dedup / mixture (r13)
+
+  /** URL-based deduplication (the RefinedWeb/CCNet crawl-side first pass:
+    * one canonical URL keeps one document — cheaper than any content
+    * dedup because the key is metadata). The corpus carries no URL
+    * column, so each document gets a DETERMINISTIC doc_id-derived URL
+    * (the x42 PII-decoration precedent: zero-signal corpora get decorated
+    * with the artifact under test — scheme, mixed-case host, optional
+    * `www.`, trailing slash, query string, fragment — so the
+    * canonicalizer has every variant class to normalize). Canonical form:
+    * drop fragment → drop query → drop scheme → drop leading `www.` →
+    * lowercase → drop trailing `/`. Survivor per canonical URL = longest
+    * text, ties to the smallest doc_id (the x51 survivor rule).
+    *
+    * Scale: one groupBy-sized window keyed on the canonical URL (at
+    * 100 TB the canonical key is ~the page count; no skew — hosts spread
+    * by construction, and a pathological mega-host shards on the full
+    * canonical string, not the host). Everything else is map-only string
+    * work; `split_part`/`regexp_replace`/`lower` are codegen'd built-ins
+    * shared verbatim by the oracle.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val url = concat(
+      lit("https://"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
+      lit("Site"), pmod(col("doc_id"), lit(7)), lit(".Example.com/p/"),
+      pmod(col("doc_id"), lit(50)),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("?utm_source=feed"), pmod(col("doc_id"), lit(5))))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0, lit("#sec")).otherwise(lit(""))
+    )
+    val canon = regexp_replace(
+      regexp_replace(
+        lower(split_part(split_part(col("url"), lit("#"), lit(1)),
+          lit("?"), lit(1))),
+        "^https://(www\\.)?", ""),
+      "/$", "")
+    val w = Window.partitionBy(col("canon"))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("url", url)
+      .withColumn("canon", canon)
+    d.withColumn("n_dupes", count(lit(1)).over(w))
+      .withColumn("keep",
+        row_number().over(w.orderBy(col("n_chars").desc, col("doc_id"))) === 1)
+      .select(col("doc_id"), col("url"), col("canon"),
+        col("n_dupes").cast("long").as("n_dupes"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val urlDedupSql =
+    """WITH u AS (
+      |  SELECT doc_id, n_chars,
+      |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+      |      || 'Site' || (doc_id % 7) || '.Example.com/p/' || (doc_id % 50)
+      |      || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+      |      || CASE WHEN doc_id % 2 = 0
+      |           THEN '?utm_source=feed' || (doc_id % 5) ELSE '' END
+      |      || CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_chars, url,
+      |    regexp_replace(regexp_replace(
+      |      lower(split_part(split_part(url, '#', 1), '?', 1)),
+      |      '^https://(www\.)?', ''), '/$', '') AS canon
+      |  FROM u)
+      |SELECT doc_id, url, canon,
+      |  CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) AS n_dupes,
+      |  row_number() OVER (PARTITION BY canon
+      |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Temperature-scaled source mixture (the UniMax / multilingual-T5
+    * sampling rule at T = 2): a source's sampling weight is
+    * `n_tokens^(1/T)` = √n — flattening the corpus's natural size
+    * imbalance without inverting it — with the UniMax cap (never request
+    * more than a source HAS; no upsampling). T = 2 is chosen
+    * deliberately: IEEE-754 `sqrt` is correctly rounded in BOTH engines,
+    * so the weights are bit-identical, and micro-quantizing them to
+    * integer milli-units (`round(√n · 1e3)`) makes every downstream
+    * division exact-integer — the whole plan is engine-portable with NO
+    * floating point in any output column (the x26/x47 micro-quantization
+    * pattern). Budget = half the corpus tokens; per-source targets by
+    * exact integer proration; the realized sample re-runs x23's portable
+    * doc-hash thresholding at parts-per-million resolution, so the
+    * SELECTED SET ITSELF (not just the plan) is engine-portable.
+    *
+    * Scale: the plan side is one partial-aggregated groupBy to |sources|
+    * rows + a broadcast of the totals; the realization is one map-only
+    * hash filter + the same groupBy — no window, no skew. The bigint
+    * proration `budget · wq` stays in range through ~10¹⁴-token corpora
+    * (2.5e13 · 5e9 ≈ 2^67 overflows first); past that the two factors
+    * move to decimal(38) on both engines, a spelling change only.
+    */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    val inv = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("wq",
+        round(sqrt(col("n_tokens").cast("double")) * lit(1e3)).cast("long"))
+    val tot = inv.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("wq")).as("tot_wq"))
+    val plan = inv.crossJoin(broadcast(tot))
+      // `div` is INTEGER division (Spark's `/` on longs returns double);
+      // DuckDB's `//` twin is the same floor for these all-positive terms
+      .withColumn("budget", expr("tot_tokens div 2"))
+      .withColumn("target_tokens", expr("(budget * wq) div tot_wq"))
+      .withColumn("capped_tokens", least(col("target_tokens"), col("n_tokens")))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(capped_tokens * 1000000) div n_tokens")))
+    val sel = docs
+      .join(broadcast(plan.select(col("source"), col("rate_ppm"))), "source")
+      .filter(pmod(graft.Portable.hash32(col("doc_id").cast("string"),
+        TempMixSalt), lit(1000000L)) < col("rate_ppm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sel_docs"), sum(col("n_toks")).as("sel_tokens"))
+    plan.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("wq"),
+        col("target_tokens"), col("capped_tokens"), col("rate_ppm"),
+        coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),
+        coalesce(col("sel_tokens"), lit(0L)).as("sel_tokens"))
+      .orderBy("source")
+  }
+
+  private val TempMixSalt = "x62mix"
+
+  private val temperatureMixtureSql = {
+    val h = graft.Portable.sqlHash32("CAST(doc_id AS VARCHAR)", TempMixSalt)
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |inv AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(round(sqrt(CAST(sum(n_toks) AS DOUBLE)) * 1e3) AS BIGINT)
+       |      AS wq
+       |  FROM d GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+       |    CAST(sum(wq) AS BIGINT) AS tot_wq FROM inv),
+       |plan AS (
+       |  SELECT inv.*, tot_tokens // 2 AS budget,
+       |    (tot_tokens // 2) * wq // tot_wq AS target_tokens,
+       |    least((tot_tokens // 2) * wq // tot_wq, n_tokens)
+       |      AS capped_tokens,
+       |    least(1000000,
+       |      least((tot_tokens // 2) * wq // tot_wq, n_tokens) * 1000000
+       |        // n_tokens) AS rate_ppm
+       |  FROM inv, tot),
+       |sel AS (
+       |  SELECT d.source, CAST(count(*) AS BIGINT) AS sel_docs,
+       |    CAST(sum(d.n_toks) AS BIGINT) AS sel_tokens
+       |  FROM d JOIN plan ON d.source = plan.source
+       |  WHERE $h % 1000000 < plan.rate_ppm
+       |  GROUP BY d.source)
+       |SELECT plan.source, n_docs, n_tokens, wq, target_tokens,
+       |  capped_tokens, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+       |  CAST(coalesce(sel_docs, 0) AS BIGINT) AS sel_docs,
+       |  CAST(coalesce(sel_tokens, 0) AS BIGINT) AS sel_tokens
+       |FROM plan LEFT JOIN sel ON plan.source = sel.source
+       |ORDER BY plan.source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -2964,6 +3132,9 @@ object ExtensionQueries {
       qualityClassifier),
     QueryDef("x60_leakage_safe_split", Some(leakageSafeSplitSql),
       leakageSafeSplit),
+    QueryDef("x61_url_dedup", Some(urlDedupSql), urlDedup),
+    QueryDef("x62_temperature_mixture", Some(temperatureMixtureSql),
+      temperatureMixture),
   )
 
 }

@@ -693,4 +693,88 @@ class CurationOpsSpec extends SparkSpec {
       "both splits are populated at this corpus size")
   }
 
+  test("x61 url dedup: canonicalization merges every decorated variant " +
+      "class; exactly one survivor per canonical url, longest-text rule") {
+    val rows = ExtensionQueries.urlDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4)))
+    // the canonical form strips scheme/www/query/fragment/trailing slash
+    // and lowercases — recompute it independently from the URL string
+    rows.foreach { case (_, url, canon, _, _) =>
+      val c = url.replaceAll("#.*$", "").replaceAll("\\?.*$", "")
+        .toLowerCase.stripPrefix("https://").replaceAll("^www\\.", "")
+        .stripSuffix("/")
+      assert(canon == c, s"canon mismatch for $url")
+      assert(!canon.contains("?") && !canon.contains("#") &&
+        canon == canon.toLowerCase && !canon.startsWith("www."))
+    }
+    // group discipline: n_dupes is the true group size; ONE keeper per
+    // group, and it's the longest text (ties to smallest doc_id)
+    val nChars = graft.Tables.documents(spark, dir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._3).foreach { case (canon, g) =>
+      assert(g.forall(_._4 == g.length), s"n_dupes wrong for $canon")
+      val keepers = g.filter(_._5)
+      assert(keepers.length == 1, s"$canon has ${keepers.length} keepers")
+      val want = g.map(_._1).minBy(id => (-nChars(id), id))
+      assert(keepers.head._1 == want,
+        s"$canon kept ${keepers.head._1}, want $want (longest text)")
+    }
+    // the decoration produces real duplicate groups (the op has signal)
+    assert(rows.exists(_._4 > 1), "no duplicate url groups on this corpus")
+    assert(rows.count(_._5) == rows.map(_._3).distinct.length)
+  }
+
+  test("x62 temperature mixture: sqrt weighting flattens toward small " +
+      "sources, exact integer proration, realized sample matches the " +
+      "ppm thresholds") {
+    val rows = ExtensionQueries.temperatureMixture(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    val totTokens = rows.map(_._3).sum
+    val totWq = rows.map(_._4).sum
+    val budget = totTokens / 2
+    rows.foreach { case (src, _, nTok, wq, target, capped, ppm, selD, selT) =>
+      assert(wq == math.round(math.sqrt(nTok.toDouble) * 1e3), src)
+      assert(target == budget * wq / totWq, src)
+      assert(capped == math.min(target, nTok), src)
+      assert(ppm == math.min(1000000L, capped * 1000000L / nTok), src)
+      assert(ppm >= 0 && ppm <= 1000000L, src)
+      assert(selD >= 0 && selT >= 0, src)
+    }
+    // temperature flattening: sampling RATE (ppm) never increases with
+    // source size — the defining property vs a linear (T = 1) mixture,
+    // under which every uncapped rate would be EQUAL; sqrt gives the
+    // smaller source the strictly higher rate
+    val bySize = rows.sortBy(_._3)
+    bySize.sliding(2).foreach { case Array(small, large) =>
+      assert(small._7 >= large._7,
+        s"rate must not grow with size: ${small._1} ${small._7} ppm vs " +
+          s"${large._1} ${large._7} ppm")
+    }
+    // the realized sample is exactly the ppm-thresholded doc set
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ppmBySrc = rows.map(r => r._1 -> r._7).toMap
+    val want = docs.filter { case (id, src, _) =>
+      graft.Portable.hash32JVM(id.toString, "x62mix") % 1000000L <
+        ppmBySrc(src)
+    }.groupBy(_._2)
+    rows.foreach { case (src, _, _, _, _, _, _, selD, selT) =>
+      val w = want.getOrElse(src, Array.empty[(Long, String, Long)])
+      assert(selD == w.length, s"$src sel_docs")
+      assert(selT == w.map(_._3).sum, s"$src sel_tokens")
+    }
+    // budget discipline: the capped request never exceeds the budget by
+    // more than the flattening can ask (each term ≤ its prorated target
+    // cap), and at least one source is genuinely capped or sub-budget
+    assert(rows.map(_._6).sum <= budget + rows.length,
+      "sum of capped targets blows the budget beyond rounding slack")
+  }
+
 }
