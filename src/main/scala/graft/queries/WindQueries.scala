@@ -485,6 +485,40 @@ object WindQueries {
       |  CAST(pos * 37 % 101 AS DOUBLE) / 10 AS value
       |FROM v ORDER BY pos""".stripMargin
 
+  /** Curvilinear-orthogonal addressing (round 13): the binary decoder
+    * reads the committed 3.204 fixture (the NCEP RTOFS ocean-raster
+    * convention — the GDS carries NO geolocation; companion NLAT/ELON
+    * fields, discipline 0 category 191 parameters 1/2, carry each cell's
+    * coordinates) and [[graft.wind.Grid.toPointsCurvilinear]] joins the
+    * three rasters positionally. The oracle replays all three packed
+    * value streams generatively — every output column is an exact /10
+    * decimal, so no rounding is needed. Wire octets netCDF-cross-checked
+    * (`Grib2Gds$CurvilinearOrthogonal`: flags octet 55, scan octet 72).
+    */
+  def curvilinearPoints(spark: SparkSession, dir: String): DataFrame = {
+    val in = getClass.getResourceAsStream("/graft/wind/curvilinear204.grb2")
+    require(in != null, "missing curvilinear204.grb2 resource")
+    val bytes = try in.readAllBytes() finally in.close()
+    val all = spark.createDataFrame(graft.wind.Grib2.decode(bytes))
+    val geo = col("parameterCategory") === 191
+    Grid.toPointsCurvilinear(
+        all.filter(!geo),
+        all.filter(geo && col("parameterNumber") === 1),
+        all.filter(geo && col("parameterNumber") === 2))
+      .select(col("pos").cast("long").as("pos"),
+        col("lat"), col("lon"), col("value"))
+      .orderBy("pos")
+  }
+
+  // fixture constants: 8×5 raster; value (i·37 mod 101)/10,
+  // NLAT (i·13 mod 89)/10, ELON (i·29 mod 143)/10 — exact decimals
+  private val curvilinearPointsSql =
+    """SELECT CAST(pos AS BIGINT) AS pos,
+      |  CAST(pos * 13 % 89 AS DOUBLE) / 10 AS lat,
+      |  CAST(pos * 29 % 143 AS DOUBLE) / 10 AS lon,
+      |  CAST(pos * 37 % 101 AS DOUBLE) / 10 AS value
+      |FROM (SELECT unnest(range(40)) AS pos) ORDER BY pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("w01_decoded_records", Some(decodedRecordsSql), decodedRecords),
     QueryDef("w02_uv_filter", Some(uvFilterSql), uvFilter),
@@ -497,5 +531,7 @@ object WindQueries {
     QueryDef("w09_rotated_points", Some(rotatedPointsSql), rotatedPoints),
     QueryDef("w10_ensemble_products", Some(ensembleProductsSql), ensembleProducts),
     QueryDef("w11_spaceview_points", Some(spaceViewPointsSql), spaceViewPoints),
+    QueryDef("w12_curvilinear_points", Some(curvilinearPointsSql),
+      curvilinearPoints),
   )
 }

@@ -755,7 +755,7 @@ object Grib2 {
             //        3.10 Mercator, 3.20 polar-stereographic, 3.30 Lambert
             val tmpl = u16(payload, p + 12)
             require(tmpl == 0 || tmpl == 1 || tmpl == 10 || tmpl == 20 ||
-              tmpl == 30 || tmpl == 40 || tmpl == 90,
+              tmpl == 30 || tmpl == 40 || tmpl == 90 || tmpl == 204,
               s"unsupported grid template 3.$tmpl")
             gridTmpl = tmpl
             // octets 11-12: optional list of numbers — non-zero entry width
@@ -787,6 +787,37 @@ object Grib2 {
               spaceXp = g.xp; spaceYp = g.yp; spaceXo = g.xo; spaceYo = g.yo
               spaceNr = g.nr
               scanRaw = g.scan // 0 — enforced at parse
+              basicAngle = 0; rowCounts = null
+            } else if (tmpl == 204) {
+              // curvilinear orthogonal (NCEP-local — the RTOFS ocean
+              // rasters): the GDS carries NO geolocation; each cell's
+              // lat/lon lives in companion NLAT/ELON fields of the same
+              // product family, joined positionally downstream
+              // ([[Grid.toPointsCurvilinear]]). The octets that exist
+              // mirror 3.0 — Ni/Nj at 31-38, resolution flags at 55,
+              // scan at 72 (netCDF Grib2Gds$CurvilinearOrthogonal
+              // bytecode: getOctet(55)/getOctet(72)); the geographic
+              // octets are reserved and surface as NaN
+              require(optListOctets == 0,
+                "unsupported quasi-regular point list on curvilinear " +
+                  "grid template 3.204")
+              val earth = Projection.earthModel(shape,
+                u8(payload, p + 15), u32(payload, p + 16),
+                u8(payload, p + 20), u32(payload, p + 21),
+                u8(payload, p + 25), u32(payload, p + 26))
+              earthRadius = earth.a; earthEcc = earth.e
+              nx = u32(payload, p + 30).toInt
+              ny = u32(payload, p + 34).toInt
+              require(nx >= 1 && ny >= 1, s"curvilinear grid ${nx}x$ny")
+              resolution = u8(payload, p + 54)       // octet 55
+              val scan = u8(payload, p + 71)         // octet 72
+              require((scan & 0x0f) == 0,
+                f"unsupported scanning mode 0x$scan%02x " +
+                  "(bits 5-8: staggered/offset grids)")
+              scanRaw = scan
+              la1 = Double.NaN; lo1 = Double.NaN
+              la2 = Double.NaN; lo2 = Double.NaN
+              dx = Double.NaN; dy = Double.NaN
               basicAngle = 0; rowCounts = null
             } else if (tmpl == 10 || tmpl == 20 || tmpl == 30) {
               val g = parseProjected(payload, p, tmpl, shape, optListOctets)

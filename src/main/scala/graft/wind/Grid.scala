@@ -395,6 +395,33 @@ object Grid {
     finishPoints(df, lat, lon)
   }
 
+  /** Exploded point view of a curvilinear-orthogonal (template 3.204,
+    * NCEP-local — the RTOFS ocean rasters) grid: the GDS carries no
+    * geolocation, so each cell's coordinates come from the product
+    * family's companion NLAT/ELON fields (the RTOFS convention: the
+    * lat/lon of every cell are themselves distributed as GRIB2 fields on
+    * the same raster). Addressing = positional equi-join of the three
+    * exploded rasters — the decoder normalizes ALL fields of a product
+    * to canonical scan order, so `pos` is a shared key by construction.
+    * Scale: each leg explodes map-only; the two joins share one hash
+    * partitioning on `pos` (Spark plans one exchange per leg, reused
+    * across both joins — no re-shuffle between them).
+    */
+  def toPointsCurvilinear(values: DataFrame, lats: DataFrame,
+      lons: DataFrame): DataFrame = {
+    def leg(df: DataFrame, name: String) =
+      df.filter(col("gridDefinitionTemplate") === 204)
+        .select(posexplode(col("data")).as(Seq("pos", name)))
+    val v = values.filter(col("gridDefinitionTemplate") === 204)
+      .select(
+        col("refTime").as("ref_time"),
+        col("parameterNumber").as("parameter"),
+        posexplode(col("data")).as(Seq("pos", "value")))
+    v.join(leg(lats, "lat"), Seq("pos"))
+      .join(leg(lons, "lon"), Seq("pos"))
+      .select("ref_time", "parameter", "pos", "lat", "lon", "value")
+  }
+
   /** Inverse of [[toPoints]]: reassemble the flat array per record. */
   def implode(points: DataFrame): DataFrame =
     points

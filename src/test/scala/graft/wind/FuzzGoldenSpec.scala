@@ -35,7 +35,7 @@ class FuzzGoldenSpec extends AnyFunSuite {
   }
 
   test("grid-section fuzz dump matches the netCDF-verified golden " +
-      "(50 grids, 7 templates incl. 3.90 space view)") {
+      "(50 grids, 8 templates incl. 3.90 space view + 3.204 curvilinear)") {
     val (_, dump) = GdsFuzzGen.generate()
     val want = golden("gdsfuzz.expected")
     assert(dump == want, firstDiff(dump, want))

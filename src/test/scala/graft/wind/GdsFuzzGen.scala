@@ -36,7 +36,7 @@ object GdsFuzzGen {
     def micro(v: Double): Long = math.round(v * 1e6)
 
     val msgs = (0 until 50).map { _ =>
-      val tmpl = Seq(0, 1, 10, 20, 30, 40, 90)(rnd.nextInt(7))
+      val tmpl = Seq(0, 1, 10, 20, 30, 40, 90, 204)(rnd.nextInt(8))
       var nx = 2 + rnd.nextInt(7); var ny = 2 + rnd.nextInt(5)
       if (tmpl == 40) ny = 2 * (2 + rnd.nextInt(3)) // Nj = 2N enforced
       val base = Grib2TestWriter.Msg(
@@ -87,6 +87,11 @@ object GdsFuzzGen {
           base.copy(la1Micro = micro(60 + rnd.nextInt(21)),
             lo1Micro = micro(rnd.nextInt(300)),
             dxMicro = micro(0.5 + rnd.nextInt(4) * 0.5), dyMicro = 0)
+        case 204 =>
+          // curvilinear (round 13): the GDS geolocation octets are
+          // reserved — only nx/ny/flags/scan carry information, so the
+          // base Msg (zeros in the reserved octets) IS the fuzz shape
+          base
         case 90 =>
           // space view (round 13): geostationary envelope — Lap 0 and
           // orientation 0 (the decoder refuses anything else by name),
@@ -198,6 +203,10 @@ object GdsFuzzGen {
             " dX=" + nkm(g.dx) + " dY=" + nkm(g.dy) +
             " latin1=" + nd(g.latin1) + " latin2=" + nd(g.latin2) +
             " projCenterFlag=" + g.projCenter + "\n")
+        case 204 =>
+          // netCDF CurvilinearOrthogonal: flags = the resolution octet
+          // (the writer codes 48, the 3.0 layout it mirrors)
+          out.append("CO flags=" + g.resolution + "\n")
         case 90 =>
           // netCDF SpaceViewPerspective (bytecode-verified): LaP/LoP
           // ×1e-6f, dX/dY plain i2f of the raw grid lengths, Xp/Yp

@@ -1274,4 +1274,37 @@ class Grib2Spec extends AnyFunSuite {
     assert(decodeErr(spaceViewMsg().copy(thinnedListOctets = 1))
       .contains("quasi-regular point list"))
   }
+
+  test("grid template 3.204 (curvilinear orthogonal) decodes as a raster " +
+      "with NaN geolocation; malformed wires refuse") {
+    def decodeErr(m: Grib2TestWriter.Msg): String =
+      intercept[IllegalArgumentException] {
+        Grib2.decode(Grib2TestWriter.message(m))
+      }.getMessage
+    val m = Grib2TestWriter.Msg(
+      discipline = 10, category = 1, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 8, ny = 5, la1Micro = 0L, lo1Micro = 0L,
+      dxMicro = 0L, dyMicro = 0L,
+      r = 0f, e = 0, d = 1, nbits = 8,
+      m = Array.tabulate(40)(i => (i * 37 % 101).toLong),
+      gridTemplate = 204)
+    val g = Grib2.decode(Grib2TestWriter.message(m)).head
+    assert(g.gridDefinitionTemplate == 204)
+    assert(g.nx == 8 && g.ny == 5 && g.numberPoints == 40)
+    // the GDS carries no geolocation: every geographic field is NaN
+    assert(g.la1.isNaN && g.lo1.isNaN && g.la2.isNaN && g.lo2.isNaN)
+    assert(g.dx.isNaN && g.dy.isNaN)
+    assert(g.earthRadius == 6371229.0 && g.resolution == 48)
+    assert(g.scanMode == 0)
+    assert(g.data.length == 40 && g.data(1) == 3.7)
+    // scan bits 1-4 normalize like every other raster (−i here)
+    val rev = Grib2.decode(Grib2TestWriter.message(
+      m.copy(scanMode = 0x80))).head
+    assert(rev.data.toSeq == g.data.grouped(8).flatMap(_.reverse).toSeq)
+    // staggered scan modes and thinned markers refuse by name
+    assert(decodeErr(m.copy(scanMode = 0x08)).contains("scanning mode"))
+    assert(decodeErr(m.copy(thinnedListOctets = 1))
+      .contains("quasi-regular point list"))
+  }
 }

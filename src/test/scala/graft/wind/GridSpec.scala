@@ -476,6 +476,38 @@ class GridSpec extends SparkSpec {
     }
   }
 
+  test("toPointsCurvilinear joins the companion NLAT/ELON rasters " +
+      "positionally") {
+    def msg204(cat: Int, num: Int, disc: Int, vals: Array[Long]) =
+      Grib2TestWriter.Msg(
+        discipline = disc, category = cat, number = num,
+        year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+        nx = 8, ny = 5, la1Micro = 0L, lo1Micro = 0L,
+        dxMicro = 0L, dyMicro = 0L,
+        r = 0f, e = 0, d = 1, nbits = 8, m = vals, gridTemplate = 204)
+    val data = Array.tabulate(40)(i => (i * 37 % 101).toLong)
+    val nlat = Array.tabulate(40)(i => (i * 13 % 89).toLong)
+    val elon = Array.tabulate(40)(i => (i * 29 % 143).toLong)
+    val rows = Grid.toPointsCurvilinear(
+        decodedDf(msg204(1, 2, 10, data)),
+        decodedDf(msg204(191, 1, 0, nlat)),
+        decodedDf(msg204(191, 2, 0, elon)))
+      .collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val pos = r.getAs[Int]("pos")
+      assert(r.getAs[Double]("lat") == nlat(pos) / 10.0, s"pos $pos lat")
+      assert(r.getAs[Double]("lon") == elon(pos) / 10.0, s"pos $pos lon")
+      assert(r.getAs[Double]("value") == data(pos) / 10.0, s"pos $pos value")
+      assert(r.getAs[Int]("parameter") == 2)
+    }
+    // a non-204 record must not leak through any leg
+    assert(Grid.toPointsCurvilinear(
+      decodedDf(msg204(1, 2, 10, data)).limit(0),
+      decodedDf(msg204(191, 1, 0, nlat)),
+      decodedDf(msg204(191, 2, 0, elon))).count() == 0)
+  }
+
   test("implode is the inverse of toPoints") {
     val back = Grid.implode(Grid.toPoints(mini(2, uVals))).collect()
     assert(back.length == 1)

@@ -142,6 +142,29 @@ object ProjFixtureGen {
     spaceXpMilli = 4000L, spaceYpMilli = 3000L,
     spaceNrMicroRaw = 6610000L, spaceXoRaw = 2L, spaceYoRaw = 1L)
 
+  /** Grid template 3.204 (curvilinear orthogonal, NCEP-local — the RTOFS
+    * ocean convention): an 8×5 raster whose geolocation ships as
+    * companion NLAT/ELON fields (discipline 0, category 191, parameters
+    * 1/2 — the NCEP miscellaneous-category coding) alongside the data
+    * field. Three messages in one file → the committed
+    * `curvilinear204.grb2` backing `w12_curvilinear_points`.
+    */
+  def curvData: Grib2TestWriter.Msg = Grib2TestWriter.Msg(
+    discipline = 10, category = 1, number = 2,
+    year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+    nx = 8, ny = 5, la1Micro = 0L, lo1Micro = 0L, dxMicro = 0L, dyMicro = 0L,
+    r = 0f, e = 0, d = 1, nbits = 8,
+    m = Array.tabulate(40)(i => (i * 37 % 101).toLong),
+    gridTemplate = 204)
+
+  def curvLat: Grib2TestWriter.Msg = curvData.copy(
+    discipline = 0, category = 191, number = 1,
+    m = Array.tabulate(40)(i => (i * 13 % 89).toLong))
+
+  def curvLon: Grib2TestWriter.Msg = curvData.copy(
+    discipline = 0, category = 191, number = 2,
+    m = Array.tabulate(40)(i => (i * 29 % 143).toLong))
+
   def main(args: Array[String]): Unit = {
     val dir = new java.io.File(if (args.nonEmpty) args(0) else "/tmp/projfix")
     dir.mkdirs()
@@ -172,5 +195,12 @@ object ProjFixtureGen {
       sat30))
     finally out.close()
     println(s"wrote $ens")
+    // the committed w12_curvilinear_points fixture: one 3.204 data field
+    // plus its companion NLAT/ELON geolocation fields
+    val cur = new java.io.File(dir, "curvilinear204.grb2")
+    val cout = new java.io.FileOutputStream(cur)
+    try cout.write(Grib2TestWriter.file(curvData, curvLat, curvLon))
+    finally cout.close()
+    println(s"wrote $cur")
   }
 }

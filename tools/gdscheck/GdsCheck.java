@@ -83,6 +83,14 @@ public class GdsCheck {
             + " la2=" + mc.la2 + " lo2=" + mc.lo2 + " lad=" + mc.lad
             + " dX=" + mc.dX + " dY=" + mc.dY);
         }
+        if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.CurvilinearOrthogonal) {
+          // 3.204 curvilinear (round 13): netCDF reads only the flags
+          // octet 55 and scan octet 72 beyond the base nx/ny -- the
+          // geolocation ships in companion NLAT/ELON fields
+          ucar.nc2.grib.grib2.Grib2Gds.CurvilinearOrthogonal co =
+            (ucar.nc2.grib.grib2.Grib2Gds.CurvilinearOrthogonal) gds;
+          System.out.println("CO flags=" + co.flags);
+        }
         if (gds instanceof ucar.nc2.grib.grib2.Grib2Gds.SpaceViewPerspective) {
           // 3.90 space view (round 13): netCDF reads LaP/LoP x1e-6,
           // dX/dY as raw grid lengths, Xp/Yp x1e-3, orient/Nr x1e-6 and
