@@ -3050,6 +3050,193 @@ object ExtensionQueries {
        |ORDER BY plan.source""".stripMargin
   }
 
+  /** Intra-document repeated-paragraph removal (the within-page
+    * repetition stage of Gopher/FineWeb — distinct from x49, which drops
+    * CROSS-document boilerplate): repeated lines inside one document keep
+    * their first occurrence only. The synthetic corpus has no natural
+    * within-doc repetition at line granularity, so every fourth document
+    * with ≥ [[LineTokens]] tokens is DECORATED by prepending a copy of
+    * its own first line (the x42/x61 zero-signal precedent) — a
+    * guaranteed line-aligned duplicate for the operator to find, with
+    * the other docs as controls.
+    *
+    * Scale: the dedup window partitions by (doc_id, line text) and the
+    * reassembly groups by doc_id — both keyed on the document, so the
+    * whole operator is one doc-partitioned shuffle; no cross-document
+    * state at all (the defining contrast with x49's corpus-wide line
+    * index).
+    */
+  def intradocDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws0 = TextAnalysis.words(col("text"))
+    val decorated = Tables.documents(spark, dir)
+      .withColumn("dtext",
+        when(pmod(col("doc_id"), lit(4)) === 0 &&
+            size(ws0) >= LineTokens,
+          concat(concat_ws(" ", slice(ws0, 1, LineTokens)), lit(" "),
+            col("text")))
+          .otherwise(col("text")))
+    val lines = decorated
+      .select(col("doc_id"), TextAnalysis.words(col("dtext")).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(col("n") / lit(LineTokens.toDouble)).cast("int") - 1),
+          i => concat_ws(" ",
+            slice(col("ws"), i * LineTokens + 1, lit(LineTokens))))))
+      .select(col("doc_id"), col("pos").as("li"), col("col").as("lt"))
+    val w = Window.partitionBy(col("doc_id"), col("lt")).orderBy(col("li"))
+    lines
+      .withColumn("first_li", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(!col("first_li"), 1).otherwise(0)).as("n_removed"),
+        md5(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("li"),
+            when(col("first_li"), col("lt")).as("lt")))),
+          s => s.getField("lt")))).as("clean_hash"))
+      .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
+        col("n_removed").cast("long").as("n_removed"), col("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val intradocDedupSql =
+    s"""WITH dec AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0
+       |        AND len(string_split(text, ' ')) >= $LineTokens
+       |      THEN array_to_string(
+       |             string_split(text, ' ')[1:$LineTokens], ' ')
+       |           || ' ' || text
+       |      ELSE text END AS dtext
+       |  FROM documents),
+       |t AS (SELECT doc_id, string_split(dtext, ' ') AS ws,
+       |    len(string_split(dtext, ' ')) AS n FROM dec),
+       |s AS (SELECT doc_id, ws, unnest(generate_series(0,
+       |    CAST(ceil(n / ${LineTokens.toDouble}) AS INT) - 1)) AS li FROM t),
+       |l AS (SELECT doc_id, li,
+       |    array_to_string(
+       |      ws[li * $LineTokens + 1 : (li + 1) * $LineTokens], ' ') AS lt
+       |  FROM s),
+       |k AS (SELECT doc_id, li, lt,
+       |    row_number() OVER (PARTITION BY doc_id, lt ORDER BY li) = 1
+       |      AS first_li
+       |  FROM l)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN NOT first_li THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_removed,
+       |  md5(coalesce(string_agg(CASE WHEN first_li THEN lt END, ' '
+       |    ORDER BY li), '')) AS clean_hash
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Contamination SPAN reporting (x64 — the excision complement of
+    * x22's doc-level verdict): for every corpus document sharing an
+    * 8-gram with the benchmark set, emit the MERGED token windows
+    * covering every matched gram — the windows a GPT-3-style
+    * decontamination pass excises, rather than dropping the whole
+    * document. Positional (non-distinct) shingles on the corpus side;
+    * classic gaps-and-islands merge (a window running-max of span ends)
+    * turns overlapping 8-token hits into disjoint excision windows.
+    *
+    * The corpus has almost no NATURAL 8-gram overlap with the benchmark
+    * docs, so contamination is PLANTED deterministically (the x42/x61
+    * decoration precedent): every seventh non-benchmark document gets
+    * the first NINE tokens of one benchmark doc prepended — nine tokens
+    * contain two overlapping 8-grams, so the island merge has real work
+    * on every planted doc, with the rest as controls.
+    *
+    * Scale: benchmark shingle set broadcast (bounded by construction —
+    * x22's posture); corpus side is one map-only positional explode +
+    * the broadcast semi-join; the island merge windows by doc_id. Docs
+    * shorter than the gram refuse nothing — they simply have no
+    * positions (both engines filter `n_words ≥ 8` identically, dodging
+    * the sequence(0,-1) descending/empty engine split x49 documents).
+    */
+  def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 8
+    val docs = Tables.documents(spark, dir)
+    val b9 = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select((col("doc_id") / 50).cast("int").as("bkey"),
+        concat_ws(" ",
+          slice(TextAnalysis.words(col("text")), 1, 9)).as("b9"))
+    val decorated = docs
+      .withColumn("bkey", pmod(col("doc_id"), lit(10)).cast("int"))
+      .join(broadcast(b9), Seq("bkey"), "left")
+      .withColumn("dtext",
+        when(pmod(col("doc_id"), lit(7)) === 3 &&
+            pmod(col("doc_id"), lit(50)) =!= 0 && col("b9").isNotNull,
+          concat(col("b9"), lit(" "), col("text")))
+          .otherwise(col("text")))
+    val positional = decorated
+      .filter(size(TextAnalysis.words(col("dtext"))) >= n)
+      .select(col("doc_id"),
+        (pmod(col("doc_id"), lit(50)) === 0).as("is_bench"),
+        TextAnalysis.words(col("dtext")).as("ws"))
+      .select(col("doc_id"), col("is_bench"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(n))))))
+      .select(col("doc_id"), col("is_bench"), col("pos").as("start"),
+        col("col").as("tok"))
+    val bench = positional.filter(col("is_bench")).select("tok").distinct()
+    val hits = positional.filter(!col("is_bench"))
+      .join(broadcast(bench), Seq("tok"))
+      .select(col("doc_id"), col("start"),
+        (col("start") + lit(n)).as("end"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    hits
+      .withColumn("prev_max_end",
+        max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("start") > col("prev_max_end"), 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).as("span_start"), max(col("end")).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("n_grams").cast("long").as("n_grams"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val contaminationSpansSql =
+    """WITH b9 AS (SELECT CAST(doc_id // 50 AS INTEGER) AS bkey,
+      |    array_to_string(string_split(text, ' ')[1:9], ' ') AS b9
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |dec AS (SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 7 = 3 AND d.doc_id % 50 <> 0
+      |        AND b9.b9 IS NOT NULL
+      |      THEN b9.b9 || ' ' || d.text ELSE d.text END AS text
+      |  FROM documents d LEFT JOIN b9 ON b9.bkey = d.doc_id % 10),
+      |w AS (SELECT doc_id, doc_id % 50 = 0 AS is_bench,
+      |    string_split(text, ' ') AS ws FROM dec
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |p AS (SELECT doc_id, is_bench,
+      |    unnest(generate_series(0, len(ws) - 8)) AS start, ws FROM w),
+      |g AS (SELECT doc_id, is_bench, start,
+      |    array_to_string(ws[start + 1 : start + 8], ' ') AS tok FROM p),
+      |bench AS (SELECT DISTINCT tok FROM g WHERE is_bench),
+      |hits AS (SELECT g.doc_id, g.start, g.start + 8 AS "end"
+      |  FROM g JOIN bench USING (tok) WHERE NOT g.is_bench),
+      |m AS (SELECT doc_id, start, "end",
+      |    max("end") OVER (PARTITION BY doc_id ORDER BY start
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_max_end
+      |  FROM hits),
+      |i AS (SELECT doc_id, start, "end",
+      |    sum(CASE WHEN prev_max_end IS NULL OR start > prev_max_end
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY start)
+      |      AS island
+      |  FROM m)
+      |SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+      |  CAST(max("end") AS BIGINT) AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_grams
+      |FROM i GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -3135,6 +3322,9 @@ object ExtensionQueries {
     QueryDef("x61_url_dedup", Some(urlDedupSql), urlDedup),
     QueryDef("x62_temperature_mixture", Some(temperatureMixtureSql),
       temperatureMixture),
+    QueryDef("x63_intradoc_dedup", Some(intradocDedupSql), intradocDedup),
+    QueryDef("x64_contamination_spans", Some(contaminationSpansSql),
+      contaminationSpans),
   )
 
 }

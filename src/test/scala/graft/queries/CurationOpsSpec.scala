@@ -777,4 +777,70 @@ class CurationOpsSpec extends SparkSpec {
       "sum of capped targets blows the budget beyond rounding slack")
   }
 
+  test("x63 intradoc dedup: the planted first-line duplicate is removed " +
+      "and the cleaned document reassembles to the ORIGINAL text") {
+    val texts = corpusTexts
+    val rows = ExtensionQueries.intradocDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == texts.size)
+    val lineTokens = ExtensionQueries.LineTokens
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (id, nLines, nRemoved, cleanHash) =>
+      val ws = texts(id).split(" ", -1)
+      val decorated = id % 4 == 0 && ws.length >= lineTokens
+      val origLines = math.ceil(ws.length / lineTokens.toDouble).toInt
+      if (decorated) {
+        // prepending one full line shifts every original line boundary by
+        // exactly one line, so removing the duplicate reassembles the
+        // ORIGINAL token stream — clean_hash == md5(text)
+        assert(nLines == origLines + 1, s"doc $id n_lines")
+        assert(nRemoved >= 1, s"doc $id must remove its planted duplicate")
+        if (nRemoved == 1) // no extra natural dup
+          assert(cleanHash == md5hex(texts(id)), s"doc $id clean_hash")
+      } else {
+        assert(nLines == origLines, s"doc $id n_lines")
+        if (nRemoved == 0)
+          assert(cleanHash == md5hex(texts(id)), s"doc $id clean_hash")
+      }
+    }
+    assert(rows.count(_._3 >= 1) >= texts.size / 5,
+      "the decoration must plant duplicates in ~a quarter of the corpus")
+  }
+
+  test("x64 contamination spans: planted 9-token benchmark prefixes " +
+      "surface as merged excision windows; spans are disjoint and sorted") {
+    val texts = corpusTexts
+    val rows = ExtensionQueries.contaminationSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // benchmark docs never appear; spans per doc are sorted and disjoint
+    rows.foreach { case (id, s, e, ng) =>
+      assert(id % 50 != 0, s"benchmark doc $id reported against itself")
+      assert(e >= s + 8 && ng >= 1, s"doc $id span [$s,$e) n_grams $ng")
+    }
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      g.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 > a._3, s"doc $id spans overlap: $a then $b")
+        case _ => ()
+      }
+    }
+    // every planted doc (9-token benchmark prefix -> two overlapping
+    // 8-grams) reports a window starting at token 0 spanning the plant
+    val byDoc = rows.groupBy(_._1)
+    val planted = texts.keys.filter { id =>
+      id % 7 == 3 && id % 50 != 0 &&
+        // the plant is only 9 tokens when its benchmark source has 9
+        texts.get((id % 10) * 50).exists(_.split(" ", -1).length >= 9)
+    }
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val spans = byDoc.getOrElse(id, Array.empty)
+      assert(spans.nonEmpty, s"planted doc $id has no span")
+      val first = spans.minBy(_._2)
+      assert(first._2 == 0 && first._3 >= 9 && first._4 >= 2,
+        s"planted doc $id first span $first must cover the 9-token plant")
+    }
+  }
+
 }
