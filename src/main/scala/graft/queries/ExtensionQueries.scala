@@ -3003,7 +3003,7 @@ object ExtensionQueries {
         TempMixSalt), lit(1000000L)) < col("rate_ppm"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("sel_docs"), sum(col("n_toks")).as("sel_tokens"))
-    plan.join(sel, Seq("source"), "left")
+    plan.join(broadcast(sel), Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("n_tokens"), col("wq"),
         col("target_tokens"), col("capped_tokens"), col("rate_ppm"),
         coalesce(col("sel_docs"), lit(0L)).as("sel_docs"),

@@ -163,4 +163,41 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$plan")
     assert(plan.contains("hashpartitioning(shard"), plan)
   }
+
+  test("x61 url dedup: both windows share ONE canonical-url exchange; " +
+      "the scan reads two columns") {
+    val plan = executed(graft.queries.ExtensionQueries.urlDedup(spark, dir))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$plan")
+    assert(plan.contains("hashpartitioning(canon"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"scan not pruned to doc_id+n_chars:\n$plan")
+  }
+
+  test("x62 temperature mixture: plan and rate legs broadcast back to " +
+      "the corpus — no non-broadcast join") {
+    val plan = executed(
+      graft.queries.ExtensionQueries.temperatureMixture(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"rate plan not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side sort-merge join crept in:\n$plan")
+    // source-keyed aggregations are the only hash exchanges
+    "Exchange hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(plan)
+      .foreach(m => assert(m.group(1) == "source", s"exchange on ${m.group(1)}"))
+  }
+
+  test("x64 contamination spans: benchmark grams broadcast; island merge " +
+      "exchanges on doc_id only") {
+    val plan = executed(
+      graft.queries.ExtensionQueries.contaminationSpans(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark gram set not broadcast:\n$plan")
+    // legal exchanges: doc_id (island merge) and tok (the benchmark-side
+    // distinct — bounded by the benchmark gram count, never corpus-sized)
+    "Exchange hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(plan)
+      .foreach(m => assert(Set("doc_id", "tok")(m.group(1)),
+        s"unexpected exchange on ${m.group(1)}:\n$plan"))
+  }
 }
