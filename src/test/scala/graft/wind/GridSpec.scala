@@ -476,6 +476,55 @@ class GridSpec extends SparkSpec {
     }
   }
 
+  test("toPointsSpaceView at full-disc raster scale: the columnar NaN " +
+      "disc matches the scalar geometry cell-for-cell") {
+    // a 512×512 full-disc frame (disc diameter 400 px — GOES full-disc
+    // proportions): 262,144 cells through the codegen'd addressing; the
+    // on/off-disc partition and the latitude extremes must agree with
+    // the scalar construction
+    val n = 512
+    val vals = Array.tabulate(n * n)(i => (i % 101).toLong)
+    val df = decodedDf(Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = n, ny = n, la1Micro = 0L, lo1Micro = 262000000L,
+      dxMicro = 400, dyMicro = 400,
+      r = 0f, e = 0, d = 1, nbits = 7, m = vals,
+      gridTemplate = 90,
+      spaceXpMilli = 255500L, spaceYpMilli = 255500L, // half-pixel: no
+      spaceNrMicroRaw = 6610000L))                    // exact-limb cells
+    val agg = Grid.toPointsSpaceView(df)
+      .agg(count(lit(1)).as("n"),
+        // NaN is not NULL: count on-disc via an explicit isnan branch,
+        // and null the NaNs out of the max (Spark sorts NaN largest)
+        sum(when(isnan(col("lat")), 0).otherwise(1)).as("n_on"),
+        max(when(!isnan(col("lat")), col("lat"))).as("max_lat"))
+      .collect().head
+    assert(agg.getLong(0) == n.toLong * n)
+    val sv = Projection.SpaceView(Projection.Earth(6371229.0, 0.0),
+      262.0, 6.61, 400.0, 400.0, 255.5, 255.5)
+    var scalarOn = 0
+    var scalarMax = Double.MinValue
+    for (j <- 0 until n; i <- 0 until n) {
+      val (lat, _) = sv.cellToLatLon(i.toDouble, j.toDouble)
+      if (!lat.isNaN) { scalarOn += 1; if (lat > scalarMax) scalarMax = lat }
+    }
+    assert(agg.getLong(1) == scalarOn,
+      s"on-disc count ${agg.getLong(1)} vs scalar $scalarOn")
+    // the disc fills ~π/4 of its bounding square scaled to the frame
+    val frac = scalarOn.toDouble / (n.toDouble * n)
+    val want = math.Pi / 4 * math.pow(400.0 / n, 2)
+    assert(math.abs(frac - want) < 0.01, s"disc fraction $frac vs $want")
+    // latitude tops out at the horizon circle, acos(1/Nr) from nadir;
+    // the last discrete pixel sits a fraction of a pixel inside the limb
+    // where latitude-per-pixel steepens like 1/√(limb distance), so the
+    // discrete max lands a couple of degrees short of the horizon
+    val horizon = math.toDegrees(math.acos(1 / 6.61))
+    assert(agg.getDouble(2) == scalarMax)
+    assert(scalarMax > horizon - 3.0 && scalarMax <= horizon,
+      s"max lat $scalarMax vs horizon $horizon")
+  }
+
   test("toPointsCurvilinear joins the companion NLAT/ELON rasters " +
       "positionally") {
     def msg204(cat: Int, num: Int, disc: Int, vals: Array[Long]) =
