@@ -3158,30 +3158,32 @@ object ExtensionQueries {
     import org.apache.spark.sql.expressions.Window
     val n = 8
     val docs = Tables.documents(spark, dir)
-    val b9 = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    // the two legs are built SEPARATELY rather than filtering one shared
+    // decorated frame: benchmark docs are never decorated, so routing
+    // them through the decoration join would re-scan the corpus (and
+    // re-run the explode) once per leg — the leg split keeps each
+    // corpus read single-purpose
+    def grams(df: DataFrame, text: Column) = df
+      .filter(size(TextAnalysis.words(text)) >= n)
+      .select(col("doc_id"), TextAnalysis.words(text).as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - n),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(n))))))
+      .select(col("doc_id"), col("pos").as("start"), col("col").as("tok"))
+    val benchDocs = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+    val b9 = benchDocs
       .select((col("doc_id") / 50).cast("int").as("bkey"),
         concat_ws(" ",
           slice(TextAnalysis.words(col("text")), 1, 9)).as("b9"))
-    val decorated = docs
+    val corpus = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
       .withColumn("bkey", pmod(col("doc_id"), lit(10)).cast("int"))
       .join(broadcast(b9), Seq("bkey"), "left")
       .withColumn("dtext",
-        when(pmod(col("doc_id"), lit(7)) === 3 &&
-            pmod(col("doc_id"), lit(50)) =!= 0 && col("b9").isNotNull,
+        when(pmod(col("doc_id"), lit(7)) === 3 && col("b9").isNotNull,
           concat(col("b9"), lit(" "), col("text")))
           .otherwise(col("text")))
-    val positional = decorated
-      .filter(size(TextAnalysis.words(col("dtext"))) >= n)
-      .select(col("doc_id"),
-        (pmod(col("doc_id"), lit(50)) === 0).as("is_bench"),
-        TextAnalysis.words(col("dtext")).as("ws"))
-      .select(col("doc_id"), col("is_bench"),
-        posexplode(transform(sequence(lit(0), size(col("ws")) - n),
-          i => concat_ws(" ", slice(col("ws"), i + 1, lit(n))))))
-      .select(col("doc_id"), col("is_bench"), col("pos").as("start"),
-        col("col").as("tok"))
-    val bench = positional.filter(col("is_bench")).select("tok").distinct()
-    val hits = positional.filter(!col("is_bench"))
+    val bench = grams(benchDocs, col("text")).select("tok").distinct()
+    val hits = grams(corpus, col("dtext"))
       .join(broadcast(bench), Seq("tok"))
       .select(col("doc_id"), col("start"),
         (col("start") + lit(n)).as("end"))
