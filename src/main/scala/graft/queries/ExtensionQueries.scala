@@ -2685,6 +2685,30 @@ object ExtensionQueries {
     * ' ' is a separator). Scale: map-only per document — no shuffle but
     * the output sort.
     */
+  /** The x57 rule battery as ONE keep predicate over a text column — the
+    * exact conjunction [[gopherRules]] emits per document, shared so the
+    * streaming gate ([[graft.streaming.CorpusStream.gopherGate]]) and the
+    * batch query cannot drift (StreamingSpec pins the parity end-to-end).
+    */
+  def gopherKeep(text: Column): Column = {
+    val en = TextAnalysis.stopwords.head._2
+    val ws = TextAnalysis.words(text)
+    val nw = size(ws)
+    val nc = length(text)
+    val meanLen = (nc - (nw - 1)).cast("double") / nw
+    val nHash = nc - length(replace(text, lit("#"), lit("")))
+    val nEll3 = nc - length(replace(text, lit("..."), lit("")))
+    val symbolRatio =
+      (nHash.cast("double") + nEll3.cast("double") / lit(3.0)) / nw
+    val nAlpha = size(filter(ws, w => w.rlike("[a-zA-Z]")))
+    val alphaRatio = nAlpha.cast("double") / nw
+    val nStop = size(filter(array(en.map(lit): _*),
+      s => array_contains(ws, s)))
+    nw.between(GopherMinWords, GopherMaxWords) &&
+      meanLen.between(3.0, 10.0) && symbolRatio <= 0.1 &&
+      alphaRatio >= 0.8 && nStop >= 2
+  }
+
   def gopherRules(spark: SparkSession, dir: String): DataFrame = {
     val en = TextAnalysis.stopwords.head._2
     val ws = TextAnalysis.words(col("text"))

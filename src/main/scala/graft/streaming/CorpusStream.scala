@@ -118,6 +118,49 @@ object CorpusStream {
     fresh.write.mode("append").parquet(chunkPath)
   }
 
+  /** The x57 Gopher rule battery as a streaming gate — the SAME keep
+    * predicate the batch query emits
+    * ([[graft.queries.ExtensionQueries.gopherKeep]], shared code, so the
+    * two cannot drift). Pure projection: runs verbatim on a stream.
+    */
+  def gopherGate(docs: DataFrame): DataFrame =
+    docs.filter(graft.queries.ExtensionQueries.gopherKeep(col("text")))
+
+  /** The x63 intra-document repeated-paragraph removal as a streaming
+    * stage: REWRITES `text` to the cleaned form (first occurrence of each
+    * [[graft.queries.ExtensionQueries.LineTokens]]-token line wins) and
+    * refreshes the downstream columns that depend on it (`n_tok`,
+    * `chash`) so the dedup store keys on the CLEANED content. Doc-local
+    * by construction — the window and regroup both key on doc_id, so the
+    * streaming form IS the batch form (no cross-batch state).
+    */
+  def cleanStage(docs: DataFrame): DataFrame = {
+    import graft.queries.ExtensionQueries.LineTokens
+    val lines = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("source"), col("lang"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(col("n") / lit(LineTokens.toDouble)).cast("int") - 1),
+          i => concat_ws(" ",
+            slice(col("ws"), i * LineTokens + 1, lit(LineTokens))))))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("pos").as("li"), col("col").as("lt"))
+    val w = Window.partitionBy(col("doc_id"), col("lt")).orderBy(col("li"))
+    lines
+      .withColumn("first_li", row_number().over(w) === 1)
+      .filter(col("first_li"))
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("li"), col("lt")))),
+        s => s.getField("lt"))).as("text"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+        sha2(col("text"), 256).as("chash"))
+  }
+
   /** Drain the landing directory once: gate, dedup, append. `AvailableNow`
     * processes everything pending then stops — the cron-tick form.
     */
@@ -155,6 +198,26 @@ object CorpusStream {
         val fresh = dedupFresh(batch, tablePath).localCheckpoint()
         fresh.write.mode("append").parquet(tablePath)
         upsertChunks(chunkStage(fresh), chunkPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The round-13 curated funnel: stateless gates → Gopher rule battery →
+    * intra-doc repeated-line cleanup (text REWRITTEN, hash re-keyed on the
+    * cleaned content) → exact-dedup append. Every added stage is doc-local
+    * (no cross-batch state beyond the store's hash set), so restarts and
+    * replays stay first-writer-wins idempotent like the other funnels.
+    */
+  def funnelCuratedOnce(
+      spark: SparkSession,
+      landingDir: String,
+      tablePath: String,
+      checkpointDir: String): StreamingQuery =
+    gates(spark.readStream.schema(docSchema).json(landingDir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertDeduped(cleanStage(gopherGate(batch)), tablePath)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -71,6 +71,53 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == batchExpected.count())
   }
 
+  test("curated funnel stream: gates -> gopher battery -> intra-doc " +
+      "cleanup -> dedup equals the batch composition; replay idempotent") {
+    val base = tmpDir()
+    val landing = s"$base/landing"; val table = s"$base/table"
+    // decorate every fourth doc with a duplicated first line so the
+    // cleanup stage has real work (the x63 fixture shape)
+    val lt = graft.queries.ExtensionQueries.LineTokens
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ws = split(col("text"), " ")
+    val docs = raw.withColumn("text",
+        when(pmod(col("doc_id"), lit(4)) === 0 && size(ws) >= lt,
+          concat(concat_ws(" ", slice(ws, 1, lt)), lit(" "), col("text")))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")))
+    docs.write.json(landing)
+
+    CorpusStream.funnelCuratedOnce(spark, landing, table, s"$base/ckpt")
+      .awaitTermination()
+    val streamed = spark.read.parquet(table)
+    // batch composition of the same stages over the same static frame
+    val batchExpected = CorpusStream.cleanStage(
+        CorpusStream.gopherGate(CorpusStream.gates(docs)))
+      .withColumn("keep", col("doc_id") === min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("chash")))
+      .filter(col("keep"))
+    assert(streamed.count() == batchExpected.count())
+    assert(streamed.count() > 0 && streamed.count() < docs.count())
+    // the cleanup really rewrote decorated docs: every admitted decorated
+    // doc's stored text equals its ORIGINAL (pre-decoration) text — the
+    // duplicate first line came straight back out
+    val orig = raw.select(col("doc_id"), col("text").as("orig"))
+    val admitted = streamed.join(orig, "doc_id")
+    val decoratedAdmitted = admitted.filter(pmod(col("doc_id"), lit(4)) === 0)
+    assert(decoratedAdmitted.count() > 0)
+    assert(decoratedAdmitted.filter(col("text") =!= col("orig")).count() == 0,
+      "cleanup must restore the pre-decoration text")
+    // gopher battery actually gated something the quality gates passed
+    val gatesOnly = CorpusStream.gates(docs)
+    assert(CorpusStream.gopherGate(gatesOnly).count() < gatesOnly.count())
+
+    // replay from a fresh checkpoint: store unchanged (first writer wins
+    // on the CLEANED content hash)
+    CorpusStream.funnelCuratedOnce(spark, landing, table, s"$base/ckpt2")
+      .awaitTermination()
+    assert(spark.read.parquet(table).count() == batchExpected.count())
+  }
+
   test("chunked funnel stream: doc and chunk stores dedup independently; replay idempotent") {
     val base = tmpDir()
     val landing = s"$base/landing"; val table = s"$base/table"
