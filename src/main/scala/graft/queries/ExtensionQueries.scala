@@ -3263,6 +3263,184 @@ object ExtensionQueries {
       |FROM i GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** Line-level language identification (the CCNet per-line split: a
+    * page's lines are classified independently and the document gets a
+    * majority language plus a mixed-content measure — the pre-filter for
+    * boilerplate navigation chrome in a foreign-language wrapper).
+    * Each [[LineTokens]]-token line runs the SAME stopword-argmax
+    * classifier as x09's document form ([[TextAnalysis.languageId]], a
+    * pure column function — so the per-line application is map-only);
+    * the majority vote is a deterministic window (count desc, lang desc)
+    * and `agree` compares it against the whole-document prediction.
+    *
+    * Scale: explode → map-only classify → two doc-keyed aggregations +
+    * one doc-keyed window; no corpus-wide state, no skew beyond document
+    * length.
+    */
+  def lineLangId(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(col("n") / lit(LineTokens.toDouble)).cast("int") - 1),
+          i => concat_ws(" ",
+            slice(col("ws"), i * LineTokens + 1, lit(LineTokens))))))
+      .select(col("doc_id"), col("pos").as("li"), col("col").as("lt"))
+      .withColumn("pred", TextAnalysis.languageId(col("lt")))
+    val byPred = lines.groupBy(col("doc_id"), col("pred"))
+      .agg(count(lit(1)).as("n_pred"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_pred").desc, col("pred").desc)
+    val major = byPred
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("pred").as("major_lang"),
+        col("n_pred").as("n_major"))
+    val totals = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"))
+    val docPred = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("doc_pred"))
+    totals.join(major, "doc_id").join(docPred, "doc_id")
+      .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
+        col("major_lang"), col("n_major").cast("long").as("n_major"),
+        (col("n_lines") - col("n_major")).cast("long").as("n_other"),
+        col("doc_pred"),
+        (col("major_lang") === col("doc_pred")).as("agree"))
+      .orderBy("doc_id")
+  }
+
+  private val lineLangIdSql = {
+    val profiles = TextAnalysis.stopwords.zipWithIndex.map {
+      case ((lang, ws), i) =>
+        s"('$lang', $i, [${ws.map(w => s"'$w'").mkString(",")}])"
+    }.mkString(",\n      ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |    len(string_split(text, ' ')) AS n FROM documents),
+       |s AS (SELECT doc_id, ws, unnest(generate_series(0,
+       |    CAST(ceil(n / ${LineTokens.toDouble}) AS INT) - 1)) AS li FROM t),
+       |l AS (SELECT doc_id, li,
+       |    string_split(array_to_string(
+       |      ws[li * $LineTokens + 1 : (li + 1) * $LineTokens], ' '), ' ')
+       |      AS lws
+       |  FROM s),
+       |h AS (SELECT doc_id, li, p.cand, p.ord,
+       |    len(list_filter(lws, w -> list_contains(p.pws, w))) AS h
+       |  FROM l CROSS JOIN (VALUES
+       |      $profiles) AS p(cand, ord, pws)),
+       |pl AS (SELECT doc_id, li,
+       |    CASE WHEN h > 0 THEN cand ELSE 'und' END AS pred
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, li
+       |      ORDER BY h DESC, ord) AS rk FROM h)
+       |  WHERE rk = 1),
+       |bp AS (SELECT doc_id, pred, count(*) AS n_pred
+       |  FROM pl GROUP BY doc_id, pred),
+       |mj AS (SELECT doc_id, pred AS major_lang, n_pred AS n_major
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY n_pred DESC, pred DESC) AS rk FROM bp)
+       |  WHERE rk = 1),
+       |tot AS (SELECT doc_id, count(*) AS n_lines FROM pl GROUP BY doc_id),
+       |dh AS (SELECT d.doc_id, p.cand, p.ord,
+       |    len(list_filter(string_split(d.text, ' '),
+       |        w -> list_contains(p.pws, w))) AS h
+       |  FROM documents d CROSS JOIN (VALUES
+       |      $profiles) AS p(cand, ord, pws)),
+       |dp AS (SELECT doc_id,
+       |    CASE WHEN h > 0 THEN cand ELSE 'und' END AS doc_pred
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY h DESC, ord) AS rk FROM dh)
+       |  WHERE rk = 1)
+       |SELECT tot.doc_id, CAST(n_lines AS BIGINT) AS n_lines, major_lang,
+       |  CAST(n_major AS BIGINT) AS n_major,
+       |  CAST(n_lines - n_major AS BIGINT) AS n_other, doc_pred,
+       |  major_lang = doc_pred AS agree
+       |FROM tot JOIN mj ON tot.doc_id = mj.doc_id
+       |  JOIN dp ON tot.doc_id = dp.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+  }
+
+  /** Corpus datasheet (the "dataset card" rollup a training-data release
+    * ships): per-source document/token/char totals, the full language
+    * histogram as columns, the exact-duplicate footprint, and exact
+    * integer order statistics of document length — lower median and
+    * lower p90 via explicit rank selection, NOT interpolated quantiles
+    * (interpolation is where engine semantics diverge; an order statistic
+    * of integers is bit-portable by construction).
+    *
+    * Scale: everything is one or two source-keyed aggregations over
+    * map-side-combined partials; the order statistics ride one
+    * source-keyed window (sort within source). |sources| output rows.
+    */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"),
+        sha2(col("text"), 256).as("chash"))
+    val dupHashes = docs.groupBy(col("chash"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("chash"), lit(1).as("isdup"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_toks"), col("doc_id"))
+    // plain join, not broadcast: the duplicate-hash set is corpus-sized
+    // in the worst case, and both sides key on chash (the dup aggregation
+    // just produced that partitioning — AQE broadcasts when it IS small)
+    val ranked = docs.join(dupHashes, Seq("chash"), "left")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("nsrc", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val langCols = langs.map(l =>
+      sum(when(col("lang") === l, 1).otherwise(0)).cast("long").as(s"n_$l"))
+    val aggCols = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(coalesce(col("isdup"), lit(0))).cast("long").as("n_dup_docs"),
+      // lower order statistics: rank ⌈n/2⌉ and ⌈9n/10⌉ of the
+      // (n_toks, doc_id)-sorted stream — exact integers (`div` is the
+      // integer division; Spark's `/` on longs returns double)
+      max(when(col("rk") === expr("(nsrc + 1) div 2"),
+        col("n_toks"))).as("median_toks"),
+      max(when(col("rk") === expr("(nsrc * 9 + 9) div 10"),
+        col("n_toks"))).as("p90_toks")) ++ langCols
+    ranked.groupBy(col("source"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy("source")
+  }
+
+  private val corpusDatasheetSql = {
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val langSel = langs.map(l =>
+      s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) " +
+        s"AS n_$l").mkString(",\n      |  ")
+    s"""WITH d AS (SELECT doc_id, source, lang, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    sha256(text) AS chash
+       |  FROM documents),
+       |dup AS (SELECT chash FROM d GROUP BY chash HAVING count(*) > 1),
+       |r AS (SELECT d.*,
+       |    CASE WHEN dup.chash IS NOT NULL THEN 1 ELSE 0 END AS isdup,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_toks, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY source) AS nsrc
+       |  FROM d LEFT JOIN dup ON d.chash = dup.chash)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(isdup) AS BIGINT) AS n_dup_docs,
+       |  CAST(max(CASE WHEN rk = CAST((nsrc + 1) // 2 AS INT)
+       |    THEN n_toks END) AS BIGINT) AS median_toks,
+       |  CAST(max(CASE WHEN rk = CAST((nsrc * 9 + 9) // 10 AS INT)
+       |    THEN n_toks END) AS BIGINT) AS p90_toks,
+       |  $langSel
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -3351,6 +3529,9 @@ object ExtensionQueries {
     QueryDef("x63_intradoc_dedup", Some(intradocDedupSql), intradocDedup),
     QueryDef("x64_contamination_spans", Some(contaminationSpansSql),
       contaminationSpans),
+    QueryDef("x65_line_langid", Some(lineLangIdSql), lineLangId),
+    QueryDef("x66_corpus_datasheet", Some(corpusDatasheetSql),
+      corpusDatasheet),
   )
 
 }

@@ -777,6 +777,66 @@ class CurationOpsSpec extends SparkSpec {
       "sum of capped targets blows the budget beyond rounding slack")
   }
 
+  test("x65 line langid: per-line classification recomputed in plain " +
+      "scala; majority bookkeeping consistent") {
+    val texts = corpusTexts
+    val profiles = graft.ops.TextAnalysis.stopwords
+    val lt = ExtensionQueries.LineTokens
+    def classify(tokens: Seq[String]): String = {
+      val hits = profiles.map { case (l, ws) =>
+        (l, tokens.count(ws.contains)) }
+      val maxH = hits.map(_._2).max
+      // earliest profile with the max count (the argmax tie rule)
+      if (maxH > 0) hits.find(_._2 == maxH).get._1 else "und"
+    }
+    val rows = ExtensionQueries.lineLangId(spark, dir).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val ws = texts(id).split(" ", -1).toSeq
+      val lines = ws.grouped(lt).toSeq
+      val preds = lines.map(classify)
+      assert(r.getLong(1) == lines.length, s"doc $id n_lines")
+      val byPred = preds.groupBy(identity).view.mapValues(_.length).toMap
+      // majority: count desc, lang desc — the query's window order
+      val (majLang, majN) = byPred.toSeq.maxBy { case (l, n) => (n, l) }
+      assert(r.getString(2) == majLang, s"doc $id major_lang")
+      assert(r.getLong(3) == majN, s"doc $id n_major")
+      assert(r.getLong(4) == lines.length - majN, s"doc $id n_other")
+      assert(r.getString(5) == classify(ws), s"doc $id doc_pred")
+      assert(r.getBoolean(6) == (majLang == r.getString(5)), s"doc $id agree")
+    }
+    // short trailing lines with no stopword hits surface as 'und' minority
+    // lines somewhere in a 500-doc corpus — the measure has signal
+    assert(rows.exists(_.getLong(4) > 0), "no mixed/und lines anywhere")
+  }
+
+  test("x66 corpus datasheet: every column recomputed from the raw " +
+      "corpus per source") {
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val dupTexts = docs.groupBy(_._2).filter(_._2.length > 1).keySet
+    val rows = ExtensionQueries.corpusDatasheet(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum == docs.length)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val g = docs.filter(_._4 == src)
+      val toks = g.map(d => (d._2.split(" ", -1).length.toLong, d._1)).sorted
+      assert(r.getLong(1) == g.length, s"$src n_docs")
+      assert(r.getLong(2) == toks.map(_._1).sum, s"$src n_tokens")
+      assert(r.getLong(3) == g.map(_._5).sum, s"$src n_chars")
+      assert(r.getLong(4) == g.count(d => dupTexts(d._2)), s"$src n_dup")
+      assert(r.getLong(5) == toks((g.length + 1) / 2 - 1)._1, s"$src median")
+      assert(r.getLong(6) == toks((g.length * 9 + 9) / 10 - 1)._1, s"$src p90")
+      graft.ops.TextAnalysis.stopwords.map(_._1).zipWithIndex.foreach {
+        case (l, i) =>
+          assert(r.getLong(7 + i) == g.count(_._3 == l), s"$src n_$l")
+      }
+    }
+  }
+
   test("x63 intradoc dedup: the planted first-line duplicate is removed " +
       "and the cleaned document reassembles to the ORIGINAL text") {
     val texts = corpusTexts
