@@ -54,6 +54,21 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(words(text))
 
+  /** Non-overlapping `lineTokens`-token line tiling of a token array —
+    * the shared "paragraph" unit of the line-granular ops (x49 cross-doc
+    * boilerplate, x63 intra-doc dedup, x65 line language ID, and the
+    * streaming cleanup stage all tile with THIS function, so the line
+    * boundary cannot drift between them). The final partial line is
+    * included; an empty token array still yields one (empty) line —
+    * callers relying on `sequence`'s ascending contract must guarantee
+    * non-empty text (the x49 scaladoc's engine-split note).
+    */
+  def lineTiles(ws: Column, lineTokens: Int): Column =
+    transform(
+      sequence(lit(0),
+        ceil(size(ws) / lit(lineTokens.toDouble)).cast("int") - 1),
+      i => concat_ws(" ", slice(ws, i * lineTokens + 1, lit(lineTokens))))
+
   /** BPE-ish subword count: runs of letters, runs of digits, and isolated
     * other symbols — the standard pre-tokenizer regex family.
     */

@@ -2180,13 +2180,8 @@ object ExtensionQueries {
   def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
     val lines = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
-      .withColumn("n", size(col("ws")))
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0),
-            ceil(col("n") / lit(LineTokens.toDouble)).cast("int") - 1),
-          i => concat_ws(" ",
-            slice(col("ws"), i * LineTokens + 1, lit(LineTokens))))))
+        posexplode(TextAnalysis.lineTiles(col("ws"), LineTokens)))
       .select(col("doc_id"), col("pos").as("li"), col("col").as("lt"))
     val bp = lines.groupBy(col("lt"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -2729,16 +2724,22 @@ object ExtensionQueries {
         meanLen.as("mean_word_len"),
         symbolRatio.as("symbol_word_ratio"),
         alphaRatio.as("alpha_word_ratio"),
-        nStop.cast("int").as("n_stop_types"))
+        nStop.cast("int").as("n_stop_types"),
+        // keep comes from the SHARED predicate (the streaming gate's
+        // exact code, [[gopherKeep]]) — if any per-rule column above
+        // drifts from it, the mirrored oracle's conjunction stops
+        // matching and the hash gate fails loudly
+        gopherKeep(col("text")).as("keep"))
       .withColumn("r_word_count",
         col("n_words").between(GopherMinWords, GopherMaxWords))
       .withColumn("r_mean_len", col("mean_word_len").between(3.0, 10.0))
       .withColumn("r_symbol", col("symbol_word_ratio") <= 0.1)
       .withColumn("r_alpha", col("alpha_word_ratio") >= 0.8)
       .withColumn("r_stopwords", col("n_stop_types") >= 2)
-      .withColumn("keep",
-        col("r_word_count") && col("r_mean_len") && col("r_symbol") &&
-          col("r_alpha") && col("r_stopwords"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_word_ratio"), col("alpha_word_ratio"),
+        col("n_stop_types"), col("r_word_count"), col("r_mean_len"),
+        col("r_symbol"), col("r_alpha"), col("r_stopwords"), col("keep"))
       .orderBy("doc_id")
   }
 
@@ -2998,10 +2999,13 @@ object ExtensionQueries {
     *
     * Scale: the plan side is one partial-aggregated groupBy to |sources|
     * rows + a broadcast of the totals; the realization is one map-only
-    * hash filter + the same groupBy — no window, no skew. The bigint
-    * proration `budget · wq` stays in range through ~10¹⁴-token corpora
-    * (2.5e13 · 5e9 ≈ 2^67 overflows first); past that the two factors
-    * move to decimal(38) on both engines, a spelling change only.
+    * hash filter + the same groupBy — no window, no skew. OVERFLOW
+    * ENVELOPE: the bigint proration `budget · wq` ≈ 500 · N^1.5 crosses
+    * 2^63 at N ≈ 7·10¹⁰ total tokens (a ~70 B-token corpus — a size real
+    * pipelines reach), and past it non-ANSI Spark would wrap silently
+    * while DuckDB raises; beyond that scale the two proration factors
+    * must move to decimal(38) on both engines — a spelling change only,
+    * flagged here because the failure mode inside the envelope is silent.
     */
   def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -3102,13 +3106,8 @@ object ExtensionQueries {
           .otherwise(col("text")))
     val lines = decorated
       .select(col("doc_id"), TextAnalysis.words(col("dtext")).as("ws"))
-      .withColumn("n", size(col("ws")))
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0),
-            ceil(col("n") / lit(LineTokens.toDouble)).cast("int") - 1),
-          i => concat_ws(" ",
-            slice(col("ws"), i * LineTokens + 1, lit(LineTokens))))))
+        posexplode(TextAnalysis.lineTiles(col("ws"), LineTokens)))
       .select(col("doc_id"), col("pos").as("li"), col("col").as("lt"))
     val w = Window.partitionBy(col("doc_id"), col("lt")).orderBy(col("li"))
     lines
@@ -3281,13 +3280,8 @@ object ExtensionQueries {
     import org.apache.spark.sql.expressions.Window
     val lines = Tables.documents(spark, dir)
       .select(col("doc_id"), TextAnalysis.words(col("text")).as("ws"))
-      .withColumn("n", size(col("ws")))
       .select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(0),
-            ceil(col("n") / lit(LineTokens.toDouble)).cast("int") - 1),
-          i => concat_ws(" ",
-            slice(col("ws"), i * LineTokens + 1, lit(LineTokens))))))
+        posexplode(TextAnalysis.lineTiles(col("ws"), LineTokens)))
       .select(col("doc_id"), col("pos").as("li"), col("col").as("lt"))
       .withColumn("pred", TextAnalysis.languageId(col("lt")))
     val byPred = lines.groupBy(col("doc_id"), col("pred"))

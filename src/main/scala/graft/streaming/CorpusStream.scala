@@ -37,14 +37,24 @@ object CorpusStream {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** The funnel's stateless gates: language == "en", quality ≥ 0.5 —
-    * identical column expressions to the batch funnel, plus the content
-    * hash and token count the downstream stages need.
+  /** The funnel's stateless language/quality FILTER alone (original
+    * columns kept, no derived projection) — the curated funnel's entry:
+    * its cleanup stage rewrites `text` and recomputes the hash and token
+    * count itself, so [[gates]]' projection would be computed only to be
+    * thrown away (one wasted SHA-256 per gated document per tick).
     */
-  def gates(docs: DataFrame): DataFrame =
+  def gateFilter(docs: DataFrame): DataFrame =
     TextAnalysis.qualityScore(docs, col("text"))
       .withColumn("pred", TextAnalysis.languageId(col("text")))
       .filter(col("pred") === "en" && col("quality") >= 0.5)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+
+  /** The funnel's stateless gates: [[gateFilter]] (identical column
+    * expressions to the batch funnel — derived, not duplicated) plus the
+    * content hash and token count the downstream stages need.
+    */
+  def gates(docs: DataFrame): DataFrame =
+    gateFilter(docs)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
         sha2(col("text"), 256).as("chash"))
@@ -138,14 +148,9 @@ object CorpusStream {
     import graft.queries.ExtensionQueries.LineTokens
     val lines = docs
       .select(col("doc_id"), col("source"), col("lang"),
-        split(col("text"), " ").as("ws"))
-      .withColumn("n", size(col("ws")))
+        TextAnalysis.words(col("text")).as("ws"))
       .select(col("doc_id"), col("source"), col("lang"),
-        posexplode(transform(
-          sequence(lit(0),
-            ceil(col("n") / lit(LineTokens.toDouble)).cast("int") - 1),
-          i => concat_ws(" ",
-            slice(col("ws"), i * LineTokens + 1, lit(LineTokens))))))
+        posexplode(TextAnalysis.lineTiles(col("ws"), LineTokens)))
       .select(col("doc_id"), col("source"), col("lang"),
         col("pos").as("li"), col("col").as("lt"))
     val w = Window.partitionBy(col("doc_id"), col("lt")).orderBy(col("li"))
@@ -214,7 +219,7 @@ object CorpusStream {
       landingDir: String,
       tablePath: String,
       checkpointDir: String): StreamingQuery =
-    gates(spark.readStream.schema(docSchema).json(landingDir))
+    gateFilter(spark.readStream.schema(docSchema).json(landingDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertDeduped(cleanStage(gopherGate(batch)), tablePath)

@@ -400,25 +400,33 @@ object Grid {
     * geolocation, so each cell's coordinates come from the product
     * family's companion NLAT/ELON fields (the RTOFS convention: the
     * lat/lon of every cell are themselves distributed as GRIB2 fields on
-    * the same raster). Addressing = positional equi-join of the three
-    * exploded rasters — the decoder normalizes ALL fields of a product
-    * to canonical scan order, so `pos` is a shared key by construction.
+    * the same raster). Addressing = per-cycle positional equi-join of
+    * the three exploded rasters — the decoder normalizes ALL fields of
+    * a product to canonical scan order, so `(refTime, pos)` is a shared
+    * key by construction.
     * Scale: each leg explodes map-only; the two joins share one hash
-    * partitioning on `pos` (Spark plans one exchange per leg, reused
+    * partitioning on the key (Spark plans one exchange per leg, reused
     * across both joins — no re-shuffle between them).
     */
   def toPointsCurvilinear(values: DataFrame, lats: DataFrame,
       lons: DataFrame): DataFrame = {
+    // the join keys on (ref_time, pos), not pos alone: a multi-cycle
+    // archive decoded into one frame must pair each cycle's values with
+    // ITS OWN cycle's geolocation — a pos-only key would cross-multiply
+    // the cycles and silently mis-place half the rows. A truncated
+    // geolocation raster surfaces as missing rows (inner join), like a
+    // missing companion field
     def leg(df: DataFrame, name: String) =
       df.filter(col("gridDefinitionTemplate") === 204)
-        .select(posexplode(col("data")).as(Seq("pos", name)))
+        .select(col("refTime").as("ref_time"),
+          posexplode(col("data")).as(Seq("pos", name)))
     val v = values.filter(col("gridDefinitionTemplate") === 204)
       .select(
         col("refTime").as("ref_time"),
         col("parameterNumber").as("parameter"),
         posexplode(col("data")).as(Seq("pos", "value")))
-    v.join(leg(lats, "lat"), Seq("pos"))
-      .join(leg(lons, "lon"), Seq("pos"))
+    v.join(leg(lats, "lat"), Seq("ref_time", "pos"))
+      .join(leg(lons, "lon"), Seq("ref_time", "pos"))
       .select("ref_time", "parameter", "pos", "lat", "lon", "value")
   }
 

@@ -92,7 +92,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.read.parquet(table)
     // batch composition of the same stages over the same static frame
     val batchExpected = CorpusStream.cleanStage(
-        CorpusStream.gopherGate(CorpusStream.gates(docs)))
+        CorpusStream.gopherGate(CorpusStream.gateFilter(docs)))
       .withColumn("keep", col("doc_id") === min(col("doc_id"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("chash")))
       .filter(col("keep"))

@@ -555,6 +555,27 @@ class GridSpec extends SparkSpec {
       decodedDf(msg204(1, 2, 10, data)).limit(0),
       decodedDf(msg204(191, 1, 0, nlat)),
       decodedDf(msg204(191, 2, 0, elon))).count() == 0)
+    // TWO cycles decoded into one frame: the (ref_time, pos) key pairs
+    // each cycle's values with its OWN geolocation — no cross-product,
+    // and the second cycle's shifted NLAT raster stays with hour 12
+    val nlat2 = nlat.map(_ + 1)
+    def cyc(m: Grib2TestWriter.Msg, h: Int) = m.copy(hour = h)
+    val two = Grid.toPointsCurvilinear(
+        decodedDf(cyc(msg204(1, 2, 10, data), 6))
+          .union(decodedDf(cyc(msg204(1, 2, 10, data), 12))),
+        decodedDf(cyc(msg204(191, 1, 0, nlat), 6))
+          .union(decodedDf(cyc(msg204(191, 1, 0, nlat2), 12))),
+        decodedDf(cyc(msg204(191, 2, 0, elon), 6))
+          .union(decodedDf(cyc(msg204(191, 2, 0, elon), 12))))
+      .collect()
+    assert(two.length == 80, s"expected 2 cycles x 40 cells, got ${two.length}")
+    two.foreach { r =>
+      val pos = r.getAs[Int]("pos")
+      val h12 = r.getAs[String]("ref_time").contains("T12")
+      val want = (if (h12) nlat2 else nlat)(pos) / 10.0
+      assert(r.getAs[Double]("lat") == want,
+        s"pos $pos cycle ${r.getAs[String]("ref_time")} lat")
+    }
   }
 
   test("implode is the inverse of toPoints") {
