@@ -155,7 +155,11 @@ class Grib2Spec extends AnyFunSuite {
       // band block replaces the whole forecast/surface prefix)
       Grib2TestWriter.message(msg().copy(prodTemplate = 30,
         satSeries = 16, satNumber = 15, satInstrument = 50,
-        satScaleRaw = 2, satValueRaw = 95275L)))
+        satScaleRaw = 2, satValueRaw = 95275L)),
+      // round-13 third phase: space-view (3.90) and curvilinear (3.204)
+      // grid sections
+      Grib2TestWriter.message(spaceViewMsg()),
+      Grib2TestWriter.message(msg().copy(gridTemplate = 204)))
     for (good <- shapes; len <- 1 until good.length) {
       val e = intercept[IllegalArgumentException] {
         Grib2.decode(good.take(len))
