@@ -41,6 +41,14 @@ object Multimodal {
   case class FrameFeature(
       asset_id: Long, frame_idx: Int, feature: Array[Float])
 
+  /** One cell of an area-averaged image resize ([[resizeGrid]]): exact
+    * integer pixel count and luma sum over the cell's box, plus the
+    * milli-quantized mean (`1000·sum div n` — exact integer arithmetic,
+    * engine-portable).
+    */
+  case class ResizedCell(asset_id: Long, cy: Int, cx: Int,
+      n_px: Long, sum_luma: Long, mean_milli: Long)
+
   // ------------------------------------------------------------ real codecs
 
   /** JDK-only real codecs: magic-byte container sniffing, `javax.imageio`
@@ -585,6 +593,53 @@ object Multimodal {
     * happens inside the partition iterator — a long video never
     * materializes all frames at once.
     */
+  /** Area-average image resize to a `grid`×`grid` raster — the standard
+    * vision-preprocessing downsample, over the REAL JDK codecs. Each
+    * output cell is the integer box partition `[⌊c·w/g⌋, ⌊(c+1)·w/g⌋)`
+    * (the exact boxes an area resampler averages when the target divides
+    * the source; the general box partition otherwise), reported as EXACT
+    * integers — pixel count, luma sum, and the milli-quantized mean —
+    * so the oracle can replay the whole resize from the generative pixel
+    * rule with no floating point anywhere. Partition-parallel
+    * iterator→iterator like the other decode stages; non-image assets
+    * are skipped (a resize of audio has no meaning).
+    */
+  def resizeGrid(assets: Dataset[Asset], grid: Int = 4): Dataset[ResizedCell] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    require(grid >= 1, s"resize grid $grid")
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        // gate on the DECLARED media type, not the container sniff: an
+        // animated GIF is a "video" asset here, but ImageIO would happily
+        // decode its first frame as an image and a sniff-only gate would
+        // silently resize videos
+        if (a.media_type != "image" ||
+            !Codec.isImage(Codec.sniff(a.payload))) Iterator.empty
+        else {
+          val (w, h, lum) = Codec.decodeImage(a.payload)
+          for {
+            cy <- (0 until grid).iterator
+            cx <- (0 until grid).iterator
+          } yield {
+            val x0 = cx * w / grid; val x1 = (cx + 1) * w / grid
+            val y0 = cy * h / grid; val y1 = (cy + 1) * h / grid
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += lum(y * w + x); x += 1 }
+              y += 1
+            }
+            val n = (x1 - x0).toLong * (y1 - y0)
+            ResizedCell(a.asset_id, cy, cx, n, s,
+              if (n == 0) -1L else 1000L * s / n)
+          }
+        }
+      }
+    }
+  }
+
   def extractFrameFeatures(assets: Dataset[Asset], stride: Int = 8): Dataset[FrameFeature] = {
     val spark = assets.sparkSession
     import spark.implicits._

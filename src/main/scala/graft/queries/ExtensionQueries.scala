@@ -3435,6 +3435,55 @@ object ExtensionQueries {
        |FROM r GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Area-average image resize (x67 — the "resize" stage of the mandated
+    * multimodal quartet: decode / feature-extract / RESIZE /
+    * frame-sample): every demo image downsamples to a 4×4 raster through
+    * the REAL JDK codec, each output cell reported as exact integers
+    * (pixel count, luma sum, milli-quantized mean). Because the
+    * fabricated pixels are the doc's cycled UTF-8 bytes (the x13/x14
+    * construction), the oracle replays the ENTIRE resize — box partition,
+    * sums, means — generatively from `hex(encode(text))`, making this the
+    * third multimodal query that is hash-checked end-to-end through a
+    * real codec. Scale: iterator→iterator decode, map-only; 16 rows per
+    * image.
+    */
+  def imageResize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeGrid(
+        Multimodal.assetsFromDocuments(Tables.documents(spark, dir)))
+      .toDF()
+      .select(col("asset_id"), col("cy"), col("cx"),
+        col("n_px"), col("sum_luma"), col("mean_milli"))
+      .orderBy("asset_id", "cy", "cx")
+
+  private val imageResizeSql =
+    """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len,
+      |    hex(encode(text)) AS hx
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |dim AS (SELECT doc_id, len, hx,
+      |    8 + len % 57 AS w, 8 + len % 41 AS h FROM b),
+      |cell AS (SELECT doc_id, len, hx, w, h, cy, cx,
+      |    cx * w // 4 AS x0, (cx + 1) * w // 4 AS x1,
+      |    cy * h // 4 AS y0, (cy + 1) * h // 4 AS y1
+      |  FROM dim, LATERAL (SELECT unnest(range(4)) AS cy) a,
+      |       LATERAL (SELECT unnest(range(4)) AS cx) c),
+      |px AS (SELECT doc_id, cy, cx,
+      |    CASE WHEN len = 0 THEN 0 ELSE
+      |      16 * (strpos('0123456789ABCDEF',
+      |              substr(hx, 2 * ((y * w + x) % len) + 1, 1)) - 1)
+      |        + (strpos('0123456789ABCDEF',
+      |              substr(hx, 2 * ((y * w + x) % len) + 2, 1)) - 1)
+      |    END AS luma
+      |  FROM cell,
+      |    LATERAL (SELECT unnest(generate_series(y0, y1 - 1)) AS y) yy,
+      |    LATERAL (SELECT unnest(generate_series(x0, x1 - 1)) AS x) xx)
+      |SELECT doc_id AS asset_id, CAST(cy AS INTEGER) AS cy,
+      |  CAST(cx AS INTEGER) AS cx,
+      |  CAST(count(*) AS BIGINT) AS n_px,
+      |  CAST(sum(luma) AS BIGINT) AS sum_luma,
+      |  CAST((1000 * sum(luma)) // count(*) AS BIGINT) AS mean_milli
+      |FROM px GROUP BY doc_id, cy, cx
+      |ORDER BY asset_id, cy, cx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("x01_dedup_exact", Some(dedupExactSql), dedupExact),
     QueryDef("x02_neardup_jaccard", Some(neardupJaccardSql(3)), neardupJaccard),
@@ -3526,6 +3575,7 @@ object ExtensionQueries {
     QueryDef("x65_line_langid", Some(lineLangIdSql), lineLangId),
     QueryDef("x66_corpus_datasheet", Some(corpusDatasheetSql),
       corpusDatasheet),
+    QueryDef("x67_image_resize", Some(imageResizeSql), imageResize),
   )
 
 }

@@ -182,6 +182,44 @@ class MultimodalSpec extends SparkSpec {
     assert(byAsset(2L) == (1 + vlen % 12 + 3) / 4)
   }
 
+  test("resizeGrid: exact box partition, uniform image flat, gradient " +
+      "bends the right way, non-images skipped") {
+    import spark.implicits._
+    // uniform gray 100: every cell mean is exactly 100.000
+    val flat = Multimodal.Asset(0L, "image",
+      Multimodal.Gen.png(13, 9, Array.fill(5)(100.toByte)))
+    // vertical gradient via a seed the width divides: row y is constant
+    // byte (y*16 + 3) mod 251... simpler: seed length == w so pixel
+    // (x, y) = seed[(y*w + x) mod w] = seed[x] — a HORIZONTAL gradient
+    val grad = Multimodal.Asset(3L, "image",
+      Multimodal.Gen.png(16, 8, Array.tabulate(16)(i => (i * 10).toByte)))
+    val gif = Multimodal.Asset(6L, "video",
+      Multimodal.Gen.gif(8, 8, 2, "seed bytes".getBytes("UTF-8")))
+    val cells = Multimodal.resizeGrid(Seq(flat, grad, gif).toDS()).collect()
+    // the video asset is skipped even though ImageIO could decode GIF
+    assert(!cells.exists(_.asset_id == 6L))
+    val byAsset = cells.groupBy(_.asset_id)
+    // box partition covers every pixel exactly once
+    assert(byAsset(0L).map(_.n_px).sum == 13L * 9)
+    assert(byAsset(3L).map(_.n_px).sum == 16L * 8)
+    byAsset(0L).foreach { c =>
+      assert(c.mean_milli == 100000L, s"flat cell $c")
+      assert(c.sum_luma == 100L * c.n_px)
+    }
+    // horizontal gradient: means strictly increase with cx, constant in cy
+    val g = byAsset(3L)
+    for (cy <- 0 until 4) {
+      val row = g.filter(_.cy == cy).sortBy(_.cx).map(_.mean_milli)
+      assert(row.sliding(2).forall { case Array(a, b) => a < b },
+        s"row $cy not increasing: ${row.toSeq}")
+      // 16 columns over 4 cells = 4 columns each of bytes 10x:
+      // cell cx mean = 10*(4cx + (0+1+2+3)/4) = 40cx + 15
+      assert(row.toSeq == (0 until 4).map(cx => (40 * cx + 15) * 1000L),
+        s"row $cy means ${row.toSeq}")
+    }
+    assert(g.map(_.cy).distinct.length == 4)
+  }
+
   test("opaque blobs still decode through the declared fake codec") {
     import spark.implicits._
     val blob = "no container magic here".getBytes("UTF-8")
