@@ -125,11 +125,12 @@ object ExtensionQueries {
     * MinHash pair graph (identical constants), cluster id = smallest
     * reachable doc_id. The oracle replays the same pairs and closes them
     * with a recursive CTE — transitive closure is exact on both sides.
+    * Served from the per-JVM materialized cluster store
+    * ([[Dedup.clustersCached]]) shared with x51/x60 — built on first use,
+    * read thereafter.
     */
   def neardupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(
-        Dedup.nearDuplicates(Tables.documents(spark, dir), threshold = 0.25,
-          n = 3, numHashes = 64, bands = 32))
+    Dedup.clustersCached(Tables.documents(spark, dir), dir)
       .orderBy("cluster_id", "doc_id")
 
   private val neardupClustersSql = {
@@ -771,20 +772,112 @@ object ExtensionQueries {
       |FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
-  /** Sketch aggregates: HLL++ distinct counts + t-digest-style quantile
-    * estimates per event type. Approximation algorithms are engine-specific
-    * — rows-only for the driver; accuracy bounds asserted in spec.
+  /** HLL relative-error tolerance for [[approxStats]]' bounds verdict.
+    * The sketch runs at rsd = [[HllRsd]] (one standard deviation), so a
+    * 5% tolerance is ≥ 5 sigma of margin — measured: Spark's DEFAULT
+    * rsd 0.05 estimated 1500 as ~1610 (7.3% off, verdict false) at
+    * sf0.1, which is exactly the regime the explicit precision pin is
+    * for; at rsd 0.01 the same cardinality is still in the sketch's
+    * exact sparse mode.
     */
-  def approxStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  val HllTolerance = 0.05
+
+  /** Relative standard deviation for x15's HLL++ sketch (Spark's knob;
+    * DuckDB's HLL runs at a comparable fixed precision).
+    */
+  val HllRsd = 0.01
+
+  /** Rank-error tolerance (fraction of n) for the approximate median's
+    * verdict. Spark guarantees rank error ≤ n/1000 at accuracy 1000;
+    * DuckDB's t-digest carries no hard bound but lands far inside 2% at
+    * any realistic n — 0.02 gives both engines 20× headroom.
+    */
+  val QuantileRankTolerance = 0.02
+
+  /** Sketch aggregates (x15): HLL++ distinct counts + rank-bounded
+    * approximate median per event type — restructured (round 14) so the
+    * driver CAN hash-check it. The raw sketch estimates are
+    * engine-specific by definition (Spark HLL++ vs DuckDB HLL, GK
+    * quantile summary vs t-digest), so the output carries, per type:
+    * the EXACT companions (`n`, `exact_users`, and `exact_p50` by rank
+    * selection — never interpolation, the one place engines diverge) plus
+    * two deterministic bounds VERDICTS — `hll_within_tol` (the engine's
+    * own HLL estimate is within [[HllTolerance]] of its own exact count)
+    * and `p50_within_rank_tol` (the engine's own approximate median sits
+    * within [[QuantileRankTolerance]]·n ranks of the true median rank).
+    * Each engine computes the booleans against ITS OWN sketch, so a
+    * hash match proves both engines' sketch machinery meets the shared
+    * bound on the same data — the raw estimates stay engine-specific but
+    * *checked* (tighter raw-bound assertions live in ApproxSpec).
+    *
+    * Scale: one groupBy for the sketches, one window pass for the rank
+    * selection, and one conditional re-aggregation for the estimate's
+    * rank — the per-type result is 5 rows, so the verdict joins
+    * broadcast.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val agg = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id"), HllRsd).as("approx_users"),
+      percentile_approx(col("value"), lit(0.5), lit(1000))
+        .as("approx_median"))
+    // exact lower median by RANK SELECTION: the value at rank ceil(n/2) in
+    // value order — a selection of a stored double (bit-identical on both
+    // engines), never an interpolated midpoint
+    val med = ev
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("value")))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === ceil(col("cnt") / lit(2.0)))
+      .select(col("event_type"), col("value").as("exact_p50"))
+    // rank of the engine's own approximate median: how many values sit at
+    // or below it (5-row sketch side broadcast against the event scan)
+    val rk = ev
+      .join(broadcast(agg.select(col("event_type"), col("approx_median"))),
+        "event_type")
       .groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000))
-          .as("approx_median"),
-        count(lit(1)).as("n"))
+      .agg(count(when(col("value") <= col("approx_median"), 1)).as("cnt_le"))
+    agg.join(med, "event_type").join(rk, "event_type")
+      .select(
+        col("event_type"), col("n"), col("exact_users"), col("exact_p50"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          lit(HllTolerance) * col("exact_users")).as("hll_within_tol"),
+        (abs(col("cnt_le") - col("n") / lit(2.0)) <=
+          lit(QuantileRankTolerance) * col("n")).as("p50_within_rank_tol"))
       .orderBy("event_type")
+  }
+
+  private val approxStatsSql =
+    s"""WITH agg AS (
+       |  SELECT event_type, count(*) AS n,
+       |    count(DISTINCT user_id) AS exact_users,
+       |    approx_count_distinct(user_id) AS approx_users,
+       |    approx_quantile(value, 0.5) AS approx_median
+       |  FROM events GROUP BY event_type),
+       |med AS (
+       |  SELECT event_type, value AS exact_p50 FROM (
+       |    SELECT event_type, value,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY value)
+       |        AS rn,
+       |      count(*) OVER (PARTITION BY event_type) AS cnt
+       |    FROM events) WHERE rn = CAST(ceil(cnt / 2.0) AS BIGINT)),
+       |rk AS (
+       |  SELECT e.event_type,
+       |    count(CASE WHEN e.value <= a.approx_median THEN 1 END) AS cnt_le
+       |  FROM events e JOIN agg a USING (event_type) GROUP BY e.event_type)
+       |SELECT a.event_type, a.n, a.exact_users, m.exact_p50,
+       |  abs(a.approx_users - a.exact_users)
+       |    <= ${graft.Exact.sqlDouble(HllTolerance)} * a.exact_users
+       |    AS hll_within_tol,
+       |  abs(rk.cnt_le - a.n / 2.0)
+       |    <= ${graft.Exact.sqlDouble(QuantileRankTolerance)} * a.n
+       |    AS p50_within_rank_tol
+       |FROM agg a JOIN med m USING (event_type) JOIN rk USING (event_type)
+       |ORDER BY event_type""".stripMargin
 
   /** The end-to-end training-data funnel a corpus-prep user actually runs,
     * composed from the engine's own operators in one plan: language gate
@@ -2245,9 +2338,8 @@ object ExtensionQueries {
     */
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val clusters = Dedup.duplicateClusters(
-      Dedup.nearDuplicates(docs, threshold = 0.25,
-        n = 3, numHashes = 64, bands = 32))
+    // the x19-family shared materialized cluster map (Dedup.clustersCached)
+    val clusters = Dedup.clustersCached(docs, dir)
     // x44's clamp, applied BEFORE quantizing: empty text yields NULL
     // quality (the ANSI-guarded per-char ratios), and an unclamped NULL
     // diverges by engine — Spark's struct-argmax keeps the row while
@@ -2439,7 +2531,27 @@ object ExtensionQueries {
     * because it runs only on the subquadratic LSH candidate set, never
     * corpus × corpus (same budget argument as x03's exact re-verify), and
     * the [[EditBands]] banding keeps that set proportional to the TRUE
-    * near-dup density at this similarity floor.
+    * near-dup density at this similarity floor. Two further LOSSLESS
+    * prunes bound the DP itself (round 14 — SCALING.md's 15k→50k bracket
+    * measured the unbounded DP at exponent 1.43):
+    *
+    *  1. a length gate BEFORE the DP: `lev ≥ |la−lb|` always, so
+    *     `edit_sim ≥ t` implies `min(la,lb) ≥ t·max(la,lb)`; the filter
+    *     keeps `min ≥ t·max − 1` (one whole unit of slack dwarfs any
+    *     double-boundary ulp, so no qualifying pair can be dropped) and
+    *     skips the DP for the length-mismatched bulk of the candidates;
+    *  2. a per-pair BANDED DP: Spark's 3-arg `levenshtein` runs the
+    *     commons-lang banded algorithm — O(max·band) instead of O(max²)
+    *     — returning −1 iff the true distance exceeds the band. Band =
+    *     `⌊(1−t)·max⌋ + 2`, one more than any qualifying pair's distance
+    *     can be, so every surviving pair's `lev` is the EXACT distance
+    *     and every −1 pair would have failed the `edit_sim` filter
+    *     anyway (lev > (1−t)·max + 1 ⟹ edit_sim < t by ≥ 1/max ≫ ulp).
+    *
+    * The oracle keeps DuckDB's plain 2-arg levenshtein (it has no banded
+    * form) behind the SAME length gate — both prunes are implied by the
+    * shared final filter, so the result sets are identical by
+    * construction.
     */
   def editDistNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -2447,13 +2559,22 @@ object ExtensionQueries {
       bands = EditBands)
     val t = docs.select(col("doc_id"), col("text"))
     def bytes(c: Column): Column = decode(encode(c, "UTF-8"), "ISO-8859-1")
+    val la = octet_length(col("text_a"))
+    val lb = octet_length(col("text_b"))
+    val maxLen = greatest(la, lb)
     cands
       .join(t.select(col("doc_id").as("id_a"), col("text").as("text_a")),
         "id_a")
       .join(t.select(col("doc_id").as("id_b"), col("text").as("text_b")),
         "id_b")
-      .withColumn("lev",
-        levenshtein(bytes(col("text_a")), bytes(col("text_b"))))
+      .filter(least(la, lb).cast("double") >=
+        lit(EditSimThreshold) * maxLen.cast("double") - lit(1.0))
+      .withColumn("band_cap",
+        (floor(lit(1.0 - EditSimThreshold) * maxLen.cast("double")) +
+          lit(2)).cast("int"))
+      .withColumn("lev", call_function("levenshtein",
+        bytes(col("text_a")), bytes(col("text_b")), col("band_cap")))
+      .filter(col("lev") >= 0)
       .withColumn("edit_sim", lit(1.0) - col("lev") /
         greatest(octet_length(col("text_a")), octet_length(col("text_b")))
           .cast("double"))
@@ -2473,7 +2594,11 @@ object ExtensionQueries {
        |      AS edit_sim
        |  FROM cand
        |  JOIN documents a ON a.doc_id = id_a
-       |  JOIN documents b ON b.doc_id = id_b)
+       |  JOIN documents b ON b.doc_id = id_b
+       |  WHERE CAST(least(strlen(a.text), strlen(b.text)) AS DOUBLE)
+       |    >= ${graft.Exact.sqlDouble(EditSimThreshold)} *
+       |       CAST(greatest(strlen(a.text), strlen(b.text)) AS DOUBLE)
+       |       - 1e0)
        |SELECT id_a, id_b, lev, edit_sim FROM v
        |WHERE edit_sim >= ${graft.Exact.sqlDouble(EditSimThreshold)}
        |ORDER BY id_a, id_b""".stripMargin
@@ -2880,9 +3005,9 @@ object ExtensionQueries {
     * map-only on top of the component output.
     */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = Dedup.duplicateClusters(
-      Dedup.nearDuplicates(Tables.documents(spark, dir), threshold = 0.25,
-        n = 3, numHashes = 64, bands = 32))
+    // the x19-family shared materialized cluster map (Dedup.clustersCached)
+    val clusters =
+      Dedup.clustersCached(Tables.documents(spark, dir), dir)
     Tables.documents(spark, dir)
       .select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
@@ -3501,7 +3626,7 @@ object ExtensionQueries {
     QueryDef("x13_multimodal_meta", Some(multimodalMetaSql), multimodalMeta),
     QueryDef("x14_multimodal_frames", Some(multimodalFramesSql),
       multimodalFrames),
-    QueryDef("x15_approx_stats", None, approxStats),
+    QueryDef("x15_approx_stats", Some(approxStatsSql), approxStats),
     QueryDef("x16_tfidf_top_terms", Some(tfidfTopTermsSql), tfidfTopTerms),
     QueryDef("x17_source_sketch_similarity", Some(sourceSketchSimilaritySql),
       sourceSketchSimilarity),

@@ -1,12 +1,38 @@
 package graft.queries
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
 
-/** Accuracy bounds for the sketch aggregates (rows-only for the driver). */
+/** Accuracy bounds for the sketch aggregates. Since round 14, x15's
+  * query output carries exact companions + deterministic bounds verdicts
+  * (hash-checkable by the driver); the RAW sketch estimates — excluded
+  * from the query output because they are engine-specific — get their
+  * tighter bounds asserted here directly.
+  */
 class ApproxSpec extends SparkSpec {
 
-  test("approx_count_distinct within 5% of exact; approx median sane") {
+  test("x15 verdict columns: every bounds verdict is true") {
     val rows = ExtensionQueries.approxStats(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hll_within_tol"),
+        s"${r.getAs[String]("event_type")}: HLL verdict false")
+      assert(r.getAs[Boolean]("p50_within_rank_tol"),
+        s"${r.getAs[String]("event_type")}: median-rank verdict false")
+      assert(r.getAs[Long]("n") > 0 && r.getAs[Long]("exact_users") > 0)
+    }
+  }
+
+  test("raw sketches: approx_count_distinct within 5% of exact; " +
+      "approx median within value range") {
+    val rows = Tables.events(spark, "/root/testdata/sf0.01")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000))
+          .as("approx_median"))
       .collect()
     assert(rows.length == 5)
     rows.foreach { r =>
