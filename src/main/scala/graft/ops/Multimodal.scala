@@ -602,7 +602,12 @@ object Multimodal {
     * so the oracle can replay the whole resize from the generative pixel
     * rule with no floating point anywhere. Partition-parallel
     * iterator→iterator like the other decode stages; non-image assets
-    * are skipped (a resize of audio has no meaning).
+    * are skipped (a resize of audio has no meaning). A grid larger than
+    * an image dimension produces empty box cells — those are DROPPED
+    * (matching the oracle, which generates no pixel rows for them)
+    * rather than emitted as sentinel rows (ADVICE r13 #2: the sentinel
+    * was a latent engine-vs-oracle row-count divergence for any caller
+    * choosing grid > min dimension).
     */
   def resizeGrid(assets: Dataset[Asset], grid: Int = 4): Dataset[ResizedCell] = {
     val spark = assets.sparkSession
@@ -618,7 +623,7 @@ object Multimodal {
             !Codec.isImage(Codec.sniff(a.payload))) Iterator.empty
         else {
           val (w, h, lum) = Codec.decodeImage(a.payload)
-          for {
+          val cells = for {
             cy <- (0 until grid).iterator
             cx <- (0 until grid).iterator
           } yield {
@@ -635,6 +640,7 @@ object Multimodal {
             ResizedCell(a.asset_id, cy, cx, n, s,
               if (n == 0) -1L else 1000L * s / n)
           }
+          cells.filter(_.n_px > 0) // empty box cells: see scaladoc
         }
       }
     }

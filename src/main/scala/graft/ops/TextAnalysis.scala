@@ -59,14 +59,21 @@ object TextAnalysis {
     * boilerplate, x63 intra-doc dedup, x65 line language ID, and the
     * streaming cleanup stage all tile with THIS function, so the line
     * boundary cannot drift between them). The final partial line is
-    * included; an empty token array still yields one (empty) line —
-    * callers relying on `sequence`'s ascending contract must guarantee
-    * non-empty text (the x49 scaladoc's engine-split note).
+    * included; an empty token array yields one (empty) line BY
+    * CONSTRUCTION — the sequence bound is clamped at 0 (ADVICE r13 #3:
+    * without the clamp, `sequence(0, -1)` takes Spark's descending
+    * branch and an empty array would yield two bogus tiles; unreachable
+    * through `words`, which never returns an empty array, but this is
+    * the shared primitive behind four line-granular ops plus the
+    * streaming cleanup stage, so it is safe for ANY caller, not safe by
+    * caller contract).
     */
   def lineTiles(ws: Column, lineTokens: Int): Column =
     transform(
       sequence(lit(0),
-        ceil(size(ws) / lit(lineTokens.toDouble)).cast("int") - 1),
+        greatest(
+          ceil(size(ws) / lit(lineTokens.toDouble)).cast("int") - 1,
+          lit(0))),
       i => concat_ws(" ", slice(ws, i * lineTokens + 1, lit(lineTokens))))
 
   /** BPE-ish subword count: runs of letters, runs of digits, and isolated

@@ -3125,17 +3125,31 @@ object ExtensionQueries {
     * Scale: the plan side is one partial-aggregated groupBy to |sources|
     * rows + a broadcast of the totals; the realization is one map-only
     * hash filter + the same groupBy — no window, no skew. OVERFLOW
-    * ENVELOPE: the bigint proration `budget · wq` ≈ 500 · N^1.5 crosses
-    * 2^63 at N ≈ 7·10¹⁰ total tokens (a ~70 B-token corpus — a size real
-    * pipelines reach), and past it non-ANSI Spark would wrap silently
-    * while DuckDB raises; beyond that scale the two proration factors
-    * must move to decimal(38) on both engines — a spelling change only,
-    * flagged here because the failure mode inside the envelope is silent.
+    * POSTURE (round 14): the proration factors `budget · wq` ≈ 500·N^1.5
+    * and `capped_tokens · 10⁶` cross 2^63 at N ≈ 7·10¹⁰ and ≈ 9·10¹²
+    * total tokens respectively — BOTH below the 100 TB corpus the brief
+    * mandates (~2·10¹³ tokens), where bigint proration would raise under
+    * ANSI (and wrap silently without it). Both products therefore run in
+    * 128-bit integer arithmetic — `decimal(38,0)` on the Spark side,
+    * `HUGEINT` in DuckDB — pushing the envelope to N ≈ 7·10²³ tokens
+    * (the decimal(38) cap), ten orders past the mandate. The quotients
+    * are ≤ N, so they land back in bigint columns. MixtureScaleSpec
+    * drives the plan with synthetic per-source token counts summing past
+    * 2^63/500 and checks every proration against a BigInt recomputation.
     */
   def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+    temperatureMixtureFrom(docs)
+  }
+
+  /** [[temperatureMixture]]'s whole plan over an explicit
+    * `(doc_id, source, n_toks)` frame — the seam MixtureScaleSpec uses
+    * to drive the proration at synthetic 100 TB-scale token counts that
+    * no test corpus can physically carry as text.
+    */
+  private[queries] def temperatureMixtureFrom(docs: DataFrame): DataFrame = {
     val inv = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .withColumn("wq",
@@ -3144,12 +3158,17 @@ object ExtensionQueries {
       sum(col("wq")).as("tot_wq"))
     val plan = inv.crossJoin(broadcast(tot))
       // `div` is INTEGER division (Spark's `/` on longs returns double);
-      // DuckDB's `//` twin is the same floor for these all-positive terms
+      // DuckDB's `//` twin is the same floor for these all-positive terms.
+      // The two products run in decimal(38,0) — see the overflow posture
+      // note above — and `div` brings the bounded quotients back to long.
       .withColumn("budget", expr("tot_tokens div 2"))
-      .withColumn("target_tokens", expr("(budget * wq) div tot_wq"))
+      .withColumn("target_tokens",
+        expr("(CAST(budget AS DECIMAL(38,0)) * wq) div tot_wq"))
       .withColumn("capped_tokens", least(col("target_tokens"), col("n_tokens")))
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("(capped_tokens * 1000000) div n_tokens")))
+        least(lit(1000000L),
+          expr("(CAST(capped_tokens AS DECIMAL(38,0)) * 1000000)" +
+            " div n_tokens")))
     val sel = docs
       .join(broadcast(plan.select(col("source"), col("rate_ppm"))), "source")
       .filter(pmod(graft.Portable.hash32(col("doc_id").cast("string"),
@@ -3181,13 +3200,17 @@ object ExtensionQueries {
        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
        |    CAST(sum(wq) AS BIGINT) AS tot_wq FROM inv),
        |plan AS (
+       |  -- the two proration products run in HUGEINT (the decimal(38,0)
+       |  -- twin of the Spark side); the bounded quotients cast back
        |  SELECT inv.*, tot_tokens // 2 AS budget,
-       |    (tot_tokens // 2) * wq // tot_wq AS target_tokens,
-       |    least((tot_tokens // 2) * wq // tot_wq, n_tokens)
-       |      AS capped_tokens,
+       |    CAST(CAST(tot_tokens // 2 AS HUGEINT) * wq // tot_wq
+       |      AS BIGINT) AS target_tokens,
+       |    least(CAST(CAST(tot_tokens // 2 AS HUGEINT) * wq // tot_wq
+       |        AS BIGINT), n_tokens) AS capped_tokens,
        |    least(1000000,
-       |      least((tot_tokens // 2) * wq // tot_wq, n_tokens) * 1000000
-       |        // n_tokens) AS rate_ppm
+       |      CAST(CAST(least(CAST(CAST(tot_tokens // 2 AS HUGEINT) * wq
+       |            // tot_wq AS BIGINT), n_tokens) AS HUGEINT) * 1000000
+       |        // n_tokens AS BIGINT)) AS rate_ppm
        |  FROM inv, tot),
        |sel AS (
        |  SELECT d.source, CAST(count(*) AS BIGINT) AS sel_docs,

@@ -520,13 +520,24 @@ object Grib2 {
       if (m < 0) m + 360.0 else m
     }
     val resolution = u8(payload, p + 46)          // octet 47
-    val dxApp = u32(payload, p + 47)              // dx, octets 48-51
-    val dyApp = u32(payload, p + 51)              // dy, octets 52-55
-    require(dxApp > 0 && dxApp != 0xffffffffL &&
-      dyApp > 0 && dyApp != 0xffffffffL,
-      s"space-view apparent diameters must be coded ($dxApp, $dyApp)")
-    val xp = u32(payload, p + 55) / 1e3           // Xp, octets 56-59
-    val yp = u32(payload, p + 59) / 1e3           // Yp, octets 60-63
+    // dx/dy, Xp/Yp, Nr, Xo/Yo are GRIB sign-magnitude on the wire (netCDF
+    // getOctet4 → GribNumbers.int4): decode the sign bit rather than let
+    // a high-bit wire (e.g. Nr=0x80000001) read as a huge positive that
+    // slips the plausibility gates. None of the fields has a meaningful
+    // negative value on this template, so a negative refuses by name.
+    require(u32(payload, p + 47) != 0xffffffffL &&
+      u32(payload, p + 51) != 0xffffffffL,
+      "space-view apparent diameter dx/dy is coded missing (0xFFFFFFFF)")
+    val dxApp = s32sm(payload, p + 47)            // dx, octets 48-51
+    val dyApp = s32sm(payload, p + 51)            // dy, octets 52-55
+    require(dxApp > 0 && dyApp > 0,
+      s"space-view apparent diameters must be positive ($dxApp, $dyApp)")
+    val xpRaw = s32sm(payload, p + 55)            // Xp, octets 56-59
+    val ypRaw = s32sm(payload, p + 59)            // Yp, octets 60-63
+    require(xpRaw >= 0 && ypRaw >= 0,
+      s"unsupported negative space-view sub-satellite pixel ($xpRaw, $ypRaw)")
+    val xp = xpRaw / 1e3
+    val yp = ypRaw / 1e3
     val scan = u8(payload, p + 63)                // octet 64
     require(scan == 0,
       f"unsupported scanning mode 0x$scan%02x on a space-view grid " +
@@ -536,16 +547,20 @@ object Grib2 {
     require(orient == 0.0,
       s"unsupported space-view grid orientation $orient " +
         "(unrotated camera only)")
-    val nrRaw = u32(payload, p + 68)              // Nr, octets 69-72
-    require(nrRaw != 0xffffffffL,
+    require(u32(payload, p + 68) != 0xffffffffL,
       "unsupported space-view grid with missing Nr (the infinite-distance " +
         "orthographic marker)")
+    val nrRaw = s32sm(payload, p + 68)            // Nr, octets 69-72
     val nr = nrRaw / 1e6
     require(nr > 1.0,
       s"implausible space-view camera altitude Nr=$nr earth radii " +
         "(the camera must sit above the surface)")
-    val xo = u32(payload, p + 72).toDouble        // Xo, octets 73-76
-    val yo = u32(payload, p + 76).toDouble        // Yo, octets 77-80
+    val xoRaw = s32sm(payload, p + 72)            // Xo, octets 73-76
+    val yoRaw = s32sm(payload, p + 76)            // Yo, octets 77-80
+    require(xoRaw >= 0 && yoRaw >= 0,
+      s"unsupported negative space-view grid origin ($xoRaw, $yoRaw)")
+    val xo = xoRaw.toDouble
+    val yo = yoRaw.toDouble
     SpaceGrid(nx, ny, lop, dxApp.toDouble, dyApp.toDouble, xp, yp, xo, yo,
       nr, resolution, earth, scan)
   }

@@ -220,6 +220,19 @@ class MultimodalSpec extends SparkSpec {
     assert(g.map(_.cy).distinct.length == 4)
   }
 
+  test("resizeGrid: grid wider than the image drops empty box cells " +
+      "(no sentinel rows) and still covers every pixel once") {
+    import spark.implicits._
+    // 3x8: grid 4 makes the cx=0 x-box [0,0) empty on every row
+    val thin = Multimodal.Asset(1L, "image",
+      Multimodal.Gen.png(3, 8, Array.fill(4)(50.toByte)))
+    val cells = Multimodal.resizeGrid(Seq(thin).toDS(), grid = 4).collect()
+    assert(cells.forall(_.n_px > 0), "sentinel/empty rows must not appear")
+    assert(cells.length == 3 * 4, s"3 non-empty x-boxes x 4 y-boxes")
+    assert(cells.map(_.n_px).sum == 3L * 8)
+    assert(cells.forall(_.mean_milli == 50000L))
+  }
+
   test("opaque blobs still decode through the declared fake codec") {
     import spark.implicits._
     val blob = "no container magic here".getBytes("UTF-8")

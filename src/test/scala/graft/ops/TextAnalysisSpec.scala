@@ -148,4 +148,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(4) == 0, "no phone: key and IP were already redacted")
     assert(r.getString(5) == "key [KEY] ip [IP] done")
   }
+
+  test("lineTiles: empty token array yields ONE empty line, not the " +
+      "descending-sequence bogus pair; normal tiling unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, Array.empty[String]),
+      (2L, Array("a")),
+      (3L, Array("a", "b", "c", "d", "e"))
+    ).toDF("id", "ws")
+      .select(col("id"), TextAnalysis.lineTiles(col("ws"), 2).as("tiles"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(rows(1L) == Seq(""), s"empty array tiles: ${rows(1L)}")
+    assert(rows(2L) == Seq("a"))
+    assert(rows(3L) == Seq("a b", "c d", "e"))
+  }
 }

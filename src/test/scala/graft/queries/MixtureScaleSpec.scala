@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** x62's proration at the 100 TB mandate scale: synthetic per-source
+  * token counts summing to ~2·10¹³ (past BOTH bigint envelopes — the
+  * `budget·wq` product crosses 2^63 at N ≈ 7·10¹⁰ and `capped·10⁶` at
+  * N ≈ 9·10¹², so the pre-round-14 spelling would raise under ANSI
+  * here), checked column-by-column against a BigInt recomputation.
+  */
+class MixtureScaleSpec extends SparkSpec {
+
+  test("x62 proration is exact past 2^63/500 total tokens (decimal path)") {
+    import spark.implicits._
+    // 3 sources × 200 docs × ~3.4e10 tokens/doc → ~2e13 total tokens
+    val docs = (0 until 600).map { i =>
+      val src = s"src${i % 3}"
+      val toks = 3_400_000_000_0L + (i.toLong * 1_000_000L) // ~3.4e10
+      (i.toLong, src, toks)
+    }.toDF("doc_id", "source", "n_toks")
+    val rows = ExtensionQueries.temperatureMixtureFrom(docs)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(rows.size == 3)
+
+    // BigInt twin of the plan arithmetic
+    val bySrc = (0 until 600).groupBy(i => s"src${i % 3}")
+      .view.mapValues(_.map(i =>
+        BigInt(3_400_000_000_0L + i.toLong * 1_000_000L)).sum).toMap
+    val wq = bySrc.view.mapValues(n =>
+      BigInt(math.round(math.sqrt(n.toDouble) * 1e3))).toMap
+    val totTokens = bySrc.values.sum
+    val totWq = wq.values.sum
+    val budget = totTokens / 2
+    assert(budget * wq.values.max > BigInt(2).pow(63),
+      "fixture must actually exceed the old bigint envelope")
+    bySrc.keys.foreach { s =>
+      val r = rows(s)
+      val n = bySrc(s)
+      val target = budget * wq(s) / totWq
+      val capped = target.min(n)
+      val rate = (capped * 1000000 / n).min(BigInt(1000000))
+      assert(BigInt(r.getAs[Long]("n_tokens")) == n, s"$s n_tokens")
+      assert(BigInt(r.getAs[Long]("wq")) == wq(s), s"$s wq")
+      assert(BigInt(r.getAs[Long]("target_tokens")) == target,
+        s"$s target_tokens")
+      assert(BigInt(r.getAs[Long]("capped_tokens")) == capped, s"$s capped")
+      assert(BigInt(r.getAs[Long]("rate_ppm")) == rate, s"$s rate_ppm")
+      assert(r.getAs[Long]("sel_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("sel_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+}

@@ -1277,6 +1277,21 @@ class Grib2Spec extends AnyFunSuite {
       .contains("scanning mode"))
     assert(decodeErr(spaceViewMsg().copy(thinnedListOctets = 1))
       .contains("quasi-regular point list"))
+    // sign-magnitude high-bit wires (netCDF int4 semantics): a negative
+    // dx/Xp/Nr/Xo must refuse by name, never decode as a huge positive
+    // that slips the plausibility gates (ADVICE r13 #1 — e.g. the old
+    // unsigned read let Nr=0x80000001 pass the nr>1 gate as ~2.1e3 radii)
+    assert(decodeErr(spaceViewMsg().copy(dxMicro = 0x80000005L))
+      .contains("must be positive"))
+    assert(decodeErr(spaceViewMsg().copy(spaceXpMilli = 0x80000002L))
+      .contains("negative space-view sub-satellite pixel"))
+    assert(decodeErr(spaceViewMsg().copy(spaceNrMicroRaw = 0x80000001L))
+      .contains("altitude"))
+    assert(decodeErr(spaceViewMsg().copy(spaceXoRaw = 0x80000001L))
+      .contains("negative space-view grid origin"))
+    // missing dx sentinel refuses as missing, not as a sign-magnitude value
+    assert(decodeErr(spaceViewMsg().copy(dxMicro = 0xffffffffL))
+      .contains("coded missing"))
   }
 
   test("grid template 3.204 (curvilinear orthogonal) decodes as a raster " +
