@@ -227,4 +227,110 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  // ---------------------------------------- incremental near-dup (x58) leg
+
+  private def pathExists(spark: SparkSession, p: String): Boolean =
+    new Path(p).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(new Path(p))
+
+  /** One micro-batch of the x58 incremental near-duplicate leg — the
+    * PRODUCTION shape of [[graft.ops.Dedup.incrementalNearDuplicates]]:
+    * the `(band, band_key, doc_id)` LSH entries are PERSISTED (the index
+    * a batch x58 run derives in-plan) and each tick's delta probes them.
+    * Per batch, with the x19-family constants (3-shingles, 64 hashes,
+    * 32 bands, jaccard ≥ 0.25):
+    *
+    *  1. replay gate: docs whose ids are already in the doc store drop
+    *     (first writer wins — a fresh-checkpoint replay is a no-op);
+    *  2. the batch's signatures → band entries, computed ONCE
+    *     (localCheckpoint) and used both to probe and to append;
+    *  3. candidates = batch entries ⋈ stored entries on (band, band_key)
+    *     — exactly [[graft.ops.Dedup.incrementalNearDuplicates]]'s
+    *     new×old bucket join (new×new and old×old pairs never form; an
+    *     in-batch pair is the landing pipeline's own x03 concern);
+    *  4. exact shingle-Jaccard verify, old shingles recomputed from the
+    *     doc store over ONLY the candidate old ids (a semi-join-pruned
+    *     read — the store never re-shingles wholesale);
+    *  5. idempotent appends, pairs first (anti-joined on (new_id,
+    *     old_id) so a crash between writes cannot double-emit), then
+    *     index entries, then docs LAST — the replay gate keys on doc
+    *     presence, so a partially-applied batch is re-driven to the
+    *     same final state.
+    *
+    * Scale: this is the 100 TB batch shape x58 argues — each tick costs
+    * O(|delta| signatures) + one bucket-key join against the persisted
+    * index (partitioned by band, so a band-pruned probe at scale), and
+    * verification touches only candidate pairs.
+    */
+  def incrementalDedupBatch(batch0: DataFrame, pairsPath: String,
+      indexPath: String, docsPath: String, threshold: Double = 0.25,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 32): Unit = {
+    import graft.ops.Dedup
+    val spark = batch0.sparkSession
+    val batchAll = batch0.select(col("doc_id"), col("text"))
+    val batch = (if (pathExists(spark, docsPath))
+        batchAll.join(spark.read.parquet(docsPath).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else batchAll).localCheckpoint()
+    if (batch.isEmpty) return // replay / empty tick: no-op
+    val entries = Dedup.lshBucketEntries(
+        Dedup.minHashSignatures(batch, n, numHashes), numHashes, bands)
+      .localCheckpoint() // one evaluation: probe side + index append
+    if (pathExists(spark, indexPath)) {
+      val oldE = spark.read.parquet(indexPath)
+      val cand = entries.select(col("band"), col("band_key"),
+          col("doc_id").as("new_id"))
+        .join(oldE.select(col("band"), col("band_key"),
+          col("doc_id").as("old_id")), Seq("band", "band_key"))
+        .select("new_id", "old_id").distinct()
+      val shNew = batch.select(col("doc_id").as("new_id"),
+        Dedup.shingles(col("text"), n).as("sh_a"))
+      val shOld = spark.read.parquet(docsPath)
+        .join(cand.select(col("old_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("old_id"),
+          Dedup.shingles(col("text"), n).as("sh_b"))
+      val pairs = cand
+        .join(shNew, "new_id").join(shOld, "old_id")
+        .withColumn("n_inter",
+          size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", col("n_inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("new_id"), col("old_id"), col("jaccard"))
+      val fresh =
+        if (!pathExists(spark, pairsPath)) pairs
+        else pairs.join(
+          spark.read.parquet(pairsPath).select("new_id", "old_id"),
+          Seq("new_id", "old_id"), "left_anti")
+      fresh.write.mode("append").parquet(pairsPath)
+    }
+    entries.write.mode("append").partitionBy("band").parquet(indexPath)
+    batch.write.mode("append").parquet(docsPath)
+  }
+
+  /** Drain the landing directory once through the incremental near-dup
+    * leg: each tick's delta is checked against the persisted LSH index
+    * ([[incrementalDedupBatch]]), near-dup pairs land in `pairsPath`,
+    * and the delta joins the index + doc store. The streaming twin of
+    * x58's batch query, beside the curated funnel — StreamingSpec proves
+    * stream ≡ batch pair sets across two batches and fresh-checkpoint
+    * replay idempotence.
+    */
+  def dedupIndexOnce(
+      spark: SparkSession,
+      landingDir: String,
+      pairsPath: String,
+      indexPath: String,
+      docsPath: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema).json(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        incrementalDedupBatch(batch, pairsPath, indexPath, docsPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -251,4 +251,76 @@ class StreamingSpec extends SparkSpec {
     assert(latest.getAs[Double]("value") == 2.0)
     q.stop()
   }
+
+  test("incremental dedup stream (x58 leg): two batches against the " +
+      "persisted LSH index equal the batch new-vs-old pair set; " +
+      "fresh-checkpoint replay is a no-op") {
+    import spark.implicits._
+    val base = tmpDir()
+    val landing = s"$base/landing"
+    val pairsP = s"$base/pairs"; val indexP = s"$base/index"
+    val docsP = s"$base/docs"
+    Files.createDirectories(Paths.get(landing))
+    // batch 1: the "old" corpus — distinct docs plus a pair of docs that
+    // are near-dups of EACH OTHER (old×old must never pair)
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa x"),
+      (4L, "the quick brown fox jumps over the lazy dog again today"))
+    // batch 2: near-copies of old docs 1 and 4, one fresh doc, and a
+    // near-copy of doc 20 in the SAME batch (new×new must never pair)
+    val b2 = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa y"),
+      (21L, "the quick brown fox jumps over the lazy dog again now"),
+      (22L, "completely different words about completely other topics here"),
+      (23L, "alpha beta gamma delta epsilon zeta eta theta iota kappa z"))
+    def land(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .coalesce(1).write.mode("append").json(landing)
+
+    land(b1)
+    CorpusStream.dedupIndexOnce(spark, landing, pairsP, indexP, docsP,
+      s"$base/ckpt").awaitTermination()
+    // first tick: empty index — no pairs, stores populated
+    assert(!Files.exists(Paths.get(pairsP)) ||
+      spark.read.parquet(pairsP).count() == 0)
+    assert(spark.read.parquet(docsP).count() == 4)
+
+    land(b2)
+    CorpusStream.dedupIndexOnce(spark, landing, pairsP, indexP, docsP,
+      s"$base/ckpt").awaitTermination()
+    val streamPairs = spark.read.parquet(pairsP)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: full corpus, is_new = membership in batch 2
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+    val batchPairs = graft.ops.Dedup.incrementalNearDuplicates(
+        all, col("doc_id") >= 20L, threshold = 0.25)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs == batchPairs,
+      s"stream $streamPairs != batch $batchPairs")
+    assert(streamPairs.nonEmpty, "fixture must surface cross-batch pairs")
+    // the cross-batch near-copies must be found; in-batch pairs must not
+    assert(streamPairs.exists(_._1 == 20L) && streamPairs.exists(_._1 == 21L))
+    assert(!streamPairs.exists(p => p._1 >= 20L && p._2 >= 20L),
+      "new x new pair leaked into the incremental set")
+    assert(!streamPairs.exists(p => p._1 < 20L && p._2 < 20L),
+      "old x old pair leaked into the incremental set")
+    val docCount = spark.read.parquet(docsP).count()
+    val idxCount = spark.read.parquet(indexP).count()
+    assert(docCount == 8)
+
+    // fresh checkpoint: every landing file replays; the doc-store gate
+    // makes the whole tick a no-op on all three stores
+    CorpusStream.dedupIndexOnce(spark, landing, pairsP, indexP, docsP,
+      s"$base/ckpt2").awaitTermination()
+    assert(spark.read.parquet(pairsP).select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == streamPairs)
+    assert(spark.read.parquet(docsP).count() == docCount)
+    assert(spark.read.parquet(indexP).count() == idxCount)
+  }
 }
