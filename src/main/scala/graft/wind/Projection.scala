@@ -314,6 +314,12 @@ object Projection {
     * longitude shift by γ, and the true pole stays fixed for every γ —
     * both pinned by ProjectionSpec.
     *
+    * The γ = 0 base rotation has EXTERNAL provenance (round 14): it
+    * agrees to < 1e-9° with COSMO's published closed-form
+    * `phirot2phi`/`rlarot2rla` routines (utilities.f90), reproduced
+    * independently in ProjectionSpec — a direct-spherical-trig second
+    * spelling of the transform, not a copy of the triad.
+    *
     * INTERPRETATION RISK (documented, not resolved): the γ ≠ 0 sign
     * convention is pinned only by self-consistency (pole fixed,
     * identity-pole shift, isometry) — no independent oracle exists in this
