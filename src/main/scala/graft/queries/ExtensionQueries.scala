@@ -824,26 +824,23 @@ object ExtensionQueries {
       approx_count_distinct(col("user_id"), HllRsd).as("approx_users"),
       percentile_approx(col("value"), lit(0.5), lit(1000))
         .as("approx_median"))
-    // exact lower median by RANK SELECTION: the value at rank ceil(n/2) in
-    // value order — a selection of a stored double (bit-identical on both
-    // engines), never an interpolated midpoint
-    val med = ev
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("event_type").orderBy("value")))
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy("event_type")))
-      .filter(col("rn") === ceil(col("cnt") / lit(2.0)))
-      .select(col("event_type"), col("value").as("exact_p50"))
-    // rank of the engine's own approximate median: how many values sit at
-    // or below it (5-row sketch side broadcast against the event scan)
-    val rk = ev
-      .join(broadcast(agg.select(col("event_type"), col("approx_median"))),
-        "event_type")
-      .groupBy(col("event_type"))
-      .agg(count(when(col("value") <= col("approx_median"), 1)).as("cnt_le"))
-    agg.join(med, "event_type").join(rk, "event_type")
+    // one broadcast of the 5-row sketch side back over the event scan
+    // computes BOTH verdict inputs in a single window pass: the exact
+    // lower median by RANK SELECTION (the value at rank ceil(n/2) in
+    // value order — a selection of a stored double, bit-identical on
+    // both engines, never an interpolated midpoint) and the rank of the
+    // engine's own approximate median (how many values sit at or below
+    // it). Same partitioning for both window frames → one shuffle+sort.
+    val w = Window.partitionBy("event_type")
+    ev.select(col("event_type"), col("value"))
+      .join(broadcast(agg), "event_type")
+      .withColumn("rn", row_number().over(w.orderBy("value")))
+      .withColumn("cnt_le",
+        count(when(col("value") <= col("approx_median"), 1)).over(w))
+      .filter(col("rn") === ceil(col("n") / lit(2.0)))
       .select(
-        col("event_type"), col("n"), col("exact_users"), col("exact_p50"),
+        col("event_type"), col("n"), col("exact_users"),
+        col("value").as("exact_p50"),
         (abs(col("approx_users") - col("exact_users")) <=
           lit(HllTolerance) * col("exact_users")).as("hll_within_tol"),
         (abs(col("cnt_le") - col("n") / lit(2.0)) <=
