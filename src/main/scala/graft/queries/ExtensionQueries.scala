@@ -794,6 +794,29 @@ object ExtensionQueries {
     */
   val QuantileRankTolerance = 0.02
 
+  /** Bucket count for [[approxStats]]' in-band histogram. The rank band
+    * guaranteed by the sketch holds ≤ ~2.2% of n values (see
+    * [[approxStats]]); 4096 buckets cut the final per-type selection to
+    * ≤ 0.022·n/4096 ≈ 5.4·10⁻⁶·n distinct values — ~54k rows in one
+    * sort task at 10¹⁰ events per type — while the histogram itself
+    * stays ≤ 4098 rows per type (constant, independent of n).
+    */
+  val MedianHistogramBuckets = 4096
+
+  /** Rank half-width of the sketch-guided median band (quantile offsets
+    * 0.5 ± this). Must exceed the sketch's own rank error 1/accuracy =
+    * 0.001 for the band to provably straddle rank ⌈n/2⌉; 0.01 gives 9×
+    * headroom and keeps the band ≤ ~2.2% of n.
+    */
+  val MedianBandHalfWidth = 0.01
+
+  /** Below this per-type row count the median band falls back to the
+    * full [min, max] range: the straddle proof needs
+    * ([[MedianBandHalfWidth]] − 0.001)·n ≥ 0.5 (n ≥ 56); 200 adds slack,
+    * and a ≤ 200-value selection is trivial at any scale.
+    */
+  val MedianBandMinRows = 200
+
   /** Sketch aggregates (x15): HLL++ distinct counts + rank-bounded
     * approximate median per event type — restructured (round 14) so the
     * driver CAN hash-check it. The raw sketch estimates are
@@ -810,37 +833,123 @@ object ExtensionQueries {
     * bound on the same data — the raw estimates stay engine-specific but
     * *checked* (tighter raw-bound assertions live in ApproxSpec).
     *
-    * Scale: one groupBy for the sketches, one window pass for the rank
-    * selection, and one conditional re-aggregation for the estimate's
-    * rank — the per-type result is 5 rows, so the verdict joins
-    * broadcast.
+    * Scale (round 15 — replaces the round-14 per-type window sort whose
+    * parallelism equalled the number of event types): `exact_p50` comes
+    * from SKETCH-GUIDED DISTRIBUTED RANK SELECTION, one lazy plan, no
+    * driver round-trips:
+    *
+    *  1. A value-side aggregate computes a rank BAND around the median:
+    *     `percentile_approx(value, [0.5−w, 0.5, 0.5+w], 1000)` probes
+    *     one GK summary three times. Spark documents the sketch's
+    *     rank error as 1/accuracy = 0.001·n, so with w =
+    *     [[MedianBandHalfWidth]]: count(value < lo) ≤ (0.5−w+0.001)·n <
+    *     ⌈n/2⌉ and count(value ≤ hi) ≥ (0.5+w−0.001)·n ≥ ⌈n/2⌉ (for
+    *     n ≥ [[MedianBandMinRows]]; smaller types widen the band to
+    *     [min, max], where the straddle is trivial) — the true median
+    *     provably lies in [lo, hi], and the band holds ≤ (2w+0.002)·n
+    *     values. lo is INCLUSIVE so a heavily-duplicated band edge
+    *     cannot evict the median.
+    *  2. One full scan builds the per-(type, bucket) histogram over the
+    *     band — sentinel buckets −1/B catch out-of-band rows, so the
+    *     same scan also yields `cnt_le` (the approximate median's rank —
+    *     a plain conditional aggregate, not a window) and the
+    *     below-band rank offset. The cumulative-count window underneath
+    *     runs over ≤ B+2 rows per type.
+    *  3. The rank-⌈n/2⌉ bucket (≤ (2w+0.002)·n/B values) re-enters as a
+    *     broadcast 1-row-per-type spec; a second scan selects within it.
+    *     Duplicates collapse in a groupBy first, so the final cumsum
+    *     window sorts only the bucket's distinct values.
+    *  4. The user-side sketches (`exact_users`, HLL) come from their own
+    *     two-stage (type, user) pre-aggregation — HLL++ is
+    *     multiplicity-insensitive, so deduped input yields the identical
+    *     estimate — and broadcast-join the 5-row result. Keeping them
+    *     out of the value aggregate matters: mixing countDistinct's
+    *     expand with GK buffers in one physical aggregate measured a
+    *     2.4× cliff, and the two lean aggregations overlap instead.
+    *
+    * Bucket ids are pure functions of (value, lo, hi), so the two scans
+    * agree bit-exactly with no cached partitioner state. Every window in
+    * the plan sits above an Aggregate and covers a bounded slice — never
+    * the raw event stream (PlanSpec gates this).
     */
   def approxStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val b = MedianHistogramBuckets
+    val w = MedianBandHalfWidth
     val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value"))
+    // value-side aggregate: GK band quantiles + count + range. The
+    // user-side sketches deliberately live in their own two-stage
+    // aggregation further down — mixing countDistinct's expand with the
+    // GK buffers in ONE physical aggregate measured a 2.4× cliff
     val agg = ev.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
-      countDistinct(col("user_id")).as("exact_users"),
-      approx_count_distinct(col("user_id"), HllRsd).as("approx_users"),
-      percentile_approx(col("value"), lit(0.5), lit(1000))
-        .as("approx_median"))
-    // one broadcast of the 5-row sketch side back over the event scan
-    // computes BOTH verdict inputs in a single window pass: the exact
-    // lower median by RANK SELECTION (the value at rank ceil(n/2) in
-    // value order — a selection of a stored double, bit-identical on
-    // both engines, never an interpolated midpoint) and the rank of the
-    // engine's own approximate median (how many values sit at or below
-    // it). Same partitioning for both window frames → one shuffle+sort.
-    val w = Window.partitionBy("event_type")
-    ev.select(col("event_type"), col("value"))
-      .join(broadcast(agg), "event_type")
-      .withColumn("rn", row_number().over(w.orderBy("value")))
-      .withColumn("cnt_le",
-        count(when(col("value") <= col("approx_median"), 1)).over(w))
-      .filter(col("rn") === ceil(col("n") / lit(2.0)))
+      percentile_approx(col("value"),
+        array(lit(0.5 - w), lit(0.5), lit(0.5 + w)), lit(1000)).as("qs"),
+      min(col("value")).as("vmin"),
+      max(col("value")).as("vmax"))
+    val sketch = agg.select(col("event_type"), col("n"),
+      col("qs").getItem(1).as("approx_median"),
+      when(col("n") < MedianBandMinRows, col("vmin"))
+        .otherwise(col("qs").getItem(0)).as("lo"),
+      when(col("n") < MedianBandMinRows, col("vmax"))
+        .otherwise(col("qs").getItem(2)).as("hi"))
+    // bucket id: pure in (value, lo, hi) — sentinels −1 (below band) and
+    // B (above) keep the full scan's counts; a degenerate single-value
+    // band collapses to bucket 0; hi itself clamps into bucket B−1
+    val bkt = when(col("value") < col("lo"), lit(-1L))
+      .when(col("value") > col("hi"), lit(b.toLong))
+      .when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col("value") - col("lo")) /
+        (col("hi") - col("lo")) * b), lit(b - 1L)))
+    val wT = Window.partitionBy("event_type")
+    // full-scan histogram: bucket counts + the approximate median's rank
+    // (cnt_le) in ONE pass; the windows see ≤ B+2 rows per type
+    val spec = ev.join(broadcast(sketch), "event_type")
+      .withColumn("bkt", bkt)
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"),
+        count(when(col("value") <= col("approx_median"), 1))
+          .as("cnt_le_part"),
+        max(col("n")).as("n"),
+        // per-type constants ride along so the selection scan below needs
+        // only this spec (one broadcast, no second sketch aggregation)
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .withColumn("cum", sum(col("cnt")).over(wT.orderBy("bkt")))
+      .withColumn("cnt_le", sum(col("cnt_le_part")).over(wT))
+      .withColumn("r", ceil(col("n") / lit(2.0)))
+      .filter(col("cum") - col("cnt") < col("r") && col("r") <= col("cum"))
+      .select(col("event_type"), col("bkt").as("t"),
+        (col("r") - (col("cum") - col("cnt"))).as("r1"), col("cnt_le"),
+        col("lo"), col("hi"), col("n"))
+    // in-band selection: the target bucket holds ≤ (2w+0.002)·n/B values;
+    // duplicates collapse in the groupBy, so the cumsum window sorts only
+    // its distinct values — exact_p50 is the smallest value whose
+    // cumulative count reaches the residual rank (a SELECTION of a stored
+    // double, never an interpolated midpoint)
+    val med = ev.join(broadcast(spec), "event_type")
+      .withColumn("bkt", bkt)
+      .filter(col("bkt") === col("t"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"), max(col("r1")).as("r1"),
+        max(col("cnt_le")).as("cnt_le"), max(col("n")).as("n"))
+      .withColumn("cum", sum(col("c")).over(wT.orderBy("value")))
+      .filter(col("cum") - col("c") < col("r1") && col("r1") <= col("cum"))
+      .select(col("event_type"), col("value").as("exact_p50"),
+        col("cnt_le"), col("n"))
+    // user-side sketches via an explicit (type, user) pre-aggregation:
+    // the exact count is a plain count over the deduped keys, and the
+    // HLL++ sketch is multiplicity-insensitive, so feeding it deduped
+    // users yields the identical estimate — without countDistinct's
+    // expand, and partial-aggregable on both stages
+    val users = ev.groupBy(col("event_type"), col("user_id")).count()
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("exact_users"),
+        approx_count_distinct(col("user_id"), HllRsd).as("approx_users"))
+    med.join(broadcast(users), "event_type")
       .select(
         col("event_type"), col("n"), col("exact_users"),
-        col("value").as("exact_p50"),
+        col("exact_p50"),
         (abs(col("approx_users") - col("exact_users")) <=
           lit(HllTolerance) * col("exact_users")).as("hll_within_tol"),
         (abs(col("cnt_le") - col("n") / lit(2.0)) <=

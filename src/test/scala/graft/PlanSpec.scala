@@ -188,6 +188,26 @@ class PlanSpec extends SparkSpec {
       .foreach(m => assert(m.group(1) == "source", s"exchange on ${m.group(1)}"))
   }
 
+  test("x15 approx stats: no window ever sorts the raw event stream " +
+      "(round-14 regression gate)") {
+    // round 14's plan computed the exact median with row_number() OVER
+    // (PARTITION BY event_type ORDER BY value) — a per-type sort of the
+    // FULL scan whose parallelism equals the number of event types. The
+    // round-15 sketch-guided rank selection only ever windows over
+    // aggregate outputs (≤ B+2 histogram rows / one bucket's distinct
+    // values per type). Gate: every Window in the optimized plan has an
+    // Aggregate strictly below it, so no raw-scan sort can reappear.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = graft.queries.ExtensionQueries.approxStats(spark, dir)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the bounded cumsum windows")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"window sorts a non-aggregated input:\n$w")
+    }
+  }
+
   test("x64 contamination spans: benchmark grams broadcast; island merge " +
       "exchanges on doc_id only") {
     val plan = executed(

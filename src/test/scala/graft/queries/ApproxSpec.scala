@@ -24,6 +24,46 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("x15 rank selection survives degenerate value distributions") {
+    // the sketch-guided band (round 15) has three delicate regimes: a
+    // degenerate single-value band (lo == hi), a heavily-duplicated
+    // value sitting ON the band's low edge (inclusive-lo rule), and the
+    // small-n fallback band [min, max]. One synthetic events table with
+    // one event_type per regime drives them all through the real reader.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def rows(tpe: String, values: Seq[Double]): Seq[(Long, java.sql.Timestamp, Long, String, Double, String)] =
+      values.zipWithIndex.map { case (v, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"),
+          (i % 37).toLong, tpe, v, "{}")
+      }
+    val cases: Seq[(String, Seq[Double])] = Seq(
+      "all_equal" -> Seq.fill(1001)(5.0),
+      "tiny"      -> Seq(3.0, 1.0, 2.0),
+      "single"    -> Seq(42.5),
+      // 60% of the mass on one value that IS the median and (almost
+      // surely) the returned band edge — evicting it would lose the rank
+      "dup_edge"  -> (Seq.fill(600)(7.0) ++
+        Seq.fill(400)(0.0).map(_ => 7.0 + rnd.nextDouble())),
+      "two_vals"  -> (Seq.fill(500)(1.0) ++ Seq.fill(500)(2.0)),
+      // n < MedianBandMinRows and negative values: [min, max] fallback
+      "neg"       -> (1 to 100).map(i => -i.toDouble)
+    )
+    val dir = tmpDir()
+    cases.flatMap { case (t, vs) => rows(t, vs) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    val got = ExtensionQueries.approxStats(spark, dir)
+      .collect().map(r =>
+        r.getAs[String]("event_type") -> r.getAs[Double]("exact_p50"))
+      .toMap
+    val want = cases.map { case (t, vs) =>
+      val sorted = vs.sorted
+      t -> sorted((vs.size + 1) / 2 - 1) // lower median: rank ceil(n/2)
+    }.toMap
+    assert(got == want)
+  }
+
   test("raw sketches: approx_count_distinct within 5% of exact; " +
       "approx median within value range") {
     val rows = Tables.events(spark, "/root/testdata/sf0.01")
