@@ -4,10 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Throughput benchmark: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","runs":{...},...,
-  * "queries":{...},"failures":[...],"sf":...}` (the per-query seconds
-  * map is last among the big maps — see the tail-truncation note at the
-  * print site), plus a `bench_full.json` file copy.
+  * `{"metric":"total","value":N,"unit":"sec","warmup_builds":{...},
+  * "runs":{...},...,"queries":{...},"failures":[...],"sf":...}` (the
+  * per-query seconds map is last among the big maps — see the
+  * tail-truncation note at the print site), plus a `bench_full.json`
+  * file copy. `warmup_builds` records one-time per-JVM artifact builds
+  * the untimed warmup absorbed (currently the x19-family cluster-map
+  * build) so a 0.2 s read-the-table query time can't be mistaken for
+  * the build's end-to-end cost.
   *
   * Protocol: one untimed warmup pass (JVM/JIT, codegen cache, parquet footer
   * + file listing) then best-of-[[TimedRuns]] timed passes per query to a `noop` sink —
@@ -164,8 +168,17 @@ object Bench {
       case (_, Some(n)) => n.get("value").asDouble()
       case (chunk, None) => chunk.size * FailurePenaltySec
     }.sum
+    // untimed warmup builds summed across child JVMs (each chunk that
+    // touches the x19 family pays its own cluster-map build once)
+    val clusterBuild = chunkJsons.map {
+      case (_, Some(n)) => Option(n.get("warmup_builds"))
+        .flatMap(w => Option(w.get("cluster_build_sec")))
+        .fold(0.0)(_.asDouble())
+      case _ => 0.0
+    }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","forked":true,""" +
+        f""""warmup_builds":{"cluster_build_sec":$clusterBuild%.3f},""" +
         s""""runs":${mergedMap("runs", "[]")},""" +
         s""""rows":${mergedMap("rows", "-1")},""" +
         s""""scan_bytes":${mergedMap("scan_bytes", "-1")},""" +
@@ -334,8 +347,16 @@ object Bench {
     // among the big maps — the instrument maps (runs/rows/scan/expr) are
     // the ones sacrificed to truncation, never the seconds (rounds 8-10
     // preserved expr_nodes instead, which reads like nonsense timings).
+    // One-time per-JVM build costs that the warmup pass absorbed: the
+    // x19-family's cluster-map build runs once here and the timed runs
+    // only READ the materialized table — this instrument keeps that
+    // build visible in the artifact so the per-query numbers can't be
+    // mistaken for end-to-end cost (VERDICT r14 re-baselining).
+    val warmupBuilds = f"""{"cluster_build_sec":${
+      graft.ops.Dedup.clusterBuildSecondsTotal}%.3f}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""warmup_builds":$warmupBuilds,""" +
         s""""runs":$runs,"rows":$rows,"scan_bytes":$bytes,"scan_cols":$cols,""" +
         s""""expr_nodes":$exprs,""" +
         s""""queries":$qs,"failures":$fs,""" +

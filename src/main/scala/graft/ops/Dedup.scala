@@ -733,11 +733,43 @@ object Dedup {
       rounds)
   }
 
-  /** Per-JVM registry of materialized cluster maps: corpus key → parquet
-    * path (see [[clustersCached]]).
+  /** Per-JVM registry of materialized cluster maps: corpus fingerprint →
+    * memoized build thunk (see [[clustersCached]]). Values are `lazy`
+    * holders so each key builds under its own monitor — two first-time
+    * callers on DIFFERENT corpora build concurrently; two on the same
+    * corpus serialize on that key alone.
     */
   private val clusterStore =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
+
+  /** Wall-clock seconds spent building cluster maps in this JVM (across
+    * all keys). The bench harness reads this as an instrument so the
+    * one-time build cost — paid during the untimed warmup — stays
+    * visible in the committed artifact next to the per-query times that
+    * merely READ the materialized table (VERDICT r14).
+    */
+  private val clusterBuildNanos = new java.util.concurrent.atomic.AtomicLong
+  def clusterBuildSecondsTotal: Double = clusterBuildNanos.get / 1e9
+
+  /** Content fingerprint of the frame behind [[clustersCached]]: the
+    * source files with their sizes and mtimes (so a rewritten corpus
+    * directory yields a new key and can never serve a stale map), plus
+    * the canonicalized plan (so two different frames passed under the
+    * same corpus key get distinct entries — e.g. a filtered view vs the
+    * full table). Cheap: file metadata only, no data read.
+    */
+  private def corpusFingerprint(docs: DataFrame, key: String): String = {
+    val files = docs.inputFiles.sorted.map { f =>
+      val p = new java.io.File(new java.net.URI(f).getPath)
+      s"$f:${p.length}:${p.lastModified}"
+    }
+    val plan = docs.queryExecution.analyzed.canonicalized.toString
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+    digest.update(key.getBytes("UTF-8"))
+    files.foreach(f => digest.update(f.getBytes("UTF-8")))
+    digest.update(plan.getBytes("UTF-8"))
+    digest.digest().map("%02x".format(_)).mkString
+  }
 
   /** The x19-family's shared near-dup cluster map — [[duplicateClusters]]
     * over [[nearDuplicates]] at the standard constants (threshold 0.25,
@@ -759,27 +791,38 @@ object Dedup {
     * table would, and so a 1000-executor cluster would read it
     * partition-parallel rather than recompute.
     *
-    * Contract: `key` identifies the corpus (callers pass the corpus
-    * directory); the corpus behind a key must not change within the JVM's
-    * lifetime. The store lives under a fresh temp directory owned by this
-    * JVM — no cross-process reuse, so a stale map can never leak between
-    * driver runs.
+    * The store key is a CONTENT fingerprint — source files with
+    * sizes/mtimes plus the canonicalized plan ([[corpusFingerprint]]) —
+    * not the caller's `key` string alone, so a long-lived driver that
+    * rewrites the corpus directory (or a caller passing a different
+    * frame under the same key) gets a fresh build, never a stale map
+    * (ADVICE r14). `key` still participates as a namespace. Builds
+    * serialize per key on the memoized thunk's own monitor; unrelated
+    * first builds proceed concurrently. The store lives under a fresh
+    * temp directory owned by this JVM — no cross-process reuse, so a
+    * stale map can never leak between driver runs.
     */
   def clustersCached(docs: DataFrame, key: String): DataFrame = {
     val spark = docs.sparkSession
-    val path = clusterStore.synchronized {
-      clusterStore.getOrElseUpdate(key, {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-cluster-store-")
-        dir.toFile.deleteOnExit()
-        val p = dir.resolve("clusters").toString
-        duplicateClusters(nearDuplicates(docs, threshold = 0.25,
-            n = 3, numHashes = 64, bands = 32))
-          .write.mode("overwrite").parquet(p)
-        p
+    val thunk = clusterStore.computeIfAbsent(
+      corpusFingerprint(docs, key),
+      _ => {
+        // lazy val: the build runs once, under this key's monitor only
+        lazy val built: String = {
+          val t0 = System.nanoTime()
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft-cluster-store-")
+          dir.toFile.deleteOnExit()
+          val p = dir.resolve("clusters").toString
+          duplicateClusters(nearDuplicates(docs, threshold = 0.25,
+              n = 3, numHashes = 64, bands = 32))
+            .write.mode("overwrite").parquet(p)
+          clusterBuildNanos.addAndGet(System.nanoTime() - t0)
+          p
+        }
+        () => built
       })
-    }
-    spark.read.parquet(path)
+    spark.read.parquet(thunk())
   }
 
   // ------------------------------------------------- DuckDB oracle dialect

@@ -294,6 +294,32 @@ class DedupSpec extends SparkSpec {
     assert(c.length == 1001 && c.forall(_.getLong(1) == 0L))
   }
 
+  test("clustersCached: a rewritten corpus under the same key is " +
+      "re-fingerprinted, never served stale (ADVICE r14)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val p = s"$dir/documents.parquet"
+    def near(id: Long, tail: String) =
+      (id, s"the quick brown fox jumps over the lazy dog again $tail")
+    // corpus v1: docs 1/2 near-identical → one cluster
+    Seq(near(1L, "x"), near(2L, "y"), (3L, "completely different words"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    val v1 = Dedup.clustersCached(spark.read.parquet(p), dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1.keySet == Set(1L, 2L))
+    // rewrite the SAME path: now 2/3 are the near-dups. mtime granularity
+    // can be 1s — nudge the clock past it so the rewrite is observable
+    Thread.sleep(1100)
+    Seq((1L, "completely different words"), near(2L, "x"), near(3L, "y"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    val v2 = Dedup.clustersCached(spark.read.parquet(p), dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2.keySet == Set(2L, 3L),
+      s"stale cluster map served after corpus rewrite: $v2")
+  }
+
   test("nearDuplicatesSql renders valid plain-decimal thresholds (1e-4 trap)") {
     // Double.toString(1e-4) is scientific ("1.0E-4"); a naive "${t}e0"
     // interpolation would emit the invalid literal `1.0E-4e0`
