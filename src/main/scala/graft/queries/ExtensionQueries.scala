@@ -2370,11 +2370,17 @@ object ExtensionQueries {
     * `sort_array(collect_list(struct))` (doc_id partitioning, no skew).
     * No all-pairs stage; work is linear in corpus tokens.
     *
-    * Precondition: non-empty `text` (every documents fixture guarantees
-    * it). An empty doc would hit the one spot where the engines' range
-    * primitives disagree — Spark `sequence(0, -1)` descends while DuckDB
-    * `generate_series(0, -1)` is empty — so a corpus that can carry empty
-    * docs must filter them before this operator.
+    * Empty-doc semantics (post-clamp, round 14): the Spark side is safe
+    * for ANY caller — [[TextAnalysis.lineTiles]] clamps its sequence
+    * bound at 0, so an empty token array yields exactly one (empty)
+    * tile. The residual engine/oracle split is narrower than the old
+    * descending-sequence bug but still real: the DuckDB twins'
+    * `generate_series(0, -1)` yields ZERO rows for the same input, so a
+    * corpus carrying empty docs would diverge by that one empty-line
+    * row. Unreachable through [[TextAnalysis.words]] (never returns an
+    * empty array); a caller feeding raw token arrays must filter empties
+    * before comparing against the SQL twins. Same note applies to
+    * x63/x65, which tile with the same primitive.
     */
   def boilerplateRemoval(spark: SparkSession, dir: String): DataFrame = {
     val lines = Tables.documents(spark, dir)
@@ -3159,6 +3165,19 @@ object ExtensionQueries {
     * work; `split_part`/`regexp_replace`/`lower` are codegen'd built-ins
     * shared verbatim by the oracle.
     */
+  /** The x61 URL canonicalizer, shared verbatim with the streaming
+    * first-pass ([[graft.streaming.CorpusStream.urlDedupStage]]) so the
+    * two legs cannot drift: drop fragment → drop query → lowercase →
+    * drop scheme + leading `www.` → drop trailing `/`.
+    */
+  def canonicalUrl(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        lower(split_part(split_part(url, lit("#"), lit(1)),
+          lit("?"), lit(1))),
+        "^https://(www\\.)?", ""),
+      "/$", "")
+
   def urlDedup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val url = concat(
@@ -3172,12 +3191,7 @@ object ExtensionQueries {
         .otherwise(lit("")),
       when(pmod(col("doc_id"), lit(11)) === 0, lit("#sec")).otherwise(lit(""))
     )
-    val canon = regexp_replace(
-      regexp_replace(
-        lower(split_part(split_part(col("url"), lit("#"), lit(1)),
-          lit("?"), lit(1))),
-        "^https://(www\\.)?", ""),
-      "/$", "")
+    val canon = canonicalUrl(col("url"))
     val w = Window.partitionBy(col("canon"))
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"))
@@ -3429,7 +3443,7 @@ object ExtensionQueries {
     * the broadcast semi-join; the island merge windows by doc_id. Docs
     * shorter than the gram refuse nothing — they simply have no
     * positions (both engines filter `n_words ≥ 8` identically, dodging
-    * the sequence(0,-1) descending/empty engine split x49 documents).
+    * the residual empty-input engine/oracle split x49 documents).
     */
   def contaminationSpans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -37,17 +37,27 @@ object CorpusStream {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Landing-file schema of the URL-carrying funnel ([[funnelUrlOnce]]):
+    * [[docSchema]] plus the crawl-side `url` column the canonical-URL
+    * first pass keys on.
+    */
+  val urlDocSchema: StructType =
+    StructType(docSchema.fields :+ StructField("url", StringType))
+
   /** The funnel's stateless language/quality FILTER alone (original
     * columns kept, no derived projection) — the curated funnel's entry:
     * its cleanup stage rewrites `text` and recomputes the hash and token
     * count itself, so [[gates]]' projection would be computed only to be
     * thrown away (one wasted SHA-256 per gated document per tick).
+    * `extra` appends pass-through columns the caller's downstream stages
+    * need (the URL funnel keeps `url` and `n_chars`).
     */
-  def gateFilter(docs: DataFrame): DataFrame =
+  def gateFilter(docs: DataFrame, extra: org.apache.spark.sql.Column*): DataFrame =
     TextAnalysis.qualityScore(docs, col("text"))
       .withColumn("pred", TextAnalysis.languageId(col("text")))
       .filter(col("pred") === "en" && col("quality") >= 0.5)
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .select(Seq(col("doc_id"), col("source"), col("lang"), col("text"))
+        ++ extra: _*)
 
   /** The funnel's stateless gates: [[gateFilter]] (identical column
     * expressions to the batch funnel — derived, not duplicated) plus the
@@ -228,6 +238,94 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The x61 canonical-URL first pass as a streaming stage — the one
+    * curation stage of the published RefinedWeb-order pipeline (funnel
+    * gate → URL dedup → content dedup) the funnel previously lacked. Per
+    * batch: canonicalize with the batch query's OWN expression
+    * ([[graft.queries.ExtensionQueries.canonicalUrl]] — shared code, no
+    * drift), pick the in-batch winner per canonical URL (longest text,
+    * ties to the smallest doc_id — the x51/x61 survivor rule), then drop
+    * winners whose canonical URL is already CLAIMED in the persisted key
+    * store. Across batches the rule is first-writer-wins (a later,
+    * longer page does not displace a stored survivor — the streaming
+    * form of every store in this funnel), and the claims append mirrors
+    * [[incrementalDedupBatch]]'s crash-safe order: keys are anti-joined
+    * against their own store before appending, the doc append happens
+    * LAST (in the caller), and a claim is honored only if its claimant
+    * actually reached the doc store — so a replay inside the
+    * keys-written/docs-missing crash window re-claims and converges to
+    * the crash-free state instead of losing the document. (A claimant
+    * absorbed by DOWNSTREAM content dedup is the same case: its canon is
+    * re-claimable and the re-claimer's near-identical content dedups
+    * again — convergent, never lossy.)
+    *
+    * Returns the URL-fresh winners for the caller's downstream stages;
+    * appends the new claims to `urlKeysPath` as (canon, doc_id).
+    *
+    * Scale: one window keyed on the canonical URL over ONE BATCH (not
+    * the corpus), one bucket-key anti-join against the claims store, and
+    * one semi-join validity probe against a 1-column doc-store
+    * projection — the same per-tick cost class as [[upsertDeduped]]'s
+    * hash gate.
+    */
+  def urlDedupStage(batch: DataFrame, urlKeysPath: String,
+      tablePath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val w = Window.partitionBy("canon")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val winners = batch
+      .withColumn("canon",
+        graft.queries.ExtensionQueries.canonicalUrl(col("url")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+    val fresh = (if (!pathExists(spark, urlKeysPath)) winners
+      else {
+        val claims = spark.read.parquet(urlKeysPath)
+          .select(col("canon"), col("doc_id").as("claim_id"))
+        val valid =
+          if (!pathExists(spark, tablePath)) claims.limit(0)
+          else claims.join(
+            spark.read.parquet(tablePath)
+              .select(col("doc_id").as("claim_id")),
+            Seq("claim_id"), "left_semi")
+        winners.join(valid, Seq("canon"), "left_anti")
+      }).localCheckpoint() // one evaluation: claims append + caller's stages
+    val keys = fresh.select(col("canon"), col("doc_id"))
+    val freshKeys =
+      if (!pathExists(spark, urlKeysPath)) keys
+      else keys.join(
+        spark.read.parquet(urlKeysPath).select("canon"),
+        Seq("canon"), "left_anti")
+    freshKeys.write.mode("append").parquet(urlKeysPath)
+    fresh
+  }
+
+  /** The curated funnel in the published RefinedWeb order with the
+    * canonical-URL first pass wired in: stateless gates → Gopher battery
+    * → URL dedup against the persisted claims store → intra-doc cleanup
+    * → exact-dedup append. Replays and restarts stay first-writer-wins
+    * idempotent at every store (StreamingSpec proves stream ≡ batch
+    * claims + survivors and fresh-checkpoint replay no-op, mirroring the
+    * x58 leg's proof).
+    */
+  def funnelUrlOnce(
+      spark: SparkSession,
+      landingDir: String,
+      tablePath: String,
+      urlKeysPath: String,
+      checkpointDir: String): StreamingQuery =
+    gateFilter(spark.readStream.schema(urlDocSchema).json(landingDir),
+        col("url"), col("n_chars"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val urlFresh = urlDedupStage(gopherGate(batch), urlKeysPath,
+          tablePath)
+        upsertDeduped(cleanStage(urlFresh), tablePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ---------------------------------------- incremental near-dup (x58) leg
 
   private def pathExists(spark: SparkSession, p: String): Boolean =
@@ -252,11 +350,19 @@ object CorpusStream {
     *  4. exact shingle-Jaccard verify, old shingles recomputed from the
     *     doc store over ONLY the candidate old ids (a semi-join-pruned
     *     read — the store never re-shingles wholesale);
-    *  5. idempotent appends, pairs first (anti-joined on (new_id,
-    *     old_id) so a crash between writes cannot double-emit), then
-    *     index entries, then docs LAST — the replay gate keys on doc
-    *     presence, so a partially-applied batch is re-driven to the
-    *     same final state.
+    *  5. idempotent appends in a fixed order — pairs, then index
+    *     entries, then docs LAST. EVERY append is anti-joined against
+    *     its own store (pairs on (new_id, old_id); index entries on
+    *     (band, band_key, doc_id) — ADVICE r14: without the entry
+    *     anti-join, a crash between the index and docs appends left the
+    *     replay gate open and the replay re-appended the same band
+    *     entries permanently), and the replay gate keys on doc
+    *     presence, so a partially-applied batch is re-driven to exactly
+    *     the crash-free final state. A replay inside the
+    *     index-written/docs-missing window also self-heals on the pairs
+    *     side: the batch's own index entries surface as candidates, but
+    *     their ids are absent from the doc store, so the old-shingle
+    *     join drops them.
     *
     * Scale: this is the 100 TB batch shape x58 argues — each tick costs
     * O(|delta| signatures) + one bucket-key join against the persisted
@@ -277,7 +383,10 @@ object CorpusStream {
     val entries = Dedup.lshBucketEntries(
         Dedup.minHashSignatures(batch, n, numHashes), numHashes, bands)
       .localCheckpoint() // one evaluation: probe side + index append
-    if (pathExists(spark, indexPath)) {
+    // the docs-store guard matters in the crash window where the index
+    // append landed but the docs append did not: there are no verifiable
+    // old docs, and the unconditional doc-store read would throw
+    if (pathExists(spark, indexPath) && pathExists(spark, docsPath)) {
       val oldE = spark.read.parquet(indexPath)
       val cand = entries.select(col("band"), col("band_key"),
           col("doc_id").as("new_id"))
@@ -306,7 +415,16 @@ object CorpusStream {
           Seq("new_id", "old_id"), "left_anti")
       fresh.write.mode("append").parquet(pairsPath)
     }
-    entries.write.mode("append").partitionBy("band").parquet(indexPath)
+    // index entries anti-join their store exactly like pairs do: a crash
+    // between this append and the docs append below must leave a replay
+    // that converges, not an index that accumulates duplicates
+    val freshEntries =
+      if (!pathExists(spark, indexPath)) entries
+      else entries.join(
+        spark.read.parquet(indexPath)
+          .select("band", "band_key", "doc_id"),
+        Seq("band", "band_key", "doc_id"), "left_anti")
+    freshEntries.write.mode("append").partitionBy("band").parquet(indexPath)
     batch.write.mode("append").parquet(docsPath)
   }
 

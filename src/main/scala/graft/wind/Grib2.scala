@@ -532,6 +532,13 @@ object Grib2 {
     val dyApp = s32sm(payload, p + 51)            // dy, octets 52-55
     require(dxApp > 0 && dyApp > 0,
       s"space-view apparent diameters must be positive ($dxApp, $dyApp)")
+    // Xp/Yp (and Xo/Yo below) get the same coded-missing check as dx/dy:
+    // an all-ones wire is the standard GRIB missing marker and must
+    // refuse as such, not decode via sign-magnitude to -(2^31-1) and
+    // refuse with a misleading "negative" diagnostic (ADVICE r14)
+    require(u32(payload, p + 55) != 0xffffffffL &&
+      u32(payload, p + 59) != 0xffffffffL,
+      "space-view sub-satellite pixel Xp/Yp is coded missing (0xFFFFFFFF)")
     val xpRaw = s32sm(payload, p + 55)            // Xp, octets 56-59
     val ypRaw = s32sm(payload, p + 59)            // Yp, octets 60-63
     require(xpRaw >= 0 && ypRaw >= 0,
@@ -555,6 +562,9 @@ object Grib2 {
     require(nr > 1.0,
       s"implausible space-view camera altitude Nr=$nr earth radii " +
         "(the camera must sit above the surface)")
+    require(u32(payload, p + 72) != 0xffffffffL &&
+      u32(payload, p + 76) != 0xffffffffL,
+      "space-view grid origin Xo/Yo is coded missing (0xFFFFFFFF)")
     val xoRaw = s32sm(payload, p + 72)            // Xo, octets 73-76
     val yoRaw = s32sm(payload, p + 76)            // Yo, octets 77-80
     require(xoRaw >= 0 && yoRaw >= 0,

@@ -252,6 +252,133 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("url-dedup funnel stream (x61 leg): claims store + survivors " +
+      "equal the incremental batch composition; replay idempotent") {
+    val base = tmpDir()
+    val landing = s"$base/landing"; val table = s"$base/table"
+    val urlKeys = s"$base/urlkeys"
+    // decorate the corpus with x61's url variant classes (scheme, case,
+    // www., trailing slash, query, fragment); doc_id % 50 in the path
+    // forces plenty of canonical collisions across the 500 docs. Exact
+    // text duplicates are dropped first (smallest id wins) so the
+    // content-dedup stage can't absorb a URL claimant and blur the
+    // url-stage equivalence this test is about
+    val rawAll = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val raw = rawAll.withColumn("rk0", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("text")
+          .orderBy("doc_id")))
+      .filter(col("rk0") === 1).drop("rk0")
+    val url = concat(
+      lit("https://"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
+      lit("Site"), pmod(col("doc_id"), lit(7)), lit(".Example.com/p/"),
+      pmod(col("doc_id"), lit(50)),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("/")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("?utm_source=feed"), pmod(col("doc_id"), lit(5))))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0, lit("#sec")).otherwise(lit("")))
+    val docs = raw.withColumn("url", url)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val (b1, b2) = (docs.filter(col("doc_id") < 250),
+      docs.filter(col("doc_id") >= 250))
+    b1.write.json(landing)
+    CorpusStream.funnelUrlOnce(spark, landing, table, urlKeys,
+      s"$base/ckpt").awaitTermination()
+    b2.write.mode("append").json(landing)
+    CorpusStream.funnelUrlOnce(spark, landing, table, urlKeys,
+      s"$base/ckpt").awaitTermination()
+
+    // batch twin of the incremental composition: per-batch canonical
+    // winners (longest text, ties smallest id), batch-2 winners drop
+    // canons batch 1 already claimed — first writer wins across batches
+    def winners(batch: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("canon")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      CorpusStream.gopherGate(
+          CorpusStream.gateFilter(batch, col("url"), col("n_chars")))
+        .withColumn("canon",
+          graft.queries.ExtensionQueries.canonicalUrl(col("url")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+    }
+    val w1 = winners(b1).localCheckpoint()
+    val w2 = winners(b2)
+      .join(w1.select("canon"), Seq("canon"), "left_anti")
+      .localCheckpoint()
+    val expectedClaims = w1.select("canon", "doc_id")
+      .union(w2.select("canon", "doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotClaims = spark.read.parquet(urlKeys).collect()
+      .map(r => (r.getAs[String]("canon"), r.getAs[Long]("doc_id"))).toSet
+    assert(gotClaims == expectedClaims)
+    assert(gotClaims.nonEmpty &&
+      gotClaims.size < CorpusStream.gopherGate(CorpusStream.gateFilter(
+        docs, col("url"), col("n_chars"))).count(),
+      "fixture must actually collide canonical urls")
+    // every canonical url claimed exactly once
+    assert(gotClaims.size == gotClaims.map(_._1).size)
+    // survivors: with exact dupes pre-dropped, every claimant's cleaned
+    // content is fresh, so the doc table is exactly the claimed docs
+    val tableIds = spark.read.parquet(table).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(tableIds == gotClaims.map(_._2))
+    assert(tableIds.nonEmpty)
+    // first-writer-wins is real in this fixture: some batch-2 doc lost
+    // its canon to a batch-1 claim despite longer text
+    val lost = winners(b2).join(w1.select(col("canon"),
+        col("n_chars").as("stored_chars")), "canon")
+      .filter(col("n_chars") > col("stored_chars"))
+    assert(lost.count() > 0,
+      "fixture must exercise a longer late arrival losing to the store")
+
+    // fresh checkpoint: full replay of both landing batches is a no-op
+    // on the claims store and the doc table
+    val tableCount = spark.read.parquet(table).count()
+    CorpusStream.funnelUrlOnce(spark, landing, table, urlKeys,
+      s"$base/ckpt2").awaitTermination()
+    assert(spark.read.parquet(urlKeys).collect()
+      .map(r => (r.getAs[String]("canon"), r.getAs[Long]("doc_id")))
+      .toSet == gotClaims)
+    assert(spark.read.parquet(table).count() == tableCount)
+  }
+
+  test("url-dedup stage: a replay inside the claims-written/docs-missing " +
+      "crash window re-claims and converges (x58 crash-order mirror)") {
+    import spark.implicits._
+    val base = tmpDir()
+    val table = s"$base/table"; val urlKeys = s"$base/urlkeys"
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "https://A.example.com/x?q=1"),
+      (2L, "one two three four five six seven eight nine ten", "https://a.example.com/x#frag"),
+      (3L, "the quick brown fox jumps over the lazy dog", "https://b.example.com/y/"))
+      .toDF("doc_id", "text", "url")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    // docs 1/2 share a canon; 2 wins (longer). Simulate the crash: the
+    // stage ran (claims appended) but the caller's doc append never did.
+    CorpusStream.urlDedupStage(batch, urlKeys, table)
+    val claims = spark.read.parquet(urlKeys).collect()
+      .map(r => (r.getAs[String]("canon"), r.getAs[Long]("doc_id"))).toSet
+    assert(claims.map(_._2) == Set(2L, 3L))
+    assert(!Files.exists(Paths.get(table)))
+    // replay: claims exist but no claimant reached the doc store — the
+    // winners must be re-admitted, claims must not duplicate
+    val fresh = CorpusStream.urlDedupStage(batch, urlKeys, table)
+    fresh.drop("canon").write.mode("append").parquet(table)
+    assert(spark.read.parquet(urlKeys).collect()
+      .map(r => (r.getAs[String]("canon"), r.getAs[Long]("doc_id")))
+      .toSet == claims)
+    assert(spark.read.parquet(urlKeys).count() == claims.size)
+    assert(spark.read.parquet(table).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    // fully-applied replay: stage emits nothing, stores unchanged
+    val again = CorpusStream.urlDedupStage(batch, urlKeys, table)
+    assert(again.isEmpty)
+    assert(spark.read.parquet(urlKeys).count() == claims.size)
+    assert(spark.read.parquet(table).count() == 2)
+  }
+
   test("incremental dedup stream (x58 leg): two batches against the " +
       "persisted LSH index equal the batch new-vs-old pair set; " +
       "fresh-checkpoint replay is a no-op") {
@@ -295,10 +422,14 @@ class StreamingSpec extends SparkSpec {
     val streamPairs = spark.read.parquet(pairsP)
       .select("new_id", "old_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // batch twin: full corpus, is_new = membership in batch 2
+    // batch twin: full corpus, is_new = membership in batch 2. The LSH
+    // constants MUST match the streaming leg's (64 hashes / 32 bands) —
+    // differently-banded candidate sets can diverge in general, and the
+    // equivalence claim is about the same constants (ADVICE r14)
     val all = (b1 ++ b2).toDF("doc_id", "text")
     val batchPairs = graft.ops.Dedup.incrementalNearDuplicates(
-        all, col("doc_id") >= 20L, threshold = 0.25)
+        all, col("doc_id") >= 20L, threshold = 0.25,
+        numHashes = 64, bands = 32)
       .select("new_id", "old_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamPairs == batchPairs,
@@ -322,5 +453,37 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == streamPairs)
     assert(spark.read.parquet(docsP).count() == docCount)
     assert(spark.read.parquet(indexP).count() == idxCount)
+  }
+
+  test("incremental dedup: a replay inside the index-written/docs-missing " +
+      "crash window converges to the crash-free state (ADVICE r14)") {
+    import spark.implicits._
+    import org.apache.commons.io.FileUtils
+    val base = tmpDir()
+    val pairsP = s"$base/pairs"; val indexP = s"$base/index"
+    val docsP = s"$base/docs"
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    CorpusStream.incrementalDedupBatch(b1, pairsP, indexP, docsP)
+    val idxAfter = spark.read.parquet(indexP)
+      .select("band", "band_key", "doc_id").collect().toSet
+    // simulate the crash: the index append landed, the docs append did
+    // not — the replay gate (doc presence) is wide open
+    FileUtils.deleteDirectory(new java.io.File(docsP))
+    CorpusStream.incrementalDedupBatch(b1, pairsP, indexP, docsP)
+    // the replay must re-drive all three stores to the crash-free state:
+    // no duplicate index entries, docs restored, no self/in-batch pairs
+    assert(spark.read.parquet(indexP)
+      .select("band", "band_key", "doc_id").collect().toSet == idxAfter)
+    assert(spark.read.parquet(indexP).count() == idxAfter.size)
+    assert(spark.read.parquet(docsP).count() == 2)
+    assert(!Files.exists(Paths.get(pairsP)) ||
+      spark.read.parquet(pairsP).count() == 0)
+    // and a third, fully-applied replay is a complete no-op
+    CorpusStream.incrementalDedupBatch(b1, pairsP, indexP, docsP)
+    assert(spark.read.parquet(indexP).count() == idxAfter.size)
+    assert(spark.read.parquet(docsP).count() == 2)
   }
 }

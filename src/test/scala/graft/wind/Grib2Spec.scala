@@ -1289,9 +1289,16 @@ class Grib2Spec extends AnyFunSuite {
       .contains("altitude"))
     assert(decodeErr(spaceViewMsg().copy(spaceXoRaw = 0x80000001L))
       .contains("negative space-view grid origin"))
-    // missing dx sentinel refuses as missing, not as a sign-magnitude value
+    // missing sentinels refuse as missing, not as sign-magnitude values
+    // (Xp/Xo got the same guard as dx in round 15 — an all-ones wire is
+    // the standard GRIB missing marker, and the old path surfaced it as
+    // a misleading "negative" diagnostic)
     assert(decodeErr(spaceViewMsg().copy(dxMicro = 0xffffffffL))
       .contains("coded missing"))
+    assert(decodeErr(spaceViewMsg().copy(spaceXpMilli = 0xffffffffL))
+      .contains("Xp/Yp is coded missing"))
+    assert(decodeErr(spaceViewMsg().copy(spaceXoRaw = 0xffffffffL))
+      .contains("Xo/Yo is coded missing"))
   }
 
   test("grid template 3.204 (curvilinear orthogonal) decodes as a raster " +
