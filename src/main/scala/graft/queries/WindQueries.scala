@@ -289,8 +289,9 @@ object WindQueries {
     * replays the whole path generatively in DuckDB trig — an independent
     * second implementation of the rotation, agreeing to the 1e-5-degree
     * quantization. Closes the one point-addressing path that had no
-    * CORRECTNESS row (VERDICT r12 §missing #2); the γ-sign interpretation
-    * risk itself stays documented at [[graft.wind.Projection.RotatedLatLon]].
+    * CORRECTNESS row (VERDICT r12 §missing #2); since round 15 the γ-sign
+    * convention also carries normative WMO Note 2 provenance — see
+    * [[graft.wind.Projection.RotatedLatLon]].
     */
   def rotatedPoints(spark: SparkSession, dir: String): DataFrame = {
     val in = getClass.getResourceAsStream("/graft/wind/rotated31a.grb2")

@@ -87,6 +87,31 @@ object Grib2 {
     if ((v & 0x80000000L) != 0) -(v & 0x7fffffffL) else v
   }
 
+  /** Signed 4-octet GDS field that must be PRESENT (all-ones is the
+    * standard GRIB missing marker and refuses by the field's name) but
+    * may legitimately be negative — latitudes, rotation angles.
+    * Round 15: the systematic sign-magnitude sweep (netCDF reads EVERY
+    * 4-octet GDS field through `GribNumbers.int4`; a u32 read here would
+    * turn a high-bit wire into a huge positive that silently
+    * mis-georeferences the grid).
+    */
+  private def s32pres(b: Array[Byte], i: Int, field: String): Long = {
+    require(u32(b, i) != 0xffffffffL,
+      s"$field is coded missing (0xFFFFFFFF)")
+    s32sm(b, i)
+  }
+
+  /** [[s32pres]] plus a non-negative gate: longitudes (wire contract
+    * 0..360°) and grid spacings. netCDF's int4 decodes a high-bit wire
+    * to a negative value and uses it silently; this engine refuses by
+    * name rather than guess what the producer meant.
+    */
+  private def s32req(b: Array[Byte], i: Int, field: String): Long = {
+    val v = s32pres(b, i, field)
+    require(v >= 0, s"negative $field $v (sign-magnitude high-bit wire)")
+    v
+  }
+
   /** `n`-octet sign-magnitude (the 5.3 extra descriptors' width is itself a
     * field in the message, octet 49).
     */
@@ -608,35 +633,36 @@ object Grib2 {
       u8(payload, p + 20), u32(payload, p + 21),  // major axis: 21, 22-25
       u8(payload, p + 25), u32(payload, p + 26))  // minor axis: 26, 27-30
     val radius = earth.a
-    val nx = u32(payload, p + 30).toInt           // Nx/Ni, octets 31-34
-    val ny = u32(payload, p + 34).toInt           // Ny/Nj, octets 35-38
+    val nx = s32sm(payload, p + 30).toInt         // Nx/Ni, octets 31-34
+    val ny = s32sm(payload, p + 34).toInt         // Ny/Nj, octets 35-38
     require(nx >= 1 && ny >= 1, s"projected grid ${nx}x$ny")
-    val la1 = s32sm(payload, p + 38) / 1e6        // La1, octets 39-42
-    val lo1 = u32(payload, p + 42) / 1e6          // Lo1, octets 43-46
+    val la1 = s32pres(payload, p + 38, "grid La1") / 1e6 // La1, octets 39-42
+    val lo1 = s32req(payload, p + 42, "grid Lo1") / 1e6  // Lo1, octets 43-46
     val resolution = u8(payload, p + 46)          // octet 47
-    val lad = s32sm(payload, p + 47) / 1e6        // LaD, octets 48-51
+    val lad = s32pres(payload, p + 47, "grid LaD") / 1e6 // LaD, octets 48-51
     var lov = 0.0; var latin1 = 0.0; var latin2 = 0.0
     var projCenter = 0; var scan = 0
     var dx = 0.0; var dy = 0.0
     if (tmpl == 10) { // Mercator
       scan = u8(payload, p + 59)                  // octet 60
-      val orient = u32(payload, p + 60)           // octets 61-64
+      val orient = s32pres(payload, p + 60,       // octets 61-64
+        "Mercator grid orientation")
       require(orient == 0,
         s"unsupported Mercator grid orientation $orient (equator-aligned only)")
-      dx = u32(payload, p + 64) / 1e3             // Di, octets 65-68
-      dy = u32(payload, p + 68) / 1e3             // Dj, octets 69-72
+      dx = s32req(payload, p + 64, "Mercator grid length Di") / 1e3 // 65-68
+      dy = s32req(payload, p + 68, "Mercator grid length Dj") / 1e3 // 69-72
     } else { // 3.20 / 3.30 share the LoV/Dx/Dy/centre-flag/scan octets
-      lov = u32(payload, p + 51) / 1e6            // LoV, octets 52-55
-      dx = u32(payload, p + 55) / 1e3             // Dx, octets 56-59
-      dy = u32(payload, p + 59) / 1e3             // Dy, octets 60-63
+      lov = s32req(payload, p + 51, "grid LoV") / 1e6          // 52-55
+      dx = s32req(payload, p + 55, "projected grid length Dx") / 1e3 // 56-59
+      dy = s32req(payload, p + 59, "projected grid length Dy") / 1e3 // 60-63
       projCenter = u8(payload, p + 63)            // octet 64
       require((projCenter & 0x40) == 0,
         f"unsupported bi-polar projection (centre flag 0x$projCenter%02x)")
       val south = (projCenter & 0x80) != 0
       scan = u8(payload, p + 64)                  // octet 65
       if (tmpl == 30) {
-        latin1 = s32sm(payload, p + 65) / 1e6     // Latin1, octets 66-69
-        latin2 = s32sm(payload, p + 69) / 1e6     // Latin2, octets 70-73
+        latin1 = s32pres(payload, p + 65, "Lambert Latin1") / 1e6 // 66-69
+        latin2 = s32pres(payload, p + 69, "Lambert Latin2") / 1e6 // 70-73
         require(lad == latin1 || lad == latin2,
           s"unsupported Lambert grid: LaD $lad differs from both standard " +
             s"parallels ($latin1, $latin2) — Dx/Dy would not be true on " +
@@ -854,22 +880,56 @@ object Grib2 {
               scanRaw = g.scan
               basicAngle = 0; rowCounts = null
             } else {
-            nx = u32(payload, p + 30).toInt        // Ni, octets 31-34
-            ny = u32(payload, p + 34).toInt        // Nj, octets 35-38
-            basicAngle = u32(payload, p + 38).toInt // octets 39-42
-            la1 = s32sm(payload, p + 46) / 1e6     // La1, octets 47-50
-            lo1 = u32(payload, p + 50) / 1e6       // Lo1, octets 51-54
+            // Ni/Di are legitimately coded missing on quasi-regular grids
+            // (replaced from the row-count list below); on a dense grid
+            // they are required like every other field
+            nx = (if (optListOctets == 0)
+                    s32req(payload, p + 30, "grid Ni")
+                  else s32sm(payload, p + 30)).toInt // Ni, octets 31-34
+            ny = s32req(payload, p + 34, "grid Nj").toInt // Nj, octets 35-38
+            require(ny >= 1 && (optListOctets != 0 || nx >= 1),
+              s"grid ${nx}x$ny")
+            // basic angle + subdivisions (octets 39-46): the UNIT of every
+            // lat/lon/spacing field below. 0 or coded-missing → the
+            // canonical 10⁻⁶ degrees; otherwise angle/subdivisions degrees
+            // — the same resolution netCDF's LatLon.getScale applies, so
+            // a producer using ratio units decodes identically instead of
+            // being silently mis-scaled by a fixed 10⁻⁶ (round 15)
+            val baRaw = u32(payload, p + 38)       // octets 39-42
+            val subRaw = u32(payload, p + 42)      // octets 43-46
+            val baVal = s32sm(payload, p + 38)
+            val subVal = s32sm(payload, p + 42)
+            require(baRaw == 0xffffffffL || baVal >= 0,
+              s"negative basic angle $baVal (sign-magnitude high-bit wire)")
+            // expressed as a DIVISOR so the canonical path keeps the
+            // bit-exact `wire / 1e6` arithmetic every oracle was hashed
+            // against (1e-6 is not exactly representable — multiplying
+            // by it can differ in the last ulp)
+            val angDiv =
+              if (baRaw == 0xffffffffL || subRaw == 0xffffffffL ||
+                  baVal == 0L) 1e6
+              else {
+                require(subVal > 0,
+                  s"basic angle $baVal with non-positive subdivisions " +
+                    s"$subVal")
+                subVal.toDouble / baVal
+              }
+            basicAngle = if (baRaw == 0xffffffffL) 0 else baVal.toInt
+            la1 = s32pres(payload, p + 46, "grid La1") / angDiv // oct 47-50
+            lo1 = s32req(payload, p + 50, "grid Lo1") / angDiv  // oct 51-54
             resolution = u8(payload, p + 54)       // res/component flags, oct 55
-            la2 = s32sm(payload, p + 55) / 1e6     // La2, octets 56-59
-            lo2 = u32(payload, p + 59) / 1e6       // Lo2, octets 60-63
-            dx = u32(payload, p + 63) / 1e6        // Di, octets 64-67
-            // 3.0: octets 68-71 are Dj (micro-degrees). 3.40: the same
-            // octets are N, the integer count of parallels between a pole
-            // and the equator (Nj = 2N rows at the gaussian latitudes of
+            la2 = s32pres(payload, p + 55, "grid La2") / angDiv // oct 56-59
+            lo2 = s32req(payload, p + 59, "grid Lo2") / angDiv  // oct 60-63
+            dx = (if (optListOctets == 0)
+                    s32req(payload, p + 63, "grid Di")
+                  else s32sm(payload, p + 63)) / angDiv // Di, octets 64-67
+            // 3.0: octets 68-71 are Dj. 3.40: the same octets are N, the
+            // integer count of parallels between a pole and the equator
+            // (Nj = 2N rows at the gaussian latitudes of
             // [[gaussianLatitudes]]) — carried verbatim in the dy slot,
             // exactly what the wire format puts there
-            dy = if (tmpl == 40) u32(payload, p + 67).toDouble
-                 else u32(payload, p + 67) / 1e6   // Dj, octets 68-71
+            dy = if (tmpl == 40) s32req(payload, p + 67, "gaussian N").toDouble
+                 else s32req(payload, p + 67, "grid Dj") / angDiv // oct 68-71
             if (tmpl == 40)
               require(ny == 2 * dy.toInt,
                 s"gaussian grid Nj=$ny != 2N=${2 * dy.toInt}")
@@ -899,9 +959,16 @@ object Grib2 {
               // COORDINATES — corner canonicalization below applies
               // unchanged in that frame; [[Grid.toPointsRotated]] maps
               // cells to true lat/lon
-              southPoleLat = s32sm(payload, p + 72) / 1e6
-              southPoleLon = u32(payload, p + 76) / 1e6
-              rotationAngle = s32sm(payload, p + 80) / 1e6
+              // scale-aware like the body fields (netCDF's RotatedLatLon
+              // multiplies all three by the same getScale resolution)
+              southPoleLat =
+                s32pres(payload, p + 72, "rotated south-pole latitude") /
+                  angDiv
+              southPoleLon =
+                s32req(payload, p + 76, "rotated south-pole longitude") /
+                  angDiv
+              rotationAngle =
+                s32pres(payload, p + 80, "rotation angle") / angDiv
             }
             // quasi-regular row-count list offset: after the template body
             // (octet 73 for 3.0/3.40; octet 85 for 3.1's rotation tail)
@@ -929,9 +996,10 @@ object Grib2 {
               require(rowCounts.sum == numberPoints,
                 s"row counts sum ${rowCounts.sum} != $numberPoints points")
               // Ni and Di are coded missing on the wire: the dense emitted
-              // grid is the longest row; its spacing spans wire Lo1..Lo2
+              // grid is the longest row; its spacing spans the decoded
+              // (unit-scaled) Lo1..Lo2
               nx = rowCounts.max
-              dx = (u32(payload, p + 59) / 1e6 - lo1) / (nx - 1)
+              dx = (lo2 - lo1) / (nx - 1)
             }
             // Canonical corners derive from the FIRST point alone. The wire
             // La2/Lo2 are the LAST SCANNED point (table 3.1 note 1), NOT a

@@ -320,18 +320,18 @@ object Projection {
     * independently in ProjectionSpec — a direct-spherical-trig second
     * spelling of the transform, not a copy of the triad.
     *
-    * INTERPRETATION RISK (documented, not resolved): the γ ≠ 0 sign
-    * convention is pinned only by self-consistency (pole fixed,
-    * identity-pole shift, isometry) — no independent oracle exists in this
-    * environment (the reference's netCDF-Java parses the angle octets but
-    * never applies γ in its RotatedPole projection, and ecCodes/proj are
-    * unavailable offline). The composition here matches proj's
-    * `+proj=ob_tran +o_lon_p=γ` as published (the inner Rz applied in the
-    * rotated frame), but a producer using the opposite sign (no COSMO/ICON
-    * product with γ ≠ 0 is known to circulate) would mis-georeference by
-    * 2γ in rotated longitude. γ = 0 — every real product observed — is
-    * unaffected. Cross-check against ecCodes/proj before trusting γ ≠ 0
-    * output operationally.
+    * The γ ≠ 0 convention ALSO has normative provenance (round 15,
+    * closing the interpretation risk rounds 12-14 documented): GRIB2
+    * Template 3.1's Note 2 (WMO Manual on Codes) defines the full
+    * three-parameter construction in prose — including the spin's sign,
+    * "measured clockwise when looking from the southern to the northern
+    * pole" — and ProjectionSpec reproduces that prose literally as the
+    * intrinsic rotation product Rz(λp)·Ry(−(90°+θp))·Rz(γ), which
+    * agrees with this triad to < 1e-9° for γ ∈ {0, ±25°, 77°, 123.4°}.
+    * (The reference's netCDF-Java parses the angle octets but never
+    * applies γ in its RotatedPole projection — documented divergence in
+    * the engine's favor; the composition equals proj's
+    * `+proj=ob_tran +o_lon_p=γ` reading.)
     */
   final case class RotatedLatLon(spLatDeg: Double,
       spLonDeg: Double, angleDeg: Double = 0.0) extends Proj {

