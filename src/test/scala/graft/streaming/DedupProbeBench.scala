@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+/** Scaling harness for the x58 STREAMING leg (round 15, VERDICT r14 #5):
+  * measures one [[CorpusStream.incrementalDedupBatch]] probe tick — a
+  * FIXED 5,000-doc delta against an N-doc persisted LSH index — as N
+  * grows. The quantity that must stay flat-ish is the per-tick cost at
+  * constant delta: the bucket join prunes on (band, band_key) and the
+  * old-shingle re-read is semi-join-bounded to candidate ids, so the
+  * index size should enter only through bucket collision density.
+  *
+  *   python3 tools/scaling/gen.py /tmp/scale_N N 42
+  *   sbt "Test/runMain graft.streaming.DedupProbeBench /tmp/scale_N"
+  *
+  * Protocol: per run, fresh stores — the N-doc corpus is indexed in an
+  * UNTIMED first tick, then the timed tick probes with the delta (the
+  * corpus's first 5,000 texts under fresh ids — real near-dup load, so
+  * the verify stage works). Three runs, best-of reported; every raw run
+  * printed.
+  */
+object DedupProbeBench {
+  def main(args: Array[String]): Unit = {
+    val corpus = args.headOption.getOrElse("/tmp/scale_5000")
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val delta = docs.filter(col("doc_id") < 5000)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val runs = (1 to 3).map { _ =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-probe-").toString
+      CorpusStream.incrementalDedupBatch(docs,
+        s"$base/pairs", s"$base/index", s"$base/docs") // untimed build
+      val t0 = System.nanoTime()
+      CorpusStream.incrementalDedupBatch(delta,
+        s"$base/pairs", s"$base/index", s"$base/docs")
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"""{"metric":"x58_probe_tick","n_index":$n,""" +
+      f""""n_delta":5000,"runs":[${runs.map(t => f"$t%.3f").mkString(",")}],""" +
+      f""""best":${runs.min}%.3f}""")
+    spark.stop()
+  }
+}

@@ -57,6 +57,33 @@ def main():
     os.makedirs(out, exist_ok=True)
     con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
     print(f"wrote {out}/documents.parquet ({n} docs, seed {seed})")
+    # round 15: a matching events stream at the driver's sf0.1 proportions
+    # (20 events/doc, 1.5% distinct users, 5 uniform types, value ≈
+    # exp(mean 50) rounded to cents, ts uniform over Jan 2024) so x15's
+    # rank-selection curve can be measured on the same harness. A
+    # separate RNG keeps the documents stream byte-identical to the
+    # committed round-13 corpora.
+    n_events = 20 * n
+    n_users = max(1, (3 * n_events) // 200)
+    # vectorized (numpy) — the pure-python loop took minutes at 10^6 rows
+    import numpy as np
+    rng = np.random.default_rng(seed + 1)
+    import pandas as pd
+    e = pd.DataFrame({
+        "event_id": np.arange(n_events, dtype="int64"),
+        "ts": (pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 30 * 86400, n_events), unit="s")),
+        "user_id": rng.integers(0, n_users, n_events).astype("int64"),
+        "event_type": np.array(
+            ["click", "error", "purchase", "signup", "view"])[
+            rng.integers(0, 5, n_events)],
+        "value": np.round(rng.exponential(50.0, n_events), 2),
+        "props": pd.Series(rng.integers(0, 100, n_events)).map(
+            lambda k: '{"k": %d}' % k),
+    })
+    con.register("e", e)
+    con.execute(f"COPY e TO '{out}/events.parquet' (FORMAT PARQUET)")
+    print(f"wrote {out}/events.parquet ({n_events} events)")
 
 
 if __name__ == "__main__":
