@@ -79,6 +79,23 @@ object Portable {
   /** JVM twin of [[affine]]. */
   def jvmAffine(i: Int, h: Long): Long = (affineA(i) * (h % P) + affineB(i)) % P
 
+  /** JVM twin of [[hash32]] (slot 0) over raw UTF-8 input bytes: the
+    * unsigned first 4 digest bytes of md5(salt ":" bytes) — identical to
+    * parsing hex chars [1, 8]. Byte-array form so native expressions can
+    * hash zero-copy text spans without building a String
+    * ([[graft.functions.WordShingleMinHash]]).
+    */
+  def jvmHash32(saltColon: Array[Byte], bytes: Array[Byte], from: Int,
+                until: Int): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    md.update(saltColon)
+    md.update(bytes, from, until - from)
+    val d = md.digest()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** JVM twin of [[hash60]] over raw UTF-8 input bytes: the first 15 hex
     * chars of md5(salt ":" bytes) are the digest's top 60 bits — the
     * unsigned first 8 bytes shifted right 4. Byte-array form so native

@@ -42,7 +42,11 @@ object GraftFunctions {
     (new FunctionIdentifier("word_shingle_hash60"),
       new ExpressionInfo(classOf[WordShingleHash60].getName,
         "word_shingle_hash60"),
-      wordShingleHash60Builder))
+      wordShingleHash60Builder),
+    (new FunctionIdentifier("word_shingle_minhash"),
+      new ExpressionInfo(classOf[WordShingleMinHash].getName,
+        "word_shingle_minhash"),
+      wordShingleMinHashBuilder))
 
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
@@ -90,6 +94,13 @@ object GraftFunctions {
     require(children.size == 3,
       s"word_shingle_hash60 takes exactly 3 arguments, got ${children.size}")
     WordShingleHash60(children(0), children(1), children(2))
+  }
+
+  private[functions] def wordShingleMinHashBuilder(
+      children: Seq[Expression]): Expression = {
+    require(children.size == 4,
+      s"word_shingle_minhash takes exactly 4 arguments, got ${children.size}")
+    WordShingleMinHash(children(0), children(1), children(2), children(3))
   }
 
   def register(spark: SparkSession): Unit =
@@ -147,6 +158,16 @@ object GraftFunctions {
     */
   def word_shingle_hash60(text: Column, n: Column, salt: Column): Column =
     call_function("word_shingle_hash60", text, n, salt)
+
+  /** Column-API form of the fused per-document MinHash signature: the
+    * full `num_hashes`-slot signature (min of the portable affine family
+    * over the text's word n-gram shingles) as one map-only array —
+    * value-identical to explode + groupBy(min...) over
+    * [[word_shingles]]-hashed shingles, with no shuffle.
+    */
+  def word_shingle_minhash(text: Column, n: Column, numHashes: Column,
+      salt: Column): Column =
+    call_function("word_shingle_minhash", text, n, numHashes, salt)
 }
 
 /** `spark.sql.extensions` hook: native functions + optimizer rules. */
@@ -182,6 +203,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[WordShingleHash60].getName,
           "word_shingle_hash60"),
         GraftFunctions.wordShingleHash60Builder _))
+    ext.injectFunction(
+      (new FunctionIdentifier("word_shingle_minhash"),
+        new ExpressionInfo(classOf[WordShingleMinHash].getName,
+          "word_shingle_minhash"),
+        GraftFunctions.wordShingleMinHashBuilder _))
     ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
   }
 }

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the full per-document MinHash signature in
+  * one pass, `word_shingle_minhash(text, n, num_hashes, salt) →
+  * array<bigint>` of length `num_hashes`.
+  *
+  * Value-identical to the exploded composable chain the dedup family used
+  * (and the DuckDB oracle SQL still does):
+  *
+  * {{{
+  *   sh  = word_shingles(text, n)                    -- distinct shingles
+  *   h   = hash32(s, salt)  per shingle              -- Portable md5 base
+  *   m_i = min over shingles of affine(i, h)         -- i < num_hashes
+  * }}}
+  *
+  * Why fuse (the option-(b) tier of SURVEY §7): as a DataFrame chain the
+  * signature costs an `explode` multiplying the corpus by ~shingles/doc
+  * (~150× here) plus a `groupBy(doc_id)` carrying `num_hashes` min
+  * aggregates — the ONE corpus-sized shuffle in the x03/x45/x53/x58
+  * candidate machinery. But the mins are a per-document fold: this
+  * expression walks the byte-span shingles ([[WordShingles.tokenStarts]] —
+  * the same single boundary scan, so tokenization can never drift), md5s
+  * each span zero-copy ([[graft.Portable.jvmHash32]]), and folds all
+  * `num_hashes` affine mins in registers. The signature stage becomes
+  * map-only: no explode, no shuffle, nothing for AQE to mis-size at any
+  * corpus scale.
+  *
+  * Distinctness note: the composable chain hashes DISTINCT shingles; this
+  * expression hashes every position. The two are provably identical —
+  * `min` over a multiset equals `min` over its support — so duplicate
+  * in-document shingles cost one extra md5 but can never change a slot
+  * (DedupSpec pins the equivalence corpus-wide and on adversarial edges).
+  *
+  * Contract mirrors [[WordShingles]]: `n > 0`; texts with fewer than n
+  * tokens hash the whole text as the single shingle (`concat_ws(" ", w)`
+  * of ALL tokens is the text verbatim); null text → null. `num_hashes`
+  * and `salt` must be non-null literals (the affine parameter table and
+  * salt prefix are precomputed once per plan).
+  */
+case class WordShingleMinHash(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (StringType, IntegerType, IntegerType, StringType) =>
+        if (!third.foldable) TypeCheckResult.TypeCheckFailure(
+          "word_shingle_minhash num_hashes must be a literal")
+        else if (third.eval(null) == null) TypeCheckResult.TypeCheckFailure(
+          "word_shingle_minhash num_hashes must not be null")
+        else if (third.eval(null).asInstanceOf[Int] <= 0)
+          TypeCheckResult.TypeCheckFailure(
+            "word_shingle_minhash num_hashes must be positive")
+        else if (!fourth.foldable) TypeCheckResult.TypeCheckFailure(
+          "word_shingle_minhash salt must be a literal")
+        // a null foldable salt would NPE at codegen when saltColon is
+        // forced (interpreted eval would quietly null out) — reject at
+        // analysis instead of diverging by execution mode
+        else if (fourth.eval(null) == null) TypeCheckResult.TypeCheckFailure(
+          "word_shingle_minhash salt must not be null")
+        else TypeCheckResult.TypeCheckSuccess
+      case (t, n, h, s) => TypeCheckResult.TypeCheckFailure(
+        "word_shingle_minhash requires (string, int, int, string), " +
+          s"got ($t, $n, $h, $s)")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "word_shingle_minhash"
+
+  @transient private lazy val saltColon: Array[Byte] =
+    (fourth.eval(null).asInstanceOf[UTF8String].toString + ":")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  @transient private lazy val numHashes: Int =
+    third.eval(null).asInstanceOf[Int]
+
+  // the affine family's parameter table, materialized once per plan —
+  // the same A_i/B_i the Column form (Portable.affine) and the oracle SQL
+  // (Portable.sqlAffine) derive per slot
+  @transient private lazy val affineA: Array[Long] =
+    Array.tabulate(numHashes)(graft.Portable.affineA)
+  @transient private lazy val affineB: Array[Long] =
+    Array.tabulate(numHashes)(graft.Portable.affineB)
+
+  override def nullSafeEval(t: Any, n: Any, h: Any, s: Any): Any =
+    WordShingleMinHash.compute(t.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int], saltColon, affineA, affineB)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("saltColon", saltColon, "byte[]")
+    val aRef = ctx.addReferenceObj("affineA", affineA, "long[]")
+    val bRef = ctx.addReferenceObj("affineB", affineB, "long[]")
+    nullSafeCodeGen(ctx, ev, (t, n, _, _) =>
+      s"${ev.value} = graft.functions.WordShingleMinHash.compute(" +
+        s"$t, $n, $saltRef, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): WordShingleMinHash =
+    copy(first = newFirst, second = newSecond, third = newThird,
+      fourth = newFourth)
+}
+
+object WordShingleMinHash {
+
+  private val P = graft.Portable.P
+
+  /** One md5 per shingle position over salt prefix + zero-copy source
+    * span, all `numHashes` affine mins folded in registers. Called from
+    * generated code.
+    */
+  def compute(text: UTF8String, n: Int, saltColon: Array[Byte],
+      a: Array[Long], b: Array[Long]): GenericArrayData = {
+    require(n > 0, s"word_shingle_minhash: n must be positive, got $n")
+    val numHashes = a.length
+    val bytes = text.getBytes
+    val starts = WordShingles.tokenStarts(bytes) // the one shared scan
+    val nTokens = starts.length - 1
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    def fold(h: Long): Unit = {
+      val hp = h % P
+      var i = 0
+      while (i < numHashes) {
+        val v = (a(i) * hp + b(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    if (nTokens < n) {
+      // concat_ws(" ", w) of ALL tokens is the whole text verbatim — the
+      // single-shingle fallback of the composable form
+      fold(graft.Portable.jvmHash32(saltColon, bytes, 0, bytes.length))
+    } else {
+      var s = 0
+      val last = nTokens - n
+      while (s <= last) {
+        fold(graft.Portable.jvmHash32(saltColon, bytes,
+          starts(s), starts(s + n) - 1))
+        s += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+}

@@ -139,14 +139,43 @@ object Dedup {
   /** MinHash signatures, wide form: one row per doc, columns `m0..m{H-1}`.
     *
     * Hash family is the engine-portable affine family over a 32-bit md5 base
-    * ([[graft.Portable]]): the shingle is md5-hashed ONCE (codegen'd), then
-    * each of the `numHashes` slots is `min((A_i*h + B_i) mod P)` — flat
-    * codegen'd min aggregates with map-side combine, one shuffle of one row
-    * per doc. No interpreted lambdas (the round-1 form paid numHashes
-    * interpreted `transform` hashes per shingle) and, because the family is
-    * portable, the whole pipeline is DuckDB-checkable.
+    * ([[graft.Portable]]): per shingle, slot i is `min((A_i*h + B_i) mod P)`.
+    * Since round 15 the whole signature is ONE native
+    * [[graft.functions.WordShingleMinHash]] node — a map-only per-document
+    * fold (byte-span shingling, zero-copy md5, all mins in registers), so
+    * the stage has NO explode and NO shuffle at any corpus scale. The
+    * previous exploded + groupBy(min…) form survives as
+    * [[minHashSignaturesExploded]], the semantic reference DedupSpec pins
+    * the native node against; the oracle SQL
+    * ([[minHashCandidateCtes]]) still replays the exploded spelling —
+    * value-identical, so every downstream hash check is unchanged.
+    *
+    * The m-column split is a second Project on top of the array-producing
+    * Project; Spark's CollapseProject leaves the non-cheap multi-referenced
+    * array alias in place, so the signature is computed once per row
+    * (PlanSpec gates the plan contains exactly one word_shingle_minhash).
     */
   def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val mh = graft.functions.GraftFunctions.word_shingle_minhash(
+      col("text"), lit(n), lit(numHashes), lit(MinHashSalt))
+    // null-text docs must DROP (the exploded form's explode(null) dropped
+    // the row; a null signature would otherwise band-key to "" and bucket
+    // every null doc together)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), mh.as("mh"))
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => col("mh").getItem(i).as(s"m$i")): _*)
+  }
+
+  /** The original composable signature chain — explode distinct shingles,
+    * md5 each, `numHashes` min aggregates — kept as the semantic reference
+    * the native [[graft.functions.WordShingleMinHash]] node is spec-pinned
+    * against (min over a multiset = min over its support, so the two are
+    * bitwise-identical; DedupSpec asserts it corpus-wide and on edges).
+    */
+  private[graft] def minHashSignaturesExploded(docs: DataFrame, n: Int,
+      numHashes: Int): DataFrame = {
     val ex = docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
       .select(col("doc_id"), Portable.hash32(col("s"), MinHashSalt).as("h"))
@@ -231,15 +260,15 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
     val tagged = docs.select(col("doc_id"), col("text"), isNew.as("is_new"))
-    val ex = tagged
-      .select(col("doc_id"), col("is_new"),
-        explode(shingles(col("text"), n)).as("s"))
-      .select(col("doc_id"), col("is_new"),
-        Portable.hash32(col("s"), MinHashSalt).as("h"))
-    val mins = (0 until numHashes).map(i =>
-      min(Portable.affine(i, col("h"))).as(s"m$i"))
-    val sig = ex.groupBy(col("doc_id"), col("is_new"))
-      .agg(mins.head, mins.tail: _*)
+    // same fused map-only signature node as [[minHashSignatures]] (the
+    // is_new tag just rides along — no grouping anywhere)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val mh = graft.functions.GraftFunctions.word_shingle_minhash(
+      col("text"), lit(n), lit(numHashes), lit(MinHashSalt))
+    val sig = tagged.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("is_new"), mh.as("mh"))
+      .select(col("doc_id") +: col("is_new") +:
+        (0 until numHashes).map(i => col("mh").getItem(i).as(s"m$i")): _*)
     val keys = (0 until bands).map { b =>
       concat_ws(",",
         (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)

@@ -208,6 +208,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("minhash signatures are map-only and evaluate the fused node once " +
+      "(round-15 shuffle deletion gate)") {
+    // the pre-round-15 signature stage exploded ~shingles/doc rows and
+    // shuffled a numHashes-column groupBy; the fused WordShingleMinHash
+    // node made it a pure projection. Gate both properties: no Exchange
+    // anywhere in the signature plan, and CollapseProject must NOT have
+    // duplicated the non-cheap array alias into the per-slot getItems
+    // (64 evaluations would be slower than the shuffle it replaced).
+    val sig = graft.ops.Dedup.minHashSignatures(
+      graft.Tables.documents(spark, dir), 3, 64)
+    val plan = physical(sig).toString
+    assert(!plan.contains("Exchange"),
+      s"signature stage re-grew a shuffle:\n$plan")
+    val evals = "word_shingle_minhash".r.findAllIn(
+      sig.queryExecution.optimizedPlan.toString).length
+    assert(evals == 1,
+      s"expected exactly one word_shingle_minhash eval, found $evals")
+  }
+
   test("x64 contamination spans: benchmark grams broadcast; island merge " +
       "exchanges on doc_id only") {
     val plan = executed(

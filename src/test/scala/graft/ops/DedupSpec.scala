@@ -106,6 +106,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native word_shingle_minhash signatures are bitwise-identical to " +
+      "the exploded groupBy(min...) chain") {
+    import spark.implicits._
+    // min over a multiset = min over its support, so hashing every
+    // position (native) must equal hashing distinct shingles (exploded
+    // reference); pin every slot over the corpus, curated edges, and
+    // seeded-random strings, at two signature widths
+    val edges = Seq(
+      1L -> "", 2L -> " ", 3L -> "  ", 4L -> "a", 5L -> "a b",
+      6L -> "a b c", 7L -> "a  b   c d", 8L -> " lead", 9L -> "trail ",
+      10L -> "a b c a b c a b c", 11L -> "é ü 漢字 ☃ x y",
+      12L -> "a b c d e f g h").toDF("doc_id", "text")
+    val rnd = new scala.util.Random(1515)
+    val alphabet = "ab é漢 ☃  c ".toCharArray
+    val rand = (1 to 200).map { i =>
+      (i.toLong, String.valueOf(Array.fill(rnd.nextInt(60))(
+        alphabet(rnd.nextInt(alphabet.length)))))
+    }.toDF("doc_id", "text")
+    for (df <- Seq(docs, edges, rand); (n, h) <- Seq((3, 64), (2, 8))) {
+      val nat = Dedup.minHashSignatures(df.select("doc_id", "text"), n, h)
+      val ref = Dedup.minHashSignaturesExploded(
+        df.select("doc_id", "text"), n, h)
+      assert(nat.count() == ref.count(), s"row count drift at n=$n h=$h")
+      val slotEq = (0 until h).map(i =>
+        col(s"a.m$i") <=> col(s"b.m$i")).reduce(_ && _)
+      val bad = nat.as("a").join(ref.as("b"), "doc_id")
+        .filter(not(slotEq)).count()
+      assert(bad == 0L, s"word_shingle_minhash diverges at n=$n h=$h")
+    }
+    // null text drops the doc on both paths (explode(null) semantics)
+    val withNull = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.minHashSignatures(withNull, 3, 8).count() == 1L)
+    assert(Dedup.minHashSignaturesExploded(withNull, 3, 8).count() == 1L)
+  }
+
   test("minhash LSH finds every pair with jaccard >= 0.6 (recall vs exact)") {
     val exact = Dedup.jaccardPairs(
         docs.withColumn("blk", lit(1)), 3, "blk")

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Stage-level profile of the x03 MinHash near-dup chain (round 15 perf
+  * triage): times each prefix of the pipeline — the shingle+signature
+  * aggregation, the LSH banding self-join (candidate set), and the full
+  * verify stage — so the fat stage is measured, not guessed. The chain
+  * is the shared substrate of x03/x43/x45/x53/x58, so a win here
+  * multiplies across the bench's heaviest family.
+  *
+  *   sbt "Test/runMain graft.ops.X03ProbeBench /root/testdata/sf0.1"
+  *
+  * Best-of-3 per stage within one warm JVM; every raw run printed.
+  */
+object X03ProbeBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+
+    // noop-write the frame so column pruning can't hollow out the stage
+    // under measurement (a bare count() lets Catalyst drop the signature
+    // mins / band keys entirely)
+    def time(label: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        body.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"stage":"$label",""" +
+        f""""runs":[${runs.map(t => f"$t%.3f").mkString(",")}],""" +
+        f""""best":${runs.min}%.3f}""")
+    }
+
+    time("signatures")(
+      Dedup.minHashSignatures(docs, 3, 64))
+    time("bucket_entries")(
+      Dedup.lshBucketEntries(Dedup.minHashSignatures(docs, 3, 64), 64, 32))
+    time("candidates")(
+      Dedup.minHashCandidates(docs, 3, 64, 32))
+    time("full_verify")(
+      Dedup.nearDuplicates(docs, 0.25, 3, 64, 32))
+    time("full_sorted")(
+      Dedup.nearDuplicates(docs, 0.25, 3, 64, 32)
+        .orderBy("id_a", "id_b"))
+    spark.stop()
+  }
+}
