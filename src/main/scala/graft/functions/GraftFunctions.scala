@@ -46,7 +46,10 @@ object GraftFunctions {
     (new FunctionIdentifier("word_shingle_minhash"),
       new ExpressionInfo(classOf[WordShingleMinHash].getName,
         "word_shingle_minhash"),
-      wordShingleMinHashBuilder))
+      wordShingleMinHashBuilder),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      simHash64Builder))
 
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
@@ -101,6 +104,13 @@ object GraftFunctions {
     require(children.size == 4,
       s"word_shingle_minhash takes exactly 4 arguments, got ${children.size}")
     WordShingleMinHash(children(0), children(1), children(2), children(3))
+  }
+
+  private[functions] def simHash64Builder(
+      children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"simhash64 takes exactly 2 arguments, got ${children.size}")
+    SimHash64(children(0), children(1))
   }
 
   def register(spark: SparkSession): Unit =
@@ -168,6 +178,13 @@ object GraftFunctions {
   def word_shingle_minhash(text: Column, n: Column, numHashes: Column,
       salt: Column): Column =
     call_function("word_shingle_minhash", text, n, numHashes, salt)
+
+  /** Column-API form of the fused 64-bit SimHash signature over a token
+    * array: `struct(sim_lo, sim_hi)`, value-identical to the exploded
+    * 64-vote groupBy chain, with no explode and no shuffle.
+    */
+  def simhash64(toks: Column, salt: Column): Column =
+    call_function("simhash64", toks, salt)
 }
 
 /** `spark.sql.extensions` hook: native functions + optimizer rules. */
@@ -208,6 +225,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[WordShingleMinHash].getName,
           "word_shingle_minhash"),
         GraftFunctions.wordShingleMinHashBuilder _))
+    ext.injectFunction(
+      (new FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        GraftFunctions.simHash64Builder _))
     ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
   }
 }

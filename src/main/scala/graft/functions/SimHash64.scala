@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the 64-bit SimHash signature of a token
+  * array in one pass, `simhash64(toks, salt) → struct<sim_lo, sim_hi>`
+  * (two sign-bit-free 32-bit halves, the engine-portable layout of
+  * [[graft.ops.Dedup.simHashBits]]).
+  *
+  * Value-identical to the exploded chain it replaces:
+  *
+  * {{{
+  *   explode(toks) → hlo = hash32(t, salt, slot 0), hhi = slot 1
+  *   64 × sum(when(bit set, 1).otherwise(-1)) GROUP BY doc_id
+  *   bit b of the half = (vote_b > 0)
+  * }}}
+  *
+  * Why fuse (same argument as [[WordShingleMinHash]]): the votes are a
+  * per-document fold, but the DataFrame spelling pays an explode
+  * multiplying the corpus by tokens/doc plus a 64-column groupBy shuffle.
+  * This expression md5s each element once (slots 0 and 1 are bytes
+  * [0,4) and [4,8) of the SAME digest — the exploded form relied on
+  * Catalyst's subexpression elimination for that) and folds the 64 votes
+  * in a register array: map-only, no shuffle at any scale.
+  *
+  * Edge semantics mirror the exploded form exactly: a NULL array → null
+  * (callers drop — explode(null) emitted no rows); an EMPTY array must
+  * also be dropped by callers (explode of an empty array emits no rows,
+  * so the doc never reached the aggregate — [[graft.ops.Dedup
+  * .simHashBits]] filters both). A null ELEMENT votes −1 on all 64 bits
+  * (null hash fails the `=!= 0` test into the `otherwise(-1)` branch) —
+  * preserved verbatim, though no in-repo tokenizer emits null elements.
+  * Token multiplicity is kept (bag-of-words votes).
+  */
+case class SimHash64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), StringType) =>
+        if (!right.foldable) TypeCheckResult.TypeCheckFailure(
+          "simhash64 salt must be a literal")
+        else if (right.eval(null) == null) TypeCheckResult.TypeCheckFailure(
+          "simhash64 salt must not be null")
+        else TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires (array<string>, string), got ($l, $r)")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sim_lo", LongType, nullable = false),
+    StructField("sim_hi", LongType, nullable = false)))
+
+  override def prettyName: String = "simhash64"
+
+  @transient private lazy val saltColon: Array[Byte] =
+    (right.eval(null).asInstanceOf[UTF8String].toString + ":")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def nullSafeEval(toks: Any, s: Any): Any =
+    SimHash64.compute(toks.asInstanceOf[ArrayData], saltColon)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val saltRef = ctx.addReferenceObj("saltColon", saltColon, "byte[]")
+    nullSafeCodeGen(ctx, ev, (toks, _) =>
+      s"${ev.value} = graft.functions.SimHash64.compute($toks, $saltRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SimHash64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object SimHash64 {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** One md5 per element, 64 votes folded in registers; see class doc.
+    * Called from generated code.
+    */
+  def compute(toks: ArrayData, saltColon: Array[Byte]): GenericInternalRow = {
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) {
+        // exploded-form semantics: a null token's null hash falls into
+        // the otherwise(-1) branch on every bit
+        var b = 0
+        while (b < 64) { votes(b) -= 1; b += 1 }
+      } else {
+        val t = toks.getUTF8String(i)
+        val md = md5.get()
+        md.reset()
+        md.update(saltColon)
+        val bytes = t.getBytes
+        md.update(bytes, 0, bytes.length)
+        val d = md.digest()
+        // slots 0 and 1 of Portable.hash32: unsigned digest bytes
+        // [0,4) and [4,8)
+        val hlo = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val hhi = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          votes(b) += (if (((hlo >>> b) & 1L) != 0L) 1 else -1)
+          votes(b + 32) += (if (((hhi >>> b) & 1L) != 0L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) lo |= 1L << b
+      if (votes(b + 32) > 0) hi |= 1L << b
+      b += 1
+    }
+    new GenericInternalRow(Array[Any](lo, hi))
+  }
+}

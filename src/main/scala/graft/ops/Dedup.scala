@@ -460,11 +460,27 @@ object Dedup {
     * order-sensitive signatures, words give bag-of-words ones.
     */
   def simHashBits(docs: DataFrame, toks: Column): DataFrame = {
-    // explode token hashes and take 64 flat `sum(±1)` aggregates rather than
-    // a nested higher-order fold: higher-order lambdas are interpreted
-    // (no whole-stage codegen) and cost seconds per thousand docs, while
-    // flat aggregates with map-side combine codegen cleanly and shuffle one
-    // row per doc.
+    // since round 15 the whole signature is ONE native
+    // [[graft.functions.SimHash64]] node — a map-only per-document vote
+    // fold (one md5 per token, both 32-bit slots from the same digest),
+    // replacing the exploded 64-aggregate groupBy and its shuffle. The
+    // exploded chain survives as [[simHashBitsExploded]], the reference
+    // DedupSpec pins this against. Null/empty token arrays drop, exactly
+    // as explode() dropped them.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sig = graft.functions.GraftFunctions.simhash64(toks, lit(SimHashSalt))
+    docs.filter(toks.isNotNull && size(toks) > 0)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), col("sig.sim_lo").as("sim_lo"),
+        col("sig.sim_hi").as("sim_hi"))
+  }
+
+  /** The original exploded 64-vote chain — kept as the semantic reference
+    * the native [[graft.functions.SimHash64]] node is spec-pinned against
+    * (vote sums are order-independent, so the two are bitwise-identical).
+    */
+  private[graft] def simHashBitsExploded(docs: DataFrame,
+      toks: Column): DataFrame = {
     val exploded = docs.select(col("doc_id"), explode(toks).as("t"))
       .select(col("doc_id"),
         Portable.hash32(col("t"), SimHashSalt, slot = 0).as("hlo"),

@@ -142,6 +142,41 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minHashSignaturesExploded(withNull, 3, 8).count() == 1L)
   }
 
+  test("native simhash64 signatures are bitwise-identical to the exploded " +
+      "64-vote chain") {
+    import spark.implicits._
+    // vote sums are order-independent, so the register fold must equal
+    // the exploded sum(±1) aggregates slot for slot; pin both halves
+    // over the corpus (shingle and word tokenizations) plus edges that
+    // stress multiplicity, ties and unicode
+    val edges = Seq(
+      1L -> "a", 2L -> "a a a", 3L -> "a b", 4L -> "a b a b",
+      5L -> "é ü 漢字 ☃", 6L -> "x y z w v u t s r q",
+      7L -> "", 8L -> "  ").toDF("doc_id", "text")
+    for (df <- Seq(docs, edges);
+         toks <- Seq(Dedup.shingles(col("text"), 3),
+           split(col("text"), " "))) {
+      val nat = Dedup.simHashBits(df.select("doc_id", "text"), toks)
+      val ref = Dedup.simHashBitsExploded(df.select("doc_id", "text"), toks)
+      assert(nat.count() == ref.count(), "row count drift")
+      val bad = nat.as("a").join(ref.as("b"), "doc_id")
+        .filter(not(col("a.sim_lo") <=> col("b.sim_lo")) ||
+          not(col("a.sim_hi") <=> col("b.sim_hi"))).count()
+      assert(bad == 0L, "simhash64 diverges from the exploded chain")
+    }
+    // null / empty token arrays drop the doc on both paths
+    val degenerate = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]))
+      .toDF("doc_id", "toks")
+      .withColumn("toks", when(col("doc_id") === 2L,
+        lit(null).cast("array<string>")).otherwise(col("toks")))
+    assert(Dedup.simHashBits(degenerate, col("toks")).count() == 1L)
+    assert(Dedup.simHashBitsExploded(degenerate, col("toks")).count() == 1L)
+    val empty = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]))
+      .toDF("doc_id", "toks")
+    assert(Dedup.simHashBits(empty, col("toks")).count() == 1L)
+    assert(Dedup.simHashBitsExploded(empty, col("toks")).count() == 1L)
+  }
+
   test("minhash LSH finds every pair with jaccard >= 0.6 (recall vs exact)") {
     val exact = Dedup.jaccardPairs(
         docs.withColumn("blk", lit(1)), 3, "blk")
