@@ -153,7 +153,13 @@ class DedupSpec extends SparkSpec {
       1L -> "a", 2L -> "a a a", 3L -> "a b", 4L -> "a b a b",
       5L -> "é ü 漢字 ☃", 6L -> "x y z w v u t s r q",
       7L -> "", 8L -> "  ").toDF("doc_id", "text")
-    for (df <- Seq(docs, edges);
+    val rnd15 = new scala.util.Random(6464)
+    val alphabet15 = "ab é漢 ☃  c ".toCharArray
+    val rand = (1 to 200).map { i =>
+      (i.toLong, String.valueOf(Array.fill(rnd15.nextInt(60))(
+        alphabet15(rnd15.nextInt(alphabet15.length)))))
+    }.toDF("doc_id", "text")
+    for (df <- Seq(docs, edges, rand);
          toks <- Seq(Dedup.shingles(col("text"), 3),
            split(col("text"), " "))) {
       val nat = Dedup.simHashBits(df.select("doc_id", "text"), toks)
