@@ -84,9 +84,10 @@ object Bench {
       case _ if args.nonEmpty =>
         // local-iteration subset: in-process, prints the same JSON shape
         val json = runInProcess(sfDir, args)
-        emit(json)
+        emit(json, fullRun = false)
       case _ if sys.env.get("SPARK_GRAFT_BENCH_FORK").contains("0") =>
-        emit(runInProcess(sfDir, Array.empty))
+        emit(runInProcess(sfDir, Array.empty),
+          fullRun = sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty)
       case _ =>
         parentMain(sfDir)
     }
@@ -187,17 +188,21 @@ object Bench {
         s""""queries":${mergedMap("queries", FailurePenaltySec.toString)},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""penalty_sec_per_failure":$FailurePenaltySec,"sf":"$sfDir"}"""
-    emit(json)
+    emit(json, fullRun = prefixes.isEmpty)
   }
 
-  private def emit(json: String): Unit = {
+  private def emit(json: String, fullRun: Boolean): Unit = {
     println(json)
     // Truncation-proof copy: the stdout tail window is ~2 KiB, so the full
     // artifact (all instrument maps intact) also lands on disk where the
-    // end-of-round snapshot commit picks it up.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // end-of-round snapshot commit picks it up. ONLY the full 109-query
+    // run may write it — a BENCH_ONLY / args-subset iteration run silently
+    // replacing the committed artifact is exactly the footgun that put a
+    // single-query JSON into one round-15 commit.
+    if (fullRun)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"), json + "\n")
+      catch { case _: Throwable => () }
     // The driver captures only the last ~2 KiB of output; round 3's hardened
     // JSON outgrew that window and lost its leading "total" field. This
     // short trailing line always survives tail truncation.
