@@ -49,7 +49,10 @@ object GraftFunctions {
       wordShingleMinHashBuilder),
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      simHash64Builder))
+      simHash64Builder),
+    (new FunctionIdentifier("top_token_count"),
+      new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),
+      topTokenCountBuilder))
 
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
@@ -111,6 +114,13 @@ object GraftFunctions {
     require(children.size == 2,
       s"simhash64 takes exactly 2 arguments, got ${children.size}")
     SimHash64(children(0), children(1))
+  }
+
+  private[functions] def topTokenCountBuilder(
+      children: Seq[Expression]): Expression = {
+    require(children.size == 1,
+      s"top_token_count takes exactly 1 argument, got ${children.size}")
+    TopTokenCount(children(0))
   }
 
   def register(spark: SparkSession): Unit =
@@ -185,6 +195,13 @@ object GraftFunctions {
     */
   def simhash64(toks: Column, salt: Column): Column =
     call_function("simhash64", toks, salt)
+
+  /** Column-API form of the per-document top-token multiplicity: the max
+    * single-token count within one token array — value-identical to
+    * explode → groupBy count → max, with no explode and no shuffle.
+    */
+  def top_token_count(toks: Column): Column =
+    call_function("top_token_count", toks)
 }
 
 /** `spark.sql.extensions` hook: native functions + optimizer rules. */
@@ -229,6 +246,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("simhash64"),
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
         GraftFunctions.simHash64Builder _))
+    ext.injectFunction(
+      (new FunctionIdentifier("top_token_count"),
+        new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),
+        GraftFunctions.topTokenCountBuilder _))
     ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
   }
 }

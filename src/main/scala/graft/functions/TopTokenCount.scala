@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+
+/** Native Catalyst expression: the highest single-token multiplicity of a
+  * token array, `top_token_count(toks) → int` — the `max_tc` input of the
+  * Gopher top-word-dominance rule (x31).
+  *
+  * Value-identical to the exploded chain it replaces:
+  *
+  * {{{
+  *   explode(toks) → groupBy(doc_id, t).count → groupBy(doc_id).max
+  * }}}
+  *
+  * Why fuse (same argument as [[WordShingleMinHash]] / [[SimHash64]]):
+  * the maximum per-token count within ONE document is a per-document
+  * fold, but the DataFrame spelling pays an explode multiplying the
+  * corpus by tokens/doc plus TWO corpus-sized shuffles (the (doc, token)
+  * count and the per-doc max). This expression counts into a per-row
+  * hash map and returns the max — with it, the whole x31 plan becomes a
+  * single map-only projection (no join between the trigram and top-word
+  * legs either).
+  *
+  * Edge semantics mirror the exploded form: null array → null (explode
+  * emitted no rows, the doc dropped — the caller keeps the same domain);
+  * an EMPTY array returns 0 here where explode dropped the doc — callers
+  * on `split()` output never see one (split never returns an empty
+  * array), and DedupSpec pins the non-empty domain. Null elements count
+  * like any other key (explode kept them as one null group).
+  */
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_token_count requires array<string>, got $t")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "top_token_count"
+
+  override def nullSafeEval(toks: Any): Any =
+    TopTokenCount.compute(toks.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks =>
+      s"${ev.value} = graft.functions.TopTokenCount.compute($toks);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TopTokenCount = copy(child = newChild)
+}
+
+object TopTokenCount {
+
+  /** One hash-map counting pass, max tracked inline. Called from
+    * generated code.
+    */
+  def compute(toks: ArrayData): Int = {
+    val n = toks.numElements()
+    // UTF8String keys hash by bytes; a null element is one ordinary key
+    // (boxed as null — HashMap supports it), matching the exploded
+    // form's single null group
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Int](n * 2)
+    var max = 0
+    var i = 0
+    while (i < n) {
+      val k = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val c = counts.merge(k, 1, (a, b) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    max
+  }
+}

@@ -1530,22 +1530,22 @@ object ExtensionQueries {
     * fraction (boilerplate/looping-text detector) and top-word dominance
     * (degenerate repetition), with a pass/fail gate at the documented
     * thresholds. All counts are exact integers; each ratio is one IEEE
-    * division — engine-portable without tolerance. Shape: one map-only
-    * n-gram projection plus a per-doc word-count aggregation.
+    * division — engine-portable without tolerance. Shape: since round 15
+    * ONE map-only projection end to end — `max_tc` is the native
+    * [[graft.functions.TopTokenCount]] per-document fold (previously an
+    * explode + two corpus-sized shuffles + a join back to the trigram
+    * leg; DedupSpec-pinned value-identical, oracle unchanged).
     */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-    val tri = docs.select(col("doc_id"),
-        TextAnalysis.words(col("text")).as("w"))
+    docs.select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).as("n_words"),
-        TextAnalysis.ngrams(col("w"), 3).as("tri"))
+        TextAnalysis.ngrams(col("w"), 3).as("tri"),
+        graft.functions.GraftFunctions.top_token_count(col("w"))
+          .as("max_tc"))
       .select(col("doc_id"), col("n_words"), size(col("tri")).as("n_tri"),
-        size(array_distinct(col("tri"))).as("n_tri_d"))
-    val topw = docs.select(col("doc_id"),
-        explode(TextAnalysis.words(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tc"))
-      .groupBy(col("doc_id")).agg(max(col("tc")).as("max_tc"))
-    tri.join(topw, "doc_id")
+        size(array_distinct(col("tri"))).as("n_tri_d"), col("max_tc"))
       .withColumn("dup_tri_frac",
         (col("n_tri") - col("n_tri_d")).cast("double") / col("n_tri"))
       .withColumn("top_word_frac",

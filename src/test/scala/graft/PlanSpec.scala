@@ -227,6 +227,18 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one word_shingle_minhash eval, found $evals")
   }
 
+  test("x31 repetition signals is one map-only projection " +
+      "(round-15 top_token_count fusion gate)") {
+    // pre-fusion the top-word leg exploded tokens, shuffled a
+    // (doc, token) count plus a per-doc max, and joined back to the
+    // trigram leg; the native fold leaves only the final sort
+    val plan = physical(graft.queries.ExtensionQueries
+      .repetitionSignals(spark, dir)).toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"x31 re-grew a hash shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"x31 re-grew its leg join:\n$plan")
+  }
+
   test("x64 contamination spans: benchmark grams broadcast; island merge " +
       "exchanges on doc_id only") {
     val plan = executed(

@@ -150,6 +150,29 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("native top_token_count matches the exploded groupBy-count-max " +
+      "chain (round-15 x31 fusion pin)") {
+    import spark.implicits._
+    val edges = Seq(
+      1L -> "a", 2L -> "a a a", 3L -> "a b a b", 4L -> "",
+      5L -> "  ", 6L -> "é ü é 漢字 é", 7L -> "x y z w v u t s")
+      .toDF("doc_id", "text")
+    for (df <- Seq(graft.Tables.documents(spark, dir)
+        .select("doc_id", "text"), edges)) {
+      val w = split(col("text"), " ")
+      val nat = df.select(col("doc_id"),
+        graft.functions.GraftFunctions.top_token_count(w).as("m"))
+      val ref = df.select(col("doc_id"), explode(w).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tc"))
+        .groupBy(col("doc_id")).agg(max(col("tc")).as("m"))
+      assert(nat.count() == ref.count(),
+        "split never yields an empty array, so domains match")
+      val bad = nat.as("a").join(ref.as("b"), "doc_id")
+        .filter(col("a.m").cast("long") =!= col("b.m")).count()
+      assert(bad == 0L, "top_token_count diverges from the exploded chain")
+    }
+  }
+
   test("mixture plan conserves the token budget and bounds rates") {
     val rows = ExtensionQueries.mixturePlan(spark, dir).collect()
     assert(rows.nonEmpty)
