@@ -801,12 +801,22 @@ object Dedup {
     * directory yields a new key and can never serve a stale map), plus
     * the canonicalized plan (so two different frames passed under the
     * same corpus key get distinct entries — e.g. a filtered view vs the
-    * full table). Cheap: file metadata only, no data read.
+    * full table). Cheap: file metadata only, no data read. Status is
+    * resolved through Hadoop's `FileSystem` (ADVICE r15: `inputFiles`
+    * entries are not guaranteed URI-encoded — a path with a space threw
+    * in `java.net.URI` — and `java.io.File` silently fingerprinted
+    * hdfs/s3 paths as 0:0, disabling rewrite detection off-local); a
+    * file whose status is unavailable falls back to a plan+path-only
+    * component rather than failing the query.
     */
   private def corpusFingerprint(docs: DataFrame, key: String): String = {
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
     val files = docs.inputFiles.sorted.map { f =>
-      val p = new java.io.File(new java.net.URI(f).getPath)
-      s"$f:${p.length}:${p.lastModified}"
+      val p = new org.apache.hadoop.fs.Path(f)
+      try {
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      } catch { case _: java.io.IOException => s"$f:unavailable" }
     }
     val plan = docs.queryExecution.analyzed.canonicalized.toString
     val digest = java.security.MessageDigest.getInstance("SHA-256")

@@ -1540,6 +1540,11 @@ object ExtensionQueries {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
     docs.select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
+      // domain pin (ADVICE r15): the pre-fusion exploded chain inner-
+      // joined the top-word leg back, so a doc whose word array exploded
+      // to no rows (null/empty text) was dropped; keep that domain
+      // rather than silently emitting null-signal rows for it
+      .filter(size(col("w")) > 0)
       .select(col("doc_id"), size(col("w")).as("n_words"),
         TextAnalysis.ngrams(col("w"), 3).as("tri"),
         graft.functions.GraftFunctions.top_token_count(col("w"))

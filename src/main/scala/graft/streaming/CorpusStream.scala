@@ -254,10 +254,14 @@ object CorpusStream {
     * LAST (in the caller), and a claim is honored only if its claimant
     * actually reached the doc store — so a replay inside the
     * keys-written/docs-missing crash window re-claims and converges to
-    * the crash-free state instead of losing the document. (A claimant
-    * absorbed by DOWNSTREAM content dedup is the same case: its canon is
-    * re-claimable and the re-claimer's near-identical content dedups
-    * again — convergent, never lossy.)
+    * the crash-free state instead of losing the document. A claimant
+    * absorbed by DOWNSTREAM exact-content dedup leaves a permanently
+    * DEAD claim in the store; the append anti-join therefore keys on the
+    * full (canon, doc_id) pair — a re-claimer with a different doc_id
+    * records its claim past the dead one (restoring the
+    * at-most-one-doc-per-canon invariant for all later arrivals), while
+    * a crash-window replay of the SAME pair still cannot double-append
+    * (ADVICE r15; StreamingSpec replays the absorbed-claimant window).
     *
     * Returns the URL-fresh winners for the caller's downstream stages;
     * appends the new claims to `urlKeysPath` as (canon, doc_id).
@@ -291,11 +295,20 @@ object CorpusStream {
         winners.join(valid, Seq("canon"), "left_anti")
       }).localCheckpoint() // one evaluation: claims append + caller's stages
     val keys = fresh.select(col("canon"), col("doc_id"))
+    // append guard on the FULL (canon, doc_id) pair, not canon alone
+    // (ADVICE r15): a claim whose claimant was absorbed downstream (its
+    // doc never reached the doc store — exact-content dedup, a crash) is
+    // permanently DEAD, and a canon-only anti-join let that dead claim
+    // suppress every re-claimer's append forever — after which ALL later
+    // different-content docs at that canonical URL passed the validity
+    // probe, breaking the at-most-one-doc-per-canon invariant. Keyed on
+    // the pair, a re-claimer (different doc_id) records its claim while
+    // a crash-window replay (same pair) still cannot double-append.
     val freshKeys =
       if (!pathExists(spark, urlKeysPath)) keys
       else keys.join(
-        spark.read.parquet(urlKeysPath).select("canon"),
-        Seq("canon"), "left_anti")
+        spark.read.parquet(urlKeysPath).select("canon", "doc_id"),
+        Seq("canon", "doc_id"), "left_anti")
     freshKeys.write.mode("append").parquet(urlKeysPath)
     fresh
   }

@@ -901,6 +901,15 @@ object Grib2 {
             val subVal = s32sm(payload, p + 42)
             require(baRaw == 0xffffffffL || baVal >= 0,
               s"negative basic angle $baVal (sign-magnitude high-bit wire)")
+            // a nonzero basic angle whose subdivisions are coded missing
+            // is an ambiguous ratio-unit wire: the producer declared a
+            // non-canonical unit but withheld the denominator. Refuse by
+            // field name (the round-15 GDS policy) rather than silently
+            // scaling by the canonical 10⁻⁶ alongside a nonzero
+            // basicAngle in the decoded grid (ADVICE r15)
+            require(!(baRaw != 0xffffffffL && baVal != 0L &&
+                subRaw == 0xffffffffL),
+              s"basic angle $baVal with coded-missing subdivisions")
             // expressed as a DIVISOR so the canonical path keeps the
             // bit-exact `wire / 1e6` arithmetic every oracle was hashed
             // against (1e-6 is not exactly representable — multiplying

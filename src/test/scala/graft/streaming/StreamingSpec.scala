@@ -379,6 +379,54 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(table).count() == 2)
   }
 
+  test("url-dedup stage: a claim whose claimant was absorbed by exact-" +
+      "content dedup is re-claimable by a DIFFERENT doc, and the new " +
+      "claim is recorded — later docs at that canon stay blocked " +
+      "(ADVICE r15)") {
+    import spark.implicits._
+    val base = tmpDir()
+    val table = s"$base/table"; val urlKeys = s"$base/urlkeys"
+    def doc(id: Long, text: String, url: String) = Seq((id, text, url))
+      .toDF("doc_id", "text", "url")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    // batch 1: doc 10 claims canon U, but downstream EXACT-content dedup
+    // absorbs it (its text hash already in the store under doc 99) — so
+    // doc 10 never reaches the doc store and claim (U, 10) is dead
+    val f1 = CorpusStream.urlDedupStage(
+      doc(10L, "alpha beta gamma", "https://U.example.com/p?x=1"),
+      urlKeys, table)
+    assert(f1.count() == 1)
+    doc(99L, "alpha beta gamma", "https://other.example.com/q")
+      .write.mode("append").parquet(table) // the absorber; doc 10 is not written
+    // batch 2: doc 20, SAME canon, DIFFERENT content — exact dedup will
+    // not absorb it. The dead claim must not block it, and its own claim
+    // must be RECORDED (the canon-only append guard dropped it silently,
+    // leaving the canon open to every later arrival)
+    val f2 = CorpusStream.urlDedupStage(
+      doc(20L, "one two three four", "https://u.example.com/p#frag"),
+      urlKeys, table)
+    assert(f2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(20L), "dead claim must not block the re-claimer")
+    f2.drop("canon").write.mode("append").parquet(table)
+    val claims = spark.read.parquet(urlKeys).collect()
+      .map(r => (r.getAs[String]("canon"), r.getAs[Long]("doc_id"))).toSet
+    assert(claims.map(_._2).contains(20L),
+      "the re-claimer's claim must be recorded past the dead one")
+    // batch 3: doc 30, same canon, third content — claim (U, 20) is now
+    // VALID, so the at-most-one-doc-per-canon invariant holds
+    val f3 = CorpusStream.urlDedupStage(
+      doc(30L, "five six seven eight", "https://u.example.com/p"),
+      urlKeys, table)
+    assert(f3.isEmpty,
+      "a valid claim must block all later docs at the canon")
+    // and a crash-window replay of batch 2 still cannot double-append
+    CorpusStream.urlDedupStage(
+      doc(20L, "one two three four", "https://u.example.com/p#frag"),
+      urlKeys, table)
+    assert(spark.read.parquet(urlKeys).count() == claims.size)
+  }
+
   test("incremental dedup stream (x58 leg): two batches against the " +
       "persisted LSH index equal the batch new-vs-old pair set; " +
       "fresh-checkpoint replay is a no-op") {

@@ -1319,11 +1319,17 @@ class Grib2Spec extends AnyFunSuite {
     assert(math.abs(g.la1 - 40.0) < 1e-9 && math.abs(g.lo1 - 10.0) < 1e-9)
     assert(math.abs(g.dx - 1.0) < 1e-9 && math.abs(g.dy - 1.0) < 1e-9)
     assert(math.abs(g.la2 - 39.0) < 1e-9 && g.basicAngle == 1)
-    // missing subdivisions or missing basic angle → the canonical 10⁻⁶
-    // unit (netCDF treats the -9999 marker exactly so)
+    // zero basic angle with missing subdivisions, or missing basic
+    // angle → the canonical 10⁻⁶ unit (netCDF treats the -9999 marker
+    // exactly so). A NONZERO angle with missing subdivisions is an
+    // ambiguous ratio wire — named refusal, not a silent 10⁻⁶ fallback
+    // (ADVICE r15; netCDF would silently mis-scale here)
     val g2 = Grib2.decode(Grib2TestWriter.message(
-      msg().copy(basicAngleRaw = 5L, basicSubdivRaw = 0xffffffffL))).head
-    assert(g2.la1 == 90.0)
+      msg().copy(basicAngleRaw = 0L, basicSubdivRaw = 0xffffffffL))).head
+    assert(g2.la1 == 90.0 && g2.basicAngle == 0)
+    assert(decodeErr(msg().copy(basicAngleRaw = 5L,
+        basicSubdivRaw = 0xffffffffL))
+      .contains("basic angle 5 with coded-missing subdivisions"))
     val g3 = Grib2.decode(Grib2TestWriter.message(
       msg().copy(basicAngleRaw = 0xffffffffL))).head
     assert(g3.la1 == 90.0 && g3.basicAngle == 0)
