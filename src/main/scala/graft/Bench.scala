@@ -143,8 +143,12 @@ object Bench {
       val node = attempt().orElse(attempt()) // one retry: transient OOM/port races
       System.err.println(s"[bench] chunk $i/${chunks.size} " +
         s"(${chunk.head}..${chunk.last}): " +
-        node.fold("FAILED twice — counting penalties")(n =>
-          f"${n.get("value").asDouble()}%.1f s"))
+        node.fold("FAILED twice — counting penalties") { n =>
+          val load = Option(n.get("load")).filterNot(_.isNull)
+            .map(l => f" (other_busy ${l.get("other_busy_cores")
+              .asDouble()}%.2f cores)").getOrElse("")
+          f"${n.get("value").asDouble()}%.1f s$load"
+        })
       (chunk, node)
     }
 
@@ -177,9 +181,31 @@ object Bench {
         .fold(0.0)(_.asDouble())
       case _ => 0.0
     }.sum
+    // per-chunk load nodes (keyed by the chunk's first query) + the scalar
+    // summary the adjudication rule reads: max/mean other_busy_cores and
+    // max steal% across chunks. A committed artifact whose max is ~0 is a
+    // quiet-host run by construction (VERDICT r15 #1).
+    val chunkLoads = chunkJsons.map { case (chunk, node) =>
+      "\"" + chunk.head + "\":" + node.flatMap(n =>
+        Option(n.get("load")).filterNot(_.isNull).map(_.toString))
+        .getOrElse("null")
+    }.mkString("{", ",", "}")
+    val loadNodes = chunkJsons.flatMap { case (_, node) =>
+      node.flatMap(n => Option(n.get("load")).filterNot(_.isNull))
+    }
+    val loadSummary =
+      if (loadNodes.isEmpty) "null"
+      else {
+        val ob = loadNodes.map(_.get("other_busy_cores").asDouble())
+        val st = loadNodes.map(_.get("steal_pct").asDouble())
+        f"""{"other_busy_cores_max":${ob.max}%.2f,""" +
+          f""""other_busy_cores_mean":${ob.sum / ob.size}%.2f,""" +
+          f""""steal_pct_max":${st.max}%.2f,"chunks":$chunkLoads}"""
+      }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","forked":true,""" +
         f""""warmup_builds":{"cluster_build_sec":$clusterBuild%.3f},""" +
+        s""""load":$loadSummary,""" +
         s""""runs":${mergedMap("runs", "[]")},""" +
         s""""rows":${mergedMap("rows", "-1")},""" +
         s""""scan_bytes":${mergedMap("scan_bytes", "-1")},""" +
@@ -208,8 +234,14 @@ object Bench {
     // short trailing line always survives tail truncation.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = mapper.readTree(json)
+    // the contention verdict rides the truncation-proof line too: a
+    // driver-side reader sees at a glance whether the run was quiet
+    val busy = Option(n.get("load")).filterNot(_.isNull).flatMap(l =>
+      Option(l.get("other_busy_cores_max")).orElse(
+        Option(l.get("other_busy_cores"))).map(_.asDouble()))
     println(s"""{"metric":"total","value":${n.get("value").asDouble()},""" +
-      s""""failures":${n.get("failures").size()}}""")
+      s""""failures":${n.get("failures").size()}""" +
+      busy.fold("")(b => f""","other_busy_cores_max":$b%.2f""") + "}")
   }
 
   // ----------------------------------------------------------------- child
@@ -317,6 +349,43 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
+    // Host-load instrumentation (VERDICT r15 #1): the round-15 driver and
+    // builder artifacts disagreed by 15 s on identical code and NOTHING in
+    // the JSON could adjudicate — per-run splits hint at contention but
+    // can't prove it. Sampled around the TIMED section only:
+    //  - load1/load5 from /proc/loadavg before and after;
+    //  - steal% from /proc/stat (hypervisor time stolen from the guest);
+    //  - other_busy_cores: host CPU consumed by processes OTHER than this
+    //    JVM, per wall-clock second — /proc/stat busy jiffies minus our
+    //    own getProcessCpuTime. ~0 on a quiet host; ≳1 sustained means
+    //    another workload was competing and the wall-clock numbers are
+    //    inflated. This is the one number that distinguishes "host was
+    //    loaded" from "the code got slower" from the artifact alone.
+    def loadavg(): (Double, Double) =
+      try {
+        val p = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg")).trim.split("\\s+")
+        (p(0).toDouble, p(1).toDouble)
+      } catch { case _: Throwable => (-1.0, -1.0) }
+    // (busy, steal) jiffies from the aggregate cpu line; fields are
+    // user nice system idle iowait irq softirq steal — guest/guest_nice
+    // are already folded into user, so only the first 8 are summed
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val line = java.nio.file.Files.lines(
+          java.nio.file.Paths.get("/proc/stat")).findFirst.get
+        val f = line.trim.split("\\s+").drop(1).take(8).map(_.toLong)
+        (f.sum - f(3) - f(4), if (f.length > 7) f(7) else 0L)
+      } catch { case _: Throwable => (-1L, -1L) }
+    def procCpuNanos(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => -1L
+      }
+    val (l1b, l5b) = loadavg()
+    val (busy0, steal0) = cpuJiffies()
+    val procCpu0 = procCpuNanos()
+    val wall0 = System.nanoTime()
     // best-of-N timed runs: damps GC/compilation noise on a shared machine
     val results = queries.map { case (name, fn) =>
       val times = (1 to TimedRuns).map { _ =>
@@ -329,6 +398,29 @@ object Bench {
       (name, times, if (good.nonEmpty) good.min else FailurePenaltySec,
         warmRows(name))
     }
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val (l1a, l5a) = loadavg()
+    val (busy1, steal1) = cpuJiffies()
+    val procCpuSec = (procCpuNanos() - procCpu0) / 1e9
+    // USER_HZ is 100 on every mainstream Linux (sysconf(_SC_CLK_TCK) is
+    // not reachable from the JVM without JNI); a non-100 kernel skews the
+    // cores estimate by a constant factor, never its quiet-vs-loaded sign
+    val jiffySec = 0.01
+    val loadJson =
+      if (busy0 < 0 || busy1 < 0 || procCpu0 < 0) "null"
+      else {
+        val busySec = (busy1 - busy0) * jiffySec
+        val stealPct =
+          if (busy1 - busy0 <= 0) 0.0
+          else 100.0 * (steal1 - steal0).toDouble / (busy1 - busy0)
+        val otherBusy = math.max(0.0, busySec - procCpuSec) / wallSec
+        f"""{"load1_before":$l1b%.2f,"load1_after":$l1a%.2f,""" +
+          f""""load5_before":$l5b%.2f,"load5_after":$l5a%.2f,""" +
+          f""""steal_pct":$stealPct%.2f,"other_busy_cores":$otherBusy%.2f,""" +
+          f""""proc_cpu_cores":${procCpuSec / wallSec}%.2f,""" +
+          f""""timed_wall_sec":$wallSec%.1f,""" +
+          s""""cpus":${Runtime.getRuntime.availableProcessors}}"""
+      }
     val failures = results.collect { case (n, ts, _, _) if ts.forall(_ < 0) => n }
     // ms precision: keeps the whole seconds map near the 2 KiB tail budget
     // (full-precision doubles alone would overflow it)
@@ -362,6 +454,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""warmup_builds":$warmupBuilds,""" +
+        s""""load":$loadJson,""" +
         s""""runs":$runs,"rows":$rows,"scan_bytes":$bytes,"scan_cols":$cols,""" +
         s""""expr_nodes":$exprs,""" +
         s""""queries":$qs,"failures":$fs,""" +

@@ -58,21 +58,46 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
 
 object TopTokenCount {
 
-  /** One hash-map counting pass, max tracked inline. Called from
-    * generated code.
+  /** One counting pass over an open-addressing table (linear probing,
+    * power-of-two capacity ≥ 2n, primitive int counts), max tracked
+    * inline. Called from generated code.
+    *
+    * Why not `java.util.HashMap[UTF8String, Int]` (the round-15 form):
+    * the map boxed every count (`Integer` churn per token) and paid a
+    * `merge` lambda dispatch per token — VERDICT r15 measured the fold's
+    * constant at roughly the shuffles it replaced on short documents.
+    * Here the only allocations are the two flat arrays; keys hash by
+    * `UTF8String.hashCode` (bytes) and compare by bytes, identical key
+    * semantics to the map. A null element is the one out-of-table key
+    * (counted in `nullCnt`), matching the exploded form's single null
+    * group. The table never needs growing: capacity ≥ 2n bounds the load
+    * factor at 0.5 for at most n distinct keys.
     */
   def compute(toks: ArrayData): Int = {
     val n = toks.numElements()
-    // UTF8String keys hash by bytes; a null element is one ordinary key
-    // (boxed as null — HashMap supports it), matching the exploded
-    // form's single null group
-    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Int](n * 2)
+    if (n == 0) return 0
+    var cap = 8
+    while (cap < (n << 1)) cap <<= 1
+    val mask = cap - 1
+    val keys = new Array[org.apache.spark.unsafe.types.UTF8String](cap)
+    val cnts = new Array[Int](cap)
     var max = 0
+    var nullCnt = 0
     var i = 0
     while (i < n) {
-      val k = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
-      val c = counts.merge(k, 1, (a, b) => a + b)
-      if (c > max) max = c
+      if (toks.isNullAt(i)) {
+        nullCnt += 1
+        if (nullCnt > max) max = nullCnt
+      } else {
+        val k = toks.getUTF8String(i)
+        var slot = k.hashCode & mask
+        while (keys(slot) != null && !keys(slot).equals(k))
+          slot = (slot + 1) & mask
+        if (keys(slot) == null) keys(slot) = k
+        val c = cnts(slot) + 1
+        cnts(slot) = c
+        if (c > max) max = c
+      }
       i += 1
     }
     max
