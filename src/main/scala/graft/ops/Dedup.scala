@@ -743,8 +743,64 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Round 0 (round 16): partition-local union-find contraction. Each
+    // task runs an in-memory union-find (min-id roots, path compression)
+    // over ITS edges and emits (node, local root); the global min per
+    // node seeds the label frame. Exactness is untouched — a local root
+    // is the min id of a locally-connected subset of the node's true
+    // component, so every seed label is a reachable id ≤ the node's own,
+    // the same invariant the propagation loop maintains; the loop still
+    // drives to the unique global fixpoint (component min) and its
+    // change-detection terminates identically. What changes is ROUND
+    // COUNT: all intra-partition merging finishes before the first
+    // global round, so the loop only reconciles components that span
+    // partition boundaries — for the dedup-family graphs (LSH buckets
+    // yield src-local stars, and the repartition below keys on src) most
+    // merging is local, and a graph that fits one partition converges in
+    // the single confirming round. Previously EVERY merge paid the
+    // per-round price (3-way union + groupBy + localCheckpoint ≈ 0.5-0.7
+    // s of fixed stage/codegen overhead at sf0.1 — the measured bulk of
+    // x36/x19/x50's cost), log(diameter) times.
+    //
+    // Scale: the contraction shuffle (repartition on src) is the same
+    // class as the old distinct() init it replaces; the per-task parent
+    // map is bounded by [[ContractionEdgesPerPart]] (~2·that many nodes
+    // worst case), the same order as a shuffle partition of the old
+    // loop. Worst case (every component spans partitions) it degrades
+    // to exactly the old behavior plus one cheap map-side pass.
+    val nEdges = edges.count() // cheap: the frame is checkpointed
+    val parts = math.max(1L, math.min(edges.rdd.getNumPartitions.toLong,
+      (nEdges + ContractionEdgesPerPart - 1) / ContractionEdgesPerPart))
+      .toInt
+    val contracted = edges.repartition(parts, col("src"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+        def find(x0: Long): Long = {
+          var r = x0
+          while (parent.get(r) != r) r = parent.get(r)
+          var x = x0
+          while (x != r) { val nx = parent.get(x); parent.put(x, r); x = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        // snapshot keys first: find() path-compresses (value updates on
+        // existing keys only — no structural modification), but a copy
+        // keeps the iteration obviously safe
+        val ids = new Array[Long](parent.size)
+        val ki = parent.keySet().iterator()
+        var i = 0
+        while (ki.hasNext) { ids(i) = ki.next(); i += 1 }
+        ids.iterator.map(id => (id, find(id)))
+      }
+      .toDF("id", "lbl")
+    var labels = contracted.groupBy("id").agg(min("lbl").as("lbl"))
       .localCheckpoint()
     var rounds = 0
     var changed = 1L
@@ -777,6 +833,15 @@ object Dedup {
     (labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id")),
       rounds)
   }
+
+  /** Edges per partition-local union-find task in
+    * [[duplicateClustersWithRounds]]'s contraction round: the parent map
+    * holds at most ~2× this many (boxed) entries — ~50 MB/task — so a
+    * handful of concurrent tasks fit comfortably in a production
+    * executor heap, while one task still swallows every sf-scale test
+    * graph whole (single confirming propagation round).
+    */
+  private val ContractionEdgesPerPart = 500000L
 
   /** Per-JVM registry of materialized cluster maps: corpus fingerprint →
     * memoized build thunk (see [[clustersCached]]). Values are `lazy`

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for x36's stage costs (not shipped — test scope). */
+object ProfileX36 {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    // warm the session: run the whole query once untimed
+    graft.queries.ExtensionQueries.semanticDedup(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    println("[prof] ---- timed pass ----")
+    (1 to 2).foreach { pass =>
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val emb = graft.Tables.embeddings(spark, dir)
+      val k = t("scaledK count")(graft.ops.Similarity.scaledK(emb, 8))
+      println(s"[prof] k = $k")
+      val pairs = t("semanticPairs build+assign") {
+        graft.ops.Similarity.semanticPairs(emb, k, 2, 350000L)
+      }
+      val pcnt = t("pairs materialize")(pairs.localCheckpoint().count())
+      println(s"[prof] pairs = $pcnt")
+      val clusters = t("duplicateClusters") {
+        val c = graft.ops.Dedup.duplicateClusters(pairs)
+        c.write.format("noop").mode("overwrite").save(); c
+      }
+      t("full query end-to-end") {
+        graft.queries.ExtensionQueries.semanticDedup(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}
