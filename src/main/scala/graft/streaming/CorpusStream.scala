@@ -188,6 +188,8 @@ object CorpusStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertDeduped(batch, tablePath)
+        compactStore(spark, tablePath, Seq("chash"))
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -213,6 +215,9 @@ object CorpusStream {
         val fresh = dedupFresh(batch, tablePath).localCheckpoint()
         fresh.write.mode("append").parquet(tablePath)
         upsertChunks(chunkStage(fresh), chunkPath)
+        compactStore(spark, tablePath, Seq("chash"))
+        compactStore(spark, chunkPath, Seq("chunk_hash"))
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -233,6 +238,8 @@ object CorpusStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         upsertDeduped(cleanStage(gopherGate(batch)), tablePath)
+        compactStore(spark, tablePath, Seq("chash"))
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -334,10 +341,146 @@ object CorpusStream {
         val urlFresh = urlDedupStage(gopherGate(batch), urlKeysPath,
           tablePath)
         upsertDeduped(cleanStage(urlFresh), tablePath)
+        compactStore(spark, urlKeysPath, Seq("canon", "doc_id"))
+        compactStore(spark, tablePath, Seq("chash"))
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  // ------------------------------------------------- store compaction
+
+  /** File-count trigger for [[compactStore]]: at one appended file per
+    * micro-batch, 64 ≈ a few hours of ticks before a store is rewritten
+    * once — listing cost stays trivial while the steady-state file count
+    * is bounded at maxFiles + ticks-since-last-compaction.
+    */
+  val CompactMaxFiles = 64
+
+  /** Target output size per compacted file (~the parquet row-group sweet
+    * spot; also `maxPartitionBytes`' default, so a compacted store reads
+    * back at one task per file).
+    */
+  val CompactTargetBytes: Long = 128L * 1024 * 1024
+
+  private val CompactTmpName = ".compact_tmp"
+
+  /** Size-triggered compaction for the append-only parquet stores every
+    * streaming leg grows one small file per micro-batch (VERDICT r15 #3
+    * — the classic small-files decay: at production tick counts the
+    * listing + footer overhead of thousands of KB-sized files comes to
+    * dominate every probe of the store). When `path` holds more than
+    * `maxFiles` data files: read the store, drop duplicate keys (self-
+    * heal — see the crash-window argument below), rewrite it as
+    * size-targeted files into a HIDDEN staging dir inside the store
+    * (`.`-prefixed, so Spark's file listing never surfaces it to
+    * readers), and atomically swap via a manifest + commit-marker
+    * protocol. Returns true iff a compaction rewrite ran.
+    *
+    * Crash-window discipline (same standard as the round-15 append
+    * fixes; StreamingSpec replays each window):
+    *  1. staging write / manifest write, no `_COMMIT` yet → readers see
+    *     the untouched store; the next call deletes the stale staging
+    *     dir and starts over;
+    *  2. `_COMMIT` exists → the swap is REPLAYED TO COMPLETION by every
+    *     subsequent call before anything else (move staged files in —
+    *     skipping ones already moved — delete the superseded originals
+    *     named in the manifest, drop the staging dir). Mid-window
+    *     readers can see a row under BOTH an original and a compacted
+    *     file; every consumer keys these stores through anti-join /
+    *     semi-join / distinct gates, for which duplicate keys are
+    *     value-neutral, and the next tick's call heals the store. The
+    *     staged files carry ALL distinct rows, so deleting any subset
+    *     of the originals never loses a key.
+    *
+    * All file ops go through Hadoop's FileSystem (renames are atomic
+    * per-file on HDFS-class stores), never `java.io`.
+    *
+    * `partitionCols` preserves a partitioned store's layout (the x58
+    * index is partitioned by `band` so probes prune): the rewrite
+    * clusters on the partition columns and writes with the same
+    * `partitionBy`.
+    */
+  def compactStore(spark: SparkSession, path: String, keyCols: Seq[String],
+      partitionCols: Seq[String] = Nil,
+      maxFiles: Int = CompactMaxFiles): Boolean = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(path))
+    if (!fs.exists(root)) return false
+    completePending(fs, root) // heal an interrupted swap first, always
+    val files = listDataFiles(fs, root)
+    if (files.size <= maxFiles) return false
+    val tmp = new Path(root, CompactTmpName)
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale uncommitted stage
+    val nOut = math.max(1L,
+      (files.map(_.getLen).sum + CompactTargetBytes - 1) /
+        CompactTargetBytes).toInt
+    val distinctRows = spark.read.parquet(root.toString)
+      .dropDuplicates(keyCols)
+    val shaped =
+      if (partitionCols.nonEmpty)
+        distinctRows.repartition(partitionCols.map(col): _*)
+      else distinctRows.repartition(nOut)
+    val writer = shaped.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(tmp.toString)
+    // manifest of the superseded originals (store-relative), then the
+    // commit point — _COMMIT's existence is the swap's atomic decider
+    val manifest = files
+      .map(f => root.toUri.relativize(f.getPath.toUri).getPath)
+      .mkString("\n")
+    val mOut = fs.create(new Path(tmp, "_manifest"), true)
+    try mOut.write(manifest.getBytes("UTF-8")) finally mOut.close()
+    fs.create(new Path(tmp, "_COMMIT"), true).close()
+    completePending(fs, root)
+    true
+  }
+
+  /** Replays a committed-but-incomplete compaction swap to completion;
+    * no-op without a `_COMMIT` marker. Idempotent at every step: moves
+    * skip already-moved files, deletes skip already-deleted ones.
+    */
+  private def completePending(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Unit = {
+    val tmp = new Path(root, CompactTmpName)
+    if (!fs.exists(new Path(tmp, "_COMMIT"))) return
+    def move(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      if (st.isDirectory) move(st.getPath)
+      else if (st.getPath.getName.startsWith("part-")) {
+        val rel = tmp.toUri.relativize(st.getPath.toUri).getPath
+        val dest = new Path(root, rel)
+        if (dest.getParent != null) fs.mkdirs(dest.getParent)
+        if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+      }
+    }
+    move(tmp)
+    val in = fs.open(new Path(tmp, "_manifest"))
+    val listed =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    listed.split("\n").filter(_.nonEmpty)
+      .foreach(rel => fs.delete(new Path(root, rel), false))
+    fs.delete(tmp, true)
+  }
+
+  /** Non-hidden data files under `dir`, recursively (partitioned stores
+    * nest); `_`/`.`-prefixed names are skipped exactly like Spark's own
+    * listing filter, so staging dirs and markers never count.
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      val name = st.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath) else out += st
+      }
+    }
+    walk(dir)
+    out.result()
+  }
 
   // ---------------------------------------- incremental near-dup (x58) leg
 
@@ -460,6 +603,11 @@ object CorpusStream {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         incrementalDedupBatch(batch, pairsPath, indexPath, docsPath)
+        compactStore(spark, pairsPath, Seq("new_id", "old_id"))
+        compactStore(spark, indexPath, Seq("band", "band_key", "doc_id"),
+          partitionCols = Seq("band"))
+        compactStore(spark, docsPath, Seq("doc_id"))
+        ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The streaming stores' size-triggered compaction
+  * ([[CorpusStream.compactStore]]): content preservation, the file-count
+  * trigger, partition-layout preservation, and — the part that earns the
+  * round-15 crash-window standard — replay-to-completion across the
+  * committed-but-interrupted swap window.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def fsOf(path: String) = new Path(path).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(path: String): Seq[Path] = {
+    val fs = fsOf(path)
+    def walk(d: Path): Seq[Path] = fs.listStatus(d).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) walk(st.getPath)
+      else Seq(st.getPath)
+    }
+    walk(new Path(path))
+  }
+
+  test("compactStore: a 100-append store compacts to a handful of files " +
+      "with identical content; under the trigger it is a no-op") {
+    import spark.implicits._
+    val store = s"${tmpDir()}/keys"
+    (1 to 100).foreach { i =>
+      Seq((s"k$i", i.toLong)).toDF("canon", "doc_id")
+        .coalesce(1).write.mode("append").parquet(store)
+    }
+    assert(dataFiles(store).size == 100)
+    val before = spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // under the trigger: untouched
+    assert(!CorpusStream.compactStore(spark, store,
+      Seq("canon", "doc_id"), maxFiles = 200))
+    assert(dataFiles(store).size == 100)
+    // over the trigger: rewritten small, content identical, staging gone
+    assert(CorpusStream.compactStore(spark, store,
+      Seq("canon", "doc_id"), maxFiles = 10))
+    val filesAfter = dataFiles(store)
+    assert(filesAfter.size <= 4,
+      s"expected a size-targeted rewrite, got ${filesAfter.size} files")
+    assert(spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == before)
+    assert(!fsOf(store).exists(new Path(store, ".compact_tmp")))
+    // immediately after compacting: below the trigger again → no-op
+    assert(!CorpusStream.compactStore(spark, store,
+      Seq("canon", "doc_id"), maxFiles = 10))
+  }
+
+  test("compactStore preserves a band-partitioned store's layout (the " +
+      "x58 index): band dirs survive and probes read identical entries") {
+    import spark.implicits._
+    val store = s"${tmpDir()}/index"
+    (1 to 40).foreach { i =>
+      Seq((i % 4, s"bk$i", i.toLong)).toDF("band", "band_key", "doc_id")
+        .coalesce(1).write.mode("append").partitionBy("band").parquet(store)
+    }
+    val before = spark.read.parquet(store)
+      .select("band", "band_key", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(CorpusStream.compactStore(spark, store,
+      Seq("band", "band_key", "doc_id"), partitionCols = Seq("band"),
+      maxFiles = 10))
+    val fs = fsOf(store)
+    (0 to 3).foreach { b =>
+      assert(fs.exists(new Path(store, s"band=$b")),
+        s"partition dir band=$b must survive compaction")
+    }
+    assert(spark.read.parquet(store)
+      .select("band", "band_key", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet == before)
+    assert(dataFiles(store).size <= 8)
+  }
+
+  test("compactStore: a replay across the committed-but-interrupted swap " +
+      "window heals the store — mid-window duplicate keys are gate-" +
+      "neutral and the next call completes the swap exactly once") {
+    import spark.implicits._
+    val store = s"${tmpDir()}/keys"
+    (1 to 20).foreach { i =>
+      Seq((s"k$i", i.toLong)).toDF("canon", "doc_id")
+        .coalesce(1).write.mode("append").parquet(store)
+    }
+    val before = spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val fs = fsOf(store)
+    // Build the documented crash window BY HAND, mirroring the staged
+    // layout compactStore commits: a hidden staging dir holding the full
+    // compacted copy, the manifest of superseded originals, the _COMMIT
+    // marker — and then ONE staged file already moved in (the swap died
+    // mid-move). This is the worst mid-window state: the store holds
+    // every original plus part of the compacted copy.
+    val tmp = new Path(store, ".compact_tmp")
+    val originals = dataFiles(store)
+    spark.read.parquet(store).dropDuplicates(Seq("canon", "doc_id"))
+      .repartition(2).write.mode("overwrite").parquet(tmp.toString)
+    val manifest = originals
+      .map(p => new Path(store).toUri.relativize(p.toUri).getPath)
+      .mkString("\n")
+    val m = fs.create(new Path(tmp, "_manifest"), true)
+    m.write(manifest.getBytes("UTF-8")); m.close()
+    fs.create(new Path(tmp, "_COMMIT"), true).close()
+    val staged = fs.listStatus(tmp)
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getPath)
+    assert(staged.length == 2)
+    fs.rename(staged.head, new Path(store, staged.head.getName))
+    // mid-window: reads see duplicated keys, but every consumer of these
+    // stores goes through distinct/anti-join/semi-join gates — assert the
+    // gate view is exactly the pre-compaction content
+    val midView = spark.read.parquet(store)
+      .dropDuplicates(Seq("canon", "doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(midView == before)
+    // the next tick's call replays the swap to completion FIRST (its own
+    // compaction does not retrigger: 2 files < maxFiles)
+    assert(!CorpusStream.compactStore(spark, store,
+      Seq("canon", "doc_id"), maxFiles = 10))
+    assert(!fs.exists(tmp), "staging dir must be gone after the heal")
+    val healed = dataFiles(store)
+    assert(healed.size == 2, s"expected the 2 compacted files, " +
+      s"got ${healed.size}")
+    assert(spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == before)
+  }
+
+  test("compaction inside the streaming legs: the x58 index probe " +
+      "returns the same pairs against a compacted index, and a " +
+      "post-compaction tick still appends and probes correctly") {
+    import spark.implicits._
+    val base = tmpDir()
+    val pairs = s"$base/pairs"; val index = s"$base/index"
+    val docs = s"$base/docs"
+    def doc(id: Long, text: String) = (id, text)
+    // 30 single-doc ticks → 30 index/docs appends
+    (1L to 30L).foreach { i =>
+      val batch = Seq(doc(i, s"alpha beta gamma delta epsilon unique$i " +
+        "zeta eta theta iota kappa")).toDF("doc_id", "text")
+      CorpusStream.incrementalDedupBatch(batch, pairs, index, docs)
+    }
+    val probeBefore = {
+      val b = Seq(doc(1000L, "alpha beta gamma delta epsilon unique7 " +
+        "zeta eta theta iota kappa")).toDF("doc_id", "text")
+      CorpusStream.incrementalDedupBatch(b, pairs, index, docs)
+      spark.read.parquet(pairs).collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id"))).toSet
+    }
+    assert(probeBefore.contains((1000L, 7L)),
+      "the near-identical doc must pair with its stored twin")
+    // compact all three stores (file counts are well past 10)
+    assert(CorpusStream.compactStore(spark, index,
+      Seq("band", "band_key", "doc_id"), partitionCols = Seq("band"),
+      maxFiles = 10))
+    assert(CorpusStream.compactStore(spark, docs, Seq("doc_id"),
+      maxFiles = 10))
+    // a fresh near-dup tick against the compacted stores probes the same
+    val b2 = Seq(doc(2000L, "alpha beta gamma delta epsilon unique13 " +
+      "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    CorpusStream.incrementalDedupBatch(b2, pairs, index, docs)
+    val after = spark.read.parquet(pairs).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id"))).toSet
+    assert(after.contains((2000L, 13L)),
+      "post-compaction probes must still hit the stored entries")
+    assert(probeBefore.subsetOf(after), "compaction must not lose pairs")
+  }
+}

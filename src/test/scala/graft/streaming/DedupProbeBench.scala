@@ -47,3 +47,75 @@ object DedupProbeBench {
     spark.stop()
   }
 }
+
+/** Small-files-decay harness for [[CorpusStream.compactStore]] (VERDICT
+  * r15 #3): builds the x58 index/docs stores through MANY append ticks
+  * (the production fragmentation path — one file per micro-batch), times
+  * a fixed-delta probe tick against the fragmented stores, compacts, and
+  * times the probe again. The claim under test: compaction bounds the
+  * listing/footer overhead without changing probe results, so tick cost
+  * stays flat (or improves) across the rewrite.
+  *
+  *   sbt "Test/runMain graft.streaming.CompactionProbeBench /tmp/scale_15000"
+  */
+object CompactionProbeBench {
+  def main(args: Array[String]): Unit = {
+    val corpus = args.headOption.getOrElse("/tmp/scale_15000")
+    val ticks = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val n = docs.count()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-").toString
+    val (pairs, index, store) =
+      (s"$base/pairs", s"$base/index", s"$base/docs")
+    // fragment the stores exactly like production: one append per tick
+    val per = math.max(1L, n / ticks)
+    (0L until ticks.toLong).foreach { t =>
+      CorpusStream.incrementalDedupBatch(
+        docs.filter(col("doc_id") >= t * per &&
+          (col("doc_id") < (t + 1) * per || lit(t == ticks - 1))),
+        pairs, index, store)
+    }
+    def files(p: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def walk(d: org.apache.hadoop.fs.Path): Int =
+        fs.listStatus(d).map { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith("_") || nm.startsWith(".")) 0
+          else if (st.isDirectory) walk(st.getPath) else 1
+        }.sum
+      walk(new org.apache.hadoop.fs.Path(p))
+    }
+    // fixed 2,000-doc delta per probe, fresh ids each probe so the
+    // replay gate never swallows it
+    def probe(round: Long): Double = {
+      val delta = docs.filter(col("doc_id") < 2000)
+        .select((col("doc_id") + 10000000L * round).as("doc_id"),
+          col("text")).localCheckpoint()
+      val t0 = System.nanoTime()
+      CorpusStream.incrementalDedupBatch(delta, pairs, index, store)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val fBefore = files(index) + files(store)
+    val before = (1L to 3L).map(probe)
+    val didIdx = CorpusStream.compactStore(spark, index,
+      Seq("band", "band_key", "doc_id"), partitionCols = Seq("band"),
+      maxFiles = 10)
+    val didDocs = CorpusStream.compactStore(spark, store, Seq("doc_id"),
+      maxFiles = 10)
+    val fAfter = files(index) + files(store)
+    val after = (4L to 6L).map(probe)
+    println(f"""{"metric":"x58_probe_compaction","n_index":$n,""" +
+      f""""ticks":$ticks,"files_before":$fBefore,"files_after":$fAfter,""" +
+      f""""compacted":${didIdx && didDocs},""" +
+      f""""probe_before":[${before.map(t => f"$t%.3f").mkString(",")}],""" +
+      f""""probe_after":[${after.map(t => f"$t%.3f").mkString(",")}],""" +
+      f""""best_before":${before.min}%.3f,"best_after":${after.min}%.3f}""")
+    spark.stop()
+  }
+}
