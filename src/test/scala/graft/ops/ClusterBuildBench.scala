@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Scaling harness for the x19-family cluster-map BUILD (VERDICT r15
+  * #6): `warmup_builds` surfaces the one-time build constant in every
+  * bench artifact, but no growth law — and the build (signatures →
+  * banded candidates → verify → connected components → parquet write)
+  * is the family's true cost at 100×, since the per-query times only
+  * READ the materialized table. This main times the build alone on one
+  * scaling corpus; run it once per size, one fresh JVM each:
+  *
+  *   python3 tools/scaling/gen.py /tmp/scale_N N 42
+  *   sbt "Test/runMain graft.ops.ClusterBuildBench /tmp/scale_N"
+  *
+  * The timed quantity is [[Dedup.clusterBuildSecondsTotal]] after the
+  * first [[Dedup.clustersCached]] call — exactly what the bench's
+  * `warmup_builds.cluster_build_sec` instrument records.
+  */
+object ClusterBuildBench {
+  def main(args: Array[String]): Unit = {
+    val corpus = args.headOption.getOrElse("/tmp/scale_5000")
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    val n = docs.count()
+    // one untimed pass of the SIGNATURE machinery to absorb JIT/codegen
+    // warmup without touching the cluster store's memo (a clustersCached
+    // warmup would make the timed build a cache read)
+    Dedup.nearDuplicates(docs.limit(500), threshold = 0.25,
+      n = 3, numHashes = 64, bands = 32)
+      .write.format("noop").mode("overwrite").save()
+    val clusters = Dedup.clustersCached(docs, corpus)
+    val rows = clusters.count()
+    println(f"""{"metric":"cluster_map_build","n_docs":$n,""" +
+      f""""cluster_rows":$rows,""" +
+      f""""build_sec":${Dedup.clusterBuildSecondsTotal}%.3f}""")
+    spark.stop()
+  }
+}
