@@ -317,6 +317,23 @@ object ExtensionQueries {
     * computes the branch once, which is why wall-clock halved while the
     * planned scan metric grew.
     */
+
+  /** The output-contract sort without the map-only re-execution tax: a
+    * hash exchange on `keys.head` first materializes the pipeline as its
+    * own (AQE) shuffle stage, so the global sort's RangePartitioner
+    * sampling pass reads shuffle files instead of re-running the
+    * upstream. A map-only pipeline ending in a bare orderBy otherwise
+    * executes TWICE — once for range sampling, once for the sort proper;
+    * for the decode/regex-heavy queries that tax measured 0.2-0.8 s at
+    * sf0.1 (x42 1.53->0.77, x31 1.02->0.54, x13 1.59->1.24). Cost: one
+    * extra shuffle of the FINAL narrow rows — output-sized, strictly
+    * cheaper at every scale than re-running a corpus-wide decode or
+    * regex pass. Aggregating queries never need this: their own
+    * exchange already is the sampling barrier.
+    */
+  private def sortedOnce(df: DataFrame, keys: String*): DataFrame =
+    df.repartition(col(keys.head)).orderBy(keys.map(col): _*)
+
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -375,7 +392,7 @@ object ExtensionQueries {
       .select(col("doc_id"), col("n_words"),
         col("mean_word_len"), col("alpha_ratio"), col("stopword_ratio"),
         col("quality"))
-      .orderBy("doc_id")
+      .transform(sortedOnce(_, "doc_id"))
 
   private val qualityScoresSql = {
     val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
@@ -564,7 +581,7 @@ object ExtensionQueries {
         size(array_distinct(TextAnalysis.words(col("text"))))
           .as("n_distinct"),
         TextAnalysis.wordSetFingerprint(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
+      .transform(sortedOnce(_, "doc_id"))
 
   private val tokenStatsSql =
     """SELECT doc_id,
@@ -584,7 +601,7 @@ object ExtensionQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
-      .orderBy("doc_id")
+      .transform(sortedOnce(_, "doc_id"))
 
   private val rollingFingerprintSql =
     s"""SELECT doc_id, ${TextAnalysis.rollingHashSql("text")} AS rolling_hash
@@ -607,7 +624,7 @@ object ExtensionQueries {
       .toDF()
       .select("asset_id", "media_type", "format", "width", "height",
         "sample_rate", "channels", "n_frames")
-      .orderBy("asset_id")
+      .transform(sortedOnce(_, "asset_id"))
 
   private val multimodalMetaSql =
     """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len
@@ -649,7 +666,7 @@ object ExtensionQueries {
       .toDF()
       .select(Seq(col("asset_id"), col("frame_idx"),
         size(col("feature")).as("feature_dim")) ++ buckets: _*)
-      .orderBy("asset_id", "frame_idx")
+      .transform(sortedOnce(_, "asset_id", "frame_idx"))
   }
 
   /** DuckDB replica of the decode: per doc the asset's value count `total`
@@ -1560,7 +1577,7 @@ object ExtensionQueries {
           col("top_word_frac") <= RepMaxTopFrac)
       .select("doc_id", "n_words", "n_tri", "n_tri_d", "dup_tri_frac",
         "top_word_frac", "pass")
-      .orderBy("doc_id")
+      .transform(sortedOnce(_, "doc_id"))
   }
 
   private val repetitionSignalsSql =
@@ -1977,7 +1994,7 @@ object ExtensionQueries {
         lit(".7 call +1 555-301-"),
         lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
         .as("text"))
-    TextAnalysis.piiScrub(decorated, col("text")).orderBy("doc_id")
+    sortedOnce(TextAnalysis.piiScrub(decorated, col("text")), "doc_id")
   }
 
   private val piiScrubSql =
@@ -2982,7 +2999,7 @@ object ExtensionQueries {
         col("symbol_word_ratio"), col("alpha_word_ratio"),
         col("n_stop_types"), col("r_word_count"), col("r_mean_len"),
         col("r_symbol"), col("r_alpha"), col("r_stopwords"), col("keep"))
-      .orderBy("doc_id")
+      .transform(sortedOnce(_, "doc_id"))
   }
 
   private val gopherRulesSql = {
@@ -3726,7 +3743,7 @@ object ExtensionQueries {
       .toDF()
       .select(col("asset_id"), col("cy"), col("cx"),
         col("n_px"), col("sum_luma"), col("mean_milli"))
-      .orderBy("asset_id", "cy", "cx")
+      .transform(sortedOnce(_, "asset_id", "cy", "cx"))
 
   private val imageResizeSql =
     """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS len,

@@ -1,0 +1,38 @@
+package graft
+
+/** Scratch survey (test scope): per-query cost of the final global sort's
+  * range-sampling re-execution. Compares each query as-is vs wrapped in a
+  * huge limit (TakeOrdered path — no range exchange, so the pipeline runs
+  * once). A large delta marks a map-only pipeline the sampler re-executes.
+  */
+object ProfileSortTax {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "x09_lang_id", "x10_quality_scores", "x11_token_stats",
+      "x12_rolling_fingerprint", "x21_embed_quantize", "x24_doc_chunks",
+      "x30_chunk_dedup", "x42_pii_scrub", "x49_boilerplate_removal",
+      "x52_perplexity_bands", "x57_gopher_rules", "x59_quality_classifier",
+      "x63_intradoc_dedup", "x65_line_langid", "x22_decontamination",
+      "x37_phrase_search", "x26_unigram_lm_score", "x40_bigram_lm_score")
+    names.foreach { n =>
+      val q = SparkEntry.queries(n)
+      def best(df: => org.apache.spark.sql.DataFrame): Double = {
+        df.write.format("noop").mode("overwrite").save()
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val asIs = best(q(spark, dir))
+      val noSort = best(q(spark, dir).limit(1 << 30))
+      println(f"[prof] $n%-28s asis $asIs%.3f  nosort $noSort%.3f  " +
+        f"tax ${asIs - noSort}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for x31's expression costs (test scope). */
+object ProfileX31 {
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, dir)
+    def time(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save() // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[prof] $name%-34s best ${ts.min}%.3f  runs ${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    time("baseline scan+count")(docs.select(col("doc_id"),
+      length(col("text")).as("l")))
+    time("words only")(docs.select(col("doc_id"),
+      size(TextAnalysis.words(col("text"))).as("n")))
+    time("ngrams3")(docs.select(col("doc_id"),
+      size(TextAnalysis.ngrams(TextAnalysis.words(col("text")), 3)).as("n")))
+    time("ngrams3 + distinct")(docs.select(col("doc_id"),
+      size(array_distinct(TextAnalysis.ngrams(
+        TextAnalysis.words(col("text")), 3))).as("n")))
+    time("top_token_count only")(docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.top_token_count(
+        TextAnalysis.words(col("text"))).as("m")))
+    time("full x31")(graft.queries.ExtensionQueries
+      .repetitionSignals(spark, dir))
+    time("full x31 minus orderBy")(graft.queries.ExtensionQueries
+      .repetitionSignals(spark, dir).limit(1000000))
+    // sort FIRST on the narrow columns, heavy projection AFTER: the
+    // range sampler then re-executes only the scan, not the pipeline
+    val sortedFirst = {
+      val base = docs.select(col("doc_id"), col("text")).orderBy("doc_id")
+      base.select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), size(col("w")).as("n_words"),
+          TextAnalysis.ngrams(col("w"), 3).as("tri"),
+          graft.functions.GraftFunctions.top_token_count(col("w"))
+            .as("max_tc"))
+        .select(col("doc_id"), col("n_words"), size(col("tri")).as("n_tri"),
+          size(array_distinct(col("tri"))).as("n_tri_d"), col("max_tc"))
+    }
+    time("sort-first x31 core")(sortedFirst)
+    println(sortedFirst.queryExecution.executedPlan.toString.linesIterator
+      .take(14).map("[prof] plan: " + _).mkString("\n"))
+    // shuffle-barrier + orderBy: the range sampler reads the hash
+    // exchange's materialized stage instead of recomputing the pipeline
+    val core = graft.queries.ExtensionQueries
+      .repetitionSignals(spark, dir).limit(1000000)
+    time("barrier x31 (repartition+sort)")(
+      core.repartition(col("doc_id")).orderBy("doc_id"))
+    time("x14 today")(graft.queries.ExtensionQueries
+      .multimodalFrames(spark, dir))
+    time("x14 minus orderBy")(graft.queries.ExtensionQueries
+      .multimodalFrames(spark, dir).limit(100000000))
+    time("x13 today")(graft.queries.ExtensionQueries
+      .multimodalMeta(spark, dir))
+    time("x13 minus orderBy")(graft.queries.ExtensionQueries
+      .multimodalMeta(spark, dir).limit(100000000))
+    time("x67 today")(graft.queries.ExtensionQueries
+      .imageResize(spark, dir))
+    time("x67 minus orderBy")(graft.queries.ExtensionQueries
+      .imageResize(spark, dir).limit(100000000))
+    spark.stop()
+  }
+}
