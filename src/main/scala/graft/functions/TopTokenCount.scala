@@ -76,6 +76,13 @@ object TopTokenCount {
   def compute(toks: ArrayData): Int = {
     val n = toks.numElements()
     if (n == 0) return 0
+    // guard the Int shift: at n ≥ 2^30, (n << 1) wraps negative, the
+    // sizing loop exits at cap = 8, and the probe loop can never find a
+    // slot once 8 keys land — an infinite loop in generated code (ADVICE
+    // r16). A 2^29-token single document is >4 GiB of row anyway; refuse
+    // loudly instead of hanging.
+    require(n < (1 << 29),
+      s"top_token_count: $n tokens exceeds the 2^29 single-document bound")
     var cap = 8
     while (cap < (n << 1)) cap <<= 1
     val mask = cap - 1

@@ -183,7 +183,8 @@ object CorpusStream {
       spark: SparkSession,
       landingDir: String,
       tablePath: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    healStore(spark, tablePath)
     gates(spark.readStream.schema(docSchema).json(landingDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -194,6 +195,7 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** The full streaming funnel with the chunk leg: gate → doc-level exact
     * dedup → chunk the NEW docs → chunk-level dedup → two appended stores.
@@ -208,7 +210,9 @@ object CorpusStream {
       landingDir: String,
       tablePath: String,
       chunkPath: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    healStore(spark, tablePath)
+    healStore(spark, chunkPath)
     gates(spark.readStream.schema(docSchema).json(landingDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -222,6 +226,7 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** The round-13 curated funnel: stateless gates → Gopher rule battery →
     * intra-doc repeated-line cleanup (text REWRITTEN, hash re-keyed on the
@@ -233,7 +238,8 @@ object CorpusStream {
       spark: SparkSession,
       landingDir: String,
       tablePath: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    healStore(spark, tablePath)
     gateFilter(spark.readStream.schema(docSchema).json(landingDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -244,6 +250,7 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** The x61 canonical-URL first pass as a streaming stage — the one
     * curation stage of the published RefinedWeb-order pipeline (funnel
@@ -333,7 +340,9 @@ object CorpusStream {
       landingDir: String,
       tablePath: String,
       urlKeysPath: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    healStore(spark, tablePath)
+    healStore(spark, urlKeysPath)
     gateFilter(spark.readStream.schema(urlDocSchema).json(landingDir),
         col("url"), col("n_chars"))
       .writeStream
@@ -348,6 +357,7 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   // ------------------------------------------------- store compaction
 
@@ -364,19 +374,43 @@ object CorpusStream {
     */
   val CompactTargetBytes: Long = 128L * 1024 * 1024
 
+  /** Leveled-compaction tier boundary: only data files SMALLER than this
+    * are ever read or rewritten by [[compactStore]]; files at or above it
+    * are frozen in place. Half the output target, so a compacted output
+    * keeps absorbing later small-file tiers until it crosses ~64 MB and
+    * freezes — after which each compaction's cost is bounded by the
+    * small tier (≤ maxFiles appends + at most one still-growing
+    * sub-threshold output), NOT by the store. The r16 form re-read and
+    * rewrote the ENTIRE store every trigger — O(store) per compaction,
+    * unbounded amortized cost as the claims/doc stores grow with the
+    * corpus (VERDICT r16 #2).
+    */
+  val CompactSmallBytes: Long = CompactTargetBytes / 2
+
   private val CompactTmpName = ".compact_tmp"
 
   /** Size-triggered compaction for the append-only parquet stores every
     * streaming leg grows one small file per micro-batch (VERDICT r15 #3
     * — the classic small-files decay: at production tick counts the
     * listing + footer overhead of thousands of KB-sized files comes to
-    * dominate every probe of the store). When `path` holds more than
-    * `maxFiles` data files: read the store, drop duplicate keys (self-
-    * heal — see the crash-window argument below), rewrite it as
-    * size-targeted files into a HIDDEN staging dir inside the store
-    * (`.`-prefixed, so Spark's file listing never surfaces it to
-    * readers), and atomically swap via a manifest + commit-marker
-    * protocol. Returns true iff a compaction rewrite ran.
+    * dominate every probe of the store). LEVELED (round 17, VERDICT r16
+    * #2): when `path` holds more than `maxFiles` data files SMALLER than
+    * `smallBytes` — the compactable tier — read only that tier, drop
+    * duplicate keys within it, rewrite it as size-targeted files into a
+    * HIDDEN staging dir inside the store (`.`-prefixed, so Spark's file
+    * listing never surfaces it to readers), and atomically swap via a
+    * manifest + commit-marker protocol. Files at or above `smallBytes`
+    * are never read, rewritten, or named in the manifest — their bytes
+    * freeze (CompactionSpec pins this byte-for-byte), so each
+    * compaction's cost is bounded by the small tier (≤ maxFiles recent
+    * appends + at most one still-growing sub-threshold output), not by
+    * the store: the r16 full rewrite was O(store) per trigger, unbounded
+    * amortized as the claims/doc stores grow with the corpus. A key
+    * duplicated ACROSS tiers (canonical copy frozen, a replayed append
+    * small) can persist past compaction; that is exactly the crash-
+    * window duplicate-key state argued value-neutral below, and
+    * [[healStore]] documents the external-reader contract. Returns true
+    * iff a compaction rewrite ran.
     *
     * Crash-window discipline (same standard as the round-15 append
     * fixes; StreamingSpec replays each window):
@@ -391,8 +425,11 @@ object CorpusStream {
     *     file; every consumer keys these stores through anti-join /
     *     semi-join / distinct gates, for which duplicate keys are
     *     value-neutral, and the next tick's call heals the store. The
-    *     staged files carry ALL distinct rows, so deleting any subset
-    *     of the originals never loses a key.
+    *     staged files carry ALL distinct rows of the manifest's tier, so
+    *     deleting any subset of the originals never loses a key — and
+    *     the deletes only run after EVERY staged file is confirmed
+    *     present under the store root (a silently-false rename aborts
+    *     the replay with `_COMMIT` left in place; ADVICE r16).
     *
     * All file ops go through Hadoop's FileSystem (renames are atomic
     * per-file on HDFS-class stores), never `java.io`.
@@ -404,20 +441,25 @@ object CorpusStream {
     */
   def compactStore(spark: SparkSession, path: String, keyCols: Seq[String],
       partitionCols: Seq[String] = Nil,
-      maxFiles: Int = CompactMaxFiles): Boolean = {
+      maxFiles: Int = CompactMaxFiles,
+      smallBytes: Long = CompactSmallBytes): Boolean = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new Path(path))
     if (!fs.exists(root)) return false
     completePending(fs, root) // heal an interrupted swap first, always
-    val files = listDataFiles(fs, root)
-    if (files.size <= maxFiles) return false
+    val small = listDataFiles(fs, root).filter(_.getLen < smallBytes)
+    if (small.size <= maxFiles) return false
     val tmp = new Path(root, CompactTmpName)
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale uncommitted stage
     val nOut = math.max(1L,
-      (files.map(_.getLen).sum + CompactTargetBytes - 1) /
+      (small.map(_.getLen).sum + CompactTargetBytes - 1) /
         CompactTargetBytes).toInt
-    val distinctRows = spark.read.parquet(root.toString)
+    // read ONLY the small tier; basePath keeps a partitioned store's
+    // partition columns recoverable from the leaf-file paths
+    val distinctRows = spark.read
+      .option("basePath", root.toString)
+      .parquet(small.map(_.getPath.toString): _*)
       .dropDuplicates(keyCols)
     val shaped =
       if (partitionCols.nonEmpty)
@@ -426,9 +468,10 @@ object CorpusStream {
     val writer = shaped.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp.toString)
-    // manifest of the superseded originals (store-relative), then the
-    // commit point — _COMMIT's existence is the swap's atomic decider
-    val manifest = files
+    // manifest of the superseded small-tier originals (store-relative),
+    // then the commit point — _COMMIT's existence is the swap's atomic
+    // decider. Frozen large files are never manifest-listed.
+    val manifest = small
       .map(f => root.toUri.relativize(f.getPath.toUri).getPath)
       .mkString("\n")
     val mOut = fs.create(new Path(tmp, "_manifest"), true)
@@ -438,24 +481,51 @@ object CorpusStream {
     true
   }
 
+  /** Read-side heal: replay any committed-but-interrupted compaction
+    * swap on `path` to completion, closing the published-store duplicate
+    * window at the earliest opportunity instead of waiting for a future
+    * write tick (ADVICE r16). Every funnel entry point calls this on its
+    * stores BEFORE the first batch, so a crash on the final tick of a
+    * previous AvailableNow drain cannot leave the doc store mid-swap
+    * across runs. External batch readers that bypass the funnel must
+    * still dedup on the store key (`chash` for doc stores): both the
+    * swap window and leveled compaction's cross-tier state can
+    * legitimately show a key twice, and every value is identical.
+    */
+  def healStore(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(path))
+    if (fs.exists(root)) completePending(fs, root)
+  }
+
   /** Replays a committed-but-incomplete compaction swap to completion;
     * no-op without a `_COMMIT` marker. Idempotent at every step: moves
-    * skip already-moved files, deletes skip already-deleted ones.
+    * skip already-moved files, deletes skip already-deleted ones. The
+    * manifest deletes run ONLY once every staged part file is confirmed
+    * present under the store root — Hadoop's `rename` signals several
+    * failure modes by returning false rather than throwing, and a
+    * swallowed false here would let the deletes run with staged rows
+    * still stranded in the staging dir, permanently losing them when
+    * the final cleanup drops `tmp` (ADVICE r16). On any failed move the
+    * replay aborts with `_COMMIT` left in place for a later retry.
     */
   private def completePending(fs: org.apache.hadoop.fs.FileSystem,
       root: Path): Unit = {
     val tmp = new Path(root, CompactTmpName)
     if (!fs.exists(new Path(tmp, "_COMMIT"))) return
-    def move(d: Path): Unit = fs.listStatus(d).foreach { st =>
+    def move(d: Path): Boolean = fs.listStatus(d).forall { st =>
       if (st.isDirectory) move(st.getPath)
       else if (st.getPath.getName.startsWith("part-")) {
         val rel = tmp.toUri.relativize(st.getPath.toUri).getPath
         val dest = new Path(root, rel)
         if (dest.getParent != null) fs.mkdirs(dest.getParent)
-        if (!fs.exists(dest)) fs.rename(st.getPath, dest)
-      }
+        fs.exists(dest) || (fs.rename(st.getPath, dest) && fs.exists(dest))
+      } else true
     }
-    move(tmp)
+    if (!move(tmp)) throw new java.io.IOException(
+      s"compaction swap on $root: a staged file failed to move into the " +
+        "store; aborting the replay with _COMMIT in place for retry")
     val in = fs.open(new Path(tmp, "_manifest"))
     val listed =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -598,7 +668,8 @@ object CorpusStream {
       pairsPath: String,
       indexPath: String,
       docsPath: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    Seq(pairsPath, indexPath, docsPath).foreach(healStore(spark, _))
     spark.readStream.schema(docSchema).json(landingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -612,4 +683,5 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

@@ -227,16 +227,30 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one word_shingle_minhash eval, found $evals")
   }
 
-  test("x31 repetition signals is one map-only projection " +
-      "(round-15 top_token_count fusion gate)") {
+  test("x31 repetition signals is map-only below its output barrier " +
+      "(round-15 top_token_count fusion gate, round-17 form)") {
     // pre-fusion the top-word leg exploded tokens, shuffled a
     // (doc, token) count plus a per-doc max, and joined back to the
-    // trigram leg; the native fold leaves only the final sort
+    // trigram leg. The native fold leaves a pure projection; round 16's
+    // sortedOnce then deliberately added ONE output-sized
+    // REPARTITION_BY_COL exchange above it (the sort-sampling barrier —
+    // strictly cheaper than re-running the fold for range sampling), so
+    // the gate asserts what the fusion actually guarantees: below that
+    // final barrier the plan has no exchange and no join, and the
+    // barrier itself is the only hash exchange in the whole plan.
     val plan = physical(graft.queries.ExtensionQueries
       .repetitionSignals(spark, dir)).toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"x31 re-grew a hash shuffle:\n$plan")
-    assert(!plan.contains("Join"), s"x31 re-grew its leg join:\n$plan")
+    val barriers = "REPARTITION_BY_COL".r.findAllIn(plan).length
+    assert(barriers == 1,
+      s"expected exactly one sortedOnce output barrier, found $barriers:\n$plan")
+    // the physical tree prints root-first: everything after the barrier
+    // line is the subtree feeding it
+    val below = plan.split("REPARTITION_BY_COL").last
+    assert(!below.contains("Exchange hashpartitioning"),
+      s"x31 re-grew a hash shuffle below the output barrier:\n$plan")
+    assert(!below.contains("Join"), s"x31 re-grew its leg join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"x31 has a hash exchange beyond the sortedOnce barrier:\n$plan")
   }
 
   test("x64 contamination spans: benchmark grams broadcast; island merge " +

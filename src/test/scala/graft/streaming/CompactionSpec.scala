@@ -132,6 +132,68 @@ class CompactionSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet == before)
   }
 
+  test("leveled compaction freezes the large tier: a compacted file's " +
+      "bytes are untouched while 100 small appends merge around it, and " +
+      "per-compaction cost is bounded by the small tier") {
+    import spark.implicits._
+    val store = s"${tmpDir()}/keys"
+    val tier = 8192L // test-scale stand-in for CompactSmallBytes
+    // one frozen-tier file well above the boundary
+    spark.range(5000)
+      .select(concat(lit("bulk"), col("id")).as("canon"),
+        col("id").as("doc_id"))
+      .coalesce(1).write.mode("append").parquet(store)
+    val fs = fsOf(store)
+    val large = dataFiles(store).head
+    val st0 = fs.getFileStatus(large)
+    assert(st0.getLen >= tier, "fixture must land in the frozen tier")
+    def bytesOf(p: Path): Array[Byte] = {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(0, buf); buf
+      } finally in.close()
+    }
+    val frozenBytes = bytesOf(large)
+    // 100 small appends — one duplicating a frozen key (cross-tier dup)
+    (1 to 100).foreach { i =>
+      Seq((s"k$i", 10000L + i)).toDF("canon", "doc_id")
+        .coalesce(1).write.mode("append").parquet(store)
+    }
+    Seq(("bulk7", 7L)).toDF("canon", "doc_id")
+      .coalesce(1).write.mode("append").parquet(store)
+    val before = spark.read.parquet(store)
+      .dropDuplicates(Seq("canon", "doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(CorpusStream.compactStore(spark, store, Seq("canon", "doc_id"),
+      maxFiles = 10, smallBytes = tier))
+    // the frozen file: same path, same length, same mtime, same bytes
+    val st1 = fs.getFileStatus(large)
+    assert(st1.getLen == st0.getLen &&
+      st1.getModificationTime == st0.getModificationTime,
+      "frozen-tier file must not be rewritten")
+    assert(java.util.Arrays.equals(bytesOf(large), frozenBytes))
+    val afterFiles = dataFiles(store)
+    assert(afterFiles.size <= 3,
+      s"small tier must merge to a handful of files, got ${afterFiles.size}")
+    // gate view unchanged (the cross-tier dup is value-neutral)
+    assert(spark.read.parquet(store)
+      .dropDuplicates(Seq("canon", "doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == before)
+    // a second wave merges AROUND the still-frozen file again
+    (101 to 200).foreach { i =>
+      Seq((s"k$i", 10000L + i)).toDF("canon", "doc_id")
+        .coalesce(1).write.mode("append").parquet(store)
+    }
+    assert(CorpusStream.compactStore(spark, store, Seq("canon", "doc_id"),
+      maxFiles = 10, smallBytes = tier))
+    val st2 = fs.getFileStatus(large)
+    assert(st2.getModificationTime == st0.getModificationTime)
+    assert(dataFiles(store).size <= 3)
+    assert(spark.read.parquet(store)
+      .dropDuplicates(Seq("canon", "doc_id")).count() == before.size + 100)
+  }
+
   test("compaction inside the streaming legs: the x58 index probe " +
       "returns the same pairs against a compacted index, and a " +
       "post-compaction tick still appends and probes correctly") {
