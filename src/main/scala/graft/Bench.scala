@@ -75,6 +75,16 @@ object Bench {
   /** Hard per-child wall-clock cap; a hung child must not hang the bench. */
   val ChildTimeoutMinutes = 20L
 
+  /** Contention bounds for the steal-aware chunk retry (VERDICT r16 #6):
+    * a chunk whose timed window shows other_busy_cores or steal% above
+    * these re-runs once and the quieter window is kept (both recorded).
+    * 0.5 cores ≈ the level at which the r12 calibration's ±5% spread
+    * becomes a systematic inflation; 10% steal was a third of the single
+    * spike that triggered this mechanism.
+    */
+  val RetryBusyCores = 0.5
+  val RetryStealPct = 10.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.headOption match {
@@ -121,7 +131,7 @@ object Bench {
     val classpath = System.getProperty("java.class.path")
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val chunkJsons = chunks.zipWithIndex.map { case (chunk, i) =>
+    val chunkResults = chunks.zipWithIndex.map { case (chunk, i) =>
       val out = outDir.resolve(s"chunk$i.json")
       val log = outDir.resolve(s"chunk$i.log").toFile
       java.nio.file.Files.deleteIfExists(out)
@@ -140,17 +150,47 @@ object Bench {
           catch { case _: Throwable => None }
         else None
       }
-      val node = attempt().orElse(attempt()) // one retry: transient OOM/port races
+      val first = attempt().orElse(attempt()) // one retry: transient OOM/port races
+      // Steal-aware retry (VERDICT r16 #6): the telemetry SEES contention
+      // but an absorbed loud chunk still inflates the committed number.
+      // When the timed window exceeded the contention bound, re-run the
+      // chunk once and keep the QUIETER result; both windows are recorded
+      // under load.retries so the artifact shows the decision.
+      def busyOf(n: com.fasterxml.jackson.databind.JsonNode): Double =
+        Option(n.get("load")).filterNot(_.isNull)
+          .map(l => l.get("other_busy_cores").asDouble() +
+            l.get("steal_pct").asDouble() / 20.0) // 10% steal ≡ 0.5 cores
+          .getOrElse(0.0)
+      def loud(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+        Option(n.get("load")).filterNot(_.isNull).exists(l =>
+          l.get("other_busy_cores").asDouble() > RetryBusyCores ||
+            l.get("steal_pct").asDouble() > RetryStealPct)
+      val (node, retry) = first match {
+        case Some(n) if loud(n) =>
+          attempt() match {
+            case Some(n2) =>
+              val keepSecond = busyOf(n2) < busyOf(n)
+              (Some(if (keepSecond) n2 else n),
+                Some((n.get("load").toString, n2.get("load").toString,
+                  if (keepSecond) "second" else "first")))
+            case None => (Some(n), None) // unretryable: keep the loud run
+          }
+        case other => (other, None)
+      }
       System.err.println(s"[bench] chunk $i/${chunks.size} " +
         s"(${chunk.head}..${chunk.last}): " +
         node.fold("FAILED twice — counting penalties") { n =>
           val load = Option(n.get("load")).filterNot(_.isNull)
             .map(l => f" (other_busy ${l.get("other_busy_cores")
               .asDouble()}%.2f cores)").getOrElse("")
-          f"${n.get("value").asDouble()}%.1f s$load"
+          f"${n.get("value").asDouble()}%.1f s$load" +
+            retry.fold("")(r => s" [loud-retry kept ${r._3}]")
         })
-      (chunk, node)
+      (chunk, node, retry)
     }
+    val chunkJsons = chunkResults.map { case (c, n, _) => (c, n) }
+    val chunkRetries = chunkResults.collect { case (c, _, Some(r)) =>
+      (c.head, r) }
 
     // merge child artifacts; a failed chunk contributes penalty rows so the
     // total can only grow on failure
@@ -174,13 +214,37 @@ object Bench {
       case (chunk, None) => chunk.size * FailurePenaltySec
     }.sum
     // untimed warmup builds summed across child JVMs (each chunk that
-    // touches the x19 family pays its own cluster-map build once)
-    val clusterBuild = chunkJsons.map {
+    // touches the x19 family pays its own cluster-map build once); the
+    // per-build HostLoad windows merge into one array + the scalar max
+    // the adjudication rule reads (VERDICT r16 #3: a build-time claim
+    // with no load telemetry is unarbitrable)
+    def warmSum(field: String): Double = chunkJsons.map {
       case (_, Some(n)) => Option(n.get("warmup_builds"))
-        .flatMap(w => Option(w.get("cluster_build_sec")))
+        .flatMap(w => Option(w.get(field)))
         .fold(0.0)(_.asDouble())
       case _ => 0.0
     }.sum
+    val clusterBuild = warmSum("cluster_build_sec")
+    val qualityBuild = warmSum("quality_build_sec")
+    val warmLoadNodes = chunkJsons.flatMap { case (_, node) =>
+      node.flatMap(n => Option(n.get("warmup_builds")))
+        .flatMap(w => Option(w.get("load")).filterNot(_.isNull)).toSeq
+        .flatMap(_.elements.asScala.filterNot(_.isNull))
+        // drop load-unavailable entries ({"build":"…"} only)
+        .filter(_.has("other_busy_cores"))
+    }
+    val warmupBuildsJson = f"""{"cluster_build_sec":$clusterBuild%.3f,""" +
+      f""""quality_build_sec":$qualityBuild%.3f""" + {
+      if (warmLoadNodes.isEmpty) "}"
+      else {
+        val ob = warmLoadNodes.map(_.get("other_busy_cores").asDouble())
+        val st = warmLoadNodes.map(_.get("steal_pct").asDouble())
+        f""","other_busy_cores_max":${ob.max}%.2f,""" +
+          f""""steal_pct_max":${st.max}%.2f,""" +
+          s""""load":${warmLoadNodes.map(_.toString)
+            .mkString("[", ",", "]")}}"""
+      }
+    }
     // per-chunk load nodes (keyed by the chunk's first query) + the scalar
     // summary the adjudication rule reads: max/mean other_busy_cores and
     // max steal% across chunks. A committed artifact whose max is ~0 is a
@@ -193,6 +257,11 @@ object Bench {
     val loadNodes = chunkJsons.flatMap { case (_, node) =>
       node.flatMap(n => Option(n.get("load")).filterNot(_.isNull))
     }
+    // retried-loud chunks: both windows + which was kept (the kept one is
+    // what chunkLoads / the scalar summary already reflect)
+    val retriesJson = chunkRetries.map { case (head, (first, second, kept)) =>
+      s""""$head":{"first":$first,"second":$second,"kept":"$kept"}"""
+    }.mkString("{", ",", "}")
     val loadSummary =
       if (loadNodes.isEmpty) "null"
       else {
@@ -200,11 +269,12 @@ object Bench {
         val st = loadNodes.map(_.get("steal_pct").asDouble())
         f"""{"other_busy_cores_max":${ob.max}%.2f,""" +
           f""""other_busy_cores_mean":${ob.sum / ob.size}%.2f,""" +
-          f""""steal_pct_max":${st.max}%.2f,"chunks":$chunkLoads}"""
+          f""""steal_pct_max":${st.max}%.2f,""" +
+          s""""retries":$retriesJson,"chunks":$chunkLoads}"""
       }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","forked":true,""" +
-        f""""warmup_builds":{"cluster_build_sec":$clusterBuild%.3f},""" +
+        s""""warmup_builds":$warmupBuildsJson,""" +
         s""""load":$loadSummary,""" +
         s""""runs":${mergedMap("runs", "[]")},""" +
         s""""rows":${mergedMap("rows", "-1")},""" +
@@ -349,43 +419,13 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
-    // Host-load instrumentation (VERDICT r15 #1): the round-15 driver and
-    // builder artifacts disagreed by 15 s on identical code and NOTHING in
-    // the JSON could adjudicate — per-run splits hint at contention but
-    // can't prove it. Sampled around the TIMED section only:
-    //  - load1/load5 from /proc/loadavg before and after;
-    //  - steal% from /proc/stat (hypervisor time stolen from the guest);
-    //  - other_busy_cores: host CPU consumed by processes OTHER than this
-    //    JVM, per wall-clock second — /proc/stat busy jiffies minus our
-    //    own getProcessCpuTime. ~0 on a quiet host; ≳1 sustained means
-    //    another workload was competing and the wall-clock numbers are
-    //    inflated. This is the one number that distinguishes "host was
-    //    loaded" from "the code got slower" from the artifact alone.
-    def loadavg(): (Double, Double) =
-      try {
-        val p = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("/proc/loadavg")).trim.split("\\s+")
-        (p(0).toDouble, p(1).toDouble)
-      } catch { case _: Throwable => (-1.0, -1.0) }
-    // (busy, steal) jiffies from the aggregate cpu line; fields are
-    // user nice system idle iowait irq softirq steal — guest/guest_nice
-    // are already folded into user, so only the first 8 are summed
-    def cpuJiffies(): (Long, Long) =
-      try {
-        val line = java.nio.file.Files.lines(
-          java.nio.file.Paths.get("/proc/stat")).findFirst.get
-        val f = line.trim.split("\\s+").drop(1).take(8).map(_.toLong)
-        (f.sum - f(3) - f(4), if (f.length > 7) f(7) else 0L)
-      } catch { case _: Throwable => (-1L, -1L) }
-    def procCpuNanos(): Long =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
-        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
-        case _ => -1L
-      }
-    val (l1b, l5b) = loadavg()
-    val (busy0, steal0) = cpuJiffies()
-    val procCpu0 = procCpuNanos()
-    val wall0 = System.nanoTime()
+    // Host-load instrumentation (VERDICT r15 #1, factored to [[HostLoad]]
+    // in round 17 so the warmup builds carry the same telemetry):
+    // other_busy_cores is the one number that distinguishes "host was
+    // loaded" from "the code got slower" from the artifact alone.
+    // Sampled around the TIMED section; the warmup builds sample their
+    // own windows inside Dedup.clustersCached.
+    val snap0 = HostLoad.snap()
     // best-of-N timed runs: damps GC/compilation noise on a shared machine
     val results = queries.map { case (name, fn) =>
       val times = (1 to TimedRuns).map { _ =>
@@ -398,29 +438,7 @@ object Bench {
       (name, times, if (good.nonEmpty) good.min else FailurePenaltySec,
         warmRows(name))
     }
-    val wallSec = (System.nanoTime() - wall0) / 1e9
-    val (l1a, l5a) = loadavg()
-    val (busy1, steal1) = cpuJiffies()
-    val procCpuSec = (procCpuNanos() - procCpu0) / 1e9
-    // USER_HZ is 100 on every mainstream Linux (sysconf(_SC_CLK_TCK) is
-    // not reachable from the JVM without JNI); a non-100 kernel skews the
-    // cores estimate by a constant factor, never its quiet-vs-loaded sign
-    val jiffySec = 0.01
-    val loadJson =
-      if (busy0 < 0 || busy1 < 0 || procCpu0 < 0) "null"
-      else {
-        val busySec = (busy1 - busy0) * jiffySec
-        val stealPct =
-          if (busy1 - busy0 <= 0) 0.0
-          else 100.0 * (steal1 - steal0).toDouble / (busy1 - busy0)
-        val otherBusy = math.max(0.0, busySec - procCpuSec) / wallSec
-        f"""{"load1_before":$l1b%.2f,"load1_after":$l1a%.2f,""" +
-          f""""load5_before":$l5b%.2f,"load5_after":$l5a%.2f,""" +
-          f""""steal_pct":$stealPct%.2f,"other_busy_cores":$otherBusy%.2f,""" +
-          f""""proc_cpu_cores":${procCpuSec / wallSec}%.2f,""" +
-          f""""timed_wall_sec":$wallSec%.1f,""" +
-          s""""cpus":${Runtime.getRuntime.availableProcessors}}"""
-      }
+    val loadJson = HostLoad.json(snap0, HostLoad.snap())
     val failures = results.collect { case (n, ts, _, _) if ts.forall(_ < 0) => n }
     // ms precision: keeps the whole seconds map near the 2 KiB tail budget
     // (full-precision doubles alone would overflow it)
@@ -448,9 +466,16 @@ object Bench {
     // x19-family's cluster-map build runs once here and the timed runs
     // only READ the materialized table — this instrument keeps that
     // build visible in the artifact so the per-query numbers can't be
-    // mistaken for end-to-end cost (VERDICT r14 re-baselining).
+    // mistaken for end-to-end cost (VERDICT r14 re-baselining). Round 17:
+    // each build also carries its own HostLoad window (`load`, one entry
+    // per build) so a slow build is adjudicable as contention vs code —
+    // the exact gap that made r16's 8.8 s vs 17.1 s build claim
+    // unarbitrable (VERDICT r16 #3).
     val warmupBuilds = f"""{"cluster_build_sec":${
-      graft.ops.Dedup.clusterBuildSecondsTotal}%.3f}"""
+      graft.ops.CorpusCache.buildSecondsTotal("clusters")}%.3f,""" +
+      f""""quality_build_sec":${
+        graft.ops.CorpusCache.buildSecondsTotal("quality")}%.3f,""" +
+      s""""load":${graft.ops.CorpusCache.buildLoadJsonAll}}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""warmup_builds":$warmupBuilds,""" +

@@ -1,0 +1,85 @@
+package graft
+
+/** /proc-based host-load sampling around a measured code section — the
+  * round-16 adjudication instrument (VERDICT r15 #1), factored out in
+  * round 17 so the UNTIMED warmup builds can carry the same telemetry as
+  * the timed query section: the r16 artifact's 8.8 s vs 17.1 s
+  * cluster-build discrepancy was unadjudicable precisely because the
+  * build ran outside the sampled window (VERDICT r16 #3).
+  *
+  * The one number that distinguishes "host was loaded" from "the code
+  * got slower" from the artifact alone is `other_busy_cores`: host CPU
+  * consumed by processes OTHER than this JVM per wall-clock second —
+  * /proc/stat busy jiffies minus our own getProcessCpuTime. ~0 on a
+  * quiet host; ≳1 sustained means another workload competed and the
+  * wall-clock numbers are inflated. `steal_pct` adds the hypervisor
+  * dimension (time stolen from the guest entirely).
+  */
+object HostLoad {
+
+  /** One instant's counters; fields are -1 when /proc is unavailable. */
+  final case class Snap(
+      load1: Double, load5: Double,
+      busyJiffies: Long, stealJiffies: Long,
+      procCpuNanos: Long, wallNanos: Long)
+
+  def snap(): Snap = {
+    val (l1, l5) = loadavg()
+    val (busy, steal) = cpuJiffies()
+    Snap(l1, l5, busy, steal, procCpuNanos(), System.nanoTime())
+  }
+
+  /** JSON object for the window [a, b]; the literal string "null" when
+    * the counters were unavailable. Field set is the round-16 artifact
+    * contract (`load1_before` … `cpus`) — consumers key on
+    * `other_busy_cores` and `steal_pct`.
+    */
+  def json(a: Snap, b: Snap): String = {
+    if (a.busyJiffies < 0 || b.busyJiffies < 0 || a.procCpuNanos < 0) "null"
+    else {
+      val wallSec = (b.wallNanos - a.wallNanos) / 1e9
+      // USER_HZ is 100 on every mainstream Linux (sysconf(_SC_CLK_TCK)
+      // is not reachable from the JVM without JNI); a non-100 kernel
+      // skews the cores estimate by a constant factor, never its
+      // quiet-vs-loaded sign
+      val busySec = (b.busyJiffies - a.busyJiffies) * 0.01
+      val stealPct =
+        if (b.busyJiffies - a.busyJiffies <= 0) 0.0
+        else 100.0 * (b.stealJiffies - a.stealJiffies).toDouble /
+          (b.busyJiffies - a.busyJiffies)
+      val procCpuSec = (b.procCpuNanos - a.procCpuNanos) / 1e9
+      val otherBusy = math.max(0.0, busySec - procCpuSec) /
+        math.max(wallSec, 1e-9)
+      f"""{"load1_before":${a.load1}%.2f,"load1_after":${b.load1}%.2f,""" +
+        f""""load5_before":${a.load5}%.2f,"load5_after":${b.load5}%.2f,""" +
+        f""""steal_pct":$stealPct%.2f,"other_busy_cores":$otherBusy%.2f,""" +
+        f""""proc_cpu_cores":${procCpuSec / math.max(wallSec, 1e-9)}%.2f,""" +
+        f""""timed_wall_sec":$wallSec%.1f,""" +
+        s""""cpus":${Runtime.getRuntime.availableProcessors}}"""
+    }
+  }
+
+  private def loadavg(): (Double, Double) =
+    try {
+      val p = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split("\\s+")
+      (p(0).toDouble, p(1).toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
+  // (busy, steal) jiffies from the aggregate cpu line; fields are
+  // user nice system idle iowait irq softirq steal — guest/guest_nice
+  // are already folded into user, so only the first 8 are summed
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val line = java.nio.file.Files.lines(
+        java.nio.file.Paths.get("/proc/stat")).findFirst.get
+      val f = line.trim.split("\\s+").drop(1).take(8).map(_.toLong)
+      (f.sum - f(3) - f(4), if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  private def procCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+}

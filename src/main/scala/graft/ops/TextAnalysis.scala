@@ -120,6 +120,27 @@ object TextAnalysis {
         col("alpha_ratio") * 0.4 +
         least(col("stopword_ratio") * 4, lit(1.0)) * 0.2)
 
+  /** The corpus quality projection ([[qualityScore]] over the `text`
+    * column, text itself dropped) materialized ONCE per JVM per corpus
+    * via [[CorpusCache]] and read thereafter — the same
+    * build-once-read-many discipline as [[Dedup.clustersCached]].
+    *
+    * Why: THREE batch queries consume this exact projection (x10 scores,
+    * x44 per-source buckets, x51 survivor selection), and it is the
+    * engine's second-heaviest recomputed subplan after the cluster map —
+    * tokenization + three regex passes over every document (VERDICT r16
+    * #4 measured x51's 150k-doc tail as dominated by it). A production
+    * curation pipeline publishes quality scores as a first-class table
+    * (CCNet/Dolma do) and every consumer reads it. Keeps every scalar
+    * [[qualitySignals]] emits (minus text) so all consumers can share
+    * one artifact; doubles round-trip parquet bit-exactly, so the
+    * hash-green oracles are unaffected. Staleness protection (content
+    * fingerprint) and build telemetry ride CorpusCache.
+    */
+  def qualityScoresCached(docs: DataFrame, key: String): DataFrame =
+    CorpusCache.cached(docs, "quality", key)(d =>
+      qualityScore(d, col("text")).drop("text"))
+
   /** Content fingerprint for dedup joins: md5 of the sorted distinct word
     * set (order-insensitive — catches shuffled near-identical docs).
     */

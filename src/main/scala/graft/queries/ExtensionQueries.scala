@@ -387,12 +387,14 @@ object ExtensionQueries {
   }
 
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.qualityScore(
-        Tables.documents(spark, dir), col("text"))
+    // the shared materialized projection (round 17): upstream is a plain
+    // parquet scan, so the bare orderBy's range-sampling re-read is a
+    // cheap second scan — no sortedOnce barrier needed here anymore
+    TextAnalysis.qualityScoresCached(Tables.documents(spark, dir), dir)
       .select(col("doc_id"), col("n_words"),
         col("mean_word_len"), col("alpha_ratio"), col("stopword_ratio"),
         col("quality"))
-      .transform(sortedOnce(_, "doc_id"))
+      .orderBy("doc_id")
 
   private val qualityScoresSql = {
     val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(",")
@@ -464,8 +466,8 @@ object ExtensionQueries {
     import org.apache.spark.sql.expressions.Window
     // 1. clamp (NaN from empty text, NULL from null text → −1.0) and
     //    quantize: the 1e-6-grid long key bounds the histogram.
-    val scored = TextAnalysis.qualityScore(
-        Tables.documents(spark, dir), col("text"))
+    val scored = TextAnalysis.qualityScoresCached(
+        Tables.documents(spark, dir), dir)
       .select(col("doc_id"), col("source"), col("n_words"),
         coalesce(nanvl(col("quality"), lit(-1d)), lit(-1d)).as("quality"))
       .withColumn("qkey", floor(col("quality") * lit(1e6)).cast("long"))
@@ -2480,7 +2482,7 @@ object ExtensionQueries {
     // DuckDB's mq equality join drops it (adversarial-corpus gate,
     // round 13). Degenerate docs rank at -1 (q_micro -1000000), below
     // every real score, exactly like x44's buckets
-    val quality = TextAnalysis.qualityScore(docs, col("text"))
+    val quality = TextAnalysis.qualityScoresCached(docs, dir)
       .select(col("doc_id"),
         round(coalesce(nanvl(col("quality"), lit(-1.0)), lit(-1.0)) * 1e6)
           .cast("long").as("q_micro"))

@@ -45,6 +45,38 @@ class TextAnalysisSpec extends SparkSpec {
     scores.values.foreach(s => assert(s >= 0.0 && s <= 1.0))
   }
 
+  test("qualityScoresCached: values match a direct computation, and a " +
+      "rewritten corpus under the same key is re-fingerprinted, never " +
+      "served stale (the clustersCached standard, VERDICT r16 #4)") {
+    val dir = tmpDir()
+    val p = s"$dir/documents.parquet"
+    Seq((1L, "short"), (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    def direct() = TextAnalysis
+      .qualityScore(spark.read.parquet(p), col("text"))
+      .select("doc_id", "n_words", "quality").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    def cached() = TextAnalysis
+      .qualityScoresCached(spark.read.parquet(p), dir)
+      .select("doc_id", "n_words", "quality").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val d1 = direct()
+    assert(cached() == d1, "shared frame must be bitwise the projection")
+    assert(cached() == d1, "second read must serve the same artifact")
+    // rewrite the SAME path: doc 1 grows. mtime granularity can be 1s —
+    // nudge the clock past it so the rewrite is observable
+    Thread.sleep(1100)
+    Seq((1L, "now a considerably longer text with many more words in it"),
+        (2L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    val d2 = direct()
+    assert(d2(1L)._1 > d1(1L)._1, "fixture must actually change")
+    assert(cached() == d2,
+      "stale quality frame served after corpus rewrite")
+  }
+
   test("fingerprints: word-set is order-insensitive, rolling is sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"),
