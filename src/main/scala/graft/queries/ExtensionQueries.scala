@@ -1947,6 +1947,8 @@ object ExtensionQueries {
   def substringRemoval(spark: SparkSession, dir: String): DataFrame =
     Dedup.removeSubstringSpans(Tables.documents(spark, dir),
         SubstringN, SubstringDfCap)
+      // r17 sort-tax sweep: the splice aggregation above is the barrier;
+      // a sortedOnce conversion measured neutral-to-worse (SCALING.md r17)
       .orderBy("doc_id")
 
   private val substringRemovalSql = {
@@ -2468,8 +2470,10 @@ object ExtensionQueries {
     * are already bitwise-equal — x10 is hash-green — but an integer
     * comparison can never be a ulp coin-flip).
     *
-    * Shape: the x19 cluster machinery (audited) + a map-only quality
-    * projection + one groupBy(cluster) max-struct argmax (partial-
+    * Shape: the x19 cluster machinery (audited) + the SHARED materialized
+    * quality projection ([[TextAnalysis.qualityScoresCached]], round 17 —
+    * previously recomputed per consumer, the measured bulk of x51's
+    * 150k-doc tail) + one groupBy(cluster) max-struct argmax (partial-
     * aggregable) + one cluster-key join back. No new shuffle class.
     */
   def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
@@ -3516,6 +3520,9 @@ object ExtensionQueries {
       .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
         col("span_end").cast("long").as("span_end"),
         col("n_grams").cast("long").as("n_grams"))
+      // r17 sort-tax sweep: the island window/agg above exchanges on
+      // doc_id already; a sortedOnce conversion measured neutral-to-worse
+      // (SCALING.md round 17). Keep the bare sort.
       .orderBy("doc_id", "span_start")
   }
 
@@ -3596,6 +3603,10 @@ object ExtensionQueries {
         (col("n_lines") - col("n_major")).cast("long").as("n_other"),
         col("doc_pred"),
         (col("major_lang") === col("doc_pred")).as("agree"))
+      // r17 sort-tax sweep: measured 0.23-0.29 s "tax" here is the global
+      // sort itself, not sampler re-execution — the joins above are the
+      // materialization barrier already, and a sortedOnce conversion
+      // measured neutral-to-worse (SCALING.md round 17). Keep the bare sort.
       .orderBy("doc_id")
   }
 

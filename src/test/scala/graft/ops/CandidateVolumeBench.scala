@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Candidate-volume probe for the x19-family LSH pipeline (round 17):
+  * separates WORKLOAD-driven growth from algorithmic growth in the
+  * cluster-map build curve. The scaling corpus (tools/scaling/gen.py)
+  * draws word salad from a FIXED 30-word vocabulary, so the universe of
+  * 3-shingles is bounded (~27k) and the expected random-pair jaccard is
+  * size-invariant — which means the count of RANDOM band collisions
+  * (j² per 2-row band) grows with n², even though none of them verify
+  * at threshold 0.25. A real corpus's vocabulary grows with the corpus
+  * and its random-pair jaccard decays toward 0, keeping candidates
+  * near-linear. This main prints, per corpus size: bucket pair-slots
+  * (Σ C(|bucket|,2) across bands — the join volume the verify stage
+  * pays), distinct candidate pairs, verified pairs, and the largest
+  * bucket, so the build curve's tail can be attributed from data.
+  *
+  *   sbt "Test/runMain graft.ops.CandidateVolumeBench /tmp/scale_N"
+  */
+object CandidateVolumeBench {
+  def main(args: Array[String]): Unit = {
+    val corpus = args.headOption.getOrElse("/tmp/scale_5000")
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+    val n = docs.count()
+    val entries = Dedup.lshBucketEntries(
+      Dedup.minHashSignatures(docs, 3, 64), 64, 32)
+    val slots = entries.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("s"))
+      .agg(sum(col("s") * (col("s") - 1) / 2).cast("long").as("pair_slots"),
+        max(col("s")).as("max_bucket"))
+      .collect()(0)
+    val cands = Dedup.minHashCandidates(docs, 3, 64, 32).count()
+    val verified = Dedup.nearDuplicates(docs, 0.25, 3, 64, 32).count()
+    println(s"""{"metric":"lsh_candidate_volume","n_docs":$n,""" +
+      s""""pair_slots":${slots.getLong(0)},""" +
+      s""""max_bucket":${slots.getLong(1)},""" +
+      s""""candidates":$cands,"verified":$verified}""")
+    spark.stop()
+  }
+}

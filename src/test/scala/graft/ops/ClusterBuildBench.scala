@@ -33,9 +33,12 @@ object ClusterBuildBench {
       .write.format("noop").mode("overwrite").save()
     val clusters = Dedup.clustersCached(docs, corpus)
     val rows = clusters.count()
+    // the per-build HostLoad window rides along (round 17): a slow build
+    // is adjudicable as contention vs code from this line alone
     println(f"""{"metric":"cluster_map_build","n_docs":$n,""" +
       f""""cluster_rows":$rows,""" +
-      f""""build_sec":${Dedup.clusterBuildSecondsTotal}%.3f}""")
+      f""""build_sec":${Dedup.clusterBuildSecondsTotal}%.3f,""" +
+      s""""load":${CorpusCache.buildLoadJsonAll}}""")
     spark.stop()
   }
 }

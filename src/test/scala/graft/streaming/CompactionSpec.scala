@@ -194,6 +194,40 @@ class CompactionSpec extends SparkSpec {
       .dropDuplicates(Seq("canon", "doc_id")).count() == before.size + 100)
   }
 
+  test("healStore: the read-side entry replays a committed-but-" +
+      "interrupted swap with no write tick (funnels call it at startup " +
+      "so a crash on a previous drain's final tick can't leak duplicates " +
+      "to external readers across runs)") {
+    import spark.implicits._
+    val store = s"${tmpDir()}/keys"
+    (1 to 8).foreach { i =>
+      Seq((s"k$i", i.toLong)).toDF("canon", "doc_id")
+        .coalesce(1).write.mode("append").parquet(store)
+    }
+    val before = spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val fs = fsOf(store)
+    val tmp = new Path(store, ".compact_tmp")
+    val originals = dataFiles(store)
+    spark.read.parquet(store).dropDuplicates(Seq("canon", "doc_id"))
+      .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val manifest = originals
+      .map(p => new Path(store).toUri.relativize(p.toUri).getPath)
+      .mkString("\n")
+    val m = fs.create(new Path(tmp, "_manifest"), true)
+    m.write(manifest.getBytes("UTF-8")); m.close()
+    fs.create(new Path(tmp, "_COMMIT"), true).close()
+    CorpusStream.healStore(spark, store)
+    assert(!fs.exists(tmp), "staging dir must be gone after the heal")
+    assert(dataFiles(store).size == 1)
+    assert(spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == before)
+    // a store with no pending swap (or no store at all) is a no-op
+    CorpusStream.healStore(spark, store)
+    CorpusStream.healStore(spark, s"${tmpDir()}/absent")
+    assert(spark.read.parquet(store).count() == before.size)
+  }
+
   test("compaction inside the streaming legs: the x58 index probe " +
       "returns the same pairs against a compacted index, and a " +
       "post-compaction tick still appends and probes correctly") {

@@ -119,3 +119,55 @@ object CompactionProbeBench {
     spark.stop()
   }
 }
+
+/** Amortized-cost harness for LEVELED [[CorpusStream.compactStore]]
+  * (round 17, VERDICT r16 #2): the r16 form re-read and rewrote the
+  * ENTIRE store every trigger, so per-compaction cost grew with the
+  * store. The leveled form only touches files under the tier boundary;
+  * once a merged output crosses it, its bytes freeze. This main grows a
+  * store through repeated append-waves, compacting after each wave in
+  * BOTH modes — leveled (a realistic tier) and full-rewrite (tier = ∞,
+  * the r16 behavior) — and prints per-wave compaction wall time next to
+  * the store size. The claim under test: leveled time plateaus at the
+  * small-tier bound while full-rewrite time grows with the store.
+  *
+  *   sbt "Test/runMain graft.streaming.LeveledCompactionBench"
+  */
+object LeveledCompactionBench {
+  def main(args: Array[String]): Unit = {
+    val waves = args.headOption.map(_.toInt).getOrElse(12)
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val tier = 8L * 1024 * 1024 // 8 MB test-scale stand-in for 64 MB
+    def run(mode: String, smallBytes: Long): Seq[String] = {
+      val store = java.nio.file.Files
+        .createTempDirectory(s"graft-leveled-$mode-").toString + "/keys"
+      (1 to waves).map { w =>
+        // one wave = 8 appended files of ~100k rows (~2 MB each)
+        (1 to 8).foreach { f =>
+          spark.range(100000L * (w * 8 + f), 100000L * (w * 8 + f + 1))
+            .select(concat(lit("key"), col("id")).as("canon"),
+              col("id").as("doc_id"))
+            .coalesce(1).write.mode("append").parquet(store)
+        }
+        val t0 = System.nanoTime()
+        CorpusStream.compactStore(spark, store, Seq("canon", "doc_id"),
+          maxFiles = 4, smallBytes = smallBytes)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val bytes = fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(store)).getLength
+        f"""{"wave":$w,"store_mb":${bytes / 1e6}%.1f,"sec":$sec%.2f}"""
+      }
+    }
+    val leveled = run("leveled", tier)
+    val full = run("full", Long.MaxValue)
+    println(s"""{"metric":"leveled_compaction","tier_mb":8,""" +
+      s""""leveled":[${leveled.mkString(",")}],""" +
+      s""""full_rewrite":[${full.mkString(",")}]}""")
+    spark.stop()
+  }
+}
