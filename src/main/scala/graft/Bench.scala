@@ -225,6 +225,7 @@ object Bench {
       case _ => 0.0
     }.sum
     val clusterBuild = warmSum("cluster_build_sec")
+    val pairsBuild = warmSum("pairs_build_sec")
     val qualityBuild = warmSum("quality_build_sec")
     val warmLoadNodes = chunkJsons.flatMap { case (_, node) =>
       node.flatMap(n => Option(n.get("warmup_builds")))
@@ -234,6 +235,7 @@ object Bench {
         .filter(_.has("other_busy_cores"))
     }
     val warmupBuildsJson = f"""{"cluster_build_sec":$clusterBuild%.3f,""" +
+      f""""pairs_build_sec":$pairsBuild%.3f,""" +
       f""""quality_build_sec":$qualityBuild%.3f""" + {
       if (warmLoadNodes.isEmpty) "}"
       else {
@@ -473,6 +475,8 @@ object Bench {
     // unarbitrable (VERDICT r16 #3).
     val warmupBuilds = f"""{"cluster_build_sec":${
       graft.ops.CorpusCache.buildSecondsTotal("clusters")}%.3f,""" +
+      f""""pairs_build_sec":${
+        graft.ops.CorpusCache.buildSecondsTotal("pairs")}%.3f,""" +
       f""""quality_build_sec":${
         graft.ops.CorpusCache.buildSecondsTotal("quality")}%.3f,""" +
       s""""load":${graft.ops.CorpusCache.buildLoadJsonAll}}"""

@@ -882,12 +882,28 @@ object Dedup {
     * Memoization, content-fingerprint staleness protection, and the
     * per-build time/host-load instruments all live in [[CorpusCache]]
     * (ADVICE r14; VERDICT r16 #3) — this is just the cluster-map build
-    * function registered under the "clusters" name.
+    * function registered under the "clusters" name. The build reads the
+    * shared [[pairsCached]] artifact (round 17), so a session running
+    * x03 and any x19-family query pays the signature + verify stage
+    * once.
     */
   def clustersCached(docs: DataFrame, key: String): DataFrame =
     CorpusCache.cached(docs, "clusters", key)(d =>
-      duplicateClusters(nearDuplicates(d, threshold = 0.25,
-        n = 3, numHashes = 64, bands = 32)))
+      duplicateClusters(pairsCached(d, key)))
+
+  /** The standard-constant MinHash pair graph (threshold 0.25,
+    * 3-shingles, 64 hashes, 32 bands) materialized once per JVM per
+    * corpus — the dedup pipeline's first-class intermediate table
+    * (Dolma/FineWeb publish theirs) with FOUR in-engine consumers: x03
+    * surfaces it, and the cluster map (x19/x51/x60) closes it. Same
+    * CorpusCache discipline as the cluster map: content-fingerprint
+    * staleness, per-build time + host-load telemetry (surfaced as
+    * `warmup_builds.pairs_build_sec` in the bench artifact).
+    */
+  def pairsCached(docs: DataFrame, key: String): DataFrame =
+    CorpusCache.cached(docs, "pairs", key)(d =>
+      nearDuplicates(d, threshold = 0.25, n = 3, numHashes = 64,
+        bands = 32))
 
   // ------------------------------------------------- DuckDB oracle dialect
   // Kept adjacent to the operators (the Exact.scala convention) so the two

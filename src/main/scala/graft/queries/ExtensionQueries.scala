@@ -75,8 +75,9 @@ object ExtensionQueries {
     * asserted in DedupSpec.
     */
   def neardupMinhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDuplicates(Tables.documents(spark, dir), threshold = 0.25,
-        n = 3, numHashes = 64, bands = 32)
+    // the shared materialized pair graph (round 17): the same artifact
+    // the x19-family cluster map closes, built once per corpus
+    Dedup.pairsCached(Tables.documents(spark, dir), dir)
       .orderBy("id_a", "id_b")
 
   private val neardupMinhashSql =

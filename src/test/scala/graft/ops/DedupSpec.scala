@@ -371,6 +371,31 @@ class DedupSpec extends SparkSpec {
     assert(c.length == 1001 && c.forall(_.getLong(1) == 0L))
   }
 
+  test("pairsCached matches a direct nearDuplicates run and " +
+      "re-fingerprints on corpus rewrite (round 17 shared pair graph)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val p = s"$dir/documents.parquet"
+    def near(id: Long, tail: String) =
+      (id, s"the quick brown fox jumps over the lazy dog again $tail")
+    Seq(near(1L, "x"), near(2L, "y"), (3L, "completely different words"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    def direct() = Dedup.nearDuplicates(spark.read.parquet(p),
+        threshold = 0.25, n = 3, numHashes = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cached() = Dedup.pairsCached(spark.read.parquet(p), dir)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cached() == direct() && cached() == Set((1L, 2L)))
+    Thread.sleep(1100)
+    Seq((1L, "completely different words"), near(2L, "x"), near(3L, "y"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(p)
+    assert(cached() == Set((2L, 3L)),
+      "stale pair graph served after corpus rewrite")
+  }
+
   test("clustersCached: a rewritten corpus under the same key is " +
       "re-fingerprinted, never served stale (ADVICE r14)") {
     import spark.implicits._
