@@ -194,6 +194,44 @@ class CompactionSpec extends SparkSpec {
       .dropDuplicates(Seq("canon", "doc_id")).count() == before.size + 100)
   }
 
+  test("leveled compaction on a partitioned store: partition columns are " +
+      "recovered from leaf paths (basePath), frozen files stay put, and " +
+      "a band whose files are all frozen is untouched") {
+    import spark.implicits._
+    val store = s"${tmpDir()}/index"
+    val tier = 8192L
+    // band=0 gets one frozen-tier file; bands 1..3 get small appends
+    spark.range(4000)
+      .select(lit(0).as("band"), concat(lit("bk"), col("id")).as("band_key"),
+        col("id").as("doc_id"))
+      .coalesce(1).write.mode("append").partitionBy("band").parquet(store)
+    val fs = fsOf(store)
+    val frozen = dataFiles(store).head
+    assert(fs.getFileStatus(frozen).getLen >= tier)
+    val mtime0 = fs.getFileStatus(frozen).getModificationTime
+    (1 to 30).foreach { i =>
+      Seq((1 + i % 3, s"bk$i", 100000L + i)).toDF("band", "band_key", "doc_id")
+        .coalesce(1).write.mode("append").partitionBy("band").parquet(store)
+    }
+    val before = spark.read.parquet(store)
+      .select("band", "band_key", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(CorpusStream.compactStore(spark, store,
+      Seq("band", "band_key", "doc_id"), partitionCols = Seq("band"),
+      maxFiles = 10, smallBytes = tier))
+    // frozen band-0 file untouched; small tier merged under its bands
+    assert(fs.getFileStatus(frozen).getModificationTime == mtime0)
+    (0 to 3).foreach { b =>
+      assert(fs.exists(new Path(store, s"band=$b")),
+        s"partition dir band=$b must survive")
+    }
+    // partition VALUES survived the staged-read round trip exactly
+    assert(spark.read.parquet(store)
+      .select("band", "band_key", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet == before)
+    assert(dataFiles(store).size <= 1 + 3)
+  }
+
   test("healStore: the read-side entry replays a committed-but-" +
       "interrupted swap with no write tick (funnels call it at startup " +
       "so a crash on a previous drain's final tick can't leak duplicates " +
