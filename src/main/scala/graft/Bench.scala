@@ -226,6 +226,7 @@ object Bench {
     }.sum
     val clusterBuild = warmSum("cluster_build_sec")
     val pairsBuild = warmSum("pairs_build_sec")
+    val signaturesBuild = warmSum("signatures_build_sec")
     val qualityBuild = warmSum("quality_build_sec")
     val warmLoadNodes = chunkJsons.flatMap { case (_, node) =>
       node.flatMap(n => Option(n.get("warmup_builds")))
@@ -236,6 +237,7 @@ object Bench {
     }
     val warmupBuildsJson = f"""{"cluster_build_sec":$clusterBuild%.3f,""" +
       f""""pairs_build_sec":$pairsBuild%.3f,""" +
+      f""""signatures_build_sec":$signaturesBuild%.3f,""" +
       f""""quality_build_sec":$qualityBuild%.3f""" + {
       if (warmLoadNodes.isEmpty) "}"
       else {
@@ -477,6 +479,8 @@ object Bench {
       graft.ops.CorpusCache.buildSecondsTotal("clusters")}%.3f,""" +
       f""""pairs_build_sec":${
         graft.ops.CorpusCache.buildSecondsTotal("pairs")}%.3f,""" +
+      f""""signatures_build_sec":${
+        graft.ops.CorpusCache.buildSecondsTotal("signatures")}%.3f,""" +
       f""""quality_build_sec":${
         graft.ops.CorpusCache.buildSecondsTotal("quality")}%.3f,""" +
       s""""load":${graft.ops.CorpusCache.buildLoadJsonAll}}"""

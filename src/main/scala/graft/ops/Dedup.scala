@@ -203,9 +203,17 @@ object Dedup {
 
   /** Candidate pairs from shared LSH buckets (distinct across bands). */
   def minHashCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
-                        bands: Int = 8): DataFrame = {
-    val entries = lshBucketEntries(minHashSignatures(docs, n, numHashes),
+                        bands: Int = 8): DataFrame =
+    minHashCandidatesFromSig(minHashSignatures(docs, n, numHashes),
       numHashes, bands)
+
+  /** [[minHashCandidates]] from a precomputed signature frame — the
+    * entry point for callers reading the shared [[signaturesCached]]
+    * artifact (round 17).
+    */
+  def minHashCandidatesFromSig(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val entries = lshBucketEntries(sig, numHashes, bands)
     val l = entries.select(col("band"), col("band_key"),
       col("doc_id").as("id_a"))
     val r = entries.select(col("band").as("band_r"),
@@ -217,12 +225,11 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Full near-dup pipeline: LSH candidates re-verified with exact Jaccard.
-    * Only candidate pairs are ever joined back to their shingle sets.
+  /** Exact-Jaccard re-verification of a candidate pair set: only the
+    * candidates are ever joined back to their shingle sets.
     */
-  def nearDuplicates(docs: DataFrame, threshold: Double, n: Int = 3,
-                     numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val cands = minHashCandidates(docs, n, numHashes, bands)
+  def verifyJaccard(docs: DataFrame, cands: DataFrame, threshold: Double,
+      n: Int): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -234,6 +241,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Full near-dup pipeline: LSH candidates re-verified with exact Jaccard. */
+  def nearDuplicates(docs: DataFrame, threshold: Double, n: Int = 3,
+                     numHashes: Int = 32, bands: Int = 8): DataFrame =
+    verifyJaccard(docs, minHashCandidates(docs, n, numHashes, bands),
+      threshold, n)
 
   /** Incremental (delta-vs-index) near-duplicate detection — the
     * production shape of [[nearDuplicates]]: a NEW batch of documents is
@@ -358,9 +371,18 @@ object Dedup {
     * fixed-point sum, so the curve is bitwise engine-portable.
     */
   def minHashCalibration(docs: DataFrame, n: Int, numHashes: Int,
-      bands: Int): DataFrame = {
-    val sig = minHashSignatures(docs, n, numHashes)
-      .localCheckpoint() // one evaluation: bucket entries + both pair sides
+      bands: Int): DataFrame =
+    minHashCalibrationFromSig(docs,
+      minHashSignatures(docs, n, numHashes)
+        .localCheckpoint(), // one evaluation: entries + both pair sides
+      n, numHashes, bands)
+
+  /** [[minHashCalibration]] over a precomputed signature frame (e.g. the
+    * shared [[signaturesCached]] artifact — already materialized, so no
+    * checkpoint needed).
+    */
+  def minHashCalibrationFromSig(docs: DataFrame, sig: DataFrame, n: Int,
+      numHashes: Int, bands: Int): DataFrame = {
     val entries = lshBucketEntries(sig, numHashes, bands)
     val cands = entries.select(col("band"), col("band_key"),
         col("doc_id").as("id_a"))
@@ -902,8 +924,23 @@ object Dedup {
     */
   def pairsCached(docs: DataFrame, key: String): DataFrame =
     CorpusCache.cached(docs, "pairs", key)(d =>
-      nearDuplicates(d, threshold = 0.25, n = 3, numHashes = 64,
-        bands = 32))
+      verifyJaccard(d,
+        minHashCandidatesFromSig(signaturesCached(d, key), 64, 32),
+        threshold = 0.25, n = 3))
+
+  /** The standard-constant MinHash signature table (3-shingles, 64
+    * hashes) materialized once per JVM per corpus — the widest-shared
+    * stage of the dedup family: the pair graph bands it at 32 bands
+    * (x03/x19/x51/x60 downstream), x45's calibration reads it for
+    * per-pair agreement counts, and x53's edit-distance verifier bands
+    * it at [[graft.queries.ExtensionQueries.EditBands]] for its tighter
+    * candidate gate. The x58 streaming leg persists the banded form of
+    * this exact table; this is its batch twin. Build telemetry surfaces
+    * as `warmup_builds.signatures_build_sec`.
+    */
+  def signaturesCached(docs: DataFrame, key: String): DataFrame =
+    CorpusCache.cached(docs, "signatures", key)(d =>
+      minHashSignatures(d, 3, 64))
 
   // ------------------------------------------------- DuckDB oracle dialect
   // Kept adjacent to the operators (the Exact.scala convention) so the two

@@ -88,9 +88,12 @@ object ExtensionQueries {
     * exact-Jaccard curve over the x03 candidate set — the threshold-tuning
     * evidence a dedup pipeline collects before fixing its cutoff.
     */
-  def minhashCalibration(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minHashCalibration(Tables.documents(spark, dir),
-      n = 3, numHashes = 64, bands = 32)
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // reads the shared materialized signature table (round 17)
+    Dedup.minHashCalibrationFromSig(docs,
+      Dedup.signaturesCached(docs, dir), n = 3, numHashes = 64, bands = 32)
+  }
 
   private val minhashCalibrationSql =
     Dedup.minHashCalibrationSql(n = 3, numHashes = 64, bands = 32)
@@ -2696,8 +2699,10 @@ object ExtensionQueries {
     */
   def editDistNearDups(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cands = Dedup.minHashCandidates(docs, n = 3, numHashes = 64,
-      bands = EditBands)
+    // bands the shared materialized signature table at the tighter
+    // EditBands gate (round 17) — the signature fold runs once per corpus
+    val cands = Dedup.minHashCandidatesFromSig(
+      Dedup.signaturesCached(docs, dir), numHashes = 64, bands = EditBands)
     val t = docs.select(col("doc_id"), col("text"))
     def bytes(c: Column): Column = decode(encode(c, "UTF-8"), "ISO-8859-1")
     val la = octet_length(col("text_a"))
