@@ -266,6 +266,79 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() == before.size)
   }
 
+  test("compactStore: a staged-but-uncommitted crash window (no _COMMIT) " +
+      "is discarded and the store is untouched") {
+    import spark.implicits._
+    val store = s"${tmpDir()}/keys"
+    (1 to 12).foreach { i =>
+      Seq((s"k$i", i.toLong)).toDF("canon", "doc_id")
+        .coalesce(1).write.mode("append").parquet(store)
+    }
+    val before = spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val fs = fsOf(store)
+    val tmp = new Path(store, ".compact_tmp")
+    // crash window 1: staging written, manifest written, NO _COMMIT
+    spark.read.parquet(store).repartition(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val m = fs.create(new Path(tmp, "_manifest"), true)
+    m.write("bogus".getBytes("UTF-8")); m.close()
+    // next call: the stale stage is deleted, a fresh compaction runs
+    assert(CorpusStream.compactStore(spark, store, Seq("canon", "doc_id"),
+      maxFiles = 5))
+    assert(!fs.exists(tmp))
+    assert(spark.read.parquet(store).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet == before)
+    assert(dataFiles(store).size <= 2)
+  }
+
+  test("completePending aborts with _COMMIT intact when a staged move " +
+      "cannot land (ADVICE r16: silent rename failure must not reach the " +
+      "manifest deletes)") {
+    import spark.implicits._
+    val store = s"${tmpDir()}/index"
+    (1 to 6).foreach { i =>
+      Seq((1, s"bk$i", i.toLong)).toDF("band", "band_key", "doc_id")
+        .coalesce(1).write.mode("append").partitionBy("band").parquet(store)
+    }
+    val before = spark.read.parquet(store)
+      .select("band", "band_key", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val fs = fsOf(store)
+    val tmp = new Path(store, ".compact_tmp")
+    val originals = dataFiles(store)
+    // staged copy under band=2 — then block its landing by planting a
+    // FILE at root/band=2, so mkdirs/rename cannot create the dest path
+    spark.read.parquet(store).select("band_key", "doc_id")
+      .withColumn("band", org.apache.spark.sql.functions.lit(2))
+      .repartition(1).write.mode("overwrite").partitionBy("band")
+      .parquet(tmp.toString)
+    val m = fs.create(new Path(tmp, "_manifest"), true)
+    m.write(originals.map(p =>
+      new Path(store).toUri.relativize(p.toUri).getPath)
+      .mkString("\n").getBytes("UTF-8")); m.close()
+    fs.create(new Path(tmp, "_COMMIT"), true).close()
+    fs.delete(new Path(store, "band=2"), true)
+    fs.create(new Path(store, "band=2"), true).close() // the blocker FILE
+    intercept[java.io.IOException] {
+      CorpusStream.healStore(spark, store)
+    }
+    // the abort left everything for a later retry: _COMMIT and the staged
+    // copy intact, and NO original was deleted
+    assert(fs.exists(new Path(tmp, "_COMMIT")))
+    originals.foreach(p => assert(fs.exists(p),
+      s"original $p must survive an aborted replay"))
+    // unblock and retry: the replay completes and the store heals
+    fs.delete(new Path(store, "band=2"), false)
+    CorpusStream.healStore(spark, store)
+    assert(!fs.exists(tmp))
+    assert(spark.read.parquet(store)
+      .filter(col("band") === 2)
+      .select("band_key", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ==
+      before.map(t => (t._2, t._3)))
+  }
+
   test("compaction inside the streaming legs: the x58 index probe " +
       "returns the same pairs against a compacted index, and a " +
       "post-compaction tick still appends and probes correctly") {
