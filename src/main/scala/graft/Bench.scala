@@ -75,6 +75,17 @@ object Bench {
   /** Hard per-child wall-clock cap; a hung child must not hang the bench. */
   val ChildTimeoutMinutes = 20L
 
+  /** CorpusCache artifact families surfaced in `warmup_builds`:
+    * (registry name, legacy seconds-field name). The counts field is
+    * derived (`<prefix>_builds`).
+    */
+  val ArtifactFields: Seq[(String, String)] = Seq(
+    "clusters" -> "cluster_build_sec",
+    "pairs" -> "pairs_build_sec",
+    "signatures" -> "signatures_build_sec",
+    "quality" -> "quality_build_sec",
+    "parasig" -> "parasig_build_sec")
+
   /** Contention bounds for the steal-aware chunk retry (VERDICT r16 #6):
     * a chunk whose timed window shows other_busy_cores or steal% above
     * these re-runs once and the quieter window is kept (both recorded).
@@ -125,9 +136,21 @@ object Bench {
     // the parent was forked by sbt with the project classpath and the
     // JDK-17 --add-opens / -D / -Xmx flags; children inherit both, minus
     // any attached agents (debuggers, profilers) that must not re-attach
+    // Run-scoped artifact store (round 18): CorpusCache is content-
+    // addressed and cross-process, so pointing every child at ONE
+    // per-run root makes each artifact build exactly once per bench run
+    // (the first child that needs it builds; later chunks read) while
+    // its cost still lands in exactly one child's warmup telemetry — the
+    // r17 protocol rebuilt signatures ×5 / pairs ×4 / clusters ×3, ~45 s
+    // of summed untimed build per run. Deleted after the merge below.
+    val cacheRoot = outDir.resolve(
+      s"cache-run-${java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getStartTime}")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      .filterNot(_.startsWith("-Dgraft.cache.root=")) :+
+      s"-Dgraft.cache.root=$cacheRoot"
     val classpath = System.getProperty("java.class.path")
 
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -169,7 +192,11 @@ object Bench {
         case Some(n) if loud(n) =>
           attempt() match {
             case Some(n2) =>
-              val keepSecond = busyOf(n2) < busyOf(n)
+              // a retry with NO load telemetry is unverifiable — its
+              // busyOf() would read 0.0 and always win; keep the first
+              // (measured) run instead (ADVICE r17)
+              val n2Measured = Option(n2.get("load")).exists(!_.isNull)
+              val keepSecond = n2Measured && busyOf(n2) < busyOf(n)
               (Some(if (keepSecond) n2 else n),
                 Some((n.get("load").toString, n2.get("load").toString,
                   if (keepSecond) "second" else "first")))
@@ -224,10 +251,6 @@ object Bench {
         .fold(0.0)(_.asDouble())
       case _ => 0.0
     }.sum
-    val clusterBuild = warmSum("cluster_build_sec")
-    val pairsBuild = warmSum("pairs_build_sec")
-    val signaturesBuild = warmSum("signatures_build_sec")
-    val qualityBuild = warmSum("quality_build_sec")
     val warmLoadNodes = chunkJsons.flatMap { case (_, node) =>
       node.flatMap(n => Option(n.get("warmup_builds")))
         .flatMap(w => Option(w.get("load")).filterNot(_.isNull)).toSeq
@@ -235,10 +258,14 @@ object Bench {
         // drop load-unavailable entries ({"build":"…"} only)
         .filter(_.has("other_busy_cores"))
     }
-    val warmupBuildsJson = f"""{"cluster_build_sec":$clusterBuild%.3f,""" +
-      f""""pairs_build_sec":$pairsBuild%.3f,""" +
-      f""""signatures_build_sec":$signaturesBuild%.3f,""" +
-      f""""quality_build_sec":$qualityBuild%.3f""" + {
+    // per-artifact: summed build seconds + summed build COUNT across
+    // children — with the run-scoped shared store each count should be
+    // exactly 1 (the cross-process memoization working; VERDICT r17 #2)
+    val warmupBuildsJson = "{" + ArtifactFields.map { case (_, sec) =>
+      f""""$sec":${warmSum(sec)}%.3f,""" +
+        s""""${sec.stripSuffix("_build_sec")}_builds":${
+          warmSum(sec.stripSuffix("_build_sec") + "_builds").toLong}"""
+    }.mkString(",") + {
       if (warmLoadNodes.isEmpty) "}"
       else {
         val ob = warmLoadNodes.map(_.get("other_busy_cores").asDouble())
@@ -288,6 +315,18 @@ object Bench {
         s""""queries":${mergedMap("queries", FailurePenaltySec.toString)},""" +
         s""""failures":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""penalty_sec_per_failure":$FailurePenaltySec,"sf":"$sfDir"}"""
+    // the run-scoped artifact store served its purpose; reclaim the disk
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      try {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().asScala.toList.foreach(rmTree) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      } catch { case _: java.io.IOException => () }
+    }
+    rmTree(cacheRoot)
     emit(json, fullRun = prefixes.isEmpty)
   }
 
@@ -475,15 +514,12 @@ object Bench {
     // per build) so a slow build is adjudicable as contention vs code —
     // the exact gap that made r16's 8.8 s vs 17.1 s build claim
     // unarbitrable (VERDICT r16 #3).
-    val warmupBuilds = f"""{"cluster_build_sec":${
-      graft.ops.CorpusCache.buildSecondsTotal("clusters")}%.3f,""" +
-      f""""pairs_build_sec":${
-        graft.ops.CorpusCache.buildSecondsTotal("pairs")}%.3f,""" +
-      f""""signatures_build_sec":${
-        graft.ops.CorpusCache.buildSecondsTotal("signatures")}%.3f,""" +
-      f""""quality_build_sec":${
-        graft.ops.CorpusCache.buildSecondsTotal("quality")}%.3f,""" +
-      s""""load":${graft.ops.CorpusCache.buildLoadJsonAll}}"""
+    val warmupBuilds = "{" + ArtifactFields.map { case (name, sec) =>
+      f""""$sec":${graft.ops.CorpusCache.buildSecondsTotal(name)}%.3f,""" +
+        s""""${sec.stripSuffix("_build_sec")}_builds":${
+          graft.ops.CorpusCache.buildCountTotal(name)}"""
+    }.mkString(",") +
+      s""","load":${graft.ops.CorpusCache.buildLoadJsonAll}}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""warmup_builds":$warmupBuilds,""" +

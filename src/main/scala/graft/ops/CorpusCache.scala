@@ -2,51 +2,130 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 
-/** Per-JVM registry of memoized, materialized derived tables keyed by a
-  * CONTENT fingerprint of their input corpus — the round-14 cluster-map
-  * machinery ([[Dedup.clustersCached]]), factored out in round 17 so the
-  * x10 quality projection can ride the same discipline (VERDICT r16 #4:
-  * x44/x51 each recomputed the tokenization-heavy projection; it is the
-  * same build-once-read-many artifact a production pipeline publishes as
-  * a first-class table).
+/** Cross-process registry of memoized, materialized derived tables keyed
+  * by a CONTENT fingerprint of their input corpus — the round-14 cluster
+  * -map machinery ([[Dedup.clustersCached]]), factored out in round 17
+  * for the quality projection and made CONTENT-ADDRESSED and shared
+  * across JVMs in round 18 (VERDICT r17 #2: the per-JVM temp dir forced
+  * the forked bench protocol to rebuild every artifact per child —
+  * signatures ×5, pairs ×4, clusters ×3, ~45 s of summed untimed build
+  * per run — when the fingerprint itself already carries every staleness
+  * guarantee the isolation was buying).
   *
   * Why a parquet store and not `.persist`/`localCheckpoint`: the
   * artifact survives the bench harness's between-run cache flush exactly
   * like a production table would, and a 1000-executor cluster would read
-  * it partition-parallel rather than recompute. The store lives under a
-  * fresh temp directory owned by this JVM — no cross-process reuse, so a
-  * stale artifact can never leak between driver runs.
+  * it partition-parallel rather than recompute.
   *
-  * The key is a content fingerprint — source files with sizes/mtimes
-  * plus the canonicalized plan ([[fingerprint]]) — never the caller's
-  * `key` string alone, so a long-lived driver that rewrites the corpus
-  * directory (or a caller passing a different frame under the same key)
-  * gets a fresh build, never a stale read (ADVICE r14; DedupSpec and
-  * TextAnalysisSpec pin this per build name). Values are `lazy` holders
-  * so each key builds under its own monitor — two first-time callers on
-  * DIFFERENT corpora build concurrently; two on the same corpus
-  * serialize on that key alone.
+  * Store layout and publish protocol (the compaction machinery's own
+  * discipline, [[graft.streaming.CorpusStream.compactStore]]):
+  *  - artifacts live at `<root>/<name>-<fingerprint>`, root =
+  *    `graft.cache.root` system property, else `GRAFT_CACHE_ROOT`, else
+  *    `<java.io.tmpdir>/graft-corpus-cache`;
+  *  - a build writes parquet to a hidden staging dir
+  *    (`<root>/.staging-<uuid>`) and publishes with ONE atomic directory
+  *    rename — the artifact either does not exist or is complete (with
+  *    Spark's own `_SUCCESS` inside, which readers require);
+  *  - a lost publish race (target already exists: another process built
+  *    the same fingerprint first) deletes the staging dir and reads the
+  *    winner — same bytes by construction, both builds are pure
+  *    functions of the fingerprinted input;
+  *  - staging dirs this JVM created but never published are removed by
+  *    a shutdown hook, and any `.staging-*` older than [[GcAgeMillis]]
+  *    is swept as a crashed build's leftover (ADVICE r17: the former
+  *    `deleteOnExit` was a no-op on non-empty dirs, so every build
+  *    leaked its parquet into /tmp);
+  *  - after publishing, same-`name` artifacts at OTHER fingerprints
+  *    whose mtime is older than [[GcAgeMillis]] are deleted — a
+  *    rewritten corpus's superseded artifacts are bounded, while a
+  *    concurrently-running reader's artifact stays safe because every
+  *    first-read-per-JVM touches the dir's mtime.
   *
-  * Every build records wall-clock seconds and a [[graft.HostLoad]]
-  * window per `name`, read by the bench harness's `warmup_builds`
-  * instrument: one-time build costs paid during the untimed warmup stay
-  * visible in the committed artifact, each adjudicable as contention vs
-  * code (VERDICT r14 re-baselining; r16 #3).
+  * The key is a content fingerprint — source files with sizes, mtimes
+  * and parquet tail bytes, plus the canonicalized plan
+  * ([[fingerprint]]) — never the caller's `key` string alone, so a
+  * long-lived driver that rewrites the corpus directory (or a caller
+  * passing a different frame under the same key) gets a fresh build,
+  * never a stale read (ADVICE r14; DedupSpec and TextAnalysisSpec pin
+  * this per build name, and CorpusCacheSpec pins the cross-process
+  * read-without-rebuild + rebuild-on-rewrite pair). Values are `lazy`
+  * holders so each key builds under its own monitor — two first-time
+  * callers on DIFFERENT corpora build concurrently; two on the same
+  * corpus serialize on that key alone.
+  *
+  * Every build records wall-clock seconds, a build COUNT, and a
+  * [[graft.HostLoad]] window per `name`, read by the bench harness's
+  * `warmup_builds` instrument: one-time build costs paid during the
+  * untimed warmup stay visible in the committed artifact, each
+  * adjudicable as contention vs code. A cross-process READ records no
+  * build time (there was none) — the bench parent scopes the store to
+  * one run (`-Dgraft.cache.root` per run), so each artifact is built
+  * exactly once per bench run and its cost lands in exactly one child's
+  * telemetry.
   */
 object CorpusCache {
+
+  /** Age bound for sweeping superseded artifacts and crashed staging
+    * dirs: generous against any concurrently-running JVM (which also
+    * touches its artifacts' mtimes on first read), tight enough to
+    * bound /tmp growth across many driver runs.
+    */
+  val GcAgeMillis: Long = 6L * 3600 * 1000
+
+  private def root: java.nio.file.Path = {
+    val p = sys.props.get("graft.cache.root")
+      .orElse(sys.env.get("GRAFT_CACHE_ROOT"))
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-corpus-cache"))
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
 
   private val store =
     new java.util.concurrent.ConcurrentHashMap[String, () => String]()
   private val buildNanos = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.atomic.AtomicLong]()
+  private val buildCounts = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicLong]()
   private val buildLoads = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
 
+  /** Staging dirs created by this JVM and not yet published — removed by
+    * the shutdown hook below (ADVICE r17: deleteOnExit cannot remove
+    * non-empty directories).
+    */
+  private val pendingStaging =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      pendingStaging.forEach(p => deleteRecursively(p))
+    }, "graft-corpus-cache-cleanup"))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    try {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.toList.foreach(deleteRecursively)
+        finally s.close()
+      }
+      Files.deleteIfExists(p)
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** Wall-clock seconds spent in this JVM building artifacts named
-    * `name` (across all corpus keys).
+    * `name` (across all corpus keys). Cross-process cache READS add
+    * nothing here — no build ran.
     */
   def buildSecondsTotal(name: String): Double =
     Option(buildNanos.get(name)).fold(0.0)(_.get / 1e9)
+
+  /** Number of artifact builds this JVM actually ran for `name`. */
+  def buildCountTotal(name: String): Long =
+    Option(buildCounts.get(name)).fold(0L)(_.get)
 
   /** JSON array of per-build host-load windows across ALL build names,
     * in no particular order; each entry is a [[graft.HostLoad]] object
@@ -58,67 +137,180 @@ object CorpusCache {
       .flatMap(_.iterator.asScala).mkString("[", ",", "]")
   }
 
+  /** Test seam: drop this JVM's in-memory memo (the on-disk store is
+    * untouched), simulating a fresh process against the shared root.
+    */
+  private[graft] def resetMemoForTest(): Unit = store.clear()
+
   /** The memoized materialization: on the first call for this
-    * (name, corpus-fingerprint) pair, run `build` and write the result
-    * as parquet; thereafter read the store. The returned frame is always
-    * a plain parquet scan.
+    * (name, corpus-fingerprint) pair in this JVM, either READ the
+    * published artifact for that fingerprint (another process — or an
+    * earlier run — built it) or run `build`, write parquet to staging,
+    * and publish with an atomic rename. The returned frame is always a
+    * plain parquet scan.
     */
   def cached(docs: DataFrame, name: String, key: String)(
       build: DataFrame => DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val thunk = store.computeIfAbsent(
       name + ":" + fingerprint(docs, key),
-      _ => {
+      k => {
+        val fp = k.substring(k.indexOf(':') + 1)
         // lazy val: the build runs once, under this key's monitor only
         lazy val built: String = {
-          val s0 = graft.HostLoad.snap()
-          val t0 = System.nanoTime()
-          val dir = java.nio.file.Files
-            .createTempDirectory(s"graft-$name-store-")
-          dir.toFile.deleteOnExit()
-          val p = dir.resolve(name).toString
-          build(docs).write.mode("overwrite").parquet(p)
-          buildNanos.computeIfAbsent(name,
-            _ => new java.util.concurrent.atomic.AtomicLong)
-            .addAndGet(System.nanoTime() - t0)
-          val load = graft.HostLoad.json(s0, graft.HostLoad.snap())
-          buildLoads.computeIfAbsent(name,
-            _ => new java.util.concurrent.ConcurrentLinkedQueue[String])
-            .add(if (load == "null") s"""{"build":"$name"}"""
-              else s"""{"build":"$name",""" + load.drop(1))
-          p
+          val target = root.resolve(s"$name-$fp")
+          if (published(target)) {
+            touch(target) // keep in-use artifacts safe from the GC sweep
+            target.toString
+          } else {
+            val s0 = graft.HostLoad.snap()
+            val t0 = System.nanoTime()
+            val staging = root.resolve(
+              ".staging-" + java.util.UUID.randomUUID().toString)
+            pendingStaging.add(staging)
+            build(docs).write.mode("overwrite").parquet(staging.toString)
+            val dir = try {
+              java.nio.file.Files.move(staging, target,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              target
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException
+                   | _: java.nio.file.FileSystemException
+                  if published(target) =>
+                // lost the publish race: same fingerprint ⇒ same bytes;
+                // drop ours, read the winner
+                deleteRecursively(staging)
+                target
+            }
+            pendingStaging.remove(staging)
+            buildNanos.computeIfAbsent(name,
+              _ => new java.util.concurrent.atomic.AtomicLong)
+              .addAndGet(System.nanoTime() - t0)
+            buildCounts.computeIfAbsent(name,
+              _ => new java.util.concurrent.atomic.AtomicLong)
+              .incrementAndGet()
+            val load = graft.HostLoad.json(s0, graft.HostLoad.snap())
+            buildLoads.computeIfAbsent(name,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[String])
+              .add(if (load == "null") s"""{"build":"$name"}"""
+                else s"""{"build":"$name",""" + load.drop(1))
+            gcSweep(name, keep = dir)
+            dir.toString
+          }
         }
         () => built
       })
     spark.read.parquet(thunk())
   }
 
+  /** A published artifact: the directory exists and carries Spark's own
+    * `_SUCCESS` commit marker (present in staging before the atomic
+    * rename, so a visible target is always complete).
+    */
+  private def published(dir: java.nio.file.Path): Boolean =
+    java.nio.file.Files.exists(dir.resolve("_SUCCESS"))
+
+  private def touch(dir: java.nio.file.Path): Unit =
+    try java.nio.file.Files.setLastModifiedTime(dir,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
+
+  /** Bound the store: after publishing `keep`, delete same-`name`
+    * artifacts at other fingerprints — and crashed `.staging-*` leftovers
+    * — not modified within [[GcAgeMillis]]. Recently-touched artifacts
+    * survive (a concurrent reader touches on first read), so the sweep
+    * can only collect dirs no live JVM has read for hours.
+    */
+  private def gcSweep(name: String, keep: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val cutoff = System.currentTimeMillis() - GcAgeMillis
+    try {
+      val s = java.nio.file.Files.list(root)
+      val stale = try s.iterator.asScala.filter { p =>
+        val n = p.getFileName.toString
+        p != keep &&
+          (n.startsWith(s"$name-") || n.startsWith(".staging-")) &&
+          (try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+           catch { case _: java.io.IOException => false })
+      }.toList finally s.close()
+      stale.foreach(deleteRecursively)
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** How many source files get the per-file parquet footer read in
+    * [[fingerprint]]; beyond this the fingerprint is metadata-only
+    * (documented residual: an adversarial same-length, same-mtime
+    * in-place rewrite of a >256-file corpus is not detected — at that
+    * file count the corpus is big enough that per-file footer reads
+    * would dominate fingerprinting).
+    */
+  private val TailCheckMaxFiles = 256
+
+  /** Longest footer [[fingerprint]] will read per file; a parquet footer
+    * claiming more falls back to the 64-byte tail.
+    */
+  private val FooterReadMax = 1 << 20
+
   /** Content fingerprint of `docs`: the source files with their sizes
     * and mtimes (so a rewritten corpus directory yields a new key and
-    * can never serve a stale artifact), plus the canonicalized plan (so
-    * two different frames passed under the same corpus key get distinct
-    * entries — e.g. a filtered view vs the full table). Cheap: file
-    * metadata only, no data read. Status is resolved through Hadoop's
-    * `FileSystem` (ADVICE r15: `inputFiles` entries are not guaranteed
-    * URI-encoded — a path with a space threw in `java.net.URI` — and
+    * can never serve a stale artifact), plus — for corpora of at most
+    * [[TailCheckMaxFiles]] files — each file's parquet FOOTER bytes
+    * (the trailing 8 bytes name its length; the footer carries every
+    * column chunk's offsets and min/max statistics, so any in-place
+    * rewrite that changes data changes it), so a rewrite landing within
+    * mtime granularity (1 s on many filesystems) with byte-identical
+    * lengths still changes the key (ADVICE r17 — the window the specs
+    * previously `Thread.sleep(1100)`d around; CorpusCacheSpec pins the
+    * doctored in-place rewrite). Non-parquet or oversized-footer files
+    * contribute their last 64 bytes instead. Plus the canonicalized
+    * plan (so two different frames passed under the same corpus key get
+    * distinct entries — e.g. a filtered view vs the full table). Cheap:
+    * file metadata plus one bounded footer read per file, never a data
+    * scan. Status is resolved through Hadoop's `FileSystem` (ADVICE
+    * r15: `inputFiles` entries are not guaranteed URI-encoded, and
     * `java.io.File` silently fingerprinted hdfs/s3 paths as 0:0,
-    * disabling rewrite detection off-local); a file whose status is
-    * unavailable falls back to a plan+path-only component rather than
-    * failing the query.
+    * disabling rewrite detection off-local); a file whose status or
+    * footer is unavailable falls back to a plan+path-only component
+    * rather than failing the query.
     */
   private def fingerprint(docs: DataFrame, key: String): String = {
     val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-    val files = docs.inputFiles.sorted.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      try {
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        s"$f:${st.getLen}:${st.getModificationTime}"
-      } catch { case _: java.io.IOException => s"$f:unavailable" }
-    }
-    val plan = docs.queryExecution.analyzed.canonicalized.toString
     val digest = java.security.MessageDigest.getInstance("SHA-256")
     digest.update(key.getBytes("UTF-8"))
-    files.foreach(f => digest.update(f.getBytes("UTF-8")))
+    val paths = docs.inputFiles.sorted
+    val readTails = paths.length <= TailCheckMaxFiles
+    paths.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try {
+        val fs = p.getFileSystem(conf)
+        val st = fs.getFileStatus(p)
+        digest.update(
+          s"$f:${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+        if (readTails && st.getLen >= 8) {
+          val in = fs.open(p)
+          try {
+            val tail8 = new Array[Byte](8)
+            in.seek(st.getLen - 8); in.readFully(tail8)
+            // parquet trailer: 4-byte LE footer length + "PAR1"
+            val isParquet = tail8(4) == 'P' && tail8(5) == 'A' &&
+              tail8(6) == 'R' && tail8(7) == '1'
+            val footerLen = (tail8(0) & 0xff) | ((tail8(1) & 0xff) << 8) |
+              ((tail8(2) & 0xff) << 16) | ((tail8(3) & 0xff) << 24)
+            val n =
+              if (isParquet && footerLen > 0 && footerLen <= FooterReadMax
+                  && footerLen + 8L <= st.getLen) footerLen + 8
+              else math.min(64L, st.getLen).toInt
+            val buf = new Array[Byte](n)
+            in.seek(st.getLen - n); in.readFully(buf)
+            digest.update(buf)
+          } finally in.close()
+        }
+      } catch {
+        case _: java.io.IOException =>
+          digest.update(s"$f:unavailable".getBytes("UTF-8"))
+      }
+    }
+    val plan = docs.queryExecution.analyzed.canonicalized.toString
     digest.update(plan.getBytes("UTF-8"))
     digest.digest().map("%02x".format(_)).mkString
   }

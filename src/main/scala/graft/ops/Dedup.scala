@@ -201,19 +201,67 @@ object Dedup {
       posexplode(array(keys: _*)).as(Seq("band", "band_key")))
   }
 
+  /** Document-frequency cap for LSH band buckets (round 18, VERDICT r17
+    * #1 — the one measured super-linear curve in the repo): a
+    * (band, band_key) bucket holding more than `BandDfCap` documents is
+    * PATHOLOGICAL (boilerplate/template pages, near-empty docs, or a
+    * degenerate shingle universe — CandidateVolumeBench measured a
+    * 912-doc bucket and exactly-n² candidate growth at 500k docs on the
+    * scaling corpus, 99.9 % of which failed verification) and is dropped
+    * before the candidate self-join. The bucket join's cost is Σ C(f,2)
+    * over bucket frequencies — unbounded under bucket skew without a
+    * cap, ≤ C(cap,2) per bucket with it, so candidate volume is bounded
+    * by (#buckets)·C(cap,2): near-linear in the corpus.
+    *
+    * Recall contract (the [[DfCap]] / suffix-df-cap trade, now applied
+    * uniformly to every dense-key join in the dedup family): a pair
+    * whose EVERY shared band is pathological is not emitted. A true
+    * near-dup pair at the x19-family constants shares ~many of its 32
+    * bands, so only pairs living exclusively inside >cap-sized buckets
+    * — boilerplate cliques, which exact/chunk dedup (x01/x30) already
+    * owns — are affected. The oracle SQL applies the identical cap
+    * ([[minHashCandidateCtes]]), so both engines drop the same pairs.
+    * Measured at the test SFs: max bucket 3 (sf0.01) / 13 (sf0.1), so
+    * results there are bit-identical with or without the cap.
+    *
+    * The x58 incremental leg stays deliberately uncapped: its probe
+    * joins a BATCH (one tick's delta) against the persisted index, so
+    * per-tick cost is delta-bounded, and a global df computed mid-stream
+    * would differ batch-to-batch, breaking the stream ≡ batch parity
+    * StreamingSpec proves.
+    */
+  val BandDfCap = 64
+
+  /** [[lshBucketEntries]] with buckets larger than `cap` dropped — the
+    * df-cutoff rides a window count over the SAME (band, band_key) hash
+    * partitioning the candidate self-join needs, so the one exchange does
+    * double duty (the [[jaccardPairs]] pattern: df filter + join
+    * co-location, no separate aggregation branch re-banding the corpus).
+    */
+  def lshBucketEntriesCapped(signatures: DataFrame, numHashes: Int,
+      bands: Int, cap: Int): DataFrame =
+    lshBucketEntries(signatures, numHashes, bands)
+      .withColumn("bdf", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))))
+      .filter(col("bdf") <= cap)
+      .drop("bdf")
+
   /** Candidate pairs from shared LSH buckets (distinct across bands). */
   def minHashCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
-                        bands: Int = 8): DataFrame =
+                        bands: Int = 8,
+                        bandDfCap: Int = BandDfCap): DataFrame =
     minHashCandidatesFromSig(minHashSignatures(docs, n, numHashes),
-      numHashes, bands)
+      numHashes, bands, bandDfCap)
 
   /** [[minHashCandidates]] from a precomputed signature frame — the
     * entry point for callers reading the shared [[signaturesCached]]
-    * artifact (round 17).
+    * artifact (round 17). Band buckets above `bandDfCap` are dropped
+    * before the self-join (see [[BandDfCap]] for the contract).
     */
   def minHashCandidatesFromSig(sig: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
-    val entries = lshBucketEntries(sig, numHashes, bands)
+      bands: Int, bandDfCap: Int = BandDfCap): DataFrame = {
+    val entries = lshBucketEntriesCapped(sig, numHashes, bands, bandDfCap)
     val l = entries.select(col("band"), col("band_key"),
       col("doc_id").as("id_a"))
     val r = entries.select(col("band").as("band_r"),
@@ -383,7 +431,9 @@ object Dedup {
     */
   def minHashCalibrationFromSig(docs: DataFrame, sig: DataFrame, n: Int,
       numHashes: Int, bands: Int): DataFrame = {
-    val entries = lshBucketEntries(sig, numHashes, bands)
+    // same [[BandDfCap]] cut as the pair path: the calibration curve is
+    // collected over exactly the pairs the CAPPED pipeline would surface
+    val entries = lshBucketEntriesCapped(sig, numHashes, bands, BandDfCap)
     val cands = entries.select(col("band"), col("band_key"),
         col("doc_id").as("id_a"))
       .join(entries.select(col("band").as("band_r"),
@@ -440,9 +490,13 @@ object Dedup {
        |sig AS (SELECT doc_id,
        |    $mins
        |  FROM hb GROUP BY doc_id),
-       |bk AS (SELECT doc_id, unnest(range($bands)) AS band,
+       |bk0 AS (SELECT doc_id, unnest(range($bands)) AS band,
        |    unnest($bandKeys) AS band_key
        |  FROM sig),
+       |bk AS (SELECT doc_id, band, band_key FROM (
+       |    SELECT bk0.*, count(*) OVER (PARTITION BY band, band_key) AS bdf
+       |    FROM bk0)
+       |  WHERE bdf <= $BandDfCap),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bk a JOIN bk b
        |    ON a.band = b.band AND a.band_key = b.band_key
@@ -756,9 +810,13 @@ object Dedup {
 
   /** [[duplicateClusters]] plus the number of label-propagation rounds run —
     * exposed so the spec can pin the O(log diameter) bound.
+    * `edgesPerPart` overrides [[ContractionEdgesPerPart]] (test seam: the
+    * chain spec forces the multi-partition propagation path, which a
+    * one-partition contraction would otherwise solve outright — see the
+    * parts == 1 shortcut below).
     */
-  private[graft] def duplicateClustersWithRounds(
-      pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def duplicateClustersWithRounds(pairs: DataFrame,
+      edgesPerPart: Long = ContractionEdgesPerPart): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs
@@ -799,7 +857,7 @@ object Dedup {
     // the way the shuffle it replaced could (ADVICE r16). More output
     // partitions than input is exactly what repartition is for.
     val parts = math.max(1L,
-      (nEdges + ContractionEdgesPerPart - 1) / ContractionEdgesPerPart)
+      (nEdges + edgesPerPart - 1) / edgesPerPart)
       .min(Int.MaxValue.toLong).toInt
     val contracted = edges.repartition(parts, col("src"))
       .as[(Long, Long)]
@@ -832,7 +890,19 @@ object Dedup {
     var labels = contracted.groupBy("id").agg(min("lbl").as("lbl"))
       .localCheckpoint()
     var rounds = 0
-    var changed = 1L
+    // parts == 1 shortcut (round 18, the x36/x19 micro-tail): a
+    // single-partition contraction ran ONE union-find task over EVERY
+    // edge, so each node's label is already the exact component minimum
+    // (min-id root merging attaches the larger root under the smaller,
+    // and find() resolves to the root after all unions). The propagation
+    // loop exists solely to reconcile components that span partition
+    // boundaries — with one partition there are none, the fixpoint is
+    // reached by construction, and the loop's only iteration would be a
+    // confirming round that changes nothing (~0.3 s of fixed stage
+    // overhead at sf0.1). Exactness is untouched: this skips a provable
+    // no-op, and any parts > 1 graph takes the loop unchanged (the chain
+    // spec forces that path via `edgesPerPart`).
+    var changed = if (parts == 1) 0L else 1L
     while (changed > 0) {
       val acc = spark.sparkContext.longAccumulator(s"cc-changed-round-$rounds")
       // the self candidate also carries the node's current label so the
@@ -1002,9 +1072,13 @@ object Dedup {
        |sig AS (SELECT doc_id,
        |    $mins
        |  FROM hb GROUP BY doc_id),
-       |bk AS (SELECT doc_id, unnest(range($bands)) AS band,
+       |bk0 AS (SELECT doc_id, unnest(range($bands)) AS band,
        |    unnest($bandKeys) AS band_key
        |  FROM sig),
+       |bk AS (SELECT doc_id, band, band_key FROM (
+       |    SELECT bk0.*, count(*) OVER (PARTITION BY band, band_key) AS bdf
+       |    FROM bk0)
+       |  WHERE bdf <= $BandDfCap),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bk a JOIN bk b
        |    ON a.band = b.band AND a.band_key = b.band_key

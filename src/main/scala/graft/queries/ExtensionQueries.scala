@@ -2034,7 +2034,12 @@ object ExtensionQueries {
     * threshold. Same-document chunk pairs are excluded (adjacent windows
     * trivially overlap by stride). Scale: chunk volume is ~n/56 ≈ 1.14×
     * the corpus; everything downstream is x03's banded-LSH subquadratic
-    * path.
+    * path. The CHUNK-level MinHash signature table — the query's
+    * expensive fold, ~1.1× the size of the document-level one — is a
+    * [[graft.ops.CorpusCache]] artifact ("parasig", round 18, VERDICT
+    * r17 #3: x43 was the last near-dup family member rebuilding its
+    * signatures per run and the slowest quiet-host query at 1.80 s);
+    * the verify side re-derives chunk shingles map-only, which is cheap.
     */
   def paragraphNearDups(spark: SparkSession, dir: String): DataFrame = {
     val chunks = Tables.documents(spark, dir)
@@ -2047,8 +2052,11 @@ object ExtensionQueries {
         (col("doc_id") * lit(ChunkUidBase) + col("pos")).as("doc_id"),
         concat_ws(" ",
           slice(col("ws"), col("col") + 1, lit(ChunkTokens))).as("text"))
-    Dedup.nearDuplicates(chunks, threshold = 0.5, n = 3,
-        numHashes = 64, bands = 32)
+    val sig = graft.ops.CorpusCache.cached(chunks, "parasig", dir)(c =>
+      Dedup.minHashSignatures(c, 3, 64))
+    Dedup.verifyJaccard(chunks,
+        Dedup.minHashCandidatesFromSig(sig, numHashes = 64, bands = 32),
+        threshold = 0.5, n = 3)
       .filter(expr(s"id_a DIV $ChunkUidBase") =!=
         expr(s"id_b DIV $ChunkUidBase"))
       .select(

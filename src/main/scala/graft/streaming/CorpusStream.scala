@@ -387,6 +387,22 @@ object CorpusStream {
     */
   val CompactSmallBytes: Long = CompactTargetBytes / 2
 
+  /** Frozen-tier file-count trigger for an infrequent MAJOR compaction
+    * (round 18, ADVICE r17): leveled compaction never rewrites the
+    * frozen tier, so a key duplicated ACROSS tiers (canonical copy
+    * frozen, a replayed append compacted into a later small-tier
+    * output) persists indefinitely — value-neutral for every in-repo
+    * consumer (all key these stores through anti-join/semi-join/
+    * distinct gates) but an unbounded contract burden on external batch
+    * readers as replay windows accumulate. When the frozen tier grows
+    * past this many files, one compaction runs at tier = ∞ (every data
+    * file read, `dropDuplicates` across the WHOLE store) — amortized
+    * O(store / (64 · 64 MB)) ≈ once per ~4 GB of frozen growth, so the
+    * steady-state cost stays bounded by the small tier while cross-tier
+    * duplicates can no longer accumulate without bound.
+    */
+  val MajorCompactFrozenFiles = 64
+
   private val CompactTmpName = ".compact_tmp"
 
   /** Size-triggered compaction for the append-only parquet stores every
@@ -442,14 +458,20 @@ object CorpusStream {
   def compactStore(spark: SparkSession, path: String, keyCols: Seq[String],
       partitionCols: Seq[String] = Nil,
       maxFiles: Int = CompactMaxFiles,
-      smallBytes: Long = CompactSmallBytes): Boolean = {
+      smallBytes: Long = CompactSmallBytes,
+      majorFrozenFiles: Int = MajorCompactFrozenFiles): Boolean = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new Path(path))
     if (!fs.exists(root)) return false
     completePending(fs, root) // heal an interrupted swap first, always
-    val small = listDataFiles(fs, root).filter(_.getLen < smallBytes)
-    if (small.size <= maxFiles) return false
+    val all = listDataFiles(fs, root)
+    // major trigger (ADVICE r17, see [[MajorCompactFrozenFiles]]): tier
+    // = ∞, the whole store is read and deduped once, healing cross-tier
+    // duplicate keys; otherwise the bounded leveled small tier
+    val major = all.count(_.getLen >= smallBytes) > majorFrozenFiles
+    val small = if (major) all else all.filter(_.getLen < smallBytes)
+    if (!major && small.size <= maxFiles) return false
     val tmp = new Path(root, CompactTmpName)
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale uncommitted stage
     val nOut = math.max(1L,

@@ -28,16 +28,27 @@ object CandidateVolumeBench {
     val n = docs.count()
     val entries = Dedup.lshBucketEntries(
       Dedup.minHashSignatures(docs, 3, 64), 64, 32)
+    // raw (uncapped) bucket volume: what the verify join WOULD pay with no
+    // df cap; since round 18 the pipeline drops buckets > BandDfCap, so
+    // pair_slots_capped is what it actually pays
     val slots = entries.groupBy("band", "band_key")
       .agg(count(lit(1)).as("s"))
       .agg(sum(col("s") * (col("s") - 1) / 2).cast("long").as("pair_slots"),
-        max(col("s")).as("max_bucket"))
+        max(col("s")).as("max_bucket"),
+        sum(when(col("s") <= Dedup.BandDfCap,
+          col("s") * (col("s") - 1) / 2).otherwise(lit(0)))
+          .cast("long").as("pair_slots_capped"),
+        count(when(col("s") > Dedup.BandDfCap, lit(1)))
+          .as("buckets_dropped"))
       .collect()(0)
     val cands = Dedup.minHashCandidates(docs, 3, 64, 32).count()
     val verified = Dedup.nearDuplicates(docs, 0.25, 3, 64, 32).count()
     println(s"""{"metric":"lsh_candidate_volume","n_docs":$n,""" +
       s""""pair_slots":${slots.getLong(0)},""" +
       s""""max_bucket":${slots.getLong(1)},""" +
+      s""""pair_slots_capped":${slots.getLong(2)},""" +
+      s""""buckets_dropped":${slots.getLong(3)},""" +
+      s""""band_df_cap":${Dedup.BandDfCap},""" +
       s""""candidates":$cands,"verified":$verified}""")
     spark.stop()
   }

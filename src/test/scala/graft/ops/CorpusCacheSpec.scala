@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-18 contract of the content-addressed cross-process artifact
+  * store: publish-once-read-many across JVMs, rebuild on rewrite (no
+  * mtime-granularity window for small corpora — the parquet tail bytes
+  * discriminate), atomic publish layout, and the superseded-artifact GC.
+  */
+class CorpusCacheSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def withCacheRoot[A](f: String => A): A = {
+    val root = tmpDir()
+    val prev = sys.props.get("graft.cache.root")
+    sys.props("graft.cache.root") = root
+    try f(root)
+    finally {
+      prev.fold { sys.props -= "graft.cache.root"; () } { v =>
+        sys.props("graft.cache.root") = v; ()
+      }
+      CorpusCache.resetMemoForTest()
+    }
+  }
+
+  test("a fresh memo (second JVM) READS the published artifact without " +
+      "rebuilding; a rewritten corpus rebuilds (VERDICT r17 #2)") {
+    withCacheRoot { root =>
+      val dir = tmpDir()
+      val p = s"$dir/documents.parquet"
+      Seq((1L, "aaaa"), (2L, "bbbb"), (3L, "aaaa"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      def read() = CorpusCache.cached(
+        spark.read.parquet(p), "specart", dir)(d =>
+        d.groupBy("text").agg(count(lit(1)).as("n")))
+      val c0 = CorpusCache.buildCountTotal("specart")
+      assert(read().count() == 2L)
+      assert(CorpusCache.buildCountTotal("specart") == c0 + 1)
+      // published layout: <root>/specart-<fp> with Spark's _SUCCESS, and
+      // no staging leftovers
+      val entries = new java.io.File(root).list().toSeq
+      assert(entries.exists(_.startsWith("specart-")), s"got $entries")
+      assert(!entries.exists(_.startsWith(".staging-")), s"got $entries")
+      // "second JVM": drop the in-memory memo — the on-disk artifact must
+      // be READ, not rebuilt
+      CorpusCache.resetMemoForTest()
+      assert(read().count() == 2L)
+      assert(CorpusCache.buildCountTotal("specart") == c0 + 1,
+        "a fresh process rebuilt an artifact the store already publishes")
+      // rewrite with different content — the new fingerprint must rebuild
+      Seq((1L, "cccc"), (2L, "cccc"), (3L, "cccc"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      CorpusCache.resetMemoForTest()
+      assert(read().count() == 1L,
+        "stale artifact served after corpus rewrite")
+      assert(CorpusCache.buildCountTotal("specart") == c0 + 2)
+    }
+  }
+
+  test("an IN-PLACE rewrite within mtime granularity and byte-identical " +
+      "length is still detected via parquet tail bytes (ADVICE r17)") {
+    withCacheRoot { _ =>
+      // the mtime window is real only for rewrites that KEEP file names
+      // (an external process rewriting a landed file in place — a Spark
+      // overwrite always mints new part names): write v2 elsewhere, copy
+      // its bytes over v1's part file, restore v1's mtime. Length and
+      // mtime then cannot discriminate; only the tail bytes can.
+      val dir = tmpDir()
+      val p = s"$dir/documents.parquet"
+      def write(path: String, tag: String): Unit =
+        Seq((1L, tag * 4), (2L, tag * 2)).toDF("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+      def partFile(path: String) = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      write(p, "a")
+      val f1 = partFile(p)
+      val (len1, mtime1) = (f1.length, f1.lastModified)
+      def read() = CorpusCache.cached(
+        spark.read.parquet(p), "tailart", dir)(d => d.select("text"))
+      val c0 = CorpusCache.buildCountTotal("tailart")
+      assert(read().collect().map(_.getString(0)).sorted.head == "aa")
+      assert(CorpusCache.buildCountTotal("tailart") == c0 + 1)
+      val p2 = s"${tmpDir()}/v2.parquet"
+      write(p2, "b")
+      val f2 = partFile(p2)
+      assume(f2.length == len1,
+        "fixture drifted: rewrite no longer byte-count-identical")
+      java.nio.file.Files.copy(f2.toPath, f1.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // the local FS keeps checksum sidecars; carry v2's over v1's name
+      // so the doctored file still reads
+      val crc2 = new java.io.File(f2.getParent, s".${f2.getName}.crc")
+      if (crc2.exists)
+        java.nio.file.Files.copy(crc2.toPath,
+          new java.io.File(f1.getParent, s".${f1.getName}.crc").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      f1.setLastModified(mtime1)
+      assert(f1.length == len1 && f1.lastModified == mtime1)
+      CorpusCache.resetMemoForTest()
+      val texts = read().collect().map(_.getString(0)).sorted
+      assert(texts.head == "bb",
+        s"stale artifact served across the mtime-granularity window: " +
+          s"${texts.mkString(",")}")
+      assert(CorpusCache.buildCountTotal("tailart") == c0 + 2)
+    }
+  }
+
+  test("publishing sweeps superseded same-name artifacts older than the " +
+      "GC age; fresh ones survive") {
+    withCacheRoot { root =>
+      val dir = tmpDir()
+      val p = s"$dir/documents.parquet"
+      Seq((1L, "x y z")).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      // a stale superseded artifact (old fingerprint, >GC age) and a
+      // recent one; only the stale one may be collected
+      val stale = java.nio.file.Paths.get(root, "gcart-deadbeef")
+      val fresh = java.nio.file.Paths.get(root, "gcart-cafebabe")
+      for (d <- Seq(stale, fresh)) {
+        java.nio.file.Files.createDirectories(d)
+        java.nio.file.Files.createFile(d.resolve("_SUCCESS"))
+      }
+      java.nio.file.Files.setLastModifiedTime(stale,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - CorpusCache.GcAgeMillis - 3600000L))
+      CorpusCache.cached(spark.read.parquet(p), "gcart", dir)(
+        d => d.select("doc_id")).count()
+      assert(!java.nio.file.Files.exists(stale),
+        "superseded artifact past the GC age survived the sweep")
+      assert(java.nio.file.Files.exists(fresh),
+        "recently-modified artifact was collected")
+    }
+  }
+}

@@ -335,6 +335,38 @@ class DedupSpec extends SparkSpec {
     assert(full.get.getDouble(5) == 1.0)
   }
 
+  test("BandDfCap: pathological band buckets are dropped before the " +
+      "candidate join; ordinary near-dups are untouched (VERDICT r17 #1)") {
+    import spark.implicits._
+    // a boilerplate clique larger than the cap: identical docs share every
+    // band, so each of their buckets has df = clique size > BandDfCap and
+    // every clique pair must be cut. An ordinary near-dup pair (df-2
+    // buckets) must keep surfacing.
+    val clique = (1 to Dedup.BandDfCap + 8).map(i =>
+      (100L + i, "q w e r t y u i o p q w e r t y"))
+    val nearPair = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val d = (clique ++ nearPair).toDF("doc_id", "text")
+    val capped = Dedup.minHashCandidates(d, 3, 64, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)),
+      s"expected only the ordinary pair past the cap, got $capped")
+    // lifting the cap restores the clique — the contract is the df cut,
+    // not the banding
+    val uncapped = Dedup.minHashCandidates(d, 3, 64, 32,
+      bandDfCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((101L, 102L)) && uncapped.contains((1L, 2L)))
+    assert(uncapped.size ==
+      (clique.size * (clique.size - 1)) / 2 + 1)
+    // calibration rides the same cut: no clique pair enters its curve
+    // (the identical-pair 64/64 bucket would otherwise dominate)
+    val cal = Dedup.minHashCalibration(d, 3, 64, 32).collect()
+    val pairCount = cal.map(_.getAs[Long]("n_pairs")).sum
+    assert(pairCount == 1L, s"calibration saw $pairCount pairs, expected 1")
+  }
+
   test("duplicateClusters: transitive closure to the min reachable id") {
     import spark.implicits._
     // two components, one only connected transitively (1-2, 2-3: no 1-3 edge)
@@ -365,10 +397,33 @@ class DedupSpec extends SparkSpec {
     // remaining distance every round, so ceil(log2) + change-settling ≈ 12
     val chain = (0 until 1000).map(i => (i.toLong, (i + 1).toLong))
       .toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.duplicateClustersWithRounds(chain)
+    // edgesPerPart = 64 forces a MULTI-partition contraction (a single
+    // union-find task would solve any chain outright and legitimately
+    // skip the loop — the round-18 parts == 1 shortcut), so this pin
+    // still exercises the pointer-jumping propagation path
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(chain,
+      edgesPerPart = 64)
+    assert(rounds >= 1, "multi-partition contraction must take the loop")
     assert(rounds <= 12, s"expected O(log n) rounds, got $rounds")
     val c = labels.collect()
     assert(c.length == 1001 && c.forall(_.getLong(1) == 0L))
+  }
+
+  test("duplicateClusters: one-partition contraction skips the loop with " +
+      "exact labels (round-18 shortcut)") {
+    import spark.implicits._
+    // a chain + a triangle + an isolated pair, all inside one partition:
+    // the union-find labels must already BE the component minima, with
+    // zero propagation rounds run
+    val edges = ((0 until 50).map(i => (i.toLong, (i + 1).toLong)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L)))
+      .toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(edges)
+    assert(rounds == 0, s"expected the parts==1 shortcut, ran $rounds rounds")
+    val c = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 to 50).forall(i => c(i.toLong) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(c(_) == 100L))
+    assert(c(200L) == 200L && c(201L) == 200L)
   }
 
   test("pairsCached matches a direct nearDuplicates run and " +

@@ -378,4 +378,37 @@ class CompactionSpec extends SparkSpec {
       "post-compaction probes must still hit the stored entries")
     assert(probeBefore.subsetOf(after), "compaction must not lose pairs")
   }
+
+  test("major compaction (round 18, ADVICE r17): past the frozen-file " +
+      "bound the WHOLE store is read once and cross-tier duplicate keys " +
+      "heal; below it the frozen tier stays untouched") {
+    import spark.implicits._
+    val store = s"${tmpDir()}/docs"
+    // 8 'frozen' files (everything is >= 1 byte, so smallBytes = 1 makes
+    // the whole store frozen tier) carrying a duplicated key k1 — the
+    // cross-tier duplicate leveled compaction can never heal
+    (1 to 8).foreach { i =>
+      Seq((s"k$i", i.toLong), ("k1", 100L + i)).toDF("chash", "doc_id")
+        .coalesce(1).write.mode("append").parquet(store)
+    }
+    // k1 rows: file 1's own (k1, 1) plus the 8 planted dups = 9
+    val dupsBefore = spark.read.parquet(store)
+      .filter(col("chash") === "k1").count()
+    assert(dupsBefore == 9L)
+    // below the frozen bound: leveled mode, empty small tier → no-op,
+    // duplicates persist (the documented leveled contract)
+    assert(!CorpusStream.compactStore(spark, store, Seq("chash"),
+      maxFiles = 2, smallBytes = 1L, majorFrozenFiles = 100))
+    assert(spark.read.parquet(store)
+      .filter(col("chash") === "k1").count() == 9L)
+    // past the frozen bound: tier = ∞ — one full read, duplicates heal,
+    // every distinct key survives
+    assert(CorpusStream.compactStore(spark, store, Seq("chash"),
+      maxFiles = 2, smallBytes = 1L, majorFrozenFiles = 4))
+    val healed = spark.read.parquet(store)
+    assert(healed.filter(col("chash") === "k1").count() == 1L,
+      "major compaction must heal cross-tier duplicate keys")
+    assert(healed.select("chash").distinct().count() == 8L)
+    assert(!fsOf(store).exists(new Path(store, ".compact_tmp")))
+  }
 }
