@@ -83,8 +83,10 @@ object Bench {
     "clusters" -> "cluster_build_sec",
     "pairs" -> "pairs_build_sec",
     "signatures" -> "signatures_build_sec",
+    "candidates" -> "candidates_build_sec",
     "quality" -> "quality_build_sec",
-    "parasig" -> "parasig_build_sec")
+    "parasig" -> "parasig_build_sec",
+    "parapairs" -> "parapairs_build_sec")
 
   /** Contention bounds for the steal-aware chunk retry (VERDICT r16 #6):
     * a chunk whose timed window shows other_busy_cores or steal% above

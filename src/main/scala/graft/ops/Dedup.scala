@@ -232,20 +232,26 @@ object Dedup {
     */
   val BandDfCap = 64
 
-  /** [[lshBucketEntries]] with buckets larger than `cap` dropped — the
-    * df-cutoff rides a window count over the SAME (band, band_key) hash
-    * partitioning the candidate self-join needs, so the one exchange does
-    * double duty (the [[jaccardPairs]] pattern: df filter + join
-    * co-location, no separate aggregation branch re-banding the corpus).
+  /** [[lshBucketEntries]] with buckets larger than `cap` dropped. The
+    * cut is an anti-join against the HOT-KEY set (buckets with df > cap)
+    * rather than a window count over every entry: the hot set is tiny by
+    * definition (1,226 keys at 500k docs on the degenerate scaling
+    * corpus; zero at the test SFs), so AQE turns the anti-join into a
+    * broadcast and the entries side stays map-only — the window form
+    * sorted the ENTIRE entry table inside one exchange and measured
+    * ~0.2-0.35 s slower on x45/x53 at sf0.1. The counting aggregate's
+    * shuffle carries one row per bucket (corpus-sublinear, map-side
+    * combined).
     */
   def lshBucketEntriesCapped(signatures: DataFrame, numHashes: Int,
-      bands: Int, cap: Int): DataFrame =
-    lshBucketEntries(signatures, numHashes, bands)
-      .withColumn("bdf", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_key"))))
-      .filter(col("bdf") <= cap)
-      .drop("bdf")
+      bands: Int, cap: Int): DataFrame = {
+    val entries = lshBucketEntries(signatures, numHashes, bands)
+    val hot = entries.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") > cap)
+      .select(col("band"), col("band_key"))
+    entries.join(hot, Seq("band", "band_key"), "left_anti")
+  }
 
   /** Candidate pairs from shared LSH buckets (distinct across bands). */
   def minHashCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
@@ -430,17 +436,19 @@ object Dedup {
     * checkpoint needed).
     */
   def minHashCalibrationFromSig(docs: DataFrame, sig: DataFrame, n: Int,
-      numHashes: Int, bands: Int): DataFrame = {
+      numHashes: Int, bands: Int): DataFrame =
     // same [[BandDfCap]] cut as the pair path: the calibration curve is
     // collected over exactly the pairs the CAPPED pipeline would surface
-    val entries = lshBucketEntriesCapped(sig, numHashes, bands, BandDfCap)
-    val cands = entries.select(col("band"), col("band_key"),
-        col("doc_id").as("id_a"))
-      .join(entries.select(col("band").as("band_r"),
-        col("band_key").as("band_key_r"), col("doc_id").as("id_b")),
-        col("band") === col("band_r") &&
-          col("band_key") === col("band_key_r") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    minHashCalibrationFromCands(docs, sig,
+      minHashCandidatesFromSig(sig, numHashes, bands), n, numHashes)
+
+  /** [[minHashCalibrationFromSig]] over a PRECOMPUTED candidate set
+    * (e.g. the shared [[candidatesCached]] artifact): only the bounded
+    * per-candidate work — slot agreement + one exact shingle intersect
+    * per pair — runs per query.
+    */
+  def minHashCalibrationFromCands(docs: DataFrame, sig: DataFrame,
+      cands: DataFrame, n: Int, numHashes: Int): DataFrame = {
     val sigA = sig.toDF("id_a" +: (0 until numHashes).map(i => s"a$i"): _*)
     val sigB = sig.toDF("id_b" +: (0 until numHashes).map(i => s"b$i"): _*)
     // fixed fan-in (numHashes), not parameter-explosive: same shape as the
@@ -994,9 +1002,22 @@ object Dedup {
     */
   def pairsCached(docs: DataFrame, key: String): DataFrame =
     CorpusCache.cached(docs, "pairs", key)(d =>
-      verifyJaccard(d,
-        minHashCandidatesFromSig(signaturesCached(d, key), 64, 32),
+      verifyJaccard(d, candidatesCached(d, key),
         threshold = 0.25, n = 3))
+
+  /** The standard-constant LSH CANDIDATE set (3-shingles, 64 hashes,
+    * 32 bands, [[BandDfCap]]) materialized once per corpus — the
+    * intermediate between the signature table and the verified pair
+    * graph, with two consumers: the [[pairsCached]] build verifies it,
+    * and x45's calibration collects its estimator curve over EXACTLY
+    * this set (round 18: the calibration re-ran the band-bucket join +
+    * distinct per query; the join now runs once per corpus, and the
+    * per-query cost is the bounded per-candidate work). Build telemetry
+    * surfaces as `warmup_builds.candidates_build_sec`.
+    */
+  def candidatesCached(docs: DataFrame, key: String): DataFrame =
+    CorpusCache.cached(docs, "candidates", key)(d =>
+      minHashCandidatesFromSig(signaturesCached(d, key), 64, 32))
 
   /** The standard-constant MinHash signature table (3-shingles, 64
     * hashes) materialized once per JVM per corpus — the widest-shared
