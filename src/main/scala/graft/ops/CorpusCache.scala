@@ -142,6 +142,54 @@ object CorpusCache {
     */
   private[graft] def resetMemoForTest(): Unit = store.clear()
 
+  /** Test seam for [[codeStamp]]. */
+  private[graft] var codeStampOverride: Option[String] = None
+
+  /** One-time stamp of the engine code itself, folded into every
+    * fingerprint: with the store now shared ACROSS processes, an
+    * artifact built by an older compile would otherwise satisfy a newer
+    * engine whose build SEMANTICS changed — the input-corpus fingerprint
+    * cannot see the build closure. A packaged jar stamps as its
+    * size+mtime (stable across a deployment, so production JVMs share
+    * artifacts); an sbt classes directory stamps as its .class count +
+    * max mtime, so ANY recompile invalidates the store — deliberate
+    * over-invalidation: during development correctness beats reuse, and
+    * the bench protocol's children share one compile output, keeping
+    * the one-build-per-run property. Unresolvable code sources fall
+    * back to a constant (reuse keeps working; the rewrite-detection
+    * guarantees of the corpus fingerprint are unaffected).
+    */
+  private def codeStamp: String =
+    codeStampOverride.getOrElse(codeStampComputed)
+
+  private lazy val codeStampComputed: String = {
+    try {
+      val src = getClass.getProtectionDomain.getCodeSource
+      if (src == null || src.getLocation == null) "nosource"
+      else {
+        val loc = java.nio.file.Paths.get(src.getLocation.toURI)
+        if (java.nio.file.Files.isDirectory(loc)) {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(loc)
+          try {
+            var n = 0L
+            var maxM = 0L
+            s.iterator().asScala.foreach { p =>
+              if (p.toString.endsWith(".class")) {
+                n += 1
+                val m = java.nio.file.Files.getLastModifiedTime(p).toMillis
+                if (m > maxM) maxM = m
+              }
+            }
+            s"dir:$n:$maxM"
+          } finally s.close()
+        } else
+          s"jar:${java.nio.file.Files.size(loc)}:${
+            java.nio.file.Files.getLastModifiedTime(loc).toMillis}"
+      }
+    } catch { case _: Exception => "nosource" }
+  }
+
   /** The memoized materialization: on the first call for this
     * (name, corpus-fingerprint) pair in this JVM, either READ the
     * published artifact for that fingerprint (another process — or an
@@ -277,6 +325,7 @@ object CorpusCache {
     val conf = docs.sparkSession.sparkContext.hadoopConfiguration
     val digest = java.security.MessageDigest.getInstance("SHA-256")
     digest.update(key.getBytes("UTF-8"))
+    digest.update(codeStamp.getBytes("UTF-8")) // see [[codeStamp]]
     val paths = docs.inputFiles.sorted
     val readTails = paths.length <= TailCheckMaxFiles
     paths.foreach { f =>

@@ -110,6 +110,34 @@ class CorpusCacheSpec extends SparkSpec {
     }
   }
 
+  test("a changed code stamp invalidates the shared store: an artifact " +
+      "built by an older compile is never served to a newer engine") {
+    withCacheRoot { _ =>
+      val dir = tmpDir()
+      val p = s"$dir/documents.parquet"
+      Seq((1L, "x y z")).toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      def read() = CorpusCache.cached(
+        spark.read.parquet(p), "stampart", dir)(d => d.select("doc_id"))
+      val c0 = CorpusCache.buildCountTotal("stampart")
+      try {
+        CorpusCache.codeStampOverride = Some("compile-A")
+        read().count()
+        assert(CorpusCache.buildCountTotal("stampart") == c0 + 1)
+        // same corpus, same "process" restart, NEW compile → rebuild
+        CorpusCache.resetMemoForTest()
+        CorpusCache.codeStampOverride = Some("compile-B")
+        read().count()
+        assert(CorpusCache.buildCountTotal("stampart") == c0 + 2,
+          "an old compile's artifact was served to a newer engine")
+        // and the same compile keeps reading, not rebuilding
+        CorpusCache.resetMemoForTest()
+        read().count()
+        assert(CorpusCache.buildCountTotal("stampart") == c0 + 2)
+      } finally CorpusCache.codeStampOverride = None
+    }
+  }
+
   test("publishing sweeps superseded same-name artifacts older than the " +
       "GC age; fresh ones survive") {
     withCacheRoot { root =>
