@@ -449,8 +449,16 @@ object Dedup {
     */
   def minHashCalibrationFromCands(docs: DataFrame, sig: DataFrame,
       cands: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val sigA = sig.toDF("id_a" +: (0 until numHashes).map(i => s"a$i"): _*)
-    val sigB = sig.toDF("id_b" +: (0 until numHashes).map(i => s"b$i"): _*)
+    // shuffle_hash for the signature joins (round 18): locally the sig
+    // artifact is one parquet file, so letting the planner broadcast
+    // the candidate side serializes the per-pair slot-compare chain
+    // onto the scan's single partition; at 100 TB a corpus-sized
+    // signature table can only ever join by shuffle anyway. The hint
+    // makes the parallel shape deterministic at every size.
+    val sigA = sig.hint("shuffle_hash")
+      .toDF("id_a" +: (0 until numHashes).map(i => s"a$i"): _*)
+    val sigB = sig.hint("shuffle_hash")
+      .toDF("id_b" +: (0 until numHashes).map(i => s"b$i"): _*)
     // fixed fan-in (numHashes), not parameter-explosive: same shape as the
     // 64 simhash vote aggregates
     val nMatch = (0 until numHashes).map(i =>
@@ -1002,8 +1010,30 @@ object Dedup {
     */
   def pairsCached(docs: DataFrame, key: String): DataFrame =
     CorpusCache.cached(docs, "pairs", key)(d =>
-      verifyJaccard(d, candidatesCached(d, key),
+      verifyJaccard(d, fanOutPairs(candidatesCached(d, key)),
         threshold = 0.25, n = 3))
+
+  /** Fan a MATERIALIZED pair/candidate table out across the cluster
+    * before CPU-heavy per-pair work. A candidate artifact is tiny on
+    * disk (16 bytes/pair — one ~5 MB file at 50k docs), so its scan
+    * yields ONE partition, and every downstream broadcast join chains
+    * into that single task: the 50k scaling point measured x53 at
+    * 13.5 s with the whole slot-compare + Levenshtein pipeline on one
+    * core, while 150k ran 3.8 s because AQE happened to pick a
+    * shuffled join there. One hash repartition of the id pairs
+    * (deterministic keys, ~16 bytes/row) buys full parallelism for the
+    * verify stage at any scale — the shuffle the sort-merge path would
+    * have paid anyway. The partition count is EXPLICIT
+    * (`REPARTITION_BY_NUM`): a column-only repartition is fair game
+    * for AQE's partition coalescing, which re-merged the 5 MB shuffle
+    * to one partition (64 MB advisory target) and re-serialized the
+    * verify — bytes are the wrong sizing signal when the per-ROW work
+    * is the cost.
+    */
+  def fanOutPairs(cands: DataFrame): DataFrame =
+    cands.repartition(
+      cands.sparkSession.sessionState.conf.numShufflePartitions,
+      col("id_a"), col("id_b"))
 
   /** The standard-constant LSH CANDIDATE set (3-shingles, 64 hashes,
     * 32 bands, [[BandDfCap]]) materialized once per corpus — the

@@ -95,7 +95,10 @@ object ExtensionQueries {
     // per-candidate slot/intersect work remains
     Dedup.minHashCalibrationFromCands(docs,
       Dedup.signaturesCached(docs, dir),
-      Dedup.candidatesCached(docs, dir), n = 3, numHashes = 64)
+      // fan the one-file artifact scan out before the per-pair work
+      // (see [[Dedup.fanOutPairs]] — single-partition scan trap)
+      Dedup.fanOutPairs(Dedup.candidatesCached(docs, dir)),
+      n = 3, numHashes = 64)
   }
 
   private val minhashCalibrationSql =
@@ -2742,8 +2745,17 @@ object ExtensionQueries {
         col(s"a$i") === col(s"b$i")
       }.reduce[Column](_ && _)
     }.reduce[Column](_ || _)
-    val cands = Dedup.candidatesCached(docs, dir)
-      .join(sigA, "id_a").join(sigB, "id_b")
+    // shuffle_hash, not the planner's choice: the sig artifact is one
+    // small parquet file locally, so a broadcast of the candidate side
+    // chains the whole slot-compare + DP pipeline onto the sig scan's
+    // SINGLE partition (measured 2.7 s at 15k vs 1.6 s at 50k, where
+    // size pushed the same join to a parallel shuffle). The hint forces
+    // both sides through an exchange — full parallelism at every size,
+    // and the only strategy that exists at 100 TB, where the signature
+    // table is corpus-sized and never broadcastable.
+    val cands = Dedup.fanOutPairs(Dedup.candidatesCached(docs, dir))
+      .join(sigA.hint("shuffle_hash"), "id_a")
+      .join(sigB.hint("shuffle_hash"), "id_b")
       .filter(bandMatch)
       .select(col("id_a"), col("id_b"))
     val t = docs.select(col("doc_id"), col("text"))
@@ -2769,7 +2781,14 @@ object ExtensionQueries {
           .cast("double"))
       .filter(col("edit_sim") >= EditSimThreshold)
       .select(col("id_a"), col("id_b"), col("lev"), col("edit_sim"))
-      .orderBy("id_a", "id_b")
+      // sortedOnce (round 18): the derived-gate pipeline is broadcast
+      // joins end to end — no exchange below the final sort — so the
+      // range sampler re-executed the WHOLE chain, DP included (every
+      // node's numOutputRows measured exactly 2×). The r17 sort-tax
+      // sweep kept x53 bare because its then-SMJ already materialized a
+      // barrier; the refactor removed it, so the barrier comes back as
+      // one output-sized repartition.
+      .transform(sortedOnce(_, "id_a", "id_b"))
   }
 
   /** The oracle twin of the derived EditBands gate: the 32-band `cand`

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch stage decomposition for x45 at the 50k scaling point (round
+  * 18 inversion hunt; not shipped — test scope).
+  */
+object ProfileX45Stages {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale_50000")
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, dir)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // warm artifacts
+    val sig = Dedup.signaturesCached(docs, dir)
+    val cands0 = Dedup.candidatesCached(docs, dir)
+    t("cands count")(println("[prof] n_cands=" + cands0.count()))
+    val cands = Dedup.fanOutPairs(cands0)
+    for (pass <- 1 to 2) {
+      println(s"[prof] ---- pass $pass ----")
+      t("cands fanout noop")(cands.write.format("noop").mode("overwrite").save())
+      val sigA = sig.toDF("id_a" +: (0 until 64).map(i => s"a$i"): _*)
+      val sigB = sig.toDF("id_b" +: (0 until 64).map(i => s"b$i"): _*)
+      val nMatch = (0 until 64).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce[org.apache.spark.sql.Column](_ + _)
+      val withSigs = cands.join(sigA, "id_a").join(sigB, "id_b")
+        .withColumn("n_match", nMatch)
+        .select(col("id_a"), col("id_b"), col("n_match"))
+      t("cands + sig joins + slotcmp")(
+        withSigs.write.format("noop").mode("overwrite").save())
+      val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      t("shingles alone")(
+        sh.write.format("noop").mode("overwrite").save())
+      val withSh = withSigs
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .select(col("id_a"), col("n_match"), col("n_inter"))
+      t("+ shingle joins + intersect")(
+        withSh.write.format("noop").mode("overwrite").save())
+      t("full x45")(graft.queries.ExtensionQueries
+        .minhashCalibration(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+/** Prints per-node SQL metrics for x53 after one execution (round-18
+  * inversion hunt; not shipped — test scope).
+  */
+object ProfileX53Metrics {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale_15000")
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.queries.ExtensionQueries.editDistNearDups(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    @volatile var captured: org.apache.spark.sql.execution.QueryExecution = null
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = captured = qe
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    println(f"[prof] timed run ${(System.nanoTime()-t0)/1e9}%.2f s")
+    Thread.sleep(1500)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      val interesting = p.metrics.filter { case (k, m) =>
+        (k.contains("time") || k.contains("duration") ||
+          k == "numOutputRows") && m.value > 0
+      }
+      val ms = interesting.map { case (k, m) => s"$k=${m.value}" }
+        .mkString(" ")
+      println(s"[prof] ${"  " * depth}${p.nodeName} $ms")
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan, depth + 1)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child, depth + 1)
+        case _ => p.children.foreach(walk(_, depth + 1))
+      }
+      p.subqueries.foreach(walk(_, depth + 1))
+    }
+    walk(captured.executedPlan, 0)
+    spark.stop()
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+/** Scratch profiler for the x45/x53 scaling inversion (round 18 — 50k
+  * measures SLOWER than 150k on the synthetic corpora): prints the
+  * joins of each optimized plan per corpus size (not shipped — test
+  * scope).
+  */
+object ProfileX53Scale {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- Seq("50000", "150000")) {
+      val dir = s"/tmp/scale_$n"
+      for ((name, df) <- Seq(
+        "x53" -> graft.queries.ExtensionQueries.editDistNearDups(spark, dir),
+        "x45" -> graft.queries.ExtensionQueries.minhashCalibration(spark, dir))) {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[prof] $n $name first run ${(System.nanoTime()-t0)/1e9}%.2f s")
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[prof] $n $name second   ${(System.nanoTime()-t1)/1e9}%.2f s")
+        // the FINAL adaptive plan, post-execution
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+        import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+        def joinsOf(p: SparkPlan): Seq[String] = p.collect {
+          case a: AdaptiveSparkPlanExec => joinsOf(a.executedPlan)
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            Seq(s"SMJ(${j.leftKeys.map(_.sql).mkString(",")})")
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+            Seq(s"BHJ(${j.leftKeys.map(_.sql).mkString(",")})")
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+            Seq(s"SHJ(${j.leftKeys.map(_.sql).mkString(",")})")
+          case r: ReusedExchangeExec => Seq("ReusedX")
+        }.flatten
+        println(s"[prof] $n $name joins: ${
+          joinsOf(df.queryExecution.executedPlan).mkString(" | ")}")
+      }
+    }
+    spark.stop()
+  }
+}

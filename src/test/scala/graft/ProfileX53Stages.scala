@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch stage decomposition for x53 (round 18 inversion hunt; not
+  * shipped — test scope).
+  */
+object ProfileX53Stages {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale_15000")
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ops.Dedup
+    import graft.queries.ExtensionQueries.{EditBands, EditSimThreshold}
+    val docs = Tables.documents(spark, dir)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val sig = Dedup.signaturesCached(docs, dir)
+    val cands0 = Dedup.candidatesCached(docs, dir)
+    println("[prof] n_cands=" + cands0.count())
+    for (pass <- 1 to 2) {
+      println(s"[prof] ---- pass $pass ----")
+      val rowsPerBand = 64 / EditBands
+      val sigA = sig.toDF("id_a" +: (0 until 64).map(i => s"a$i"): _*)
+      val sigB = sig.toDF("id_b" +: (0 until 64).map(i => s"b$i"): _*)
+      val bandMatch = (0 until EditBands).map { b =>
+        (0 until rowsPerBand).map { r =>
+          val i = b * rowsPerBand + r
+          col(s"a$i") === col(s"b$i")
+        }.reduce[org.apache.spark.sql.Column](_ && _)
+      }.reduce[org.apache.spark.sql.Column](_ || _)
+      val refined = Dedup.fanOutPairs(cands0)
+        .join(sigA, "id_a").join(sigB, "id_b")
+        .filter(bandMatch)
+        .select(col("id_a"), col("id_b"))
+      t("refined gate")(
+        refined.write.format("noop").mode("overwrite").save())
+      println("[prof] n_refined=" + refined.count())
+      val tt = docs.select(col("doc_id"), col("text"))
+      val withDocs = refined
+        .join(tt.select(col("doc_id").as("id_a"), col("text").as("text_a")),
+          "id_a")
+        .join(tt.select(col("doc_id").as("id_b"), col("text").as("text_b")),
+          "id_b")
+      t("+ doc joins")(
+        withDocs.write.format("noop").mode("overwrite").save())
+      t("full x53")(graft.queries.ExtensionQueries
+        .editDistNearDups(spark, dir)
+        .write.format("noop").mode("overwrite").save())
+    }
+    spark.stop()
+  }
+}
