@@ -280,11 +280,18 @@ object Dedup {
   }
 
   /** Exact-Jaccard re-verification of a candidate pair set: only the
-    * candidates are ever joined back to their shingle sets.
+    * candidates are ever joined back to their shingle sets. The shingle
+    * joins carry `shuffle_hash` hints (round 18, the x45/x53 lesson): a
+    * candidate set is tiny in BYTES, so the planner broadcasts it and
+    * streams the document scan — locally a one-file corpus serializes
+    * the whole intersect chain onto a single task, and at 100 TB the
+    * corpus-sized shingle side could never broadcast anyway. The hint
+    * makes the parallel shuffle shape deterministic at every size.
     */
   def verifyJaccard(docs: DataFrame, cands: DataFrame, threshold: Double,
       n: Int): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .hint("shuffle_hash")
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -464,7 +471,10 @@ object Dedup {
     val nMatch = (0 until numHashes).map(i =>
       when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce[Column](_ + _)
+    // shuffle_hash for the same reason as the sig joins above: the
+    // shingle side is the corpus
     val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .hint("shuffle_hash")
     cands
       .join(sigA, "id_a").join(sigB, "id_b")
       .withColumn("n_match", nMatch)
