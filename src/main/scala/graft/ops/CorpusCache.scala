@@ -73,11 +73,18 @@ object CorpusCache {
   val GcAgeMillis: Long = 6L * 3600 * 1000
 
   private def root: java.nio.file.Path = {
+    // ABSOLUTE always (round 19): a relative root (the bench parent
+    // passes target/bench-children/cache-run-N) is resolved against the
+    // CWD by java.nio file ops but against the WAREHOUSE dir by
+    // saveAsTable's path option — the bucketed write landed in
+    // spark-warehouse/target/... while the publish rename looked in
+    // ./target/..., failing every artifact build in the forked bench
     val p = sys.props.get("graft.cache.root")
       .orElse(sys.env.get("GRAFT_CACHE_ROOT"))
       .map(java.nio.file.Paths.get(_))
       .getOrElse(java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), "graft-corpus-cache"))
+      .toAbsolutePath.normalize
     java.nio.file.Files.createDirectories(p)
     p
   }
@@ -108,6 +115,12 @@ object CorpusCache {
     import scala.jdk.CollectionConverters._
     try {
       if (Files.isDirectory(p)) {
+        // unpublish FIRST (ADVICE r18): children otherwise delete in list
+        // order, so a concurrent [[published]] probe could see _SUCCESS
+        // still present on a half-gutted dir and hand a reader a partial
+        // artifact; with the marker gone before any data file, a
+        // mid-sweep dir always reads as unpublished
+        Files.deleteIfExists(p.resolve("_SUCCESS"))
         val s = Files.list(p)
         try s.iterator().asScala.toList.foreach(deleteRecursively)
         finally s.close()
@@ -138,9 +151,14 @@ object CorpusCache {
   }
 
   /** Test seam: drop this JVM's in-memory memo (the on-disk store is
-    * untouched), simulating a fresh process against the shared root.
+    * untouched), simulating a fresh process against the shared root —
+    * including the per-file tail-digest memo a fresh process would not
+    * have.
     */
-  private[graft] def resetMemoForTest(): Unit = store.clear()
+  private[graft] def resetMemoForTest(): Unit = {
+    store.clear()
+    tailDigests.clear()
+  }
 
   /** Test seam for [[codeStamp]]. */
   private[graft] var codeStampOverride: Option[String] = None
@@ -190,14 +208,33 @@ object CorpusCache {
     } catch { case _: Exception => "nosource" }
   }
 
+  /** Hidden per-artifact bucket-spec marker (`cols...|n`): written into
+    * staging before publish, so a published BUCKETED artifact always
+    * carries the metadata any JVM needs to re-register it as a bucketed
+    * catalog table (`_`-prefixed — Spark's listing skips it). The
+    * bucket count is a PHYSICAL property of the published files: readers
+    * always honor the marker, whatever their own shuffle-partition
+    * setting.
+    */
+  private val BucketMarkName = "_graft_buckets"
+
   /** The memoized materialization: on the first call for this
     * (name, corpus-fingerprint) pair in this JVM, either READ the
     * published artifact for that fingerprint (another process — or an
     * earlier run — built it) or run `build`, write parquet to staging,
-    * and publish with an atomic rename. The returned frame is always a
-    * plain parquet scan.
+    * and publish with an atomic rename. With `bucketBy` empty the
+    * returned frame is a plain parquet scan; with bucket columns the
+    * artifact is written as a BUCKETED (and per-bucket SORTED)
+    * datasource table — hash-clustered on its consumers' join key, so
+    * every consumer-side equi-join on that key reads the artifact
+    * exchange-free (round 19, VERDICT r18 #4: the same store-then-probe
+    * posture as the ANN cell stores; the artifact side of the
+    * cluster-map⋈documents joins previously paid a per-query shuffle) —
+    * and re-registered per JVM as a catalog table from the published
+    * bucket marker.
     */
-  def cached(docs: DataFrame, name: String, key: String)(
+  def cached(docs: DataFrame, name: String, key: String,
+      bucketBy: Seq[String] = Nil)(
       build: DataFrame => DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val thunk = store.computeIfAbsent(
@@ -216,7 +253,7 @@ object CorpusCache {
             val staging = root.resolve(
               ".staging-" + java.util.UUID.randomUUID().toString)
             pendingStaging.add(staging)
-            build(docs).write.mode("overwrite").parquet(staging.toString)
+            writeArtifact(build(docs), staging, bucketBy)
             val dir = try {
               java.nio.file.Files.move(staging, target,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -248,7 +285,75 @@ object CorpusCache {
         }
         () => built
       })
-    spark.read.parquet(thunk())
+    val dir = thunk()
+    // touch on EVERY cached() call, not only when the memo first resolves
+    // (ADVICE r18): a driver alive longer than [[GcAgeMillis]] whose
+    // corpus another process rewrites would otherwise have its
+    // still-in-use artifact swept mid-life by that process's gcSweep.
+    // One setLastModifiedTime per query construction — trivially cheap
+    touch(java.nio.file.Paths.get(dir))
+    readArtifact(spark, dir)
+  }
+
+  /** Write an artifact to `staging`: plain parquet, or — with bucket
+    * columns — a bucketed+sorted datasource-table write (one file per
+    * bucket via the explicit-count repartition: a bare bucketed write
+    * emits one file per task per bucket) followed by the bucket marker.
+    * The throwaway catalog entry exists only to drive Spark's bucketed
+    * FileFormatWriter; the table is EXTERNAL (explicit path), so
+    * dropping it keeps the files, and readers re-register from the
+    * marker ([[readArtifact]]).
+    */
+  private def writeArtifact(df: DataFrame, staging: java.nio.file.Path,
+      bucketBy: Seq[String]): Unit =
+    if (bucketBy.isEmpty)
+      df.write.mode("overwrite").parquet(staging.toString)
+    else {
+      val spark = df.sparkSession
+      val n = spark.sessionState.conf.numShufflePartitions
+      val tmpTable = "graft_staging_" +
+        java.util.UUID.randomUUID().toString.replace('-', '_')
+      df.repartition(n, bucketBy.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite")
+        .option("path", staging.toString)
+        .bucketBy(n, bucketBy.head, bucketBy.tail: _*)
+        .sortBy(bucketBy.head, bucketBy.tail: _*)
+        .format("parquet")
+        .saveAsTable(tmpTable)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpTable")
+      java.nio.file.Files.write(staging.resolve(BucketMarkName),
+        s"${bucketBy.mkString(",")}|$n".getBytes("UTF-8"))
+    }
+
+  /** Read a published artifact: a bucket marker re-registers the
+    * directory as a bucketed catalog table once per JVM (IF NOT EXISTS —
+    * idempotent and race-safe), so the scan carries the files'
+    * hash-clustering into the plan; markerless artifacts read as plain
+    * parquet. The table name is fingerprint-qualified, so a rewritten
+    * corpus (new fingerprint) registers a fresh table and can never
+    * serve a stale location.
+    */
+  private def readArtifact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val mark = java.nio.file.Paths.get(dir).resolve(BucketMarkName)
+    if (!java.nio.file.Files.exists(mark)) spark.read.parquet(dir)
+    else {
+      val Array(cols, n) = new String(
+        java.nio.file.Files.readAllBytes(mark), "UTF-8").trim.split('|')
+      val base = java.nio.file.Paths.get(dir).getFileName.toString
+        .replaceAll("[^A-Za-z0-9]", "_")
+      val tbl = s"graft_cache_${base.take(48)}"
+      if (!spark.catalog.tableExists(tbl)) {
+        val schemaDdl = spark.read.parquet(dir).schema.toDDL
+        val colList = cols.split(',').mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS $tbl ($schemaDdl)
+             |USING parquet
+             |CLUSTERED BY ($colList) SORTED BY ($colList) INTO $n BUCKETS
+             |LOCATION '$dir'""".stripMargin)
+      }
+      spark.table(tbl)
+    }
   }
 
   /** A published artifact: the directory exists and carries Spark's own
@@ -299,6 +404,38 @@ object CorpusCache {
     */
   private val FooterReadMax = 1 << 20
 
+  /** Per-JVM memo of each source file's tail digest, keyed by
+    * (path, len, mtime) — ADVICE r18: the footer bytes were re-read on
+    * EVERY cached() call (the memo key includes the fingerprint), so
+    * each query construction paid per-file open/seek/read round-trips,
+    * noticeable on object stores. An unchanged (len, mtime) reuses the
+    * digest; any metadata change re-reads. Residual (documented, same
+    * class as the >[[TailCheckMaxFiles]] fallback): an in-place rewrite
+    * that keeps length AND mtime is invisible to a JVM that already
+    * digested the old bytes — a FRESH process (the cross-JVM staleness
+    * story the footer check exists for) still reads the new tail.
+    * Bounded: digests are 32 bytes; the map is cleared past 64k entries.
+    */
+  private val tailDigests =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+
+  private val TailDigestMemoMax = 65536
+
+  /** Debug seam: print each fingerprint component separately. */
+  private[graft] def debugFingerprint(docs: DataFrame, key: String): Unit = {
+    def h(s: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    println(s"[fp] key=$key")
+    println(s"[fp] codeStamp=$codeStamp")
+    val paths = docs.inputFiles.sorted
+    println(s"[fp] nFiles=${paths.length} pathsHash=${h(paths.mkString)}")
+    val plan = docs.queryExecution.analyzed.canonicalized.toString
+    println(s"[fp] planHash=${h(plan)}")
+    println(s"[fp] plan=$plan")
+    println(s"[fp] full=${fingerprint(docs, key)}")
+  }
+
   /** Content fingerprint of `docs`: the source files with their sizes
     * and mtimes (so a rewritten corpus directory yields a new key and
     * can never serve a stale artifact), plus — for corpora of at most
@@ -313,7 +450,10 @@ object CorpusCache {
     * contribute their last 64 bytes instead. Plus the canonicalized
     * plan (so two different frames passed under the same corpus key get
     * distinct entries — e.g. a filtered view vs the full table). Cheap:
-    * file metadata plus one bounded footer read per file, never a data
+    * file metadata plus one bounded footer read per file — and the
+    * footer read runs ONCE per (path, len, mtime) per JVM via
+    * [[tailDigests]] (ADVICE r18), so repeat cached() calls on an
+    * unchanged corpus are metadata-only — never a data
     * scan. Status is resolved through Hadoop's `FileSystem` (ADVICE
     * r15: `inputFiles` entries are not guaranteed URI-encoded, and
     * `java.io.File` silently fingerprinted hdfs/s3 paths as 0:0,
@@ -336,23 +476,31 @@ object CorpusCache {
         digest.update(
           s"$f:${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
         if (readTails && st.getLen >= 8) {
-          val in = fs.open(p)
-          try {
-            val tail8 = new Array[Byte](8)
-            in.seek(st.getLen - 8); in.readFully(tail8)
-            // parquet trailer: 4-byte LE footer length + "PAR1"
-            val isParquet = tail8(4) == 'P' && tail8(5) == 'A' &&
-              tail8(6) == 'R' && tail8(7) == '1'
-            val footerLen = (tail8(0) & 0xff) | ((tail8(1) & 0xff) << 8) |
-              ((tail8(2) & 0xff) << 16) | ((tail8(3) & 0xff) << 24)
-            val n =
-              if (isParquet && footerLen > 0 && footerLen <= FooterReadMax
-                  && footerLen + 8L <= st.getLen) footerLen + 8
-              else math.min(64L, st.getLen).toInt
-            val buf = new Array[Byte](n)
-            in.seek(st.getLen - n); in.readFully(buf)
-            digest.update(buf)
-          } finally in.close()
+          val memoKey = s"$f:${st.getLen}:${st.getModificationTime}"
+          var td = tailDigests.get(memoKey)
+          if (td == null) {
+            val in = fs.open(p)
+            try {
+              val tail8 = new Array[Byte](8)
+              in.seek(st.getLen - 8); in.readFully(tail8)
+              // parquet trailer: 4-byte LE footer length + "PAR1"
+              val isParquet = tail8(4) == 'P' && tail8(5) == 'A' &&
+                tail8(6) == 'R' && tail8(7) == '1'
+              val footerLen = (tail8(0) & 0xff) | ((tail8(1) & 0xff) << 8) |
+                ((tail8(2) & 0xff) << 16) | ((tail8(3) & 0xff) << 24)
+              val n =
+                if (isParquet && footerLen > 0 && footerLen <= FooterReadMax
+                    && footerLen + 8L <= st.getLen) footerLen + 8
+                else math.min(64L, st.getLen).toInt
+              val buf = new Array[Byte](n)
+              in.seek(st.getLen - n); in.readFully(buf)
+              td = java.security.MessageDigest.getInstance("SHA-256")
+                .digest(buf)
+              if (tailDigests.size > TailDigestMemoMax) tailDigests.clear()
+              tailDigests.put(memoKey, td)
+            } finally in.close()
+          }
+          digest.update(td)
         }
       } catch {
         case _: java.io.IOException =>

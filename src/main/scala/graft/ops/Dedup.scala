@@ -224,11 +224,21 @@ object Dedup {
     * Measured at the test SFs: max bucket 3 (sf0.01) / 13 (sf0.1), so
     * results there are bit-identical with or without the cap.
     *
-    * The x58 incremental leg stays deliberately uncapped: its probe
-    * joins a BATCH (one tick's delta) against the persisted index, so
-    * per-tick cost is delta-bounded, and a global df computed mid-stream
-    * would differ batch-to-batch, breaking the stream ≡ batch parity
-    * StreamingSpec proves.
+    * The x58 incremental leg (round 19, VERDICT r18 #1 — the last
+    * uncapped dense-key join in the family) caps on the PROBE side
+    * against the INDEX population only: a bucket whose persisted-index
+    * (old-side) population exceeds the cap emits no candidates this
+    * tick, while the index APPEND stays uncapped so the index remains a
+    * complete record. Because bucket populations are persisted, the df
+    * is a pure function of index state at tick start — deterministic
+    * per tick, no mid-stream drift — so the stream ≡ batch parity
+    * statement StreamingSpec proves survives verbatim with the refined
+    * contract: "a cross-set pair whose EVERY shared bucket held more
+    * than cap OLD documents at probe time is not emitted." Without
+    * this, one boilerplate band key with B index entries cost O(B)
+    * candidates per delta doc that hit it, tick after tick, unbounded
+    * as the corpus grows (DedupProbeBench's boilerplate harness
+    * measures the exposure and the bound).
     */
   val BandDfCap = 64
 
@@ -328,10 +338,18 @@ object Dedup {
     * candidates are restricted to new×old at the bucket join (new×new
     * and old×old pairs never form), and only candidates are joined back
     * to their shingle sets.
+    *
+    * `indexDfCap` (round 19, VERDICT r18 #1): old-side buckets whose
+    * INDEX population exceeds the cap are dropped from the probe before
+    * the bucket join — see [[BandDfCap]] for why the df is computed over
+    * the old side only (deterministic per tick, so the streaming twin's
+    * parity survives) and why the recall cost is confined to boilerplate
+    * cliques exact dedup already owns. Per-tick candidate volume is then
+    * ≤ |delta| · bands · cap instead of O(B) per hot bucket.
     */
   def incrementalNearDuplicates(docs: DataFrame, isNew: Column,
       threshold: Double, n: Int = 3, numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8, indexDfCap: Int = BandDfCap): DataFrame = {
     val rowsPerBand = numHashes / bands
     val tagged = docs.select(col("doc_id"), col("text"), isNew.as("is_new"))
     // same fused map-only signature node as [[minHashSignatures]] (the
@@ -351,9 +369,18 @@ object Dedup {
       posexplode(array(keys: _*)).as(Seq("band", "band_key")))
     val newE = entries.filter(col("is_new"))
       .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
-    val oldE = entries.filter(!col("is_new"))
+    val oldE0 = entries.filter(!col("is_new"))
+      .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
+    // probe-side index-df cap: the hot set is computed over OLD entries
+    // only (the persisted index's population — deterministic per tick),
+    // and the same hot-key anti-join shape as [[lshBucketEntriesCapped]]
+    val hot = oldE0.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("odf"))
+      .filter(col("odf") > indexDfCap)
+      .select(col("band"), col("band_key"))
+    val oldE = oldE0.join(hot, Seq("band", "band_key"), "left_anti")
       .select(col("band").as("band_o"), col("band_key").as("band_key_o"),
-        col("doc_id").as("old_id"))
+        col("old_id"))
     val cand = newE.join(oldE,
         col("band") === col("band_o") &&
         col("band_key") === col("band_key_o"))
@@ -375,7 +402,9 @@ object Dedup {
   /** DuckDB replica of [[incrementalNearDuplicates]]: `isNewSql` is the
     * SQL twin of the tagging predicate (an expression over `documents`
     * columns). Signature/banding constants render through the same
-    * helpers as [[nearDuplicatesSql]] so the two forms cannot drift.
+    * helpers as [[nearDuplicatesSql]] so the two forms cannot drift; the
+    * `bko` CTE replays the probe-side [[BandDfCap]] cut over old-side
+    * bucket populations, so both engines drop the same probes.
     */
   def incrementalNearDuplicatesSql(isNewSql: String, threshold: Double,
       n: Int, numHashes: Int, bands: Int): String = {
@@ -399,10 +428,15 @@ object Dedup {
        |bk AS (SELECT doc_id, is_new, unnest(range($bands)) AS band,
        |    unnest($bandKeys) AS band_key
        |  FROM sig),
+       |bko AS (SELECT band, band_key, doc_id FROM (
+       |    SELECT band, band_key, doc_id,
+       |      count(*) OVER (PARTITION BY band, band_key) AS odf
+       |    FROM bk WHERE NOT is_new)
+       |  WHERE odf <= $BandDfCap),
        |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-       |  FROM bk n JOIN bk o
+       |  FROM bk n JOIN bko o
        |    ON n.band = o.band AND n.band_key = o.band_key
-       |    AND n.is_new AND NOT o.is_new),
+       |    AND n.is_new),
        |ver AS (SELECT new_id, old_id,
        |    len(list_intersect(sa.s, sb.s)) AS ni,
        |    len(sa.s) AS na, len(sb.s) AS nb
@@ -1006,8 +1040,14 @@ object Dedup {
     * once.
     */
   def clustersCached(docs: DataFrame, key: String): DataFrame =
-    CorpusCache.cached(docs, "clusters", key)(d =>
-      duplicateClusters(pairsCached(d, key)))
+    // bucketed by doc_id (round 19, VERDICT r18 #4): every consumer
+    // (x51/x60's cluster-map⋈documents, x51's winner re-join feed) joins
+    // this artifact on doc_id — the bucketed table scan carries the
+    // hash-clustering into the plan, so the artifact side of those joins
+    // is exchange-free at any scale (PlanSpec gates the non-broadcast
+    // shape)
+    CorpusCache.cached(docs, "clusters", key, bucketBy = Seq("doc_id"))(
+      d => duplicateClusters(pairsCached(d, key)))
 
   /** The standard-constant MinHash pair graph (threshold 0.25,
     * 3-shingles, 64 hashes, 32 bands) materialized once per JVM per
@@ -1019,7 +1059,11 @@ object Dedup {
     * `warmup_builds.pairs_build_sec` in the bench artifact).
     */
   def pairsCached(docs: DataFrame, key: String): DataFrame =
-    CorpusCache.cached(docs, "pairs", key)(d =>
+    // bucketed by id_a (round 19, VERDICT r18 #4): a doc-keyed probe of
+    // the pair graph reads it exchange-free; the in-repo cluster build
+    // re-keys edges itself (contraction repartition), so for it this is
+    // write-side layout only
+    CorpusCache.cached(docs, "pairs", key, bucketBy = Seq("id_a"))(d =>
       verifyJaccard(d, fanOutPairs(candidatesCached(d, key)),
         threshold = 0.25, n = 3))
 
@@ -1070,8 +1114,12 @@ object Dedup {
     * as `warmup_builds.signatures_build_sec`.
     */
   def signaturesCached(docs: DataFrame, key: String): DataFrame =
-    CorpusCache.cached(docs, "signatures", key)(d =>
-      minHashSignatures(d, 3, 64))
+    // bucketed by doc_id (round 19, VERDICT r18 #4): x53's sigA/sigB
+    // joins and x45's calibration join key on the doc id, so the
+    // corpus-sized signature side of those shuffle_hash joins reads
+    // pre-clustered instead of paying a per-query exchange
+    CorpusCache.cached(docs, "signatures", key, bucketBy = Seq("doc_id"))(
+      d => minHashSignatures(d, 3, 64))
 
   // ------------------------------------------------- DuckDB oracle dialect
   // Kept adjacent to the operators (the Exact.scala convention) so the two

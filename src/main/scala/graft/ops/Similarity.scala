@@ -627,7 +627,19 @@ object Similarity {
     // cids present in the map, so the lookup never misses)
     val centSum = element_at(
       typedlit(cents.map { case (cid, c) => cid -> c.sum }.toMap), col("cid"))
-    assign(vq).withColumn("cent_sum", centSum)
+    // materialize the final assignment EAGERLY and release the quantized
+    // corpus (ADVICE r18): persist() entries are held strongly by the
+    // CacheManager, so returning a lazy frame over vq leaked one cached
+    // corpus copy per distinct input for the JVM's life — a long-lived
+    // driver calling x29/x36/x50 across many corpora accumulates.
+    // localCheckpoint blocks are lineage-free (safe across the unpersist)
+    // and are GC'd with the frame by the ContextCleaner rather than
+    // pinned; downstream consumers (semanticPairs' two join sides, x29's
+    // aggregate) read the one materialization instead of re-running the
+    // Lloyd chain.
+    val out = assign(vq).withColumn("cent_sum", centSum).localCheckpoint()
+    vq.unpersist()
+    out
   }
 
   /** DuckDB replay of [[kmeansRefine]] over the `embeddings` table: seeds,
@@ -731,7 +743,8 @@ object Similarity {
       minDotFx: Long): DataFrame = {
     val assigned = kmeansRefine(corpus, k, iters)
       .select(col("vec_id"), col("v"), col("cid"))
-      .localCheckpoint() // eager: one evaluation feeds both join sides
+    // kmeansRefine's result is already an eager localCheckpoint (one
+    // materialization feeds both join sides below) — no second barrier
     // ONE codegen'd O(1)-plan-size node for the hot within-cell dot (the
     // higher-order aggregate/zip_with form evaluates interpreted; the
     // round-7 expanded element_at form was O(dim) expression nodes —

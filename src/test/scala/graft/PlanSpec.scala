@@ -253,6 +253,40 @@ class PlanSpec extends SparkSpec {
       s"x31 has a hash exchange beyond the sortedOnce barrier:\n$plan")
   }
 
+  test("bucketed artifacts (VERDICT r18 #4): the cluster-map⋈documents " +
+      "join reads the artifact side exchange-free — ONE documents-side " +
+      "exchange, bucketed artifact scan") {
+    // simulate the at-scale shape: at 100 TB the cluster map is
+    // corpus-sized and never broadcastable, so disable broadcast and
+    // assert the shuffle-path plan the big cluster would run
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables.documents(spark, dir)
+      val joined = docs.select("doc_id")
+        .join(graft.ops.Dedup.clustersCached(docs, dir), Seq("doc_id"))
+      val plan = executed(joined)
+      val docIdEx = "Exchange hashpartitioning\\(doc_id".r
+        .findAllIn(plan).length
+      assert(docIdEx == 1,
+        s"want exactly one (documents-side) doc_id exchange, " +
+          s"got $docIdEx:\n$plan")
+      // the artifact scan itself must be the bucketed form (AQE wraps the
+      // executed plan, so assert on its rendering — which carries the
+      // full scan metadata)
+      assert(plan.contains("Bucketed: true") &&
+        plan.contains("SelectedBucketsCount"),
+        s"artifact scan is not bucketed:\n$plan")
+      // the quality artifact rides the same contract (x51's second
+      // doc_id join)
+      val q = docs.select("doc_id").join(
+        graft.ops.TextAnalysis.qualityScoresCached(docs, dir), Seq("doc_id"))
+      assert("Exchange hashpartitioning\\(doc_id".r
+        .findAllIn(executed(q)).length == 1,
+        s"quality join grew an artifact-side exchange:\n${executed(q)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("x64 contamination spans: benchmark grams broadcast; island merge " +
       "exchanges on doc_id only") {
     val plan = executed(

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stage decomposition for x15 (approx stats) — the perennial #1
+  * driver-run query, never profiled since the round-15 rank-selection
+  * rewrite (VERDICT r18 #5). The query is FOUR aggregations over the
+  * events table (GK band sketch, histogram scan, in-band selection
+  * scan, user-side two-stage HLL) stitched by broadcasts; this main
+  * times each leg alone so the floor can be attributed: sketch eval vs
+  * the exact companions the oracle contract requires vs fixed action
+  * overhead.
+  *
+  *   sbt "Test/runMain graft.ProfileX15 /root/testdata/sf0.1"
+  */
+object ProfileX15 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name%-36s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value"))
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    for (pass <- 1 to 3) {
+      println(s"[prof] ---- pass $pass ----")
+      t("raw scan (floor of any leg)")(noop(ev))
+      t("plain count-only agg")(
+        noop(ev.groupBy("event_type").agg(count(lit(1)).as("n"))))
+      t("GK band sketch agg (leg 1)")(
+        noop(ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          percentile_approx(col("value"),
+            array(lit(0.49), lit(0.5), lit(0.51)), lit(1000)).as("qs"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))))
+      t("user HLL two-stage agg (leg 4)")(
+        noop(ev.groupBy(col("event_type"), col("user_id")).count()
+          .groupBy(col("event_type")).agg(
+            count(lit(1)).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.01)
+              .as("approx_users"))))
+      t("full x15")(
+        noop(graft.queries.ExtensionQueries.approxStats(spark, dir)))
+    }
+    spark.stop()
+  }
+}

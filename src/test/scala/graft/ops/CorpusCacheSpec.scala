@@ -138,6 +138,48 @@ class CorpusCacheSpec extends SparkSpec {
     }
   }
 
+  test("a bucketed artifact re-registers from its published marker in a " +
+      "fresh JVM — no rebuild, same rows, still a bucketed scan " +
+      "(VERDICT r18 #4)") {
+    withCacheRoot { _ =>
+      val dir = tmpDir()
+      val p = s"$dir/documents.parquet"
+      (1L to 50L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      def read() = CorpusCache.cached(
+        spark.read.parquet(p), "bucketart", dir,
+        bucketBy = Seq("doc_id"))(d => d.select("doc_id", "text"))
+      val c0 = CorpusCache.buildCountTotal("bucketart")
+      assert(read().count() == 50L)
+      assert(CorpusCache.buildCountTotal("bucketart") == c0 + 1)
+      // "second JVM": drop the in-memory memo AND the catalog entry the
+      // first read registered — the published marker alone must carry
+      // the bucket spec
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_cache_bucketart"))
+        .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+      CorpusCache.resetMemoForTest()
+      val df = read()
+      assert(df.count() == 50L)
+      assert(CorpusCache.buildCountTotal("bucketart") == c0 + 1,
+        "a fresh process rebuilt a published bucketed artifact")
+      // and the re-registered scan is bucketed: a doc_id self-join puts
+      // an exchange ONLY above the non-bucketed side
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = spark.read.parquet(p).select("doc_id")
+          .join(df, Seq("doc_id"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SelectedBucketsCount"),
+          s"re-registered artifact scan is not bucketed:\n$plan")
+        assert("Exchange hashpartitioning\\(doc_id".r
+          .findAllIn(plan).length == 1, s"artifact-side exchange:\n$plan")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("publishing sweeps superseded same-name artifacts older than the " +
       "GC age; fresh ones survive") {
     withCacheRoot { root =>

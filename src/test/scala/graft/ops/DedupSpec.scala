@@ -367,6 +367,99 @@ class DedupSpec extends SparkSpec {
     assert(pairCount == 1L, s"calibration saw $pairCount pairs, expected 1")
   }
 
+  test("BandDfCap granularity (ADVICE r18): the derived 16-band gate caps " +
+      "at 2-row-bucket granularity — a pair agreeing on a full 4-row band " +
+      "whose BOTH constituent 2-row buckets are over-cap is dropped") {
+    import spark.implicits._
+    // synthetic signature frame (doc_id, m0..m63): docs 1,2 agree on
+    // slots 0..3 (a full 4-row band at 16-band granularity — tiny 4-row
+    // bucket, population 2). Clique C1 shares ONLY (m0, m1) with them;
+    // clique C2 shares ONLY (m2, m3) — so both constituent 2-row buckets
+    // hold cap+10 docs. Every other slot is globally unique, so no other
+    // band agrees anywhere.
+    val cap = Dedup.BandDfCap
+    def sig(id: Long, slots: Map[Int, Long]): (Long, Seq[Long]) =
+      id -> (0 until 64).map(i => slots.getOrElse(i, id * 1000L + i))
+    val pairDocs = Seq(1L, 2L).map(id =>
+      sig(id, Map(0 -> 7L, 1 -> 8L, 2 -> 9L, 3 -> 10L)))
+    val c1 = (100L until (100L + cap + 8)).map(id =>
+      sig(id, Map(0 -> 7L, 1 -> 8L)))
+    val c2 = (300L until (300L + cap + 8)).map(id =>
+      sig(id, Map(2 -> 9L, 3 -> 10L)))
+    val rows = (pairDocs ++ c1 ++ c2)
+      .map { case (id, ms) => (id, ms(0), ms) }
+    val sigDf = rows.map { case (id, _, ms) => (id, ms) }
+      .toDF("doc_id", "ms")
+      .select(col("doc_id") +:
+        (0 until 64).map(i => col("ms").getItem(i).as(s"m$i")): _*)
+    // 32-band candidates under the cap: both 2-row buckets containing
+    // (1,2) are pathological, so the pair never reaches the candidate
+    // set — and the downstream 16-band refine can only FILTER candidates,
+    // never resurrect one. This is the documented stricter-than-4-row
+    // behavior.
+    val capped = Dedup.minHashCandidatesFromSig(sigDf, 64, 32)
+      .filter(col("id_a") === 1L && col("id_b") === 2L).count()
+    assert(capped == 0L,
+      "a doubly-hot 4-row pair must be dropped at 2-row granularity")
+    // sanity: without the cap the pair IS a 32-band candidate (slots 0..3
+    // give two full 2-row band matches)
+    val uncapped = Dedup.minHashCandidatesFromSig(sigDf, 64, 32,
+      bandDfCap = Int.MaxValue)
+      .filter(col("id_a") === 1L && col("id_b") === 2L).count()
+    assert(uncapped == 1L)
+  }
+
+  test("x58 probe-side indexDfCap: over-cap INDEX buckets emit no " +
+      "candidates, the index append stays uncapped, and stream ≡ batch " +
+      "holds under the cap (VERDICT r18 #1)") {
+    import spark.implicits._
+    import graft.streaming.CorpusStream
+    // OLD side: a boilerplate clique bigger than the cap plus one
+    // ordinary doc; NEW side: a near-dup of the ordinary doc (must
+    // surface) and a copy of the boilerplate template (must be cut —
+    // its every shared bucket holds cliqueN > cap OLD entries)
+    val cliqueN = Dedup.BandDfCap + 8
+    val oldRows = (1 to cliqueN).map(i =>
+      (i.toLong, "q w e r t y u i o p q w e r t y")) :+
+      (90L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val newRows = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (201L, "q w e r t y u i o p q w e r t y"))
+    val all = (oldRows ++ newRows).toDF("doc_id", "text")
+    val capped = Dedup.incrementalNearDuplicates(all, col("doc_id") >= 200L,
+        threshold = 0.25, n = 3, numHashes = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((200L, 90L)),
+      s"expected only the ordinary cross-set pair past the cap, got $capped")
+    // lifting the cap restores the boilerplate matches — the contract is
+    // the old-side df cut, not the banding
+    val uncapped = Dedup.incrementalNearDuplicates(all,
+        col("doc_id") >= 200L, threshold = 0.25, n = 3, numHashes = 64,
+        bands = 32, indexDfCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((200L, 90L)) ++
+      (1 to cliqueN).map(i => (201L, i.toLong)))
+    // streaming twin: tick 1 indexes the old corpus, tick 2 probes with
+    // the delta — pairs must equal the capped batch run, and the INDEX
+    // must still hold every entry (the append is uncapped: the index
+    // stays a complete record)
+    val base = tmpDir()
+    val (pairsP, indexP, docsP) =
+      (s"$base/pairs", s"$base/index", s"$base/docs")
+    CorpusStream.incrementalDedupBatch(
+      oldRows.toDF("doc_id", "text"), pairsP, indexP, docsP)
+    CorpusStream.incrementalDedupBatch(
+      newRows.toDF("doc_id", "text"), pairsP, indexP, docsP)
+    val streamPairs = spark.read.parquet(pairsP)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs == capped,
+      s"stream $streamPairs != capped batch $capped")
+    assert(spark.read.parquet(indexP).count() ==
+      32L * (oldRows.size + newRows.size),
+      "hot buckets must still be appended to the index")
+  }
+
   test("duplicateClusters: transitive closure to the min reachable id") {
     import spark.implicits._
     // two components, one only connected transitively (1-2, 2-3: no 1-3 edge)

@@ -411,4 +411,38 @@ class CompactionSpec extends SparkSpec {
     assert(healed.select("chash").distinct().count() == 8L)
     assert(!fsOf(store).exists(new Path(store, ".compact_tmp")))
   }
+
+  test("major trigger re-arms on frozen GROWTH since the last major, " +
+      "not the absolute count (ADVICE r18): a store whose rewrite still " +
+      "leaves many frozen files must not major-compact on every call") {
+    import spark.implicits._
+    val store = s"${tmpDir()}/index"
+    def append(bands: Range): Unit = bands.foreach { b =>
+      Seq((s"k$b", b.toLong)).toDF("band_key", "doc_id")
+        .withColumn("band", lit(b))
+        .coalesce(1).write.mode("append")
+        .partitionBy("band").parquet(store)
+    }
+    // 10 frozen single-file partitions (smallBytes = 1 freezes all); the
+    // major rewrite repartitions by band, so it ALSO leaves 10 frozen
+    // files — under the r18 absolute-count trigger that latched `major`
+    // true on every later call (full-store rewrite per tick, forever)
+    append(1 to 10)
+    assert(CorpusStream.compactStore(spark, store,
+      Seq("band", "band_key", "doc_id"), partitionCols = Seq("band"),
+      maxFiles = 2, smallBytes = 1L, majorFrozenFiles = 4))
+    // zero growth since the major: the very next call must be a NO-OP
+    assert(!CorpusStream.compactStore(spark, store,
+      Seq("band", "band_key", "doc_id"), partitionCols = Seq("band"),
+      maxFiles = 2, smallBytes = 1L, majorFrozenFiles = 4),
+      "major must not latch: no frozen growth since the last rewrite")
+    // more than majorFrozenFiles of fresh frozen growth re-arms it
+    append(11 to 16)
+    assert(CorpusStream.compactStore(spark, store,
+      Seq("band", "band_key", "doc_id"), partitionCols = Seq("band"),
+      maxFiles = 2, smallBytes = 1L, majorFrozenFiles = 4))
+    val healed = spark.read.parquet(store)
+    assert(healed.count() == 16L && healed.select("band").distinct()
+      .count() == 16L, "major rewrites must preserve every key")
+  }
 }

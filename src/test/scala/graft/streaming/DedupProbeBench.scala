@@ -48,6 +48,56 @@ object DedupProbeBench {
   }
 }
 
+/** Adversarial boilerplate-bucket harness for the x58 probe-side index
+  * cap (round 19, VERDICT r18 #1): the persisted index holds N documents
+  * that are ALL the same boilerplate template — every LSH band bucket
+  * contains all N entries, the worst-case dense key. A fixed 200-doc
+  * delta of the same template then probes it, capped (the production
+  * default, [[graft.ops.Dedup.BandDfCap]]) vs uncapped
+  * (indexDfCap = MaxValue, the r18 behavior). The claim under test:
+  * uncapped, per-tick candidates are 200·N and the tick cost grows
+  * linearly with the INDEX (the unbounded exposure the cap closes);
+  * capped, the tick cost stays flat in N — the hot buckets emit nothing,
+  * which is the documented recall contract (boilerplate cliques belong
+  * to exact dedup).
+  *
+  *   sbt "Test/runMain graft.streaming.BoilerplateProbeBench"
+  */
+object BoilerplateProbeBench {
+  def main(args: Array[String]): Unit = {
+    val sizes =
+      if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(10000L, 50000L, 200000L)
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val template = "terms of service privacy policy all rights reserved " +
+      "contact us about cookies copyright notice site map help"
+    def docs(from: Long, n: Long) = spark.range(from, from + n)
+      .select(col("id").as("doc_id"), lit(template).as("text"))
+      .localCheckpoint()
+    val rows = for (n <- sizes; cap <- Seq(true, false)
+                    if cap || n <= 50000L) yield {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-boiler-").toString
+      val (p, i, d) = (s"$base/pairs", s"$base/index", s"$base/docs")
+      CorpusStream.incrementalDedupBatch(docs(0, n), p, i, d) // untimed build
+      val delta = docs(10000000L, 200)
+      val t0 = System.nanoTime()
+      CorpusStream.incrementalDedupBatch(delta, p, i, d,
+        indexDfCap = if (cap) graft.ops.Dedup.BandDfCap else Int.MaxValue)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nPairs = if (!new java.io.File(p).exists) 0L
+        else spark.read.parquet(p).count()
+      f"""{"n_index":$n,"capped":$cap,"tick_sec":$sec%.2f,"pairs":$nPairs}"""
+    }
+    println(s"""{"metric":"x58_boilerplate_probe","delta":200,""" +
+      s""""rows":[${rows.mkString(",")}]}""")
+    spark.stop()
+  }
+}
+
 /** Small-files-decay harness for [[CorpusStream.compactStore]] (VERDICT
   * r15 #3): builds the x58 index/docs stores through MANY append ticks
   * (the production fragmentation path — one file per micro-batch), times

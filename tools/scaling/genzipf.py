@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Zipf-vocabulary scaling-corpus generator (round 19, VERDICT r18 #2).
+
+The round-13 generator (gen.py) reproduces the driver's documents table:
+word salad over a FIXED 30-word vocabulary. That is the right twin for
+oracle parity, but as a SCALING workload it is degenerate for LSH
+analysis: the 3-shingle universe is bounded (~27k types), so the
+expected random-pair jaccard is size-invariant and random band
+collisions grow ~n^2 even though none verify — the residual 1.3-1.5
+capped-candidate exponent SCALING.md r18 measured and attributed to the
+corpus, not the algorithm.
+
+This generator keeps every OTHER property of the process identical
+(doc-length distribution 10..100 uniform, 5% planted exact near-dups
+with the " dup" marker, lang/source mixes) but draws words from a
+realistic vocabulary: 30,000 types with Zipf(s=1.07) frequencies — the
+canonical natural-language fit (Zipf 1949; s≈1 for English). Under it
+the shingle universe grows with the corpus and random-pair jaccard
+decays toward 0, which is the regime a real crawl corpus gives the
+banded-LSH pipeline. Measuring CandidateVolumeBench/ClusterBuildBench
+on BOTH corpora separates workload-driven growth from algorithmic
+growth.
+
+Usage: python3 tools/scaling/genzipf.py <out_dir> <n_docs> [seed]
+Writes <out_dir>/documents.parquet (doc_id, text, lang, source, n_chars).
+"""
+import sys
+
+import duckdb
+import numpy as np
+
+VOCAB_TYPES = 30000
+ZIPF_S = 1.07
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_W = np.array([41, 15, 15, 15, 14], dtype="float64")
+DUP_FRACTION = 0.05
+
+
+def gen(n, seed):
+    rng = np.random.default_rng(seed)
+    probs = 1.0 / np.arange(1, VOCAB_TYPES + 1) ** ZIPF_S
+    probs /= probs.sum()
+    vocab = np.array([f"w{i}" for i in range(VOCAB_TYPES)])
+    lengths = rng.integers(10, 101, n)
+    # one vectorized draw for every word position, then slice per doc
+    flat = vocab[rng.choice(VOCAB_TYPES, int(lengths.sum()), p=probs)]
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    dup_roll = rng.random(n)
+    dup_pick = rng.random(n)  # fraction into the already-emitted prefix
+    langs = rng.choice(len(LANGS), n, p=LANG_W / LANG_W.sum())
+    docs = []
+    for i in range(n):
+        if i > 0 and dup_roll[i] < DUP_FRACTION:
+            text = docs[int(dup_pick[i] * i)][1] + " dup"
+        else:
+            text = " ".join(flat[offsets[i]:offsets[i + 1]])
+        docs.append((i, text, LANGS[langs[i]], f"src{i % 20}", len(text)))
+    return docs
+
+
+def main():
+    out, n = sys.argv[1], int(sys.argv[2])
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    docs = gen(n, seed)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+                " source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", docs)
+    import os
+    os.makedirs(out, exist_ok=True)
+    con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    print(f"wrote {out}/documents.parquet ({n} docs, seed {seed}, "
+          f"zipf s={ZIPF_S} over {VOCAB_TYPES} types)")
+
+
+if __name__ == "__main__":
+    main()
