@@ -367,6 +367,11 @@ object Dedup {
     }
     val entries = sig.select(col("doc_id"), col("is_new"),
       posexplode(array(keys: _*)).as(Seq("band", "band_key")))
+      // one evaluation (round 19): the probe's new side, the old side,
+      // and the old-side df aggregate below would otherwise each re-run
+      // the CPU-heavy map-only signature fold — the cap added a third
+      // evaluation and measured +0.27 s on x58 at sf0.1 before this
+      .localCheckpoint()
     val newE = entries.filter(col("is_new"))
       .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
     val oldE0 = entries.filter(!col("is_new"))
@@ -1114,12 +1119,14 @@ object Dedup {
     * as `warmup_builds.signatures_build_sec`.
     */
   def signaturesCached(docs: DataFrame, key: String): DataFrame =
-    // bucketed by doc_id (round 19, VERDICT r18 #4): x53's sigA/sigB
-    // joins and x45's calibration join key on the doc id, so the
-    // corpus-sized signature side of those shuffle_hash joins reads
-    // pre-clustered instead of paying a per-query exchange
-    CorpusCache.cached(docs, "signatures", key, bucketBy = Seq("doc_id"))(
-      d => minHashSignatures(d, 3, 64))
+    // deliberately NOT bucketed (round 19): x45/x53 join this table
+    // TWICE (id_a and id_b sides). A plain scan + exchange lets Spark
+    // scan once and REUSE the exchange for both sides; a bucketed scan
+    // removes the exchanges but scans the table twice — measured
+    // +0.4-0.7 s on x45 and +0.1 s on x53 (ProfileBucketAB A/B, sf0.1).
+    // Single-join consumers (clusters/quality) keep the bucketed form.
+    CorpusCache.cached(docs, "signatures", key)(d =>
+      minHashSignatures(d, 3, 64))
 
   // ------------------------------------------------- DuckDB oracle dialect
   // Kept adjacent to the operators (the Exact.scala convention) so the two

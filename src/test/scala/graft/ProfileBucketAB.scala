@@ -1,0 +1,37 @@
+package graft
+
+/** A/B: artifact-consumer queries with bucketed table scans enabled vs
+  * disabled (same JVM, same artifacts on disk) — isolates the round-19
+  * bucketed-read cost that showed up as +0.1-0.8 s on x10/x44/x45/x53.
+  *
+  *   sbt "Test/runMain graft.ProfileBucketAB /root/testdata/sf0.1"
+  */
+object ProfileBucketAB {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.queries.{ExtensionQueries => EQ}
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val queries: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "x10" -> (() => EQ.qualityScores(spark, dir)),
+      "x44" -> (() => EQ.qualityBuckets(spark, dir)),
+      "x45" -> (() => EQ.minhashCalibration(spark, dir)),
+      "x53" -> (() => EQ.editDistNearDups(spark, dir)))
+    // warm artifacts + JIT
+    queries.foreach { case (_, q) => noop(q()) }
+    for (flag <- Seq("true", "false", "true", "false")) {
+      spark.conf.set("spark.sql.sources.bucketing.enabled", flag)
+      val times = queries.map { case (n, q) =>
+        f"$n=${(1 to 3).map(_ => time(noop(q()))).min}%.2f"
+      }
+      println(s"[ab] bucketing=$flag  ${times.mkString("  ")}")
+    }
+    spark.stop()
+  }
+}
