@@ -48,7 +48,11 @@ import org.apache.spark.sql.DataFrame
   * passing a different frame under the same key) gets a fresh build,
   * never a stale read (ADVICE r14; DedupSpec and TextAnalysisSpec pin
   * this per build name, and CorpusCacheSpec pins the cross-process
-  * read-without-rebuild + rebuild-on-rewrite pair). Values are `lazy`
+  * read-without-rebuild + rebuild-on-rewrite pair). One documented
+  * residual (round 19, [[tailDigests]]): within a SINGLE long-lived
+  * JVM, an in-place rewrite that preserves every file's length AND
+  * mtime reuses the memoized tail digest — only a fresh process (or a
+  * metadata-visible rewrite, the normal case) re-reads the tail bytes. Values are `lazy`
   * holders so each key builds under its own monitor — two first-time
   * callers on DIFFERENT corpora build concurrently; two on the same
   * corpus serialize on that key alone.
@@ -329,9 +333,17 @@ object CorpusCache {
     * directory as a bucketed catalog table once per JVM (IF NOT EXISTS —
     * idempotent and race-safe), so the scan carries the files'
     * hash-clustering into the plan; markerless artifacts read as plain
-    * parquet. The table name is fingerprint-qualified, so a rewritten
-    * corpus (new fingerprint) registers a fresh table and can never
-    * serve a stale location.
+    * parquet. The table name is qualified by the FULL location and the
+    * marker's bucket count, not just the fingerprint (round 19 review):
+    * a sweep-and-rebuild of the same fingerprint by a process with a
+    * different shuffle-partition setting publishes the same dir name
+    * with a different bucket count, and a JVM that registered the old
+    * count would otherwise plan exchange-free joins assuming the wrong
+    * clustering — silently missing matches; likewise two cache roots in
+    * one JVM share a basename but not a location. refreshTable on every
+    * reuse drops Spark's cached file listing, so a dir rewritten in
+    * place between calls re-lists instead of failing on vanished files
+    * — the same per-call listing cost a plain parquet read always paid.
     */
   private def readArtifact(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
@@ -342,7 +354,10 @@ object CorpusCache {
         java.nio.file.Files.readAllBytes(mark), "UTF-8").trim.split('|')
       val base = java.nio.file.Paths.get(dir).getFileName.toString
         .replaceAll("[^A-Za-z0-9]", "_")
-      val tbl = s"graft_cache_${base.take(48)}"
+      val locHash = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      val tbl = s"graft_cache_${base.take(40)}_${n}b_$locHash"
       if (!spark.catalog.tableExists(tbl)) {
         val schemaDdl = spark.read.parquet(dir).schema.toDDL
         val colList = cols.split(',').mkString(", ")
@@ -351,7 +366,7 @@ object CorpusCache {
              |USING parquet
              |CLUSTERED BY ($colList) SORTED BY ($colList) INTO $n BUCKETS
              |LOCATION '$dir'""".stripMargin)
-      }
+      } else spark.catalog.refreshTable(tbl)
       spark.table(tbl)
     }
   }

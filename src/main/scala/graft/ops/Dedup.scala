@@ -374,16 +374,30 @@ object Dedup {
       .localCheckpoint()
     val newE = entries.filter(col("is_new"))
       .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
-    val oldE0 = entries.filter(!col("is_new"))
+    // PROBE-BOUNDED old side (round 19 review): restrict old entries to
+    // buckets the delta actually probes BEFORE computing the df — a
+    // bucket nobody probes this tick emits no candidates whether or not
+    // it is hot, and the semi-join keeps every row of a kept bucket, so
+    // its count (and the output) is unchanged; without this the df
+    // aggregate shuffled ALL old entries (~bands·n rows, mostly unique
+    // keys so map-side combine buys nothing) per call. The delta's
+    // distinct keys are delta-sized, so AQE broadcasts the semi-join.
+    val probeKeys = newE.select(col("band"), col("band_key")).distinct()
+    val oldRel = entries.filter(!col("is_new"))
       .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
+      .join(probeKeys, Seq("band", "band_key"), "left_semi")
     // probe-side index-df cap: the hot set is computed over OLD entries
     // only (the persisted index's population — deterministic per tick),
-    // and the same hot-key anti-join shape as [[lshBucketEntriesCapped]]
-    val hot = oldE0.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("odf"))
+    // and the same hot-key anti-join shape as [[lshBucketEntriesCapped]].
+    // countDistinct, not count(*) (round 19 review): the streaming twin
+    // reads a store whose contract tolerates duplicate rows in crash /
+    // compaction windows, and duplicated entries must not inflate a
+    // bucket past the cap that a from-scratch batch run would keep
+    val hot = oldRel.groupBy(col("band"), col("band_key"))
+      .agg(countDistinct(col("old_id")).as("odf"))
       .filter(col("odf") > indexDfCap)
       .select(col("band"), col("band_key"))
-    val oldE = oldE0.join(hot, Seq("band", "band_key"), "left_anti")
+    val oldE = oldRel.join(hot, Seq("band", "band_key"), "left_anti")
       .select(col("band").as("band_o"), col("band_key").as("band_key_o"),
         col("old_id"))
     val cand = newE.join(oldE,
@@ -408,11 +422,15 @@ object Dedup {
     * SQL twin of the tagging predicate (an expression over `documents`
     * columns). Signature/banding constants render through the same
     * helpers as [[nearDuplicatesSql]] so the two forms cannot drift; the
-    * `bko` CTE replays the probe-side [[BandDfCap]] cut over old-side
-    * bucket populations, so both engines drop the same probes.
+    * `bko` CTE replays the probe-side cut over old-side bucket
+    * populations, so both engines drop the same probes — `indexDfCap`
+    * is a PARAMETER here for the same reason it is one on the Scala
+    * side (round 19 review: a hardcoded constant in one twin invites
+    * drift the moment a caller passes a non-default cap to the other).
     */
   def incrementalNearDuplicatesSql(isNewSql: String, threshold: Double,
-      n: Int, numHashes: Int, bands: Int): String = {
+      n: Int, numHashes: Int, bands: Int,
+      indexDfCap: Int = BandDfCap): String = {
     val rowsPerBand = numHashes / bands
     val mins = (0 until numHashes)
       .map(i => s"min(${Portable.sqlAffine(i, "h")}) AS m$i").mkString(",\n    ")
@@ -437,7 +455,7 @@ object Dedup {
        |    SELECT band, band_key, doc_id,
        |      count(*) OVER (PARTITION BY band, band_key) AS odf
        |    FROM bk WHERE NOT is_new)
-       |  WHERE odf <= $BandDfCap),
+       |  WHERE odf <= $indexDfCap),
        |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
        |  FROM bk n JOIN bko o
        |    ON n.band = o.band AND n.band_key = o.band_key

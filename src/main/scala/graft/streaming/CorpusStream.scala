@@ -691,17 +691,37 @@ object CorpusStream {
     // append landed but the docs append did not: there are no verifiable
     // old docs, and the unconditional doc-store read would throw
     if (pathExists(spark, indexPath) && pathExists(spark, docsPath)) {
-      val oldE0 = spark.read.parquet(indexPath)
+      // PROBE-BOUNDED index read (round 19 review): restrict the index
+      // to buckets this tick's delta actually probes before anything
+      // else — a bucket the delta never hits emits no candidates hot or
+      // not, and the semi-join keeps every row of a kept bucket so its
+      // df (and the emitted pair set) is unchanged. The delta's distinct
+      // keys are delta-sized (≤ bands·|delta|), so AQE broadcasts the
+      // semi-join and the index side streams through ONE pruned scan;
+      // the localCheckpoint makes that one scan feed both the df
+      // aggregate and the probe join. Without this the df aggregate
+      // shuffled the ENTIRE index (~bands·n mostly-unique keys — no
+      // map-side reduction) per tick, an index-sized cost the cap was
+      // meant to remove.
+      val probeKeys = entries.select("band", "band_key").distinct()
+      val oldRel = spark.read.parquet(indexPath)
         .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
+        .join(probeKeys, Seq("band", "band_key"), "left_semi")
+        .localCheckpoint()
       // probe-side cap against INDEX state at tick start (see the
       // contract above): the hot set is tiny by definition, so AQE
-      // broadcasts the anti-join; the counting aggregate's shuffle
-      // carries one row per bucket, map-side combined
-      val hot = oldE0.groupBy(col("band"), col("band_key"))
-        .agg(count(lit(1)).as("odf"))
+      // broadcasts the anti-join. countDistinct, not count(*) (round 19
+      // review): the store contract tolerates duplicate index rows in
+      // crash-replay / compaction swap / cross-tier windows, and a
+      // duplicated entry must not inflate a bucket past the cap that a
+      // from-scratch batch run (no duplicates) would keep — that miss
+      // would be permanent (each pair is probed exactly once) and would
+      // break the stream ≡ batch parity statement
+      val hot = oldRel.groupBy(col("band"), col("band_key"))
+        .agg(countDistinct(col("old_id")).as("odf"))
         .filter(col("odf") > indexDfCap)
         .select(col("band"), col("band_key"))
-      val oldE = oldE0.join(hot, Seq("band", "band_key"), "left_anti")
+      val oldE = oldRel.join(hot, Seq("band", "band_key"), "left_anti")
       val cand = entries.select(col("band"), col("band_key"),
           col("doc_id").as("new_id"))
         .join(oldE, Seq("band", "band_key"))

@@ -460,6 +460,39 @@ class DedupSpec extends SparkSpec {
       "hot buckets must still be appended to the index")
   }
 
+  test("x58 probe cap counts DISTINCT index docs: duplicated store rows " +
+      "(crash-replay / compaction windows) must not inflate a bucket " +
+      "past the cap (round 19 review)") {
+    import spark.implicits._
+    import graft.streaming.CorpusStream
+    // an under-cap clique: D distinct docs with 2D raw index rows after
+    // a simulated replay duplication — count(*) would read 2D > cap and
+    // drop the bucket permanently (pairs are probed once per new doc);
+    // countDistinct reads D <= cap and keeps it, matching a
+    // from-scratch batch run over a duplicate-free index
+    val d = Dedup.BandDfCap / 2 + 8 // 40: under cap, over cap when doubled
+    val oldRows = (1 to d).map(i =>
+      (i.toLong, "z x c v b n m a s d z x c v b n"))
+    val base = tmpDir()
+    val (pairsP, indexP, docsP) =
+      (s"$base/pairs", s"$base/index", s"$base/docs")
+    CorpusStream.incrementalDedupBatch(
+      oldRows.toDF("doc_id", "text"), pairsP, indexP, docsP)
+    // simulate the duplicate-tolerant store state: every index row twice
+    val dup = spark.read.parquet(indexP).localCheckpoint()
+    dup.write.mode("append").partitionBy("band").parquet(indexP)
+    assert(spark.read.parquet(indexP).count() == 2L * 32 * d)
+    CorpusStream.incrementalDedupBatch(
+      Seq((300L, "z x c v b n m a s d z x c v b n"))
+        .toDF("doc_id", "text"), pairsP, indexP, docsP)
+    val pairs = spark.read.parquet(pairsP)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (1 to d).map(i => (300L, i.toLong)).toSet,
+      s"under-cap bucket with duplicated rows must still emit all $d " +
+        s"pairs, got ${pairs.size}")
+  }
+
   test("duplicateClusters: transitive closure to the min reachable id") {
     import spark.implicits._
     // two components, one only connected transitively (1-2, 2-3: no 1-3 edge)

@@ -63,9 +63,19 @@ def main():
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
     docs = gen(n, seed)
     con = duckdb.connect()
-    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
-                " source VARCHAR, n_chars BIGINT)")
-    con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", docs)
+    # one bulk ingest from a registered Arrow table (round 19 review:
+    # executemany ran n individual prepared inserts — minutes of pure
+    # insert overhead per 500k-doc corpus, repeated across the sweep)
+    import pyarrow as pa
+    arrow = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[2] for d in docs], pa.string()),
+        "source": pa.array([d[3] for d in docs], pa.string()),
+        "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+    })
+    con.register("arrow_docs", arrow)
+    con.execute("CREATE TABLE d AS SELECT * FROM arrow_docs")
     import os
     os.makedirs(out, exist_ok=True)
     con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
