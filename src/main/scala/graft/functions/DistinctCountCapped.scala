@@ -1,0 +1,158 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native Catalyst aggregate: the exact distinct count of a bigint
+  * column, SATURATED at `cap + 1` — `distinct_count_capped(v, cap) →
+  * bigint`, where any result above `cap` reports exactly `cap + 1`.
+  *
+  * The decision the x58 probe-side index-df cap needs is only
+  * "distinct(old_id) > cap?", never the full count. `count(DISTINCT v)`
+  * answers it at the wrong price: Spark expands it to a distinct
+  * (group, v) pre-aggregation whose partial phase cannot collapse a
+  * dense bucket (every tuple is distinct), so one boilerplate bucket
+  * holding B index entries shuffles B rows — measured 10.7 → 18.8 s per
+  * probe tick at the 200k-doc boilerplate adversary, the very
+  * index-sized cost the cap exists to remove. This aggregate keeps a
+  * per-group hash set that SATURATES: once `cap + 1` distinct values
+  * are seen the set is dropped and the buffer collapses to a one-flag
+  * sentinel, so the partial phase is O(1) memory per group past the
+  * cap, the shuffled partial state is at most `cap + 1` longs per
+  * (group, partition), and merge is a bounded union. The >cap decision
+  * is exact in every duplication state — saturation only forgets WHICH
+  * values were seen, never whether more than `cap` distinct ones were.
+  *
+  * Contract: nulls are ignored (like `count(DISTINCT ...)`); `cap` must
+  * be a foldable non-negative int; result is `least(true_distinct,
+  * cap + 1)` — DedupSpec pins equality against `count(DISTINCT ...)`
+  * clamped the same way, on both sides of the saturation boundary.
+  */
+case class DistinctCountCapped(
+    child: Expression,
+    cap: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DistinctCountCapped.Buffer]
+  with BinaryLike[Expression] {
+
+  private lazy val capV: Int = cap.eval().asInstanceOf[Number].intValue
+
+  override def left: Expression = child
+  override def right: Expression = cap
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"distinct_count_capped requires a bigint column, " +
+          s"got ${child.dataType}")
+    else if (!cap.foldable || cap.dataType != org.apache.spark.sql.types
+        .IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        "distinct_count_capped requires a literal int cap")
+    else if (cap.eval() == null ||
+        cap.eval().asInstanceOf[Number].intValue < 0)
+      TypeCheckResult.TypeCheckFailure(
+        "distinct_count_capped cap must be a non-negative int")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "distinct_count_capped"
+
+  override def createAggregationBuffer(): DistinctCountCapped.Buffer =
+    new DistinctCountCapped.Buffer(capV)
+
+  override def update(buffer: DistinctCountCapped.Buffer,
+      input: InternalRow): DistinctCountCapped.Buffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: DistinctCountCapped.Buffer,
+      other: DistinctCountCapped.Buffer): DistinctCountCapped.Buffer = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: DistinctCountCapped.Buffer): Any = buffer.count
+
+  override def serialize(buffer: DistinctCountCapped.Buffer): Array[Byte] =
+    buffer.toBytes
+
+  override def deserialize(bytes: Array[Byte]): DistinctCountCapped.Buffer =
+    DistinctCountCapped.Buffer.fromBytes(capV, bytes)
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): DistinctCountCapped =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): DistinctCountCapped =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DistinctCountCapped =
+    copy(child = newLeft, cap = newRight)
+}
+
+object DistinctCountCapped {
+
+  /** Saturating distinct-set buffer: at most `cap + 1` resident longs;
+    * once the (cap+1)-th distinct value lands the set is released and
+    * only the saturation flag survives (count reports `cap + 1`).
+    */
+  final class Buffer(cap: Int) {
+    private var saturated = false
+    private var set = new java.util.HashSet[java.lang.Long]()
+
+    def add(v: Long): Unit = if (!saturated) {
+      set.add(v)
+      if (set.size > cap) markSaturated()
+    }
+
+    private[DistinctCountCapped] def markSaturated(): Unit = {
+      saturated = true
+      set = null
+    }
+
+    def mergeFrom(other: Buffer): Unit =
+      if (other.saturated) markSaturated()
+      else if (!saturated) {
+        val it = other.set.iterator()
+        while (it.hasNext && !saturated) add(it.next())
+      }
+
+    def count: Long = if (saturated) cap + 1L else set.size.toLong
+
+    def toBytes: Array[Byte] =
+      if (saturated) Array[Byte](1)
+      else {
+        val bb = ByteBuffer.allocate(1 + 4 + 8 * set.size)
+        bb.put(0: Byte).putInt(set.size)
+        val it = set.iterator()
+        while (it.hasNext) bb.putLong(it.next())
+        bb.array()
+      }
+  }
+
+  object Buffer {
+    def fromBytes(cap: Int, bytes: Array[Byte]): Buffer = {
+      val b = new Buffer(cap)
+      val bb = ByteBuffer.wrap(bytes)
+      if (bb.get() == (1: Byte)) b.markSaturated()
+      else {
+        var n = bb.getInt
+        while (n > 0) { b.add(bb.getLong); n -= 1 }
+      }
+      b
+    }
+  }
+}

@@ -52,7 +52,11 @@ object GraftFunctions {
       simHash64Builder),
     (new FunctionIdentifier("top_token_count"),
       new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),
-      topTokenCountBuilder))
+      topTokenCountBuilder),
+    (new FunctionIdentifier("distinct_count_capped"),
+      new ExpressionInfo(classOf[DistinctCountCapped].getName,
+        "distinct_count_capped"),
+      distinctCountCappedBuilder))
 
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
     require(children.size == 2,
@@ -121,6 +125,14 @@ object GraftFunctions {
     require(children.size == 1,
       s"top_token_count takes exactly 1 argument, got ${children.size}")
     TopTokenCount(children(0))
+  }
+
+  private[functions] def distinctCountCappedBuilder(
+      children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      s"distinct_count_capped takes exactly 2 arguments, got " +
+        s"${children.size}")
+    DistinctCountCapped(children(0), children(1))
   }
 
   def register(spark: SparkSession): Unit =
@@ -202,6 +214,15 @@ object GraftFunctions {
     */
   def top_token_count(toks: Column): Column =
     call_function("top_token_count", toks)
+
+  /** Column-API form of the saturating distinct-count aggregate: the
+    * exact `count(DISTINCT v)` clamped at `cap + 1`, with partial state
+    * bounded at `cap + 1` longs per group — the ">cap?" decision
+    * aggregate (x58 probe-side index-df cap), O(1) buffer memory past
+    * the cap where `count(DISTINCT ...)` shuffles every distinct tuple.
+    */
+  def distinct_count_capped(v: Column, cap: Column): Column =
+    call_function("distinct_count_capped", v, cap)
 }
 
 /** `spark.sql.extensions` hook: native functions + optimizer rules. */
@@ -250,6 +271,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("top_token_count"),
         new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),
         GraftFunctions.topTokenCountBuilder _))
+    ext.injectFunction(
+      (new FunctionIdentifier("distinct_count_capped"),
+        new ExpressionInfo(classOf[DistinctCountCapped].getName,
+          "distinct_count_capped"),
+        GraftFunctions.distinctCountCappedBuilder _))
     ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
   }
 }

@@ -389,12 +389,17 @@ object Dedup {
     // probe-side index-df cap: the hot set is computed over OLD entries
     // only (the persisted index's population — deterministic per tick),
     // and the same hot-key anti-join shape as [[lshBucketEntriesCapped]].
-    // countDistinct, not count(*) (round 19 review): the streaming twin
+    // DISTINCT docs, not raw rows (round 19 review): the streaming twin
     // reads a store whose contract tolerates duplicate rows in crash /
     // compaction windows, and duplicated entries must not inflate a
-    // bucket past the cap that a from-scratch batch run would keep
+    // bucket past the cap that a from-scratch batch run would keep —
+    // via the saturating native aggregate, whose partial state is
+    // bounded at cap+1 longs per group (`count(DISTINCT ...)` shuffles
+    // every distinct tuple of a dense bucket; see
+    // [[graft.functions.DistinctCountCapped]])
     val hot = oldRel.groupBy(col("band"), col("band_key"))
-      .agg(countDistinct(col("old_id")).as("odf"))
+      .agg(graft.functions.GraftFunctions.distinct_count_capped(
+        col("old_id"), lit(indexDfCap)).as("odf"))
       .filter(col("odf") > indexDfCap)
       .select(col("band"), col("band_key"))
     val oldE = oldRel.join(hot, Seq("band", "band_key"), "left_anti")

@@ -697,28 +697,40 @@ object CorpusStream {
       // not, and the semi-join keeps every row of a kept bucket so its
       // df (and the emitted pair set) is unchanged. The delta's distinct
       // keys are delta-sized (≤ bands·|delta|), so AQE broadcasts the
-      // semi-join and the index side streams through ONE pruned scan;
-      // the localCheckpoint makes that one scan feed both the df
-      // aggregate and the probe join. Without this the df aggregate
-      // shuffled the ENTIRE index (~bands·n mostly-unique keys — no
-      // map-side reduction) per tick, an index-sized cost the cap was
-      // meant to remove.
+      // semi-join and the index side streams through map-only pruned
+      // scans. Without this the df aggregate shuffled the ENTIRE index
+      // (~bands·n mostly-unique keys — no map-side reduction) per tick,
+      // an index-sized cost the cap was meant to remove. Deliberately
+      // NOT materialized (no localCheckpoint): when the probed buckets
+      // COVER the index (the boilerplate adversary — every row is in a
+      // probed bucket), a checkpoint would materialize the whole index
+      // only for the anti-join to drop it (measured 10.7 → 32.9 s at
+      // the 200k boilerplate point); two map-only pruned scans are
+      // cheap in both regimes — the df aggregate's partial (map-side)
+      // phase collapses dense buckets before the shuffle.
       val probeKeys = entries.select("band", "band_key").distinct()
       val oldRel = spark.read.parquet(indexPath)
         .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
         .join(probeKeys, Seq("band", "band_key"), "left_semi")
-        .localCheckpoint()
       // probe-side cap against INDEX state at tick start (see the
       // contract above): the hot set is tiny by definition, so AQE
-      // broadcasts the anti-join. countDistinct, not count(*) (round 19
+      // broadcasts the anti-join. DISTINCT docs, not raw rows (round 19
       // review): the store contract tolerates duplicate index rows in
       // crash-replay / compaction swap / cross-tier windows, and a
       // duplicated entry must not inflate a bucket past the cap that a
       // from-scratch batch run (no duplicates) would keep — that miss
       // would be permanent (each pair is probed exactly once) and would
-      // break the stream ≡ batch parity statement
+      // break the stream ≡ batch parity statement. The saturating
+      // native aggregate keeps the dense-bucket adversary flat: partial
+      // state is ≤ cap+1 longs per group, where `count(DISTINCT ...)`
+      // shuffled every distinct (bucket, old_id) tuple — an index-sized
+      // shuffle per tick on exactly the boilerplate store the cap
+      // exists for (measured 10.7 → 18.8 s at the 200k point before
+      // this; [[graft.functions.DistinctCountCapped]])
+      graft.functions.GraftFunctions.register(spark)
       val hot = oldRel.groupBy(col("band"), col("band_key"))
-        .agg(countDistinct(col("old_id")).as("odf"))
+        .agg(graft.functions.GraftFunctions.distinct_count_capped(
+          col("old_id"), lit(indexDfCap)).as("odf"))
         .filter(col("odf") > indexDfCap)
         .select(col("band"), col("band_key"))
       val oldE = oldRel.join(hot, Seq("band", "band_key"), "left_anti")

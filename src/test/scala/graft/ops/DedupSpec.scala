@@ -493,6 +493,45 @@ class DedupSpec extends SparkSpec {
         s"pairs, got ${pairs.size}")
   }
 
+  test("distinct_count_capped equals count(DISTINCT) clamped at cap+1 on " +
+      "both sides of the saturation boundary, across partitions") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // groups straddling the boundary: distinct counts 1, cap, cap+1,
+    // 3*cap — with every value duplicated 3x and the rows spread over
+    // many partitions, so the partial/merge/serialize paths all run
+    val cap = 5
+    val rows = Seq(
+      ("one", 1), ("atcap", cap), ("justover", cap + 1), ("dense", 3 * cap))
+      .flatMap { case (g, nd) =>
+        (0 until nd).flatMap(v => Seq.fill(3)((g, v.toLong)))
+      }
+    val df = spark.createDataFrame(rows).toDF("g", "v")
+      .repartition(13)
+    val got = df.groupBy("g")
+      .agg(graft.functions.GraftFunctions
+        .distinct_count_capped(col("v"), lit(cap)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.groupBy("g")
+      .agg(least(countDistinct(col("v")), lit(cap + 1L)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got("dense") == cap + 1L && got("atcap") == cap,
+      s"got $got want $want")
+    // nulls are ignored like count(DISTINCT ...)
+    val withNulls = Seq(("n", Some(1L)), ("n", None), ("n", Some(1L)))
+      .toDF("g", "v")
+    val nGot = withNulls.groupBy("g")
+      .agg(graft.functions.GraftFunctions
+        .distinct_count_capped(col("v"), lit(cap)).as("c"))
+      .collect().head.getLong(1)
+    assert(nGot == 1L)
+    // SQL form resolves through the registry too
+    withNulls.createOrReplaceTempView("dcc_t")
+    assert(spark.sql(
+      s"SELECT distinct_count_capped(v, $cap) FROM dcc_t")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("duplicateClusters: transitive closure to the min reachable id") {
     import spark.implicits._
     // two components, one only connected transitively (1-2, 2-3: no 1-3 edge)
