@@ -287,6 +287,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("x58 probe cap plan: the old-side df aggregate is probe-bounded " +
+      "(LeftSemi on the delta's bucket keys) and runs the saturating " +
+      "native aggregate, never count(DISTINCT) (round 19 review)") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, dir)
+    val plan = executed(graft.ops.Dedup.incrementalNearDuplicates(
+      docs, pmod(col("doc_id"), lit(50)) === 0, threshold = 0.25,
+      n = 3, numHashes = 64, bands = 32))
+    // the semi-join restricting old entries to probed buckets: without
+    // it the df aggregate shuffles the whole index per call
+    assert(plan.contains("LeftSemi"),
+      s"old side not probe-bounded (no LeftSemi):\n$plan")
+    // the saturating aggregate (partial state <= cap+1 longs per group);
+    // count(DISTINCT) would render an extra distinct pre-aggregation
+    // whose partial phase cannot collapse a dense bucket
+    assert(plan.contains("distinct_count_capped"),
+      s"df aggregate is not the saturating native form:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed aggregate not running object-hash:\n$plan")
+    assert(!plan.contains("distinct "), // Spark renders DISTINCT aggs
+      s"a distinct pre-aggregation crept back in:\n$plan")
+  }
+
   test("x64 contamination spans: benchmark grams broadcast; island merge " +
       "exchanges on doc_id only") {
     val plan = executed(
