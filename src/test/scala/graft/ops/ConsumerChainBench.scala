@@ -1,0 +1,52 @@
+package graft.ops
+
+/** Scaling harness for the ARTIFACT-CONSUMER chain (round 19, ROADMAP
+  * item 4b): x45 (MinHash calibration) and x53 (edit-distance verify)
+  * are the two queries that read the shared signature + candidate
+  * artifacts and then do bounded per-candidate work — their growth law
+  * is the consumer-side complement of CandidateVolumeBench (candidate
+  * volume) and ClusterBuildBench (build cost). This main builds the
+  * artifact family once UNTIMED (exactly the bench protocol's warmup),
+  * then times each consumer query end-to-end, three runs each:
+  *
+  *   python3 tools/scaling/genzipf.py /tmp/zipf_N N 42
+  *   sbt "Test/runMain graft.ops.ConsumerChainBench /tmp/zipf_N"
+  *
+  * The claim under test: consumer cost rides the CAPPED candidate
+  * volume (near-linear, SCALING.md round 19), never the n² uncapped
+  * curve — at any corpus size the per-query work is the artifact scan
+  * plus bounded per-candidate slot/intersect work.
+  */
+object ConsumerChainBench {
+  def main(args: Array[String]): Unit = {
+    val corpus = args.headOption.getOrElse("/tmp/zipf_50k")
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, corpus)
+    val n = docs.count()
+    // untimed artifact build: signatures → candidates → pairs (the
+    // calibration and the derived x53 gate read the first two; building
+    // pairs too matches the bench parent's warmup set)
+    Dedup.pairsCached(docs, corpus).count()
+    def best3(f: => Long): (Double, Long) = {
+      val timed = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (timed.map(_._1).min, timed.head._2)
+    }
+    val (t45, r45) = best3(
+      graft.queries.ExtensionQueries.minhashCalibration(spark, corpus)
+        .count())
+    val (t53, r53) = best3(
+      graft.queries.ExtensionQueries.editDistNearDups(spark, corpus)
+        .count())
+    println(f"""{"metric":"consumer_chain","n_docs":$n,""" +
+      f""""x45_sec":$t45%.3f,"x45_rows":$r45,""" +
+      f""""x53_sec":$t53%.3f,"x53_rows":$r53,""" +
+      s""""load":${CorpusCache.buildLoadJsonAll}}""")
+    spark.stop()
+  }
+}
