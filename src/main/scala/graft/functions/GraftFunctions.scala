@@ -141,6 +141,20 @@ object GraftFunctions {
         .registerFunction(ident, info, builder)
     }
 
+  /** [[register]] guarded on registry state: a no-op when the graft
+    * functions are already present — which they are under
+    * [[GraftExtensions]]/`GraftSession`, where registration happens once
+    * at session build. Hot paths that may run per micro-batch or per
+    * query call THIS form so steady-state ticks never mutate the session
+    * registry (ADVICE r19: the streaming dedup leg re-registered all ten
+    * functions on every tick). The last-registered builder stands proxy
+    * for the whole set — builders register atomically-in-order, so its
+    * presence implies all of them.
+    */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.sessionState.functionRegistry
+        .functionExists(builders.last._1)) register(spark)
+
   /** Column-API form of the native dot product. The active session must have
     * [[register]]ed (or been built with [[GraftExtensions]]).
     */

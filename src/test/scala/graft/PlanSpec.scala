@@ -292,9 +292,10 @@ class PlanSpec extends SparkSpec {
       "native aggregate, never count(DISTINCT) (round 19 review)") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val docs = Tables.documents(spark, dir)
-    val plan = executed(graft.ops.Dedup.incrementalNearDuplicates(
+    val df = graft.ops.Dedup.incrementalNearDuplicates(
       docs, pmod(col("doc_id"), lit(50)) === 0, threshold = 0.25,
-      n = 3, numHashes = 64, bands = 32))
+      n = 3, numHashes = 64, bands = 32)
+    val plan = executed(df)
     // the semi-join restricting old entries to probed buckets: without
     // it the df aggregate shuffles the whole index per call
     assert(plan.contains("LeftSemi"),
@@ -306,8 +307,22 @@ class PlanSpec extends SparkSpec {
       s"df aggregate is not the saturating native form:\n$plan")
     assert(plan.contains("ObjectHashAggregate"),
       s"typed aggregate not running object-hash:\n$plan")
-    assert(!plan.contains("distinct "), // Spark renders DISTINCT aggs
-      s"a distinct pre-aggregation crept back in:\n$plan")
+    // no DISTINCT aggregate anywhere: inspect AggregateExpression
+    // .isDistinct on the optimized plan tree rather than matching
+    // Spark's textual rendering (round 20, ADVICE r19 — the bare
+    // "distinct " substring was brittle both ways: a formatting change
+    // could false-fail it or silently stop it guarding). The plan's
+    // own `.distinct()` calls lower to plain Aggregate nodes with no
+    // aggregate functions, so they cannot false-positive here.
+    val distinctAggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+              .AggregateExpression if ae.isDistinct => ae
+        })
+    }.flatten
+    assert(distinctAggs.isEmpty,
+      s"a distinct pre-aggregation crept back in: $distinctAggs\n$plan")
   }
 
   test("x64 contamination spans: benchmark grams broadcast; island merge " +

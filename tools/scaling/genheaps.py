@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Heaps-law scaling-corpus generator (round 20, VERDICT r19 #4).
+
+genzipf.py fixed the vocabulary SHAPE (Zipf frequencies over 30k types)
+but not its SIZE: every corpus size draws from the same 30,000 types, so
+two random docs' expected jaccard — hence the per-pair band-collision
+probability p — is size-invariant, and capped LSH candidates keep an
+irreducible p*C(n,2) term (SCALING.md round 19's honest analysis of why
+the candidate exponent cannot reach 1.0 under any FIXED generative
+process).
+
+Real crawls are not a fixed process: vocabulary grows with corpus size
+following Heaps' law, V(N) ~= K * N^beta with K ~ 10-100 and
+beta ~ 0.4-0.6 for English (Heaps 1978; Baeza-Yates & Ribeiro-Neto).
+This generator sizes the Zipf vocabulary per corpus as
+V = K * (total_words)^beta with K=10, beta=0.5 — at 50k docs (~2.75M
+words) that is ~16.6k types; at 500k docs ~52k; at 2M docs ~105k — so p
+DECLINES as n grows. Under this regime the p*C(n,2) term is
+self-damping and the capped-candidate curve should bend toward linear,
+which is the claim SCALING.md argues real crawls occupy and this
+generator exists to demonstrate.
+
+Everything else (doc-length distribution, 5% planted near-dups, Zipf
+s=1.07 shape, lang/source mixes, output schema) is genzipf.py verbatim
+— the vocabulary-size law is the ONLY variable, so curve differences
+between the two corpora isolate exactly the fixed-vs-growing-vocabulary
+effect.
+
+Usage: python3 tools/scaling/genheaps.py <out_dir> <n_docs> [seed]
+Writes <out_dir>/documents.parquet (doc_id, text, lang, source, n_chars).
+
+Requires: duckdb, numpy. Optional: pyarrow (same fallback as genzipf).
+"""
+import sys
+
+import duckdb
+
+import genzipf
+
+HEAPS_K = 10.0
+HEAPS_BETA = 0.5
+MEAN_DOC_WORDS = 55  # mean of the uniform(10, 100) length distribution
+
+
+def vocab_types(n_docs):
+    total_words = n_docs * MEAN_DOC_WORDS
+    return max(1000, int(HEAPS_K * total_words ** HEAPS_BETA))
+
+
+def main():
+    out, n = sys.argv[1], int(sys.argv[2])
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    v = vocab_types(n)
+    docs = genzipf.gen(n, seed, vocab_types=v)
+    con = duckdb.connect()
+    try:
+        import pyarrow as pa
+    except ImportError:
+        pa = None
+    if pa is not None:
+        arrow = pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array([d[2] for d in docs], pa.string()),
+            "source": pa.array([d[3] for d in docs], pa.string()),
+            "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+        })
+        con.register("arrow_docs", arrow)
+        con.execute("CREATE TABLE d AS SELECT * FROM arrow_docs")
+    else:
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, "
+                    "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+        con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", docs)
+    import os
+    os.makedirs(out, exist_ok=True)
+    con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    print(f"wrote {out}/documents.parquet ({n} docs, seed {seed}, "
+          f"heaps vocab={v} types, zipf s={genzipf.ZIPF_S})")
+
+
+if __name__ == "__main__":
+    main()

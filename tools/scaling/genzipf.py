@@ -23,6 +23,10 @@ growth.
 
 Usage: python3 tools/scaling/genzipf.py <out_dir> <n_docs> [seed]
 Writes <out_dir>/documents.parquet (doc_id, text, lang, source, n_chars).
+
+Requires: duckdb, numpy. Optional: pyarrow — used for the fast bulk
+Arrow ingest; without it the generator falls back to executemany
+(correct, minutes slower per 500k-doc corpus).
 """
 import sys
 
@@ -36,14 +40,14 @@ LANG_W = np.array([41, 15, 15, 15, 14], dtype="float64")
 DUP_FRACTION = 0.05
 
 
-def gen(n, seed):
+def gen(n, seed, vocab_types=VOCAB_TYPES):
     rng = np.random.default_rng(seed)
-    probs = 1.0 / np.arange(1, VOCAB_TYPES + 1) ** ZIPF_S
+    probs = 1.0 / np.arange(1, vocab_types + 1) ** ZIPF_S
     probs /= probs.sum()
-    vocab = np.array([f"w{i}" for i in range(VOCAB_TYPES)])
+    vocab = np.array([f"w{i}" for i in range(vocab_types)])
     lengths = rng.integers(10, 101, n)
     # one vectorized draw for every word position, then slice per doc
-    flat = vocab[rng.choice(VOCAB_TYPES, int(lengths.sum()), p=probs)]
+    flat = vocab[rng.choice(vocab_types, int(lengths.sum()), p=probs)]
     offsets = np.concatenate([[0], np.cumsum(lengths)])
     dup_roll = rng.random(n)
     dup_pick = rng.random(n)  # fraction into the already-emitted prefix
@@ -65,17 +69,27 @@ def main():
     con = duckdb.connect()
     # one bulk ingest from a registered Arrow table (round 19 review:
     # executemany ran n individual prepared inserts — minutes of pure
-    # insert overhead per 500k-doc corpus, repeated across the sweep)
-    import pyarrow as pa
-    arrow = pa.table({
-        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
-        "text": pa.array([d[1] for d in docs], pa.string()),
-        "lang": pa.array([d[2] for d in docs], pa.string()),
-        "source": pa.array([d[3] for d in docs], pa.string()),
-        "n_chars": pa.array([d[4] for d in docs], pa.int64()),
-    })
-    con.register("arrow_docs", arrow)
-    con.execute("CREATE TABLE d AS SELECT * FROM arrow_docs")
+    # insert overhead per 500k-doc corpus, repeated across the sweep);
+    # pyarrow is optional (round 20, ADVICE r19): fall back to the slow
+    # executemany path rather than crash on a machine without it
+    try:
+        import pyarrow as pa
+    except ImportError:
+        pa = None
+    if pa is not None:
+        arrow = pa.table({
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array([d[2] for d in docs], pa.string()),
+            "source": pa.array([d[3] for d in docs], pa.string()),
+            "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+        })
+        con.register("arrow_docs", arrow)
+        con.execute("CREATE TABLE d AS SELECT * FROM arrow_docs")
+    else:
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, "
+                    "lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+        con.executemany("INSERT INTO d VALUES (?, ?, ?, ?, ?)", docs)
     import os
     os.makedirs(out, exist_ok=True)
     con.execute(f"COPY d TO '{out}/documents.parquet' (FORMAT PARQUET)")
