@@ -25,8 +25,11 @@ object GraftSession {
                   shufflePartitions: Int = 32): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
     // getOrCreate may return a pre-existing session whose builder never saw
-    // our extensions — re-apply through public runtime hooks, idempotently
-    graft.functions.GraftFunctions.register(spark)
+    // our extensions — re-apply through public runtime hooks, guarded on
+    // registry state (round 20: the unconditional register re-registered
+    // every function over the extension-injected ones, one spurious
+    // "function replaced" WARN per function per session build)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     if (!spark.experimental.extraOptimizations
           .exists(_.isInstanceOf[graft.plans.RewriteFoldDot])) {
       spark.experimental.extraOptimizations =

@@ -31,6 +31,7 @@ object DedupProbeBench {
     val delta = docs.filter(col("doc_id") < 5000)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       .localCheckpoint()
+    var tickPairs = -1L
     val runs = (1 to 3).map { _ =>
       val base = java.nio.file.Files
         .createTempDirectory("graft-probe-").toString
@@ -39,11 +40,17 @@ object DedupProbeBench {
       val t0 = System.nanoTime()
       CorpusStream.incrementalDedupBatch(delta,
         s"$base/pairs", s"$base/index", s"$base/docs")
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // untimed: the verify volume the timed tick just paid — planted
+      // dup-chains grow with the index, so pairs-per-tick attributes
+      // the wall curve's output-driven component (round 20)
+      tickPairs = spark.read.parquet(s"$base/pairs")
+        .filter(col("new_id") >= 10000000L).count()
+      sec
     }
     println(f"""{"metric":"x58_probe_tick","n_index":$n,""" +
       f""""n_delta":5000,"runs":[${runs.map(t => f"$t%.3f").mkString(",")}],""" +
-      f""""best":${runs.min}%.3f}""")
+      f""""best":${runs.min}%.3f,"tick_pairs":$tickPairs}""")
     spark.stop()
   }
 }
