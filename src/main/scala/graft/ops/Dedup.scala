@@ -319,34 +319,6 @@ object Dedup {
     verifyJaccard(docs, minHashCandidates(docs, n, numHashes, bands),
       threshold, n)
 
-  /** Incremental (delta-vs-index) near-duplicate detection — the
-    * production shape of [[nearDuplicates]]: a NEW batch of documents is
-    * deduplicated against an EXISTING corpus without re-pairing the
-    * existing corpus with itself. `isNew` is a deterministic predicate
-    * over the doc columns that tags the incoming batch; everything else
-    * (shingle n, hash family, banding, exact re-verification threshold)
-    * is the [[nearDuplicates]] machinery verbatim, so an incremental run
-    * surfaces exactly the cross-set subset of the full run's pairs.
-    *
-    * Scale / persisted-index posture: the only state the old side
-    * contributes is its `(band, band_key, doc_id)` bucket entries — the
-    * LSH index a production pipeline PERSISTS (one
-    * `.write.partitionBy("band")` away) and re-reads per batch, so each
-    * delta costs O(|delta| signatures) + one bucket-key join against the
-    * index, never a corpus re-scan. Locally both sides come from one
-    * shared token scan (a single groupBy computes every signature);
-    * candidates are restricted to new×old at the bucket join (new×new
-    * and old×old pairs never form), and only candidates are joined back
-    * to their shingle sets.
-    *
-    * `indexDfCap` (round 19, VERDICT r18 #1): old-side buckets whose
-    * INDEX population exceeds the cap are dropped from the probe before
-    * the bucket join — see [[BandDfCap]] for why the df is computed over
-    * the old side only (deterministic per tick, so the streaming twin's
-    * parity survives) and why the recall cost is confined to boilerplate
-    * cliques exact dedup already owns. Per-tick candidate volume is then
-    * ≤ |delta| · bands · cap instead of O(B) per hot bucket.
-    */
   /** Shared probe-cap core of the x58 twins (round 20, VERDICT r19 #2):
     * the batch twin [[incrementalNearDuplicates]] and the streaming leg
     * [[graft.streaming.CorpusStream.incrementalDedupBatch]] previously
@@ -408,6 +380,34 @@ object Dedup {
       .select("new_id", "old_id").distinct()
   }
 
+  /** Incremental (delta-vs-index) near-duplicate detection — the
+    * production shape of [[nearDuplicates]]: a NEW batch of documents is
+    * deduplicated against an EXISTING corpus without re-pairing the
+    * existing corpus with itself. `isNew` is a deterministic predicate
+    * over the doc columns that tags the incoming batch; everything else
+    * (shingle n, hash family, banding, exact re-verification threshold)
+    * is the [[nearDuplicates]] machinery verbatim, so an incremental run
+    * surfaces exactly the cross-set subset of the full run's pairs.
+    *
+    * Scale / persisted-index posture: the only state the old side
+    * contributes is its `(band, band_key, doc_id)` bucket entries — the
+    * LSH index a production pipeline PERSISTS (one
+    * `.write.partitionBy("band")` away) and re-reads per batch, so each
+    * delta costs O(|delta| signatures) + one bucket-key join against the
+    * index, never a corpus re-scan. Locally both sides come from one
+    * shared token scan (a single groupBy computes every signature);
+    * candidates are restricted to new×old at the bucket join (new×new
+    * and old×old pairs never form), and only candidates are joined back
+    * to their shingle sets.
+    *
+    * `indexDfCap` (round 19, VERDICT r18 #1): old-side buckets whose
+    * INDEX population exceeds the cap are dropped from the probe before
+    * the bucket join — see [[BandDfCap]] for why the df is computed over
+    * the old side only (deterministic per tick, so the streaming twin's
+    * parity survives) and why the recall cost is confined to boilerplate
+    * cliques exact dedup already owns. Per-tick candidate volume is then
+    * ≤ |delta| · bands · cap instead of O(B) per hot bucket.
+    */
   def incrementalNearDuplicates(docs: DataFrame, isNew: Column,
       threshold: Double, n: Int = 3, numHashes: Int = 32,
       bands: Int = 8, indexDfCap: Int = BandDfCap): DataFrame = {
