@@ -156,7 +156,7 @@ object Dedup {
     * (PlanSpec gates the plan contains exactly one word_shingle_minhash).
     */
   def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val mh = graft.functions.GraftFunctions.word_shingle_minhash(
       col("text"), lit(n), lit(numHashes), lit(MinHashSalt))
     // null-text docs must DROP (the exploded form's explode(null) dropped
@@ -680,7 +680,7 @@ object Dedup {
     // exploded chain survives as [[simHashBitsExploded]], the reference
     // DedupSpec pins this against. Null/empty token arrays drop, exactly
     // as explode() dropped them.
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val sig = graft.functions.GraftFunctions.simhash64(toks, lit(SimHashSalt))
     docs.filter(toks.isNotNull && size(toks) > 0)
       .select(col("doc_id"), sig.as("sig"))

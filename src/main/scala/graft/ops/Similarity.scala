@@ -74,7 +74,7 @@ object Similarity {
     * score, rank).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = spread(corpus).select(col("vec_id").as("neighbor_id"),
       asDouble(col("embedding")).as("c_vec"))
     val q = queries.select(col("vec_id").as("query_id"),
@@ -107,7 +107,7 @@ object Similarity {
     */
   def contaminationScan(corpus: DataFrame, bench: DataFrame,
                         tau: Double): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = spread(corpus).select(col("vec_id"),
       asDouble(col("embedding")).as("c_vec"))
     val b = bench.select(col("vec_id").cast("long").as("bench_id"),
@@ -184,7 +184,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dim: Int, numPlanes: Int = 12, probeRadius: Int = 1,
               seed: Long = 42L): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val c = spread(corpus).select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_vec"),
       lshBucket(col("embedding"), dim, numPlanes, seed).as("bucket"))
@@ -219,7 +219,7 @@ object Similarity {
     */
   def writeBucketed(corpus: DataFrame, path: String, dim: Int,
                     numPlanes: Int = 12, seed: Long = 42L): Unit = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     corpus
       .withColumn("bucket", lshBucket(col("embedding"), dim, numPlanes, seed))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
@@ -236,7 +236,7 @@ object Similarity {
                     queries: DataFrame, k: Int, dim: Int,
                     numPlanes: Int = 12, probeRadius: Int = 1,
                     seed: Long = 42L): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val flips = probeFlips(numPlanes, probeRadius)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_vec"),
@@ -315,7 +315,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int = 16, nProbe: Int = 4,
               candidateFilter: Column = lit(true)): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     // The centroid sample (the INDEX) always comes from the full corpus:
     // a metadata `candidateFilter` (round 12 — hybrid "filtered ANN")
     // restricts only the candidate side, the vector-DB pre-filter-on-scan
@@ -361,7 +361,7 @@ object Similarity {
     * Probes then prune to the probed cells' directories.
     */
   def writeIvf(corpus: DataFrame, path: String, nCells: Int = 16): Unit = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val cents = centroidSample(corpus, nCells)
     corpus
       .withColumn("cell_id", assignCell(col("embedding"), cents))
@@ -381,7 +381,7 @@ object Similarity {
     */
   def probeIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val cents = spark.read.parquet(s"$path/centroids")
       .collect()
       .map(r => (r.getAs[Long]("cell_id"),
@@ -432,7 +432,7 @@ object Similarity {
   def lshTopPairs(corpus: DataFrame, topN: Int, dim: Int,
                   numPlanes: Int = 12, probeRadius: Int = 1,
                   seed: Long = 42L): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val flips = probeFlips(numPlanes, probeRadius)
     val a = spread(corpus).select(col("vec_id").as("id_a"),
         asDouble(col("embedding")).as("vec_a"),
@@ -506,7 +506,7 @@ object Similarity {
     * partitioned nested-loop that spills instead of exploding.
     */
   def topPairs(corpus: DataFrame, topN: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val n = corpus.count()
     require(n <= TopPairsMaxRows,
       s"topPairs is an all-pairs verification primitive for bounded inputs: " +
@@ -599,7 +599,7 @@ object Similarity {
       // planning/codegen took ~20 s/pass — and a when().otherwise() argmin
       // fold over those structs duplicated the accumulator per step, 2^k
       // nodes, 109 s and 20 MiB task binaries at k=8 (round 6's regression).
-      graft.functions.GraftFunctions.register(df.sparkSession)
+      graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
       val sorted = cents.sortBy(_._1)
       val dim = sorted.head._2.length
       sorted.foreach { case (cid, c) =>

@@ -1566,7 +1566,7 @@ object ExtensionQueries {
     * leg; DedupSpec-pinned value-identical, oracle unchanged).
     */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val docs = Tables.documents(spark, dir)
     docs.select(col("doc_id"), TextAnalysis.words(col("text")).as("w"))
       // domain pin (ADVICE r15): the pre-fusion exploded chain inner-

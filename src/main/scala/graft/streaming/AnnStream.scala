@@ -39,7 +39,7 @@ object AnnStream {
     */
   def upsertVectors(batch: DataFrame, storePath: String, nCells: Int): Unit = {
     val spark = batch.sparkSession
-    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     if (batch.isEmpty) return
     val fs = new Path(storePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -118,7 +118,7 @@ object AnnStream {
     */
   def refreshCentroids(spark: SparkSession, storePath: String,
       nCells: Int): Unit = {
-    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
     val fs = new Path(storePath).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
