@@ -532,6 +532,36 @@ class DedupSpec extends SparkSpec {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("cappedProbeCandidates (the shared x58 core, round 20): hot " +
+      "buckets drop, duplicated under-cap buckets emit every distinct " +
+      "pair once, unprobed buckets emit nothing, multi-bucket pairs " +
+      "dedup") {
+    import spark.implicits._
+    val cap = 4
+    // index: bucket (0,A) = cap+1 distinct docs → hot, drops from the
+    // probe; bucket (0,B) = 3 distinct docs with EVERY row duplicated
+    // (the store's crash/compaction duplicate tolerance) → under cap on
+    // DISTINCT docs, keeps; bucket (1,C) = never probed; bucket (1,D)
+    // repeats old doc 10 so a (new,old) pair forms in TWO buckets and
+    // must emit once
+    val idx =
+      (1 to cap + 1).map(i => (0, "A", i.toLong)) ++
+      (10 to 12).flatMap(i => Seq.fill(2)((0, "B", i.toLong))) ++
+      Seq((1, "C", 99L), (1, "D", 10L))
+    val indexEntries = idx.toDF("band", "band_key", "old_id")
+    val delta = Seq((0, "A", 100L), (0, "B", 100L), (0, "B", 101L),
+      (1, "D", 100L)).toDF("band", "band_key", "new_id")
+    val got = Dedup.cappedProbeCandidates(delta, indexEntries, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want =
+      (for (n <- Seq(100L, 101L); o <- 10L to 12L) yield (n, o)).toSet
+    assert(got == want, s"got $got want $want")
+    // and the count is exactly the set size — (100,10) formed in both
+    // (0,B) and (1,D) but the output is DISTINCT
+    assert(Dedup.cappedProbeCandidates(delta, indexEntries, cap)
+      .count() == want.size)
+  }
+
   test("duplicateClusters: transitive closure to the min reachable id") {
     import spark.implicits._
     // two components, one only connected transitively (1-2, 2-3: no 1-3 edge)
