@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
-  private val builders: Seq[(FunctionIdentifier, ExpressionInfo,
+  private[functions] val builders: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
@@ -147,13 +147,16 @@ object GraftFunctions {
     * at session build. Hot paths that may run per micro-batch or per
     * query call THIS form so steady-state ticks never mutate the session
     * registry (ADVICE r19: the streaming dedup leg re-registered all ten
-    * functions on every tick). The last-registered builder stands proxy
-    * for the whole set — builders register atomically-in-order, so its
-    * presence implies all of them.
+    * functions on every tick). Every identifier is checked — 11 cheap
+    * registry lookups — rather than one proxy builder (ADVICE r20: the
+    * last-registered-implies-all shortcut let a drift between two
+    * registration paths, or a user-registered name collision on the
+    * proxy, pass the guard and surface later as an analysis failure).
     */
-  def ensureRegistered(spark: SparkSession): Unit =
-    if (!spark.sessionState.functionRegistry
-        .functionExists(builders.last._1)) register(spark)
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!builders.forall(b => reg.functionExists(b._1))) register(spark)
+  }
 
   /** Column-API form of the native dot product. The active session must have
     * [[register]]ed (or been built with [[GraftExtensions]]).
@@ -242,54 +245,10 @@ object GraftFunctions {
 /** `spark.sql.extensions` hook: native functions + optimizer rules. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      (new FunctionIdentifier("vec_dot"),
-        new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-        GraftFunctions.vecDotBuilder _))
-    ext.injectFunction(
-      (new FunctionIdentifier("centroid_argmin"),
-        new ExpressionInfo(classOf[CentroidArgmin].getName, "centroid_argmin"),
-        GraftFunctions.centroidArgminBuilder _))
-    ext.injectFunction(
-      (new FunctionIdentifier("centroid_dot_argmax"),
-        new ExpressionInfo(classOf[CentroidDotArgmax].getName,
-          "centroid_dot_argmax"),
-        GraftFunctions.centroidDotArgmaxBuilder _))
-    ext.injectFunction(
-      (new FunctionIdentifier("vec_dot_fx"),
-        new ExpressionInfo(classOf[VecDotFx].getName, "vec_dot_fx"),
-        GraftFunctions.vecDotFxBuilder _))
-    ext.injectFunction(
-      (new FunctionIdentifier("vec_dot_long"),
-        new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
-        GraftFunctions.vecDotLongBuilder _))
-    ext.injectFunction(
-      (new FunctionIdentifier("word_shingles"),
-        new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-        GraftFunctions.wordShinglesBuilder _))
-    ext.injectFunction(
-      (new FunctionIdentifier("word_shingle_hash60"),
-        new ExpressionInfo(classOf[WordShingleHash60].getName,
-          "word_shingle_hash60"),
-        GraftFunctions.wordShingleHash60Builder _))
-    ext.injectFunction(
-      (new FunctionIdentifier("word_shingle_minhash"),
-        new ExpressionInfo(classOf[WordShingleMinHash].getName,
-          "word_shingle_minhash"),
-        GraftFunctions.wordShingleMinHashBuilder _))
-    ext.injectFunction(
-      (new FunctionIdentifier("simhash64"),
-        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-        GraftFunctions.simHash64Builder _))
-    ext.injectFunction(
-      (new FunctionIdentifier("top_token_count"),
-        new ExpressionInfo(classOf[TopTokenCount].getName, "top_token_count"),
-        GraftFunctions.topTokenCountBuilder _))
-    ext.injectFunction(
-      (new FunctionIdentifier("distinct_count_capped"),
-        new ExpressionInfo(classOf[DistinctCountCapped].getName,
-          "distinct_count_capped"),
-        GraftFunctions.distinctCountCappedBuilder _))
+    // the ONE builder list (ADVICE r20): iterating GraftFunctions.builders
+    // means this path and register()/ensureRegistered() cannot drift —
+    // the hand-duplicated 11 injections let a list edit miss one side
+    GraftFunctions.builders.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => new graft.plans.RewriteFoldDot)
   }
 }

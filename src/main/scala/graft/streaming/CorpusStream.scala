@@ -69,24 +69,53 @@ object CorpusStream {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
         sha2(col("text"), 256).as("chash"))
 
+  /** Rows of `delta` whose `keyCols` tuple is not yet present in the
+    * parquet store at `storePath` — the ONE delta-bounded store gate
+    * every streaming append in this file rides (round 21, VERDICT r20
+    * #1; single implementation so the twins cannot drift, the same
+    * extraction discipline as [[graft.ops.Dedup.cappedProbeCandidates]]).
+    *
+    * A stored row can only eliminate a delta row SHARING its join key,
+    * and the delta's keys are tick-sized, so semi-filtering the store
+    * side FIRST (`probeKeys`: a delta-derived projection whose columns
+    * are a subset of `keyCols`, same names) preserves the anti-join
+    * bitwise while the store is never shuffled — at scale the store
+    * side is a map-only pruned scan joined against a broadcast of the
+    * delta's keys. The r20 shape scanned AND shuffled the corpus-sized
+    * store every tick: the delta is the left_anti's LEFT side, which
+    * Spark can never broadcast, and the doc/chunk gates' `.distinct()`
+    * additionally forced a store-wide aggregate exchange per tick
+    * (duplicate keys on an anti-join's right side are value-neutral,
+    * so dropping the distinct is free). Absent store ⇒ `delta`
+    * unchanged. PlanSpec pins the shape: every store scan's nearest
+    * join ancestor is the semi-filter with the store on the streamed
+    * (left) side.
+    */
+  def freshAgainstStore(delta: DataFrame, storePath: String,
+      keyCols: Seq[String], probeKeys: DataFrame): DataFrame = {
+    val spark = delta.sparkSession
+    if (!pathExists(spark, storePath)) delta
+    else delta.join(
+      spark.read.parquet(storePath).select(keyCols.map(col): _*)
+        .join(probeKeys, probeKeys.columns.toSeq, "left_semi"),
+      keyCols, "left_anti")
+  }
+
   /** The batch's exact-dedup survivors: smallest doc_id per content hash
-    * within the batch, hashes already in the store dropped via anti-join.
-    * Pure computation — callers decide when to write (and must materialize
-    * BEFORE appending to `tablePath`, or the anti-join would see its own
-    * output).
+    * within the batch, hashes already in the store dropped via the
+    * delta-bounded anti-join ([[freshAgainstStore]]; probe keys come
+    * from `batch` pre-window — a cheap superset of `inBatch`'s hashes,
+    * so the window is not re-run). Pure computation — callers decide
+    * when to write (and must materialize BEFORE appending to
+    * `tablePath`, or the anti-join would see its own output).
     */
   def dedupFresh(batch: DataFrame, tablePath: String): DataFrame = {
-    val spark = batch.sparkSession
     val inBatch = batch
       .withColumn("keep", col("doc_id") ===
         min(col("doc_id")).over(Window.partitionBy("chash")))
       .filter(col("keep")).drop("keep")
-    val exists = new Path(tablePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration).exists(new Path(tablePath))
-    if (!exists) inBatch
-    else inBatch.join(
-      spark.read.parquet(tablePath).select("chash").distinct(),
-      Seq("chash"), "left_anti")
+    freshAgainstStore(inBatch, tablePath, Seq("chash"),
+      batch.select("chash"))
   }
 
   /** Exact-dedup append: keep the smallest doc_id per content hash within
@@ -121,21 +150,23 @@ object CorpusStream {
     * streaming form of the x30 chunk-dedup rule, with the same
     * first-writer-wins idempotence as the document store.
     */
-  def upsertChunks(chunks: DataFrame, chunkPath: String): Unit = {
-    val spark = chunks.sparkSession
+  def upsertChunks(chunks: DataFrame, chunkPath: String): Unit =
+    chunksFresh(chunks, chunkPath).write.mode("append").parquet(chunkPath)
+
+  /** The batch's chunk-dedup survivors as a pure computation (the
+    * chunk-granularity twin of [[dedupFresh]]): first (doc_id, chunk_idx)
+    * wins per fingerprint within the batch, stored fingerprints drop via
+    * the delta-bounded anti-join ([[freshAgainstStore]]). Callers decide
+    * when to write and must materialize before appending to `chunkPath`.
+    */
+  def chunksFresh(chunks: DataFrame, chunkPath: String): DataFrame = {
     val w = Window.partitionBy("chunk_hash")
       .orderBy(col("doc_id"), col("chunk_idx"))
     val inBatch = chunks
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1).drop("rk")
-    val exists = new Path(chunkPath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration).exists(new Path(chunkPath))
-    val fresh =
-      if (!exists) inBatch
-      else inBatch.join(
-        spark.read.parquet(chunkPath).select("chunk_hash").distinct(),
-        Seq("chunk_hash"), "left_anti")
-    fresh.write.mode("append").parquet(chunkPath)
+    freshAgainstStore(inBatch, chunkPath, Seq("chunk_hash"),
+      chunks.select("chunk_hash"))
   }
 
   /** The x57 Gopher rule battery as a streaming gate — the SAME keep
@@ -296,18 +327,8 @@ object CorpusStream {
         graft.queries.ExtensionQueries.canonicalUrl(col("url")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1).drop("rk")
-    val fresh = (if (!pathExists(spark, urlKeysPath)) winners
-      else {
-        val claims = spark.read.parquet(urlKeysPath)
-          .select(col("canon"), col("doc_id").as("claim_id"))
-        val valid =
-          if (!pathExists(spark, tablePath)) claims.limit(0)
-          else claims.join(
-            spark.read.parquet(tablePath)
-              .select(col("doc_id").as("claim_id")),
-            Seq("claim_id"), "left_semi")
-        winners.join(valid, Seq("canon"), "left_anti")
-      }).localCheckpoint() // one evaluation: claims append + caller's stages
+    val fresh = urlFreshWinners(winners, urlKeysPath, tablePath)
+      .localCheckpoint() // one evaluation: claims append + caller's stages
     val keys = fresh.select(col("canon"), col("doc_id"))
     // append guard on the FULL (canon, doc_id) pair, not canon alone
     // (ADVICE r15): a claim whose claimant was absorbed downstream (its
@@ -318,13 +339,59 @@ object CorpusStream {
     // probe, breaking the at-most-one-doc-per-canon invariant. Keyed on
     // the pair, a re-claimer (different doc_id) records its claim while
     // a crash-window replay (same pair) still cannot double-append.
-    val freshKeys =
-      if (!pathExists(spark, urlKeysPath)) keys
-      else keys.join(
-        spark.read.parquet(urlKeysPath).select("canon", "doc_id"),
-        Seq("canon", "doc_id"), "left_anti")
-    freshKeys.write.mode("append").parquet(urlKeysPath)
+    // delta-bounded like every other store gate (round 21, VERDICT r20
+    // #1): only stored pairs sharing a canon with this batch's keys can
+    // match the (canon, doc_id) anti-join, and `keys` rides the
+    // localCheckpoint above, so the canon probe set is free
+    freshAgainstStore(keys, urlKeysPath, Seq("canon", "doc_id"),
+      keys.select("canon"))
+      .write.mode("append").parquet(urlKeysPath)
     fresh
+  }
+
+  /** The validity probe of [[urlDedupStage]] as a pure computation:
+    * batch winners whose canonical URL is not yet VALIDLY claimed (a
+    * claim counts only if its claimant doc actually reached the doc
+    * store — dead claims from absorbed claimants do not suppress).
+    *
+    * DELTA-BOUNDED (round 21, VERDICT r20 #1): only a claim SHARING a
+    * canon with this batch's winners can eliminate a winner, so the
+    * claims store is semi-filtered to the winners' tick-sized canon set
+    * FIRST; the doc-store existence probe then runs with the
+    * corpus-sized store as the map-only LEFT of a semi against the
+    * delta-bounded claim ids (broadcastable), and the surviving ids
+    * semi-filter the claims — claims ∩ docs computed without ever
+    * shuffling a store-sized relation. The r20 form semi-joined the
+    * FULL claims store against the FULL doc store on claim_id: a
+    * store×store shuffle join every tick.
+    *
+    * The bounded claims are MATERIALIZED once (`materialize`, default
+    * localCheckpoint — tick-sized by construction): they are referenced
+    * twice below (probe keys + semi left), and DataFrame reuse is
+    * re-evaluation, so the unmaterialized form scanned the claims store
+    * twice per tick (measured 3.7 vs 2.6 s per tick at a 4M-pair store,
+    * FunnelGateBench). Tests pass `identity` to inspect the full
+    * logical plan (GatePlanSpec).
+    */
+  def urlFreshWinners(winners: DataFrame, urlKeysPath: String,
+      tablePath: String,
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val spark = winners.sparkSession
+    if (!pathExists(spark, urlKeysPath)) winners
+    else {
+      val claims = materialize(spark.read.parquet(urlKeysPath)
+        .select(col("canon"), col("doc_id").as("claim_id"))
+        .join(winners.select("canon"), Seq("canon"), "left_semi"))
+      val valid =
+        if (!pathExists(spark, tablePath)) claims.limit(0)
+        else claims.join(
+          spark.read.parquet(tablePath)
+            .select(col("doc_id").as("claim_id"))
+            .join(claims.select("claim_id"), Seq("claim_id"),
+              "left_semi"),
+          Seq("claim_id"), "left_semi")
+      winners.join(valid, Seq("canon"), "left_anti")
+    }
   }
 
   /** The curated funnel in the published RefinedWeb order with the
@@ -684,10 +751,11 @@ object CorpusStream {
     import graft.ops.Dedup
     val spark = batch0.sparkSession
     val batchAll = batch0.select(col("doc_id"), col("text"))
-    val batch = (if (pathExists(spark, docsPath))
-        batchAll.join(spark.read.parquet(docsPath).select("doc_id"),
-          Seq("doc_id"), "left_anti")
-      else batchAll).localCheckpoint()
+    // delta-bounded replay gate (round 21, VERDICT r20 #1 — round 20
+    // delta-bounded the pairs and index gates below but left this one
+    // anti-joining the corpus-sized doc-id projection every tick)
+    val batch = freshAgainstStore(batchAll, docsPath, Seq("doc_id"),
+      batchAll.select("doc_id")).localCheckpoint()
     if (batch.isEmpty) return // replay / empty tick: no-op
     val entries = Dedup.lshBucketEntries(
         Dedup.minHashSignatures(batch, n, numHashes), numHashes, bands)
@@ -704,10 +772,22 @@ object CorpusStream {
       // bug had to be fixed in both copies of this block). All the
       // measured evidence (10.7→32.9 s checkpoint trap, 10.7→18.8 s
       // count(DISTINCT) shuffle) is documented on the helper.
+      // The index read drops the batch's OWN doc_ids first (round 21,
+      // ADVICE r20): in the index-written/docs-missing crash window a
+      // replayed batch's stale entries are already in the index, and
+      // without this gate they inflate per-bucket DISTINCT counts — a
+      // bucket at the cap could go over and permanently drop cross-set
+      // pairs a crash-free run would emit (the doc-store join below
+      // only heals the self-pair side). Outside the window the batch
+      // was just anti-joined against the doc store and the index only
+      // holds stored docs' entries, so this removes nothing. Cost:
+      // delta-bounded anti-join (broadcast of the batch's ids over the
+      // map-only index scan), same shape as every other replay gate.
       val cand = Dedup.cappedProbeCandidates(
         entries.select(col("band"), col("band_key"),
           col("doc_id").as("new_id")),
         spark.read.parquet(indexPath)
+          .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
           .select(col("band"), col("band_key"),
             col("doc_id").as("old_id")),
         indexDfCap)
@@ -726,25 +806,14 @@ object CorpusStream {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("new_id"), col("old_id"), col("jaccard"))
-      // DELTA-BOUNDED replay anti-join (round 20, VERDICT r19 #1):
-      // every fresh pair carries a new_id from THIS batch, so a stored
-      // pair whose new_id is outside the batch can never eliminate one
-      // — semi-filtering the store side to the batch's ids FIRST
-      // preserves the anti-join exactly while replacing a store-sized
-      // shuffle with a map-only pruned scan + a delta-bounded join.
-      // (The delta is the left_anti's LEFT side, so Spark could never
-      // broadcast it; without the semi-filter the ENTIRE pairs store
-      // was scanned AND shuffled every tick — the same shape the probe
-      // path's probeKeys semi-join fixed one screen earlier, and the
-      // dominant residual term in the r19 probe-tick growth.)
-      val fresh =
-        if (!pathExists(spark, pairsPath)) pairs
-        else pairs.join(
-          spark.read.parquet(pairsPath).select("new_id", "old_id")
-            .join(batch.select(col("doc_id").as("new_id")),
-              Seq("new_id"), "left_semi"),
-          Seq("new_id", "old_id"), "left_anti")
-      fresh.write.mode("append").parquet(pairsPath)
+      // DELTA-BOUNDED replay anti-join (round 20, VERDICT r19 #1; the
+      // shared-gate form since round 21): every fresh pair carries a
+      // new_id from THIS batch, so the store side prunes to the
+      // batch's ids — see [[freshAgainstStore]]. This was the dominant
+      // residual term in the r19 probe-tick growth.
+      freshAgainstStore(pairs, pairsPath, Seq("new_id", "old_id"),
+        batch.select(col("doc_id").as("new_id")))
+        .write.mode("append").parquet(pairsPath)
     }
     // index entries anti-join their store exactly like pairs do: a crash
     // between this append and the docs append below must leave a replay
@@ -757,14 +826,9 @@ object CorpusStream {
     // not doc_ids — the bucket-key filter would keep its whole
     // population); it turns the per-tick full-index shuffle into a
     // map-only pruned scan against a broadcast of the batch's ids.
-    val freshEntries =
-      if (!pathExists(spark, indexPath)) entries
-      else entries.join(
-        spark.read.parquet(indexPath)
-          .select("band", "band_key", "doc_id")
-          .join(batch.select("doc_id"), Seq("doc_id"), "left_semi"),
-        Seq("band", "band_key", "doc_id"), "left_anti")
-    freshEntries.write.mode("append").partitionBy("band").parquet(indexPath)
+    freshAgainstStore(entries, indexPath, Seq("band", "band_key", "doc_id"),
+      batch.select("doc_id"))
+      .write.mode("append").partitionBy("band").parquet(indexPath)
     batch.write.mode("append").parquet(docsPath)
   }
 

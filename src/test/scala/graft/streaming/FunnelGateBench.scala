@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A/B harness for the round-21 delta-bounded streaming store gates
+  * (VERDICT r20 #1): times one fixed-delta gate tick against an N-row
+  * persisted store in BOTH shapes — `old` (the r20 form: the full store
+  * on the anti/semi-join's store side, so the store is scanned AND
+  * shuffled every tick; on the doc/chunk gates the `.distinct()`
+  * additionally forces a store-wide aggregate exchange) and `new` (the
+  * shipped form: the store side semi-filtered to the batch's tick-sized
+  * key set first — map-only pruned scan + broadcast, anti-join
+  * semantics preserved exactly). Three sites measured:
+  *
+  *   - doc gate   ([[CorpusStream.dedupFresh]], chash)
+  *   - chunk gate ([[CorpusStream.chunksFresh]], chunk_hash)
+  *   - URL claims validity probe + append gate
+  *     ([[CorpusStream.urlDedupStage]], canon / (canon, doc_id))
+  *
+  * Pure-compute timing to a noop sink for the doc/chunk gates (the
+  * appends are the caller's business); the URL stage is timed as the
+  * full stage call (it owns its claims append), against per-mode store
+  * copies built identically. The old shapes are reconstructed inline
+  * from the r20 code so one binary measures both.
+  *
+  *   sbt "Test/runMain graft.streaming.FunnelGateBench 200000 1000000 4000000"
+  */
+object FunnelGateBench {
+
+  private def noop(df: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def bestOf3(mk: () => Double): Double = (1 to 3).map(_ => mk()).min
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(200000L, 1000000L, 4000000L)
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val deltaN = 5000L
+
+    def docRows(from: Long, n: Long): DataFrame =
+      spark.range(from, from + n).select(
+        col("id").as("doc_id"), lit("web").as("source"),
+        lit("en").as("lang"),
+        concat(lit("document body text number "), col("id"),
+          lit(" with some filler words attached")).as("text"))
+        .withColumn("n_tok", lit(9L))
+        .withColumn("chash", sha2(col("text"), 256))
+
+    val results = sizes.map { n =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-gate-").toString
+
+      // ---------------- doc gate (dedupFresh)
+      val docStore = s"$base/docs"
+      docRows(0, n).write.parquet(docStore)
+      // half the delta collides with stored hashes, half is fresh —
+      // both paths of the anti-join are exercised
+      val batch = docRows(0, deltaN / 2)
+        .unionAll(docRows(n + 1000000L, deltaN / 2)).localCheckpoint()
+      def oldDocGate(): DataFrame = {
+        val inBatch = batch.withColumn("keep", col("doc_id") ===
+            min(col("doc_id")).over(Window.partitionBy("chash")))
+          .filter(col("keep")).drop("keep")
+        inBatch.join(
+          spark.read.parquet(docStore).select("chash").distinct(),
+          Seq("chash"), "left_anti")
+      }
+      val docOld = bestOf3(() => noop(oldDocGate()))
+      val docNew = bestOf3(() => noop(
+        CorpusStream.dedupFresh(batch, docStore)))
+
+      // ---------------- chunk gate (chunksFresh)
+      val chunkStore = s"$base/chunks"
+      spark.range(0, n).select(col("id").as("doc_id"),
+          lit(0).as("chunk_idx"), lit(7L).as("n_tok"),
+          md5(concat(lit("chunk "), col("id"))).as("chunk_hash"),
+          concat(lit("chunk text "), col("id")).as("chunk_text"))
+        .write.parquet(chunkStore)
+      val chunkBatch = spark.range(0, deltaN).select(
+          (col("id") + n + 1000000L).as("doc_id"),
+          lit(0).as("chunk_idx"), lit(7L).as("n_tok"),
+          md5(concat(lit("chunk "),
+            when(col("id") < deltaN / 2, col("id"))
+              .otherwise(col("id") + n + 1000000L))).as("chunk_hash"),
+          concat(lit("chunk text "), col("id")).as("chunk_text"))
+        .localCheckpoint()
+      def oldChunkGate(): DataFrame = {
+        val w = Window.partitionBy("chunk_hash")
+          .orderBy(col("doc_id"), col("chunk_idx"))
+        val inBatch = chunkBatch.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).drop("rk")
+        inBatch.join(
+          spark.read.parquet(chunkStore).select("chunk_hash").distinct(),
+          Seq("chunk_hash"), "left_anti")
+      }
+      val chunkOld = bestOf3(() => noop(oldChunkGate()))
+      val chunkNew = bestOf3(() => noop(
+        CorpusStream.chunksFresh(chunkBatch, chunkStore)))
+
+      // ---------------- URL claims probe (urlDedupStage)
+      // claims store: n (canon, doc_id) pairs, every claimant present in
+      // the doc store — the steady-state shape. Per-mode copies so the
+      // stages' own appends cannot cross-contaminate the timing.
+      def buildUrlStores(tag: String): (String, String) = {
+        val keys = s"$base/urlkeys-$tag"
+        val docs2 = s"$base/urldocs-$tag"
+        spark.range(0, n).select(
+            concat(lit("http://example.com/page"), col("id")).as("canon"),
+            col("id").as("doc_id"))
+          .write.parquet(keys)
+        docRows(0, n).write.parquet(docs2)
+        (keys, docs2)
+      }
+      val urlBatch = spark.range(0, deltaN).select(
+          (col("id") + n + 2000000L).as("doc_id"),
+          concat(lit("http://example.com/page"),
+            when(col("id") < deltaN / 2, col("id"))
+              .otherwise(col("id") + n + 2000000L)).as("url"),
+          lit(40L).as("n_chars"),
+          concat(lit("page body "), col("id")).as("text"))
+        .localCheckpoint()
+      def oldUrlStage(keysPath: String, docsPath: String): Double = {
+        val t0 = System.nanoTime()
+        val w = Window.partitionBy("canon")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val winners = urlBatch.withColumn("canon",
+            graft.queries.ExtensionQueries.canonicalUrl(col("url")))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1).drop("rk")
+        val claims = spark.read.parquet(keysPath)
+          .select(col("canon"), col("doc_id").as("claim_id"))
+        val valid = claims.join(
+          spark.read.parquet(docsPath).select(col("doc_id").as("claim_id")),
+          Seq("claim_id"), "left_semi")
+        val fresh = winners.join(valid, Seq("canon"), "left_anti")
+          .localCheckpoint()
+        val keys = fresh.select(col("canon"), col("doc_id"))
+        val freshKeys = keys.join(
+          spark.read.parquet(keysPath).select("canon", "doc_id"),
+          Seq("canon", "doc_id"), "left_anti")
+        freshKeys.write.mode("append").parquet(keysPath)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (oldKeys, oldDocs) = buildUrlStores("old")
+      val urlOld = bestOf3(() => oldUrlStage(oldKeys, oldDocs))
+      val (newKeys, newDocs) = buildUrlStores("new")
+      val urlNew = bestOf3 { () =>
+        val t0 = System.nanoTime()
+        CorpusStream.urlDedupStage(urlBatch, newKeys, newDocs)
+        (System.nanoTime() - t0) / 1e9
+      }
+
+      f"""{"n_store":$n,"doc_gate_old":$docOld%.3f,""" +
+        f""""doc_gate_new":$docNew%.3f,""" +
+        f""""chunk_gate_old":$chunkOld%.3f,"chunk_gate_new":$chunkNew%.3f,""" +
+        f""""url_stage_old":$urlOld%.3f,"url_stage_new":$urlNew%.3f}"""
+    }
+    println(s"""{"metric":"funnel_gate_tick","n_delta":$deltaN,""" +
+      s""""rows":[${results.mkString(",")}]}""")
+    spark.stop()
+  }
+}

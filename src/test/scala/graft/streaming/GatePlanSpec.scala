@@ -1,0 +1,159 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plan-shape gates for the round-21 delta-bounded streaming store gates
+  * (VERDICT r20 #1): no per-tick gate may shuffle a store-sized
+  * relation. The pinned invariant, checked on the optimized logical
+  * plan: EVERY scan of a persisted store reaches the rest of the plan
+  * through a semi/anti filter whose STREAMED (left) side is the store —
+  * i.e. the first join above each store scan is a LeftSemi/LeftAnti
+  * with the store on the left and a delta-derived probe on the right.
+  * Under that shape the store side is a map-only pruned scan and the
+  * only thing that can shuffle (or broadcast) is tick-sized. The r20
+  * shapes all violate it: the doc/chunk gates put the store (behind a
+  * `.distinct()` aggregate exchange) on the anti-join's RIGHT, and the
+  * URL validity probe put the corpus-sized doc store on the RIGHT of
+  * its claim_id semi-join.
+  */
+class GatePlanSpec extends SparkSpec {
+
+  private def readsStore(p: LogicalPlan, store: String): Boolean =
+    p.collectLeaves().exists {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(_.toString.contains(store))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** Asserts the invariant above for every scan of `store` in `df`'s
+    * optimized plan: walking down from the root and resetting at each
+    * Join, the join nearest ABOVE each store scan must be LeftSemi or
+    * LeftAnti with the scan in its LEFT subtree.
+    */
+  private def assertDeltaBounded(df: DataFrame, store: String,
+      label: String): Unit = {
+    val plan = df.queryExecution.optimizedPlan
+    var scansSeen = 0
+    def walk(p: LogicalPlan, nearest: Option[(Join, Boolean)]): Unit =
+      p match {
+        case j: Join =>
+          walk(j.left, Some((j, true)))
+          walk(j.right, Some((j, false)))
+        case l: LogicalRelation if readsStore(l, store) =>
+          scansSeen += 1
+          nearest match {
+            case Some((j, onLeft)) =>
+              assert(onLeft &&
+                (j.joinType == LeftSemi || j.joinType == LeftAnti),
+                s"$label: a store scan's nearest join ancestor is a " +
+                  s"${j.joinType} with the store on the " +
+                  s"${if (onLeft) "left" else "RIGHT (store-sized " +
+                    "shuffle/broadcast side)"} — not delta-bounded:\n$plan")
+            case None =>
+              fail(s"$label: a store scan reached the root with no join " +
+                s"above it — no gate at all:\n$plan")
+          }
+        case other => other.children.foreach(walk(_, nearest))
+      }
+    walk(plan, None)
+    assert(scansSeen > 0, s"$label: expected at least one scan of " +
+      s"$store in the plan — the fixture is not exercising the gate:\n$plan")
+  }
+
+  private def writeDocStore(path: String): Unit =
+    spark.range(0, 1000).select(col("id").as("doc_id"),
+        lit("web").as("source"), lit("en").as("lang"),
+        concat(lit("stored text "), col("id")).as("text"))
+      .withColumn("n_tok", lit(3L))
+      .withColumn("chash", sha2(col("text"), 256))
+      .write.parquet(path)
+
+  test("dedupFresh: the doc store is semi-filtered by the batch's " +
+      "hashes before the anti-join; no store-side distinct remains") {
+    val base = tmpDir()
+    writeDocStore(s"$base/docs")
+    val batch = spark.range(0, 20).select(col("id").as("doc_id"),
+        lit("web").as("source"), lit("en").as("lang"),
+        concat(lit("batch text "), col("id")).as("text"))
+      .withColumn("n_tok", lit(3L))
+      .withColumn("chash", sha2(col("text"), 256))
+    assertDeltaBounded(CorpusStream.dedupFresh(batch, s"$base/docs"),
+      s"$base/docs", "dedupFresh")
+  }
+
+  test("chunksFresh: the chunk store is semi-filtered by the batch's " +
+      "chunk hashes before the anti-join") {
+    val base = tmpDir()
+    spark.range(0, 1000).select(col("id").as("doc_id"),
+        lit(0).as("chunk_idx"), lit(5L).as("n_tok"),
+        md5(concat(lit("chunk "), col("id"))).as("chunk_hash"),
+        concat(lit("chunk "), col("id")).as("chunk_text"))
+      .write.parquet(s"$base/chunks")
+    val chunkBatch = spark.range(0, 20).select(
+        (col("id") + 5000).as("doc_id"), lit(0).as("chunk_idx"),
+        lit(5L).as("n_tok"),
+        md5(concat(lit("chunk "), col("id"))).as("chunk_hash"),
+        concat(lit("chunk "), col("id")).as("chunk_text"))
+    assertDeltaBounded(
+      CorpusStream.chunksFresh(chunkBatch, s"$base/chunks"),
+      s"$base/chunks", "chunksFresh")
+  }
+
+  test("urlFreshWinners: claims store bounded by the winners' canons, " +
+      "doc store probed as the streamed side of its semi — neither " +
+      "store ever on a join's build/shuffle side") {
+    val base = tmpDir()
+    writeDocStore(s"$base/docs")
+    spark.range(0, 1000).select(
+        concat(lit("http://e.com/p"), col("id")).as("canon"),
+        col("id").as("doc_id"))
+      .write.parquet(s"$base/keys")
+    val winners = spark.range(0, 20).select(
+        (col("id") + 5000).as("doc_id"),
+        concat(lit("http://e.com/p"), col("id")).as("canon"),
+        lit(30L).as("n_chars"),
+        concat(lit("page "), col("id")).as("text"))
+    // materialize = identity: inspect the full logical plan (production
+    // localCheckpoints the tick-sized bounded claims at that seam)
+    val df = CorpusStream.urlFreshWinners(winners, s"$base/keys",
+      s"$base/docs", materialize = identity)
+    assertDeltaBounded(df, s"$base/keys", "urlFreshWinners/claims")
+    assertDeltaBounded(df, s"$base/docs", "urlFreshWinners/docstore")
+  }
+
+  test("freshAgainstStore (the shared gate all six append sites ride, " +
+      "x58 pairs/index/docs included): store on the semi's streamed side") {
+    val base = tmpDir()
+    spark.range(0, 1000).select(col("id").as("new_id"),
+        (col("id") + 1).as("old_id"), lit(0.5).as("jaccard"))
+      .write.parquet(s"$base/pairs")
+    val pairs = spark.range(0, 20).select((col("id") + 5000).as("new_id"),
+      col("id").as("old_id"), lit(0.9).as("jaccard"))
+    assertDeltaBounded(
+      CorpusStream.freshAgainstStore(pairs, s"$base/pairs",
+        Seq("new_id", "old_id"), pairs.select("new_id")),
+      s"$base/pairs", "freshAgainstStore")
+  }
+
+  test("x58 probe path: the index read's crash-window anti-join " +
+      "(ADVICE r20) keeps the index on the streamed side too") {
+    val base = tmpDir()
+    spark.range(0, 1000).select(col("id").as("doc_id"),
+        pmod(col("id"), lit(32)).cast("int").as("band"),
+        concat(lit("k"), pmod(col("id"), lit(97))).as("band_key"))
+      .write.partitionBy("band").parquet(s"$base/index")
+    val batchIds = spark.range(0, 20).select(col("id").as("doc_id"))
+    val gated = spark.read.parquet(s"$base/index")
+      .join(batchIds, Seq("doc_id"), "left_anti")
+    assertDeltaBounded(gated, s"$base/index", "x58 index crash-window gate")
+  }
+}
