@@ -586,10 +586,21 @@ object Dedup {
     // shingle side is the corpus
     val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .hint("shuffle_hash")
+    // Join order groups SAME-KEY joins (round 21, guide §2.4): the r20
+    // chain alternated keys (sigA:id_a, sigB:id_b, sh_a:id_a, sh_b:id_b),
+    // re-exchanging the growing pair stream at every switch — 5 pair-side
+    // exchanges counting the fan-out. Grouped (id_a, id_a, id_b, id_b),
+    // the fan-out's id_a partitioning serves both id_a joins and the sigB
+    // exchange serves the sh_b join: 2 pair-side exchanges, same rows
+    // (inner equi-joins commute; n_match/jaccard arithmetic untouched).
+    // n_match is computed and the 128 slot columns projected away BEFORE
+    // sh_b so the id_b-partitioned stream stays narrow.
     cands
-      .join(sigA, "id_a").join(sigB, "id_b")
-      .withColumn("n_match", nMatch)
+      .join(sigA, "id_a")
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sigB, "id_b")
+      .withColumn("n_match", nMatch)
+      .select(col("id_a"), col("id_b"), col("n_match"), col("sh_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("n_inter") /
@@ -1160,11 +1171,20 @@ object Dedup {
     * to one partition (64 MB advisory target) and re-serialized the
     * verify — bytes are the wrong sizing signal when the per-ROW work
     * is the cost.
+    *
+    * Keyed on `id_a` ALONE (round 21): every consumer's first pair-side
+    * join is on id_a, and a repartition whose hash key and partition
+    * count match the join's requirement IS the join's exchange (guide
+    * §2.4) — the (id_a, id_b) form was immediately re-exchanged on
+    * id_a, a wasted double shuffle of the pair stream in x45/x53 and
+    * the pair-graph build. Spread is preserved: candidates per id_a are
+    * bounded by the band-df cap (≤ bands·[[BandDfCap]]), so no single
+    * id_a hash bucket can run away.
     */
   def fanOutPairs(cands: DataFrame): DataFrame =
     cands.repartition(
       cands.sparkSession.sessionState.conf.numShufflePartitions,
-      col("id_a"), col("id_b"))
+      col("id_a"))
 
   /** The standard-constant LSH CANDIDATE set (3-shingles, 64 hashes,
     * 32 bands, [[BandDfCap]]) materialized once per corpus — the

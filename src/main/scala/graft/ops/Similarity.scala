@@ -201,7 +201,14 @@ object Similarity {
       // exact re-rank in the native codegen'd expression — the hot loop
       .withColumn("score",
         graft.functions.GraftFunctions.vec_dot(col("q_vec"), col("c_vec")))
-      .select("query_id", "neighbor_id", "score").distinct()
+      // no dedup needed (round 21, guide §2.4 "distinct on already-unique
+      // data"): the multiprobe buckets of one query are DISTINCT by
+      // construction (q_bucket XOR distinct flip masks) and a corpus
+      // vector has exactly one bucket, so the equi-join emits each
+      // (query_id, neighbor_id) at most once — the former .distinct()
+      // was a full exchange + two hash aggregates of the scored
+      // candidate set for nothing
+      .select("query_id", "neighbor_id", "score")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -254,7 +261,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         graft.functions.GraftFunctions.vec_dot(col("q_vec"), col("c_vec")))
-      .select("query_id", "neighbor_id", "score").distinct()
+      // unique by construction — same argument as [[lshTopK]] (round 21)
+      .select("query_id", "neighbor_id", "score")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -345,7 +353,13 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         graft.functions.GraftFunctions.vec_dot(col("q_vec"), col("c_vec")))
-      .select("query_id", "neighbor_id", "score").distinct()
+      // no dedup needed (round 21, guide §2.4): a neighbor is assigned
+      // exactly ONE cell (argmax) and a query's nProbe probed cells are
+      // distinct (row_number over distinct cell_ids), so the equi-join
+      // emits each (query_id, neighbor_id) at most once — the former
+      // .distinct() was a full exchange + two hash aggregates of the
+      // scored candidate set for nothing
+      .select("query_id", "neighbor_id", "score")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -409,7 +423,13 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score",
         graft.functions.GraftFunctions.vec_dot(col("q_vec"), col("c_vec")))
-      .select("query_id", "neighbor_id", "score").distinct()
+      // no dedup needed (round 21, guide §2.4): a neighbor is assigned
+      // exactly ONE cell (argmax) and a query's nProbe probed cells are
+      // distinct (row_number over distinct cell_ids), so the equi-join
+      // emits each (query_id, neighbor_id) at most once — the former
+      // .distinct() was a full exchange + two hash aggregates of the
+      // scored candidate set for nothing
+      .select("query_id", "neighbor_id", "score")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -425,9 +445,12 @@ object Similarity {
     * survivors are exact-re-ranked with the fixed-point dot. ONE shuffle —
     * the bucket equi-join — replaces the O(n²) cross join: expected
     * candidate count is Σ_buckets n_b² · |flips| / 2 ≈ n²·|flips|/2^planes.
-    * A duplicate candidate reached via several flip routes scores
-    * identically (the fold is deterministic), so the post-score `distinct`
-    * is exact.
+    * A pair is emitted at most ONCE: for fixed (a, b) the join fires only
+    * when bucket_a XOR f = bucket_b, and that equation has exactly one
+    * solution f — in the flip set or not — so no post-score dedup exists
+    * in the plan (round 21, guide §2.4: the former `.distinct()` re-keyed
+    * the full scored candidate set through an exchange + two hash
+    * aggregates for nothing).
     */
   def lshTopPairs(corpus: DataFrame, topN: Int, dim: Int,
                   numPlanes: Int = 12, probeRadius: Int = 1,
@@ -447,7 +470,7 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("score", dot(col("vec_a"), col("vec_b")))
-      .select("id_a", "id_b", "score").distinct()
+      .select("id_a", "id_b", "score")
       .orderBy(col("score").desc, col("id_a"), col("id_b"))
       .limit(topN)
   }

@@ -2773,11 +2773,17 @@ object ExtensionQueries {
     val la = octet_length(col("text_a"))
     val lb = octet_length(col("text_b"))
     val maxLen = greatest(la, lb)
+    // text_b joins FIRST (round 21, guide §2.4): after the band-refine
+    // filter the stream is still partitioned by id_b (the sigB join's
+    // exchange survives the filter+project), so the id_b text join is
+    // exchange-free and only the id_a join re-partitions — 2 pair-side
+    // exchanges total instead of the r20 chain's 5 (inner equi-joins
+    // commute; every filter and the DP are untouched).
     cands
-      .join(t.select(col("doc_id").as("id_a"), col("text").as("text_a")),
-        "id_a")
       .join(t.select(col("doc_id").as("id_b"), col("text").as("text_b")),
         "id_b")
+      .join(t.select(col("doc_id").as("id_a"), col("text").as("text_a")),
+        "id_a")
       .filter(least(la, lb).cast("double") >=
         lit(EditSimThreshold) * maxLen.cast("double") - lit(1.0))
       .withColumn("band_cap",

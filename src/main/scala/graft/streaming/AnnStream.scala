@@ -83,11 +83,15 @@ object AnnStream {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1).drop("rk")
     val corpusPath = s"$storePath/corpus"
-    val fresh =
-      if (!fs.exists(new Path(corpusPath))) inBatch
-      else inBatch.join(
-        spark.read.parquet(corpusPath).select("vec_id").distinct(),
-        Seq("vec_id"), "left_anti")
+    // delta-bounded store gate (round 21, VERDICT r20 #1 — the shared
+    // [[CorpusStream.freshAgainstStore]] surgery): the corpus-sized
+    // store side is semi-filtered to the batch's tick-sized vec_ids
+    // first, replacing the former full-store `.distinct()` aggregate
+    // exchange + anti-join shuffle with a map-only pruned scan against
+    // a broadcast of the batch's ids. Probe keys come from `batch`
+    // (pre-window — a cheap superset of inBatch's ids).
+    val fresh = CorpusStream.freshAgainstStore(inBatch, corpusPath,
+      Seq("vec_id"), batch.select("vec_id"))
     fresh
       .withColumn("cell_id", Similarity.assignCell(col("embedding"), cents))
       .write.partitionBy("cell_id").mode("append").parquet(corpusPath)
