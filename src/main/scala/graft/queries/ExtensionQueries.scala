@@ -2229,10 +2229,21 @@ object ExtensionQueries {
       .select(col("doc_id"), col("p.u").as("u"), col("p.w").as("w"))
     val tok = Tables.documents(spark, dir)
       .select(explode(TextAnalysis.words(col("text"))).as("w"))
-    val total = tok.select(count(lit(1)).as("total"))
+    // Aggregate once, derive the coarser counts from the finer (round
+    // 21, guide §2.3 "aggregate before you shuffle" / fewer passes):
+    // total = Σ cw over the vocab-sized unigram table and cu = Σ cuw
+    // over the (u, w) bigram table — bit-identical integers to the r20
+    // form's separate count(*) passes (every token / pair contributes
+    // exactly once either way), but the corpus is no longer re-split
+    // and re-exploded per statistic: the r20 plan evaluated `pairs` 3×
+    // and `tok` 2× (5 corpus text passes); this shape pays 2 `pairs`
+    // passes (the (u,w) aggregate subtree below is shared by cnt and
+    // ctx, so its exchange is reused at runtime) and 1 `tok` pass.
     val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val ctx = pairs.groupBy(col("u")).agg(count(lit(1)).as("cu"))
-    val bi = pairs.groupBy(col("u"), col("w")).agg(count(lit(1)).as("cuw"))
+    val total = uni.select(sum(col("cw")).as("total"))
+    val cnt = pairs.groupBy(col("u"), col("w")).agg(count(lit(1)).as("cuw"))
+    val ctx = cnt.groupBy(col("u")).agg(sum(col("cuw")).as("cu"))
+    val bi = cnt
       .join(broadcast(ctx), "u")
       .join(broadcast(uni), "w")
       .crossJoin(broadcast(total))
@@ -3696,8 +3707,14 @@ object ExtensionQueries {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("pred").as("major_lang"),
         col("n_pred").as("n_major"))
-    val totals = lines.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_lines"))
+    // derived from byPred, not from a second `lines` pass (round 21,
+    // guide §2.3): every line has exactly one pred, so Σ n_pred over a
+    // doc's preds IS its line count — bit-identical, and the shared
+    // byPred subtree means the explode + per-line classify runs once
+    // (the r20 form evaluated `lines` twice, re-splitting every
+    // document's text for a plain count)
+    val totals = byPred.groupBy(col("doc_id"))
+      .agg(sum(col("n_pred")).as("n_lines"))
     val docPred = Tables.documents(spark, dir)
       .select(col("doc_id"),
         TextAnalysis.languageId(col("text")).as("doc_pred"))
