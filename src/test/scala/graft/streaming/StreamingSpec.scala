@@ -534,4 +534,56 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(indexP).count() == idxAfter.size)
     assert(spark.read.parquet(docsP).count() == 2)
   }
+
+  test("incremental dedup: a replay inside the PAIRS-written/index-and-" +
+      "docs-missing crash window does not double-append pairs " +
+      "(VERDICT r20 #4 — the earlier window of the fixed append order)") {
+    import spark.implicits._
+    import org.apache.commons.io.FileUtils
+    val base = tmpDir()
+    val pairsP = s"$base/pairs"; val indexP = s"$base/index"
+    val docsP = s"$base/docs"
+    val b1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa y"),
+      (21L, "completely different words about completely other topics"))
+      .toDF("doc_id", "text")
+    CorpusStream.incrementalDedupBatch(b1, pairsP, indexP, docsP)
+    // snapshot the stores batch 2 will append to
+    def snap(p: String, s: String): Unit =
+      FileUtils.copyDirectory(new java.io.File(p), new java.io.File(s))
+    snap(indexP, s"$base/index.pre"); snap(docsP, s"$base/docs.pre")
+    CorpusStream.incrementalDedupBatch(b2, pairsP, indexP, docsP)
+    val crashFreePairs = spark.read.parquet(pairsP)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(crashFreePairs.nonEmpty, "fixture must surface a pair")
+    val crashFreeIdx = spark.read.parquet(indexP)
+      .select("band", "band_key", "doc_id").collect().toSet
+    // rewind index+docs to their pre-batch-2 state, keep the pairs
+    // append — exactly the crash-between-pairs-and-index window
+    FileUtils.deleteDirectory(new java.io.File(indexP))
+    FileUtils.deleteDirectory(new java.io.File(docsP))
+    FileUtils.moveDirectory(new java.io.File(s"$base/index.pre"),
+      new java.io.File(indexP))
+    FileUtils.moveDirectory(new java.io.File(s"$base/docs.pre"),
+      new java.io.File(docsP))
+    // replay: the docs gate is open (batch 2 not in the doc store), the
+    // verify re-runs and re-derives the same pairs — the pairs-store
+    // anti-join must swallow them ALL, and the index/docs appends must
+    // re-drive those stores to the crash-free state
+    CorpusStream.incrementalDedupBatch(b2, pairsP, indexP, docsP)
+    val replayedPairs = spark.read.parquet(pairsP)
+      .select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(replayedPairs == crashFreePairs,
+      s"pairs double-appended or lost: $replayedPairs vs $crashFreePairs")
+    assert(spark.read.parquet(indexP)
+      .select("band", "band_key", "doc_id").collect().toSet == crashFreeIdx)
+    assert(spark.read.parquet(indexP).count() == crashFreeIdx.size)
+    assert(spark.read.parquet(docsP).count() == 4)
+  }
 }
