@@ -2231,20 +2231,26 @@ object ExtensionQueries {
       .select(explode(TextAnalysis.words(col("text"))).as("w"))
     // Aggregate once, derive the coarser counts from the finer (round
     // 21, guide §2.3 "aggregate before you shuffle" / fewer passes):
-    // total = Σ cw over the vocab-sized unigram table and cu = Σ cuw
-    // over the (u, w) bigram table — bit-identical integers to the r20
-    // form's separate count(*) passes (every token / pair contributes
-    // exactly once either way), but the corpus is no longer re-split
-    // and re-exploded per statistic: the r20 plan evaluated `pairs` 3×
-    // and `tok` 2× (5 corpus text passes); this shape pays 2 `pairs`
-    // passes (the (u,w) aggregate subtree below is shared by cnt and
-    // ctx, so its exchange is reused at runtime) and 1 `tok` pass.
+    // total = Σ cw over the vocab-sized unigram table (its exchange is
+    // reused at runtime between this scalar and the w-join below —
+    // ReuseProbe shows the ReusedExchange) and cu = Σ cuw as a WINDOW
+    // over the (u, w) bigram table itself — bit-identical long integers
+    // to the r20 form's separate count(*) passes (every pair / token
+    // contributes exactly once either way). The r20 plan re-split and
+    // re-exploded the corpus per statistic: `pairs` 3× and `tok` 2× —
+    // five text passes; this shape pays exactly 2 `pairs` passes (the
+    // (u, w) aggregate once + the final per-doc join) and 1 `tok` pass.
+    // cu-as-window rather than a derived aggregate joined back: the
+    // aggregate form re-evaluated the whole bigram subtree under its
+    // broadcast (AQE's stage cache does not reuse a shuffle across the
+    // broadcast-stage boundary — measured with ReuseProbe), while the
+    // window costs one vocab²-bounded exchange on u and also removes
+    // the ctx broadcast entirely.
     val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val total = uni.select(sum(col("cw")).as("total"))
-    val cnt = pairs.groupBy(col("u"), col("w")).agg(count(lit(1)).as("cuw"))
-    val ctx = cnt.groupBy(col("u")).agg(sum(col("cuw")).as("cu"))
-    val bi = cnt
-      .join(broadcast(ctx), "u")
+    val bi = pairs.groupBy(col("u"), col("w")).agg(count(lit(1)).as("cuw"))
+      .withColumn("cu", sum(col("cuw")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
       .join(broadcast(uni), "w")
       .crossJoin(broadcast(total))
       .select(col("u"), col("w"),

@@ -1,0 +1,29 @@
+package graft.ops
+
+/** One-off diagnostic: execute a query to the noop sink and print the
+  * FINAL adaptive plan (post-execution), where AQE's stage cache renders
+  * reused shuffle stages as `ReusedExchange` / duplicate stage ids —
+  * the runtime evidence for shared-aggregate-subtree claims (round 21,
+  * x40/x65). Usage: sbt "Test/runMain graft.ops.ReuseProbe x40".
+  */
+object ReuseProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else Seq("x40")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => names.exists(n.startsWith) }
+      .foreach { case (n, fn) =>
+        val df = fn(spark, sfDir)
+        df.collect() // drive THIS QueryExecution so AQE finalizes it
+        val plan = df.queryExecution.executedPlan.toString
+        val reused = "ReusedExchange".r.findAllIn(plan).length
+        val stages = "ShuffleQueryStage".r.findAllIn(plan).length
+        println(s"===== $n reusedExchange=$reused shuffleStages=$stages")
+        println(plan.linesIterator.take(80).mkString("\n"))
+      }
+    spark.stop()
+  }
+}
