@@ -55,6 +55,57 @@ object DedupProbeBench {
   }
 }
 
+/** Delta-size amortization sweep (round 21): per-tick cost of
+  * [[CorpusStream.incrementalDedupBatch]] as the DELTA grows at a FIXED
+  * index — the operational-batching measurement behind the accepted
+  * cost model (per-tick = O(|delta|·bands·cap) join work + O(index)
+  * scan IO). The per-doc cost should FALL with delta size as the fixed
+  * per-tick scan term amortizes, locating the batching knee. Per delta
+  * size the prototype stores are COPIED fresh so earlier probes never
+  * pollute a later tick's gates.
+  *
+  *   sbt "Test/runMain graft.streaming.DeltaSweepBench /tmp/scale_200k 200 1000 5000 25000"
+  */
+object DeltaSweepBench {
+  def main(args: Array[String]): Unit = {
+    val corpus = args.headOption.getOrElse("/tmp/scale_200k")
+    val deltas = if (args.length > 1) args.drop(1).map(_.toLong).toSeq
+      else Seq(200L, 1000L, 5000L, 25000L)
+    val spark = graft.GraftSession.builder("local[32]", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$corpus/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val proto = java.nio.file.Files
+      .createTempDirectory("graft-sweep-").toString
+    CorpusStream.incrementalDedupBatch(docs,
+      s"$proto/pairs", s"$proto/index", s"$proto/docs") // untimed build
+    val rows = deltas.map { d =>
+      val delta = docs.filter(col("doc_id") < d)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .localCheckpoint()
+      val runs = (1 to 3).map { _ =>
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-sweep-run-").toString
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(proto), new java.io.File(base))
+        val t0 = System.nanoTime()
+        CorpusStream.incrementalDedupBatch(delta,
+          s"$base/pairs", s"$base/index", s"$base/docs")
+        (System.nanoTime() - t0) / 1e9
+      }
+      f"""{"delta":$d,"runs":[${runs.map(t => f"$t%.3f")
+        .mkString(",")}],""" +
+        f""""best":${runs.min}%.3f,""" +
+        f""""sec_per_kdoc":${runs.min * 1000 / d}%.4f}"""
+    }
+    println(s"""{"metric":"x58_delta_sweep","n_index":$n,""" +
+      s""""rows":[${rows.mkString(",")}]}""")
+    spark.stop()
+  }
+}
+
 /** Adversarial boilerplate-bucket harness for the x58 probe-side index
   * cap (round 19, VERDICT r18 #1): the persisted index holds N documents
   * that are ALL the same boilerplate template — every LSH band bucket
